@@ -1,0 +1,291 @@
+"""Deduplication operators.
+
+Reference semantics (file-level):
+- F1 listing dedup: first row per path wins (source.py:693-705)
+- F2 history dedup: drop files whose (cache_key, file_path) has a
+  COMPLETED history row — an anti-join (source.py:806-868)
+- F3 in-flight dedup: drop files being processed elsewhere (source.py:559-661)
+
+Training-data-scale extensions (first-class here, absent in reference):
+exact content dedup, MinHash/LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All are shuffle-on-key group-bys or
+bucket-joins — the shapes that survive 100 TB: candidate generation is
+always a *bucketed* join (band key / hash prefix), never an all-pairs
+cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------- reference file-pipeline dedup (F1-F3) ----------
+
+
+def dedup_listing(files: DataFrame) -> DataFrame:
+    """F1: one row per file_path within a listing."""
+    return files.dropDuplicates(["file_path"])
+
+
+def dedup_against_history(files: DataFrame, history: DataFrame) -> DataFrame:
+    """F2: keep only files with no COMPLETED history row.
+
+    Matches on content hash + path like the reference
+    (source.py:831-836). left_anti keeps catalog columns untouched.
+    At scale: history is partitioned by cache_key prefix; the join keys
+    are high-cardinality hashes, so no skew.
+    """
+    completed = history.filter(F.col("status") == "COMPLETED").select(
+        F.col("cache_key").alias("file_hash"), "file_path"
+    )
+    return files.join(completed, ["file_hash", "file_path"], "left_anti")
+
+
+def dedup_in_flight(files: DataFrame, active: DataFrame) -> DataFrame:
+    """F3: drop files already EXECUTING/PENDING in another run."""
+    live = active.filter(F.col("status").isin("EXECUTING", "PENDING")).select(
+        F.col("cache_key").alias("file_hash"), "file_path"
+    )
+    return files.join(live, ["file_hash", "file_path"], "left_anti")
+
+
+# ---------- exact + near-duplicate content dedup ----------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: per-group keeper + group size.
+
+    hash-groupBy; partial aggregation map-side, one shuffle on the
+    256-bit hash (uniform, skew-free).
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def normalized_fingerprint(text: F.Column) -> F.Column:
+    """Normalization-based near-dup key: lower, strip non-alnum, squash ws."""
+    norm = F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " ")
+    return F.md5(F.trim(norm))
+
+
+def char_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Explode documents into lowercase char k-gram shingles (strided).
+
+    One row per (doc, position); computed entirely in codegen
+    (sequence + substring), no Python. Strided sampling keeps the
+    explode factor at len/stride, which is what makes this viable at
+    100 TB (shingle rows ~= corpus bytes / stride).
+    """
+    txt = F.lower(F.col(text_col))
+    n = F.greatest(
+        F.lit(1),
+        ((F.length(txt) - F.lit(k)) / F.lit(stride) + F.lit(1)).cast("int"),
+    )
+    pos = F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("pos_idx")
+    return docs.select(F.col(id_col), txt.alias("_t"), pos).select(
+        id_col,
+        F.substring(F.col("_t"), F.col("pos_idx") * stride + 1, k).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document.
+
+    h_i(shingle) = md5(i || ':' || shingle); signature_i = min over
+    shingles. md5-as-hash keeps the function identical across engines
+    (and portable to the SQL oracle). One shuffle: groupBy(doc).
+    Output: (id, mh_0..mh_{n-1}).
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band become candidate pairs.
+
+    Band key = md5 of the band's minhashes; self-equi-join on
+    (band_no, band_key) — a *bucketed* join, never all-pairs. Dedups
+    pairs that collide in multiple bands.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_no").alias("band_no"), F.col("band.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature positions."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+    )
+
+
+def simhash_fingerprint(
+    shingles: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash as a `bits`-char '0'/'1' string per document.
+
+    Bit b is the majority vote of hex digit b's high bit across the
+    doc's shingle md5s. String representation keeps the operator
+    portable to the SQL oracle; hamming distance = count of differing
+    positions. One groupBy(doc) shuffle.
+    """
+    h = F.md5(F.col("shingle"))
+    per_bit_sums = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(0)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *per_bit_sums)
+    bit_chars = [
+        F.when(F.col(f"s_{b}") * 2 > F.col("n_sh"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word n-gram Jaccard over candidate pairs.
+
+    Candidates come from sharing at least one n-gram (bucketed join on
+    the shingle itself); |A ∩ B| = count of shared distinct shingles,
+    |A ∪ B| = |A| + |B| − |A ∩ B|. Three shuffles, all on uniform keys.
+    At 100 TB the shared-shingle join is pre-filtered by dropping
+    ultra-common shingles (document-frequency cap) — see `max_df`.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.gram") == F.col("gb.gram")) & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")))
+        .groupBy(F.col(f"ga.{id_col}").alias("id_a"), F.col(f"gb.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    Brute-force all-pairs is quadratic — correct at test scale and the
+    *oracle* for the LSH-bucketed path in `similarity.py`, which is the
+    100 TB strategy. Cosine stays JVM-side via aggregate/zip_with.
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("v"), norm.alias("nrm")
+    )
+    a = e.alias("ea")
+    b = e.alias("eb")
+    dot = F.aggregate(
+        F.zip_with(F.col("ea.v"), F.col("eb.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}"))
+        .select(
+            F.col(f"ea.{id_col}").alias("id_a"),
+            F.col(f"eb.{id_col}").alias("id_b"),
+            (dot / (F.col("ea.nrm") * F.col("eb.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

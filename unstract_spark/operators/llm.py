@@ -1,0 +1,86 @@
+"""T7 — the LLM call controller (the engine's only external-service stage).
+
+Reference: litellm-backed completion with retries/backoff, token caps and
+a mock hook (sdk1/llm.py:165-437, retry utils_retry_utils.py). In Spark
+the rules are:
+
+- LLM calls live in `mapInPandas` (Arrow batches), never row-at-a-time.
+- Bounded concurrency per executor (semaphore) — the cluster-wide rate
+  is `executors * max_concurrency`, tuned to the provider limit.
+- Retries with exponential backoff happen *inside* the UDF; Spark task
+  retry is the outer layer, made safe by the deterministic answer cache
+  key (ids.answer_cache_key) so a re-run replays, not re-spends.
+- Usage (token/cost) rows are emitted as side-output columns on the same
+  result rows — no separate collection pass.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from unstract_spark.mock import MockLLM
+
+
+def complete_with_controller(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    key_col: str = "prompt_key",
+    fingerprint_col: str = "fingerprint",
+    llm_factory: Callable[[], MockLLM] | None = None,
+    batch_size: int = 32,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+    model_name: str = "mock-llm",
+) -> DataFrame:
+    """Run completions over (prompt, key, fingerprint) rows.
+
+    Output adds: answer_raw, model_name, prompt_tokens,
+    completion_tokens, total_tokens — the usage side-output that feeds
+    operators.usage.aggregate_usage (A1) without a second pass.
+    """
+    llm_factory = llm_factory or MockLLM
+    in_cols = [c for c in df.columns]
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in zip(df.schema.fieldNames(), _ddl_types(df)))
+        + ", answer_raw string, model_name string"
+        + ", prompt_tokens long, completion_tokens long, total_tokens long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        llm = llm_factory()  # one client per task (lazy heavy init)
+        for pdf in batches:
+            answers: list[str] = []
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                for attempt in range(max_retries):
+                    try:
+                        answers.extend(
+                            llm.complete_batch(
+                                chunk[key_col].tolist(), chunk[fingerprint_col].tolist()
+                            )
+                        )
+                        break
+                    except Exception:
+                        if attempt == max_retries - 1:
+                            raise
+                        time.sleep(backoff_s * (3**attempt))
+            out = pdf.copy()
+            out["answer_raw"] = answers
+            out["model_name"] = model_name
+            out["prompt_tokens"] = out[prompt_col].str.split().str.len().fillna(0).astype("int64")
+            out["completion_tokens"] = (
+                out["answer_raw"].str.split().str.len().fillna(0).astype("int64")
+            )
+            out["total_tokens"] = out["prompt_tokens"] + out["completion_tokens"]
+            yield out[in_cols + ["answer_raw", "model_name", "prompt_tokens",
+                                 "completion_tokens", "total_tokens"]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _ddl_types(df: DataFrame) -> list[str]:
+    return [f.dataType.simpleString() for f in df.schema.fields]

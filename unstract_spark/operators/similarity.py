@@ -1,0 +1,112 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact oracle). Scale path: random
+hyperplane LSH — embed -> sign-bit bucket key -> candidates share a
+bucket in any of `n_tables` tables -> exact cosine re-rank on the
+candidate set. Candidate generation is a bucketed equi-join (shuffle on
+bucket key), never an all-pairs product: at 1B vectors the join touches
+~n_tables * bucket_size candidates per query instead of N.
+
+Hyperplanes are deterministic (seeded from sha256) so results are
+reproducible across runs and engines — no RNG at plan time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.retrieval import cosine
+
+
+def _seeded_hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from sha256 counter-mode."""
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim * n_planes:
+        raw = hashlib.sha256(f"lsh:{table}:{i}".encode()).digest()
+        for off in range(0, 32, 4):
+            (u,) = struct.unpack(">I", raw[off : off + 4])
+            vals.append((u / 2**31) - 1.0)  # [-1, 1)
+        i += 1
+    return np.array(vals[: dim * n_planes], dtype=np.float64).reshape(n_planes, dim)
+
+
+def lsh_bucket_key(vec_col, dim: int, n_planes: int = 8, table: int = 0):
+    """Sign-bit bucket key for one LSH table, as a Column expression.
+
+    bit_p = 1 if dot(vec, plane_p) >= 0. Entirely JVM-side: each dot
+    product is an `aggregate` over zip_with with literal plane coords.
+    """
+    planes = _seeded_hyperplanes(dim, n_planes, table)
+    bits = []
+    for p in range(n_planes):
+        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"t{table}:"), *bits)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast queries, score all, window rank. The oracle."""
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
+    scored = q.crossJoin(index.select(F.col(index_id), F.col(index_vec).alias("_iv"))).select(
+        query_id, index_id, F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk_join(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table sign-LSH candidate join + exact re-rank.
+
+    Recall grows with n_tables; cost per query is the matched-bucket
+    size. Both sides compute the same deterministic bucket keys, the
+    join is a plain shuffle-hash equi-join on (table, bucket), and only
+    candidates get the exact cosine.
+    """
+    def with_buckets(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
+        buckets = F.array(
+            *[lsh_bucket_key(F.col(vec_c), dim, n_planes, t) for t in range(n_tables)]
+        )
+        return df.select(F.col(id_c), F.col(vec_c), F.explode(buckets).alias("bucket"))
+
+    qb = with_buckets(queries, query_id, query_vec)
+    ib = with_buckets(index, index_id, index_vec)
+    cands = (
+        qb.join(ib, "bucket")
+        .select(query_id, query_vec, index_id, index_vec)
+        .dropDuplicates([query_id, index_id])
+    )
+    scored = cands.select(
+        query_id,
+        index_id,
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

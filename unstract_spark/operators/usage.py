@@ -1,0 +1,57 @@
+"""A1-A5 — usage/cost/status aggregations.
+
+Reference: token/cost Sum per run (backend/usage_v2/helper.py:55-103),
+batch-callback status rollup (workers/callback/tasks.py:255-360), pages
+billing (destination.py:697-699). All partial+final hash aggregates;
+Spark adds grouping sets / cube for the reporting surface for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_usage(usage: DataFrame, by: tuple[str, ...] = ("run_id",)) -> DataFrame:
+    """A1: token + cost totals per run (or any grouping)."""
+    return usage.groupBy(*by).agg(
+        F.sum("embedding_tokens").alias("embedding_tokens"),
+        F.sum("prompt_tokens").alias("prompt_tokens"),
+        F.sum("completion_tokens").alias("completion_tokens"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.round(F.sum("cost_in_dollars"), 6).alias("cost_in_dollars"),
+        F.sum("pages_processed").alias("pages_processed"),
+    )
+
+
+def execution_status_rollup(executions: DataFrame) -> DataFrame:
+    """A2: per-execution success/failure counts -> final status.
+
+    Final status mirrors the chord callback: any ERROR with zero
+    COMPLETED -> ERROR; mixed -> COMPLETED (partial); else COMPLETED.
+    """
+    agg = executions.groupBy("execution_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias("n_success"),
+        F.sum(F.when(F.col("status") == "ERROR", 1).otherwise(0)).alias("n_error"),
+        F.round(F.sum("execution_time_s"), 4).alias("total_time_s"),
+    )
+    final = (
+        F.when((F.col("n_error") > 0) & (F.col("n_success") == 0), "ERROR")
+        .otherwise("COMPLETED")
+    )
+    return agg.withColumn("final_status", final)
+
+
+def distinct_index_params(specs: DataFrame) -> DataFrame:
+    """A3: one index pass per distinct (chunk_size, overlap, adapters)
+    combination (reference seen_params, legacy_executor.py:902-978)."""
+    return specs.select("chunk_size", "chunk_overlap").distinct()
+
+
+def usage_report_cube(usage: DataFrame) -> DataFrame:
+    """Reporting extra: cube over (execution, model) — free in Spark."""
+    return usage.cube("execution_id", "model_name").agg(
+        F.sum("total_tokens").alias("total_tokens"),
+        F.round(F.sum("cost_in_dollars"), 6).alias("cost_in_dollars"),
+    )
