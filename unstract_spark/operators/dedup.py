@@ -89,9 +89,12 @@ def char_shingles(
     100 TB (shingle rows ~= corpus bytes / stride).
     """
     txt = F.lower(F.col(text_col))
+    # explicit floor(): Spark's double->int cast truncates while other
+    # engines round, so the shingle count must be floor()ed to stay
+    # portable to the SQL oracle
     n = F.greatest(
         F.lit(1),
-        ((F.length(txt) - F.lit(k)) / F.lit(stride) + F.lit(1)).cast("int"),
+        (F.floor((F.length(txt) - F.lit(k)) / F.lit(stride)) + F.lit(1)).cast("int"),
     )
     pos = F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("pos_idx")
     return docs.select(F.col(id_col), txt.alias("_t"), pos).select(
@@ -269,10 +272,11 @@ def embedding_neardup_pairs(
     *oracle* for the LSH-bucketed path in `similarity.py`, which is the
     100 TB strategy. Cosine stays JVM-side via aggregate/zip_with.
     """
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).alias("v"), norm.alias("nrm")
-    )
+    # double-domain products: float32 intermediates would diverge from
+    # any double-computing engine in the low bits
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = embeddings.select(F.col(id_col), vd.alias("v"), norm.alias("nrm"))
     a = e.alias("ea")
     b = e.alias("eb")
     dot = F.aggregate(

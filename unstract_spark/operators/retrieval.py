@@ -21,10 +21,17 @@ RRF_K = 60  # reciprocal-rank-fusion constant (reference fusion.py uses llama-in
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+
+    Inputs are cast to array<double> BEFORE multiplication so every
+    engine (and the SQL oracle) accumulates identical doubles —
+    float32 intermediate products would diverge in the last bits.
+    """
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
     return dot / (na * nb)
 
 

@@ -22,7 +22,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _marker_count(text: Column, words: list[str]) -> Column:
-    rx = "(^| )(" + "|".join(words) + ")( |$)"
+    # \b boundaries are zero-width, so consecutive stopwords all count
+    # (a consuming "(^| )...( |$)" group would eat the separating space)
+    rx = "\\b(" + "|".join(words) + ")\\b"
     return F.regexp_count(F.lower(text), F.lit(rx))
 
 

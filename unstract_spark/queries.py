@@ -1,0 +1,1103 @@
+"""Query registry — every implemented operator as (Spark callable, oracle SQL).
+
+This is the correctness surface the driver exercises: each entry's Spark
+DataFrame must hash-match the DuckDB result of its oracle SQL on the
+same parquet tables. Column names are aliased identically on both sides;
+floating aggregates are rounded on both sides; every ranking breaks ties
+on a unique id so row sets are deterministic.
+
+Registry key -> SURVEY.md §2 operator ids noted per entry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unstract_spark.mock import doc_fingerprint, mock_answer_raw, mock_answer_raw_sql
+from unstract_spark.operators import dedup, chunking, retrieval, similarity, text_analysis
+from unstract_spark.operators.prompts import coerce_number, na_to_null
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read nanos as long and convert (integer `div` — a
+        # double division would lose precision above 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent rounded sum of doubles.
+
+    Double summation is order-sensitive in the last bits, and Spark's
+    partial aggregation order differs from any other engine's — so a
+    plain round(sum(x), 2) can flip at a rounding boundary. Summing in
+    the exact decimal domain (cast each addend to DECIMAL(18,6)) makes
+    the total independent of addition order; the final cast back to
+    double is then identical everywhere.
+    SQL twin: CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE).
+    """
+    return F.round(F.sum(col.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    """Order-independent rounded mean (decimal sum / count, in double).
+    SQL twin: round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), s)."""
+    return F.round(
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# =====================================================================
+# Aggregations (A1/A2/A4) — pricing summary, the flagship scan+agg
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed down) -> partial+final agg.
+
+    The canonical usage-ledger aggregation shape (A1,
+    reference: usage_v2/helper.py:55-103) at lineitem scale.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_status_rollup",
+    """
+    SELECT o_orderstatus,
+           count(*)                                                   AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                                                      AS total_price,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a2_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 batch-status rollup shape (callback/tasks.py:255-360): counts +
+    conditional counts + sums per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+    )
+
+
+@register(
+    "a3_distinct_params",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a3_distinct_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 distinct-param-set dedup (seen_params, legacy_executor.py:902-978)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "a5_cube_usage_report",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a5_cube_usage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-reporting cube (SURVEY §2.5: grouping sets free in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with plan-time columns (T9 result pivot; §1.3 — runtime-valued
+    .pivot() is avoided so the schema is static)."""
+    o = _t(spark, sf_dir, "orders")
+    cases = {
+        "p_urgent": "1-URGENT",
+        "p_high": "2-HIGH",
+        "p_medium": "3-MEDIUM",
+        "p_notspec": "4-NOT SPECIFIED",
+        "p_low": "5-LOW",
+    }
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0)).alias(k)
+            for k, v in cases.items()
+        ]
+    )
+
+
+# =====================================================================
+# Scans / sorts / limits (S2/S3, §2.8)
+# =====================================================================
+
+
+@register(
+    "s3_ordered_scan_topk",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
+    """,
+)
+def s3_ordered_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 FIFO ordered scan + cap -> global top-k (TakeOrdered, no full
+    sort; reference collects 40k then sorts, source.py:292-411)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "s2_pattern_filter",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE regexp_matches(source, '^src1[0-9]$') AND lang = 'en'
+    """,
+)
+def s2_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 glob/pattern filter pushed at the scan (fnmatch -> rlike)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", "lang").filter(
+        F.col("source").rlike("^src1[0-9]$") & (F.col("lang") == "en")
+    )
+
+
+@register(
+    "f6_deterministic_sample",
+    "SELECT doc_id, lang, source FROM documents WHERE doc_id % 20 = 0",
+)
+def f6_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 manual-review sampling, made deterministic (id-hash modulo
+    instead of random.sample — reference plugins/utils.py:28-43)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", "source").filter(F.col("doc_id") % 20 == 0)
+
+
+# =====================================================================
+# Joins (J1/J2 anti, semi, J3 cross, J5 left, J6 broadcast)
+# =====================================================================
+
+
+@register(
+    "j1_history_antijoin",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def j1_history_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F2 file-history dedup shape: left_anti (orders with no
+    lineitems stands in for catalog-with-no-history; source.py:806-868)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.join(l, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "j2_semi_join",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (inverse of the anti-join dedup; SURVEY §2.6)."""
+    p = _t(spark, sf_dir, "part")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return p.join(l, "p_partkey", "left_semi").select("p_partkey", "p_brand")
+
+
+@register(
+    "j3_cross_prompt_assembly",
+    """
+    SELECT r_name, o_orderpriority,
+           'Extract fields for region ' || r_name || ' at priority ' || o_orderpriority
+               AS prompt
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def j3_cross_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 prompt-spec x document cross join + T8 prompt assembly
+    (docs.crossJoin(broadcast(prompts)); answer_prompt.py:107-219)."""
+    r = _t(spark, sf_dir, "region")
+    pr = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(F.broadcast(pr)).select(
+        "r_name",
+        "o_orderpriority",
+        F.concat(
+            F.lit("Extract fields for region "),
+            F.col("r_name"),
+            F.lit(" at priority "),
+            F.col("o_orderpriority"),
+        ).alias("prompt"),
+    )
+
+
+@register(
+    "j5_left_join_usage",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, r.revenue
+    FROM orders o LEFT JOIN (
+        SELECT l_orderkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+    ) r ON o.o_orderkey = r.l_orderkey
+    """,
+)
+def j5_left_join_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 result <- usage-metadata left join (destination.py:679-701):
+    aggregate the fact side first, then join — the shuffle is on the
+    pre-aggregated (smaller) side."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    return o.join(rev, "o_orderkey", "left").select("o_orderkey", "o_orderstatus", "revenue")
+
+
+@register(
+    "j6_broadcast_lookup",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j6_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 lookup-enrichment broadcast hash join (lookup_enrichment.py):
+    dimension explicitly broadcast — no shuffle of the fact table."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# =====================================================================
+# Set ops (§2.9) + error-union sink shape (D5)
+# =====================================================================
+
+
+@register(
+    "set_except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "set_intersect_nations",
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "d5_error_union",
+    """
+    SELECT o_orderkey, 'COMPLETED' AS status, NULL AS error_message
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, 'ERROR' AS status, 'processing failed' AS error_message
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def d5_error_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 success/error row union (destination.py:296-309): failures are
+    rows with a status column, never job failures."""
+    o = _t(spark, sf_dir, "orders")
+    ok = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.lit("COMPLETED").alias("status"),
+        F.lit(None).cast("string").alias("error_message"),
+    )
+    err = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        F.lit("ERROR").alias("status"),
+        F.lit("processing failed").alias("error_message"),
+    )
+    return ok.unionByName(err)
+
+
+# =====================================================================
+# Windows / top-k per group (§2.8, J4 ranking shape) + sessionization
+# =====================================================================
+
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the retrieval ranking shape (J4: row_number over
+    partition, sdk1/index.py:65-131) on relational data."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 50
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (usage accumulation over time)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "w3_sessionize",
+    """
+    WITH gaps AS (
+        -- exact microsecond arithmetic: date_diff('second') counts
+        -- boundary crossings, which disagrees with Spark's timestampdiff
+        SELECT user_id, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold — the batch twin of the
+    streaming session-window operator (§2.11 north-star)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("prev_ts").isNull(), 0)
+        .when(F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "w4_lag_lead",
+    """
+    SELECT event_id, user_id, event_type,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# =====================================================================
+# Streaming-analog event aggregations (§2.11) + JSON props (T17 shape)
+# =====================================================================
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window as batch groupBy(date_trunc) — the
+    exact shape `groupBy(window('ts','1 hour'))` takes in the streaming
+    path (streaming/incremental.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+        _davg(F.col("value")).alias("avg_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + agg (T17/JSON handling — from_json/
+    get_json_object instead of a repair UDF for well-formed input)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# =====================================================================
+# Scalar-function surface (§2.10)
+# =====================================================================
+
+
+@register(
+    "scalar_functions",
+    """
+    SELECT doc_id,
+           sha256(text)                       AS sha_text,
+           to_base64(substr(text, 1, 12)::BLOB) AS b64_prefix,
+           upper(source)                      AS source_upper,
+           length(text)                       AS text_len,
+           concat_ws('|', lang, source)       AS lang_source
+    FROM documents
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2/base64/concat_ws/upper/length — the reference's scalar surface
+    (source.py:938-954 sha256, destination.py:1090-1092 base64, ...)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_text"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_prefix"),
+        F.upper("source").alias("source_upper"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    )
+
+
+# =====================================================================
+# Document pipeline: mock-LLM extraction (J3+T7+T9+F5+§1.2 coercion)
+# =====================================================================
+
+_EXTRACT_SQL = f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    raw AS (
+        SELECT doc_id,
+               {mock_answer_raw_sql("'invoice_no'", "fingerprint")} AS invoice_raw,
+               {mock_answer_raw_sql("'total'", "fingerprint")}      AS total_raw
+        FROM fp
+    )
+    SELECT doc_id,
+           CASE WHEN lower(trim(invoice_raw)) = 'na' THEN NULL ELSE invoice_raw END
+               AS invoice_no,
+           CASE WHEN lower(trim(total_raw)) = 'na' THEN NULL
+                WHEN regexp_extract(total_raw, '(-?\\d+(?:\\.\\d+)?)', 1) = '' THEN NULL
+                ELSE CAST(regexp_extract(total_raw, '(-?\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)
+           END AS total
+    FROM raw
+"""
+
+
+@register("t9_extract_structured", _EXTRACT_SQL)
+def t9_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 per-field extraction, end-to-end with the deterministic mock
+    LLM: fingerprint -> answer -> NA sanitize (F5) -> type coercion
+    (§1.2) -> one column per prompt_key."""
+    d = _t(spark, sf_dir, "documents")
+    fp = doc_fingerprint(F.col("text"))
+    invoice_raw = mock_answer_raw(F.lit("invoice_no"), fp)
+    total_raw = mock_answer_raw(F.lit("total"), fp)
+    return d.select(
+        "doc_id",
+        na_to_null(invoice_raw).alias("invoice_no"),
+        coerce_number(na_to_null(total_raw)).alias("total"),
+    )
+
+
+@register(
+    "t9_extract_long",
+    f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    specs AS (SELECT unnest(['invoice_no', 'total', 'vendor']) AS prompt_key)
+    SELECT doc_id, prompt_key,
+           {mock_answer_raw_sql("prompt_key", "fingerprint")} AS answer_raw,
+           CASE WHEN lower(trim({mock_answer_raw_sql("prompt_key", "fingerprint")})) = 'na'
+                THEN NULL ELSE {mock_answer_raw_sql("prompt_key", "fingerprint")} END
+               AS answer_text
+    FROM fp CROSS JOIN specs
+    """,
+)
+def t9_extract_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 cross join in long format: (doc x prompt) result rows."""
+    from unstract_spark.operators.prompts import extract_long_format_mock
+
+    d = _t(spark, sf_dir, "documents")
+    specs = d.sparkSession.createDataFrame(
+        [(k, "text") for k in ["invoice_no", "total", "vendor"]],
+        "prompt_key string, enforce_type string",
+    )
+    return extract_long_format_mock(d, specs)
+
+
+# =====================================================================
+# T3 chunking
+# =====================================================================
+
+
+@register(
+    "t3_chunking",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents),
+    n AS (SELECT doc_id, text,
+                 greatest(1, CAST(ceil((l - 50) / 150.0) AS INT)) AS n_chunks
+          FROM d)
+    SELECT doc_id, CAST(i AS INT) AS chunk_no,
+           substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+    FROM n, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def t3_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 fixed-size chunking (chunk 200, overlap 50) — sequence +
+    posexplode + substring, all codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return chunking.chunk_fixed(d, chunk_size=200, chunk_overlap=50)
+
+
+# =====================================================================
+# Text analysis (training-data ops)
+# =====================================================================
+
+
+def _marker_sql(col: str, words: list[str]) -> str:
+    rx = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower({col}), '{rx}'))"
+
+
+@register(
+    "ta_lang_id",
+    f"""
+    WITH hits AS (
+        SELECT doc_id,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["de"])} AS hits_de,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["en"])} AS hits_en,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["es"])} AS hits_es,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["fr"])} AS hits_fr
+        FROM documents
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits
+    """,
+)
+def ta_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword argmax) — pure codegen, no shuffle."""
+    return text_analysis.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ta_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (token budgeting surface)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        text_analysis.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "ta_quality_score",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["en"])} AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           round(n_chars_m / greatest(n_tokens, 1), 4)            AS mean_word_len,
+           round(n_punct / greatest(n_chars_m, 1), 4)             AS punct_ratio,
+           round(n_digit / greatest(n_chars_m, 1), 4)             AS digit_ratio,
+           round(n_stop / greatest(n_tokens, 1), 4)               AS stop_ratio,
+           (CASE WHEN n_chars_m BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN n_chars_m / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN n_punct / greatest(n_chars_m, 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN n_digit / greatest(n_chars_m, 1) <= 0.3 THEN 1.0 ELSE 0.0 END) / 4.0
+               AS quality_score
+    FROM feats
+    """,
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus quality features + composite score."""
+    return text_analysis.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ta_fingerprints",
+    """
+    WITH norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS n
+        FROM documents
+    )
+    SELECT doc_id, sha256(text) AS sha_exact, md5(n) AS md5_norm,
+           md5(substr(n, 1, 64)) AS prefix_hash
+    FROM norm
+    """,
+)
+def ta_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/normalized/prefix fingerprints for dedup keying."""
+    return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Dedup suite (training-data ops): exact, MinHash, SimHash, Jaccard,
+# embedding near-dup
+# =====================================================================
+
+
+@register(
+    "dd_exact_groups",
+    """
+    SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, keeper = min id."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               substr(t, CAST(i * 4 + 1 AS INT), 8) AS shingle
+        FROM (SELECT doc_id, lower(text) AS t,
+                     greatest(1, CAST(floor((length(text) - 8) / 4.0) AS INT) + 1) AS n_sh
+              FROM documents),
+             unnest(range(0, n_sh)) AS u(i)
+"""
+
+_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8)
+) + f" FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
+
+
+@register("dd_minhash_signatures", _MINHASH_SQL)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes) over strided char-8 shingles."""
+    sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(sh)
+
+
+_BANDS_SQL = f"""
+        SELECT doc_id, b.band_no, b.band_key
+        FROM ({_MINHASH_SQL}) sigs,
+             LATERAL (VALUES (0, md5(mh_0 || '|' || mh_1)),
+                             (1, md5(mh_2 || '|' || mh_3)),
+                             (2, md5(mh_4 || '|' || mh_5)),
+                             (3, md5(mh_6 || '|' || mh_7))) AS b(band_no, band_key)
+"""
+
+
+@register(
+    "dd_minhash_neardup",
+    f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, md5(mh_0 || '|' || mh_1)),
+                             (1, md5(mh_2 || '|' || mh_3)),
+                             (2, md5(mh_4 || '|' || mh_5)),
+                             (3, md5(mh_6 || '|' || mh_7))) AS b(band_no, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+)
+def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup: band bucket-join candidates + signature
+    similarity. The 100 TB path: candidates via equi-join on band keys."""
+    sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.minhash_similarity(sigs, pairs)
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SQL = (
+    "WITH sh AS ("
+    + _SHINGLE_SQL
+    + "), agg AS (SELECT doc_id, count(*) AS n_sh, "
+    + ", ".join(
+        "CAST(sum(CASE WHEN substr(md5(shingle), {b1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS s_{b}".format(
+            b1=b + 1, b=b
+        )
+        for b in range(_SIMHASH_BITS)
+    )
+    + " FROM sh GROUP BY doc_id) SELECT doc_id, "
+    + " || ".join(
+        f"(CASE WHEN s_{b} * 2 > n_sh THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS)
+    )
+    + " AS simhash FROM agg"
+)
+
+
+@register("dd_simhash", _SIMHASH_SQL)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (32-bit majority vote over shingle hashes)."""
+    sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_fingerprint(sh, bits=_SIMHASH_BITS)
+
+
+@register(
+    "dd_ngram_jaccard",
+    """
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g.gram
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents WHERE doc_id < 100),
+             LATERAL (
+                SELECT array_to_string(w[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+                FROM unnest(range(0, greatest(len(w) - 2, 0) + 1)) AS u(i)
+             ) AS g
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.inter_size / (sa.set_size + sb.set_size - i.inter_size), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter_size / (sa.set_size + sb.set_size - i.inter_size) >= 0.05
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 2-gram Jaccard near-dup over candidate pairs (shared-gram
+    bucket join; restricted to doc_id<100 at oracle scale)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(d, n=2, min_jaccard=0.05)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dd_embedding_neardup",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus's cosine range). Brute-force = the oracle for the LSH scale
+    path."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(e, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# =====================================================================
+# Similarity search / retrieval (J4, R1/R3/R6, ANN)
+# =====================================================================
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, i.vec_id,
+               round(list_dot_product(q.qv, i.embedding::DOUBLE[])
+                     / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(i.embedding::DOUBLE[], x -> x * x)))),
+                     6) AS score
+        FROM q CROSS JOIN embeddings i
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@register("sim_topk_bruteforce", _COSINE_TOPK_SQL)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/R1: batch top-k cosine retrieval (5 queries x corpus, k=10).
+
+    Ranking happens on the ROUNDED score with id tie-break so the row
+    set is deterministic across engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(q, e, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+@register(
+    "sim_rrf_fusion",
+    f"""
+    WITH ranked AS ({_COSINE_TOPK_SQL.replace("vec_id < 5", "vec_id < 2").replace("rank <= 10", "rank <= 20")}),
+    fused AS (
+        SELECT vec_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+        FROM ranked GROUP BY vec_id
+    )
+    SELECT vec_id, rrf_score, fused_rank FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, vec_id ASC) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 fusion: two retrievals (query vecs 0 and 1, k=20) fused by
+    reciprocal rank, final top-10 (retrievers/fusion.py:12-104)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranked = similarity.brute_force_topk(q, e, k=20)
+    r0 = ranked.filter(F.col("query_id") == 0)
+    r1 = ranked.filter(F.col("query_id") == 1)
+    return retrieval.rrf_fuse([r0, r1], k=10, id_col="vec_id")
+
+
+@register(
+    "sim_keyword_table",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, count(DISTINCT word) AS kw_hits
+        FROM words WHERE word IN ('spark', 'merge', 'window', 'vector')
+        GROUP BY doc_id
+    )
+    SELECT doc_id, kw_hits, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY kw_hits DESC, doc_id ASC) AS rank
+        FROM hits
+    ) WHERE rank <= 10
+    """,
+)
+def sim_keyword_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 keyword-table retrieval: inverted index + hit ranking."""
+    d = _t(spark, sf_dir, "documents")
+    return retrieval.keyword_table_retrieve(
+        d, ["spark", "merge", "window", "vector"], k=10
+    )
+
+
+ENTRY_QUERY = "q1_pricing_summary"
