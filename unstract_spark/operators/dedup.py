@@ -87,7 +87,16 @@ def char_shingles(
     (sequence + substring), no Python. Strided sampling keeps the
     explode factor at len/stride, which is what makes this viable at
     100 TB (shingle rows ~= corpus bytes / stride).
+
+    The input is re-spread across the cluster before the explode: a
+    small parquet arrives as one split, and without this the k-gram
+    inflation (and the md5 work above it) runs on one core. At real
+    scale the scan already has many splits and AQE coalesces the tiny
+    shuffle, so the repartition is ~free.
     """
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para, F.col(id_col))
     txt = F.lower(F.col(text_col))
     # explicit floor(): Spark's double->int cast truncates while other
     # engines round, so the shingle count must be floor()ed to stay
@@ -108,15 +117,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    h_i(shingle) = md5(i || ':' || shingle); signature_i = min over
-    shingles. md5-as-hash keeps the function identical across engines
-    (and portable to the SQL oracle). One shuffle: groupBy(doc).
-    Output: (id, mh_0..mh_{n-1}).
+    The hash family is md5-derived for cross-engine portability: one
+    md5 per 4 hash functions, split into 32-bit hex chunks
+    (h_{4j+c} = bits of md5(seed_j || ':' || shingle)[8c .. 8c+8) as a
+    BIGINT). Splitting one wide hash into independent chunks is the
+    standard trick to avoid k full hash computations per shingle.
+    SQL twin: ('0x' || substr(md5(...), 8c+1, 8))::BIGINT.
+
+    The integer domain matters for the physical plan: min(long) gets a
+    mutable fixed-width buffer -> HashAggregate; min(string) falls back
+    to SortAggregate, which full-sorts the shingle explosion (~10x
+    slower at bench scale). One shuffle: groupBy(doc).
     """
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = []
+    n_md5 = (num_hashes + 3) // 4
+    for j in range(n_md5):
+        h = F.md5(F.concat_ws(":", F.lit(f"seed{j}"), F.col("shingle")))
+        for c in range(4):
+            i = j * 4 + c
+            if i >= num_hashes:
+                break
+            aggs.append(
+                F.min(F.conv(F.substring(h, c * 8 + 1, 8), 16, 10).cast("long")).alias(
+                    f"mh_{i}"
+                )
+            )
     return shingles.groupBy(id_col).agg(*aggs)
 
 

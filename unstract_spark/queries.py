@@ -864,7 +864,9 @@ _SHINGLE_SQL = """
 """
 
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8)
+    f"min(('0x' || substr(md5('seed{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))::BIGINT)"
+    f" AS mh_{i}"
+    for i in range(8)
 ) + f" FROM ({_SHINGLE_SQL}) GROUP BY doc_id"
 
 
@@ -875,14 +877,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(sh)
 
 
-_BANDS_SQL = f"""
-        SELECT doc_id, b.band_no, b.band_key
-        FROM ({_MINHASH_SQL}) sigs,
-             LATERAL (VALUES (0, md5(mh_0 || '|' || mh_1)),
-                             (1, md5(mh_2 || '|' || mh_3)),
-                             (2, md5(mh_4 || '|' || mh_5)),
-                             (3, md5(mh_6 || '|' || mh_7))) AS b(band_no, band_key)
-"""
+_BAND_KEY = "md5(CAST(mh_{a} AS VARCHAR) || '|' || CAST(mh_{b} AS VARCHAR))"
 
 
 @register(
@@ -892,10 +887,10 @@ _BANDS_SQL = f"""
     bands AS (
         SELECT doc_id, b.band_no, b.band_key
         FROM sigs,
-             LATERAL (VALUES (0, md5(mh_0 || '|' || mh_1)),
-                             (1, md5(mh_2 || '|' || mh_3)),
-                             (2, md5(mh_4 || '|' || mh_5)),
-                             (3, md5(mh_6 || '|' || mh_7))) AS b(band_no, band_key)
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -918,9 +913,17 @@ _BANDS_SQL = f"""
 )
 def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup: band bucket-join candidates + signature
-    similarity. The 100 TB path: candidates via equi-join on band keys."""
+    similarity. The 100 TB path: candidates via equi-join on band keys.
+
+    Signatures are persisted: the frame feeds four join inputs (both
+    band sides + both similarity sides), and without a persist Spark
+    re-runs the shingle explode + groupBy for each — 4x the dominant
+    cost. At cluster scale this is a checkpoint/exchange-reuse, same
+    idea."""
     sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(sh)
+    sigs = dedup.minhash_signatures(sh).persist()
+    sigs.count()  # eager: four downstream consumers race an unpopulated
+    # cache otherwise, each recomputing the shingle+agg lineage
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_similarity(sigs, pairs)
 
@@ -1068,10 +1071,17 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # both rankings come out of ONE scored pass keyed by query_id;
+    # filtering per-query and unioning back (rrf_fuse's general form)
+    # would recompute the scoring crossJoin once per ranking
     ranked = similarity.brute_force_topk(q, e, k=20)
-    r0 = ranked.filter(F.col("query_id") == 0)
-    r1 = ranked.filter(F.col("query_id") == 1)
-    return retrieval.rrf_fuse([r0, r1], k=10, id_col="vec_id")
+    fused = ranked.groupBy("vec_id").agg(
+        F.round(F.sum(1.0 / (F.lit(retrieval.RRF_K) + F.col("rank"))), 6).alias("rrf_score")
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("vec_id").asc())
+    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= 10
+    )
 
 
 @register(
