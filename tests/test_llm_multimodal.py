@@ -1,0 +1,73 @@
+"""LLM controller (batching, retry, usage side-output) + multimodal
+plumbing (fake decode, error isolation, frame sampling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unstract_spark.mock import MockLLM
+from unstract_spark.operators.llm import complete_with_controller
+from unstract_spark.operators.multimodal import frame_sample_plan, image_features
+
+
+@pytest.fixture(scope="module")
+def prompt_rows(spark):
+    return spark.createDataFrame(
+        [(f"fp{i}", "field_a", f"extract field_a from doc {i}") for i in range(10)],
+        "fingerprint string, prompt_key string, prompt string",
+    )
+
+
+def test_controller_answers_and_usage(prompt_rows):
+    out = complete_with_controller(prompt_rows).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.answer_raw.startswith("ans-") or r.answer_raw == "NA"
+        assert r.total_tokens == r.prompt_tokens + r.completion_tokens
+        assert r.model_name == "mock-llm"
+
+
+def test_controller_matches_mock_function(prompt_rows):
+    out = {r.fingerprint: r.answer_raw for r in complete_with_controller(prompt_rows).collect()}
+    assert out["fp3"] == MockLLM._answer("field_a", "fp3")
+
+
+def test_controller_retries_transient_errors(prompt_rows):
+    # defined inside the test so cloudpickle ships it by value to executors
+    class FlakyLLM(MockLLM):
+        """Fails the first call per instance — exercises the retry path."""
+
+        def complete_batch(self, keys, fingerprints):
+            if self.calls == 0:
+                self.calls += 1
+                raise RuntimeError("transient provider error")
+            return super().complete_batch(keys, fingerprints)
+
+    out = complete_with_controller(prompt_rows, llm_factory=FlakyLLM, backoff_s=0.001).collect()
+    assert len(out) == 10  # survived the injected failure
+
+
+def test_image_features_fake_decode(spark):
+    df = spark.createDataFrame(
+        [("/img/a.png", b"payload-a"), ("/img/b.png", b"payload-b")],
+        "file_path string, content binary",
+    )
+    rows = {r.file_path: r for r in image_features(df, fake=True).collect()}
+    assert len(rows["/img/a.png"].feat) == 6  # mean, std, hist4
+    assert rows["/img/a.png"].decode_error is None
+    assert rows["/img/a.png"].feat != rows["/img/b.png"].feat  # content-dependent
+
+
+def test_image_decode_stub_isolates_errors(spark):
+    df = spark.createDataFrame([("/img/a.png", b"x")], "file_path string, content binary")
+    rows = image_features(df, fake=False).collect()
+    assert rows[0].feat is None
+    assert "decode requires" in rows[0].decode_error  # row error, job survived
+
+
+def test_frame_sample_plan_explodes(spark):
+    df = spark.createDataFrame(
+        [("/v/clip.mp4", b"x" * (1024 * 90))], "file_path string, content binary"
+    )
+    rows = frame_sample_plan(df, every_n=30).collect()
+    assert len(rows) == 3  # ~91 est frames -> samples at 0, 30, 60
+    assert [r.frame_number for r in rows] == [0, 30, 60]

@@ -1,0 +1,191 @@
+"""Operator-level semantics not covered by the SQL-oracle gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unstract_spark.mock import MockLLM, mock_embed_texts
+from unstract_spark.operators import chunking, dedup, retrieval, similarity
+from unstract_spark.operators.prompts import (
+    coerce_boolean,
+    coerce_date,
+    coerce_number,
+    extract_structured_mock,
+    na_to_null,
+    single_pass_mock,
+)
+from unstract_spark.operators.usage import execution_status_rollup
+
+
+# ---------- chunking ----------
+
+
+def test_chunk_fixed_covers_text(spark):
+    df = spark.createDataFrame([(1, "a" * 1000)], "doc_id long, text string")
+    chunks = chunking.chunk_fixed(df, chunk_size=300, chunk_overlap=100).collect()
+    # stride 200: starts 0,200,...,800 -> ceil((1000-100)/200)=5 chunks
+    assert len(chunks) == 5
+    joined = "".join(c.chunk_text[:200] for c in sorted(chunks, key=lambda c: c.chunk_no))
+    assert joined == "a" * 1000  # strided prefixes reassemble the doc
+
+
+def test_chunk_zero_means_whole_doc(spark):
+    df = spark.createDataFrame([(1, "short doc")], "doc_id long, text string")
+    chunks = chunking.chunk_fixed(df, chunk_size=0).collect()
+    assert len(chunks) == 1 and chunks[0].chunk_text == "short doc"
+
+
+def test_chunk_sentences_overlap(spark):
+    text = "One sentence here. Two sentence here. Three sentence here. Four is last."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunking.chunk_sentences(df, chunk_size=45, chunk_overlap=20).collect()
+    assert len(chunks) >= 2
+    full = " ".join(c.chunk_text for c in sorted(chunks, key=lambda c: c.chunk_no))
+    for sent in ["One sentence here.", "Four is last."]:
+        assert sent in full
+
+
+# ---------- dedup ----------
+
+
+def test_history_dedup_and_replay(spark):
+    files = spark.createDataFrame(
+        [("h1", "/a.txt"), ("h2", "/b.txt"), ("h3", "/c.txt")],
+        "file_hash string, file_path string",
+    )
+    history = spark.createDataFrame(
+        [("h1", "/a.txt", "COMPLETED"), ("h2", "/b.txt", "ERROR")],
+        "cache_key string, file_path string, status string",
+    )
+    fresh = dedup.dedup_against_history(files, history).collect()
+    # only COMPLETED dedups; ERROR rows re-process (file_history.py:21)
+    assert {r.file_path for r in fresh} == {"/b.txt", "/c.txt"}
+
+
+def test_minhash_identical_docs_match(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 5),
+         (2, "the quick brown fox jumps over the lazy dog " * 5),
+         (3, "completely different content about spark engines " * 5)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(dedup.char_shingles(df)).persist()
+    sigs.count()
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sim = {(r.id_a, r.id_b): r.est_jaccard for r in dedup.minhash_similarity(sigs, pairs).collect()}
+    assert sim[(1, 2)] == 1.0
+    assert (1, 3) not in sim or sim[(1, 3)] < 0.5
+
+
+def test_simhash_near_duplicates_close(spark):
+    base = "spark engines process large datasets with partitioned shuffles " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tiny suffix"), (3, "unrelated short text entirely")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in
+           dedup.simhash_fingerprint(dedup.char_shingles(df)).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(fps[1], fps[2]) <= 4
+    assert ham(fps[1], fps[3]) > 4
+
+
+# ---------- similarity / ANN ----------
+
+
+@pytest.fixture(scope="module")
+def embedding_frames(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # 10 queries = index vectors + small noise (guaranteed near-neighbors)
+    queries = base[:10] + rng.normal(scale=0.05, size=(10, 16)).astype(np.float32)
+    index = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(queries)], "query_id long, query_vec array<float>"
+    )
+    return qdf, index
+
+
+def test_lsh_recall_vs_bruteforce(embedding_frames):
+    qdf, index = embedding_frames
+    exact = similarity.brute_force_topk(qdf, index, k=3)
+    approx = similarity.lsh_topk_join(qdf, index, dim=16, k=3, n_planes=4, n_tables=6)
+    exact_top1 = {(r.query_id, r.vec_id) for r in exact.collect() if r.rank == 1}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_top1 & approx_pairs) / len(exact_top1)
+    assert recall >= 0.8  # multi-table LSH should find ~all planted top-1s
+
+
+def test_rrf_fusion_prefers_consensus(spark):
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "vec_id long, rank long")
+    r2 = spark.createDataFrame([(10, 2), (40, 1), (30, 3)], "vec_id long, rank long")
+    fused = retrieval.rrf_fuse([r1, r2], k=4, id_col="vec_id").collect()
+    assert fused[0].vec_id == 10  # appears highly in both rankings
+
+
+# ---------- prompts / coercion ----------
+
+
+def test_number_coercion_multipliers(spark):
+    df = spark.createDataFrame(
+        [("about 2.5 million units",), ("12 thousand",), ("plain 42",), ("none here",)],
+        "raw string",
+    )
+    vals = [r.v for r in df.select(coerce_number(F.col("raw")).alias("v")).collect()]
+    assert vals == [2_500_000.0, 12_000.0, 42.0, None]
+
+
+def test_na_boolean_date_coercion(spark):
+    df = spark.createDataFrame([(" NA ", "yes", "2024-03-05 10:00:00")], "a string, b string, c string")
+    row = df.select(
+        na_to_null(F.col("a")).alias("a"),
+        coerce_boolean(F.col("b")).alias("b"),
+        coerce_date(F.col("c")).alias("c"),
+    ).collect()[0]
+    assert row.a is None and row.b is True and row.c.year == 2024
+
+
+def test_extract_structured_matches_python_mock(spark):
+    df = spark.createDataFrame([(1, "doc body one"), (2, "doc body two")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           extract_structured_mock(df, [{"prompt_key": "f1", "enforce_type": "text"}]).collect()}
+    import hashlib
+    fp = hashlib.md5(b"doc body one").hexdigest()
+    expect = MockLLM._answer("f1", fp)
+    expect = None if expect == "NA" else expect
+    assert out[1].f1 == expect
+
+
+def test_single_pass_one_call_id_per_doc(spark):
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    out = single_pass_mock(df, ["x", "y", "z"]).collect()
+    for r in out:
+        assert r.call_id is not None and r.x and r.y and r.z  # one fused call id
+
+
+# ---------- usage / status ----------
+
+
+def test_execution_status_rollup(spark):
+    rows = [
+        ("e1", "f1", "COMPLETED", 1.0), ("e1", "f2", "ERROR", 2.0),
+        ("e2", "f3", "ERROR", 1.5), ("e2", "f4", "ERROR", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "execution_id string, file_execution_id string, status string, execution_time_s double"
+    )
+    agg = {r.execution_id: r for r in execution_status_rollup(df).collect()}
+    assert agg["e1"].final_status == "COMPLETED"  # partial success
+    assert agg["e2"].final_status == "ERROR"
+
+
+# ---------- mock embedding ----------
+
+
+def test_mock_embedding_deterministic_unit_norm():
+    a = mock_embed_texts(["hello", "hello", "world"])
+    assert np.allclose(a[0], a[1])
+    assert not np.allclose(a[0], a[2])
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)

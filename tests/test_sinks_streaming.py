@@ -1,0 +1,210 @@
+"""Sinks (dynamic DDL, history ledger, review queue) + streaming +
+fusion planner + end-to-end pipeline."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from unstract_spark.plans.fusion import plan_prompt_stages, substitute_variables
+from unstract_spark.plans.pipeline import ExtractionJob, run_extraction
+from unstract_spark.sinks.history import FileHistoryStore
+from unstract_spark.sinks.jdbc import DIALECTS, build_table_spec, prepare_rows
+from unstract_spark.sinks.review_queue import route_to_review, sample_predicate
+from unstract_spark.streaming.incremental import (
+    incremental_file_pipeline,
+    windowed_event_aggregation,
+)
+
+
+# ---------- dynamic DDL (dialect matrix, mirrors reference suites) ----------
+
+
+@pytest.fixture(scope="module")
+def result_df(spark):
+    return spark.createDataFrame(
+        [("/a.txt", "inv-1", 12.5, True)],
+        "file_path string, invoice_no string, total double, approved boolean",
+    )
+
+
+@pytest.mark.parametrize("dialect", DIALECTS)
+def test_create_table_all_dialects(result_df, dialect):
+    spec = build_table_spec(result_df, "out_table", dialect, mode="split")
+    ddl = spec.create_table_sql()
+    assert "CREATE TABLE IF NOT EXISTS" in ddl
+    assert {n for n, _ in spec.columns} >= {"id", "created_at", "status", "invoice_no", "total"}
+
+
+def test_postgres_types(result_df):
+    spec = build_table_spec(result_df, "t", "postgresql")
+    types = dict(spec.columns)
+    assert types["total"] == "DOUBLE PRECISION"
+    assert types["approved"] == "BOOLEAN"
+    assert types["metadata"] == "TEXT"
+
+
+def test_single_json_mode_has_v2_twin(result_df):
+    spec = build_table_spec(result_df, "t", "snowflake", mode="single_json")
+    types = dict(spec.columns)
+    assert types["data"] == "VARIANT" and types["data_v2"] == "VARIANT"
+
+
+def test_migration_emits_only_missing(result_df):
+    spec = build_table_spec(result_df, "t", "mysql")
+    stmts = spec.migration_sql(existing_cols={"id", "invoice_no"})
+    assert all("ADD COLUMN" in s for s in stmts)
+    assert not any("`invoice_no`" in s for s in stmts)
+
+
+def test_unsafe_identifier_rejected(result_df):
+    bad = result_df.withColumnRenamed("total", "tot;drop")
+    with pytest.raises(ValueError, match="unsafe"):
+        build_table_spec(bad, "t", "postgresql").create_table_sql()
+
+
+def test_prepare_rows_single_json(result_df):
+    rows = prepare_rows(result_df, mode="single_json").collect()
+    payload = json.loads(rows[0].data)
+    assert payload["invoice_no"] == "inv-1"
+    assert rows[0].status == "COMPLETED"
+
+
+# ---------- history ledger ----------
+
+
+def test_history_merge_upsert(spark, tmp_path):
+    store = FileHistoryStore(spark, str(tmp_path / "hist"))
+    mk = lambda status, result: spark.createDataFrame(
+        [("k1", None, "/a", "wf", status, result, None, 1)],
+        "cache_key string, provider_file_uuid string, file_path string, workflow_id string,"
+        "status string, result string, metadata string, execution_count int",
+    )
+    store.merge(mk("ERROR", None))
+    assert store.read().count() == 1
+    store.merge(mk("COMPLETED", '{"x":1}'))
+    rows = store.read().collect()
+    assert len(rows) == 1 and rows[0].status == "COMPLETED"  # newest wins
+    files = spark.createDataFrame([("k1", "/a"), ("k2", "/b")], "file_hash string, file_path string")
+    assert store.dedup_catalog(files).collect()[0].file_hash == "k2"
+    assert store.replay_results(files).collect()[0].result == '{"x":1}'
+
+
+# ---------- review queue ----------
+
+
+def test_review_sampling_deterministic(spark):
+    df = spark.createDataFrame([(f"h{i}",) for i in range(1000)], "file_hash string")
+    n1 = df.filter(sample_predicate(F.col("file_hash"), 10.0)).count()
+    n2 = df.filter(sample_predicate(F.col("file_hash"), 10.0)).count()
+    assert n1 == n2  # replayable
+    assert 50 <= n1 <= 200  # ~10%
+
+
+def test_review_routing_rules_and_ttl(spark, tmp_path):
+    results = spark.createDataFrame(
+        [("h1", "f1.txt", 5.0), ("h2", "f2.txt", 500.0)],
+        "file_hash string, file_name string, total double",
+    )
+    q = route_to_review(
+        results, "review_queue_org_wf", pct=0.0, rules=[("OR", "total > 100")]
+    )
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0].file == "f2.txt"
+    assert rows[0].ttl_seconds == 90 * 24 * 3600
+
+
+# ---------- fusion planner ----------
+
+
+def test_prompt_stage_planning_respects_deps():
+    specs = [
+        {"prompt_key": "a", "prompt": "find a", "chunk_size": 0},
+        {"prompt_key": "b", "prompt": "given {{a}} find b", "chunk_size": 0},
+        {"prompt_key": "c", "prompt": "find c", "chunk_size": 0},
+        {"prompt_key": "d", "prompt": "needs {{b}} and {{c}}", "chunk_size": 512},
+    ]
+    plan = plan_prompt_stages(specs)
+    assert plan.stages[0] == [["a", "c"]]  # independent, same config -> fused
+    assert plan.stages[1] == [["b"]]
+    assert plan.stages[2] == [["d"]]
+
+
+def test_prompt_cycle_detected():
+    specs = [
+        {"prompt_key": "a", "prompt": "uses {{b}}"},
+        {"prompt_key": "b", "prompt": "uses {{a}}"},
+    ]
+    with pytest.raises(ValueError, match="cyclic"):
+        plan_prompt_stages(specs)
+
+
+def test_variable_substitution():
+    assert substitute_variables("x={{a}} y={{missing}}", {"a": "1"}) == "x=1 y={{missing}}"
+
+
+# ---------- streaming ----------
+
+
+def test_windowed_aggregation_batch_equivalence(spark, sf_dir):
+    from unstract_spark.queries import _t
+
+    events = _t(spark, sf_dir, "events")
+    agg = windowed_event_aggregation(events, "1 hour").collect()
+    assert len(agg) > 10
+    one = agg[0]
+    assert (one.window_end - one.window_start).total_seconds() == 3600
+
+
+def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.txt").write_text(f"content {i}")
+    seen: list[int] = []
+    out: list[str] = []
+
+    def batch_fn(df, batch_id):
+        seen.append(batch_id)
+        out.extend(r.path for r in df.select("path").collect())
+
+    ckpt = str(tmp_path / "ckpt")
+    incremental_file_pipeline(spark, str(src), ckpt, batch_fn, max_files_per_trigger=2)
+    assert len(out) == 3  # all drained (possibly over 2 micro-batches)
+
+    # second cron fire: only the new file
+    (src / "f3.txt").write_text("content 3")
+    out.clear()
+    incremental_file_pipeline(spark, str(src), ckpt, batch_fn, max_files_per_trigger=2)
+    assert len(out) == 1 and out[0].endswith("f3.txt")
+
+
+# ---------- end-to-end extraction pipeline ----------
+
+
+def test_run_extraction_end_to_end(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(5):
+        (src / f"d{i}.txt").write_text(f"invoice body {i} total 10{i} dollars")
+    job = ExtractionJob(
+        source_dir=str(src),
+        history_path=str(tmp_path / "hist"),
+        prompt_specs=[
+            {"prompt_key": "invoice_no", "prompt": "get invoice", "enforce_type": "text"},
+            {"prompt_key": "total", "prompt": "get total for {{invoice_no}}", "enforce_type": "number"},
+        ],
+    )
+    out = run_extraction(spark, job)
+    results = out["results"].collect()
+    assert len(results) == 5
+    assert set(out["results"].columns) >= {"file_path", "invoice_no", "total"}
+    assert out["usage"].count() == 5
+    assert out["skipped"].count() == 0
+
+    # re-run: everything served from history, nothing re-processed
+    out2 = run_extraction(spark, job)
+    assert out2["results"].count() == 0
+    assert out2["skipped"].count() == 5
+    replayed = json.loads(out2["skipped"].collect()[0].result)
+    assert "invoice_no" in replayed

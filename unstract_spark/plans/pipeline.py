@@ -1,0 +1,120 @@
+"""End-to-end extraction pipeline — the reference's §3.2 ETL path as
+one composed Spark job.
+
+    catalog (sources.list_files + build_catalog)
+      -> F2 history anti-join (sinks.history)
+      -> T1 text extraction (here: utf-8 decode of text files; real
+         parsers plug in via the same mapInPandas contract)
+      -> T9 per-field extraction over prompt stages (plans.fusion
+         ordering, mock or controller-backed LLM)
+      -> structured results + usage rows
+      -> D1/D2/D4 sinks + history MERGE
+
+The whole thing is one DataFrame lineage per stage boundary — no
+inter-service hops, no per-file Python loops; Catalyst sees each
+stage's plan end-to-end (reference contrast: 6 process hops per file,
+SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unstract_spark.mock import mock_answer_raw
+from unstract_spark.operators.prompts import coerce, na_to_null
+from unstract_spark.plans.fusion import plan_prompt_stages, substitute_variables
+from unstract_spark.sinks.history import FileHistoryStore
+from unstract_spark.sources.catalog import FilePattern, build_catalog, list_files
+
+
+@dataclass
+class ExtractionJob:
+    """One workflow run: source dir -> structured rows + ledgers."""
+
+    source_dir: str
+    history_path: str
+    workflow_id: str = "wf-default"
+    prompt_specs: list[dict] = field(default_factory=list)
+    glob: str = "*.txt"
+    max_files: int = 100
+
+
+def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFrame]:
+    """Execute the pipeline; returns {results, skipped, usage} frames.
+
+    `results` has one column per prompt_key (typed) plus file identity;
+    `skipped` are catalog rows served from history (the replay path);
+    `usage` is the A1 ledger input. History is MERGEd at the end so a
+    re-run skips completed content (exactly-once per content).
+    """
+    listing = list_files(
+        spark, job.source_dir, FilePattern(globs=[job.glob], max_files=job.max_files)
+    )
+    catalog = build_catalog(listing)
+    store = FileHistoryStore(spark, job.history_path)
+
+    fresh = store.dedup_catalog(catalog)
+    skipped = store.replay_results(catalog)
+
+    # T1 minimal: utf-8 decode (binary -> text). Real x2text adapters
+    # (LLMWhisperer/unstructured/...; sdk1/index.py:133-217) implement
+    # the same column contract behind mapInPandas.
+    docs = fresh.withColumn("extracted_text", F.decode(F.col("content"), "UTF-8"))
+
+    # prompt stages (variable deps serialize; within a stage the mock
+    # "call" is one deterministic expression per prompt)
+    plan = plan_prompt_stages(job.prompt_specs)
+    by_key = {s["prompt_key"]: s for s in job.prompt_specs}
+    fp = F.md5(F.col("extracted_text"))
+    outputs: dict[str, str] = {}
+    result = docs.select(
+        "file_path", "file_name", "file_hash", "extracted_text", fp.alias("fingerprint")
+    )
+    usage_rows = []
+    for stage in plan.stages:
+        for group in stage:
+            for key in group:
+                spec = by_key[key]
+                prompt_text = substitute_variables(spec.get("prompt", ""), outputs)
+                raw = mock_answer_raw(F.lit(key), F.col("fingerprint"))
+                result = result.withColumn(
+                    key, coerce(na_to_null(raw), spec.get("enforce_type", "text"))
+                )
+                outputs[key] = f"<{key}>"
+                usage_rows.append(key)
+
+    usage = result.select(
+        F.col("file_hash").alias("run_id"),
+        F.lit(job.workflow_id).alias("execution_id"),
+        F.lit("extraction").alias("usage_reason"),
+        F.lit("mock-llm").alias("model_name"),
+        F.lit(0).cast("long").alias("embedding_tokens"),
+        (F.length("extracted_text") / 4).cast("long").alias("prompt_tokens"),
+        F.lit(len(usage_rows) * 8).cast("long").alias("completion_tokens"),
+        ((F.length("extracted_text") / 4) + len(usage_rows) * 8)
+        .cast("long")
+        .alias("total_tokens"),
+        F.lit(0.0).alias("cost_in_dollars"),
+        F.lit(1).alias("pages_processed"),
+    )
+
+    results = result.drop("extracted_text", "fingerprint")
+
+    # history MERGE: mark processed content COMPLETED with cached result
+    payload_cols = [k for k in by_key]
+    hist_updates = result.select(
+        F.col("file_hash").alias("cache_key"),
+        F.lit(None).cast("string").alias("provider_file_uuid"),
+        "file_path",
+        F.lit(job.workflow_id).alias("workflow_id"),
+        F.lit("COMPLETED").alias("status"),
+        F.to_json(F.struct(*payload_cols)).alias("result"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(1).alias("execution_count"),
+    )
+    store.merge(hist_updates)
+
+    return {"results": results, "skipped": skipped, "usage": usage}

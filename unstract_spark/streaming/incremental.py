@@ -1,0 +1,100 @@
+"""§2.11 — incremental (cron/AvailableNow) pipelines.
+
+The reference's pipelines are cron-fired re-listings with file-history
+dedup — incremental file discovery with exactly-once-per-content
+semantics and a bounded per-trigger batch
+(reference: backend/scheduler/tasks.py:214-281 execute_pipeline_task_v2;
+maxFiles endpoint_v2/constants.py:57).
+
+Spark-first mapping:
+- source: `readStream.format("binaryFile")` over the connector root
+  with `maxFilesPerTrigger` (the per-trigger batch bound)
+- exactly-once: the streaming checkpoint is the "seen files" ledger;
+  the file-history table stays as the *content-level* result cache on
+  top (a file re-uploaded under a new path is new to the checkpoint,
+  but the history anti-join still skips re-processing its content)
+- cron parity: Trigger.AvailableNow per fire — drains what's new, then
+  stops; the scheduler is external (cron/Airflow), not a daemon
+- sinks via foreachBatch: JDBC/parquet append + history MERGE run
+  per micro-batch with the batch id for idempotent retries
+
+Also here: the watermarked event-time aggregation the north-star
+(training-data telemetry at 100 TB) needs — late data tolerated up to
+the watermark, state bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_file_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    max_files_per_trigger: int = 100,
+    path_glob: str | None = None,
+):
+    """Build the incremental source and run one AvailableNow drain.
+
+    batch_fn(batch_df, batch_id) is the per-micro-batch sink composite
+    (transform -> write -> history merge). Returns the query handle
+    after awaiting termination, so a cron fire is: call, await, exit.
+    """
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    schema = "path string, modificationTime timestamp, length long, content binary"
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.load(source_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_aggregation(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming or batch).
+
+    On a stream: state is dropped past the watermark, so memory is
+    bounded by (windows in flight x groups). The same expression on a
+    batch frame computes the identical result — used by the oracle test.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    ).groupBy(
+        F.window(F.col(ts_col), window_duration).alias("w"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols,
+        "n_events",
+        "total_value",
+    )
