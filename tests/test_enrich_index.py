@@ -1,0 +1,195 @@
+"""Index store (T5/T6), enrichment ops (T11-T18), extended retrievers
+(R4/R5/R7), notification outbox (D6), cloud source config (S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.enrich import (
+    attach_highlights,
+    challenge_mock,
+    repair_json,
+    repair_json_column,
+)
+from unstract_spark.operators.index_store import VectorIndexStore, embed_chunks
+from unstract_spark.operators.retrieval import recursive_retrieve, router_retrieve
+from unstract_spark.sinks.notify import append_outbox, drain_outbox, enqueue_notifications
+from unstract_spark.sources.cloud import configure_connector, sync_to_staging
+
+
+# ---------- vector index store ----------
+
+
+@pytest.fixture()
+def chunk_rows(spark):
+    rows = [
+        ("docA", "h1", i, f"chunk text {i} about spark engines") for i in range(4)
+    ] + [("docB", "h2", i, f"other content {i} entirely") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, file_hash string, chunk_no int, chunk_text string"
+    )
+    return embed_chunks(df)
+
+
+def test_index_upsert_idempotent(spark, tmp_path, chunk_rows):
+    store = VectorIndexStore(spark, str(tmp_path / "idx"))
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0  # probe-before-write: no rewrite
+    assert store.read().count() == 7
+
+
+def test_index_reindex_replaces(spark, tmp_path, chunk_rows):
+    store = VectorIndexStore(spark, str(tmp_path / "idx"))
+    store.upsert(chunk_rows)
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {r.doc_id: r.n for r in
+              store.read().groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"docA": 2, "docB": 3}  # delete-then-add for docA only
+
+
+def test_index_query_scoped_topk(spark, tmp_path, chunk_rows):
+    from unstract_spark.mock import mock_embed_texts
+
+    store = VectorIndexStore(spark, str(tmp_path / "idx"))
+    store.upsert(chunk_rows)
+    qv = mock_embed_texts(["chunk text 2 about spark engines"])[0].tolist()
+    hits = store.query_topk("docA", qv, k=2).collect()
+    assert len(hits) == 2
+    assert hits[0].chunk_no == 2  # identical text -> cosine 1.0 wins
+    assert all(h.doc_id == "docA" for h in hits)
+
+
+# ---------- enrichment ----------
+
+
+def test_challenge_and_highlights(spark):
+    df = spark.createDataFrame(
+        [("the total is 42", "Line one.\nLine two: the total is 42 here.")],
+        "answer_raw string, context_text string",
+    )
+    out = attach_highlights(challenge_mock(df)).collect()[0]
+    assert out.challenge_agrees in (True, False)
+    assert 0.0 <= out.challenge_confidence <= 1.0
+    assert out.highlight.found_in_context
+    assert out.highlight.line_no == 2
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ('{"a": 1}', '{"a": 1}'),
+        ('```json\n{"a": 1}\n```', '{"a": 1}'),
+        ('prefix noise {"a": [1, 2', '{"a": [1, 2]}'),
+        ('{"a": "unclosed', '{"a": "unclosed"}'),
+        ("NA", None),
+        ("no json at all", "{}"),
+        ('"bare string"', "{}"),
+    ],
+)
+def test_repair_json_cases(raw, expect):
+    import json
+
+    got = repair_json(raw)
+    assert got == expect or (expect not in (None, "{}") and json.loads(got) == json.loads(expect))
+
+
+def test_repair_json_column(spark):
+    df = spark.createDataFrame([('{"k": 1',), ("NA",)], "raw string")
+    vals = [r.fixed for r in repair_json_column(df, "raw", "fixed").collect()]
+    assert vals == ['{"k": 1}', None]
+
+
+# ---------- extended retrievers ----------
+
+
+def test_router_dispatch(spark):
+    from unstract_spark.mock import mock_embed_texts
+
+    docs = spark.createDataFrame(
+        [(i, f"document about topic {i} spark") for i in range(6)],
+        "vec_id long, text string",
+    )
+    emb = mock_embed_texts([f"document about topic {i} spark" for i in range(6)])
+    index = spark.createDataFrame(
+        [(i, emb[i].tolist()) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    qv = mock_embed_texts(["document about topic 3 spark"])[0].tolist()
+    queries = spark.createDataFrame(
+        [(1, "spark", qv), (2, "a much longer natural language question", qv)],
+        "query_id long, query_text string, query_vec array<float>",
+    )
+    out = router_retrieve(queries, index, docs=docs, k=3)
+    strategies = {r.query_id: r.strategy for r in out.collect()}
+    assert strategies[1] == "keyword" and strategies[2] == "vector"
+
+
+def test_recursive_retrieve_follows_links(spark):
+    from unstract_spark.mock import mock_embed_texts
+
+    emb = mock_embed_texts(["seed text", "two", "three", "four"])
+    index = spark.createDataFrame(
+        [(i, emb[i].tolist()) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    links = spark.createDataFrame([(0, 2), (2, 3)], "src_id long, dst_id long")
+    q = spark.createDataFrame(
+        [(1, mock_embed_texts(["seed text"])[0].tolist())],
+        "query_id long, query_vec array<float>",
+    )
+    got = {r.vec_id for r in recursive_retrieve(q, index, links, hops=2, k=1).collect()}
+    assert got == {0, 2, 3}  # seed (exact match) + 2 hops of links
+
+
+# ---------- notification outbox ----------
+
+
+def test_outbox_drain_retries_and_marks_sent(spark, tmp_path):
+    results = spark.createDataFrame([("a",), ("b",)], "file string")
+    rows = enqueue_notifications(results, "https://hooks.example/x", "exec-1")
+    path = str(tmp_path / "outbox")
+    append_outbox(rows, path)
+    calls = []
+
+    def flaky_transport(url, payload):
+        calls.append(url)
+        if len(calls) == 1:
+            raise ConnectionError("transient")
+        return True
+
+    stats = drain_outbox(spark, path, flaky_transport, backoff_s=0.001)
+    assert stats == {"sent": 1, "failed": 0}
+    assert len(calls) == 2  # one retry
+    statuses = [r.status for r in spark.read.parquet(path).collect()]
+    assert statuses == ["SENT"]
+
+
+# ---------- cloud source config ----------
+
+
+def test_configure_s3a_sets_hadoop_conf(spark):
+    configure_connector(
+        spark, "s3a", {"access_key": "AK", "secret_key": "SK", "endpoint": "minio:9000"}
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AK"
+    assert hconf.get("fs.s3a.endpoint") == "minio:9000"
+
+
+def test_configure_unknown_scheme_rejected(spark):
+    with pytest.raises(ValueError, match="no hadoop mapping"):
+        configure_connector(spark, "gdrive", {})
+
+
+def test_sync_to_staging_with_injected_fs(tmp_path):
+    class FakeFS:
+        def get(self, src, dst):
+            with open(dst, "w") as f:
+                f.write(f"synced:{src}")
+
+    staged = sync_to_staging(FakeFS(), ["folder/a.txt", "b.txt"], str(tmp_path / "st"))
+    assert len(staged) == 2
+    assert open(staged[0]).read() == "synced:folder/a.txt"
+
+
+def test_sync_requires_fs():
+    with pytest.raises(NotImplementedError, match="fsspec"):
+        sync_to_staging(None, ["x"], "/tmp/nope")

@@ -1,0 +1,133 @@
+"""T5/T6 — the vector index: idempotent upsert + doc-scoped top-k query.
+
+Reference: chunks+vectors are upserted under a deterministic doc_id
+(sha256 of file_hash + adapter configs + chunk params,
+sdk1/index.py:460-516), probed before write, delete-then-add on
+reindex (index.py:223-375); queries are top-k cosine with a doc_id
+equality filter and score>0 cutoff (index.py:65-131).
+
+Spark-first: the index is a table partitioned by doc_id prefix;
+upsert = overwrite-by-key MERGE (same contract as sinks/history —
+Delta MERGE at cluster scale); the probe is an existence check on the
+deterministic key, which is what makes re-runs idempotent. Retrieval
+is the J4 join from operators/retrieval, scoped by the doc_id filter
+(partition pruning makes the per-document query touch one partition).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.retrieval import cosine
+from unstract_spark.schemas import CHUNKS
+
+
+class VectorIndexStore:
+    """Chunk/vector index with deterministic-id idempotent upserts."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CHUNKS)
+        return self.spark.read.parquet(self.path).localCheckpoint(eager=True)
+
+    def existing_doc_ids(self) -> DataFrame:
+        return self.read().select("doc_id").distinct()
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        """Idempotent index write.
+
+        Default: skip doc_ids already present (the reference's
+        query-before-write probe). reindex=True: delete-then-add for
+        incoming doc_ids (index.py:408-418). Returns rows written.
+        At scale this is `MERGE ... WHEN NOT MATCHED INSERT` / a
+        replaceWhere partition overwrite on Delta.
+        """
+        current = self.read()
+        if reindex:
+            keep = current.join(
+                chunks.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            incoming = chunks
+        else:
+            keep = current
+            incoming = chunks.join(
+                current.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        merged = keep.unionByName(incoming)
+        staging = f"{self.path}.staging-{int(time.time() * 1000)}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.path):
+            old = f"{self.path}.old-{int(time.time() * 1000)}"
+            os.rename(self.path, old)
+            shutil.rmtree(old, ignore_errors=True)
+        os.rename(staging, self.path)
+        return incoming.count()
+
+    def query_topk(
+        self,
+        doc_id: str,
+        query_vec: list[float],
+        k: int = 5,
+        min_score: float | None = 0.0,
+    ) -> DataFrame:
+        """T6: top-k chunks of ONE document by cosine to the query.
+
+        The doc_id equality filter prunes to one partition-worth of
+        chunks before any scoring; score>0 mirrors index.py:118-124.
+        """
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = (
+            self.read()
+            .filter(F.col("doc_id") == doc_id)
+            .select(
+                "doc_id",
+                "chunk_no",
+                "chunk_text",
+                F.round(cosine(F.col("embedding"), qv), 6).alias("score"),
+            )
+        )
+        if min_score is not None:
+            scored = scored.filter(F.col("score") > min_score)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("chunk_no").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+
+def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
+    """T4 plumbing: attach mock embeddings via Arrow-batched mapInPandas.
+
+    Real providers implement the same batch contract (list[str] ->
+    ndarray); swap `mock_embed_texts` for the provider call
+    (reference fan-out: sdk1/embedding.py:137-196, 9 providers).
+
+    Note: mapInPandas produces a NEW set of column attributes — refer
+    to the output's columns via F.col("name"), never via the input
+    DataFrame's attributes (that raises MISSING_ATTRIBUTES).
+    """
+    import pandas as pd
+
+    from unstract_spark.mock import mock_embed_texts
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields)
+    out_schema = fields + ", embedding array<float>"
+
+    def run(batches):
+        for pdf in batches:
+            emb = mock_embed_texts(pdf[text_col].fillna("").tolist())
+            out = pdf.copy()
+            out["embedding"] = [v.tolist() for v in emb]
+            yield out
+
+    return chunks.mapInPandas(run, schema=out_schema)

@@ -145,6 +145,130 @@ def keyword_table_retrieve(
     return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def automerging_retrieve(
+    chunks: DataFrame,
+    ranked_leaves: DataFrame,
+    id_col: str = "vec_id",
+    parent_col: str = "parent_id",
+    merge_threshold: float = 0.5,
+) -> DataFrame:
+    """R7 'automerging': when enough of a parent's leaf chunks are
+    retrieved, replace them with the parent (retrievers/automerging.py).
+
+    Relational form: ranked leaves joined to the chunk hierarchy,
+    per-parent hit ratio via count/total, parents above the threshold
+    returned as merged units, orphan leaves passed through.
+    Output: (unit_id, unit_kind 'parent'|'leaf').
+    """
+    hier = chunks.select(F.col(id_col), F.col(parent_col))
+    totals = hier.groupBy(parent_col).agg(F.count(F.lit(1)).alias("n_leaves"))
+    hits = (
+        ranked_leaves.join(hier, id_col)
+        .groupBy(parent_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(totals, parent_col)
+        .withColumn("hit_ratio", F.col("n_hit") / F.col("n_leaves"))
+    )
+    merged_parents = hits.filter(F.col("hit_ratio") >= merge_threshold).select(
+        F.col(parent_col).alias("unit_id"), F.lit("parent").alias("unit_kind")
+    )
+    kept_leaves = (
+        ranked_leaves.join(hier, id_col)
+        .join(
+            hits.filter(F.col("hit_ratio") >= merge_threshold).select(parent_col),
+            parent_col,
+            "left_anti",
+        )
+        .select(F.col(id_col).alias("unit_id"), F.lit("leaf").alias("unit_kind"))
+    )
+    return merged_parents.unionByName(kept_leaves)
+
+
+def router_retrieve(
+    queries: DataFrame,
+    index: DataFrame,
+    docs: DataFrame | None = None,
+    keyword_threshold: int = 2,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """R5 'router': dispatch each query to a strategy by a cheap
+    classifier (retrievers/router.py:14-173). Here: short keyword-ish
+    queries (few tokens) route to keyword retrieval, the rest to
+    vector top-k — a when() column dispatch, both branches computed as
+    one unioned plan with a `strategy` tag (Catalyst prunes the branch
+    each query doesn't take via the filter)."""
+    n_tokens = F.size(F.split(F.coalesce(F.col(query_text), F.lit("")), "\\s+"))
+    tagged = queries.withColumn(
+        "strategy", F.when(n_tokens <= keyword_threshold, "keyword").otherwise("vector")
+    )
+    vector_part = topk_join(
+        tagged.filter(F.col("strategy") == "vector"), index, k=k,
+        query_id=query_id, query_vec=query_vec, index_id=index_id, index_vec=index_vec,
+    ).select(query_id, index_id, "rank", F.lit("vector").alias("strategy"))
+    kw_queries = tagged.filter(F.col("strategy") == "keyword")
+    if docs is not None:
+        words = docs.select(
+            F.col(index_id), F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("word")
+        )
+        hits = (
+            kw_queries.select(query_id, F.explode(F.split(F.lower(F.col(query_text)), "\\s+")).alias("word"))
+            .join(words, "word")
+            .groupBy(query_id, index_id)
+            .agg(F.count(F.lit(1)).alias("kw_hits"))
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("kw_hits").desc(), F.col(index_id).asc())
+        kw_part = (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, index_id, "rank", F.lit("keyword").alias("strategy"))
+        )
+        return vector_part.unionByName(kw_part)
+    return vector_part
+
+
+def recursive_retrieve(
+    queries: DataFrame,
+    index: DataFrame,
+    link_table: DataFrame,
+    hops: int = 2,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """R4 'recursive': seed retrieval, then follow reference links for
+    a bounded number of hops (retrievers/recursive.py). The loop is
+    driver-controlled (bounded, default 2) but each hop is one
+    distributed join — no per-row driver work. link_table:
+    (src_id, dst_id) chunk references."""
+    seeds = topk_join(
+        queries, index, k=k, query_id=query_id, query_vec=query_vec,
+        index_id=index_id, index_vec=index_vec,
+    ).select(query_id, index_id)
+    frontier = seeds
+    seen = seeds
+    for _ in range(hops):
+        nxt = (
+            frontier.join(
+                link_table.withColumnRenamed("src_id", index_id), index_id
+            )
+            .select(query_id, F.col("dst_id").alias(index_id))
+            .join(seen, [query_id, index_id], "left_anti")
+            .distinct()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    return seen
+
+
 def subquestion_retrieve(
     subqueries: DataFrame,
     index: DataFrame,

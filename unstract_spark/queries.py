@@ -1110,4 +1110,293 @@ def sim_keyword_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Multi-join relational shapes (Q3/Q5-style: the join-reorder +
+# broadcast-selection surface Catalyst owns)
+# =====================================================================
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both sides.
+
+    Filters push below the joins (PushedFilters at both scans); the
+    customer dimension broadcasts. Revenue per order, unlimited (the
+    classic top-10 cut is a client-side limit; keeping all rows makes
+    the oracle compare total)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_volume",
+    """
+    SELECT n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join, dimensions broadcast, one
+    shuffle on the fact side for the final aggregate."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# =====================================================================
+# Enrichment operators (T11/T13/T14/T16, F8) as oracle-checked queries
+# =====================================================================
+
+
+@register(
+    "t16_classification",
+    """
+    WITH scores AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\bspark\\b'))
+             + len(regexp_extract_all(lower(text), '\\bmerge\\b'))
+             + len(regexp_extract_all(lower(text), '\\bshuffle\\b')) AS score_engine,
+               len(regexp_extract_all(lower(text), '\\bquery\\b'))
+             + len(regexp_extract_all(lower(text), '\\bscan\\b'))
+             + len(regexp_extract_all(lower(text), '\\bfilter\\b')) AS score_sql
+        FROM documents
+    )
+    SELECT doc_id, score_engine, score_sql,
+           CASE WHEN greatest(score_engine, score_sql) = 0 THEN 'unknown'
+                WHEN score_engine = greatest(score_engine, score_sql) THEN 'engine'
+                ELSE 'sql' END AS classification
+    FROM scores
+    """,
+)
+def t16_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 classification (keyword argmax + reserved 'unknown' bin;
+    tools/classifier/src/main.py). Routing = partitionBy on write
+    (sinks/filesystem.route_by_classification)."""
+    from unstract_spark.operators.enrich import classify_by_keywords
+
+    return classify_by_keywords(
+        _t(spark, sf_dir, "documents"),
+        bins={
+            "engine": ["spark", "merge", "shuffle"],
+            "sql": ["query", "scan", "filter"],
+        },
+    )
+
+
+@register(
+    "t14_lookup_enrichment",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority, s.sla_hours
+    FROM orders o
+    LEFT JOIN (VALUES ('1-URGENT', 4), ('2-HIGH', 24), ('3-MEDIUM', 72),
+                      ('4-NOT SPECIFIED', 168), ('5-LOW', 336))
+           AS s(o_orderpriority, sla_hours)
+      ON o.o_orderpriority = s.o_orderpriority
+    """,
+)
+def t14_lookup_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 lookup enrichment: broadcast hash join against a tiny
+    dimension (lookup_enrichment.py) — zero shuffle of the fact side."""
+    from unstract_spark.operators.enrich import lookup_enrich
+
+    o = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 4), ("2-HIGH", 24), ("3-MEDIUM", 72),
+         ("4-NOT SPECIFIED", 168), ("5-LOW", 336)],
+        "o_orderpriority string, sla_hours int",
+    )
+    return lookup_enrich(o, dim, "o_orderpriority").select(
+        "o_orderkey", "o_orderpriority", "sla_hours"
+    )
+
+
+@register(
+    "t11_summarize",
+    """
+    SELECT doc_id,
+           'SUMMARY[' || md5('summarize:total,vendor' || ':' || md5(text)) || ']: '
+               || substr(text, 1, 120) AS summary,
+           md5('summarize:total,vendor' || ':' || md5(text)) AS summary_cache_key
+    FROM documents
+    """,
+)
+def t11_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 summarize-as-source with deterministic cache key
+    (legacy_executor.py:2312-2410)."""
+    from unstract_spark.operators.enrich import summarize_mock
+
+    return summarize_mock(_t(spark, sf_dir, "documents"), ["total", "vendor"])
+
+
+@register(
+    "t13_evaluation",
+    f"""
+    WITH answers AS (
+        SELECT doc_id, text AS context_text,
+               {mock_answer_raw_sql("'total'", "md5(text)")} AS answer_raw
+        FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_intersect(list_distinct(regexp_split_to_array(lower(coalesce(answer_raw, '')), '\\s+')),
+                                    list_distinct(regexp_split_to_array(lower(coalesce(context_text, '')), '\\s+'))))
+                 / greatest(len(regexp_split_to_array(lower(coalesce(answer_raw, '')), '\\s+')), 1), 4)
+               AS eval_faithful_ratio,
+           (length(trim(coalesce(answer_raw, ''))) >= 3
+            AND lower(trim(coalesce(answer_raw, ''))) <> 'na') AS eval_complete,
+           NOT (regexp_matches(coalesce(answer_raw, ''), '[^@\\s]+@[^@\\s]+\\.[^@\\s]+')
+                OR regexp_matches(coalesce(answer_raw, ''), '\\+?\\d[\\d\\- ]{{7,}}\\d'))
+               AS eval_pii_free
+    FROM answers
+    """,
+)
+def t13_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 per-answer evaluation flags (faithfulness overlap,
+    completeness, PII scan) over mock answers with the document text
+    as context."""
+    from unstract_spark.operators.enrich import evaluate_answers
+
+    d = _t(spark, sf_dir, "documents")
+    answers = d.select(
+        "doc_id",
+        F.col("text").alias("context_text"),
+        mock_answer_raw(F.lit("total"), F.md5("text")).alias("answer_raw"),
+    )
+    return evaluate_answers(answers).select(
+        "doc_id", "eval_faithful_ratio", "eval_complete", "eval_pii_free"
+    )
+
+
+@register(
+    "f8_variable_replacement",
+    f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    vars AS (
+        SELECT doc_id,
+               coalesce(nullif({mock_answer_raw_sql("'invoice_no'", "fingerprint")}, 'NA'), '')
+                   AS invoice_no
+        FROM fp
+    )
+    SELECT doc_id,
+           replace('Fetch the total for invoice {{{{invoice_no}}}} now',
+                   '{{{{invoice_no}}}}', invoice_no) AS prompt
+    FROM vars
+    """,
+)
+def f8_variable_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 static variable replacement: prompt i references prompt j's
+    output ({{var}} substitution, variable_replacement.py:28-55) as a
+    column expression over the prior stage's answers."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    invoice = F.coalesce(
+        F.nullif(mock_answer_raw(F.lit("invoice_no"), fp), F.lit("NA")), F.lit("")
+    )
+    template = "Fetch the total for invoice {{invoice_no}} now"
+    return d.select(
+        "doc_id",
+        F.replace(F.lit(template), F.lit("{{invoice_no}}"), invoice).alias("prompt"),
+    )
+
+
+@register(
+    "r7_automerging",
+    """
+    WITH chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_no,
+               doc_id * 1000 + CAST(i AS INT) AS leaf_id,
+               doc_id * 1000 + CAST(floor(i / 4) AS INT) AS parent_id,
+               substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+              FROM documents),
+             unnest(range(0, n_chunks)) AS u(i)
+    ),
+    ranked AS (
+        SELECT leaf_id, parent_id FROM chunks
+        ORDER BY md5(chunk_text) LIMIT 200
+    ),
+    totals AS (SELECT parent_id, count(*) AS n_leaves FROM chunks GROUP BY 1),
+    hits AS (
+        SELECT r.parent_id, count(*) AS n_hit, any_value(t.n_leaves) AS n_leaves
+        FROM ranked r JOIN totals t ON r.parent_id = t.parent_id GROUP BY 1
+    )
+    SELECT parent_id AS unit_id, 'parent' AS unit_kind
+    FROM hits WHERE n_hit / n_leaves >= 0.5
+    UNION ALL
+    SELECT r.leaf_id AS unit_id, 'leaf' AS unit_kind
+    FROM ranked r
+    WHERE r.parent_id NOT IN (SELECT parent_id FROM hits WHERE n_hit / n_leaves >= 0.5)
+    """,
+)
+def r7_automerging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 automerging: retrieved leaves whose parent crosses the hit
+    ratio merge into the parent (retrievers/automerging.py). Leaves
+    here are deterministic (md5-ranked top-200 chunks)."""
+    from unstract_spark.operators.retrieval import automerging_retrieve
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_fixed(d, chunk_size=200, chunk_overlap=50).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_no")).alias("leaf_id"),
+        (F.col("doc_id") * 1000 + F.floor(F.col("chunk_no") / 4).cast("int")).alias(
+            "parent_id"
+        ),
+        "chunk_text",
+    )
+    ranked = (
+        chunks.orderBy(F.md5("chunk_text").asc()).limit(200).select("leaf_id")
+    )
+    return automerging_retrieve(
+        chunks, ranked, id_col="leaf_id", parent_col="parent_id", merge_threshold=0.5
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
