@@ -26,6 +26,8 @@ from unstract_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
     "j6_broadcast_lookup",
     "j5_left_join_usage",
     "j1_history_antijoin",
@@ -38,6 +40,7 @@ BENCH_QUERIES = [
     "ta_quality_score",
     "ta_lang_id",
     "t9_extract_structured",
+    "t16_classification",
     "t3_chunking",
     "sim_topk_bruteforce",
     "sim_rrf_fusion",
