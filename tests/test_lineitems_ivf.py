@@ -1,0 +1,127 @@
+"""Line-item continuation loop, IVF ANN, API upload source, metrics
+merge + hypothesis property tests for JSON repair."""
+
+import hashlib
+import json
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.enrich import repair_json
+from unstract_spark.operators.lineitems import extract_line_items, mock_lineitem_provider
+from unstract_spark.operators.similarity import brute_force_topk, ivf_topk_join
+from unstract_spark.operators.usage import merge_stage_metrics
+from unstract_spark.sources.catalog import api_upload_catalog
+
+
+# ---------- line-item continuation ----------
+
+
+def test_line_items_complete_across_rounds(spark):
+    df = spark.createDataFrame(
+        [(i, f"fp-{i}") for i in range(12)], "doc_id long, fingerprint string"
+    )
+    out = {r.doc_id: r for r in extract_line_items(df).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        expected_n = (int(hashlib.md5(f"fp-{i}".encode()).hexdigest()[:2], 16) % 10) + 1
+        row = out[i]
+        assert row.n_items == expected_n  # continuation stitched everything
+        items = json.loads(row.line_items)
+        assert [it["line_no"] for it in items] == list(range(expected_n))  # ordered, no dups
+        # page size 4 -> rounds = ceil(n/4)
+        assert row.rounds == -(-expected_n // 4)
+
+
+def test_line_items_round_bound(spark):
+    df = spark.createDataFrame([(1, "fp-big")], "doc_id long, fingerprint string")
+    out = extract_line_items(df, max_rounds=1).collect()[0]
+    assert out.rounds == 1 and out.n_items <= 4  # truncated at the bound
+
+
+# ---------- IVF ANN ----------
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    queries = base[:8] + rng.normal(scale=0.03, size=(8, 16)).astype(np.float32)
+    index = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(queries)],
+        "query_id long, query_vec array<float>",
+    )
+    exact_top1 = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(qdf, index, k=1).collect()
+    }
+    approx = ivf_topk_join(qdf, index, dim=16, k=3, n_centroids=8, n_probe=3)
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_top1 & approx_pairs) / len(exact_top1)
+    assert recall >= 0.7  # 3/8 cells probed should catch most planted neighbors
+
+
+# ---------- API upload source ----------
+
+
+def test_api_upload_catalog(spark):
+    cat = api_upload_catalog(
+        spark,
+        [("a.txt", b"alpha body"), ("b.pdf", b"%PDF fake"), ("empty.txt", b""),
+         ("a.txt", b"alpha body")],  # duplicate in request
+    ).collect()
+    by_name = {}
+    for r in cat:
+        by_name.setdefault(r.file_name, []).append(r)
+    assert len(by_name["a.txt"]) == 1  # in-request dedup
+    assert "empty.txt" not in by_name  # zero-byte drop
+    assert by_name["b.pdf"][0].mime_type == "application/pdf"
+    assert by_name["a.txt"][0].file_hash == hashlib.sha256(b"alpha body").hexdigest()
+
+
+# ---------- metrics merge ----------
+
+
+def test_merge_stage_metrics_later_wins(spark):
+    s1 = spark.createDataFrame(
+        [("r1", {"extract_s": 1.0, "total_s": 1.0})], "run_id string, metrics map<string,double>"
+    )
+    s2 = spark.createDataFrame(
+        [("r1", {"index_s": 2.0, "total_s": 3.0})], "run_id string, metrics map<string,double>"
+    )
+    out = merge_stage_metrics([s1, s2]).collect()[0]
+    assert out.metrics["extract_s"] == 1.0
+    assert out.metrics["index_s"] == 2.0
+    assert out.metrics["total_s"] in (1.0, 3.0)  # one wins, none lost
+
+
+# ---------- property test: JSON repair never emits invalid JSON ----------
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_repair_json_always_valid_or_none(raw):
+    got = repair_json(raw)
+    if got is not None:
+        json.loads(got)  # must parse
+
+
+@given(st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=20)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=10,
+))
+@settings(max_examples=100, deadline=None)
+def test_repair_json_preserves_valid_documents(doc):
+    s = json.dumps(doc)
+    got = repair_json(s)
+    if isinstance(doc, (dict, list)):
+        assert got is not None and json.loads(got) == doc

@@ -49,6 +49,25 @@ def distinct_index_params(specs: DataFrame) -> DataFrame:
     return specs.select("chunk_size", "chunk_overlap").distinct()
 
 
+def merge_stage_metrics(frames: list[DataFrame], key: str = "run_id") -> DataFrame:
+    """A5: per-stage elapsed-time metric maps merged across pipeline
+    stages (legacy_executor.py:1036-1053).
+
+    Each frame: (key, metrics map<string,double>). Merge = union +
+    map_concat under a group-by; later stages win on key collisions
+    (aggregate over collected maps)."""
+    unioned = frames[0]
+    for f in frames[1:]:
+        unioned = unioned.unionByName(f)
+    return unioned.groupBy(key).agg(
+        F.aggregate(
+            F.collect_list("metrics"),
+            F.create_map().cast("map<string,double>"),
+            lambda acc, m: F.map_concat(F.map_filter(acc, lambda k, _: ~F.map_contains_key(m, k)), m),
+        ).alias("metrics")
+    )
+
+
 def usage_report_cube(usage: DataFrame) -> DataFrame:
     """Reporting extra: cube over (execution, model) — free in Spark."""
     return usage.cube("execution_id", "model_name").agg(

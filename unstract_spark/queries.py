@@ -1399,4 +1399,70 @@ def r7_automerging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (expand + two-phase agg in Spark)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_having_large_orders",
+    """
+    SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_qty,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    """,
+)
+def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate (TPC-H Q18 shape): the post-aggregate
+    predicate stays above the partial agg, nothing extra shuffles."""
+    l = _t(spark, sf_dir, "lineitem")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.round(qsum, 2).cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@register(
+    "agg_sorted_array_collect",
+    """
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_sorted_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_list is unordered in a
+    distributed engine, so both sides sort — sort_array(collect_list)
+    vs DuckDB's ordered list()."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"

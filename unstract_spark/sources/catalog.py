@@ -97,6 +97,30 @@ def list_files(spark: SparkSession, root: str, pattern: FilePattern | None = Non
     return df
 
 
+def api_upload_catalog(
+    spark: SparkSession,
+    uploads: list[tuple[str, bytes]],
+    allowed_mime: list[str] | None = None,
+) -> DataFrame:
+    """S6: API multipart uploads -> catalog rows (staged in-memory).
+
+    Mirrors add_input_file_to_api_storage (source.py:1190-1288):
+    per-file MIME check, sha256, in-request duplicate drop. The payload
+    frame is tiny (one API request); the same build_catalog path does
+    hashing/dedup so API and connector sources share semantics.
+    """
+    from datetime import datetime, timezone
+
+    rows = [
+        (f"api://{name}", name, len(content), datetime.now(timezone.utc), content)
+        for name, content in uploads
+    ]
+    listing = spark.createDataFrame(
+        rows, "path string, file_name string, length long, modificationTime timestamp, content binary"
+    ).filter(F.col("length") > 0)
+    return build_catalog(listing, allowed_mime=allowed_mime)
+
+
 def build_catalog(listing: DataFrame, allowed_mime: list[str] | None = None) -> DataFrame:
     """Raw listing -> canonical `files` catalog rows.
 
