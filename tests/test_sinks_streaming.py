@@ -208,3 +208,27 @@ def test_run_extraction_end_to_end(spark, tmp_path):
     assert out2["skipped"].count() == 5
     replayed = json.loads(out2["skipped"].collect()[0].result)
     assert "invoice_no" in replayed
+
+
+def test_run_extraction_isolates_bad_files(spark, tmp_path):
+    """Per-file error isolation (hard-part 5): an undecodable file
+    becomes an ERROR row and is retried next run, never a job failure."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "good.txt").write_text("valid invoice text")
+    (src / "bad.txt").write_bytes(bytes([0xFF, 0xFE, 0x00, 0x41]))
+    job = ExtractionJob(
+        source_dir=str(src),
+        history_path=str(tmp_path / "hist"),
+        prompt_specs=[{"prompt_key": "f1", "prompt": "x", "enforce_type": "text"}],
+    )
+    out = run_extraction(spark, job)
+    rows = {r.file_name: r for r in out["results"].collect()}
+    assert rows["good.txt"].status == "SUCCESS" and rows["good.txt"].error_message is None
+    assert rows["bad.txt"].status == "ERROR"
+    assert "invalid utf-8" in rows["bad.txt"].error_message
+    assert rows["bad.txt"].f1 is None
+    # ERROR rows are NOT deduped by history: the bad file retries
+    out2 = run_extraction(spark, job)
+    names2 = {r.file_name for r in out2["results"].collect()}
+    assert names2 == {"bad.txt"}

@@ -59,19 +59,37 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     fresh = store.dedup_catalog(catalog)
     skipped = store.replay_results(catalog)
 
-    # T1 minimal: utf-8 decode (binary -> text). Real x2text adapters
-    # (LLMWhisperer/unstructured/...; sdk1/index.py:133-217) implement
-    # the same column contract behind mapInPandas.
-    docs = fresh.withColumn("extracted_text", F.decode(F.col("content"), "UTF-8"))
+    # T1 minimal: utf-8 decode (binary -> text) with per-file error
+    # isolation (reference hard-part 5, legacy_executor.py:159-163):
+    # an undecodable file becomes an ERROR row with a message, never a
+    # job failure. Real x2text adapters (LLMWhisperer/unstructured/...;
+    # sdk1/index.py:133-217) implement the same column contract behind
+    # mapInPandas with the same status/error discipline.
+    valid = F.expr("is_valid_utf8(content)")
+    docs = fresh.withColumn(
+        "extracted_text",
+        F.when(valid, F.decode(F.col("content"), "UTF-8")).otherwise(F.lit(None)),
+    ).withColumn(
+        "extract_status", F.when(valid, "SUCCESS").otherwise("ERROR")
+    ).withColumn(
+        "extract_error",
+        F.when(~valid, "text extraction failed: invalid utf-8").otherwise(F.lit(None)),
+    )
 
     # prompt stages (variable deps serialize; within a stage the mock
     # "call" is one deterministic expression per prompt)
     plan = plan_prompt_stages(job.prompt_specs)
     by_key = {s["prompt_key"]: s for s in job.prompt_specs}
-    fp = F.md5(F.col("extracted_text"))
+    fp = F.md5(F.coalesce(F.col("extracted_text"), F.lit("")))
     outputs: dict[str, str] = {}
     result = docs.select(
-        "file_path", "file_name", "file_hash", "extracted_text", fp.alias("fingerprint")
+        "file_path",
+        "file_name",
+        "file_hash",
+        "extracted_text",
+        fp.alias("fingerprint"),
+        F.col("extract_status").alias("status"),
+        F.col("extract_error").alias("error_message"),
     )
     usage_rows = []
     for stage in plan.stages:
@@ -81,7 +99,11 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
                 prompt_text = substitute_variables(spec.get("prompt", ""), outputs)
                 raw = mock_answer_raw(F.lit(key), F.col("fingerprint"))
                 result = result.withColumn(
-                    key, coerce(na_to_null(raw), spec.get("enforce_type", "text"))
+                    key,
+                    F.when(
+                        F.col("status") == "SUCCESS",
+                        coerce(na_to_null(raw), spec.get("enforce_type", "text")),
+                    ),
                 )
                 outputs[key] = f"<{key}>"
                 usage_rows.append(key)
@@ -105,13 +127,21 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
 
     # history MERGE: mark processed content COMPLETED with cached result
     payload_cols = [k for k in by_key]
+    # ERROR rows stay ERROR in history so the next run retries them
+    # (only COMPLETED dedups — reference file_history.py:21)
     hist_updates = result.select(
         F.col("file_hash").alias("cache_key"),
         F.lit(None).cast("string").alias("provider_file_uuid"),
         "file_path",
         F.lit(job.workflow_id).alias("workflow_id"),
-        F.lit("COMPLETED").alias("status"),
-        F.to_json(F.struct(*payload_cols)).alias("result"),
+        # ledger vocabulary is COMPLETED/ERROR (file_history.py:21);
+        # per-row pipeline status is SUCCESS/ERROR (database_utils.py:162)
+        F.when(F.col("status") == "SUCCESS", "COMPLETED").otherwise("ERROR").alias(
+            "status"
+        ),
+        F.when(
+            F.col("status") == "SUCCESS", F.to_json(F.struct(*payload_cols))
+        ).alias("result"),
         F.lit(None).cast("string").alias("metadata"),
         F.lit(1).alias("execution_count"),
     )

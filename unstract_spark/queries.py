@@ -1465,4 +1465,92 @@ def agg_sorted_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PORTABLE_WINDOW_SQL = """
+    SELECT c_custkey, c_acctbal, round(nation_avg, 4) AS nation_avg
+    FROM (
+        SELECT c_custkey, c_acctbal,
+               avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+        FROM customer
+    ) t WHERE c_acctbal > nation_avg
+"""
+
+
+@register("sql_above_nation_avg", _PORTABLE_WINDOW_SQL)
+def sql_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface parity: the exact same ANSI text runs on
+    spark.sql AND the DuckDB oracle (decorrelated 'above group
+    average' — the window form of a correlated subquery)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_PORTABLE_WINDOW_SQL)
+
+
+@register(
+    "t12_challenge",
+    f"""
+    WITH answers AS (
+        SELECT doc_id, text,
+               {mock_answer_raw_sql("'total'", "md5(text)")} AS answer_raw
+        FROM documents
+    )
+    SELECT doc_id, answer_raw,
+           (('0x' || substr(md5(answer_raw || ':' || md5(coalesce(text, ''))), 1, 2))::INT % 4) <> 0
+               AS challenge_agrees,
+           round((('0x' || substr(md5(answer_raw || ':' || md5(coalesce(text, ''))), 3, 4))::INT) / 65535.0, 4)
+               AS challenge_confidence
+    FROM answers WHERE answer_raw IS NOT NULL
+    """,
+)
+def t12_challenge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 adversarial challenge: second-LLM verdict per (answer,
+    context) with deterministic mock (legacy_executor.py:1539-1595)."""
+    from unstract_spark.operators.enrich import challenge_mock
+
+    d = _t(spark, sf_dir, "documents")
+    answers = d.select(
+        "doc_id",
+        F.col("text").alias("context_text"),
+        mock_answer_raw(F.lit("total"), F.md5("text")).alias("answer_raw"),
+    ).filter(F.col("answer_raw").isNotNull())
+    return challenge_mock(answers).select(
+        "doc_id", "answer_raw", "challenge_agrees", "challenge_confidence"
+    )
+
+
+@register(
+    "t18_highlights",
+    """
+    WITH probe AS (
+        SELECT doc_id, text, substr(text, 31, 12) AS answer FROM documents
+    )
+    SELECT doc_id, answer,
+           strpos(text, answer) AS char_offset,
+           CASE WHEN strpos(text, answer) > 0
+                THEN len(string_split(substr(text, 1, strpos(text, answer)), chr(10)))
+                ELSE NULL END AS line_no,
+           strpos(text, answer) > 0 AS found_in_context
+    FROM probe
+    """,
+)
+def t18_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 highlight projection: source coordinates per answer
+    (answer_prompt.py:255-274) — here probed with a deterministic
+    substring 'answer' so offsets are verifiable."""
+    from unstract_spark.operators.enrich import attach_highlights
+
+    d = _t(spark, sf_dir, "documents")
+    probed = d.select(
+        "doc_id",
+        F.col("text").alias("context_text"),
+        F.substring("text", 31, 12).alias("answer"),
+    )
+    out = attach_highlights(probed, answer_col="answer")
+    return out.select(
+        "doc_id",
+        "answer",
+        F.col("highlight.char_offset").alias("char_offset"),
+        F.col("highlight.line_no").alias("line_no"),
+        F.col("highlight.found_in_context").alias("found_in_context"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
