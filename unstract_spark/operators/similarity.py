@@ -61,11 +61,16 @@ def brute_force_topk(
     query_vec: str = "query_vec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k: broadcast queries, score all, window rank. The oracle."""
+    """Exact top-k: broadcast queries, score all, window rank. The oracle.
+
+    Pass `dim` when known — the scoring expression then unrolls into
+    codegen instead of the interpreted higher-order-function path.
+    """
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
     scored = q.crossJoin(index.select(F.col(index_id), F.col(index_vec).alias("_iv"))).select(
-        query_id, index_id, F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score")
+        query_id, index_id, F.round(cosine(F.col("_iv"), F.col("_qv"), dim=dim), 6).alias("score")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
