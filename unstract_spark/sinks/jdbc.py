@@ -207,6 +207,34 @@ def prepare_rows(
     )
 
 
+def insert_sql(spec: TableSpec, columns: list[str]) -> str:
+    """Parameterized INSERT for the spec's dialect.
+
+    Mirrors the reference's per-dialect insert rewrites
+    (database_utils.py:231-267): BigQuery wraps JSON columns in
+    PARSE_JSON(?), Snowflake routes VARIANT through
+    INSERT ... SELECT PARSE_JSON(?) (plain VALUES cannot produce
+    VARIANT there), everything else is plain VALUES with ? params.
+    """
+    types = dict(spec.columns)
+    q = lambda n: _quote_ident(n, spec.dialect)  # noqa: E731
+    col_list = ", ".join(q(c) for c in columns)
+    json_type = _DIALECT_TYPES[spec.dialect]["json"]
+
+    def param(col: str) -> str:
+        is_json = types.get(col) == json_type and json_type in ("JSON", "VARIANT", "JSONB", "SUPER")
+        if spec.dialect == "bigquery" and is_json:
+            return "PARSE_JSON(?)"
+        if spec.dialect == "snowflake" and is_json:
+            return "PARSE_JSON(?)"
+        return "?"
+
+    params = ", ".join(param(c) for c in columns)
+    if spec.dialect == "snowflake" and any(param(c) != "?" for c in columns):
+        return f"INSERT INTO {q(spec.table)} ({col_list}) SELECT {params}"
+    return f"INSERT INTO {q(spec.table)} ({col_list}) VALUES ({params})"
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
