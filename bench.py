@@ -47,6 +47,38 @@ BENCH_QUERIES = [
 ]
 
 
+def _pipeline_e2e(spark, n_docs: int) -> float:
+    import shutil
+    import tempfile
+
+    from unstract_spark.plans.pipeline import ExtractionJob, run_extraction
+
+    base = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        docs_dir = os.path.join(base, "docs")
+        os.makedirs(docs_dir)
+        for i in range(n_docs):
+            with open(os.path.join(docs_dir, f"d{i}.txt"), "w") as f:
+                f.write(f"Invoice {i}: total {i * 7} dollars, vendor V{i % 17}. " * 8)
+        job = ExtractionJob(
+            source_dir=docs_dir,
+            history_path=os.path.join(base, "hist"),
+            max_files=n_docs,
+            prompt_specs=[
+                {"prompt_key": "invoice_no", "prompt": "id", "enforce_type": "text"},
+                {"prompt_key": "total", "prompt": "total of {{invoice_no}}", "enforce_type": "number"},
+                {"prompt_key": "vendor", "prompt": "vendor", "enforce_type": "text"},
+            ],
+        )
+        t0 = time.time()
+        out = run_extraction(spark, job)
+        out["results"].count()
+        out["usage"].count()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -71,6 +103,13 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+
+    # end-to-end document pipeline (BASELINE.md: files/min, mock LLM):
+    # 200 synthetic docs through catalog -> dedup -> extract -> 3-field
+    # typed extraction -> usage -> history merge
+    dt = _pipeline_e2e(spark, n_docs=200)
+    timings["pipeline_e2e_200docs"] = round(dt, 3)
+    total += dt
 
     print(
         json.dumps(

@@ -156,6 +156,33 @@ def test_windowed_aggregation_batch_equivalence(spark, sf_dir):
     assert (one.window_end - one.window_start).total_seconds() == 3600
 
 
+def test_content_dedup_stream_across_runs(spark, tmp_path):
+    """Stateful content dedup: same bytes under a new path in a LATER
+    drain are dropped (checkpoint state survives across fires)."""
+    from unstract_spark.streaming.incremental import incremental_dedup_pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("same content")
+    (src / "b.txt").write_text("same content")  # dup within first drain
+    (src / "c.txt").write_text("unique content")
+    out: list[str] = []
+
+    def sink(df, _bid):
+        out.extend(r.path.rsplit("/", 1)[-1] for r in df.select("path").collect())
+
+    ckpt = str(tmp_path / "ck")
+    incremental_dedup_pipeline(spark, str(src), ckpt, sink)
+    assert len(out) == 2  # one of a/b + c
+
+    # second fire: re-uploaded content under a new name -> dropped
+    (src / "d.txt").write_text("same content")
+    (src / "e.txt").write_text("brand new content")
+    out.clear()
+    incremental_dedup_pipeline(spark, str(src), ckpt, sink)
+    assert out == ["e.txt"]  # d.txt deduped by state, only new content passes
+
+
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()

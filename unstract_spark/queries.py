@@ -1553,4 +1553,84 @@ def t18_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Full retrieval pipeline, oracle-checked end-to-end:
+# T3 chunk -> T4 embed (expression mock) -> J4/T6 top-k join
+# =====================================================================
+
+_RAW_COMPONENTS = ", ".join(
+    f"((('0x' || substr(sha256(chunk_text), {2 * i + 1}, 2))::INT - 127.5) / 127.5) AS r{i}"
+    for i in range(8)
+)
+_NORM = "sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(8)) + ")"
+_DOT = " + ".join(f"(q.q{i} * e.e{i})" for i in range(8))
+
+_RETRIEVAL_SQL = f"""
+    WITH ch AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_no,
+               substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+              FROM documents),
+             unnest(range(0, n_chunks)) AS u(i)
+    ),
+    raw AS (SELECT doc_id, chunk_no, {_RAW_COMPONENTS} FROM ch),
+    emb AS (
+        SELECT doc_id, chunk_no,
+               {", ".join(f"r{i} / nrm AS e{i}" for i in range(8))}
+        FROM (SELECT *, {_NORM} AS nrm FROM raw)
+    ),
+    q AS (
+        SELECT doc_id AS query_id, {", ".join(f"e{i} AS q{i}" for i in range(8))}
+        FROM emb WHERE doc_id < 3 AND chunk_no = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.doc_id * 1000 + e.chunk_no AS chunk_uid,
+               round({_DOT}, 6) AS score
+        FROM q CROSS JOIN emb e
+    )
+    SELECT query_id, chunk_uid, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, chunk_uid ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("rp_chunk_embed_retrieve", _RETRIEVAL_SQL)
+def rp_chunk_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack end-to-end under the oracle gate: chunk
+    (T3) -> expression-mock embedding (T4, unit-normalized doubles) ->
+    batch top-k cosine join (J4/T6, k=5, 3 query chunks).
+
+    Staged selects keep the double arithmetic order identical to the
+    SQL CTEs (raw bytes -> norm -> components -> chained dot)."""
+    from unstract_spark.mock import mock_embed_expr
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunking.chunk_fixed(d, chunk_size=200, chunk_overlap=50)
+    comps = mock_embed_expr(F.col("chunk_text"))
+    emb = ch.select(
+        "doc_id", "chunk_no", *[c.alias(f"e{i}") for i, c in enumerate(comps)]
+    )
+    q = (
+        emb.filter((F.col("doc_id") < 3) & (F.col("chunk_no") == 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            *[F.col(f"e{i}").alias(f"q{i}") for i in range(8)],
+        )
+    )
+    e = emb.alias("e")
+    scored_terms = F.col("q0") * F.col("e.e0")
+    for i in range(1, 8):
+        scored_terms = scored_terms + F.col(f"q{i}") * F.col(f"e.e{i}")
+    scored = F.broadcast(q).crossJoin(e).select(
+        "query_id",
+        (F.col("e.doc_id") * 1000 + F.col("e.chunk_no")).alias("chunk_uid"),
+        F.round(scored_terms, 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("chunk_uid").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
 ENTRY_QUERY = "q1_pricing_summary"

@@ -67,6 +67,56 @@ def incremental_file_pipeline(
     return q
 
 
+def content_dedup_stream(
+    stream: DataFrame,
+    hash_col: str = "file_hash",
+    ts_col: str = "modificationTime",
+    watermark_delay: str = "24 hours",
+) -> DataFrame:
+    """Stateful exactly-once-per-content dedup as a streaming operator.
+
+    `dropDuplicates` on a stream keeps per-key state in the checkpoint:
+    a duplicate arriving in a LATER micro-batch — or a later
+    AvailableNow run of the same checkpoint — is dropped, which is the
+    reference's file-history content semantics (F2) expressed as
+    streaming state instead of a ledger anti-join. The watermark bounds
+    state: content older than the delay ages out (the ledger remains
+    the long-horizon dedup; this operator handles the hot window).
+    """
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates([hash_col])
+
+
+def incremental_dedup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    max_files_per_trigger: int = 100,
+) -> None:
+    """File stream -> content hash -> stateful dedup -> sinks.
+
+    One AvailableNow drain per cron fire; the dedup state lives in the
+    checkpoint so re-uploaded content (same bytes, any path) is dropped
+    across fires.
+    """
+    schema = "path string, modificationTime timestamp, length long, content binary"
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(source_dir)
+    )
+    hashed = stream.withColumn("file_hash", F.sha2(F.col("content"), 256))
+    deduped = content_dedup_stream(hashed)
+    q = (
+        deduped.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_aggregation(
     events: DataFrame,
     window_duration: str = "1 hour",
