@@ -1361,8 +1361,10 @@ def f8_variable_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(0, n_chunks)) AS u(i)
     ),
     ranked AS (
+        -- leaf_id tie-break: duplicate chunk texts share an md5, and a
+        -- tied LIMIT boundary would be engine-arbitrary
         SELECT leaf_id, parent_id FROM chunks
-        ORDER BY md5(chunk_text) LIMIT 200
+        ORDER BY md5(chunk_text), leaf_id LIMIT 200
     ),
     totals AS (SELECT parent_id, count(*) AS n_leaves FROM chunks GROUP BY 1),
     hits AS (
@@ -1392,7 +1394,9 @@ def r7_automerging(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
     )
     ranked = (
-        chunks.orderBy(F.md5("chunk_text").asc()).limit(200).select("leaf_id")
+        chunks.orderBy(F.md5("chunk_text").asc(), F.col("leaf_id").asc())
+        .limit(200)
+        .select("leaf_id")
     )
     return automerging_retrieve(
         chunks, ranked, id_col="leaf_id", parent_col="parent_id", merge_threshold=0.5
@@ -1631,6 +1635,113 @@ def rp_chunk_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("chunk_uid").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@register(
+    "r2_subquestion",
+    """
+    WITH subq AS (SELECT unnest(['spark', 'merge']) AS term),
+    words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ),
+    hits AS (
+        SELECT s.term, w.doc_id, count(*) AS n_hits
+        FROM subq s JOIN words w ON w.word = s.term
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY n_hits DESC, doc_id ASC) AS rnk
+        FROM hits
+    )
+    SELECT DISTINCT doc_id FROM ranked WHERE rnk <= 5
+    """,
+)
+def r2_subquestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 subquestion: decompose the query into sub-questions (mocked
+    as fixed terms), retrieve top-5 per sub-question, union the distinct
+    sources (retrievers/subquestion.py:13-76)."""
+    d = _t(spark, sf_dir, "documents")
+    subq = d.sparkSession.createDataFrame([("spark",), ("merge",)], "term string")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("word")
+    )
+    hits = (
+        F.broadcast(subq)
+        .join(words, words.word == subq.term)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@register(
+    "t10_single_pass",
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    SELECT doc_id,
+           md5('invoice_no|total|vendor' || ':' || fingerprint) AS call_id,
+           CASE WHEN substr(md5('invoice_no|total|vendor#invoice_no' || ':' || fingerprint), 1, 1) = '0'
+                THEN 'NA' ELSE 'ans-' || substr(md5('invoice_no|total|vendor#invoice_no' || ':' || fingerprint), 1, 12) END
+               AS invoice_no,
+           CASE WHEN substr(md5('invoice_no|total|vendor#total' || ':' || fingerprint), 1, 1) = '0'
+                THEN 'NA' ELSE 'ans-' || substr(md5('invoice_no|total|vendor#total' || ':' || fingerprint), 1, 12) END
+               AS total,
+           CASE WHEN substr(md5('invoice_no|total|vendor#vendor' || ':' || fingerprint), 1, 1) = '0'
+                THEN 'NA' ELSE 'ans-' || substr(md5('invoice_no|total|vendor#vendor' || ':' || fingerprint), 1, 12) END
+               AS vendor
+    FROM fp
+    """,
+)
+def t10_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 single-pass fusion: N prompts as ONE call per document — one
+    call_id, per-key answers derived from the fused call
+    (legacy_executor.py:733-772, 2270-2310)."""
+    from unstract_spark.operators.prompts import single_pass_mock
+
+    d = _t(spark, sf_dir, "documents")
+    return single_pass_mock(d, ["invoice_no", "total", "vendor"])
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling pattern: two-phase salted aggregation.
+
+    `event_type` has only 5 values — a pathological shuffle key at
+    scale (5 reducers own everything). Salting: aggregate on
+    (key, salt=hash%16) first (spreads each hot key over 16 partial
+    groups), then merge partials per key. The oracle is the plain
+    aggregate — results are identical, only the shuffle distribution
+    changes. Decimal-domain sums keep the two-step total exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        F.sum("pn").alias("n"),
+    )
 
 
 ENTRY_QUERY = "q1_pricing_summary"
