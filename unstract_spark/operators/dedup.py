@@ -79,7 +79,7 @@ def char_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
-    stride: int = 4,
+    stride: int = 8,
 ) -> DataFrame:
     """Explode documents into lowercase char k-gram shingles (strided).
 

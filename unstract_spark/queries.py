@@ -856,9 +856,9 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_SQL = """
         SELECT doc_id,
-               substr(t, CAST(i * 4 + 1 AS INT), 8) AS shingle
+               substr(t, CAST(i * 8 + 1 AS INT), 8) AS shingle
         FROM (SELECT doc_id, lower(text) AS t,
-                     greatest(1, CAST(floor((length(text) - 8) / 4.0) AS INT) + 1) AS n_sh
+                     greatest(1, CAST(floor((length(text) - 8) / 8.0) AS INT) + 1) AS n_sh
               FROM documents),
              unnest(range(0, n_sh)) AS u(i)
 """
