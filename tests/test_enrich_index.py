@@ -139,6 +139,53 @@ def test_recursive_retrieve_follows_links(spark):
     assert got == {0, 2, 3}  # seed (exact match) + 2 hops of links
 
 
+# ---------- T15 webhook postprocess + D3 API results ----------
+
+
+def test_webhook_postprocess_and_isolation(spark):
+    from unstract_spark.operators.enrich import webhook_postprocess
+
+    df = spark.createDataFrame(
+        [("f1", "inv-1"), ("f2", "inv-2")], "file string, invoice_no string"
+    )
+
+    def transport(url, payload):
+        import json as j
+
+        data = j.loads(payload)
+        if data["file"] == "f2":
+            raise ConnectionError("refused")
+        return j.dumps({"enriched": data["invoice_no"].upper()})
+
+    out = {r.file: r for r in webhook_postprocess(df, "https://h/x", transport).collect()}
+    assert '"INV-1"' in out["f1"].postprocessed
+    assert out["f1"].postprocess_status == "SUCCESS"
+    assert out["f2"].postprocess_status.startswith("ERROR")
+    assert "inv-2" in out["f2"].postprocessed  # original payload kept
+
+
+def test_api_results_shape(spark, tmp_path):
+    from unstract_spark.plans.pipeline import ExtractionJob, api_results, run_extraction
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("text one")
+    job = ExtractionJob(
+        source_dir=str(src),
+        history_path=str(tmp_path / "h"),
+        prompt_specs=[{"prompt_key": "f1", "prompt": "x", "enforce_type": "text"}],
+    )
+    out = run_extraction(spark, job)
+    payload = api_results(out["results"], out["skipped"])
+    assert payload[0]["file"] == "a.txt"
+    assert payload[0]["status"] == "SUCCESS"
+    assert "f1" in payload[0]["result"]
+    # replay run: cache hits flagged
+    out2 = run_extraction(spark, job)
+    payload2 = api_results(out2["results"], out2["skipped"])
+    assert payload2[0]["metadata"] == {"cache_hit": True}
+
+
 # ---------- notification outbox ----------
 
 

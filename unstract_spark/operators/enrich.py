@@ -224,6 +224,51 @@ def repair_json_column(df: DataFrame, col: str, out_col: str | None = None) -> D
     return df.withColumn(out_col or col, _repair(F.col(col)))
 
 
+# ---------- T15 webhook postprocess ----------
+
+
+def webhook_postprocess(
+    results: DataFrame,
+    url: str,
+    transport,  # Callable[[str, str], str | None] — injected; tests fake it
+    payload_cols: list[str] | None = None,
+    batch_size: int = 32,
+) -> DataFrame:
+    """POST each result row's JSON to a webhook; the response replaces
+    the row payload (reference: answer_prompt.py:283-310 — SSRF-guarded
+    external postprocessor).
+
+    Arrow-batched mapInPandas with row-level error isolation: transport
+    failures become (postprocess_status=ERROR, original payload kept).
+    Only https URLs to non-private hosts should be allowed by the
+    caller-provided transport (the SSRF guard lives there).
+    """
+    import pandas as pd  # noqa: F811 — explicit for the UDF closure
+
+    payload_cols = payload_cols or [c for c in results.columns]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in results.schema.fields)
+    out_schema = fields + ", postprocessed string, postprocess_status string"
+
+    def run(batches):
+        for pdf in batches:
+            out_vals, statuses = [], []
+            for _, row in pdf.iterrows():
+                payload = json.dumps({c: row[c] for c in payload_cols}, default=str)
+                try:
+                    resp = transport(url, payload)
+                    out_vals.append(resp if resp is not None else payload)
+                    statuses.append("SUCCESS")
+                except Exception as e:  # noqa: BLE001 — row isolation
+                    out_vals.append(payload)
+                    statuses.append(f"ERROR: {str(e)[:100]}")
+            out = pdf.copy()
+            out["postprocessed"] = out_vals
+            out["postprocess_status"] = statuses
+            yield out
+
+    return results.mapInPandas(run, schema=out_schema)
+
+
 # ---------- T18 highlight/confidence projection ----------
 
 

@@ -148,3 +148,40 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     store.merge(hist_updates)
 
     return {"results": results, "skipped": skipped, "usage": usage}
+
+
+def api_results(results: DataFrame, skipped: DataFrame | None = None) -> list[dict]:
+    """D3 — shape an execution's output as the API response payload:
+    one dict per file {file, status, result, metadata}, replayed cache
+    hits included (reference: destination.py:516-557 _handle_api_result).
+    The collect() here IS the sink — the API response goes to one
+    caller, so driver-side materialization is the correct shape."""
+    import json as _json
+
+    payload_cols = [
+        c
+        for c in results.columns
+        if c not in ("file_path", "file_name", "file_hash", "status", "error_message")
+    ]
+    out = [
+        {
+            "file": r["file_name"],
+            "status": r["status"],
+            "result": {k: r[k] for k in payload_cols},
+            "metadata": {"file_execution_id": r["file_hash"]},
+            "error": r["error_message"],
+        }
+        for r in results.collect()
+    ]
+    if skipped is not None:
+        out += [
+            {
+                "file": r["file_path"].rsplit("/", 1)[-1],
+                "status": "COMPLETED",
+                "result": _json.loads(r["result"]) if r["result"] else None,
+                "metadata": {"cache_hit": True},
+                "error": None,
+            }
+            for r in skipped.collect()
+        ]
+    return out

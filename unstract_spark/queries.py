@@ -1744,4 +1744,41 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_lang_confusion",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["de"])} AS hits_de,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["en"])} AS hits_en,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["es"])} AS hits_es,
+               {_marker_sql("text", text_analysis.LANG_MARKERS["fr"])} AS hits_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM hits
+    )
+    SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality surface: confusion matrix of the heuristic's
+    predictions against the corpus's `lang` labels — the evaluation
+    query a training-data pipeline runs after any classifier change."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text_analysis.lang_id(d).select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
