@@ -1453,18 +1453,21 @@ def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sorted_array_collect",
     """
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
            count(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_sorted_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_list is unordered in a
-    distributed engine, so both sides sort — sort_array(collect_list)
-    vs DuckDB's ordered list()."""
+    distributed engine, so both sides sort. The array is serialized to a
+    '|'-joined string because the driver's canonicalizer only handles
+    scalar columns (pandas sort_values dies on list cells) —
+    sort_array(collect_list) + array_join vs DuckDB's ordered
+    string_agg."""
     n = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 
