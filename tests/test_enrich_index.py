@@ -62,6 +62,30 @@ def test_index_query_scoped_topk(spark, tmp_path, chunk_rows):
 # ---------- enrichment ----------
 
 
+def test_classify_escapes_regex_metachars(spark):
+    from unstract_spark.operators.enrich import classify_by_keywords
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "we ship c++ services and a.b modules"),
+            ("d2", "we ship cpp services and axb modules"),
+            ("d3", "plain prose about an invoice"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in classify_by_keywords(
+            df, {"systems": ["c++", "a.b"], "finance": ["invoice"]}
+        ).collect()
+    }
+    # metachars are literals: 'a.b' must NOT match 'axb', 'c++' must not throw
+    assert out["d1"].classification == "systems"
+    assert out["d1"].score_systems == 2
+    assert out["d2"].score_systems == 0
+    assert out["d3"].classification == "finance"
+
+
 def test_challenge_and_highlights(spark):
     df = spark.createDataFrame(
         [("the total is 42", "Line one.\nLine two: the total is 42 here.")],

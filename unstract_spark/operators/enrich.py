@@ -11,6 +11,7 @@ identical plan shape.
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd  # module-level: pandas_udf resolves string annotations here
 from pyspark.sql import Column, DataFrame
@@ -135,9 +136,18 @@ def classify_by_keywords(
     The LLM variant swaps the score columns for a completion call; the
     routing (partitionBy on write, sinks/filesystem.route_by_classification)
     is identical."""
+    def _kw_pattern(w: str) -> str:
+        # Keywords are literals, not patterns: escape metacharacters
+        # ('c++', 'a.b'). A \b anchor only works against a word char, so
+        # apply it per-edge ('\bc\+\+\b' would never match).
+        esc = re.escape(w.lower())
+        head = "\\b" if re.match(r"\w", w) else ""
+        tail = "\\b" if re.search(r"\w$", w) else ""
+        return head + esc + tail
+
     scores = {
         label: sum(
-            (F.regexp_count(F.lower(F.col(text_col)), F.lit("\\b" + w.lower() + "\\b")))
+            (F.regexp_count(F.lower(F.col(text_col)), F.lit(_kw_pattern(w))))
             for w in words
         )
         for label, words in bins.items()

@@ -65,11 +65,18 @@ class VectorIndexStore:
         merged = keep.unionByName(incoming)
         staging = f"{self.path}.staging-{int(time.time() * 1000)}"
         merged.write.mode("overwrite").parquet(staging)
+        # Swap order matters: the live path must never be absent. Move the
+        # old dir aside, rename staging into place, and only then delete
+        # the old copy — a crash between steps leaves a usable index at
+        # either the canonical or the .old path (same order as
+        # sinks/history.merge).
+        old = None
         if os.path.exists(self.path):
             old = f"{self.path}.old-{int(time.time() * 1000)}"
             os.rename(self.path, old)
-            shutil.rmtree(old, ignore_errors=True)
         os.rename(staging, self.path)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
         return incoming.count()
 
     def query_topk(

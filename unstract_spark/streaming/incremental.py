@@ -75,15 +75,20 @@ def content_dedup_stream(
 ) -> DataFrame:
     """Stateful exactly-once-per-content dedup as a streaming operator.
 
-    `dropDuplicates` on a stream keeps per-key state in the checkpoint:
-    a duplicate arriving in a LATER micro-batch — or a later
-    AvailableNow run of the same checkpoint — is dropped, which is the
-    reference's file-history content semantics (F2) expressed as
-    streaming state instead of a ledger anti-join. The watermark bounds
-    state: content older than the delay ages out (the ledger remains
-    the long-horizon dedup; this operator handles the hot window).
+    Streaming dedup keeps per-key state in the checkpoint: a duplicate
+    arriving in a LATER micro-batch — or a later AvailableNow run of the
+    same checkpoint — is dropped, which is the reference's file-history
+    content semantics (F2) expressed as streaming state instead of a
+    ledger anti-join. State is bounded via
+    `dropDuplicatesWithinWatermark`: plain `dropDuplicates([hash])`
+    would ignore the watermark (the event-time column is not in the
+    subset) and grow state forever, whereas the WithinWatermark variant
+    evicts keys older than the delay (the ledger remains the
+    long-horizon dedup; this operator handles the hot window).
     """
-    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates([hash_col])
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        [hash_col]
+    )
 
 
 def incremental_dedup_pipeline(
