@@ -27,8 +27,8 @@ def test_extract_dispatch_and_isolation(mixed_catalog):
     assert out["h2"].extracted_text == "Inv\nA1\nB2"
     # CSV: cells joined per line
     assert out["h3"].extracted_text == "sku qty\nA1 3\nB2 7"
-    # stub adapter -> isolated ERROR row
-    assert out["h4"].status == "ERROR" and "PDF extraction" in out["h4"].error_message
+    # corrupt PDF (header only, no objects) -> isolated ERROR row
+    assert out["h4"].status == "ERROR" and "page" in out["h4"].error_message
     # unknown mime -> ERROR row
     assert out["h5"].status == "ERROR" and "no extraction adapter" in out["h5"].error_message
     # undecodable -> ERROR row, job survived

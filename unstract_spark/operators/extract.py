@@ -70,18 +70,24 @@ def extract_csv(content: bytes) -> tuple[str, int]:
     return text, _pages(text)
 
 
-def extract_pdf_stub(content: bytes) -> tuple[str, int]:
-    raise NotImplementedError(
-        "PDF extraction needs a parser (pypdf/tika not in this container); "
-        "register a real adapter for application/pdf"
-    )
+def extract_pdf(content: bytes) -> tuple[str, int]:
+    """Real PDF text extraction (no external parser in the container):
+    operators/minipdf implements the ISO 32000 subset machine-generated
+    PDFs use — object scan, Flate/AHx/A85 filters, ObjStm, page-tree
+    walk, Tj/TJ/'/" text operators, ToUnicode CMaps. Page count comes
+    from the page tree, not the char heuristic. Encrypted or non-PDF
+    bytes raise -> ERROR row via the extract_text isolation path."""
+    from unstract_spark.operators.minipdf import extract_pdf_text
+
+    text, n_pages = extract_pdf_text(content)
+    return text, n_pages
 
 
 DEFAULT_ADAPTERS: dict[str, Adapter] = {
     "text/plain": extract_plain,
     "text/csv": extract_csv,
     "application/json": extract_json,
-    "application/pdf": extract_pdf_stub,
+    "application/pdf": extract_pdf,
 }
 
 
@@ -91,23 +97,29 @@ def extract_text(
     content_col: str = "content",
     mime_col: str = "mime_type",
     id_col: str = "file_hash",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run MIME-dispatched extraction over catalog rows.
 
-    Output: (id, extracted_text, page_count, status, error_message).
-    Unknown MIME and adapter failures are ERROR rows, isolated per file.
+    Output: (id, *passthrough, extracted_text, page_count, status,
+    error_message). Unknown MIME and adapter failures are ERROR rows,
+    isolated per file. `passthrough_cols` ride along inside the same
+    Arrow batch (no rejoin shuffle downstream — at 100 TB a join back
+    on id would be a second exchange for no reason).
     """
     adapters = adapters or DEFAULT_ADAPTERS
+    passthrough = passthrough_cols or []
+    in_schema = {f.name: f.dataType.simpleString() for f in catalog.schema.fields}
+    pass_ddl = "".join(f", {c} {in_schema[c]}" for c in passthrough)
     out_schema = (
-        f"{id_col} string, extracted_text string, page_count int,"
+        f"{id_col} string{pass_ddl}, extracted_text string, page_count int,"
         " status string, error_message string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, texts, pages, statuses, errors = [], [], [], [], []
-            for rid, mime, content in zip(pdf[id_col], pdf[mime_col], pdf[content_col]):
-                ids.append(rid)
+            texts, pages, statuses, errors = [], [], [], []
+            for mime, content in zip(pdf[mime_col], pdf[content_col]):
                 adapter = adapters.get(mime)
                 if adapter is None:
                     texts.append(None); pages.append(0)
@@ -121,14 +133,16 @@ def extract_text(
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     texts.append(None); pages.append(0)
                     statuses.append("ERROR"); errors.append(str(e)[:200])
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "extracted_text": texts,
-                    "page_count": pages,
-                    "status": statuses,
-                    "error_message": errors,
-                }
+            out = {id_col: pdf[id_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out.update(
+                extracted_text=texts,
+                page_count=pages,
+                status=statuses,
+                error_message=errors,
             )
+            yield pd.DataFrame(out)
 
-    return catalog.select(id_col, mime_col, content_col).mapInPandas(run, schema=out_schema)
+    cols = [id_col, *passthrough, mime_col, content_col]
+    return catalog.select(*cols).mapInPandas(run, schema=out_schema)

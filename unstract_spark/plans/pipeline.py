@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unstract_spark.mock import mock_answer_raw
+from unstract_spark.operators.extract import extract_text
 from unstract_spark.operators.prompts import coerce, na_to_null
 from unstract_spark.plans.fusion import plan_prompt_stages, substitute_variables
 from unstract_spark.sinks.history import FileHistoryStore
@@ -38,7 +39,7 @@ class ExtractionJob:
     history_path: str
     workflow_id: str = "wf-default"
     prompt_specs: list[dict] = field(default_factory=list)
-    glob: str = "*.txt"
+    glob: str | list[str] = "*.txt"
     max_files: int = 100
 
 
@@ -50,8 +51,9 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     `usage` is the A1 ledger input. History is MERGEd at the end so a
     re-run skips completed content (exactly-once per content).
     """
+    globs = [job.glob] if isinstance(job.glob, str) else list(job.glob)
     listing = list_files(
-        spark, job.source_dir, FilePattern(globs=[job.glob], max_files=job.max_files)
+        spark, job.source_dir, FilePattern(globs=globs, max_files=job.max_files)
     )
     catalog = build_catalog(listing)
     store = FileHistoryStore(spark, job.history_path)
@@ -59,22 +61,38 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     fresh = store.dedup_catalog(catalog)
     skipped = store.replay_results(catalog)
 
-    # T1 minimal: utf-8 decode (binary -> text) with per-file error
-    # isolation (reference hard-part 5, legacy_executor.py:159-163):
-    # an undecodable file becomes an ERROR row with a message, never a
-    # job failure. Real x2text adapters (LLMWhisperer/unstructured/...;
-    # sdk1/index.py:133-217) implement the same column contract behind
-    # mapInPandas with the same status/error discipline.
+    # T1 — MIME-dispatched extraction with per-file error isolation
+    # (reference hard-part 5, legacy_executor.py:159-163): a bad file
+    # becomes an ERROR row with a message, never a job failure.
+    # Hybrid plan: text/plain stays a pure JVM column expression
+    # (is_valid_utf8 + decode — no Python in the hot path for the
+    # dominant type); every other MIME (pdf/json/csv/...) goes through
+    # the Arrow-batched adapter registry (operators/extract.extract_text,
+    # x2text surface of sdk1/index.py:133-217). Both branches are one
+    # scan each over a disjoint mime partition of `fresh` — no join, one
+    # union, identical output contract.
     valid = F.expr("is_valid_utf8(content)")
-    docs = fresh.withColumn(
-        "extracted_text",
-        F.when(valid, F.decode(F.col("content"), "UTF-8")).otherwise(F.lit(None)),
-    ).withColumn(
-        "extract_status", F.when(valid, "SUCCESS").otherwise("ERROR")
-    ).withColumn(
-        "extract_error",
-        F.when(~valid, "text extraction failed: invalid utf-8").otherwise(F.lit(None)),
+    is_text = F.col("mime_type") == "text/plain"
+    base_cols = ["file_path", "file_name", "file_hash"]
+    txt_docs = fresh.filter(is_text).select(
+        *base_cols,
+        F.when(valid, F.decode(F.col("content"), "UTF-8")).otherwise(F.lit(None)).alias(
+            "extracted_text"
+        ),
+        F.when(valid, "SUCCESS").otherwise("ERROR").alias("extract_status"),
+        F.when(~valid, "text extraction failed: invalid utf-8")
+        .otherwise(F.lit(None))
+        .alias("extract_error"),
     )
+    other_docs = extract_text(
+        fresh.filter(~is_text), passthrough_cols=["file_path", "file_name"]
+    ).select(
+        *base_cols,
+        "extracted_text",
+        F.col("status").alias("extract_status"),
+        F.col("error_message").alias("extract_error"),
+    )
+    docs = txt_docs.unionByName(other_docs)
 
     # prompt stages (variable deps serialize; within a stage the mock
     # "call" is one deterministic expression per prompt)
