@@ -32,7 +32,12 @@ def result_df(spark):
 def test_create_table_all_dialects(result_df, dialect):
     spec = build_table_spec(result_df, "out_table", dialect, mode="split")
     ddl = spec.create_table_sql()
-    assert "CREATE TABLE IF NOT EXISTS" in ddl
+    assert ddl.startswith("CREATE TABLE ")
+    # IF NOT EXISTS only where the dialect's DDL actually accepts it
+    if dialect in ("mssql", "oracle", "derby"):
+        assert "IF NOT EXISTS" not in ddl
+    else:
+        assert "CREATE TABLE IF NOT EXISTS" in ddl
     assert {n for n, _ in spec.columns} >= {"id", "created_at", "status", "invoice_no", "total"}
 
 
@@ -68,6 +73,46 @@ def test_prepare_rows_single_json(result_df):
     payload = json.loads(rows[0].data)
     assert payload["invoice_no"] == "inv-1"
     assert rows[0].status == "COMPLETED"
+
+
+def test_prepare_rows_single_json_preserves_error_rows(spark):
+    """Caller-supplied status/error_message must survive single_json
+    folding — ERROR rows were previously rewritten COMPLETED."""
+    df = spark.createDataFrame(
+        [("/a.txt", "inv-1", "SUCCESSISH", None), ("/b.txt", None, "ERROR", "decode failed")],
+        "file_path string, invoice_no string, status string, error_message string",
+    )
+    rows = {r.error_message: r for r in prepare_rows(df, mode="single_json").collect()}
+    bad = rows["decode failed"]
+    assert bad.status == "ERROR"
+    payload = json.loads(bad.data)
+    assert "status" not in payload  # permanent cols stay out of the JSON doc
+    good = rows[None]
+    assert good.status == "SUCCESSISH"
+
+
+def test_write_jdbc_derby_round_trip(spark, tmp_path):
+    """Real JDBC write+readback through embedded Derby (jars ship in
+    $SPARK_HOME/jars): our DDL creates the table, df.write.jdbc appends,
+    spark.read.jdbc reads it back with permanent columns landed."""
+    from unstract_spark.sinks.jdbc import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [("/a.txt", "inv-1", 12.5, True), ("/b.txt", "inv-2", 99.0, False)],
+        "file_path string, invoice_no string, total double, approved boolean",
+    )
+    spec = write_jdbc(df, url, "results", "derby", properties=props, num_partitions=2)
+    assert ("invoice_no", "CLOB") in spec.columns
+    back = spark.read.jdbc(url, '"results"', properties=props)
+    rows = {r.invoice_no: r for r in back.collect()}
+    assert set(rows) == {"inv-1", "inv-2"}
+    assert rows["inv-1"].total == 12.5 and rows["inv-1"].approved is True
+    assert rows["inv-1"].status == "COMPLETED" and rows["inv-1"].id is not None
+    # idempotent table creation: second append lands 2 more rows
+    write_jdbc(df, url, "results", "derby", properties=props, num_partitions=1)
+    assert spark.read.jdbc(url, '"results"', properties=props).count() == 4
 
 
 # ---------- history ledger ----------

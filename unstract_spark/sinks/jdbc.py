@@ -9,10 +9,12 @@ PARSE_JSON rewriting bigquery.py:136-159).
 
 Spark-first: the engine derives the DDL from the DataFrame *schema*
 (plan-time, not first-row sniffing), emits dialect-correct
-CREATE TABLE / ALTER TABLE, and writes through df.write.jdbc with
-`createTableColumnTypes`. SQL generation is pure and unit-testable
-without drivers (mirrors the reference's dialect-matrix test suites
-endpoint_v2/tests/destination-connectors/test_destination_connector_*.py).
+CREATE TABLE / ALTER TABLE, executes it over a driver-side JDBC
+connection, then streams rows through df.write.jdbc(mode='append').
+SQL generation is pure and unit-testable without drivers (mirrors the
+reference's dialect-matrix test suites
+endpoint_v2/tests/destination-connectors/test_destination_connector_*.py);
+the full write path is integration-tested against embedded Derby.
 
 Scale: df.write.jdbc parallelizes one connection per partition;
 `numPartitions` bounds destination connection fan-in; rows stream
@@ -77,9 +79,26 @@ _DIALECT_TYPES: dict[str, dict[str, str]] = {
         "string": "STRING", "long": "INT64", "int": "INT64", "double": "FLOAT64",
         "boolean": "BOOL", "timestamp": "TIMESTAMP", "binary": "BYTES", "json": "JSON",
     },
+    # Apache Derby — the embeddable dialect the integration test runs
+    # against (Derby jars ship inside Spark's jars/ directory).
+    # string/json are CLOB because Spark's DerbyDialect binds StringType
+    # as java.sql.Types.CLOB — setNull(CLOB) into a VARCHAR column is a
+    # Derby 22005 type error, so the table must agree with the writer.
+    "derby": {
+        "string": "CLOB", "long": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+        "boolean": "BOOLEAN", "timestamp": "TIMESTAMP", "binary": "BLOB",
+        "json": "CLOB",
+    },
 }
 
 DIALECTS = tuple(_DIALECT_TYPES)
+
+# Dialects whose DDL accepts CREATE TABLE IF NOT EXISTS. MSSQL, Oracle
+# (<23c) and Derby do not — there the writer issues a plain CREATE TABLE
+# and swallows the duplicate-table error (Derby SQLState X0Y32).
+_SUPPORTS_IF_NOT_EXISTS = frozenset(
+    {"postgresql", "mysql", "mariadb", "redshift", "snowflake", "bigquery"}
+)
 
 
 def _type_key(dt: T.DataType) -> str:
@@ -130,8 +149,9 @@ class TableSpec:
         cols = ", ".join(
             f"{_quote_ident(n, self.dialect)} {t}" for n, t in self.columns
         )
+        exists = "IF NOT EXISTS " if self.dialect in _SUPPORTS_IF_NOT_EXISTS else ""
         return (
-            f"CREATE TABLE IF NOT EXISTS {_quote_ident(self.table, self.dialect)} ({cols})"
+            f"CREATE TABLE {exists}{_quote_ident(self.table, self.dialect)} ({cols})"
         )
 
     def migration_sql(self, existing_cols: set[str]) -> list[str]:
@@ -188,9 +208,13 @@ def prepare_rows(
     payload_cols = [c for c in df.columns if c not in PERMANENT_COLUMNS]
     out = df
     if mode == "single_json":
+        # status/error_message ride along outside the JSON payload so an
+        # ERROR row keeps its label in the destination (split mode keeps
+        # them naturally; dropping them here mislabeled errors COMPLETED)
+        carried = [c for c in ("status", "error_message") if c in df.columns]
         out = out.withColumn(json_column, F.to_json(F.struct(*payload_cols)))
         out = out.withColumn(f"{json_column}_v2", F.col(json_column))
-        out = out.select(json_column, f"{json_column}_v2")
+        out = out.select(json_column, f"{json_column}_v2", *carried)
     return (
         out.withColumn("id", F.expr("uuid()"))
         .withColumn("created_by", F.lit(created_by))
@@ -235,6 +259,47 @@ def insert_sql(spec: TableSpec, columns: list[str]) -> str:
     return f"INSERT INTO {q(spec.table)} ({col_list}) VALUES ({params})"
 
 
+def execute_ddl(
+    spark,
+    url: str,
+    statements: list[str],
+    properties: dict[str, str] | None = None,
+    ignore_existing: bool = True,
+) -> None:
+    """Run DDL against the destination over a driver-side JDBC
+    connection (py4j -> java.sql.DriverManager).
+
+    Spark's own `createTableColumnTypes` option is parsed as *Spark SQL*
+    types, so dialect-native types (JSONB, NVARCHAR(MAX), VARIANT, ...)
+    would throw ParseException — the table must be created with our DDL
+    before df.write.jdbc(mode='append') streams rows into it.
+    """
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    if "driver" in (properties or {}):
+        jvm.java.lang.Class.forName(properties["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                try:
+                    stmt.execute(sql)
+                except Exception as e:  # py4j Py4JJavaError
+                    msg = str(e)
+                    if ignore_existing and (
+                        "X0Y32" in msg or "already exists" in msg.lower()
+                    ):
+                        continue
+                    raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -243,18 +308,24 @@ def write_jdbc(
     mode: str = "split",
     properties: dict[str, str] | None = None,
     num_partitions: int = 8,
-) -> None:
-    """Write through Spark's JDBC sink with dialect column types.
+    ensure_table: bool = True,
+) -> TableSpec:
+    """Write through Spark's JDBC sink into a table created with the
+    dialect's own DDL.
 
-    numPartitions bounds connection fan-in to the destination; the
-    createTableColumnTypes override carries the dialect map so Spark's
-    DDL matches ours.
+    The table is created first via `execute_ddl` (dialect-native column
+    types; Spark's createTableColumnTypes can't express them), then rows
+    append through df.write.jdbc against the *quoted* table name so the
+    case-sensitive identifiers in our DDL resolve. numPartitions bounds
+    connection fan-in to the destination.
     """
     spec = build_table_spec(df, table, dialect, mode)
-    col_types = ", ".join(f"{n} {t}" for n, t in spec.columns)
+    if ensure_table:
+        execute_ddl(df.sparkSession, url, [spec.create_table_sql()], properties)
+    qtable = _quote_ident(table, dialect)
     (
         prepare_rows(df, mode)
         .repartition(num_partitions)
-        .write.option("createTableColumnTypes", col_types)
-        .jdbc(url, table, mode="append", properties=properties or {})
+        .write.jdbc(url, qtable, mode="append", properties=properties or {})
     )
+    return spec
