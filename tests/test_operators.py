@@ -90,6 +90,44 @@ def test_simhash_near_duplicates_close(spark):
     assert ham(fps[1], fps[3]) > 4
 
 
+def test_ngram_jaccard_max_df_bounds_boilerplate(spark):
+    """Boilerplate-skewed corpus: every doc shares one license header,
+    so without the df cap every doc pairs with every other. With
+    max_df, the shared grams drop out and only the true near-dup pair
+    survives — candidate count goes from quadratic to O(dups)."""
+    header = "licensed under the apache license version two point zero "
+    rows = [(i, header + f"unique content body number {i} with words {i * 7}")
+            for i in range(30)]
+    rows.append((30, rows[0][1] + " tail"))  # true near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, min_jaccard=0.05).count()
+    capped = dedup.ngram_jaccard_pairs(df, min_jaccard=0.05, max_df=5)
+    capped_rows = capped.collect()
+    assert uncapped >= 30 * 29 / 2  # boilerplate made it all-pairs
+    assert len(capped_rows) < 10  # df cap collapsed the candidate set
+    assert (0, 30) in {(r.id_a, r.id_b) for r in capped_rows}  # real dup kept
+
+
+def test_lsh_max_bucket_drops_hot_bands(spark):
+    """A template cluster (identical docs) lands in one hot band bucket;
+    max_bucket drops it while distinct near-dup pairs still emerge."""
+    template = "exactly the same boilerplate document body repeated " * 4
+    rows = [(i, template) for i in range(20)]  # hot cluster: 190 pairs/band
+    rows += [(100, "a genuinely distinct document about spark shuffles " * 4),
+             (101, "a genuinely distinct document about spark shuffles " * 4 + " x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.char_shingles(df)).persist()
+    sigs.count()
+    uncapped = dedup.lsh_candidate_pairs(sigs).count()
+    capped = {(r.id_a, r.id_b) for r in
+              dedup.lsh_candidate_pairs(sigs, max_bucket=5).collect()}
+    sigs.unpersist()
+    assert uncapped >= 190  # hot bucket exploded quadratically
+    assert (100, 101) in capped  # real near-dup survives the cap
+    assert len(capped) <= 5  # hot template bucket was dropped
+
+
 # ---------- similarity / ANN ----------
 
 

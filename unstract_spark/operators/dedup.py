@@ -156,12 +156,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band become candidate pairs.
 
     Band key = md5 of the band's minhashes; self-equi-join on
     (band_no, band_key) — a *bucketed* join, never all-pairs. Dedups
     pairs that collide in multiple bands.
+
+    `max_bucket` guards hot bands at scale: a band key shared by d docs
+    yields d*(d-1)/2 pairs, and near-identical boilerplate clusters
+    make d corpus-sized. Buckets larger than max_bucket are dropped
+    before the self-join (their members are exact/near-exact template
+    clusters better handled by exact_dedup_groups first); AQE skew-join
+    splitting handles moderate skew below the cap.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -180,6 +188,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, F.col("band.band_no").alias("band_no"), F.col("band.band_key").alias("band_key")
     )
+    if max_bucket is not None:
+        cool = (
+            banded.groupBy("band_no", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .select("band_no", "band_key")
+        )
+        banded = banded.join(cool, ["band_no", "band_key"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -254,14 +270,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word n-gram Jaccard over candidate pairs.
 
     Candidates come from sharing at least one n-gram (bucketed join on
     the shingle itself); |A ∩ B| = count of shared distinct shingles,
     |A ∪ B| = |A| + |B| − |A ∩ B|. Three shuffles, all on uniform keys.
-    At 100 TB the shared-shingle join is pre-filtered by dropping
-    ultra-common shingles (document-frequency cap) — see `max_df`.
+
+    `max_df` is the 100 TB guard: grams appearing in more than max_df
+    documents (boilerplate headers, license text, templated phrases)
+    are dropped from every document's gram set BEFORE the self-join —
+    a gram shared by d docs contributes d*(d-1)/2 joined rows, so one
+    corpus-wide phrase otherwise turns the bucketed join quadratic.
+    Jaccard is then computed over the filtered sets on both sides
+    (sizes and intersections see the same universe), keeping it a true
+    Jaccard of the rare-gram representation.
     """
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     grams = docs.select(
@@ -273,6 +297,16 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).distinct()
+    if max_df is not None:
+        # document frequency per gram reuses the same shuffle key as the
+        # self-join below, so AQE plans it as one exchange reused twice
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = grams.alias("ga")
     b = grams.alias("gb")

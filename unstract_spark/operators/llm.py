@@ -16,13 +16,34 @@ the rules are:
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from unstract_spark.mock import MockLLM
+
+# Process-global semaphores, keyed by (bucket name, limit). A Python
+# worker process handles one Spark task at a time but persists across
+# tasks (spark.python.worker.reuse), so this bounds in-flight provider
+# calls per worker process for the lifetime of the executor. The
+# cluster-wide in-flight ceiling is
+#     executors * cores_per_executor * max_concurrency
+# (one python worker per task slot) — size max_concurrency from the
+# provider's rate limit divided by that product.
+_SEM_LOCK = threading.Lock()
+_SEMAPHORES: dict[tuple[str, int], threading.BoundedSemaphore] = {}
+
+
+def _get_semaphore(bucket: str, limit: int) -> threading.BoundedSemaphore:
+    with _SEM_LOCK:
+        key = (bucket, limit)
+        if key not in _SEMAPHORES:
+            _SEMAPHORES[key] = threading.BoundedSemaphore(limit)
+        return _SEMAPHORES[key]
 
 
 def complete_with_controller(
@@ -35,8 +56,17 @@ def complete_with_controller(
     max_retries: int = 5,
     backoff_s: float = 0.05,
     model_name: str = "mock-llm",
+    max_concurrency: int = 4,
 ) -> DataFrame:
     """Run completions over (prompt, key, fingerprint) rows.
+
+    Provider calls fan out on a thread pool (provider latency is I/O
+    wait — threads overlap it) and are gated by a process-global
+    semaphore shared across tasks in the same worker, so a long-lived
+    executor never exceeds `max_concurrency` in-flight calls no matter
+    how batches land. Retries with exponential backoff are per-chunk,
+    inside the worker thread, so one flaky chunk never blocks or
+    re-runs its siblings.
 
     Output adds: answer_raw, model_name, prompt_tokens,
     completion_tokens, total_tokens — the usage side-output that feeds
@@ -52,32 +82,42 @@ def complete_with_controller(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         llm = llm_factory()  # one client per task (lazy heavy init)
-        for pdf in batches:
-            answers: list[str] = []
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
-                for attempt in range(max_retries):
+        sem = _get_semaphore(model_name, max_concurrency)
+
+        def call_chunk(chunk: pd.DataFrame) -> list[str]:
+            for attempt in range(max_retries):
+                with sem:  # released during backoff so siblings proceed
                     try:
-                        answers.extend(
-                            llm.complete_batch(
-                                chunk[key_col].tolist(), chunk[fingerprint_col].tolist()
-                            )
+                        return llm.complete_batch(
+                            chunk[key_col].tolist(), chunk[fingerprint_col].tolist()
                         )
-                        break
                     except Exception:
                         if attempt == max_retries - 1:
                             raise
-                        time.sleep(backoff_s * (3**attempt))
-            out = pdf.copy()
-            out["answer_raw"] = answers
-            out["model_name"] = model_name
-            out["prompt_tokens"] = out[prompt_col].str.split().str.len().fillna(0).astype("int64")
-            out["completion_tokens"] = (
-                out["answer_raw"].str.split().str.len().fillna(0).astype("int64")
-            )
-            out["total_tokens"] = out["prompt_tokens"] + out["completion_tokens"]
-            yield out[in_cols + ["answer_raw", "model_name", "prompt_tokens",
-                                 "completion_tokens", "total_tokens"]]
+                time.sleep(backoff_s * (3**attempt))
+            raise RuntimeError("unreachable")
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                chunks = [
+                    pdf.iloc[start : start + batch_size]
+                    for start in range(0, len(pdf), batch_size)
+                ]
+                answers: list[str] = []
+                for fut in [pool.submit(call_chunk, c) for c in chunks]:
+                    answers.extend(fut.result())
+                out = pdf.copy()
+                out["answer_raw"] = answers
+                out["model_name"] = model_name
+                out["prompt_tokens"] = (
+                    out[prompt_col].str.split().str.len().fillna(0).astype("int64")
+                )
+                out["completion_tokens"] = (
+                    out["answer_raw"].str.split().str.len().fillna(0).astype("int64")
+                )
+                out["total_tokens"] = out["prompt_tokens"] + out["completion_tokens"]
+                yield out[in_cols + ["answer_raw", "model_name", "prompt_tokens",
+                                     "completion_tokens", "total_tokens"]]
 
     return df.mapInPandas(run, schema=schema)
 
