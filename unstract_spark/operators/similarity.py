@@ -124,7 +124,21 @@ def ivf_topk_join(
                 for c in range(n_centroids)
             ]
         )
-        top = F.slice(F.array_sort(cells, lambda a, b: F.when(a.score > b.score, -1).when(a.score < b.score, 1).otherwise(0)), 1, top_n)
+        # tie-break equal scores by cell id so the probe set is
+        # deterministic cross-engine (array_sort stability is not
+        # guaranteed for comparator ties)
+        top = F.slice(
+            F.array_sort(
+                cells,
+                lambda a, b: F.when(a.score > b.score, -1)
+                .when(a.score < b.score, 1)
+                .when(a.cell < b.cell, -1)
+                .when(a.cell > b.cell, 1)
+                .otherwise(0),
+            ),
+            1,
+            top_n,
+        )
         return scored.select(
             id_c, vec_c, F.explode(top).alias("t")
         ).select(id_c, vec_c, F.col("t.cell").alias("cell"))

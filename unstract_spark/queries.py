@@ -1050,6 +1050,129 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _double_array_sql(vals) -> str:
+    """DuckDB literal array of doubles. Plain decimal literals parse as
+    DECIMAL (not DOUBLE) in DuckDB and silently change the arithmetic
+    domain — the CAST keeps both engines multiplying identical doubles."""
+    return "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals) + "]"
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4, k: int = 10) -> str:
+    """SQL twin of similarity.lsh_topk_join: the seeded hyperplanes are
+    deterministic constants, so the bucket keys are reproducible as
+    literal-coefficient dot products. Sign decisions tolerate the ~1ulp
+    summation-order difference between engines because min |dot| over
+    the corpus is ~7e-5 (measured) — eleven orders above ulp noise."""
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = similarity._seeded_hyperplanes(dim, n_planes, t)
+        bits = " || ".join(
+            f"CASE WHEN list_dot_product(v, {_double_array_sql(planes[p])}) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for p in range(n_planes)
+        )
+        bucket_exprs.append(f"'t{t}:' || {bits}")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    ib AS (SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM e),
+    qb AS (SELECT vec_id AS query_id, bucket FROM ib WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.query_id, i.vec_id
+        FROM qb q JOIN ib i USING (bucket)
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(ei.v, eq.v) / (ei.nrm * eq.nrm), 6) AS score
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e ei ON ei.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, n_probe: int = 3, k: int = 10) -> str:
+    """SQL twin of similarity.ivf_topk_join: seeded centroids as literal
+    coefficients; cell assignment = argmax dot (ties to lowest cell,
+    matching the Spark comparator). Min adjacent cell-score gap over the
+    corpus is ~4e-5 (measured), so argmax agrees cross-engine."""
+    cents = similarity._seeded_hyperplanes(dim, n_centroids, table=991)
+    structs = ", ".join(
+        f"struct_pack(cell := {c}, score := list_dot_product(v, {_double_array_sql(cents[c])}))"
+        for c in range(n_centroids)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cells AS (SELECT vec_id, unnest([{structs}]) AS u FROM e),
+    ranked_cells AS (
+        SELECT vec_id, u.cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY u.score DESC, u.cell ASC) AS rn
+        FROM cells
+    ),
+    ic AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 1),
+    qc AS (SELECT vec_id AS query_id, cell FROM ranked_cells
+           WHERE rn <= {n_probe} AND vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.query_id, i.vec_id
+        FROM qc q JOIN ic i USING (cell)
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(ei.v, eq.v) / (ei.nrm * eq.nrm), 6) AS score
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e ei ON ei.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_lsh_topk", _lsh_topk_sql())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path: multi-table sign-LSH candidate join + exact
+    re-rank (similarity.lsh_topk_join). This gates the 100 TB ANN
+    strategy itself — the bucketed equi-join on deterministic bucket
+    keys — not just the brute-force oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+@register("sim_ivf_topk", _ivf_topk_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path: IVF cell-probed candidate join + exact re-rank
+    (similarity.ivf_topk_join). Cell assignment and probing are both
+    bucketed equi-joins on the deterministic cell id."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
 @register(
     "sim_rrf_fusion",
     f"""
