@@ -196,6 +196,37 @@ def test_extract_structured_matches_python_mock(spark):
     assert out[1].f1 == expect
 
 
+def test_table_record_coercion_validates_structure(spark):
+    from unstract_spark.operators.prompts import coerce
+
+    df = spark.createDataFrame(
+        [('[{"a":1},{"a":2}]',), ('{"a":1}',), ('not json [',), ("NA",), ("[broken",)],
+        "raw string",
+    )
+    out = df.select(
+        coerce(F.col("raw"), "table").alias("t"),
+        coerce(F.col("raw"), "record").alias("r"),
+    ).collect()
+    # valid array -> table only; valid object -> record only; junk/NA -> neither
+    assert out[0].t == '[{"a":1},{"a":2}]' and out[0].r is None
+    assert out[1].t is None and out[1].r == '{"a":1}'
+    assert all(o.t is None and o.r is None for o in out[2:])
+
+
+def test_extract_table_mock_isolates_failures(spark):
+    from unstract_spark.operators.prompts import extract_table_mock
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(64)], "doc_id long, text string"
+    )
+    rows = extract_table_mock(df).collect()
+    ok = [r for r in rows if r.status == "SUCCESS"]
+    assert len(ok) > 0 and all(1 <= r.table_rows <= 3 for r in ok)
+    for r in rows:
+        if r.status == "ERROR":  # NA path -> null output, row survived
+            assert r.table_json is None or r.record_json is None
+
+
 def test_single_pass_one_call_id_per_doc(spark):
     df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
     out = single_pass_mock(df, ["x", "y", "z"]).collect()

@@ -85,6 +85,68 @@ class MockLLM:
         return [self._answer(k, f) for k, f in zip(keys, fingerprints)]
 
 
+def mock_table_answer(fingerprint: Column) -> Column:
+    """Deterministic mock TABLE answer: JSON array of 1-3 row objects.
+
+    Stands in for the table-executor plugin's structured output
+    (reference: workers/executor/executors/legacy_executor.py:2002-2074
+    delegates TABLE/RECORD to the plugin and stores its data['output']).
+    ~1/16 of answers are 'NA' to exercise the failure path.
+    """
+    h = F.md5(F.concat(F.lit("table:"), fingerprint))
+    n = (F.ascii(F.substring(h, 1, 1)) % 3) + 1
+    rows = F.array(
+        *[
+            F.concat(
+                F.lit('{"item":"it-'),
+                F.substring(h, 4 * i + 1, 4),
+                F.lit('","qty":'),
+                (F.ascii(F.substring(h, i + 2, 1)) % 9).cast("string"),
+                F.lit("}"),
+            )
+            for i in range(3)
+        ]
+    )
+    body = F.concat(F.lit("["), F.array_join(F.slice(rows, 1, n), ","), F.lit("]"))
+    return F.when(h.startswith("0"), F.lit("NA")).otherwise(body)
+
+
+def mock_table_answer_sql(fingerprint_sql: str) -> str:
+    """DuckDB-SQL twin of :func:`mock_table_answer`."""
+    h = f"md5('table:' || {fingerprint_sql})"
+    rows = ", ".join(
+        f"'{{\"item\":\"it-' || substr({h}, {4 * i + 1}, 4) || '\",\"qty\":' || "
+        f"CAST(ascii(substr({h}, {i + 2}, 1)) % 9 AS VARCHAR) || '}}'"
+        for i in range(3)
+    )
+    n = f"(ascii(substr({h}, 1, 1)) % 3) + 1"
+    body = f"'[' || array_to_string(([{rows}])[1:{n}], ',') || ']'"
+    return f"CASE WHEN substr({h},1,1) = '0' THEN 'NA' ELSE {body} END"
+
+
+def mock_record_answer(fingerprint: Column) -> Column:
+    """Deterministic mock RECORD answer: one JSON object per document."""
+    h = F.md5(F.concat(F.lit("record:"), fingerprint))
+    body = F.concat(
+        F.lit('{"vendor":"v-'),
+        F.substring(h, 1, 6),
+        F.lit('","total":'),
+        (F.ascii(F.substring(h, 7, 1)) * 100 + F.ascii(F.substring(h, 8, 1))).cast("string"),
+        F.lit("}"),
+    )
+    return F.when(h.startswith("0"), F.lit("NA")).otherwise(body)
+
+
+def mock_record_answer_sql(fingerprint_sql: str) -> str:
+    """DuckDB-SQL twin of :func:`mock_record_answer`."""
+    h = f"md5('record:' || {fingerprint_sql})"
+    body = (
+        f"'{{\"vendor\":\"v-' || substr({h}, 1, 6) || '\",\"total\":' || "
+        f"CAST(ascii(substr({h}, 7, 1)) * 100 + ascii(substr({h}, 8, 1)) AS VARCHAR) || '}}'"
+    )
+    return f"CASE WHEN substr({h},1,1) = '0' THEN 'NA' ELSE {body} END"
+
+
 def mock_embed_expr(text: Column, dim: int = MOCK_EMBED_DIM) -> list[Column]:
     """Column-expression twin of :func:`mock_embed_texts`, in DOUBLE.
 

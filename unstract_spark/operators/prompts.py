@@ -83,6 +83,24 @@ def coerce_json(raw: Column) -> Column:
     return F.when(F.try_variant_get(F.try_parse_json(raw), "$").isNotNull(), raw)
 
 
+def coerce_table(raw: Column) -> Column:
+    """TABLE type: valid JSON whose top level is an array, else null.
+
+    The reference delegates TABLE/RECORD prompts to the table-executor
+    plugin and stores its structured output verbatim, '' on failure
+    (legacy_executor.py:2002-2074); here the answer is kept as a JSON
+    string column (scalar — gate-safe) and validated structurally.
+    """
+    valid = F.try_parse_json(raw).isNotNull() & F.ltrim(raw).startswith("[")
+    return F.when(valid, raw)
+
+
+def coerce_record(raw: Column) -> Column:
+    """RECORD type: valid JSON whose top level is an object, else null."""
+    valid = F.try_parse_json(raw).isNotNull() & F.ltrim(raw).startswith("{")
+    return F.when(valid, raw)
+
+
 def coerce(raw: Column, enforce_type: str) -> Column:
     cleaned = na_to_null(raw)
     if enforce_type == "number":
@@ -93,6 +111,10 @@ def coerce(raw: Column, enforce_type: str) -> Column:
         return coerce_date(cleaned)
     if enforce_type == "json":
         return coerce_json(cleaned)
+    if enforce_type == "table":
+        return coerce_table(cleaned)
+    if enforce_type == "record":
+        return coerce_record(cleaned)
     if enforce_type == "email":
         return F.when(cleaned.rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"), cleaned)
     return F.when(cleaned.isNotNull(), F.regexp_replace(cleaned, r"\n+$", ""))
@@ -148,6 +170,39 @@ def extract_long_format_mock(
         "prompt_key",
         raw.alias("answer_raw"),
         na_to_null(raw).alias("answer_text"),
+    )
+
+
+def extract_table_mock(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TABLE/RECORD extraction — whole-doc delegation, mock path.
+
+    Mirrors the reference's plugin dispatch (legacy_executor.py:
+    1718-1733 routes TYPE in (TABLE, RECORD) to _run_table_extraction,
+    2002-2074): chunk_size is forced to 0 (the whole document is the
+    context — no retrieval), the structured answer is one JSON string
+    per document, and a failed extraction lands as status='ERROR' with
+    an empty output instead of failing the job. Output columns are all
+    scalar (JSON strings + counts) so results are driver-gate safe.
+    """
+    from unstract_spark.mock import mock_record_answer, mock_table_answer
+
+    fp = doc_fingerprint(F.col(text_col))
+    table_raw = mock_table_answer(fp)
+    record_raw = mock_record_answer(fp)
+    table_json = coerce(table_raw, "table")
+    record_json = coerce(record_raw, "record")
+    return docs.select(
+        F.col(id_col),
+        table_json.alias("table_json"),
+        F.json_array_length(table_json).alias("table_rows"),
+        record_json.alias("record_json"),
+        F.when(table_json.isNull() | record_json.isNull(), F.lit("ERROR"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
     )
 
 

@@ -666,6 +666,44 @@ _EXTRACT_SQL = f"""
 """
 
 
+def _table_record_sql() -> str:
+    from unstract_spark.mock import mock_record_answer_sql, mock_table_answer_sql
+
+    return f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    raw AS (
+        SELECT doc_id,
+               {mock_table_answer_sql("fingerprint")} AS table_raw,
+               {mock_record_answer_sql("fingerprint")} AS record_raw
+        FROM fp
+    ),
+    coerced AS (
+        SELECT doc_id,
+               CASE WHEN lower(trim(table_raw)) = 'na' THEN NULL ELSE table_raw END
+                   AS table_json,
+               CASE WHEN lower(trim(record_raw)) = 'na' THEN NULL ELSE record_raw END
+                   AS record_json
+        FROM raw
+    )
+    SELECT doc_id, table_json,
+           json_array_length(table_json) AS table_rows,
+           record_json,
+           CASE WHEN table_json IS NULL OR record_json IS NULL
+                THEN 'ERROR' ELSE 'SUCCESS' END AS status
+    FROM coerced
+    """
+
+
+@register("t_table_record_extract", _table_record_sql())
+def t_table_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE/RECORD enforce types (§1.2): whole-doc delegation to the
+    table executor (mock), structural JSON validation, per-row failure
+    isolation. Output columns are scalar JSON strings — gate-safe."""
+    from unstract_spark.operators.prompts import extract_table_mock
+
+    return extract_table_mock(_t(spark, sf_dir, "documents"))
+
+
 @register("t9_extract_structured", _EXTRACT_SQL)
 def t9_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 per-field extraction, end-to-end with the deterministic mock
