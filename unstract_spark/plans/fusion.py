@@ -33,8 +33,26 @@ class PromptStagePlan:
 
 
 def extract_variables(prompt_text: str) -> set[str]:
-    """{{var}} references to other prompt outputs."""
-    return set(VAR_RX.findall(prompt_text or ""))
+    """Prompt keys this prompt depends on, across variable kinds:
+    a static ``{{key}}`` depends on ``key``; a dynamic
+    ``{{http://...[key]}}`` ALSO depends on ``key`` (its POST body is
+    that prompt's output — reference variable_replacement.py:86-108),
+    so the HTTP stage is sequenced after the producing prompt.
+    custom_data vars are plan-time constants with no dependency."""
+    from unstract_spark.operators.variables import DATA_RX, classify_variable
+    from unstract_spark.operators.variables import VAR_RX as RAW_VAR_RX
+
+    deps: set[str] = set()
+    for var in RAW_VAR_RX.findall(prompt_text or ""):
+        kind = classify_variable(var)
+        if kind == "static":
+            if VAR_RX.fullmatch("{{" + var + "}}"):
+                deps.add(var)
+        elif kind == "dynamic":
+            fields = DATA_RX.findall(var)
+            if fields and fields[0]:
+                deps.add(fields[0])
+    return deps
 
 
 def plan_prompt_stages(specs: list[dict]) -> PromptStagePlan:
