@@ -96,6 +96,39 @@ def test_extract_text_mixed_mimes(spark):
     assert "no extraction adapter" in out["h4"].error_message
 
 
+def test_ocr_adapter_deterministic_stub(spark):
+    """T2: image MIME types route through the OCR adapter — same
+    mapInPandas, same per-row isolation; the recognized text is a pure
+    function of the bytes via the deterministic stand-in transport."""
+    import hashlib
+
+    from unstract_spark.operators.extract import fake_ocr_transport, make_ocr_adapter
+
+    adapters = dict(DEFAULT_ADAPTERS)
+    adapters["image/png"] = make_ocr_adapter(
+        "image/png", "http://ocr.local/v1/proc", transport=fake_ocr_transport
+    )
+    png1 = b"\x89PNG" + b"p" * 3000
+    rows = [
+        ("h1", "image/png", png1, "scan1.png"),
+        ("h2", "image/png", b"", "empty.png"),  # transport raises -> ERROR row
+        ("h3", "text/plain", b"still plain", "t.txt"),
+    ]
+    df = spark.createDataFrame(
+        rows, "file_hash string, mime_type string, content binary, file_name string"
+    )
+    out = {
+        r.file_hash: r
+        for r in extract_text(df, adapters=adapters, passthrough_cols=["file_name"]).collect()
+    }
+    sha = hashlib.sha256(png1).hexdigest()[:12]
+    assert out["h1"].status == "SUCCESS"
+    assert out["h1"].extracted_text == f"ocr:{sha}:3004b"
+    assert out["h1"].page_count == 2  # from the service's pages list
+    assert out["h2"].status == "ERROR" and "empty image" in out["h2"].error_message
+    assert out["h3"].status == "SUCCESS"  # text path untouched
+
+
 def test_default_adapters_has_real_pdf():
     text, n = DEFAULT_ADAPTERS["application/pdf"](simple_pdf(["adapter check"]))
     assert (text, n) == ("adapter check", 1)

@@ -83,6 +83,67 @@ def extract_pdf(content: bytes) -> tuple[str, int]:
     return text, n_pages
 
 
+def make_ocr_adapter(
+    mime_type: str,
+    processor_url: str,
+    transport=None,
+    api_key: str | None = None,
+) -> Adapter:
+    """T2 — OCR as a remote-service adapter (Document AI request shape:
+    reference sdk1/adapters/ocr/google_document_ai/src/
+    google_document_ai.py:68-151 posts {rawDocument: {content: b64,
+    mimeType}} to `<processor>:process` and reads document.text).
+
+    The transport is injected like every external call in this engine;
+    the returned adapter is a plain `bytes -> (text, pages)` function,
+    so OCR'd images flow through the SAME extract_text mapInPandas with
+    per-row error isolation as every other MIME type. Page count comes
+    from the service's pages list when present.
+    """
+    import base64
+
+    from unstract_spark.providers import http_json_transport
+
+    transport = transport or http_json_transport
+    headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
+
+    def adapter(content: bytes) -> tuple[str, int]:
+        payload = {
+            "rawDocument": {
+                "content": base64.b64encode(content).decode(),
+                "mimeType": mime_type,
+            }
+        }
+        body = transport(f"{processor_url}:process", payload, headers)
+        doc = body.get("document") or {}
+        text = doc.get("text") or ""
+        pages = len(doc.get("pages") or []) or _pages(text)
+        return text, pages
+
+    return adapter
+
+
+def fake_ocr_transport(url: str, payload: dict, headers: dict) -> dict:
+    """Deterministic in-container OCR stand-in: 'recognized' text is a
+    pure function of the image bytes (the real service isn't reachable
+    from tests; the Spark-side plumbing — dispatch, batching, error
+    rows — is identical either way)."""
+    import base64
+    import hashlib
+
+    content = base64.b64decode(payload["rawDocument"]["content"])
+    if not content:
+        raise ValueError("empty image payload")
+    sha = hashlib.sha256(content).hexdigest()
+    n_pages = max(1, len(content) // 1024)
+    return {
+        "document": {
+            "text": f"ocr:{sha[:12]}:{len(content)}b",
+            "pages": [{"pageNumber": i + 1} for i in range(n_pages)],
+        }
+    }
+
+
 DEFAULT_ADAPTERS: dict[str, Adapter] = {
     "text/plain": extract_plain,
     "text/csv": extract_csv,

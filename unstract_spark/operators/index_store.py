@@ -112,11 +112,17 @@ class VectorIndexStore:
         )
 
 
-def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
-    """T4 plumbing: attach mock embeddings via Arrow-batched mapInPandas.
+def embed_chunks(
+    chunks: DataFrame,
+    text_col: str = "chunk_text",
+    embed_factory=None,
+) -> DataFrame:
+    """T4 plumbing: attach embeddings via Arrow-batched mapInPandas.
 
-    Real providers implement the same batch contract (list[str] ->
-    ndarray); swap `mock_embed_texts` for the provider call
+    `embed_factory() -> (list[str] -> ndarray)` builds the per-task
+    batch embedder (lazy init, like the LLM controller). Default is the
+    deterministic mock; a real provider is
+    `lambda: providers.OpenAICompatibleEmbedding(...).embed_batch`
     (reference fan-out: sdk1/embedding.py:137-196, 9 providers).
 
     Note: mapInPandas produces a NEW set of column attributes — refer
@@ -131,8 +137,9 @@ def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
     out_schema = fields + ", embedding array<float>"
 
     def run(batches):
+        embed = embed_factory() if embed_factory is not None else mock_embed_texts
         for pdf in batches:
-            emb = mock_embed_texts(pdf[text_col].fillna("").tolist())
+            emb = embed(pdf[text_col].fillna("").tolist())
             out = pdf.copy()
             out["embedding"] = [v.tolist() for v in emb]
             yield out

@@ -83,11 +83,21 @@ def complete_with_controller(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         llm = llm_factory()  # one client per task (lazy heavy init)
         sem = _get_semaphore(model_name, max_concurrency)
+        # real adapters (providers.OpenAICompatibleLLM) expose
+        # complete_rows(prompts, keys, fps) -> list[dict] with
+        # provider-reported usage; the mock contract stays untouched
+        rows_fn = getattr(llm, "complete_rows", None)
 
-        def call_chunk(chunk: pd.DataFrame) -> list[str]:
+        def call_chunk(chunk: pd.DataFrame) -> list:
             for attempt in range(max_retries):
                 with sem:  # released during backoff so siblings proceed
                     try:
+                        if rows_fn is not None:
+                            return rows_fn(
+                                chunk[prompt_col].tolist(),
+                                chunk[key_col].tolist(),
+                                chunk[fingerprint_col].tolist(),
+                            )
                         return llm.complete_batch(
                             chunk[key_col].tolist(), chunk[fingerprint_col].tolist()
                         )
@@ -103,18 +113,31 @@ def complete_with_controller(
                     pdf.iloc[start : start + batch_size]
                     for start in range(0, len(pdf), batch_size)
                 ]
-                answers: list[str] = []
+                results: list = []
                 for fut in [pool.submit(call_chunk, c) for c in chunks]:
-                    answers.extend(fut.result())
+                    results.extend(fut.result())
                 out = pdf.copy()
-                out["answer_raw"] = answers
+                out["answer_raw"] = [
+                    r["text"] if isinstance(r, dict) else r for r in results
+                ]
                 out["model_name"] = model_name
-                out["prompt_tokens"] = (
-                    out[prompt_col].str.split().str.len().fillna(0).astype("int64")
-                )
-                out["completion_tokens"] = (
+                est_pt = out[prompt_col].str.split().str.len().fillna(0).astype("int64")
+                est_ct = (
                     out["answer_raw"].str.split().str.len().fillna(0).astype("int64")
                 )
+                # provider-reported usage wins; whitespace estimate backfills
+                prov_pt = pd.Series(
+                    [r.get("prompt_tokens") if isinstance(r, dict) else None
+                     for r in results],
+                    index=out.index, dtype="object",
+                )
+                prov_ct = pd.Series(
+                    [r.get("completion_tokens") if isinstance(r, dict) else None
+                     for r in results],
+                    index=out.index, dtype="object",
+                )
+                out["prompt_tokens"] = prov_pt.where(prov_pt.notna(), est_pt).astype("int64")
+                out["completion_tokens"] = prov_ct.where(prov_ct.notna(), est_ct).astype("int64")
                 out["total_tokens"] = out["prompt_tokens"] + out["completion_tokens"]
                 yield out[in_cols + ["answer_raw", "model_name", "prompt_tokens",
                                      "completion_tokens", "total_tokens"]]
