@@ -159,6 +159,49 @@ def test_review_routing_rules_and_ttl(spark, tmp_path):
     assert rows[0].ttl_seconds == 90 * 24 * 3600
 
 
+def test_queue_claim_ack_lifecycle(spark, tmp_path):
+    """S9/D4 consume parity: FIFO claim, ack permanence, and visibility
+    timeout re-delivery over the append-only queue + ledger."""
+    from unstract_spark.sinks.review_queue import (
+        ack_messages,
+        claim_batch,
+        pending_messages,
+        write_queue,
+    )
+
+    qp, lp = str(tmp_path / "queue"), str(tmp_path / "ledger")
+    results = spark.createDataFrame(
+        [(f"f{i}.txt", f"h{i}", 200.0) for i in range(5)],
+        "file_name string, file_hash string, total double",
+    )
+    rows = route_to_review(results, "q1", rules=[("OR", "total > 100")])
+    # stagger enqueue times (from the file's digit) so FIFO is observable
+    seq = F.regexp_extract("file", r"f(\d+)", 1).cast("int")
+    rows = rows.withColumn(
+        "enqueued_at", F.col("enqueued_at") - F.make_dt_interval(secs=F.lit(300) - seq)
+    )
+    write_queue(rows, qp)
+
+    assert pending_messages(spark, qp, lp, "q1").count() == 5
+
+    first = claim_batch(spark, qp, lp, "q1", consumer_id="c1", max_messages=2)
+    claimed = sorted(r.file for r in first.collect())
+    assert claimed == ["f0.txt", "f1.txt"]  # oldest two (FIFO)
+    # claimed messages leave the pending view while the claim is live
+    assert pending_messages(spark, qp, lp, "q1").count() == 3
+
+    ack_messages(spark, lp, "q1", [r.message_id for r in first.collect()][:1], "c1")
+    # acked: gone forever; unacked claim: hidden until timeout lapses
+    assert pending_messages(spark, qp, lp, "q1").count() == 3
+    redelivered = pending_messages(spark, qp, lp, "q1", visibility_timeout_s=0)
+    files = {r.file for r in redelivered.collect()}
+    assert len(files) == 4 and ("f0.txt" in files) != ("f1.txt" in files)
+
+    # a second claim never re-delivers acked or actively-claimed rows
+    second = claim_batch(spark, qp, lp, "q1", consumer_id="c1", max_messages=10)
+    assert sorted(r.file for r in second.collect()) == ["f2.txt", "f3.txt", "f4.txt"]
+
+
 # ---------- fusion planner ----------
 
 

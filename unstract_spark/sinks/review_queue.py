@@ -93,7 +93,14 @@ def route_to_review(
 
 def write_queue(queue_rows: DataFrame, path: str) -> None:
     """Append to the review table, partitioned by queue for consumer
-    pruning (a consumer reads only its queue's partition)."""
+    pruning (a consumer reads only its queue's partition). A stable
+    message_id (content-derived, so replays re-produce the same id and
+    dedup downstream) is attached if absent."""
+    if "message_id" not in queue_rows.columns:
+        queue_rows = queue_rows.withColumn(
+            "message_id",
+            F.sha2(F.concat_ws("\x01", "queue_name", "file", "result"), 256),
+        )
     queue_rows.write.mode("append").partitionBy("queue_name").parquet(path)
 
 
@@ -102,3 +109,105 @@ def read_unexpired(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     expiry = F.col("enqueued_at") + F.make_dt_interval(secs=F.col("ttl_seconds"))
     return df.filter(expiry > F.current_timestamp())
+
+
+# ---- S9/D4 consume side: dequeue / ack with a consumption ledger ----
+#
+# The reference's HITL queue is a Redis list (connectors/queues/
+# unstract_queue.py:69-90 enqueue/dequeue/peek; queue_utils.py routes
+# QueueResult packets to review_queue_{org}_{workflow}). A distributed
+# engine can't pop from a list, so consumption is modeled the way
+# queues are built on object storage: the queue stays append-only and
+# a CLAIMED/DONE *ledger* records consumption. Dequeue = FIFO over
+# (unexpired ∧ un-acked ∧ not-actively-claimed) via two anti-joins on
+# the uniform message_id key; a claim whose visibility timeout lapsed
+# without an ack re-enters the pending view automatically (crash
+# recovery, SQS-style). Claim batches are driver-bounded (a human
+# review batch, not a data-scale set); the scans stay partition-pruned
+# by queue_name.
+
+
+def _read_ledger(spark, ledger_path: str, queue_name: str) -> DataFrame:
+    try:
+        ledger = spark.read.parquet(ledger_path)
+    except Exception:  # noqa: BLE001 — no consumption yet
+        return spark.createDataFrame(
+            [], "queue_name string, message_id string, consumer_id string,"
+            " state string, ts timestamp",
+        )
+    return ledger.filter(F.col("queue_name") == queue_name)
+
+
+def pending_messages(
+    spark,
+    queue_path: str,
+    ledger_path: str,
+    queue_name: str,
+    visibility_timeout_s: int = 300,
+) -> DataFrame:
+    """Messages a consumer may claim: unexpired, never acked, and not
+    claimed within the visibility window."""
+    msgs = read_unexpired(spark, queue_path).filter(F.col("queue_name") == queue_name)
+    ledger = _read_ledger(spark, ledger_path, queue_name)
+    done = ledger.filter(F.col("state") == "DONE").select("message_id")
+    active = (
+        ledger.filter(
+            (F.col("state") == "CLAIMED")
+            & (F.col("ts") > F.current_timestamp() - F.make_dt_interval(secs=F.lit(visibility_timeout_s)))
+        )
+        .join(done, "message_id", "left_anti")
+        .select("message_id")
+    )
+    return msgs.join(done, "message_id", "left_anti").join(active, "message_id", "left_anti")
+
+
+def claim_batch(
+    spark,
+    queue_path: str,
+    ledger_path: str,
+    queue_name: str,
+    consumer_id: str,
+    max_messages: int = 10,
+    visibility_timeout_s: int = 300,
+) -> DataFrame:
+    """Dequeue: claim the oldest pending messages for this consumer.
+
+    FIFO order (enqueued_at, message_id tie-break), TakeOrdered-limited
+    to the batch size, recorded as CLAIMED ledger rows. Returns the
+    claimed messages. Single-claimer-per-queue at a time is assumed
+    (the reference's consumer is one review UI per workflow queue);
+    true multi-consumer claims need a coordination layer, not a lake
+    table."""
+    # eager pin: the claims append below changes the ledger this plan
+    # reads, so the batch must be materialized BEFORE the write or a
+    # later collect() re-plans against its own claims and sees nothing
+    batch = (
+        pending_messages(spark, queue_path, ledger_path, queue_name, visibility_timeout_s)
+        .orderBy(F.col("enqueued_at").asc(), F.col("message_id").asc())
+        .limit(max_messages)
+        .localCheckpoint(eager=True)
+    )
+    claims = batch.select(
+        F.lit(queue_name).alias("queue_name"),
+        "message_id",
+        F.lit(consumer_id).alias("consumer_id"),
+        F.lit("CLAIMED").alias("state"),
+        F.current_timestamp().alias("ts"),
+    )
+    claims.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
+    return batch
+
+
+def ack_messages(
+    spark,
+    ledger_path: str,
+    queue_name: str,
+    message_ids: list[str],
+    consumer_id: str,
+) -> None:
+    """Ack: DONE ledger rows make the messages permanently consumed."""
+    rows = [(queue_name, m, consumer_id, "DONE") for m in message_ids]
+    df = spark.createDataFrame(
+        rows, "queue_name string, message_id string, consumer_id string, state string"
+    ).withColumn("ts", F.current_timestamp())
+    df.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
