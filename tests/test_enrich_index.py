@@ -208,6 +208,11 @@ def test_api_results_shape(spark, tmp_path):
     out2 = run_extraction(spark, job)
     payload2 = api_results(out2["results"], out2["skipped"])
     assert payload2[0]["metadata"] == {"cache_hit": True}
+    # the per-request cap guards the driver against bulk misuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capped at 0 files"):
+        api_results(out["results"], out["skipped"], max_files=0)
 
 
 # ---------- notification outbox ----------
@@ -264,3 +269,53 @@ def test_sync_to_staging_with_injected_fs(tmp_path):
 def test_sync_requires_fs():
     with pytest.raises(NotImplementedError, match="fsspec"):
         sync_to_staging(None, ["x"], "/tmp/nope")
+
+
+def test_fsspec_conf_long_tail_providers():
+    from unstract_spark.sources.cloud import fsspec_connector_conf
+
+    proto, kw = fsspec_connector_conf(
+        "gdrive",
+        {"access_token": "at", "refresh_token": "rt", "token_expiry": "2026-01-01"},
+    )
+    assert proto == "gdrive" and kw["refresh_token"] == "rt"
+    proto, kw = fsspec_connector_conf("dropbox", {"token": "tk"})
+    assert proto == "dropbox" and kw["token"] == "tk"
+    proto, kw = fsspec_connector_conf(
+        "sharepoint",
+        {"site_url": "https://x.sharepoint.com/", "client_id": "c", "client_secret": "s"},
+    )
+    assert kw["base_url"] == "https://x.sharepoint.com"  # trailing / stripped
+    # missing required settings fail like the reference constructors
+    with pytest.raises(KeyError):
+        fsspec_connector_conf("box", {})
+    with pytest.raises(ValueError, match="unknown long-tail"):
+        fsspec_connector_conf("smb", {})
+
+
+def test_sync_distributed_isolates_failures(spark, tmp_path):
+    from unstract_spark.sources.cloud import sync_to_staging_distributed
+
+    staging = str(tmp_path / "staged")
+
+    def fs_factory():
+        class FakeFS:
+            def get(self, src, dst):
+                if "bad" in src:
+                    raise IOError("remote read failed")
+                with open(dst, "w") as f:
+                    f.write(f"synced:{src}")
+
+        return FakeFS()
+
+    out = {
+        r.remote_path: r
+        for r in sync_to_staging_distributed(
+            spark, fs_factory, ["dir/a.txt", "bad/x.bin", "b.txt"], staging
+        ).collect()
+    }
+    assert out["dir/a.txt"].status == "SUCCESS"
+    assert open(out["dir/a.txt"].staged_path).read() == "synced:dir/a.txt"
+    assert out["bad/x.bin"].status == "ERROR"
+    assert "remote read failed" in out["bad/x.bin"].error_message
+    assert out["b.txt"].status == "SUCCESS"

@@ -168,14 +168,29 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     return {"results": results, "skipped": skipped, "usage": usage}
 
 
-def api_results(results: DataFrame, skipped: DataFrame | None = None) -> list[dict]:
+API_MAX_FILES = 32  # reference: backend/api_v2/serializers.py:247
+
+
+def api_results(
+    results: DataFrame,
+    skipped: DataFrame | None = None,
+    max_files: int = API_MAX_FILES,
+) -> list[dict]:
     """D3 — shape an execution's output as the API response payload:
     one dict per file {file, status, result, metadata}, replayed cache
     hits included (reference: destination.py:516-557 _handle_api_result).
     The collect() here IS the sink — the API response goes to one
-    caller, so driver-side materialization is the correct shape."""
+    caller — but it is bounded by the reference's per-request file cap
+    (serializers.py:247-392 rejects >32 files per API deployment
+    request), so a misrouted bulk pipeline can't OOM the driver."""
     import json as _json
 
+    n = results.count() + (skipped.count() if skipped is not None else 0)
+    if n > max_files:
+        raise ValueError(
+            f"api_results is a per-request sink capped at {max_files} files "
+            f"(got {n}); bulk output belongs in the filesystem/JDBC sinks"
+        )
     payload_cols = [
         c
         for c in results.columns
