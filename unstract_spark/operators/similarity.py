@@ -36,21 +36,35 @@ def _seeded_hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     return np.array(vals[: dim * n_planes], dtype=np.float64).reshape(n_planes, dim)
 
 
-def lsh_bucket_key(vec_col, dim: int, n_planes: int = 8, table: int = 0):
+def _dlit(x: float) -> str:
+    """Spark-SQL double literal. A bare decimal parses as DECIMAL and
+    would change the arithmetic domain; the CAST round-trips exactly
+    (repr is shortest-round-trip, string->double is correctly rounded).
+    """
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def lsh_bucket_key(vec_sql: str, dim: int, n_planes: int = 8, table: int = 0):
     """Sign-bit bucket key for one LSH table, as a Column expression.
 
     bit_p = 1 if dot(vec, plane_p) >= 0. Entirely JVM-side: each dot
     product is an `aggregate` over zip_with with literal plane coords.
+    Built as ONE generated-SQL expr: the equivalent Column-API tree is
+    dim*n_planes F.lit py4j round trips (~4s of driver time per query
+    at dim 64 — measured), while the parser swallows the same string in
+    milliseconds. `vec_sql` is the vector column's SQL name.
     """
     planes = _seeded_hyperplanes(dim, n_planes, table)
+    vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
     bits = []
     for p in range(n_planes):
-        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        arr = ", ".join(_dlit(x) for x in planes[p])
+        dot = (
+            f"aggregate(zip_with({vec_d}, array({arr}), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(F.lit(f"t{table}:"), *bits)
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return F.expr(f"concat('t{table}:', {', '.join(bits)})")
 
 
 def brute_force_topk(
@@ -102,22 +116,23 @@ def ivf_topk_join(
     """
     cents = _seeded_hyperplanes(dim, n_centroids, table=991)  # reuse seeded gen
 
-    def cell_scores(vec_col):
-        return [
-            F.aggregate(
-                F.zip_with(
-                    vec_col.cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in cents[c]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ).alias(f"c_{c}")
-            for c in range(n_centroids)
-        ]
+    def cell_scores(vec_sql: str):
+        # generated-SQL exprs for the same reason as lsh_bucket_key:
+        # n_centroids*dim literal round trips dominate driver time
+        vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+        out = []
+        for c in range(n_centroids):
+            arr = ", ".join(_dlit(x) for x in cents[c])
+            out.append(
+                F.expr(
+                    f"aggregate(zip_with({vec_d}, array({arr}), (a, b) -> a * b), "
+                    f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+                ).alias(f"c_{c}")
+            )
+        return out
 
     def argmax_cells(df, id_c, vec_c, top_n):
-        scored = df.select(F.col(id_c), F.col(vec_c), *cell_scores(F.col(vec_c)))
+        scored = df.select(F.col(id_c), F.col(vec_c), *cell_scores(vec_c))
         cells = F.array(
             *[
                 F.struct(F.col(f"c_{c}").alias("score"), F.lit(c).alias("cell"))
@@ -176,7 +191,7 @@ def lsh_topk_join(
     """
     def with_buckets(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
         buckets = F.array(
-            *[lsh_bucket_key(F.col(vec_c), dim, n_planes, t) for t in range(n_tables)]
+            *[lsh_bucket_key(vec_c, dim, n_planes, t) for t in range(n_tables)]
         )
         return df.select(F.col(id_c), F.col(vec_c), F.explode(buckets).alias("bucket"))
 
