@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "t3_chunking",
     "sim_topk_bruteforce",
     "sim_rrf_fusion",
+    # ANN scale paths (bucketed candidate join + exact re-rank) — the
+    # queries that actually run at 100 TB, benched alongside their
+    # brute-force oracle
+    "sim_lsh_topk",
+    "sim_ivf_topk",
 ]
 
 
