@@ -271,6 +271,39 @@ def test_content_dedup_stream_across_runs(spark, tmp_path):
     assert out == ["e.txt"]  # d.txt deduped by state, only new content passes
 
 
+def test_stateful_progress_rollup_across_fires(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-execution progress
+    accumulates in checkpoint state across AvailableNow fires; done
+    flips only when every file reaches a terminal status."""
+    from unstract_spark.streaming.stateful import run_progress_drain
+
+    src, ckpt = tmp_path / "events", str(tmp_path / "ck")
+    out: list = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    schema = "execution_id string, file_hash string, status string, total_files long"
+    # fire 1: execution e1 has 2/3 files terminal
+    spark.createDataFrame(
+        [("e1", "h1", "SUCCESS", 3), ("e1", "h2", "ERROR", 3)], schema
+    ).write.mode("append").parquet(str(src))
+    run_progress_drain(spark, str(src), ckpt, sink)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.files_seen, r.completed, r.error, r.done) == (2, 1, 1, False)
+
+    # fire 2: last e1 file arrives (state remembered 2 prior) + new e2
+    out.clear()
+    spark.createDataFrame(
+        [("e1", "h3", "SUCCESS", 3), ("e2", "h4", "SUCCESS", 2)], schema
+    ).write.mode("append").parquet(str(src))
+    run_progress_drain(spark, str(src), ckpt, sink)
+    rows = {r.execution_id: r for r in out}
+    assert rows["e1"].done and rows["e1"].completed == 2 and rows["e1"].files_seen == 3
+    assert not rows["e2"].done and rows["e2"].total_files == 2
+
+
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
