@@ -304,6 +304,50 @@ def test_stateful_progress_rollup_across_fires(spark, tmp_path):
     assert not rows["e2"].done and rows["e2"].total_files == 2
 
 
+def test_stateful_progress_dedups_retried_terminal_events(spark, tmp_path):
+    """A retried/duplicated terminal event for the same file_hash must
+    not double-count completed/error or flip done early; null
+    total_files rows must not crash the rollup."""
+    from unstract_spark.streaming.stateful import run_progress_drain
+
+    src, ckpt = tmp_path / "events", str(tmp_path / "ck")
+    out: list = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    schema = "execution_id string, file_hash string, status string, total_files long"
+    # h1's SUCCESS is delivered twice (Celery-style retry); one row has
+    # a null total_files (enqueuer hadn't stamped it yet).
+    spark.createDataFrame(
+        [
+            ("e1", "h1", "SUCCESS", 3),
+            ("e1", "h1", "SUCCESS", 3),  # duplicate terminal event
+            ("e1", "h2", "ERROR", None),
+        ],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    run_progress_drain(spark, str(src), ckpt, sink)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.files_seen, r.completed, r.error, r.total_files, r.done) == (
+        2,
+        1,
+        1,
+        3,
+        False,
+    )
+
+    # the duplicate re-delivered in a LATER fire is also ignored
+    out.clear()
+    spark.createDataFrame(
+        [("e1", "h2", "ERROR", 3), ("e1", "h3", "SUCCESS", 3)], schema
+    ).write.mode("append").parquet(str(src))
+    run_progress_drain(spark, str(src), ckpt, sink)
+    (r,) = out
+    assert (r.completed, r.error, r.done) == (2, 1, True)
+
+
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()

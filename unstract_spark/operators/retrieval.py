@@ -20,6 +20,28 @@ from pyspark.sql import functions as F
 RRF_K = 60  # reciprocal-rank-fusion constant (reference fusion.py uses llama-index default)
 
 
+def _bounded_rank(
+    df: DataFrame, order: list[Column], k: int, rank_name: str = "rank"
+) -> DataFrame:
+    """Global top-k that scales: TakeOrdered, then rank the survivors.
+
+    `orderBy().limit(k)` compiles to TakeOrderedAndProject — a
+    per-partition k-heap merged on the driver — instead of shuffling the
+    whole scored corpus into ONE task the way an unpartitioned
+    row_number() window does (WindowExec's 'No Partition Defined'
+    degradation path; Spark 4's EliminateWindowPartitions strips any
+    constant partition key, so no window over the survivors can dodge
+    it). Rank is therefore derived windowless: the <=k survivors are
+    coalesced into one explicitly re-sorted partition where
+    monotonically_increasing_id() is exactly the 0-based row position
+    (partition id 0 contributes no high bits). The total order must end
+    in a unique tie-break column so the k-boundary cut and the rank
+    sequence are deterministic.
+    """
+    top = df.orderBy(*order).limit(k).coalesce(1).sortWithinPartitions(*order)
+    return top.withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
+
+
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
@@ -77,11 +99,7 @@ def topk_by_query_vector(
     )
     if min_score is not None:
         scored = scored.filter(F.col("score") > min_score)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _bounded_rank(scored, [F.col("score").desc(), F.col(id_col).asc()], k)
 
 
 def topk_join(
@@ -131,9 +149,8 @@ def rrf_fuse(
     fused = unioned.groupBy(id_col).agg(
         F.round(F.sum(1.0 / (F.lit(RRF_K) + F.col(rank_col))), 6).alias("rrf_score")
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
-        F.col("fused_rank") <= k
+    return _bounded_rank(
+        fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], k, "fused_rank"
     )
 
 
@@ -160,8 +177,7 @@ def keyword_table_retrieve(
         .groupBy(id_col)
         .agg(F.count_distinct("word").alias("kw_hits"))
     )
-    w = Window.orderBy(F.col("kw_hits").desc(), F.col(id_col).asc())
-    return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _bounded_rank(hits, [F.col("kw_hits").desc(), F.col(id_col).asc()], k)
 
 
 def automerging_retrieve(

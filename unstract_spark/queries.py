@@ -530,7 +530,14 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.when(F.col("prev_ts").isNull(), 0)
-        .when(F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000, 1)
+        # cast handles TIMESTAMP_NTZ parquet columns (unix_micros only
+        # accepts TIMESTAMP; the session-tz shift cancels in the diff)
+        .when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            > 1_800_000_000,
+            1,
+        )
         .otherwise(0)
         .alias("new_session"),
     )
@@ -1239,9 +1246,8 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = ranked.groupBy("vec_id").agg(
         F.round(F.sum(1.0 / (F.lit(retrieval.RRF_K) + F.col("rank"))), 6).alias("rrf_score")
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("vec_id").asc())
-    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
-        F.col("fused_rank") <= 10
+    return retrieval._bounded_rank(
+        fused, [F.col("rrf_score").desc(), F.col("vec_id").asc()], 10, "fused_rank"
     )
 
 
