@@ -4,22 +4,35 @@ Pattern: `binary` payload column + a `struct` of modality metadata
 (mime, width/height or duration, codec). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched `mapInPandas` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode core is stubbed: `decode_image` raises NotImplementedError
-unless `fake=True`, which produces a deterministic fake decode (seeded
-from the payload hash). The Spark-side plumbing — schemas, batch
-iteration, partition sizing — is real and tested; swapping in a real
-codec changes only `_decode_one`.
+Decode is REAL for the formats a pure-stdlib decoder can handle —
+uncompressed BMP (8-bit palette / 24-bit / 32-bit), binary PGM/PPM
+(P5/P6), and PCM WAV (8/16-bit) — the same move as minipdf.py for
+PDFs. Compressed formats (PNG/JPEG/MP4...) would need PIL/opencv/
+ffmpeg, which are not in this container: those raise
+NotImplementedError unless `fake=True`, which substitutes a
+deterministic fake decode (seeded from the payload hash) so the
+Spark-side plumbing stays testable for any payload.
+
+Feature extraction is integer-exact (int64 sums over pixel/sample
+values, one final double division) so the feature vectors are
+reproducible bit-for-bit by a SQL oracle — that is what gates the
+decoders in the correctness registry (queries.mm_image_features /
+mm_audio_features).
 
 Scale notes: binaries are read with binaryFile (4 MiB chunk streaming
 under the hood); `spark.sql.files.maxPartitionBytes` bounds task input;
 feature extraction repartitions by payload size bucket so one giant
 video doesn't straggle a task.
+
+Reference parity: the reference treats non-text files as opaque blobs
+routed to external OCR/LLM-vision adapters (sdk1 x2text adapters);
+first-class image/audio columns are beyond-reference north-star scope.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,15 +51,188 @@ IMAGE_META = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------
+# Pure-stdlib decoders (numpy for the pixel buffer only)
+# ---------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed Windows BMP -> (H, W) gray or (H, W, 3) RGB uint8.
+
+    Supports BITMAPINFOHEADER(+) with 8-bit palette, 24-bit BGR and
+    32-bit BGRA pixels, bottom-up or top-down row order, BI_RGB only.
+    """
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pix_off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs unsupported")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = height < 0
+    height = abs(height)
+    row_size = ((bpp * width + 31) // 32) * 4
+    need = pix_off + row_size * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel array")
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=pix_off)
+    rows = raw.reshape(height, row_size)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(data[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)
+        idx = rows[:, :width]
+        if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
+            return pal[idx, 0]  # grayscale palette -> (H, W)
+        return pal[idx][:, :, [2, 1, 0]]  # BGRA palette -> RGB
+    if bpp == 24:
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        return px[:, :, ::-1]  # BGR -> RGB
+    if bpp == 32:
+        px = rows[:, : width * 4].reshape(height, width, 4)
+        return px[:, :, [2, 1, 0]]  # BGRA -> RGB
+    raise ValueError(f"{bpp}-bit BMP unsupported")
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PGM/PPM (P5/P6) -> (H, W) gray or (H, W, 3) RGB uint8.
+
+    Header tokens may be separated by any whitespace and `#` comments;
+    maxval must fit one byte (<=255).
+    """
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"56":
+        raise ValueError("not a binary PGM/PPM (P5/P6) file")
+    channels = 1 if data[1:2] == b"5" else 3
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixels
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNM dimensions")
+    if not 0 < maxval <= 255:
+        raise ValueError("multi-byte PNM maxval unsupported")
+    n = width * height * channels
+    if len(data) - pos < n:
+        raise ValueError("truncated PNM pixel data")
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    if channels == 1:
+        return px.reshape(height, width)
+    return px.reshape(height, width, 3)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (samples int64 [n] or [n, channels], sample_rate).
+
+    RIFF chunk walk; `fmt ` must be PCM (format 1), 8-bit unsigned
+    (centered to signed) or 16-bit signed little-endian.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:
+                raise ValueError(f"non-PCM WAV (format {audio_format}) unsupported")
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt["bits"] == 16:
+        arr = np.frombuffer(samples, dtype="<i2").astype(np.int64)
+    elif fmt["bits"] == 8:
+        arr = np.frombuffer(samples, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"{fmt['bits']}-bit PCM unsupported")
+    ch = max(fmt["channels"], 1)
+    if ch > 1:
+        arr = arr[: len(arr) - len(arr) % ch].reshape(-1, ch)
+    return arr, fmt["rate"]
+
+
 def _decode_one(payload: bytes, fake: bool) -> np.ndarray:
+    """Dispatch on magic bytes; `fake` substitutes a deterministic 4x4
+    fake image for formats with no stdlib decoder (PNG/JPEG/...)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:1] == b"P" and payload[1:2] in b"56":
+        return decode_pnm(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test double"
+            "unsupported image format (only uncompressed BMP and binary "
+            "PGM/PPM decode natively): real decode requires PIL/opencv "
+            "(not in this container); pass fake=True for the "
+            "deterministic test double"
         )
     # deterministic fake: 4x4 grayscale derived from content hash
     h = hashlib.sha256(payload or b"").digest()
-    return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
+    return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4)
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    """RGB -> integer luma (channel mean, floor). Keeps features in the
+    exact-int domain so the SQL oracle can reproduce them."""
+    if img.ndim == 3:
+        return img.astype(np.int64).sum(axis=2) // img.shape[2]
+    return img.astype(np.int64)
+
+
+def _int_stats(values: np.ndarray) -> tuple[float, float, list[int]]:
+    """(mean, population std, 4-bin histogram) with int64 accumulation.
+
+    Every sum is exact; the only float ops are two divisions, one
+    multiply/subtract, and a sqrt — each mirrored verbatim in the
+    oracle SQL, so the doubles match bit-for-bit.
+    """
+    flat = values.reshape(-1)
+    n = flat.size
+    if n == 0:
+        return 0.0, 0.0, [0, 0, 0, 0]
+    s = int(flat.sum())
+    ss = int((flat * flat).sum())
+    mean = s / n
+    var = ss / n - mean * mean
+    std = math.sqrt(max(var, 0.0))
+    bins = np.minimum(flat >> 6, 3)  # v // 64, clamped for v > 255
+    counts = [int((bins == i).sum()) for i in range(4)]
+    return mean, std, counts
 
 
 def image_features(
@@ -55,16 +241,19 @@ def image_features(
     id_col: str = "file_path",
     fake: bool = True,
 ) -> DataFrame:
-    """Decode + global feature vector per image (mean/std/histogram4).
+    """Decode + global feature vector per image.
 
-    Output: (id, feat array<float>, decode_error string). Per-row errors
-    are isolated into the error column — a failed decode never fails the
-    job (reference per-file error isolation, legacy_executor.py:159-163).
+    feat = [round(mean,6), round(std,6), b0, b1, b2, b3] over the
+    integer luma plane (b_i = pixels with value//64 == i). Per-row
+    errors are isolated into the error column — a failed decode never
+    fails the job (reference per-file error isolation,
+    legacy_executor.py:159-163).
     """
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.StringType()),
-            T.StructField("feat", T.ArrayType(T.FloatType())),
+            T.StructField(id_col, id_type),
+            T.StructField("feat", T.ArrayType(T.DoubleType())),
             T.StructField("decode_error", T.StringType()),
         ]
     )
@@ -76,11 +265,10 @@ def image_features(
                 ids.append(rid)
                 try:
                     img = _decode_one(bytes(payload) if payload is not None else b"", fake)
-                    hist, _ = np.histogram(img, bins=4, range=(0, 255))
-                    feat = np.concatenate(
-                        [[img.mean(), img.std()], hist.astype(np.float32)]
-                    ).astype(np.float32)
-                    feats.append(feat.tolist())
+                    mean, std, counts = _int_stats(_gray(img))
+                    feats.append(
+                        [round(mean, 6), round(std, 6)] + [float(c) for c in counts]
+                    )
                     errs.append(None)
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     feats.append(None)
@@ -88,6 +276,124 @@ def image_features(
             yield pd.DataFrame({id_col: ids, "feat": feats, "decode_error": errs})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+) -> DataFrame:
+    """Decode PCM WAV + per-clip amplitude stats.
+
+    Output: (id, n_samples, sample_rate, amp_mean, amp_std,
+    decode_error) — int-exact accumulation like image_features, so the
+    registry oracle reproduces the doubles. Multi-channel clips are
+    flattened (stats over all interleaved samples).
+    """
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("amp_mean", T.DoubleType()),
+            T.StructField("amp_std", T.DoubleType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    samples, rate = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    mean, std, _ = _int_stats(samples)
+                    out["n_samples"].append(samples.size)
+                    out["sample_rate"].append(rate)
+                    out["amp_mean"].append(round(mean, 6))
+                    out["amp_std"].append(round(std, 6))
+                    out["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    out["n_samples"].append(None)
+                    out["sample_rate"].append(None)
+                    out["amp_mean"].append(None)
+                    out["amp_std"].append(None)
+                    out["decode_error"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# Encoders (test/fixture side — build real payloads without PIL)
+# ---------------------------------------------------------------------
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(H, W) uint8 -> binary PGM (P5)."""
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 -> 24-bit bottom-up BI_RGB BMP."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # RGB->BGR
+    return header + b"".join(rows)
+
+
+def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> PCM WAV."""
+    body = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt) + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(body).to_bytes(4, "little")
+        + body
+    )
 
 
 def frame_sample_plan(

@@ -1951,4 +1951,131 @@ def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Multimodal decode (north-star): REAL pure-stdlib decoders gated by a
+# SQL oracle. The payload is a PGM/WAV rendering of the document text
+# (pixels/samples = byte values), so the oracle can reproduce the
+# decoded feature vectors from the text alone — the query passes only
+# if the encoder->decoder->feature path is bit-exact.
+# =====================================================================
+
+
+@register(
+    "mm_image_features",
+    """
+    WITH bytes AS (
+        SELECT doc_id,
+               ascii(substr(rpad(substr(text, 1, 64), 64, ' '), CAST(i AS INT), 1)) AS v
+        FROM documents, unnest(range(1, 65)) AS u(i)
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean,
+               CAST(sum(v * v) AS DOUBLE) / count(*) AS msq,
+               CAST(sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+               CAST(sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+               CAST(sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+               CAST(sum(CASE WHEN v // 64 >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS b3
+        FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id, round(mean, 6) AS px_mean,
+           round(sqrt(greatest(msq - mean * mean, 0)), 6) AS px_std,
+           b0, b1, b2, b3
+    FROM stats
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path, REAL decode: render each document's first
+    64 bytes as an 8x8 binary PGM, decode it with the stdlib decoder
+    (multimodal.decode_pnm), and emit the integer-exact feature vector.
+    The oracle computes the same stats straight from the text bytes, so
+    any decode/feature drift fails the hash gate."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.multimodal import encode_pgm
+
+        for pdf in batches:
+            content = [
+                encode_pgm(
+                    np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
+                )
+                for s in pdf["s"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    feats = image_features(imgs, payload_col="content", id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("feat", 1).alias("px_mean"),
+        F.element_at("feat", 2).alias("px_std"),
+        F.element_at("feat", 3).alias("b0"),
+        F.element_at("feat", 4).alias("b1"),
+        F.element_at("feat", 5).alias("b2"),
+        F.element_at("feat", 6).alias("b3"),
+    )
+
+
+@register(
+    "mm_audio_features",
+    """
+    WITH samples AS (
+        SELECT doc_id,
+               (ascii(substr(rpad(substr(text, 1, 64), 64, ' '), CAST(i AS INT), 1))
+                - 100) * 300 AS v
+        FROM documents, unnest(range(1, 65)) AS u(i)
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_samples,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean,
+               CAST(sum(v * v) AS DOUBLE) / count(*) AS msq
+        FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id, n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+           round(mean, 6) AS amp_mean,
+           round(sqrt(greatest(msq - mean * mean, 0)), 6) AS amp_std
+    FROM stats
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path, REAL decode: render each document's first
+    64 bytes as 16-bit PCM WAV samples ((byte-100)*300, mono 8 kHz),
+    decode with multimodal.decode_wav, emit amplitude stats. Oracle
+    reproduces the stats from the text bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import audio_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.multimodal import encode_wav16
+
+        for pdf in batches:
+            content = [
+                encode_wav16(
+                    (np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64) - 100)
+                    * 300,
+                    rate=8000,
+                )
+                for s in pdf["s"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    wavs = d.mapInPandas(encode, "doc_id long, content binary")
+    feats = audio_features(wavs, payload_col="content", id_col="doc_id")
+    return feats.select("doc_id", "n_samples", "sample_rate", "amp_mean", "amp_std")
+
+
 ENTRY_QUERY = "q1_pricing_summary"
