@@ -1,0 +1,112 @@
+"""External vector-store adapter (pgvector-shaped JDBC backend): DDL /
+pushdown SQL generation, and a full Derby round-trip proving the second
+VectorStoreBackend implementation matches the in-engine parquet one.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.index_store import VectorIndexStore, embed_chunks
+from unstract_spark.sinks.vector_db import (
+    JdbcVectorStore,
+    pgvector_topk_sql,
+    vector_table_ddl,
+)
+
+
+@pytest.fixture()
+def chunk_rows(spark):
+    rows = [
+        ("docA", "h1", i, f"chunk text {i} about spark engines") for i in range(4)
+    ] + [("docB", "h2", i, f"other content {i} entirely") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, file_hash string, chunk_no int, chunk_text string"
+    )
+    return embed_chunks(df)
+
+
+def test_vector_table_ddl_pgvector_and_json():
+    pg = vector_table_ddl("vidx", "postgresql", 64)
+    assert '"embedding" vector(64)' in pg
+    assert '"doc_id" VARCHAR(256) NOT NULL' in pg
+    nopg = vector_table_ddl("vidx", "postgresql", 64, pgvector=False)
+    assert '"embedding" JSONB' in nopg
+    derby = vector_table_ddl("vidx", "derby", 8)
+    assert '"embedding" CLOB' in derby  # json fallback, no pgvector on Derby
+    snow = vector_table_ddl("vidx", "snowflake", 128)
+    assert '"embedding" VARIANT' in snow
+
+
+def test_pgvector_pushdown_sql():
+    sql = pgvector_topk_sql("vidx", "a" * 64, [0.5, -1.0], k=3, min_score=0.0)
+    assert "ORDER BY \"embedding\" <=> '[0.5,-1.0]' ASC" in sql
+    assert "LIMIT 3" in sql
+    assert "1 - (\"embedding\" <=> '[0.5,-1.0]') > 0.0" in sql
+    assert f"\"doc_id\" = '{'a' * 64}'" in sql
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        pgvector_topk_sql("vidx", "x'; DROP TABLE--", [0.1])
+
+
+def _derby_store(spark, tmp_path, **kw):
+    url = f"jdbc:derby:{tmp_path}/vdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    return JdbcVectorStore(
+        spark, url, table="vidx", dialect="derby", dim=64, properties=props, **kw
+    )
+
+
+def test_jdbc_vector_store_upsert_probe_and_roundtrip(spark, tmp_path, chunk_rows):
+    store = _derby_store(spark, tmp_path)
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0  # probe-before-write idempotency
+    back = store.read_chunks()
+    assert back.count() == 7
+    row = back.filter(
+        (F.col("doc_id") == "docA") & (F.col("chunk_no") == 2)
+    ).collect()[0]
+    orig = chunk_rows.filter(
+        (F.col("doc_id") == "docA") & (F.col("chunk_no") == 2)
+    ).collect()[0]
+    assert row.chunk_text == orig.chunk_text
+    assert row.embedding == orig.embedding  # float32 round-trip through JSON text
+    assert {r.doc_id for r in store.existing_doc_ids().collect()} == {"docA", "docB"}
+
+
+def test_jdbc_vector_store_reindex_replaces(spark, tmp_path, chunk_rows):
+    store = _derby_store(spark, tmp_path)
+    store.upsert(chunk_rows)
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {
+        r.doc_id: r.n
+        for r in store.read_chunks()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"docA": 2, "docB": 3}  # delete-then-add for docA only
+
+
+def test_jdbc_backend_matches_parquet_backend(spark, tmp_path, chunk_rows):
+    """The contract test: both VectorStoreBackend implementations return
+    identical doc-scoped top-k rows for the same data."""
+    from unstract_spark.mock import mock_embed_texts
+
+    jdbc_store = _derby_store(spark, tmp_path)
+    pq_store = VectorIndexStore(spark, str(tmp_path / "idx"))
+    jdbc_store.upsert(chunk_rows)
+    pq_store.upsert(chunk_rows)
+    qv = mock_embed_texts(["chunk text 2 about spark engines"])[0].tolist()
+    a = [tuple(r) for r in jdbc_store.query_topk("docA", qv, k=3).collect()]
+    b = [tuple(r) for r in pq_store.query_topk("docA", qv, k=3).collect()]
+    assert a == b
+    assert a[0][1] == 2  # identical text -> cosine 1.0 wins (chunk_no 2)
+
+
+def test_jdbc_vector_store_rejects_unsafe_doc_id(spark, tmp_path, chunk_rows):
+    store = _derby_store(spark, tmp_path)
+    store.upsert(chunk_rows)
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        store.query_topk("doc'; DELETE FROM vidx--", [0.1] * 64).collect()
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        store.delete_docs(["ok_id", "bad id with spaces"])

@@ -20,15 +20,18 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from unstract_spark.operators.retrieval import cosine
 from unstract_spark.schemas import CHUNKS
+from unstract_spark.sinks.vector_db import VectorStoreBackend
 
 
-class VectorIndexStore:
-    """Chunk/vector index with deterministic-id idempotent upserts."""
+class VectorIndexStore(VectorStoreBackend):
+    """Chunk/vector index with deterministic-id idempotent upserts —
+    the in-engine parquet backend of the VectorStoreBackend contract
+    (sinks/vector_db.py defines the interface; JdbcVectorStore is the
+    pgvector-shaped external backend)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -38,6 +41,9 @@ class VectorIndexStore:
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], CHUNKS)
         return self.spark.read.parquet(self.path).localCheckpoint(eager=True)
+
+    def read_chunks(self) -> DataFrame:
+        return self.read()
 
     def existing_doc_ids(self) -> DataFrame:
         return self.read().select("doc_id").distinct()
@@ -79,37 +85,11 @@ class VectorIndexStore:
             shutil.rmtree(old, ignore_errors=True)
         return incoming.count()
 
-    def query_topk(
-        self,
-        doc_id: str,
-        query_vec: list[float],
-        k: int = 5,
-        min_score: float | None = 0.0,
-    ) -> DataFrame:
-        """T6: top-k chunks of ONE document by cosine to the query.
-
-        The doc_id equality filter prunes to one partition-worth of
-        chunks before any scoring; score>0 mirrors index.py:118-124.
-        """
-        qv = F.array(*[F.lit(float(x)) for x in query_vec])
-        scored = (
-            self.read()
-            .filter(F.col("doc_id") == doc_id)
-            .select(
-                "doc_id",
-                "chunk_no",
-                "chunk_text",
-                F.round(cosine(F.col("embedding"), qv), 6).alias("score"),
-            )
-        )
-        if min_score is not None:
-            scored = scored.filter(F.col("score") > min_score)
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("score").desc(), F.col("chunk_no").asc()
-        )
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        """The doc_id equality filter prunes to one partition-worth of
+        chunks before any scoring (query_topk itself — rounding, score>0
+        cutoff, chunk_no tie-break — is shared in VectorStoreBackend)."""
+        return self.read().filter(F.col("doc_id") == doc_id)
 
 
 def embed_chunks(

@@ -1,0 +1,301 @@
+"""External vector-DB adapters (T5/T6) — pgvector-shaped storage behind
+the engine's vector-store interface.
+
+Reference: unstract/sdk1/src/unstract/sdk1/adapters/vectordb/ registers
+six backends (postgres/pgvector, milvus, pinecone, qdrant, weaviate,
+supabase) behind llama-index VectorStore objects; every one is used the
+same way — upsert chunk nodes under a deterministic doc_id, then
+doc_id-filtered top-k cosine queries (query semantics
+sdk1/index.py:65-131, Constants.TOP_K; delete-then-add reindex
+index.py:223-375).
+
+Spark-first: `VectorStoreBackend` is that contract as an interface over
+DataFrames. Two engine backends implement it:
+
+- `operators.index_store.VectorIndexStore` — the in-engine parquet/
+  Delta-shaped index (partition-pruned, the 100 TB path);
+- `JdbcVectorStore` (here) — an external relational vector store in the
+  pgvector shape: one row per chunk, embedding stored as a
+  `vector(dim)` column on PostgreSQL+pgvector, or as a JSON-array text
+  column on any other JDBC dialect (the same '[x,y,z]' literal text
+  works for both, because pgvector's input format IS a JSON-style
+  array). DDL reuses the dialect machinery in sinks/jdbc.py; reads come
+  back through Spark's JDBC source with the doc_id filter pushed into
+  the remote query, so only one document's chunks ever cross the wire.
+
+Scoring parity: both backends rank with the same rounded-cosine +
+chunk_no tie-break, so swapping backends cannot reorder results. On a
+real pgvector deployment the top-k itself can be pushed down —
+`pgvector_topk_sql` emits that `ORDER BY embedding <=> q LIMIT k`
+query; it is generated (and unit-tested) here, executed only where a
+pgvector server exists.
+"""
+
+from __future__ import annotations
+
+import abc
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unstract_spark.operators.retrieval import cosine
+from unstract_spark.sinks.jdbc import _DIALECT_TYPES, _quote_ident, execute_ddl
+
+CHUNK_COLS = ("doc_id", "file_hash", "chunk_no", "chunk_text", "embedding")
+
+_DOC_ID_RE = re.compile(r"^[A-Za-z0-9_\-:.]+$")
+
+
+def _safe_doc_id(doc_id: str) -> str:
+    """doc_ids are deterministic sha256 hexes (sdk1/index.py:460-516);
+    reject anything that couldn't be one before it reaches SQL text."""
+    if not doc_id or not _DOC_ID_RE.match(doc_id):
+        raise ValueError(f"unsafe doc_id literal: {doc_id!r}")
+    return doc_id
+
+
+class VectorStoreBackend(abc.ABC):
+    """Storage contract for the chunk/vector index.
+
+    Chunks carry (doc_id, file_hash, chunk_no, chunk_text, embedding)
+    — schemas.CHUNKS. Upserts are idempotent on doc_id (probe before
+    write; reindex = delete-then-add), queries are doc-scoped top-k
+    cosine. Backends only supply storage; ranking semantics live here
+    so every backend returns identical rows.
+    """
+
+    @abc.abstractmethod
+    def read_chunks(self) -> DataFrame:
+        """Every stored chunk, in the CHUNKS column shape."""
+
+    @abc.abstractmethod
+    def existing_doc_ids(self) -> DataFrame:
+        """Distinct doc_id single-column DataFrame (the upsert probe)."""
+
+    @abc.abstractmethod
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        """Idempotent write; returns rows written (0 when all probed)."""
+
+    @abc.abstractmethod
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        """One document's chunks, with the doc_id filter pushed into
+        storage (partition pruning / remote WHERE)."""
+
+    def query_topk(
+        self,
+        doc_id: str,
+        query_vec: list[float],
+        k: int = 5,
+        min_score: float | None = 0.0,
+    ) -> DataFrame:
+        """T6: top-k chunks of ONE document by cosine to the query.
+
+        score>0 cutoff mirrors sdk1/index.py:118-124; ranking is over
+        the rounded score with a chunk_no tie-break so every backend
+        (and the SQL oracle) agrees on boundary rows.
+        """
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = self._chunks_for_doc(_safe_doc_id(doc_id)).select(
+            "doc_id",
+            "chunk_no",
+            "chunk_text",
+            F.round(cosine(F.col("embedding"), qv), 6).alias("score"),
+        )
+        if min_score is not None:
+            scored = scored.filter(F.col("score") > min_score)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("chunk_no").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+
+def vector_table_ddl(
+    table: str, dialect: str, dim: int, pgvector: bool | None = None
+) -> str:
+    """CREATE TABLE for the chunk/vector table.
+
+    PostgreSQL defaults to a pgvector `vector(dim)` embedding column
+    (the reference's Postgres adapter is pgvector-backed); every other
+    dialect stores the embedding as its JSON/document type. Key columns
+    are VARCHAR (not the dialect's large-text type) so DISTINCT /
+    equality pushdown work everywhere (Derby forbids CLOB comparisons).
+    """
+    if pgvector is None:
+        pgvector = dialect == "postgresql"
+    types = _DIALECT_TYPES[dialect]
+    emb_type = f"vector({dim})" if pgvector else types["json"]
+    q = lambda n: _quote_ident(n, dialect)  # noqa: E731
+    cols = ", ".join(
+        [
+            f"{q('doc_id')} VARCHAR(256) NOT NULL",
+            f"{q('file_hash')} VARCHAR(256) NOT NULL",
+            f"{q('chunk_no')} {types['int']} NOT NULL",
+            f"{q('chunk_text')} {types['string']}",
+            f"{q('embedding')} {emb_type}",
+        ]
+    )
+    return f"CREATE TABLE {q(table)} ({cols})"
+
+
+def pgvector_topk_sql(
+    table: str,
+    doc_id: str,
+    query_vec: list[float],
+    k: int = 5,
+    min_score: float | None = 0.0,
+) -> str:
+    """The fully-pushed-down pgvector top-k (runs ON the server).
+
+    `<=>` is pgvector cosine *distance*; score = 1 - distance. Emitted
+    for deployments with a live pgvector — the engine-side fallback in
+    `JdbcVectorStore.query_topk` computes the identical ranking from
+    the fetched chunks.
+    """
+    vec = "[" + ",".join(repr(float(x)) for x in query_vec) + "]"
+    did = _safe_doc_id(doc_id)
+    q = lambda n: _quote_ident(n, "postgresql")  # noqa: E731
+    where = f"{q('doc_id')} = '{did}'"
+    if min_score is not None:
+        where += f" AND 1 - ({q('embedding')} <=> '{vec}') > {float(min_score)!r}"
+    return (
+        f"SELECT {q('doc_id')}, {q('chunk_no')}, {q('chunk_text')}, "
+        f"1 - ({q('embedding')} <=> '{vec}') AS score "
+        f"FROM {q(table)} WHERE {where} "
+        f"ORDER BY {q('embedding')} <=> '{vec}' ASC, {q('chunk_no')} ASC LIMIT {int(k)}"
+    )
+
+
+class JdbcVectorStore(VectorStoreBackend):
+    """pgvector-shaped external vector store over any JDBC dialect.
+
+    Embeddings travel as '[x,y,z]' text — pgvector ingests that
+    directly into `vector(dim)` (assignment cast), JSON dialects store
+    it verbatim, and reads parse it back with from_json. Writes go
+    through df.write.jdbc (one connection per partition, `batchsize`
+    bounded); the upsert probe and per-doc reads push their predicates
+    into the remote query so the driver never scans the index.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str = "vector_index",
+        dialect: str = "postgresql",
+        dim: int = 64,
+        properties: dict[str, str] | None = None,
+        pgvector: bool | None = None,
+        ensure_table: bool = True,
+        num_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.dialect = dialect
+        self.dim = dim
+        self.properties = properties or {}
+        self.pgvector = pgvector if pgvector is not None else dialect == "postgresql"
+        self.num_partitions = num_partitions
+        if ensure_table:
+            execute_ddl(
+                spark,
+                url,
+                [vector_table_ddl(table, dialect, dim, self.pgvector)],
+                self.properties,
+            )
+
+    # -- storage plumbing ------------------------------------------------
+
+    def _q(self, name: str) -> str:
+        return _quote_ident(name, self.dialect)
+
+    def _read_sql(self, sql: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+        )
+        for key, val in self.properties.items():
+            reader = reader.option(key, val)
+        return reader.load()
+
+    def _parse(self, raw: DataFrame) -> DataFrame:
+        # positional rename: dialects case-fold / auto-name expression
+        # columns, so the remote names are not trustworthy
+        df = raw.toDF(*CHUNK_COLS)
+        return df.select(
+            "doc_id",
+            "file_hash",
+            F.col("chunk_no").cast("int").alias("chunk_no"),
+            "chunk_text",
+            F.from_json(F.col("embedding"), "array<float>").alias("embedding"),
+        )
+
+    def _select_cols(self) -> str:
+        # pgvector's vector type reads back as its '[x,y,z]' literal via
+        # a text cast; JSON dialects already store text
+        emb = self._q("embedding")
+        if self.pgvector:
+            emb = f"CAST({emb} AS TEXT)"
+        cols = [self._q(c) for c in ("doc_id", "file_hash", "chunk_no", "chunk_text")]
+        return ", ".join(cols + [emb])
+
+    # -- VectorStoreBackend ----------------------------------------------
+
+    def read_chunks(self) -> DataFrame:
+        return self._parse(
+            self._read_sql(f"SELECT {self._select_cols()} FROM {self._q(self.table)}")
+        )
+
+    def existing_doc_ids(self) -> DataFrame:
+        sql = f"SELECT DISTINCT {self._q('doc_id')} FROM {self._q(self.table)}"
+        return self._read_sql(sql).toDF("doc_id")
+
+    def delete_docs(self, doc_ids: list[str]) -> None:
+        """Driver-side delete (reindex path, index.py:408-418). Bounded:
+        one pipeline run touches at most its own batch of documents."""
+        if not doc_ids:
+            return
+        safe = [_safe_doc_id(d) for d in doc_ids]
+        stmts = []
+        for i in range(0, len(safe), 256):
+            in_list = ", ".join(f"'{d}'" for d in safe[i : i + 256])
+            stmts.append(
+                f"DELETE FROM {self._q(self.table)} WHERE {self._q('doc_id')} IN ({in_list})"
+            )
+        execute_ddl(self.spark, self.url, stmts, self.properties, ignore_existing=False)
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        incoming = chunks.select(*CHUNK_COLS)
+        if reindex:
+            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
+            self.delete_docs(ids)
+        else:
+            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+        incoming = incoming.localCheckpoint(eager=True)  # pin before the write mutates the probe
+        n = incoming.count()
+        if n == 0:
+            return 0
+        serialized = incoming.withColumn(
+            "embedding", F.to_json(F.col("embedding").cast("array<float>"))
+        )
+        (
+            serialized.repartition(min(self.num_partitions, max(n // 100, 1)))
+            .write.jdbc(
+                self.url,
+                self._q(self.table),
+                mode="append",
+                properties=self.properties,
+            )
+        )
+        return n
+
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        sql = (
+            f"SELECT {self._select_cols()} FROM {self._q(self.table)} "
+            f"WHERE {self._q('doc_id')} = '{_safe_doc_id(doc_id)}'"
+        )
+        return self._parse(self._read_sql(sql))
