@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unstract_spark.schemas import CHUNKS
+from unstract_spark.sinks.ledger_lock import LedgerLock
 from unstract_spark.sinks.vector_db import VectorStoreBackend
 
 
@@ -57,33 +58,36 @@ class VectorIndexStore(VectorStoreBackend):
         At scale this is `MERGE ... WHEN NOT MATCHED INSERT` / a
         replaceWhere partition overwrite on Delta.
         """
-        current = self.read()
-        if reindex:
-            keep = current.join(
-                chunks.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-            incoming = chunks
-        else:
-            keep = current
-            incoming = chunks.join(
-                current.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
-        merged = keep.unionByName(incoming)
-        staging = f"{self.path}.staging-{int(time.time() * 1000)}"
-        merged.write.mode("overwrite").parquet(staging)
-        # Swap order matters: the live path must never be absent. Move the
-        # old dir aside, rename staging into place, and only then delete
-        # the old copy — a crash between steps leaves a usable index at
-        # either the canonical or the .old path (same order as
-        # sinks/history.merge).
-        old = None
-        if os.path.exists(self.path):
-            old = f"{self.path}.old-{int(time.time() * 1000)}"
-            os.rename(self.path, old)
-        os.rename(staging, self.path)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
-        return incoming.count()
+        with LedgerLock(self.path):
+            current = self.read()
+            if reindex:
+                keep = current.join(
+                    chunks.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+                incoming = chunks
+            else:
+                keep = current
+                incoming = chunks.join(
+                    current.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+            merged = keep.unionByName(incoming)
+            staging = f"{self.path}.staging-{int(time.time() * 1000)}"
+            merged.write.mode("overwrite").parquet(staging)
+            # Swap order matters: the live path must never be absent. Move
+            # the old dir aside, rename staging into place, and only then
+            # delete the old copy — a crash between steps leaves a usable
+            # index at either the canonical or the .old path (same order
+            # as sinks/history.merge). The read-modify-swap runs under
+            # LedgerLock so concurrent upserts serialize instead of
+            # basing on the same snapshot and losing rows.
+            old = None
+            if os.path.exists(self.path):
+                old = f"{self.path}.old-{int(time.time() * 1000)}"
+                os.rename(self.path, old)
+            os.rename(staging, self.path)
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+            return incoming.count()
 
     def _chunks_for_doc(self, doc_id: str) -> DataFrame:
         """The doc_id equality filter prunes to one partition-worth of

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unstract_spark.schemas import FILE_HISTORY
+from unstract_spark.sinks.ledger_lock import LedgerLock
 
 MERGE_KEYS = ["cache_key", "workflow_id", "file_path"]
 
@@ -45,25 +46,30 @@ class FileHistoryStore:
 
         union + window-dedup implements MERGE semantics; the write goes
         to a staging dir then swaps atomically so concurrent readers
-        never see a half-written ledger.
+        never see a half-written ledger. The whole read-modify-swap is
+        serialized under LedgerLock so two concurrent writers cannot
+        base their merge on the same snapshot and drop each other's
+        rows (the reference gets this from Postgres transactions;
+        Delta's optimistic commit replaces the lock at cluster scale).
         """
         updates = updates.withColumn("_ts", F.lit(time.time()))
-        current = self.read().withColumn("_ts", F.lit(0.0))
-        merged = current.unionByName(updates, allowMissingColumns=True)
-        w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_ts").desc())
-        deduped = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_ts")
-        )
-        staging = f"{self.path}.staging-{int(time.time() * 1000)}"
-        deduped.write.mode("overwrite").parquet(staging)
-        old = f"{self.path}.old-{int(time.time() * 1000)}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(staging, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        with LedgerLock(self.path):
+            current = self.read().withColumn("_ts", F.lit(0.0))
+            merged = current.unionByName(updates, allowMissingColumns=True)
+            w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_ts").desc())
+            deduped = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_ts")
+            )
+            staging = f"{self.path}.staging-{int(time.time() * 1000)}"
+            deduped.write.mode("overwrite").parquet(staging)
+            old = f"{self.path}.old-{int(time.time() * 1000)}"
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            os.rename(staging, self.path)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
 
     def completed(self) -> DataFrame:
         """Rows eligible for dedup/replay (status gate, file_history.py:21)."""

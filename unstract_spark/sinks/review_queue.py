@@ -13,10 +13,11 @@ consumers filter unexpired rows; a cleanup job drops expired ones.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unstract_spark.schemas import DEFAULT_HITL_TTL_SECONDS
+from unstract_spark.sinks.ledger_lock import LedgerLock
 
 
 def sample_predicate(key: Column, pct: float) -> Column:
@@ -174,28 +175,68 @@ def claim_batch(
 
     FIFO order (enqueued_at, message_id tie-break), TakeOrdered-limited
     to the batch size, recorded as CLAIMED ledger rows. Returns the
-    claimed messages. Single-claimer-per-queue at a time is assumed
-    (the reference's consumer is one review UI per workflow queue);
-    true multi-consumer claims need a coordination layer, not a lake
-    table."""
-    # eager pin: the claims append below changes the ledger this plan
-    # reads, so the batch must be materialized BEFORE the write or a
-    # later collect() re-plans against its own claims and sees nothing
-    batch = (
-        pending_messages(spark, queue_path, ledger_path, queue_name, visibility_timeout_s)
-        .orderBy(F.col("enqueued_at").asc(), F.col("message_id").asc())
-        .limit(max_messages)
-        .localCheckpoint(eager=True)
-    )
-    claims = batch.select(
-        F.lit(queue_name).alias("queue_name"),
+    claimed messages.
+
+    Multi-consumer safety (two layers):
+    1. LedgerLock serializes the pending-read + claim-append cycle, so
+       two claimers cannot both see a message as unclaimed (and two
+       concurrent appends cannot collide in the parquet committer's
+       shared _temporary dir).
+    2. After the append, the ledger is re-read and the batch is
+       filtered to messages whose WINNING claim (earliest ts,
+       consumer_id tie-break) belongs to this consumer — so even a
+       broken/stale lock degrades to losing a claim race, never to a
+       double-claim (SQS-style conditional-claim semantics).
+    """
+    with LedgerLock(ledger_path):
+        # eager pin: the claims append below changes the ledger this plan
+        # reads, so the batch must be materialized BEFORE the write or a
+        # later collect() re-plans against its own claims and sees nothing
+        batch = (
+            pending_messages(spark, queue_path, ledger_path, queue_name, visibility_timeout_s)
+            .orderBy(F.col("enqueued_at").asc(), F.col("message_id").asc())
+            .limit(max_messages)
+            .localCheckpoint(eager=True)
+        )
+        claims = batch.select(
+            F.lit(queue_name).alias("queue_name"),
+            "message_id",
+            F.lit(consumer_id).alias("consumer_id"),
+            F.lit("CLAIMED").alias("state"),
+            F.current_timestamp().alias("ts"),
+        )
+        claims.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
+    # claim-conflict re-read (outside the lock: reads don't mutate)
+    won = _winning_claims(spark, ledger_path, queue_name, visibility_timeout_s)
+    return batch.join(
+        won.filter(F.col("consumer_id") == consumer_id).select("message_id"),
         "message_id",
-        F.lit(consumer_id).alias("consumer_id"),
-        F.lit("CLAIMED").alias("state"),
-        F.current_timestamp().alias("ts"),
+        "left_semi",
+    ).localCheckpoint(eager=True)
+
+
+def _winning_claims(
+    spark, ledger_path: str, queue_name: str, visibility_timeout_s: int
+) -> DataFrame:
+    """One row per actively-claimed message: the earliest live claim
+    wins (ts, consumer_id total order)."""
+    ledger = _read_ledger(spark, ledger_path, queue_name)
+    live = ledger.filter(
+        (F.col("state") == "CLAIMED")
+        & (
+            F.col("ts")
+            > F.current_timestamp()
+            - F.make_dt_interval(secs=F.lit(visibility_timeout_s))
+        )
     )
-    claims.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
-    return batch
+    w = Window.partitionBy("message_id").orderBy(
+        F.col("ts").asc(), F.col("consumer_id").asc()
+    )
+    return (
+        live.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("message_id", "consumer_id")
+    )
 
 
 def ack_messages(
@@ -205,9 +246,12 @@ def ack_messages(
     message_ids: list[str],
     consumer_id: str,
 ) -> None:
-    """Ack: DONE ledger rows make the messages permanently consumed."""
+    """Ack: DONE ledger rows make the messages permanently consumed.
+    Appends serialize under the ledger lock (shared parquet-committer
+    staging dir; see claim_batch)."""
     rows = [(queue_name, m, consumer_id, "DONE") for m in message_ids]
     df = spark.createDataFrame(
         rows, "queue_name string, message_id string, consumer_id string, state string"
     ).withColumn("ts", F.current_timestamp())
-    df.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
+    with LedgerLock(ledger_path):
+        df.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
