@@ -232,10 +232,48 @@ def test_outbox_drain_retries_and_marks_sent(spark, tmp_path):
         return True
 
     stats = drain_outbox(spark, path, flaky_transport, backoff_s=0.001)
-    assert stats == {"sent": 1, "failed": 0}
+    assert stats == {"sent": 1, "failed": 0, "pending": 0}
     assert len(calls) == 2  # one retry
-    statuses = [r.status for r in spark.read.parquet(path).collect()]
-    assert statuses == ["SENT"]
+    rows = spark.read.parquet(path).collect()
+    assert [r.status for r in rows] == ["SENT"]
+    assert rows[0].attempts == 2  # attempt accounting persisted
+
+
+def test_outbox_attempts_accumulate_to_terminal_failed(spark, tmp_path):
+    """A permanently-failing endpoint reaches terminal FAILED in a
+    bounded number of drains (reference notification/tasks.py:29-103:
+    retries with backoff, then give up — no infinite re-delivery)."""
+    results = spark.createDataFrame([("a",)], "file string")
+    rows = enqueue_notifications(results, "https://hooks.example/dead", "exec-2")
+    path = str(tmp_path / "outbox2")
+    append_outbox(rows, path)
+    calls = []
+
+    def dead_transport(url, payload):
+        calls.append(url)
+        raise ConnectionError("refused")
+
+    # drain 1: 3 calls used, row stays PENDING with attempts=3
+    stats = drain_outbox(
+        spark, path, dead_transport, max_retries=3, backoff_s=0.001, max_attempts=5
+    )
+    assert stats == {"sent": 0, "failed": 0, "pending": 1}
+    row = spark.read.parquet(path).collect()[0]
+    assert (row.status, row.attempts) == ("PENDING", 3)
+    # drain 2: only 2 more calls allowed before the lifetime cap -> FAILED
+    stats = drain_outbox(
+        spark, path, dead_transport, max_retries=3, backoff_s=0.001, max_attempts=5
+    )
+    assert stats == {"sent": 0, "failed": 1, "pending": 0}
+    row = spark.read.parquet(path).collect()[0]
+    assert (row.status, row.attempts) == ("FAILED", 5)
+    assert len(calls) == 5  # lifetime cap respected, not 6
+    # drain 3: terminal FAILED is never re-delivered
+    stats = drain_outbox(
+        spark, path, dead_transport, max_retries=3, backoff_s=0.001, max_attempts=5
+    )
+    assert stats == {"sent": 0, "failed": 0, "pending": 0}
+    assert len(calls) == 5
 
 
 # ---------- cloud source config ----------

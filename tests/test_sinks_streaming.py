@@ -348,6 +348,48 @@ def test_stateful_progress_dedups_retried_terminal_events(spark, tmp_path):
     assert (r.completed, r.error, r.done) == (2, 1, True)
 
 
+def test_stateful_state_is_compact_prefixes():
+    """State contract: the per-file set members are 8-byte longs, not
+    64-hex strings (~16 bytes/file total state instead of ~128), and
+    the prefix map is deterministic and collision-free at test scale."""
+    from unstract_spark.streaming.stateful import STATE_SCHEMA, _hash_prefix
+
+    assert "array<long>" in STATE_SCHEMA
+    assert "array<string>" not in STATE_SCHEMA
+    prefixes = {_hash_prefix(f"h{i}") for i in range(10_000)}
+    assert len(prefixes) == 10_000  # no collisions across 10k files
+    assert _hash_prefix("h1") == _hash_prefix("h1")  # stable across calls
+    assert all(-(2**63) <= p < 2**63 for p in prefixes)  # fits long
+
+
+def test_sweep_stale_state_flags_silent_executions(spark, tmp_path):
+    """Eager age-out (ADVICE r3): the batch sweep over emitted rollups
+    flags executions that went permanently silent — the escape hatch
+    for NoTimeout keys that never receive another event."""
+    from unstract_spark.streaming.stateful import run_progress_drain, sweep_stale_state
+
+    src, ckpt = tmp_path / "events", str(tmp_path / "ck")
+    out: list = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    schema = "execution_id string, file_hash string, status string, total_files long"
+    spark.createDataFrame(
+        [("e1", "h1", "SUCCESS", 3), ("e2", "h9", "SUCCESS", 1)], schema
+    ).write.mode("append").parquet(str(src))
+    run_progress_drain(spark, str(src), ckpt, sink)
+    rollups = spark.createDataFrame(out)
+    emitted = {r.execution_id: r for r in out}
+    assert emitted["e2"].done  # e2 finished; e1 (1/3) did not
+    # clock pinned 2h later: only the unfinished, silent e1 is flagged
+    now = emitted["e1"].updated_at_ms + 7200 * 1000
+    stale = sweep_stale_state(rollups, timeout_s=3600, now_ms=now).collect()
+    assert [(r.execution_id, r.timed_out) for r in stale] == [("e1", True)]
+    # nothing is stale within the window
+    assert sweep_stale_state(rollups, timeout_s=7201, now_ms=now).count() == 0
+
+
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 RRF_K = 60  # reciprocal-rank-fusion constant (reference fusion.py uses llama-index default)
 
 
-def _bounded_rank(
+def bounded_rank(
     df: DataFrame, order: list[Column], k: int, rank_name: str = "rank"
 ) -> DataFrame:
     """Global top-k that scales: TakeOrdered, then rank the survivors.
@@ -40,6 +40,9 @@ def _bounded_rank(
     """
     top = df.orderBy(*order).limit(k).coalesce(1).sortWithinPartitions(*order)
     return top.withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
+
+
+_bounded_rank = bounded_rank  # back-compat alias (pre-export name)
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -99,7 +102,7 @@ def topk_by_query_vector(
     )
     if min_score is not None:
         scored = scored.filter(F.col("score") > min_score)
-    return _bounded_rank(scored, [F.col("score").desc(), F.col(id_col).asc()], k)
+    return bounded_rank(scored, [F.col("score").desc(), F.col(id_col).asc()], k)
 
 
 def topk_join(
@@ -149,7 +152,7 @@ def rrf_fuse(
     fused = unioned.groupBy(id_col).agg(
         F.round(F.sum(1.0 / (F.lit(RRF_K) + F.col(rank_col))), 6).alias("rrf_score")
     )
-    return _bounded_rank(
+    return bounded_rank(
         fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], k, "fused_rank"
     )
 
@@ -177,7 +180,7 @@ def keyword_table_retrieve(
         .groupBy(id_col)
         .agg(F.count_distinct("word").alias("kw_hits"))
     )
-    return _bounded_rank(hits, [F.col("kw_hits").desc(), F.col(id_col).asc()], k)
+    return bounded_rank(hits, [F.col("kw_hits").desc(), F.col(id_col).asc()], k)
 
 
 def automerging_retrieve(

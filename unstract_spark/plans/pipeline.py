@@ -185,11 +185,16 @@ def api_results(
     request), so a misrouted bulk pipeline can't OOM the driver."""
     import json as _json
 
-    n = results.count() + (skipped.count() if skipped is not None else 0)
+    # ONE action per input: limit(cap+1) bounds what can ever reach the
+    # driver, and len() of the collected rows replaces the separate
+    # count() pass (two Spark jobs over the same lineage otherwise)
+    rows = results.limit(max_files + 1).collect()
+    skipped_rows = skipped.limit(max_files + 1).collect() if skipped is not None else []
+    n = len(rows) + len(skipped_rows)
     if n > max_files:
         raise ValueError(
             f"api_results is a per-request sink capped at {max_files} files "
-            f"(got {n}); bulk output belongs in the filesystem/JDBC sinks"
+            f"(got >={n}); bulk output belongs in the filesystem/JDBC sinks"
         )
     payload_cols = [
         c
@@ -204,17 +209,16 @@ def api_results(
             "metadata": {"file_execution_id": r["file_hash"]},
             "error": r["error_message"],
         }
-        for r in results.collect()
+        for r in rows
     ]
-    if skipped is not None:
-        out += [
-            {
-                "file": r["file_path"].rsplit("/", 1)[-1],
-                "status": "COMPLETED",
-                "result": _json.loads(r["result"]) if r["result"] else None,
-                "metadata": {"cache_hit": True},
-                "error": None,
-            }
-            for r in skipped.collect()
-        ]
+    out += [
+        {
+            "file": r["file_path"].rsplit("/", 1)[-1],
+            "status": "COMPLETED",
+            "result": _json.loads(r["result"]) if r["result"] else None,
+            "metadata": {"cache_hit": True},
+            "error": None,
+        }
+        for r in skipped_rows
+    ]
     return out

@@ -530,12 +530,12 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.when(F.col("prev_ts").isNull(), 0)
-        # cast handles TIMESTAMP_NTZ parquet columns (unix_micros only
-        # accepts TIMESTAMP; the session-tz shift cancels in the diff)
+        # direct interval comparison: exact-microsecond, works for both
+        # TIMESTAMP and TIMESTAMP_NTZ, and independent of the session
+        # timezone (an epoch-diff via cast would shift by the DST delta
+        # for gaps straddling a transition under a non-fixed-offset tz)
         .when(
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("prev_ts").cast("timestamp"))
-            > 1_800_000_000,
+            F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES"),
             1,
         )
         .otherwise(0)
@@ -1246,7 +1246,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = ranked.groupBy("vec_id").agg(
         F.round(F.sum(1.0 / (F.lit(retrieval.RRF_K) + F.col("rank"))), 6).alias("rrf_score")
     )
-    return retrieval._bounded_rank(
+    return retrieval.bounded_rank(
         fused, [F.col("rrf_score").desc(), F.col("vec_id").asc()], 10, "fused_rank"
     )
 
@@ -1949,6 +1949,197 @@ def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# =====================================================================
+# R4 recursive + R5 router retrieval under the oracle gate (the last
+# two pytest-only retrievers). Embeddings are the expression mock
+# (unit-normalized doubles) so cosine ranking is SQL-reproducible;
+# scoring goes through retrieval.topk_join, whose cosine is the
+# zip_with/aggregate fold — the SQL mirrors its exact double chain:
+# left-chained dot over normalized comps / (sqrt(idx_n2) * sqrt(q_n2)).
+# =====================================================================
+
+_DOCEMB_CTES = """
+    draw AS (SELECT doc_id, {doc_raw} FROM documents),
+    demb AS (SELECT doc_id, {e_cols}
+             FROM (SELECT *, {nrm} AS nrm FROM draw)),
+    qraw AS (SELECT query_id, {q_raw} FROM tagged WHERE strategy = 'vector'),
+    qemb AS (SELECT query_id, {q_cols}
+             FROM (SELECT *, {nrm} AS nrm FROM qraw))
+""".format(
+    doc_raw=", ".join(
+        f"((('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT - 127.5) / 127.5) AS r{i}"
+        for i in range(8)
+    ),
+    q_raw=", ".join(
+        f"((('0x' || substr(sha256(query_text), {2 * i + 1}, 2))::INT - 127.5) / 127.5) AS r{i}"
+        for i in range(8)
+    ),
+    nrm="sqrt(" + " + ".join(f"(r{i} * r{i})" for i in range(8)) + ")",
+    e_cols=", ".join(f"r{i} / nrm AS e{i}" for i in range(8)),
+    q_cols=", ".join(f"r{i} / nrm AS q{i}" for i in range(8)),
+)
+
+_COS8 = "round(({dot}) / (sqrt({en2}) * sqrt({qn2})), 6)".format(
+    dot=" + ".join(f"(e.e{i} * q.q{i})" for i in range(8)),
+    en2=" + ".join(f"(e.e{i} * e.e{i})" for i in range(8)),
+    qn2=" + ".join(f"(q.q{i} * q.q{i})" for i in range(8)),
+)
+
+
+@register(
+    "r5_router",
+    f"""
+    WITH q(query_id, query_text) AS (
+        SELECT * FROM (VALUES (1, 'spark merge'),
+                              (2, 'which customer invoices mention vector tables'),
+                              (3, 'vector')) v(query_id, query_text)
+    ),
+    tagged AS (
+        SELECT query_id, query_text,
+               CASE WHEN len(regexp_split_to_array(coalesce(query_text, ''), '\\s+')) <= 2
+                    THEN 'keyword' ELSE 'vector' END AS strategy
+        FROM q
+    ),
+    {_DOCEMB_CTES},
+    vscored AS (
+        SELECT q.query_id, e.doc_id AS vec_id, {_COS8} AS score
+        FROM qemb q CROSS JOIN demb e
+    ),
+    vpart AS (
+        SELECT query_id, vec_id, rank, 'vector' AS strategy FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC) AS rank
+            FROM vscored
+        ) WHERE rank <= 5
+    ),
+    words AS (
+        SELECT doc_id AS vec_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ),
+    kwq AS (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(query_text), '\\s+')) AS word
+        FROM tagged WHERE strategy = 'keyword'
+    ),
+    khits AS (
+        SELECT query_id, vec_id, count(*) AS kw_hits
+        FROM kwq JOIN words USING (word) GROUP BY 1, 2
+    ),
+    kpart AS (
+        SELECT query_id, vec_id, rank, 'keyword' AS strategy FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY kw_hits DESC, vec_id ASC) AS rank
+            FROM khits
+        ) WHERE rank <= 5
+    )
+    SELECT * FROM vpart UNION ALL SELECT * FROM kpart
+    """,
+)
+def r5_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 router: per-query strategy dispatch (retrievers/router.py:
+    14-173) — short queries (<=2 tokens) route to keyword retrieval,
+    the rest to vector top-k; one unioned plan with a strategy tag."""
+    from unstract_spark.mock import mock_embed_expr
+
+    d = _t(spark, sf_dir, "documents")
+    index = d.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*mock_embed_expr(F.col("text"))).alias("embedding"),
+    )
+    docs = d.select(F.col("doc_id").alias("vec_id"), "text")
+    qdf = spark.createDataFrame(
+        [
+            (1, "spark merge"),
+            (2, "which customer invoices mention vector tables"),
+            (3, "vector"),
+        ],
+        "query_id int, query_text string",
+    ).withColumn("query_vec", F.array(*mock_embed_expr(F.col("query_text"))))
+    return retrieval.router_retrieve(
+        qdf, index, docs=docs, keyword_threshold=2, k=5
+    )
+
+
+@register(
+    "r4_recursive",
+    f"""
+    WITH q(query_id, query_text) AS (
+        SELECT * FROM (VALUES (1, 'spark window'),
+                              (2, 'customer table')) v(query_id, query_text)
+    ),
+    tagged AS (SELECT query_id, query_text, 'vector' AS strategy FROM q),
+    {_DOCEMB_CTES},
+    scored AS (
+        SELECT q.query_id, e.doc_id AS vec_id, {_COS8} AS score
+        FROM qemb q CROSS JOIN demb e
+    ),
+    seeds AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    links AS (
+        SELECT doc_id AS src_id, doc_id // 2 AS dst_id FROM documents WHERE doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id > 0
+    ),
+    hop1 AS (
+        SELECT DISTINCT s.query_id, l.dst_id AS vec_id
+        FROM seeds s JOIN links l ON l.src_id = s.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM seeds s2
+                          WHERE s2.query_id = s.query_id AND s2.vec_id = l.dst_id)
+    ),
+    seen1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM hop1),
+    hop2 AS (
+        SELECT DISTINCT h.query_id, l.dst_id AS vec_id
+        FROM hop1 h JOIN links l ON l.src_id = h.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM seen1 s
+                          WHERE s.query_id = h.query_id AND s.vec_id = l.dst_id)
+    )
+    SELECT query_id, vec_id FROM seen1
+    UNION ALL
+    SELECT query_id, vec_id FROM hop2
+    """,
+)
+def r4_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 recursive: seed top-k retrieval, then follow reference links
+    for 2 bounded hops (retrievers/recursive.py) — each hop one
+    distributed join + anti-join against the seen set. The link graph
+    is deterministic (doc_id -> doc_id//2 and doc_id-1) so the oracle
+    unrolls the same two hops."""
+    from unstract_spark.mock import mock_embed_expr
+
+    d = _t(spark, sf_dir, "documents")
+    index = d.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*mock_embed_expr(F.col("text"))).alias("embedding"),
+    )
+    qdf = spark.createDataFrame(
+        [(1, "spark window"), (2, "customer table")],
+        "query_id int, query_text string",
+    ).withColumn("query_vec", F.array(*mock_embed_expr(F.col("query_text"))))
+    links = (
+        d.filter(F.col("doc_id") > 0)
+        .select(
+            F.col("doc_id").alias("src_id"),
+            F.floor(F.col("doc_id") / 2).cast("long").alias("dst_id"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") > 0).select(
+                F.col("doc_id").alias("src_id"),
+                (F.col("doc_id") - 1).alias("dst_id"),
+            )
+        )
+    )
+    return retrieval.recursive_retrieve(qdf, index, links, hops=2, k=5)
 
 
 # =====================================================================

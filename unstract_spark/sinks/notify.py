@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from unstract_spark.sinks.ledger_lock import LedgerLock
+
 OUTBOX_SCHEMA = (
     "notification_id string, execution_id string, url string, payload string,"
     " status string, attempts int, created_at timestamp"
@@ -49,7 +51,8 @@ def enqueue_notifications(
 
 
 def append_outbox(rows: DataFrame, path: str) -> None:
-    rows.write.mode("append").parquet(path)
+    with LedgerLock(path):
+        rows.write.mode("append").parquet(path)
 
 
 def drain_outbox(
@@ -58,50 +61,80 @@ def drain_outbox(
     transport: Callable[[str, str], bool],
     max_retries: int = 5,
     backoff_s: float = 0.05,
+    max_attempts: int = 15,
 ) -> dict[str, int]:
-    """Driver-side delivery loop: POST pending rows, mark SENT/FAILED.
+    """Driver-side delivery loop: POST pending rows, mark
+    SENT / PENDING / FAILED with persistent attempt accounting.
 
     The outbox is small (one row per execution), so collecting it to
     the driver is correct — delivery is inherently serial per endpoint
-    and needs retry state. Returns counters.
+    and needs retry state.
+
+    Every transport call counts as one attempt and the count PERSISTS
+    across drains (reference: workers/notification/tasks.py:29-103 —
+    Celery task retries with max_retries then gives up). A drain gives
+    each pending row up to `max_retries` calls with exponential
+    backoff; rows still failing stay PENDING with their incremented
+    `attempts`, and once lifetime attempts reach `max_attempts` the row
+    flips to terminal FAILED — it is never re-delivered. Returns
+    {"sent", "failed", "pending"} counters for this drain.
     """
     pending = (
         spark.read.schema(OUTBOX_SCHEMA).parquet(path).filter(F.col("status") == "PENDING")
     ).collect()
-    sent = failed = 0
-    done_ids = []
+    sent = failed = still_pending = 0
+    updates: dict[str, tuple[str, int]] = {}  # id -> (status, attempts)
     for row in pending:
+        attempts = row.attempts or 0
         ok = False
-        for attempt in range(max_retries):
+        calls = 0
+        while calls < max_retries and attempts + calls < max_attempts:
             try:
-                if transport(row.url, row.payload):
-                    ok = True
-                    break
+                ok = bool(transport(row.url, row.payload))
             except Exception:  # noqa: BLE001 — transport errors retry
-                pass
-            time.sleep(backoff_s * (3**attempt))
+                ok = False
+            calls += 1
+            if ok:
+                break
+            time.sleep(backoff_s * (3 ** (calls - 1)))
+        new_attempts = attempts + calls
         if ok:
+            status = "SENT"
             sent += 1
-            done_ids.append(row.notification_id)
-        else:
+        elif new_attempts >= max_attempts:
+            status = "FAILED"  # terminal: no re-delivery on later drains
             failed += 1
-    if done_ids:
-        remaining = (
-            spark.read.schema(OUTBOX_SCHEMA).parquet(path)
-            .withColumn(
-                "status",
-                F.when(F.col("notification_id").isin(done_ids), "SENT").otherwise(
-                    F.col("status")
-                ),
-            )
+        else:
+            status = "PENDING"
+            still_pending += 1
+        updates[row.notification_id] = (status, new_attempts)
+    if updates:
+        rows = [(k, v[0], v[1]) for k, v in updates.items()]
+        upd = spark.createDataFrame(
+            rows, "notification_id string, _new_status string, _new_attempts int"
         )
-        staging = f"{path}.staging-{int(time.time() * 1000)}"
-        remaining.write.mode("overwrite").parquet(staging)
-        import os
-        import shutil
+        with LedgerLock(path):
+            rewritten = (
+                spark.read.schema(OUTBOX_SCHEMA)
+                .parquet(path)
+                .join(F.broadcast(upd), "notification_id", "left")
+                .select(
+                    "notification_id",
+                    "execution_id",
+                    "url",
+                    "payload",
+                    F.coalesce("_new_status", "status").alias("status"),
+                    F.coalesce("_new_attempts", "attempts").alias("attempts"),
+                    "created_at",
+                )
+            )
+            staging = f"{path}.staging-{int(time.time() * 1000)}"
+            rewritten.write.mode("overwrite").parquet(staging)
+            import os
+            import shutil
 
-        old = f"{path}.old-{int(time.time() * 1000)}"
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
-    return {"sent": sent, "failed": failed}
+            old = f"{path}.old-{int(time.time() * 1000)}"
+            os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old, ignore_errors=True)
+    return {"sent": sent, "failed": failed, "pending": still_pending}

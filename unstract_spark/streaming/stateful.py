@@ -8,10 +8,18 @@ expressible with built-in windowed aggregation because completion is a
 time window. `applyInPandasWithState` is Spark's escape hatch for
 exactly this: per-key state in the checkpoint, Arrow-batched updates.
 
-State per execution_id: terminal-status bookkeeping keyed by file_hash
-(a retried/duplicated terminal event for the same file never
-double-counts — first terminal status wins), the max non-null
-total_files seen, and a last-update timestamp.
+State per execution_id: terminal-status bookkeeping keyed by an 8-byte
+hash prefix of file_hash (a retried/duplicated terminal event for the
+same file never double-counts — first terminal status wins), the max
+non-null total_files seen, and a last-update timestamp. The prefix
+arrays are `array<long>` — 8 bytes per file instead of a 64-hex string
+(old design), so a 1M-file execution holds ~16 MB of state, not
+~128 MB, and nothing is re-sorted per batch. The state bound is still
+O(files per execution); executions beyond that scale should pre-dedup
+terminal events upstream with
+`dropDuplicatesWithinWatermark("execution_id", "file_hash")` and run
+counter-only state. Prefix collisions (birthday bound ~n^2/2^65) are
+negligible at any realistic per-execution file count.
 
 Liveness: the operator registers NO processing-time timeout.
 `Trigger.AvailableNow` + `ProcessingTimeTimeout` is a liveness trap —
@@ -19,31 +27,40 @@ the query busy-loops empty micro-batches waiting for live timeouts to
 fire instead of stopping after the drain. Abandoned executions are
 instead aged out lazily: state carries `last_update_ms`, and when a key
 next receives data after more than `timeout_s` of silence, the stale
-accumulation is flushed as a `timed_out=True` row and counting restarts.
-Keys that never receive data again hold a bounded handful of longs and
-two hash arrays in the checkpoint — cheap — and `sweep_stale_state`
-below exposes the same age-out as a batch pass over emitted rollups for
-operators that need eager reaping.
+accumulation is flushed as a `timed_out=True` row and counting
+restarts. Keys that never receive data again hold a bounded handful of
+longs and two prefix arrays in the checkpoint, and `sweep_stale_state`
+below exposes the same age-out as a batch pass over emitted rollups
+(each carries `updated_at_ms`) for operators that need eager reaping.
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
     "execution_id string, files_seen long, completed long, error long,"
-    " total_files long, done boolean, timed_out boolean"
+    " total_files long, done boolean, timed_out boolean, updated_at_ms long"
 )
 STATE_SCHEMA = (
     "completed long, error long, total_files long, last_update_ms long,"
-    " seen_hashes array<string>, terminal_hashes array<string>"
+    " seen_prefixes array<long>, terminal_prefixes array<long>"
 )
 
 _TERMINAL = ("SUCCESS", "ERROR")
+
+
+def _hash_prefix(value) -> int:
+    """Signed 8-byte prefix of sha256(file_hash) — the compact set
+    member the state arrays store."""
+    return struct.unpack(">q", hashlib.sha256(str(value).encode()).digest()[:8])[0]
 
 
 def execution_progress_stream(
@@ -65,8 +82,8 @@ def execution_progress_stream(
     ) -> Iterator[pd.DataFrame]:
         (execution_id,) = key
         comp = err = tot = 0
-        seen: set = set()
-        term: set = set()
+        seen: set[int] = set()
+        term: set[int] = set()
         now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
             comp, err, tot, last_ms, seen_list, term_list = state.get
@@ -82,6 +99,7 @@ def execution_progress_stream(
                             "total_files": tot,
                             "done": False,
                             "timed_out": True,
+                            "updated_at_ms": now_ms,
                         }
                     ]
                 )
@@ -89,14 +107,17 @@ def execution_progress_stream(
             else:
                 seen, term = set(seen_list), set(term_list)
         for pdf in pdfs:
-            seen.update(pdf["file_hash"].dropna())
+            hashes = pdf["file_hash"].dropna()
+            seen.update(hashes.map(_hash_prefix))
             fresh = pdf[
                 pdf["status"].isin(_TERMINAL) & pdf["file_hash"].notna()
-            ].drop_duplicates("file_hash", keep="first")
-            fresh = fresh[~fresh["file_hash"].isin(term)]
+            ].copy()
+            fresh["_hp"] = fresh["file_hash"].map(_hash_prefix)
+            fresh = fresh.drop_duplicates("_hp", keep="first")
+            fresh = fresh[~fresh["_hp"].isin(term)]
             comp += int((fresh["status"] == "SUCCESS").sum())
             err += int((fresh["status"] == "ERROR").sum())
-            term.update(fresh["file_hash"])
+            term.update(fresh["_hp"])
             tf = pdf["total_files"].dropna()
             if len(tf):
                 tot = max(tot, int(tf.max()))
@@ -104,9 +125,9 @@ def execution_progress_stream(
         if done:
             state.remove()  # finished executions hold no state
         else:
-            state.update(
-                (comp, err, tot, now_ms, sorted(seen), sorted(term))
-            )
+            # plain list round-trip: set-membership semantics don't need
+            # an order, and sorting per batch was O(n log n) every fire
+            state.update((comp, err, tot, now_ms, list(seen), list(term)))
         yield pd.DataFrame(
             [
                 {
@@ -117,6 +138,7 @@ def execution_progress_stream(
                     "total_files": tot,
                     "done": done,
                     "timed_out": False,
+                    "updated_at_ms": now_ms,
                 }
             ]
         )
@@ -128,6 +150,32 @@ def execution_progress_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sweep_stale_state(
+    rollups: DataFrame, timeout_s: int = 3600, now_ms: int | None = None
+) -> DataFrame:
+    """Eager age-out as a batch pass over EMITTED rollups.
+
+    The lazy in-stream age-out only fires when a key receives new data;
+    executions that go permanently silent are surfaced here instead:
+    take each execution's latest rollup (max updated_at_ms), keep the
+    ones that are not done and have been silent for more than
+    `timeout_s`, and return them flagged `timed_out=True` — callers
+    append these to the same sink their foreachBatch writes, and can
+    then drop the checkpoint key's history at rest. `now_ms` pins the
+    clock for deterministic tests (defaults to the wall clock).
+    """
+    now = F.lit(now_ms) if now_ms is not None else F.unix_millis(F.current_timestamp())
+    w = Window.partitionBy("execution_id").orderBy(F.col("updated_at_ms").desc())
+    latest = (
+        rollups.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.filter(
+        (~F.col("done")) & (now - F.col("updated_at_ms") > timeout_s * 1000)
+    ).withColumn("timed_out", F.lit(True))
 
 
 def run_progress_drain(
