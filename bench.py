@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_RUNS = 3  # timed repeats per query; the reported value is the median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -98,25 +101,31 @@ def main() -> None:
     # must use the measured input.)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Median-of-N: single runs at the sub-second scale bounce inside
+    # VM/host noise (r2->r3 showed +-70% swings on unchanged plans);
+    # the median of 3 in-session repeats is the stable per-query signal.
     qs = Q.queries()
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()  # warm: codegen + JIT + page cache
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        dt = statistics.median(samples)
         timings[name] = round(dt, 3)
         total += dt
 
     # end-to-end document pipeline (BASELINE.md: files/min, mock LLM):
     # 200 synthetic docs through catalog -> dedup -> extract -> 3-field
     # typed extraction -> usage -> history merge. Same steady-state
-    # policy as the queries (warm run, then timed); caches from the
-    # query suite are dropped first so the measurement is isolated.
+    # policy as the queries (warm run, then timed medians); caches from
+    # the query suite are dropped first so the measurement is isolated.
     spark.catalog.clearCache()
     _pipeline_e2e(spark, n_docs=200)  # warm
-    dt = _pipeline_e2e(spark, n_docs=200)
+    dt = statistics.median(_pipeline_e2e(spark, n_docs=200) for _ in range(N_RUNS))
     timings["pipeline_e2e_200docs"] = round(dt, 3)
     total += dt
 
@@ -127,6 +136,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": N_RUNS,
+                "aggregation": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
