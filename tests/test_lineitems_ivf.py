@@ -125,3 +125,74 @@ def test_repair_json_preserves_valid_documents(doc):
     got = repair_json(s)
     if isinstance(doc, (dict, list)):
         assert got is not None and json.loads(got) == doc
+
+
+# -- similarity_top_k strategy planner -----------------------------------
+
+
+def test_choose_strategy_small_is_exact():
+    from unstract_spark.operators.similarity import choose_topk_strategy
+
+    plan = choose_topk_strategy(index_rows=10_000, n_queries=5, dim=64)
+    assert plan.strategy == "brute_force"
+    assert plan.est_mults == 10_000 * 5 * 64
+
+
+def test_choose_strategy_large_goes_approximate():
+    from unstract_spark.operators.similarity import choose_topk_strategy
+
+    plan = choose_topk_strategy(index_rows=1_000_000_000, n_queries=10_000, dim=64)
+    assert plan.strategy in ("lsh", "ivf")
+    # quadratic exact cost must dwarf the chosen plan's estimate
+    assert plan.est_mults < 1_000_000_000 * 10_000 * 64 / 100
+
+
+def test_choose_strategy_is_cost_ordered():
+    """The selector picks the cheaper approximate plan, and auto-sizing
+    scales with index size (more planes / centroids for bigger N)."""
+    from unstract_spark.operators.similarity import (
+        _ivf_auto_params,
+        _lsh_auto_params,
+        choose_topk_strategy,
+    )
+
+    assert _lsh_auto_params(10**6)["n_planes"] < _lsh_auto_params(10**9)["n_planes"]
+    assert (
+        _ivf_auto_params(10**6)["n_centroids"] < _ivf_auto_params(10**9)["n_centroids"]
+    )
+    p = choose_topk_strategy(index_rows=50_000_000, n_queries=1000, dim=64)
+    assert p.strategy in ("lsh", "ivf")
+    # deterministic: same stats -> same plan
+    assert p == choose_topk_strategy(index_rows=50_000_000, n_queries=1000, dim=64)
+
+
+def test_similarity_topk_dispatch_matches_exact(spark, sf_dir):
+    """Dispatcher under the exact budget returns bit-identical rows to
+    brute_force_topk, and reports the plan it ran."""
+    from unstract_spark.operators.similarity import brute_force_topk, similarity_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    index = emb.selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    queries = index.limit(3).selectExpr("vec_id as query_id", "embedding as query_vec")
+    got, plan = similarity_topk(queries, index, dim=64, k=5)
+    assert plan.strategy == "brute_force"
+    want = brute_force_topk(queries, index, k=5, dim=64)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_similarity_topk_dispatch_forced_approximate(spark, sf_dir):
+    """With a tiny exact budget the dispatcher runs the sized
+    approximate plan and still returns the contract shape."""
+    from unstract_spark.operators.similarity import similarity_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    index = emb.selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    queries = index.limit(2).selectExpr("vec_id as query_id", "embedding as query_vec")
+    got, plan = similarity_topk(queries, index, dim=64, k=5, exact_budget=10)
+    assert plan.strategy in ("lsh", "ivf")
+    rows = got.collect()
+    assert {r.query_id for r in rows} <= {r.query_id for r in queries.collect()}
+    assert all(r.rank <= 5 for r in rows)
+    # a query's own vector is its nearest neighbour — recall sanity
+    self_hits = [r for r in rows if r.query_id == r.vec_id]
+    assert all(r.rank == 1 and abs(r.score - 1.0) < 1e-6 for r in self_hits)

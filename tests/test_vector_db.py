@@ -110,3 +110,102 @@ def test_jdbc_vector_store_rejects_unsafe_doc_id(spark, tmp_path, chunk_rows):
         store.query_topk("doc'; DELETE FROM vidx--", [0.1] * 64).collect()
     with pytest.raises(ValueError, match="unsafe doc_id"):
         store.delete_docs(["ok_id", "bad id with spaces"])
+
+
+# -- Qdrant-shaped REST backend ------------------------------------------
+
+
+def _rest_store(spark, tmp_path, **kw):
+    from unstract_spark.sinks.vector_db import (
+        RestVectorStore,
+        make_fake_qdrant_transport,
+    )
+
+    transport = make_fake_qdrant_transport(str(tmp_path / "qdrant_state"))
+    store = RestVectorStore(
+        spark,
+        "http://vectors.local:6333",
+        transport=transport,
+        prefix="t",
+        dim=64,
+        **kw,
+    )
+    return store
+
+
+def test_rest_collection_naming():
+    from unstract_spark.sinks.vector_db import collection_name
+
+    assert collection_name("mydb", 384) == "mydb_384"
+    assert collection_name(None, 64) == "unstract_vector_db_64"
+
+
+def test_rest_vector_store_upsert_probe_and_roundtrip(spark, tmp_path, chunk_rows):
+    store = _rest_store(spark, tmp_path)
+    assert store.collection == "t_64"
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0  # probe-before-write idempotency
+    back = store.read_chunks()
+    assert back.count() == 7
+    row = back.filter(
+        (F.col("doc_id") == "docA") & (F.col("chunk_no") == 2)
+    ).collect()[0]
+    orig = chunk_rows.filter(
+        (F.col("doc_id") == "docA") & (F.col("chunk_no") == 2)
+    ).collect()[0]
+    assert row.chunk_text == orig.chunk_text
+    assert [round(x, 5) for x in row.embedding] == [
+        round(x, 5) for x in orig.embedding
+    ]
+    assert {r.doc_id for r in store.existing_doc_ids().collect()} == {"docA", "docB"}
+
+
+def test_rest_vector_store_reindex_replaces(spark, tmp_path, chunk_rows):
+    store = _rest_store(spark, tmp_path)
+    store.upsert(chunk_rows)
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {
+        r.doc_id: r.n
+        for r in store.read_chunks()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"docA": 2, "docB": 3}
+
+
+def test_three_backends_agree_on_topk(spark, tmp_path, chunk_rows):
+    """Contract test across ALL VectorStoreBackend implementations:
+    in-engine parquet, pgvector-shaped JDBC, qdrant-shaped REST."""
+    from unstract_spark.mock import mock_embed_texts
+
+    stores = [
+        _derby_store(spark, tmp_path),
+        VectorIndexStore(spark, str(tmp_path / "idx")),
+        _rest_store(spark, tmp_path),
+    ]
+    qv = mock_embed_texts(["chunk text 2 about spark engines"])[0].tolist()
+    results = []
+    for store in stores:
+        store.upsert(chunk_rows)
+        results.append(
+            [tuple(r) for r in store.query_topk("docA", qv, k=3).collect()]
+        )
+    assert results[0] == results[1] == results[2]
+    assert results[0][0][1] == 2
+
+
+def test_rest_search_request_shape(spark, tmp_path):
+    store = _rest_store(spark, tmp_path)
+    path, body = store.search_topk_request("a" * 64, [0.5, -1.0], k=3)
+    assert path == "collections/t_64/points/search"
+    assert body["limit"] == 3
+    assert body["filter"]["must"][0] == {
+        "key": "doc_id",
+        "match": {"value": "a" * 64},
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsafe doc_id"):
+        store.search_topk_request("bad id", [0.1])

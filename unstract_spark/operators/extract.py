@@ -144,6 +144,140 @@ def fake_ocr_transport(url: str, payload: dict, headers: dict) -> dict:
     }
 
 
+def make_whisperer_adapter(
+    base_url: str,
+    api_key: str,
+    mode: str = "form",
+    output_mode: str = "layout_preserving",
+    page_separator: str = "<<<",
+    enable_highlight: bool = False,
+    transport=None,
+    poll_interval_s: float = 0.0,
+    max_polls: int = 60,
+) -> Adapter:
+    """T1 — LLMWhisperer-shaped remote extractor (the reference's
+    flagship x2text adapter).
+
+    Protocol parity (reference sdk1/adapters/x2text/llm_whisperer_v2/src/
+    helper.py:83-165, constants.py:26-33,95-116): POST the document bytes
+    to `<url>/api/v2/whisper` with mode/output_mode/line-splitter query
+    params and the `unstract-key` auth header. A synchronous answer
+    (status_code 200) carries the extraction inline; an async accept
+    returns a `whisper_hash` which is polled at `whisper-status` until
+    `processed`/`delivered`, then fetched from `whisper-retrieve`. With
+    `enable_highlight`, line metadata comes from the `highlights`
+    endpoint keyed by the same hash (helper.py:287-315).
+
+    Spark-first: the returned adapter is a plain `bytes -> (text,
+    pages)` function, so whisperered documents flow through the same
+    extract_text mapInPandas with per-row error isolation as local
+    parsers; polling happens inside the executor task with a hard
+    `max_polls` bound (no unbounded waits inside a Spark task — the
+    reference's 900 s WAIT_TIMEOUT becomes poll_interval*max_polls).
+    Page count = page_separator occurrences + 1 (the service marks page
+    breaks with the separator in result_text).
+    """
+    import time
+
+    from unstract_spark.providers import http_json_transport
+
+    transport = transport or http_json_transport
+    headers = {"unstract-key": api_key}
+    svc = f"{base_url.rstrip('/')}/api/v2"
+    params = {
+        "mode": mode,
+        "output_mode": output_mode,
+        "page_seperator": page_separator,  # sic — reference spelling
+        "add_line_nos": enable_highlight,
+        "include_line_confidence": enable_highlight,
+        "wait_for_completion": False,
+    }
+
+    def adapter(content: bytes) -> tuple[str, int]:
+        if not content:
+            raise ValueError("empty document payload")
+        import base64
+
+        submit = transport(
+            f"{svc}/whisper",
+            {**params, "content_b64": base64.b64encode(content).decode()},
+            headers,
+        )
+        if submit.get("status_code", 202) == 200 and "extraction" in submit:
+            body = submit["extraction"]
+        else:
+            whisper_hash = submit.get("whisper_hash")
+            if not whisper_hash:
+                raise ValueError(f"whisper rejected: {submit.get('message', submit)}")
+            for _ in range(max_polls):
+                st = transport(
+                    f"{svc}/whisper-status",
+                    {"whisper_hash": whisper_hash},
+                    headers,
+                )
+                status = st.get("status")
+                if status in ("processed", "delivered"):
+                    break
+                if status not in ("processing", "unknown"):
+                    raise ValueError(f"whisper failed: {status}")
+                if poll_interval_s:
+                    time.sleep(poll_interval_s)
+            else:
+                raise TimeoutError(
+                    f"whisper not processed after {max_polls} polls"
+                )
+            body = transport(
+                f"{svc}/whisper-retrieve",
+                {"whisper_hash": whisper_hash},
+                headers,
+            )
+        text = body.get("result_text") or ""
+        if not text:
+            raise ValueError("whisper returned no result_text")
+        return text, text.count(page_separator) + 1
+
+    return adapter
+
+
+def make_fake_whisperer_transport(polls_until_processed: int = 2):
+    """In-container whisperer service stand-in: deterministic text from
+    the document bytes, async accept + N status polls before
+    `processed` (exercises the full submit/poll/retrieve path without a
+    network). Returns (transport, state) — state records call counts so
+    tests can assert the polling discipline."""
+    import base64
+    import hashlib
+
+    state = {"submits": 0, "polls": 0, "retrieves": 0, "docs": {}}
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/whisper"):
+            state["submits"] += 1
+            content = base64.b64decode(payload["content_b64"])
+            wh = hashlib.sha256(content).hexdigest()[:16]
+            sep = payload.get("page_seperator", "<<<")
+            n_pages = max(1, len(content) // 512)
+            text = sep.join(
+                f"whisper:{wh}:page{i + 1}" for i in range(n_pages)
+            )
+            state["docs"][wh] = {"polls_left": polls_until_processed, "text": text}
+            return {"status_code": 202, "whisper_hash": wh, "status": "processing"}
+        if url.endswith("/whisper-status"):
+            state["polls"] += 1
+            doc = state["docs"][payload["whisper_hash"]]
+            if doc["polls_left"] > 0:
+                doc["polls_left"] -= 1
+                return {"status": "processing"}
+            return {"status": "processed"}
+        if url.endswith("/whisper-retrieve"):
+            state["retrieves"] += 1
+            doc = state["docs"][payload["whisper_hash"]]
+            return {"result_text": doc["text"]}
+        raise ValueError(f"unexpected whisperer endpoint: {url}")
+
+    return transport, state
+
+
 DEFAULT_ADAPTERS: dict[str, Adapter] = {
     "text/plain": extract_plain,
     "text/csv": extract_csv,

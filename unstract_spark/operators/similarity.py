@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from dataclasses import dataclass as _dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -209,3 +210,107 @@ def lsh_topk_join(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- strategy selection (the engine-layer "similarity_top_k" planner) ----
+
+
+@_dataclass(frozen=True)
+class TopkPlan:
+    """Chosen physical strategy for a similarity_top_k, with sized
+    parameters and the cost estimate that won."""
+
+    strategy: str  # brute_force | lsh | ivf
+    params: dict
+    est_mults: float  # estimated multiply-accumulates (the cost unit)
+
+
+def _lsh_auto_params(index_rows: int, target_bucket: int = 1024) -> dict:
+    """Size n_planes so the average bucket holds ~target_bucket vectors
+    (each plane halves expected occupancy); more tables buy recall at
+    linear cost."""
+    import math
+
+    n_planes = min(16, max(4, math.ceil(math.log2(max(index_rows, 2) / target_bucket))))
+    return {"n_planes": n_planes, "n_tables": 4}
+
+
+def _ivf_auto_params(index_rows: int, target_cell: int = 4096) -> dict:
+    """Size n_centroids so the average cell holds ~target_cell vectors;
+    probing 3 cells keeps recall while touching 3/n_centroids of the
+    index."""
+    import math
+
+    n_centroids = min(4096, max(16, math.ceil(index_rows / target_cell)))
+    return {"n_centroids": n_centroids, "n_probe": 3}
+
+
+def choose_topk_strategy(
+    index_rows: int,
+    n_queries: int,
+    dim: int,
+    k: int = 10,
+    exact_budget: float = 5e7,
+) -> TopkPlan:
+    """Pick the cheapest strategy by estimated multiply-accumulates —
+    the engine-layer planning piece SURVEY §4 calls out (the reference
+    has no optimizer; adapter choice is user config — sdk1/index.py:65-131
+    always runs whatever store was configured). Deterministic in its
+    inputs, so plans are stable across runs.
+
+    Cost model (mults, the dominant term for array<float> cosine):
+    - brute force: Q·N·dim scoring.
+    - LSH: keygen (N+Q)·tables·planes·dim + re-rank of expected
+      candidates Q·tables·N/2^planes·dim.
+    - IVF: keygen (N+Q)·centroids·dim + re-rank Q·probe·(N/centroids)·dim.
+
+    Exactness wins ties: brute force is chosen whenever its cost fits
+    `exact_budget` (it is the oracle — approximate paths only pay off
+    once the quadratic term dominates).
+    """
+    n, q = max(index_rows, 1), max(n_queries, 1)
+    brute = float(n) * q * dim
+    if brute <= exact_budget:
+        return TopkPlan("brute_force", {}, brute)
+
+    lp = _lsh_auto_params(n)
+    lsh_cand = 4.0 * n / (2 ** lp["n_planes"])  # per query, summed tables
+    lsh = (n + q) * lp["n_tables"] * lp["n_planes"] * dim + q * lsh_cand * dim
+
+    ip = _ivf_auto_params(n)
+    ivf_cand = ip["n_probe"] * n / ip["n_centroids"]
+    ivf = (n + q) * ip["n_centroids"] * dim + q * ivf_cand * dim
+
+    if lsh <= ivf:
+        return TopkPlan("lsh", lp, lsh)
+    return TopkPlan("ivf", ip, ivf)
+
+
+def similarity_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    index_rows: int | None = None,
+    n_queries: int | None = None,
+    exact_budget: float = 5e7,
+    **col_names,
+) -> tuple[DataFrame, TopkPlan]:
+    """similarity_top_k with automatic physical-strategy selection.
+
+    Row counts come from the caller when known (a catalog/stats lookup
+    at scale); otherwise one count() job each — cheap metadata scans
+    next to the quadratic work they avert. Returns (result, plan) so
+    callers can log/assert what ran; all three strategies emit the same
+    (query_id, vec_id, score, rank) shape with identical tie-breaks.
+    """
+    n = index_rows if index_rows is not None else index.count()
+    q = n_queries if n_queries is not None else queries.count()
+    plan = choose_topk_strategy(n, q, dim, k, exact_budget)
+    if plan.strategy == "brute_force":
+        out = brute_force_topk(queries, index, k=k, dim=dim, **col_names)
+    elif plan.strategy == "lsh":
+        out = lsh_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    else:
+        out = ivf_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    return out, plan

@@ -299,3 +299,276 @@ class JdbcVectorStore(VectorStoreBackend):
             f"WHERE {self._q('doc_id')} = '{_safe_doc_id(doc_id)}'"
         )
         return self._parse(self._read_sql(sql))
+
+
+def collection_name(prefix: str | None, dim: int) -> str:
+    """Collection/table naming parity: `<prefix>_<embedding_dim>`,
+    defaulting the prefix to `unstract_vector_db`
+    (reference adapters/vectordb/helper.py:61-101 get_collection_name —
+    one collection per (user prefix, embedding dimension) so indexes
+    built with different embedding models never mix)."""
+    return f"{prefix or 'unstract_vector_db'}_{int(dim)}"
+
+
+class RestVectorStore(VectorStoreBackend):
+    """Qdrant-shaped external vector store over a JSON/REST transport.
+
+    Reference adapters/vectordb/{qdrant,pinecone,weaviate,milvus}/ all
+    wrap point-store services with the same access pattern: ensure a
+    collection sized to the embedding dimension, upsert points
+    `{id, vector, payload}` in batches, and run doc_id-filtered top-k
+    similarity queries (query semantics sdk1/index.py:65-131). This
+    backend speaks that protocol in the Qdrant REST shape:
+
+    - `PUT  collections/<name>`                    — ensure collection
+    - `PUT  collections/<name>/points`             — batched upsert
+    - `POST collections/<name>/points/scroll`      — filtered read-back
+    - `POST collections/<name>/points/delete`      — reindex delete
+    - `POST collections/<name>/points/search`      — server-side top-k
+
+    Scale shape: upserts run inside `mapInPandas`, one HTTP batch per
+    Arrow batch per partition — N executors post concurrently and
+    nothing funnels through the driver. Reads are doc-scoped by
+    contract (one document's chunks, the reference's only query shape),
+    so the scroll result is bounded by a single document regardless of
+    index size; the unbounded-scan paths (`read_chunks`,
+    `existing_doc_ids`) page through scroll and exist for tests and
+    small indexes — the 100 TB index lives in the in-engine store, with
+    external stores fed doc-by-doc exactly like the reference feeds
+    pgvector/Qdrant.
+
+    Ranking runs engine-side through the shared `query_topk` so results
+    are bit-identical across backends; `search_topk_request` emits the
+    pushed-down server-side query for live deployments.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_url: str,
+        transport=None,
+        collection: str | None = None,
+        prefix: str | None = None,
+        dim: int = 64,
+        api_key: str | None = None,
+        batch_size: int = 256,
+        ensure: bool = True,
+    ):
+        from unstract_spark.providers import http_json_transport
+
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.transport = transport or http_json_transport
+        self.dim = dim
+        self.collection = collection or collection_name(prefix, dim)
+        self.headers = {"api-key": api_key} if api_key else {}
+        self.batch_size = batch_size
+        if ensure:
+            self._call(
+                f"collections/{self.collection}",
+                {"vectors": {"size": dim, "distance": "Cosine"}},
+            )
+
+    def _call(self, path: str, payload: dict) -> dict:
+        return self.transport(f"{self.base_url}/{path}", payload, self.headers)
+
+    @staticmethod
+    def _point_id(doc_id: str, chunk_no: int) -> str:
+        # deterministic point id — re-upserting the same chunk overwrites
+        # rather than duplicates (idempotency, index.py:223-375)
+        return f"{doc_id}:{int(chunk_no)}"
+
+    def _scroll(self, flt: dict | None) -> list[dict]:
+        points, offset = [], None
+        while True:
+            body = self._call(
+                f"collections/{self.collection}/points/scroll",
+                {
+                    "filter": flt,
+                    "with_payload": True,
+                    "with_vector": True,
+                    "limit": 1024,
+                    "offset": offset,
+                },
+            )
+            result = body.get("result") or {}
+            points.extend(result.get("points") or [])
+            offset = result.get("next_page_offset")
+            if offset is None:
+                return points
+
+    @staticmethod
+    def _doc_filter(doc_id: str) -> dict:
+        return {
+            "must": [{"key": "doc_id", "match": {"value": _safe_doc_id(doc_id)}}]
+        }
+
+    def _to_df(self, points: list[dict]) -> DataFrame:
+        from unstract_spark.schemas import CHUNKS
+
+        rows = [
+            (
+                p["payload"]["doc_id"],
+                p["payload"]["file_hash"],
+                int(p["payload"]["chunk_no"]),
+                p["payload"]["chunk_text"],
+                [float(x) for x in p["vector"]],
+            )
+            for p in points
+        ]
+        return self.spark.createDataFrame(rows, schema=CHUNKS)
+
+    # -- VectorStoreBackend ----------------------------------------------
+
+    def read_chunks(self) -> DataFrame:
+        return self._to_df(self._scroll(None))
+
+    def existing_doc_ids(self) -> DataFrame:
+        seen = sorted(
+            {p["payload"]["doc_id"] for p in self._scroll(None)}
+        )
+        return self.spark.createDataFrame(
+            [(d,) for d in seen], schema="doc_id string"
+        )
+
+    def delete_docs(self, doc_ids: list[str]) -> None:
+        for doc_id in doc_ids:
+            self._call(
+                f"collections/{self.collection}/points/delete",
+                {"filter": self._doc_filter(doc_id)},
+            )
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        import pandas as pd
+
+        incoming = chunks.select(*CHUNK_COLS)
+        if reindex:
+            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
+            self.delete_docs(ids)
+        else:
+            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+
+        url, headers, transport = self.base_url, self.headers, self.transport
+        coll, batch_size, point_id = self.collection, self.batch_size, self._point_id
+
+        def post_batches(batches):
+            for pdf in batches:
+                for i in range(0, len(pdf), batch_size):
+                    part = pdf.iloc[i : i + batch_size]
+                    points = [
+                        {
+                            "id": point_id(r.doc_id, r.chunk_no),
+                            "vector": [float(x) for x in r.embedding],
+                            "payload": {
+                                "doc_id": r.doc_id,
+                                "file_hash": r.file_hash,
+                                "chunk_no": int(r.chunk_no),
+                                "chunk_text": r.chunk_text,
+                            },
+                        }
+                        for r in part.itertuples()
+                    ]
+                    transport(
+                        f"{url}/collections/{coll}/points",
+                        {"points": points},
+                        headers,
+                    )
+                    yield pd.DataFrame({"n": [len(points)]})
+
+        written = incoming.mapInPandas(post_batches, schema="n long")
+        total = written.agg(F.sum("n").alias("n")).collect()[0]["n"]
+        return int(total or 0)
+
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        return self._to_df(self._scroll(self._doc_filter(doc_id)))
+
+    def search_topk_request(
+        self, doc_id: str, query_vec: list[float], k: int = 5
+    ) -> tuple[str, dict]:
+        """The fully-pushed-down server-side top-k (runs ON the vector
+        service — Qdrant ranks by cosine and applies the payload filter
+        remotely). Emitted for live deployments; the engine-side
+        `query_topk` computes the identical ranking from scrolled
+        chunks."""
+        return (
+            f"collections/{self.collection}/points/search",
+            {
+                "vector": [float(x) for x in query_vec],
+                "filter": self._doc_filter(doc_id),
+                "limit": int(k),
+                "with_payload": True,
+            },
+        )
+
+
+def make_fake_qdrant_transport(state_dir: str):
+    """File-backed Qdrant REST stand-in. Point batches land as one
+    atomically-renamed JSON file each, so concurrent posts from many
+    Spark *worker processes* compose without locks — which is exactly
+    what lets the distributed mapInPandas upsert be exercised for real
+    in tests (an in-memory dict would silently vanish across the
+    executor process boundary). Scroll/delete/search read the merged
+    state; last-write-wins per point id mirrors Qdrant upsert
+    semantics."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merged() -> dict[str, dict]:
+        points: dict[str, dict] = {}
+        for name in sorted(os.listdir(state_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(state_dir, name)) as fh:
+                batch = json.load(fh)
+            for p in batch:
+                points[str(p["id"])] = p
+        return points
+
+    def _rewrite(points: dict[str, dict]) -> None:
+        for name in os.listdir(state_dir):
+            if name.endswith(".json"):
+                os.remove(os.path.join(state_dir, name))
+        _write_batch(list(points.values()))
+
+    def _write_batch(points: list[dict]) -> None:
+        tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(points, fh)
+        os.replace(tmp, os.path.join(state_dir, f"batch-{uuid.uuid4().hex}.json"))
+
+    def _matches(p: dict, flt: dict | None) -> bool:
+        for cond in (flt or {}).get("must", []):
+            if p["payload"].get(cond["key"]) != cond["match"]["value"]:
+                return False
+        return True
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/points"):
+            _write_batch(payload["points"])
+            return {"result": {"status": "acknowledged"}}
+        if url.endswith("/points/scroll"):
+            flt = payload.get("filter")
+            hits = sorted(
+                (p for p in _merged().values() if _matches(p, flt)),
+                key=lambda p: str(p["id"]),
+            )
+            start = int(payload.get("offset") or 0)
+            limit = int(payload.get("limit") or 1024)
+            page = hits[start : start + limit]
+            nxt = start + limit if start + limit < len(hits) else None
+            return {"result": {"points": page, "next_page_offset": nxt}}
+        if url.endswith("/points/delete"):
+            flt = payload.get("filter")
+            kept = {
+                pid: p for pid, p in _merged().items() if not _matches(p, flt)
+            }
+            _rewrite(kept)
+            return {"result": {"status": "acknowledged"}}
+        if url.rstrip("/").endswith(("/collections", "collections")) or "/collections/" in url:
+            return {"result": True}  # ensure-collection is a no-op here
+        raise ValueError(f"unexpected qdrant endpoint: {url}")
+
+    return transport
