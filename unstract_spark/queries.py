@@ -2269,4 +2269,54 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_samples", "sample_rate", "amp_mean", "amp_std")
 
 
+@register(
+    "li_continuation",
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id < 200
+    ),
+    n AS (
+        SELECT doc_id, f,
+               (('0x' || substr(md5(f), 1, 2))::INT % 10) + 1 AS n_items
+        FROM fp
+    )
+    SELECT n.doc_id,
+           CAST(u.i AS INT) AS line_no,
+           substr(md5(f || ':' || CAST(u.i AS VARCHAR)), 1, 8) AS sku,
+           n_items
+    FROM n, unnest(range(0, n_items)) AS u(i)
+    """,
+)
+def li_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-item continuation loop under the hash gate: the Spark side
+    runs the REAL bounded driver loop (mock provider pages 4 items per
+    call, docs carry md5-derived 1..10 items, so multi-round
+    continuation is exercised), then explodes the stitched arrays; the
+    oracle computes the complete per-doc item set directly. Identical
+    rows prove the loop stitches pages without loss or duplication
+    (reference line-item semantics: prompt_studio models.py:26-33,
+    legacy_executor.py:2076-2162)."""
+    from unstract_spark.operators import lineitems
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.md5("text").alias("fingerprint"))
+    )
+    out = lineitems.extract_line_items(docs, id_col="doc_id")
+    items = out.select(
+        "doc_id",
+        "n_items",
+        F.explode(
+            F.from_json("line_items", "array<struct<line_no:int,sku:string>>")
+        ).alias("it"),
+    )
+    return items.select(
+        "doc_id",
+        F.col("it.line_no").alias("line_no"),
+        F.col("it.sku").alias("sku"),
+        "n_items",
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
