@@ -1,0 +1,113 @@
+"""Cron scheduler (§3.2 parity): cron math, Vixie dom/dow OR-rule,
+catch-up-one firing, per-pipeline failure isolation, and a scheduled
+AvailableNow drain over a real file stream.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from unstract_spark.streaming.scheduler import Cron, Scheduler
+
+
+def test_cron_parse_and_match():
+    c = Cron.parse("*/15 9-17 * * 1-5")
+    assert c.matches(datetime(2026, 8, 12, 9, 0))  # Wed 09:00
+    assert c.matches(datetime(2026, 8, 12, 16, 45))
+    assert not c.matches(datetime(2026, 8, 12, 9, 7))  # off-step minute
+    assert not c.matches(datetime(2026, 8, 12, 18, 0))  # after hours
+    assert not c.matches(datetime(2026, 8, 15, 9, 0))  # Saturday
+
+
+def test_cron_sunday_aliases():
+    for expr in ("0 0 * * 0", "0 0 * * 7"):
+        assert Cron.parse(expr).matches(datetime(2026, 8, 16, 0, 0))  # Sunday
+
+
+def test_cron_vixie_or_rule():
+    # dom AND dow both restricted -> fire if EITHER matches
+    c = Cron.parse("0 0 13 * 5")  # 13th OR Friday
+    assert c.matches(datetime(2026, 8, 13, 0, 0))  # Thu the 13th (dom)
+    assert c.matches(datetime(2026, 8, 14, 0, 0))  # Friday (dow)
+    assert not c.matches(datetime(2026, 8, 15, 0, 0))  # Sat the 15th
+    # only dow restricted -> plain AND semantics
+    c2 = Cron.parse("0 0 * * 5")
+    assert not c2.matches(datetime(2026, 8, 13, 0, 0))
+
+
+def test_cron_next_fire():
+    c = Cron.parse("30 2 * * *")
+    assert c.next_fire(datetime(2026, 8, 13, 2, 30)) == datetime(2026, 8, 14, 2, 30)
+    assert c.next_fire(datetime(2026, 8, 13, 1, 0)) == datetime(2026, 8, 13, 2, 30)
+
+
+def test_cron_rejects_bad_exprs():
+    for bad in ("* * * *", "61 * * * *", "*/0 * * * *", "0 0 31 2 *"):
+        with pytest.raises(ValueError):
+            cron = Cron.parse(bad)
+            cron.next_fire(datetime(2026, 1, 1))
+
+
+def test_scheduler_catch_up_one_and_isolation():
+    fired: list[str] = []
+
+    def ok():
+        fired.append("ok")
+
+    def boom():
+        raise RuntimeError("connector down")
+
+    s = Scheduler()
+    s.add("p-ok", "*/5 * * * *", ok)
+    s.add("p-bad", "*/5 * * * *", boom)
+    with pytest.raises(ValueError, match="already scheduled"):
+        s.add("p-ok", "* * * * *", ok)
+
+    # an hour of missed slots collapses into ONE fire each
+    now = datetime(2026, 8, 13, 12, 0)
+    assert sorted(s.run_due(now)) == ["p-bad", "p-ok"]
+    assert fired == ["ok"]
+    assert s.schedules["p-ok"].status == "SUCCESS"
+    bad = s.schedules["p-bad"]
+    assert bad.status == "FAILURE" and "connector down" in bad.last_error
+    assert bad.failures == 1
+
+    # nothing due 2 minutes later; due again at the next slot
+    assert s.run_due(datetime(2026, 8, 13, 12, 2)) == []
+    assert sorted(s.run_due(datetime(2026, 8, 13, 12, 5))) == ["p-bad", "p-ok"]
+    assert fired == ["ok", "ok"]
+
+
+def test_scheduled_incremental_drain(spark, tmp_path):
+    """Two cron fires over a growing source dir: each fire is one
+    AvailableNow drain that sees only new files (checkpoint ledger)."""
+    from unstract_spark.streaming.incremental import incremental_dedup_pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    seen: list[list[str]] = []
+
+    def fire():
+        batch_rows: list[str] = []
+
+        def sink(df, _epoch):
+            batch_rows.extend(r.path.rsplit("/", 1)[-1] for r in df.collect())
+
+        incremental_dedup_pipeline(
+            spark, str(src), str(tmp_path / "ckpt"), sink
+        )
+        seen.append(sorted(batch_rows))
+
+    s = Scheduler()
+    s.add("etl-1", "*/10 * * * *", fire)
+
+    (src / "a.txt").write_text("alpha")
+    s.run_due(datetime(2026, 8, 13, 10, 0))
+    (src / "b.txt").write_text("beta")
+    (src / "a_copy.txt").write_text("alpha")  # duplicate content
+    s.run_due(datetime(2026, 8, 13, 10, 10))
+
+    assert seen[0] == ["a.txt"]
+    assert seen[1] == ["b.txt"]  # a_copy dropped by content dedup, a.txt by ledger
+    assert s.schedules["etl-1"].fires == 2
+    assert s.schedules["etl-1"].status == "SUCCESS"

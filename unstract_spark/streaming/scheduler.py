@@ -1,0 +1,176 @@
+"""Cron scheduling parity — UNIX cron strings firing AvailableNow runs.
+
+Reference: a pipeline carries a "UNIX cron string"
+(backend/pipeline_v2/models.py:88-89); the scheduler registers it
+(backend/scheduler/helper.py:28-49) and each fire runs
+`execute_pipeline_task_v2` (backend/scheduler/tasks.py:214-281), which
+flips the pipeline INPROGRESS and executes the workflow with file
+history on (the incremental-discovery semantics).
+
+Spark-first: a fire IS one `Trigger.AvailableNow` drain (SURVEY §2.11)
+— the stream checkpoint supplies the only-new-files semantics the
+reference gets from file-history dedup. This module owns the cron math
+and the fire loop; it deliberately contains no daemon: the host calls
+`run_due(now)` from whatever clock it trusts (cron, Airflow, a sleep
+loop), mirroring the reference's external beat scheduler.
+
+Cron subset: the standard 5 fields (minute hour day-of-month month
+day-of-week), with `*`, lists, ranges, and `*/step`; day-of-week 0 and
+7 both mean Sunday. Standard quirk honored: when BOTH dom and dow are
+restricted, the date matches if EITHER does (Vixie cron OR-rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Callable
+
+_FIELD_RANGES = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 7))
+
+
+def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
+    vals: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step <= 0:
+                raise ValueError(f"cron step must be positive: {step}")
+        if part == "*":
+            start, end = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start = end = int(part)
+        if not (lo <= start <= hi and lo <= end <= hi and start <= end):
+            raise ValueError(f"cron field out of range [{lo},{hi}]: {spec!r}")
+        vals.update(range(start, end + 1, step))
+    return frozenset(vals)
+
+
+@dataclass(frozen=True)
+class Cron:
+    """Parsed 5-field cron expression."""
+
+    minute: frozenset[int]
+    hour: frozenset[int]
+    dom: frozenset[int]
+    month: frozenset[int]
+    dow: frozenset[int]
+    dom_restricted: bool
+    dow_restricted: bool
+
+    @classmethod
+    def parse(cls, expr: str) -> "Cron":
+        fields = expr.split()
+        if len(fields) != 5:
+            raise ValueError(f"cron needs 5 fields, got {len(fields)}: {expr!r}")
+        sets = [
+            _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+        ]
+        dow = frozenset(d % 7 for d in sets[4])  # 7 == 0 == Sunday
+        return cls(
+            minute=sets[0],
+            hour=sets[1],
+            dom=sets[2],
+            month=sets[3],
+            dow=dow,
+            dom_restricted=fields[2] != "*",
+            dow_restricted=fields[4] != "*",
+        )
+
+    def matches(self, t: datetime) -> bool:
+        if t.minute not in self.minute or t.hour not in self.hour:
+            return False
+        if t.month not in self.month:
+            return False
+        dom_ok = t.day in self.dom
+        dow_ok = (t.weekday() + 1) % 7 in self.dow  # Monday=0 -> cron Sunday=0
+        if self.dom_restricted and self.dow_restricted:
+            return dom_ok or dow_ok  # Vixie OR-rule
+        return dom_ok and dow_ok
+
+    def next_fire(self, after: datetime) -> datetime:
+        """First matching minute strictly after `after` (minute
+        resolution; bounded scan — a valid cron matches within 4 years
+        even for Feb-29 schedules)."""
+        t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        limit = after + timedelta(days=4 * 366)
+        while t <= limit:
+            if self.matches(t):
+                return t
+            t += timedelta(minutes=1)
+        raise ValueError("cron never fires (e.g. Feb 30)")
+
+
+@dataclass
+class PipelineSchedule:
+    """A scheduled pipeline: id + cron + the fire action (typically a
+    closure over incremental_dedup_pipeline / incremental_file_pipeline
+    with pinned source/checkpoint dirs)."""
+
+    pipeline_id: str
+    cron: Cron
+    fire: Callable[[], None]
+    last_fire: datetime | None = None
+    status: str = "IDLE"  # IDLE | INPROGRESS | SUCCESS | FAILURE
+    last_error: str | None = None
+    fires: int = 0
+    failures: int = 0
+
+
+@dataclass
+class Scheduler:
+    """Driver-side fire loop over registered schedules.
+
+    `run_due(now)` fires every schedule whose cron matched at least
+    once in (last_fire, now] — a host that polls coarser than a minute
+    still fires (catch-up-one semantics: N missed slots collapse into
+    one drain, which is correct because a drain processes ALL files
+    accumulated since the previous drain). Failures are isolated per
+    pipeline and recorded, like the reference's per-task try/except
+    (scheduler/tasks.py:276-281).
+    """
+
+    schedules: dict[str, PipelineSchedule] = field(default_factory=dict)
+
+    def add(
+        self, pipeline_id: str, cron_string: str, fire: Callable[[], None]
+    ) -> PipelineSchedule:
+        if pipeline_id in self.schedules:
+            raise ValueError(f"pipeline {pipeline_id!r} already scheduled")
+        sched = PipelineSchedule(pipeline_id, Cron.parse(cron_string), fire)
+        self.schedules[pipeline_id] = sched
+        return sched
+
+    def remove(self, pipeline_id: str) -> None:
+        self.schedules.pop(pipeline_id, None)
+
+    def due(self, now: datetime) -> list[PipelineSchedule]:
+        out = []
+        for s in self.schedules.values():
+            anchor = s.last_fire or (now - timedelta(minutes=1))
+            if s.cron.next_fire(anchor) <= now:
+                out.append(s)
+        return out
+
+    def run_due(self, now: datetime) -> list[str]:
+        """Fire all due pipelines; returns the ids that fired."""
+        fired = []
+        for s in self.due(now):
+            s.status = "INPROGRESS"
+            s.last_fire = now
+            s.fires += 1
+            try:
+                s.fire()
+                s.status = "SUCCESS"
+                s.last_error = None
+            except Exception as e:  # noqa: BLE001 — per-pipeline isolation
+                s.status = "FAILURE"
+                s.failures += 1
+                s.last_error = str(e)[:500]
+            fired.append(s.pipeline_id)
+        return fired
