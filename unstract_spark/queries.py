@@ -1095,6 +1095,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_auto_topk", _COSINE_TOPK_SQL)
+def sim_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based similarity planner under the hash gate: at this
+    scale the dispatcher must price brute-force under the exact budget
+    and return rows identical to the exact oracle. (At 100 TB the same
+    call with real stats lowers to LSH/IVF — those physical paths are
+    separately gated by sim_lsh_topk / sim_ivf_topk.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out, plan = similarity.similarity_topk(q, e, dim=64, k=10, n_queries=5)
+    assert plan.strategy == "brute_force", plan
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
 def _double_array_sql(vals) -> str:
     """DuckDB literal array of doubles. Plain decimal literals parse as
     DECIMAL (not DOUBLE) in DuckDB and silently change the arithmetic
