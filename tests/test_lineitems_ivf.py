@@ -196,3 +196,71 @@ def test_similarity_topk_dispatch_forced_approximate(spark, sf_dir):
     # a query's own vector is its nearest neighbour — recall sanity
     self_hits = [r for r in rows if r.query_id == r.vec_id]
     assert all(r.rank == 1 and abs(r.score - 1.0) < 1e-6 for r in self_hits)
+
+
+# -- IVF k-means refinement ----------------------------------------------
+
+
+def test_kmeans_refine_deterministic_and_normalized(spark, sf_dir):
+    import numpy as np
+
+    from unstract_spark.operators.similarity import kmeans_refine
+
+    index = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(400)
+        .selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    )
+    c1 = kmeans_refine(index, dim=64, n_centroids=8, iters=2)
+    c2 = kmeans_refine(index, dim=64, n_centroids=8, iters=2)
+    assert np.array_equal(c1, c2)  # same data + seed -> same centroids
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_with_refined_centroids_recall(spark, sf_dir):
+    """Fitted centroids must not hurt recall vs the seeded init (same
+    n_probe budget), and the join still returns the contract shape."""
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_join,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "cast(vec_id as string) as vec_id", "embedding"
+    )
+    queries = emb.limit(5).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, emb, k=10, dim=64).collect()
+    }
+
+    def recall(centroids):
+        got = ivf_topk_join(
+            queries, emb, dim=64, k=10, n_centroids=8, n_probe=2,
+            centroids=centroids,
+        ).collect()
+        return len({(r.query_id, r.vec_id) for r in got} & exact) / len(exact)
+
+    fitted = kmeans_refine(emb, dim=64, n_centroids=8, iters=2)
+    r_seeded = recall(None)
+    r_fitted = recall(fitted)
+    assert r_fitted >= r_seeded
+    assert r_fitted >= 0.5  # fitted cells must capture most true neighbours
+
+
+def test_ivf_rejects_bad_centroid_shape(spark, sf_dir):
+    import numpy as np
+    import pytest as _pytest
+
+    from unstract_spark.operators.similarity import ivf_topk_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "cast(vec_id as string) as vec_id", "embedding"
+    )
+    q = emb.limit(1).selectExpr("vec_id as query_id", "embedding as query_vec")
+    with _pytest.raises(ValueError, match="centroids shape"):
+        ivf_topk_join(q, emb, dim=64, n_centroids=8, centroids=np.zeros((4, 64)))

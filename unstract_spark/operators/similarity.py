@@ -91,6 +91,107 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _cell_scores(cents: np.ndarray, vec_sql: str):
+    """Dot product of the vector column against every centroid, as
+    generated-SQL exprs (same rationale as lsh_bucket_key: literal
+    py4j round trips dominate driver time at n_centroids*dim terms)."""
+    vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    out = []
+    for c in range(len(cents)):
+        arr = ", ".join(_dlit(x) for x in cents[c])
+        out.append(
+            F.expr(
+                f"aggregate(zip_with({vec_d}, array({arr}), (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+            ).alias(f"c_{c}")
+        )
+    return out
+
+
+def _argmax_cells(df: DataFrame, id_c: str, vec_c: str, top_n: int, cents: np.ndarray):
+    """(id, vec, cell) for each row's top_n nearest centroids by dot
+    product, ties broken by cell id so the probe set is deterministic
+    cross-engine (array_sort stability is not guaranteed for
+    comparator ties)."""
+    n_centroids = len(cents)
+    scored = df.select(F.col(id_c), F.col(vec_c), *_cell_scores(cents, vec_c))
+    cells = F.array(
+        *[
+            F.struct(F.col(f"c_{c}").alias("score"), F.lit(c).alias("cell"))
+            for c in range(n_centroids)
+        ]
+    )
+    top = F.slice(
+        F.array_sort(
+            cells,
+            lambda a, b: F.when(a.score > b.score, -1)
+            .when(a.score < b.score, 1)
+            .when(a.cell < b.cell, -1)
+            .when(a.cell > b.cell, 1)
+            .otherwise(0),
+        ),
+        1,
+        top_n,
+    )
+    return scored.select(id_c, vec_c, F.explode(top).alias("t")).select(
+        id_c, vec_c, F.col("t.cell").alias("cell")
+    )
+
+
+def kmeans_refine(
+    index: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means refinement of the IVF centroids (Lloyd
+    iterations over the cluster), deterministic given the seeded init.
+
+    Each iteration: assign every vector to its max-dot-product centroid
+    (the SAME expression ivf_topk_join uses, so fitted centroids plug
+    straight back in), then recompute each centroid as the normalized
+    mean of its members. The update is the standard distributed k-means
+    shape: posexplode the vectors, partial-sum per (cell, position),
+    and only n_centroids*dim sums ever reach the driver — index size
+    never does. Empty cells keep their previous centroid. Centroids are
+    L2-normalized each round so max-dot assignment remains max-cosine
+    assignment regardless of member magnitudes.
+    """
+    cents = _seeded_hyperplanes(dim, n_centroids, table=991)
+    # normalize the seed too — assignment is scale-invariant per
+    # centroid only when all centroids share a norm
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(max(iters, 0)):
+        assigned = _argmax_cells(index, index_id, index_vec, 1, cents)
+        sums = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.col(index_vec).cast("array<double>")
+                ).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids)
+        for r in sums:
+            acc[r.cell][r.pos] = r.s
+            cnt[r.cell] = r.n  # same count repeated per pos
+        for c in range(n_centroids):
+            if cnt[c] > 0:
+                mean = acc[c] / cnt[c]
+                nrm = np.linalg.norm(mean)
+                if nrm > 0:
+                    new[c] = mean / nrm
+        cents = new
+    return cents
+
+
 def ivf_topk_join(
     queries: DataFrame,
     index: DataFrame,
@@ -102,65 +203,32 @@ def ivf_topk_join(
     query_vec: str = "query_vec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN via IVF (inverted-file) partitioning with deterministic
     seeded centroids.
 
     Index vectors are assigned to their nearest centroid (one pass,
-    no iteration — "IVF-flat with random centroids"; a k-means refit
-    would reuse the same assign expression). Queries probe their
-    n_probe nearest centroids; candidates = index rows in probed
-    cells — a bucketed equi-join on cell id, like LSH but with
-    locality from the data's own geometry. Exact cosine re-ranks
-    candidates. Recall tunes with n_probe/n_centroids; cost per query
-    is n_probe cells ~ n_probe/n_centroids of the index.
+    no iteration — "IVF-flat with random centroids"; `kmeans_refine`
+    produces data-fitted centroids to pass via `centroids`, reusing
+    this same assign expression). Queries probe their n_probe nearest
+    centroids; candidates = index rows in probed cells — a bucketed
+    equi-join on cell id, like LSH but with locality from the data's
+    own geometry. Exact cosine re-ranks candidates. Recall tunes with
+    n_probe/n_centroids; cost per query is n_probe cells ~
+    n_probe/n_centroids of the index.
     """
-    cents = _seeded_hyperplanes(dim, n_centroids, table=991)  # reuse seeded gen
-
-    def cell_scores(vec_sql: str):
-        # generated-SQL exprs for the same reason as lsh_bucket_key:
-        # n_centroids*dim literal round trips dominate driver time
-        vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
-        out = []
-        for c in range(n_centroids):
-            arr = ", ".join(_dlit(x) for x in cents[c])
-            out.append(
-                F.expr(
-                    f"aggregate(zip_with({vec_d}, array({arr}), (a, b) -> a * b), "
-                    f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-                ).alias(f"c_{c}")
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape != (n_centroids, dim):
+            raise ValueError(
+                f"centroids shape {cents.shape} != ({n_centroids}, {dim})"
             )
-        return out
+    else:
+        cents = _seeded_hyperplanes(dim, n_centroids, table=991)  # seeded gen
 
-    def argmax_cells(df, id_c, vec_c, top_n):
-        scored = df.select(F.col(id_c), F.col(vec_c), *cell_scores(vec_c))
-        cells = F.array(
-            *[
-                F.struct(F.col(f"c_{c}").alias("score"), F.lit(c).alias("cell"))
-                for c in range(n_centroids)
-            ]
-        )
-        # tie-break equal scores by cell id so the probe set is
-        # deterministic cross-engine (array_sort stability is not
-        # guaranteed for comparator ties)
-        top = F.slice(
-            F.array_sort(
-                cells,
-                lambda a, b: F.when(a.score > b.score, -1)
-                .when(a.score < b.score, 1)
-                .when(a.cell < b.cell, -1)
-                .when(a.cell > b.cell, 1)
-                .otherwise(0),
-            ),
-            1,
-            top_n,
-        )
-        return scored.select(
-            id_c, vec_c, F.explode(top).alias("t")
-        ).select(id_c, vec_c, F.col("t.cell").alias("cell"))
-
-    ib = argmax_cells(index, index_id, index_vec, 1)  # each vector in ONE cell
-    qb = argmax_cells(queries, query_id, query_vec, n_probe)
+    ib = _argmax_cells(index, index_id, index_vec, 1, cents)  # one cell each
+    qb = _argmax_cells(queries, query_id, query_vec, n_probe, cents)
     cands = qb.join(ib, "cell").select(query_id, query_vec, index_id, index_vec)
     scored = cands.select(
         query_id,
