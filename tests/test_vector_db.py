@@ -209,3 +209,15 @@ def test_rest_search_request_shape(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsafe doc_id"):
         store.search_topk_request("bad id", [0.1])
+
+
+def test_backend_registry(spark, tmp_path):
+    from unstract_spark.sinks import vector_db as V
+
+    assert set(V.list_backends()) >= {"jdbc", "rest", "parquet"}
+    store = V.make_vector_store("parquet", spark, path=str(tmp_path / "idx"))
+    assert isinstance(store, V.VectorStoreBackend) or hasattr(store, "query_topk")
+    with pytest.raises(KeyError, match="Available:"):
+        V.make_vector_store("milvusx", spark)
+    with pytest.raises(ValueError, match="already registered"):
+        V.register_backend("rest")(V.RestVectorStore)

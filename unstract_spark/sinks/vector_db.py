@@ -572,3 +572,58 @@ def make_fake_qdrant_transport(state_dir: str):
         raise ValueError(f"unexpected qdrant endpoint: {url}")
 
     return transport
+
+
+# -- backend registry (the adapters/vectordb registration surface) -------
+
+_BACKENDS: dict[str, type] = {}
+
+
+def register_backend(kind: str):
+    """Reference parity: vector-db adapters self-register under an id
+    (adapters/vectordb/register.py; e.g. qdrant's get_id 'qdrant|41f6...').
+    Ours key on a plain kind string."""
+
+    def deco(cls):
+        if kind in _BACKENDS:
+            raise ValueError(f"vector-store backend {kind!r} already registered")
+        _BACKENDS[kind] = cls
+        return cls
+
+    return deco
+
+
+def make_vector_store(kind: str, spark: SparkSession, **config) -> VectorStoreBackend:
+    """Instantiate a vector store by kind.
+
+    Mapping to the reference's six adapters: `postgres`/`supabase` are
+    pgvector-over-JDBC (`jdbc` here — Supabase IS hosted Postgres with
+    pgvector); `qdrant`/`milvus`/`pinecone`/`weaviate` are point-store
+    services (`rest` here speaks the Qdrant REST shape; the other
+    three differ only in path/payload spelling behind the same
+    transport seam); `parquet` is the in-engine 100 TB path with no
+    reference equivalent.
+    """
+    cls = _BACKENDS.get(kind)
+    if cls is None:
+        available = ", ".join(sorted(_BACKENDS)) or "(none)"
+        raise KeyError(f"unknown vector store {kind!r}. Available: {available}")
+    return cls(spark, **config)
+
+
+def list_backends() -> list[str]:
+    return sorted(_BACKENDS)
+
+
+def _parquet_factory(spark: SparkSession, **config):
+    # lazy: operators.index_store imports this module for the
+    # VectorStoreBackend interface, so importing it at module load
+    # would be circular
+    from unstract_spark.operators.index_store import VectorIndexStore
+
+    return VectorIndexStore(spark, **config)
+
+
+register_backend("jdbc")(JdbcVectorStore)
+register_backend("rest")(RestVectorStore)
+register_backend("parquet")(_parquet_factory)
