@@ -466,3 +466,53 @@ def test_run_extraction_isolates_bad_files(spark, tmp_path):
     out2 = run_extraction(spark, job)
     names2 = {r.file_name for r in out2["results"].collect()}
     assert names2 == {"bad.txt"}
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """Two AvailableNow fires maintain the vector index incrementally:
+    new docs are chunked/embedded/upserted, re-uploaded content derives
+    the same doc_id and is probe-skipped, and doc-scoped top-k works
+    across fires."""
+    from unstract_spark.ids import doc_id as doc_id_col
+    from unstract_spark.mock import mock_embed_texts
+    from unstract_spark.operators.index_store import VectorIndexStore
+    from unstract_spark.streaming.incremental import streaming_index_pipeline
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = VectorIndexStore(spark, str(tmp_path / "vidx"))
+
+    (src / "a.txt").write_text("alpha document body " * 40)
+    w1 = streaming_index_pipeline(
+        spark, str(src), str(tmp_path / "ckpt"), store,
+        chunk_size=200, chunk_overlap=0,
+    )
+    n_after_1 = store.read_chunks().count()
+    assert w1 == [n_after_1] and n_after_1 > 1  # multi-chunk doc indexed
+
+    (src / "b.txt").write_text("beta payload text " * 40)
+    (src / "a_again.txt").write_text("alpha document body " * 40)  # same bytes
+    w2 = streaming_index_pipeline(
+        spark, str(src), str(tmp_path / "ckpt"), store,
+        chunk_size=200, chunk_overlap=0,
+    )
+    chunks = store.read_chunks()
+    assert chunks.select("doc_id").distinct().count() == 2  # a_again skipped
+    assert sum(w2) == chunks.count() - n_after_1
+
+    # retrieval across fires: the indexed chunks answer doc-scoped top-k
+    did = (
+        spark.createDataFrame([("x",)], "x string")
+        .select(
+            doc_id_col(
+                F.sha2(F.lit(("beta payload text " * 40).encode("utf-8")), 256),
+                chunk_size=200,
+                chunk_overlap=0,
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    qv = mock_embed_texts(["beta payload text"])[0].tolist()
+    hits = store.query_topk(did, qv, k=3).collect()
+    assert hits and all(h.doc_id == did for h in hits)
+    assert all("beta" in h.chunk_text for h in hits)

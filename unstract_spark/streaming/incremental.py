@@ -153,3 +153,74 @@ def windowed_event_aggregation(
         "n_events",
         "total_value",
     )
+
+
+def streaming_index_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store,
+    chunk_size: int = 512,
+    chunk_overlap: int = 128,
+    embed_factory=None,
+    max_files_per_trigger: int = 100,
+    path_glob: str | None = None,
+) -> list[int]:
+    """Streaming vector-index maintenance: each AvailableNow fire
+    chunks+embeds the NEW documents and upserts them into a
+    VectorStoreBackend.
+
+    The reference indexes per file inside the tool run, keyed by the
+    deterministic doc_id so re-runs skip (sdk1/index.py:223-375,
+    460-516); here the file-stream checkpoint discovers new files and
+    the doc_id probe makes the upsert idempotent — a retried
+    micro-batch re-derives the same doc_ids and writes nothing twice
+    (effective exactly-once without transactional sinks).
+
+    Plan shape per batch: hash -> utf-8 decode -> chunk (JVM
+    expressions) -> Arrow-batched embed -> doc_id derived FROM
+    file_hash as a column expression, so no join is needed to carry
+    identity through the chunk explosion. Returns rows-written per
+    micro-batch (driver-side bookkeeping only).
+    """
+    from unstract_spark.ids import doc_id as doc_id_col
+    from unstract_spark.operators.chunking import chunk_fixed
+    from unstract_spark.operators.index_store import embed_chunks
+
+    written: list[int] = []
+
+    def index_batch(batch: DataFrame, _epoch: int) -> None:
+        docs = batch.select(
+            F.sha2(F.col("content"), 256).alias("file_hash"),
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+        )
+        chunks = chunk_fixed(
+            docs,
+            text_col="text",
+            id_col="file_hash",
+            chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap,
+        )
+        embedded = embed_chunks(chunks, embed_factory=embed_factory)
+        full = embedded.select(
+            doc_id_col(
+                F.col("file_hash"),
+                chunk_size=chunk_size,
+                chunk_overlap=chunk_overlap,
+            ).alias("doc_id"),
+            "file_hash",
+            "chunk_no",
+            "chunk_text",
+            "embedding",
+        )
+        written.append(store.upsert(full))
+
+    incremental_file_pipeline(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        index_batch,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )
+    return written
