@@ -41,6 +41,12 @@ class ExtractionJob:
     prompt_specs: list[dict] = field(default_factory=list)
     glob: str | list[str] = "*.txt"
     max_files: int = 100
+    # extraction adapter registry override (x2text surface): maps MIME
+    # type -> `bytes -> (text, pages)`. None = DEFAULT_ADAPTERS. This is
+    # how remote extractors (make_whisperer_adapter, make_ocr_adapter)
+    # plug into the e2e pipeline — the reference configures its x2text
+    # adapter per tool the same way (sdk1/index.py:133-217).
+    adapters: dict | None = None
 
 
 def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFrame]:
@@ -85,7 +91,9 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
         .alias("extract_error"),
     )
     other_docs = extract_text(
-        fresh.filter(~is_text), passthrough_cols=["file_path", "file_name"]
+        fresh.filter(~is_text),
+        adapters=job.adapters,
+        passthrough_cols=["file_path", "file_name"],
     ).select(
         *base_cols,
         "extracted_text",
