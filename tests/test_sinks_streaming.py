@@ -516,3 +516,79 @@ def test_streaming_index_maintenance(spark, tmp_path):
     hits = store.query_topk(did, qv, k=3).collect()
     assert hits and all(h.doc_id == did for h in hits)
     assert all("beta" in h.chunk_text for h in hits)
+
+
+def test_session_window_batch_semantics(spark):
+    """Gap-based sessions: events within `gap` merge, a larger gap
+    starts a new session; session end = last event + gap."""
+    from datetime import datetime
+
+    from unstract_spark.streaming.incremental import session_window_aggregation
+
+    t0 = datetime(2026, 8, 13, 10, 0, 0)
+    rows = [
+        ("u1", t0, 1.0),
+        ("u1", datetime(2026, 8, 13, 10, 10), 2.0),   # same session (<30m)
+        ("u1", datetime(2026, 8, 13, 11, 30), 4.0),   # new session (80m gap)
+        ("u2", datetime(2026, 8, 13, 10, 5), 8.0),
+    ]
+    events = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = session_window_aggregation(events, gap="30 minutes").collect()
+    by_key = {(r.user_id, r.session_start): r for r in out}
+    assert len(out) == 3
+    s1 = by_key[("u1", t0)]
+    assert s1.n_events == 2 and s1.total_value == 3.0
+    assert s1.session_end == datetime(2026, 8, 13, 10, 40)  # last event + gap
+    s2 = by_key[("u1", datetime(2026, 8, 13, 11, 30))]
+    assert s2.n_events == 1 and s2.total_value == 4.0
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    """On a real stream, sessions emit in append mode once the
+    watermark passes their gap: batch 1 carries the session, batch 2's
+    later event advances the watermark and finalizes it. A late event
+    inside the delay would still merge — state stays open until the
+    watermark proves the gap."""
+    import json as _json
+
+    from unstract_spark.streaming.incremental import session_window_aggregation
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [
+        {"user_id": "u1", "ts": "2026-08-13T10:00:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2026-08-13T10:10:00", "value": 2.0},
+    ])
+    write_file("b2.json", [
+        {"user_id": "u9", "ts": "2026-08-13T18:00:00", "value": 0.5},
+    ])
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    agg = session_window_aggregation(stream, gap="30 minutes", watermark_delay="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, str(r.session_start)): r
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    # u1's session finalized by the watermark jump; u9's is still open
+    assert ("u1", "2026-08-13 10:00:00") in got
+    assert got[("u1", "2026-08-13 10:00:00")].n_events == 2
+    assert not any(k[0] == "u9" for k in got)

@@ -155,6 +155,50 @@ def windowed_event_aggregation(
     )
 
 
+def session_window_aggregation(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based session windows (streaming or batch).
+
+    The batch twin of this semantics is the registry's `w3_sessionize`
+    (lag-diff + running session counter); on a stream Spark's native
+    `session_window` maintains the open-session state per key and the
+    watermark closes sessions whose gap has provably expired — state is
+    bounded by open sessions per key, and late events inside the delay
+    still extend/merge their session (the reference has no streaming,
+    SURVEY §2.11; this is the north-star late-data path). The same
+    expression on a batch frame computes the closed-session result
+    used by the equivalence test.
+    """
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), *group_cols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_index_pipeline(
     spark: SparkSession,
     source_dir: str,
