@@ -2286,6 +2286,47 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window under the hash gate: per-user
+    gap-30min sessions (start, end = last event + gap, counts, decimal-
+    domain value sum) must equal the oracle's lag-diff sessionization.
+    Boundary convention verified: an exactly-gap-sized difference MERGES
+    (new session only when diff > gap), matching the oracle's strict
+    `>`. This is the batch twin of
+    streaming.incremental.session_window_aggregation — same expression,
+    so the streaming operator's semantics are what the gate checks."""
+    from unstract_spark.streaming.incremental import session_window_aggregation
+
+    e = _t(spark, sf_dir, "events")
+    return session_window_aggregation(
+        e, gap="30 minutes", group_cols=("user_id",)
+    )
+
+
+@register(
     "li_continuation",
     """
     WITH fp AS (
