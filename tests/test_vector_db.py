@@ -221,3 +221,68 @@ def test_backend_registry(spark, tmp_path):
         V.make_vector_store("milvusx", spark)
     with pytest.raises(ValueError, match="already registered"):
         V.register_backend("rest")(V.RestVectorStore)
+
+
+# -- Pinecone-shaped backend ---------------------------------------------
+
+
+def _pinecone_store(spark, tmp_path, **kw):
+    from unstract_spark.sinks.vector_db import (
+        PineconeVectorStore,
+        make_fake_pinecone_transport,
+    )
+
+    transport = make_fake_pinecone_transport(str(tmp_path / "pinecone_state"))
+    return PineconeVectorStore(
+        spark, "http://idx-abc.svc.pinecone.local", transport=transport, **kw
+    )
+
+
+def test_pinecone_store_roundtrip_and_reindex(spark, tmp_path, chunk_rows):
+    store = _pinecone_store(spark, tmp_path)
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0  # probe-before-write idempotency
+    assert store.read_chunks().count() == 7
+    assert {r.doc_id for r in store.existing_doc_ids().collect()} == {"docA", "docB"}
+
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {
+        r.doc_id: r.n
+        for r in store.read_chunks()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"docA": 2, "docB": 3}
+
+
+def test_four_backends_agree_on_topk(spark, tmp_path, chunk_rows):
+    """Every VectorStoreBackend — parquet, pgvector-JDBC, qdrant-REST,
+    pinecone-REST — returns identical doc-scoped top-k rows."""
+    from unstract_spark.mock import mock_embed_texts
+
+    stores = [
+        VectorIndexStore(spark, str(tmp_path / "idx")),
+        _derby_store(spark, tmp_path),
+        _rest_store(spark, tmp_path),
+        _pinecone_store(spark, tmp_path),
+    ]
+    qv = mock_embed_texts(["chunk text 2 about spark engines"])[0].tolist()
+    results = []
+    for store in stores:
+        store.upsert(chunk_rows)
+        results.append(
+            [tuple(r) for r in store.query_topk("docA", qv, k=3).collect()]
+        )
+    assert results[0] == results[1] == results[2] == results[3]
+
+
+def test_pinecone_query_request_shape(spark, tmp_path):
+    store = _pinecone_store(spark, tmp_path, namespace="ns1")
+    path, body = store.search_topk_request("a" * 64, [0.5], k=4)
+    assert path == "query"
+    assert body["topK"] == 4 and body["namespace"] == "ns1"
+    assert body["filter"] == {"doc_id": {"$eq": "a" * 64}}
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        store.search_topk_request("bad id", [0.1])

@@ -310,6 +310,47 @@ def collection_name(prefix: str | None, dim: int) -> str:
     return f"{prefix or 'unstract_vector_db'}_{int(dim)}"
 
 
+def _distributed_point_upsert(
+    incoming: DataFrame,
+    batch_size: int,
+    transport,
+    headers: dict,
+    build_request,
+) -> int:
+    """Shared distributed write path for point-store backends: one HTTP
+    batch per `batch_size` rows per Arrow batch per partition — N
+    executors post concurrently, nothing funnels through the driver.
+    `build_request(points) -> (url, payload)` supplies the service's
+    request spelling; points are the generic {id, vector, payload}
+    triple every point store stores."""
+    import pandas as pd
+
+    def post_batches(batches):
+        for pdf in batches:
+            for i in range(0, len(pdf), batch_size):
+                part = pdf.iloc[i : i + batch_size]
+                points = [
+                    {
+                        "id": f"{r.doc_id}:{int(r.chunk_no)}",
+                        "vector": [float(x) for x in r.embedding],
+                        "payload": {
+                            "doc_id": r.doc_id,
+                            "file_hash": r.file_hash,
+                            "chunk_no": int(r.chunk_no),
+                            "chunk_text": r.chunk_text,
+                        },
+                    }
+                    for r in part.itertuples()
+                ]
+                req_url, payload = build_request(points)
+                transport(req_url, payload, headers)
+                yield pd.DataFrame({"n": [len(points)]})
+
+    written = incoming.mapInPandas(post_batches, schema="n long")
+    total = written.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    return int(total or 0)
+
+
 class RestVectorStore(VectorStoreBackend):
     """Qdrant-shaped external vector store over a JSON/REST transport.
 
@@ -372,12 +413,6 @@ class RestVectorStore(VectorStoreBackend):
     def _call(self, path: str, payload: dict) -> dict:
         return self.transport(f"{self.base_url}/{path}", payload, self.headers)
 
-    @staticmethod
-    def _point_id(doc_id: str, chunk_no: int) -> str:
-        # deterministic point id — re-upserting the same chunk overwrites
-        # rather than duplicates (idempotency, index.py:223-375)
-        return f"{doc_id}:{int(chunk_no)}"
-
     def _scroll(self, flt: dict | None) -> list[dict]:
         points, offset = [], None
         while True:
@@ -439,45 +474,20 @@ class RestVectorStore(VectorStoreBackend):
             )
 
     def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
-        import pandas as pd
-
         incoming = chunks.select(*CHUNK_COLS)
         if reindex:
             ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
             self.delete_docs(ids)
         else:
             incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+        url, coll = self.base_url, self.collection
 
-        url, headers, transport = self.base_url, self.headers, self.transport
-        coll, batch_size, point_id = self.collection, self.batch_size, self._point_id
+        def build_request(points: list[dict]) -> tuple[str, dict]:
+            return f"{url}/collections/{coll}/points", {"points": points}
 
-        def post_batches(batches):
-            for pdf in batches:
-                for i in range(0, len(pdf), batch_size):
-                    part = pdf.iloc[i : i + batch_size]
-                    points = [
-                        {
-                            "id": point_id(r.doc_id, r.chunk_no),
-                            "vector": [float(x) for x in r.embedding],
-                            "payload": {
-                                "doc_id": r.doc_id,
-                                "file_hash": r.file_hash,
-                                "chunk_no": int(r.chunk_no),
-                                "chunk_text": r.chunk_text,
-                            },
-                        }
-                        for r in part.itertuples()
-                    ]
-                    transport(
-                        f"{url}/collections/{coll}/points",
-                        {"points": points},
-                        headers,
-                    )
-                    yield pd.DataFrame({"n": [len(points)]})
-
-        written = incoming.mapInPandas(post_batches, schema="n long")
-        total = written.agg(F.sum("n").alias("n")).collect()[0]["n"]
-        return int(total or 0)
+        return _distributed_point_upsert(
+            incoming, self.batch_size, self.transport, self.headers, build_request
+        )
 
     def _chunks_for_doc(self, doc_id: str) -> DataFrame:
         return self._to_df(self._scroll(self._doc_filter(doc_id)))
@@ -499,6 +509,229 @@ class RestVectorStore(VectorStoreBackend):
                 "with_payload": True,
             },
         )
+
+
+class PineconeVectorStore(VectorStoreBackend):
+    """Pinecone-shaped external vector store (third external protocol).
+
+    Reference adapters/vectordb/pinecone wraps the same contract; the
+    public data-plane API differs from Qdrant in spelling, not shape:
+
+    - `POST {host}/vectors/upsert`  {"vectors": [{id, values,
+      metadata}], "namespace"} — batched upsert ({"upsertedCount"}).
+    - `POST {host}/vectors/list`   {"prefix", "paginationToken"} —
+      id listing; our point ids are `<doc_id>:<chunk_no>`, so a
+      `<doc_id>:` prefix IS the doc filter (Pinecone's documented
+      pattern for grouped vectors).
+    - `POST {host}/vectors/fetch`  {"ids": [...]} — bodies for listed
+      ids.
+    - `POST {host}/vectors/delete` {"filter": {"doc_id": {"$eq": ...}}}.
+    - `POST {host}/query` {"vector", "topK", "filter", ...} — the
+      server-side top-k, emitted by `search_topk_request`.
+
+    Index creation is control-plane (api.pinecone.io), out of band —
+    like the reference, which assumes the index exists. The transport
+    seam treats every endpoint as a JSON call; GET-styled endpoints are
+    modeled as POST bodies (the fake and a real adapter shim both
+    accept that). Same distributed upsert and engine-side ranking as
+    every other backend.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str,
+        transport=None,
+        namespace: str = "",
+        api_key: str | None = None,
+        batch_size: int = 256,
+    ):
+        from unstract_spark.providers import http_json_transport
+
+        self.spark = spark
+        self.host = host.rstrip("/")
+        self.transport = transport or http_json_transport
+        self.namespace = namespace
+        self.headers = {"Api-Key": api_key} if api_key else {}
+        self.batch_size = batch_size
+
+    def _call(self, path: str, payload: dict) -> dict:
+        payload = {**payload, "namespace": self.namespace}
+        return self.transport(f"{self.host}/{path}", payload, self.headers)
+
+    def _list_ids(self, prefix: str | None) -> list[str]:
+        ids, token = [], None
+        while True:
+            body = self._call(
+                "vectors/list",
+                {"prefix": prefix, "limit": 100, "paginationToken": token},
+            )
+            ids.extend(v["id"] for v in body.get("vectors") or [])
+            token = (body.get("pagination") or {}).get("next")
+            if not token:
+                return ids
+
+    def _fetch(self, ids: list[str]) -> list[dict]:
+        out: list[dict] = []
+        for i in range(0, len(ids), 100):
+            body = self._call("vectors/fetch", {"ids": ids[i : i + 100]})
+            out.extend((body.get("vectors") or {}).values())
+        return out
+
+    def _to_df(self, vectors: list[dict]) -> DataFrame:
+        from unstract_spark.schemas import CHUNKS
+
+        rows = [
+            (
+                v["metadata"]["doc_id"],
+                v["metadata"]["file_hash"],
+                int(v["metadata"]["chunk_no"]),
+                v["metadata"]["chunk_text"],
+                [float(x) for x in v["values"]],
+            )
+            for v in vectors
+        ]
+        return self.spark.createDataFrame(rows, schema=CHUNKS)
+
+    # -- VectorStoreBackend ----------------------------------------------
+
+    def read_chunks(self) -> DataFrame:
+        return self._to_df(self._fetch(self._list_ids(None)))
+
+    def existing_doc_ids(self) -> DataFrame:
+        seen = sorted({pid.rsplit(":", 1)[0] for pid in self._list_ids(None)})
+        return self.spark.createDataFrame(
+            [(d,) for d in seen], schema="doc_id string"
+        )
+
+    def delete_docs(self, doc_ids: list[str]) -> None:
+        for doc_id in doc_ids:
+            self._call(
+                "vectors/delete",
+                {"filter": {"doc_id": {"$eq": _safe_doc_id(doc_id)}}},
+            )
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        incoming = chunks.select(*CHUNK_COLS)
+        if reindex:
+            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
+            self.delete_docs(ids)
+        else:
+            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+        host, ns = self.host, self.namespace
+
+        def build_request(points: list[dict]) -> tuple[str, dict]:
+            return (
+                f"{host}/vectors/upsert",
+                {
+                    "vectors": [
+                        {
+                            "id": p["id"],
+                            "values": p["vector"],
+                            "metadata": p["payload"],
+                        }
+                        for p in points
+                    ],
+                    "namespace": ns,
+                },
+            )
+
+        return _distributed_point_upsert(
+            incoming, self.batch_size, self.transport, self.headers, build_request
+        )
+
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        did = _safe_doc_id(doc_id)
+        ids = self._list_ids(f"{did}:")
+        # exact-match guard: doc ids may legally contain ':', so the
+        # prefix "a:" would also match doc "a:1"'s points — filter on
+        # the metadata doc_id, which is authoritative
+        vecs = [v for v in self._fetch(ids) if v["metadata"]["doc_id"] == did]
+        return self._to_df(vecs)
+
+    def search_topk_request(
+        self, doc_id: str, query_vec: list[float], k: int = 5
+    ) -> tuple[str, dict]:
+        """Server-side top-k (Pinecone ranks by the index metric and
+        applies the metadata filter remotely)."""
+        return (
+            "query",
+            {
+                "vector": [float(x) for x in query_vec],
+                "topK": int(k),
+                "filter": {"doc_id": {"$eq": _safe_doc_id(doc_id)}},
+                "includeMetadata": True,
+                "namespace": self.namespace,
+            },
+        )
+
+
+def make_fake_pinecone_transport(state_dir: str):
+    """File-backed Pinecone data-plane stand-in (same design as the
+    qdrant fake: atomically-renamed batch files so concurrent executor
+    posts compose; last-write-wins per id)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merged() -> dict[str, dict]:
+        vecs: dict[str, dict] = {}
+        for name in sorted(os.listdir(state_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(state_dir, name)) as fh:
+                    for v in json.load(fh):
+                        vecs[str(v["id"])] = v
+        return vecs
+
+    def _write_batch(vectors: list[dict]) -> None:
+        tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(vectors, fh)
+        os.replace(tmp, os.path.join(state_dir, f"batch-{uuid.uuid4().hex}.json"))
+
+    def _rewrite(vectors: dict[str, dict]) -> None:
+        for name in os.listdir(state_dir):
+            if name.endswith(".json"):
+                os.remove(os.path.join(state_dir, name))
+        _write_batch(list(vectors.values()))
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/vectors/upsert"):
+            _write_batch(payload["vectors"])
+            return {"upsertedCount": len(payload["vectors"])}
+        if url.endswith("/vectors/list"):
+            prefix = payload.get("prefix") or ""
+            hits = sorted(i for i in _merged() if i.startswith(prefix))
+            start = int(payload.get("paginationToken") or 0)
+            limit = int(payload.get("limit") or 100)
+            page = hits[start : start + limit]
+            nxt = start + limit if start + limit < len(hits) else None
+            out = {"vectors": [{"id": i} for i in page]}
+            if nxt is not None:
+                out["pagination"] = {"next": str(nxt)}
+            return out
+        if url.endswith("/vectors/fetch"):
+            merged = _merged()
+            return {
+                "vectors": {
+                    i: merged[i] for i in payload.get("ids") or [] if i in merged
+                }
+            }
+        if url.endswith("/vectors/delete"):
+            flt = payload.get("filter") or {}
+            want = (flt.get("doc_id") or {}).get("$eq")
+            kept = {
+                i: v
+                for i, v in _merged().items()
+                if v["metadata"].get("doc_id") != want
+            }
+            _rewrite(kept)
+            return {}
+        raise ValueError(f"unexpected pinecone endpoint: {url}")
+
+    return transport
 
 
 def make_fake_qdrant_transport(state_dir: str):
@@ -626,4 +859,5 @@ def _parquet_factory(spark: SparkSession, **config):
 
 register_backend("jdbc")(JdbcVectorStore)
 register_backend("rest")(RestVectorStore)
+register_backend("pinecone")(PineconeVectorStore)
 register_backend("parquet")(_parquet_factory)
