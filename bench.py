@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "j1_history_antijoin",
     "w1_topk_per_group",
     "w3_sessionize",
+    "events_session_window",
     "events_tumbling_window",
     "dd_exact_groups",
     "dd_minhash_neardup",

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Plan audit: explain every bench query and flag scale anti-patterns.
+
+Usage: python3 tools/plan_audit.py [sf_dir] [name_filter...]
+
+Checks each physical plan (no execution — explain only) for the
+anti-patterns that have bitten this engine at scale:
+
+- CartesianProduct            unbounded all-pairs join (a broadcast
+                              cross join compiles to
+                              BroadcastNestedLoopJoin, which is fine
+                              for tiny dimension sides and NOT flagged)
+- SortAggregate               hash-agg fell back to sorting the stream
+                              (non-fixed-width aggregate buffers — the
+                              minhash lesson)
+- global Sort                 a `Sort ... global=true` outside
+                              TakeOrderedAndProject: whole-dataset sort
+                              where a bounded top-k was intended
+- Exchange count              informational; every exchange is a
+                              shuffle to justify
+
+Exit code 1 if any query trips a flag, so the audit can gate CI.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def audit_plan(simple: str, formatted: str = "") -> tuple[list[str], dict[str, int]]:
+    """Return (flags, stats): flags grepped from the simple plan,
+    stats from the formatted one (codegen ids only print there)."""
+    flags = []
+    if "CartesianProduct" in simple:
+        flags.append("CartesianProduct (all-pairs join)")
+    if "SortAggregate" in simple:
+        flags.append("SortAggregate (non-fixed-width agg buffer)")
+    # global sorts: simple-mode prints `+- Sort [...], true, 0` — the
+    # boolean is the global flag; TakeOrderedAndProject is the sanctioned
+    # bounded form and prints its own node name
+    for m in re.finditer(r"Sort \[[^\]]*\], (true|false)", simple):
+        if m.group(1) == "true":
+            flags.append("global Sort (full-dataset ordering)")
+            break
+    stats = {
+        "exchanges": simple.count("Exchange"),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", formatted))),
+    }
+    return flags, stats
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from unstract_spark.queries import _REGISTRY
+    from unstract_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    filters = sys.argv[2:]
+
+    import bench
+
+    names = [n for n in bench.BENCH_QUERIES if not filters or any(f in n for f in filters)]
+    spark = get_spark("plan_audit")
+    bad = 0
+    for name in names:
+        fn = _REGISTRY[name][0]
+        try:
+            df = fn(spark, sf_dir)
+            # the same JVM helper df.explain() prints through; simple
+            # mode for the flag greps, formatted for codegen spans
+            qe = df._jdf.queryExecution()
+            simple = spark._jvm.PythonSQLUtils.explainString(qe, "simple")
+            formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        except Exception as e:  # noqa: BLE001 — audit must visit every query
+            print(f"ERR   {name}: {str(e)[:120]}")
+            bad += 1
+            continue
+        flags, stats = audit_plan(simple, formatted)
+        if flags:
+            bad += 1
+            print(f"FLAG  {name}: {'; '.join(flags)}")
+        else:
+            print(
+                f"ok    {name}: {stats['exchanges']} exchanges, "
+                f"{stats['codegen_spans']} codegen spans"
+            )
+    print(f"\n{len(names) - bad} ok, {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

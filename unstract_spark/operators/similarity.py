@@ -266,16 +266,20 @@ def lsh_topk_join(
 
     qb = with_buckets(queries, query_id, query_vec)
     ib = with_buckets(index, index_id, index_vec)
-    cands = (
-        qb.join(ib, "bucket")
-        .select(query_id, query_vec, index_id, index_vec)
-        .dropDuplicates([query_id, index_id])
-    )
+    cands = qb.join(ib, "bucket").select(query_id, query_vec, index_id, index_vec)
+    # score BEFORE deduplicating multi-table collisions: the dedup then
+    # aggregates only fixed-width columns (ids + double score) and stays
+    # a HashAggregate — deduping first would carry the array<float>
+    # vectors through the aggregate buffer and fall back to
+    # SortAggregate (a full sort of the candidate stream; the minhash
+    # fixed-width lesson, caught by tools/plan_audit.py). A pair
+    # colliding in t tables re-scores t<=n_tables times — cheaper than
+    # sorting at scale.
     scored = cands.select(
         query_id,
         index_id,
         F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
-    )
+    ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
