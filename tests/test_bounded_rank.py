@@ -50,3 +50,25 @@ def test_bounded_rank_k_larger_than_input(spark):
         k=50,
     ).collect()
     assert [(r.id, r.rank) for r in out] == [("a", 1), ("b", 2)]
+
+
+# -- plan_audit flag classifier ------------------------------------------
+
+
+def test_plan_audit_flags():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit_plan
+
+    ok_plan = "TakeOrderedAndProject(limit=10)\n+- Exchange hashpartitioning\n+- HashAggregate"
+    flags, stats = audit_plan(ok_plan, "[codegen id : 1] [codegen id : 2]")
+    assert flags == []
+    assert stats["exchanges"] == 1 and stats["codegen_spans"] == 2
+
+    bad = "+- SortAggregate(key=[x])\n+- CartesianProduct\n+- Sort [a ASC NULLS FIRST], true, 0"
+    flags, _ = audit_plan(bad)
+    assert len(flags) == 3
+
+    local_sort = "+- Sort [a ASC], false, 0"  # per-partition sort is fine
+    assert audit_plan(local_sort)[0] == []
