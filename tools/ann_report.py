@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""ANN quality report: recall@k and candidate-set cost for every
+similarity path vs the exact baseline.
+
+Usage: python3 tools/ann_report.py [sf_dir] [n_queries] [k]
+
+For each strategy — LSH (registry params), IVF seeded, IVF with
+k-means-refined centroids — reports:
+
+- recall@k vs brute-force exact top-k (same rounded-score tie-break)
+- mean candidate pairs scored per query (the cost the bucketing buys
+  down; exact scores the whole index per query)
+
+Prints one JSON line so rounds can be diffed. Explains nothing the
+oracle gate doesn't already prove about *correctness* — this is the
+quality/cost evidence for the 100 TB scale paths.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_join,
+        kmeans_refine,
+        lsh_topk_join,
+    )
+    from unstract_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dim = 64
+
+    spark = get_spark("ann_report")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb.persist().count()
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    index_rows = emb.count()
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, emb, k=k, dim=dim).collect()
+    }
+
+    def measure(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return round(len(got & exact) / len(exact), 4)
+
+    report = {
+        "sf_dir": sf_dir,
+        "index_rows": index_rows,
+        "n_queries": n_queries,
+        "k": k,
+        "exact_pairs_scored_per_query": index_rows,
+        "strategies": {},
+    }
+
+    # LSH at the registry's gated params
+    lsh = lsh_topk_join(queries, emb, dim, k=k, n_planes=6, n_tables=4)
+    report["strategies"]["lsh_6p4t"] = {
+        "recall": measure(lsh),
+        # expected candidates/query = tables * N / 2^planes (uniform)
+        "expected_candidates_per_query": round(4 * index_rows / 2**6),
+    }
+
+    ivf_seeded = ivf_topk_join(queries, emb, dim, k=k, n_centroids=16, n_probe=3)
+    report["strategies"]["ivf_seeded_16c3p"] = {
+        "recall": measure(ivf_seeded),
+        "expected_candidates_per_query": round(3 * index_rows / 16),
+    }
+
+    cents = kmeans_refine(emb, dim, n_centroids=16, iters=2, index_vec="embedding")
+    ivf_fit = ivf_topk_join(
+        queries, emb, dim, k=k, n_centroids=16, n_probe=3, centroids=cents
+    )
+    report["strategies"]["ivf_kmeans_16c3p"] = {
+        "recall": measure(ivf_fit),
+        "expected_candidates_per_query": round(3 * index_rows / 16),
+    }
+
+    # tunability datapoint: recall budget doubled (more tables / probes)
+    lsh_hi = lsh_topk_join(queries, emb, dim, k=k, n_planes=5, n_tables=8)
+    report["strategies"]["lsh_5p8t"] = {
+        "recall": measure(lsh_hi),
+        "expected_candidates_per_query": round(8 * index_rows / 2**5),
+    }
+    ivf_hi = ivf_topk_join(
+        queries, emb, dim, k=k, n_centroids=16, n_probe=8, centroids=cents
+    )
+    report["strategies"]["ivf_kmeans_16c8p"] = {
+        "recall": measure(ivf_hi),
+        "expected_candidates_per_query": round(8 * index_rows / 16),
+    }
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
