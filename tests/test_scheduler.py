@@ -111,3 +111,43 @@ def test_scheduled_incremental_drain(spark, tmp_path):
     assert seen[1] == ["b.txt"]  # a_copy dropped by content dedup, a.txt by ledger
     assert s.schedules["etl-1"].fires == 2
     assert s.schedules["etl-1"].status == "SUCCESS"
+
+
+# -- property tests ------------------------------------------------------
+
+from datetime import timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    minute=st.integers(0, 59),
+    hour=st.integers(0, 23),
+    anchor=st.datetimes(
+        min_value=datetime(2026, 1, 1), max_value=datetime(2027, 1, 1)
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_next_fire_matches_and_advances(minute, hour, anchor):
+    c = Cron.parse(f"{minute} {hour} * * *")
+    nxt = c.next_fire(anchor)
+    assert nxt > anchor
+    assert c.matches(nxt)
+    assert nxt.minute == minute and nxt.hour == hour
+    # firing daily: the next fire after this one is exactly 24h later
+    assert c.next_fire(nxt) == nxt + timedelta(days=1)
+
+
+@given(
+    step=st.integers(1, 30),
+    anchor=st.datetimes(
+        min_value=datetime(2026, 1, 1), max_value=datetime(2026, 12, 31)
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_step_field_fires_on_multiples(step, anchor):
+    c = Cron.parse(f"*/{step} * * * *")
+    nxt = c.next_fire(anchor)
+    assert nxt.minute % step == 0
+    assert (nxt - anchor).total_seconds() <= step * 60
