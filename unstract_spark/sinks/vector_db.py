@@ -473,13 +473,30 @@ class RestVectorStore(VectorStoreBackend):
                 {"filter": self._doc_filter(doc_id)},
             )
 
+    def _docs_present(self, doc_ids: list[str]) -> set[str]:
+        """Per-doc existence probe: one limit-1 filtered scroll per
+        incoming doc_id — O(batch docs), never a scan of the remote
+        index (the reference probes per doc_id the same way,
+        index.py:293-335)."""
+        present = set()
+        for d in doc_ids:
+            body = self._call(
+                f"collections/{self.collection}/points/scroll",
+                {"filter": self._doc_filter(d), "limit": 1, "with_payload": False},
+            )
+            if (body.get("result") or {}).get("points"):
+                present.add(d)
+        return present
+
     def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
         incoming = chunks.select(*CHUNK_COLS)
+        ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
         if reindex:
-            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
             self.delete_docs(ids)
         else:
-            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+            present = self._docs_present(ids)
+            if present:
+                incoming = incoming.filter(~F.col("doc_id").isin(list(present)))
         url, coll = self.base_url, self.collection
 
         def build_request(points: list[dict]) -> tuple[str, dict]:
@@ -611,13 +628,28 @@ class PineconeVectorStore(VectorStoreBackend):
                 {"filter": {"doc_id": {"$eq": _safe_doc_id(doc_id)}}},
             )
 
+    def _docs_present(self, doc_ids: list[str]) -> set[str]:
+        """Per-doc existence probe via small prefix listings —
+        O(batch docs), never a scan of the remote index. The rsplit
+        check guards against a colon-bearing doc_id ("a") matching a
+        sibling's points ("a:1:0" also starts with "a:")."""
+        present = set()
+        for d in doc_ids:
+            body = self._call("vectors/list", {"prefix": f"{d}:", "limit": 5})
+            ids = [v["id"] for v in body.get("vectors") or []]
+            if any(i.rsplit(":", 1)[0] == d for i in ids):
+                present.add(d)
+        return present
+
     def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
         incoming = chunks.select(*CHUNK_COLS)
+        ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
         if reindex:
-            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
             self.delete_docs(ids)
         else:
-            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+            present = self._docs_present(ids)
+            if present:
+                incoming = incoming.filter(~F.col("doc_id").isin(list(present)))
         host, ns = self.host, self.namespace
 
         def build_request(points: list[dict]) -> tuple[str, dict]:
