@@ -268,13 +268,32 @@ class JdbcVectorStore(VectorStoreBackend):
             )
         execute_ddl(self.spark, self.url, stmts, self.properties, ignore_existing=False)
 
+    def _docs_present(self, doc_ids: list[str]) -> set[str]:
+        """Pushed-down per-batch probe: ONE remote query over the
+        incoming id set (O(batch) with a doc_id index), never a
+        DISTINCT scan of the whole remote table."""
+        if not doc_ids:
+            return set()
+        safe = [_safe_doc_id(d) for d in doc_ids]
+        present: set[str] = set()
+        for i in range(0, len(safe), 256):
+            in_list = ", ".join(f"'{d}'" for d in safe[i : i + 256])
+            sql = (
+                f"SELECT DISTINCT {self._q('doc_id')} FROM {self._q(self.table)} "
+                f"WHERE {self._q('doc_id')} IN ({in_list})"
+            )
+            present.update(r.doc_id for r in self._read_sql(sql).toDF("doc_id").collect())
+        return present
+
     def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
         incoming = chunks.select(*CHUNK_COLS)
+        ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
         if reindex:
-            ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
             self.delete_docs(ids)
         else:
-            incoming = incoming.join(self.existing_doc_ids(), "doc_id", "left_anti")
+            present = self._docs_present(ids)
+            if present:
+                incoming = incoming.filter(~F.col("doc_id").isin(list(present)))
         incoming = incoming.localCheckpoint(eager=True)  # pin before the write mutates the probe
         n = incoming.count()
         if n == 0:
