@@ -286,3 +286,41 @@ def test_pinecone_query_request_shape(spark, tmp_path):
     assert body["filter"] == {"doc_id": {"$eq": "a" * 64}}
     with pytest.raises(ValueError, match="unsafe doc_id"):
         store.search_topk_request("bad id", [0.1])
+
+
+def test_rest_store_concurrent_writers_no_duplicates(spark, tmp_path, chunk_rows):
+    """Point stores are natively multi-writer safe: deterministic
+    `doc:chunk` ids make concurrent upserts of the same content
+    last-write-wins instead of duplicating (the ledger_lock analog for
+    external stores — no lock needed)."""
+    import threading
+
+    from unstract_spark.sinks.vector_db import (
+        RestVectorStore,
+        make_fake_qdrant_transport,
+    )
+
+    transport = make_fake_qdrant_transport(str(tmp_path / "qshared"))
+    mk = lambda: RestVectorStore(  # noqa: E731
+        spark, "http://vectors.local:6333", transport=transport, prefix="t", dim=64
+    )
+    pinned = chunk_rows.localCheckpoint(eager=True)
+
+    errs = []
+
+    def writer():
+        try:
+            # reindex=True skips the probe: both writers race the raw write
+            mk().upsert(pinned, reindex=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    back = mk().read_chunks()
+    assert back.count() == 7  # no duplicate points despite racing writers
+    assert back.select("doc_id", "chunk_no").distinct().count() == 7
