@@ -264,3 +264,28 @@ def test_ivf_rejects_bad_centroid_shape(spark, sf_dir):
     q = emb.limit(1).selectExpr("vec_id as query_id", "embedding as query_vec")
     with _pytest.raises(ValueError, match="centroids shape"):
         ivf_topk_join(q, emb, dim=64, n_centroids=8, centroids=np.zeros((4, 64)))
+
+
+def test_similarity_topk_strategy_override_with_refinement(spark, sf_dir):
+    """Explicit strategy override + k-means refinement through the
+    dispatcher: contract shape holds and the fitted path must not lose
+    the self-neighbour."""
+    from unstract_spark.operators.similarity import similarity_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "cast(vec_id as string) as vec_id", "embedding"
+    )
+    queries = emb.limit(3).selectExpr("vec_id as query_id", "embedding as query_vec")
+    got, plan = similarity_topk(
+        queries, emb, dim=64, k=5, strategy="ivf", ivf_refine_iters=1
+    )
+    assert plan.strategy == "ivf"
+    rows = got.collect()
+    self_hits = [r for r in rows if r.query_id == r.vec_id]
+    assert len(self_hits) == 3  # every query finds itself in its own cell
+    assert all(r.rank == 1 for r in self_hits)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        similarity_topk(queries, emb, dim=64, strategy="hnsw")

@@ -366,6 +366,8 @@ def similarity_topk(
     index_rows: int | None = None,
     n_queries: int | None = None,
     exact_budget: float = 5e7,
+    strategy: str = "auto",
+    ivf_refine_iters: int = 0,
     **col_names,
 ) -> tuple[DataFrame, TopkPlan]:
     """similarity_top_k with automatic physical-strategy selection.
@@ -375,14 +377,43 @@ def similarity_topk(
     next to the quadratic work they avert. Returns (result, plan) so
     callers can log/assert what ran; all three strategies emit the same
     (query_id, vec_id, score, rank) shape with identical tie-breaks.
+
+    `strategy` overrides the cost model ("brute_force"/"lsh"/"ivf");
+    `ivf_refine_iters > 0` fits the IVF centroids with spherical
+    k-means before probing (+recall at identical probe cost — measured
+    in tools/ann_report.py; worth it when one centroid fit amortizes
+    over a large query batch).
     """
     n = index_rows if index_rows is not None else index.count()
     q = n_queries if n_queries is not None else queries.count()
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
+    if strategy != "auto":
+        if strategy not in ("brute_force", "lsh", "ivf"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        params = (
+            {}
+            if strategy == "brute_force"
+            else _lsh_auto_params(n)
+            if strategy == "lsh"
+            else _ivf_auto_params(n)
+        )
+        plan = TopkPlan(strategy, params, plan.est_mults)
     if plan.strategy == "brute_force":
         out = brute_force_topk(queries, index, k=k, dim=dim, **col_names)
     elif plan.strategy == "lsh":
         out = lsh_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
     else:
-        out = ivf_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+        centroids = None
+        if ivf_refine_iters > 0:
+            centroids = kmeans_refine(
+                index,
+                dim,
+                n_centroids=plan.params["n_centroids"],
+                iters=ivf_refine_iters,
+                index_id=col_names.get("index_id", "vec_id"),
+                index_vec=col_names.get("index_vec", "embedding"),
+            )
+        out = ivf_topk_join(
+            queries, index, dim, k=k, centroids=centroids, **plan.params, **col_names
+        )
     return out, plan
