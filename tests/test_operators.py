@@ -258,3 +258,34 @@ def test_mock_embedding_deterministic_unit_norm():
     assert np.allclose(a[0], a[1])
     assert not np.allclose(a[0], a[2])
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+
+
+def test_usage_breakdown_by_model_drop_guard(spark):
+    """Unlabeled LLM rows (producer bug) are dropped; embedding rows
+    with empty reason keep a bare-type bucket; reasoned LLM rows key
+    as reason_type (reference usage_v2/helper.py:107-186)."""
+    from unstract_spark.operators.usage import usage_breakdown_by_model
+
+    rows = [
+        ("llm", "extraction", "m1", 10, 5, 15, 0, 0.001),
+        ("llm", "extraction", "m1", 20, 5, 25, 0, 0.002),
+        ("llm", "challenge", "m1", 1, 1, 2, 0, 0.0005),
+        ("llm", None, "m1", 99, 99, 198, 0, 9.9),     # producer bug -> dropped
+        ("embedding", "", "e1", 0, 0, 0, 64, 0.0001),
+    ]
+    usage = spark.createDataFrame(
+        rows,
+        "usage_type string, llm_usage_reason string, model_name string,"
+        " prompt_tokens long, completion_tokens long, total_tokens long,"
+        " embedding_tokens long, cost_in_dollars double",
+    )
+    out = {(r.bucket, r.model_name): r for r in usage_breakdown_by_model(usage).collect()}
+    assert set(out) == {
+        ("extraction_llm", "m1"),
+        ("challenge_llm", "m1"),
+        ("embedding", "e1"),
+    }
+    ext = out[("extraction_llm", "m1")]
+    assert ext.sum_input_tokens == 30 and ext.sum_total_tokens == 40
+    assert abs(ext.sum_cost - 0.003) < 1e-9
+    assert out[("embedding", "e1")].sum_embedding_tokens == 64

@@ -74,3 +74,42 @@ def usage_report_cube(usage: DataFrame) -> DataFrame:
         F.sum("total_tokens").alias("total_tokens"),
         F.round(F.sum("cost_in_dollars"), 6).alias("cost_in_dollars"),
     )
+
+
+def usage_breakdown_by_model(
+    usage: DataFrame,
+    type_col: str = "usage_type",
+    reason_col: str = "llm_usage_reason",
+    model_col: str = "model_name",
+) -> DataFrame:
+    """Per-model usage breakdown (reference usage_v2/helper.py:107-186):
+    group by (usage_type, llm_usage_reason, model_name), sum token and
+    cost columns, and key each bucket the way the prompt-service
+    response does — `<reason>_<type>` for reasoned LLM rows
+    ("extraction_llm", "challenge_llm"), bare type otherwise
+    ("embedding").
+
+    Guard parity: an LLM row with an empty reason is a producer-side
+    bug (a call site forgot usage_kwargs) and is DROPPED from the
+    breakdown, exactly as helper.py does, rather than surfacing a
+    malformed bare-"llm" bucket. Decimal-domain cost sums keep the
+    aggregate cross-engine stable.
+    """
+    reason = F.coalesce(F.col(reason_col), F.lit(""))
+    guarded = usage.filter(~((F.col(type_col) == "llm") & (reason == "")))
+    bucket = F.when(reason == "", F.col(type_col)).otherwise(
+        F.concat_ws("_", reason, F.col(type_col))
+    )
+    return (
+        guarded.withColumn("bucket", bucket)
+        .groupBy("bucket", model_col)
+        .agg(
+            F.sum("prompt_tokens").alias("sum_input_tokens"),
+            F.sum("completion_tokens").alias("sum_output_tokens"),
+            F.sum("total_tokens").alias("sum_total_tokens"),
+            F.sum("embedding_tokens").alias("sum_embedding_tokens"),
+            F.round(F.sum(F.col("cost_in_dollars").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_cost"),
+        )
+    )

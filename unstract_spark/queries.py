@@ -2286,6 +2286,66 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a1_usage_by_model",
+    """
+    WITH u AS (
+        SELECT CASE WHEN l_returnflag = 'N' THEN 'llm' ELSE 'embedding' END AS usage_type,
+               CASE WHEN l_linestatus = 'O' THEN ''
+                    WHEN l_returnflag = 'R' THEN 'extraction'
+                    ELSE 'challenge' END AS llm_usage_reason,
+               'model-' || CAST(l_partkey % 3 AS VARCHAR) AS model_name,
+               l_quantity AS prompt_tokens,
+               l_linenumber AS completion_tokens,
+               l_quantity + l_linenumber AS total_tokens,
+               CAST(0 AS BIGINT) AS embedding_tokens,
+               l_extendedprice / 1000 AS cost_in_dollars
+        FROM lineitem
+    )
+    SELECT CASE WHEN llm_usage_reason = '' THEN usage_type
+                ELSE llm_usage_reason || '_' || usage_type END AS bucket,
+           model_name,
+           sum(prompt_tokens) AS sum_input_tokens,
+           sum(completion_tokens) AS sum_output_tokens,
+           sum(total_tokens) AS sum_total_tokens,
+           sum(embedding_tokens) AS sum_embedding_tokens,
+           CAST(round(sum(CAST(cost_in_dollars AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS sum_cost
+    FROM u
+    WHERE NOT (usage_type = 'llm' AND llm_usage_reason = '')
+    GROUP BY 1, 2
+    """,
+)
+def a1_usage_by_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model usage breakdown (A1 extension, reference
+    usage_v2/helper.py:107-186) under the hash gate: lineitem projected
+    into the usage-row shape (usage_type/reason/model/token columns —
+    'O'-status rows get an EMPTY reason so the producer-bug drop-guard
+    path is exercised), then the real operator groups, guards, and
+    keys buckets as `<reason>_<type>` / bare type."""
+    from unstract_spark.operators import usage
+
+    l = _t(spark, sf_dir, "lineitem")
+    usage_rows = l.select(
+        F.when(F.col("l_returnflag") == "N", "llm")
+        .otherwise("embedding")
+        .alias("usage_type"),
+        F.when(F.col("l_linestatus") == "O", "")
+        .when(F.col("l_returnflag") == "R", "extraction")
+        .otherwise("challenge")
+        .alias("llm_usage_reason"),
+        F.concat(F.lit("model-"), (F.col("l_partkey") % 3).cast("string")).alias(
+            "model_name"
+        ),
+        F.col("l_quantity").alias("prompt_tokens"),
+        F.col("l_linenumber").alias("completion_tokens"),
+        (F.col("l_quantity") + F.col("l_linenumber")).alias("total_tokens"),
+        F.lit(0).cast("long").alias("embedding_tokens"),
+        (F.col("l_extendedprice") / 1000).alias("cost_in_dollars"),
+    )
+    return usage.usage_breakdown_by_model(usage_rows)
+
+
+@register(
     "events_session_window",
     """
     WITH gaps AS (
