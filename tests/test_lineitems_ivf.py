@@ -289,3 +289,42 @@ def test_similarity_topk_strategy_override_with_refinement(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="unknown strategy"):
         similarity_topk(queries, emb, dim=64, strategy="hnsw")
+
+
+def test_estimate_mults_prices_the_named_strategy():
+    """est_mults must always price the strategy the plan names — both
+    from the auto chooser and from an explicit override — and the LSH
+    candidate term must track n_tables (not a hardcoded constant)."""
+    from unstract_spark.operators.similarity import (
+        _estimate_mults,
+        _lsh_auto_params,
+        choose_topk_strategy,
+    )
+
+    n, q, dim = 1_000_000_000, 10_000, 64
+    auto = choose_topk_strategy(index_rows=n, n_queries=q, dim=dim)
+    assert auto.est_mults == _estimate_mults(auto.strategy, auto.params, n, q, dim)
+    lp = _lsh_auto_params(n)
+    more_tables = dict(lp, n_tables=lp["n_tables"] * 2)
+    # doubling tables must raise the LSH estimate (keygen and candidates)
+    assert _estimate_mults("lsh", more_tables, n, q, dim) > _estimate_mults(
+        "lsh", lp, n, q, dim
+    )
+
+
+def test_similarity_topk_override_reports_own_cost(spark, sf_dir):
+    """An explicit strategy override returns a TopkPlan whose est_mults
+    prices that strategy, not the auto-chosen one."""
+    from unstract_spark.operators.similarity import _estimate_mults, similarity_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    index = emb.selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    queries = (
+        emb.limit(2)
+        .selectExpr("cast(vec_id as string) as query_id", "embedding as query_vec")
+    )
+    _, plan = similarity_topk(
+        queries, index, dim=64, k=3, strategy="lsh", index_rows=100, n_queries=2
+    )
+    assert plan.strategy == "lsh"
+    assert plan.est_mults == _estimate_mults("lsh", plan.params, 100, 2, 64)

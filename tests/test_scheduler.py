@@ -151,3 +151,33 @@ def test_step_field_fires_on_multiples(step, anchor):
     nxt = c.next_fire(anchor)
     assert nxt.minute % step == 0
     assert (nxt - anchor).total_seconds() <= step * 60
+
+
+def test_cron_value_with_step_expands_to_range():
+    # Vixie cron: "5/15" in the minute field means 5-59/15
+    c = Cron.parse("5/15 * * * *")
+    assert c.minute == frozenset({5, 20, 35, 50})
+    assert c.matches(datetime(2026, 8, 12, 9, 35))
+    assert not c.matches(datetime(2026, 8, 12, 9, 15))
+
+
+def test_due_memoizes_sparse_cron_next_fire():
+    # A Feb-29 schedule must not re-scan ~2.1M minutes on every poll:
+    # after the first due() computes next_due, later polls reuse it.
+    s = Scheduler()
+    sched = s.add("leap", "0 0 29 2 *", lambda: None)
+    now = datetime(2026, 3, 1, 0, 0)
+    assert s.due(now) == []
+    first = sched.next_due
+    assert first == datetime(2028, 2, 29, 0, 0)
+    sched.cron = None  # poison: any recompute would now blow up
+    assert s.due(datetime(2026, 3, 1, 0, 5)) == []  # memo hit, no scan
+
+
+def test_run_due_resets_memo_for_next_anchor():
+    s = Scheduler()
+    sched = s.add("everymin", "* * * * *", lambda: None)
+    assert s.run_due(datetime(2026, 8, 12, 9, 0)) == ["everymin"]
+    assert sched.next_due is None  # recomputed from new last_fire next poll
+    assert s.run_due(datetime(2026, 8, 12, 9, 1)) == ["everymin"]
+    assert sched.fires == 2

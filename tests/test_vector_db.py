@@ -324,3 +324,25 @@ def test_rest_store_concurrent_writers_no_duplicates(spark, tmp_path, chunk_rows
     back = mk().read_chunks()
     assert back.count() == 7  # no duplicate points despite racing writers
     assert back.select("doc_id", "chunk_no").distinct().count() == 7
+
+
+def test_rest_point_ids_are_live_qdrant_legal(spark, tmp_path, chunk_rows):
+    """Live Qdrant rejects arbitrary string point ids (only unsigned
+    ints or UUIDs) — every stored point id must be a UUID, and the same
+    chunk must map to the same id on re-upsert (idempotent writes)."""
+    import json
+    import os
+    import uuid
+
+    store = _rest_store(spark, tmp_path)
+    store.upsert(chunk_rows)
+    state = tmp_path / "qdrant_state"
+    ids = set()
+    for name in os.listdir(state):
+        if name.endswith(".json"):
+            with open(state / name) as fh:
+                ids.update(str(p["id"]) for p in json.load(fh))
+    assert len(ids) == 7
+    for pid in ids:
+        uuid.UUID(pid)  # raises if not a real UUID
+    assert str(uuid.uuid5(uuid.NAMESPACE_URL, "docA:2")) in ids

@@ -14,9 +14,12 @@ plug in as functions that call out — the batching/retry discipline of
 operators/llm.py applies to them unchanged.
 
 In-container adapters: utf-8 text, JSON (string-value flattening),
-CSV (tabular -> line text). PDF/image adapters raise NotImplementedError
-until their libs are present — the dispatch, schema and error paths are
-identical, so swapping in a real parser touches only the registry.
+CSV (tabular -> line text), and real PDF text extraction via the
+pure-stdlib parser in `minipdf.py` (encrypted PDFs are rejected with a
+typed ERROR row). Remote shapes — LLMWhisperer submit/poll/retrieve and
+Document-AI OCR — run over injected transports; only image raster
+formats without an in-container decoder remain registry-swappable
+stubs.
 """
 
 from __future__ import annotations

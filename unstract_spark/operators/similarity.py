@@ -317,6 +317,21 @@ def _ivf_auto_params(index_rows: int, target_cell: int = 4096) -> dict:
     return {"n_centroids": n_centroids, "n_probe": 3}
 
 
+def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> float:
+    """Multiply-accumulate estimate for one strategy — shared by the
+    auto chooser and by explicit-strategy overrides so a TopkPlan's
+    est_mults always prices the strategy it names."""
+    if strategy == "brute_force":
+        return float(n) * q * dim
+    if strategy == "lsh":
+        cand = params["n_tables"] * n / (2 ** params["n_planes"])
+        return (n + q) * params["n_tables"] * params["n_planes"] * dim + q * cand * dim
+    if strategy == "ivf":
+        cand = params["n_probe"] * n / params["n_centroids"]
+        return (n + q) * params["n_centroids"] * dim + q * cand * dim
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
 def choose_topk_strategy(
     index_rows: int,
     n_queries: int,
@@ -341,17 +356,15 @@ def choose_topk_strategy(
     once the quadratic term dominates).
     """
     n, q = max(index_rows, 1), max(n_queries, 1)
-    brute = float(n) * q * dim
+    brute = _estimate_mults("brute_force", {}, n, q, dim)
     if brute <= exact_budget:
         return TopkPlan("brute_force", {}, brute)
 
     lp = _lsh_auto_params(n)
-    lsh_cand = 4.0 * n / (2 ** lp["n_planes"])  # per query, summed tables
-    lsh = (n + q) * lp["n_tables"] * lp["n_planes"] * dim + q * lsh_cand * dim
+    lsh = _estimate_mults("lsh", lp, n, q, dim)
 
     ip = _ivf_auto_params(n)
-    ivf_cand = ip["n_probe"] * n / ip["n_centroids"]
-    ivf = (n + q) * ip["n_centroids"] * dim + q * ivf_cand * dim
+    ivf = _estimate_mults("ivf", ip, n, q, dim)
 
     if lsh <= ivf:
         return TopkPlan("lsh", lp, lsh)
@@ -397,7 +410,7 @@ def similarity_topk(
             if strategy == "lsh"
             else _ivf_auto_params(n)
         )
-        plan = TopkPlan(strategy, params, plan.est_mults)
+        plan = TopkPlan(strategy, params, _estimate_mults(strategy, params, n, q, dim))
     if plan.strategy == "brute_force":
         out = brute_force_topk(queries, index, k=k, dim=dim, **col_names)
     elif plan.strategy == "lsh":

@@ -519,7 +519,19 @@ class RestVectorStore(VectorStoreBackend):
         url, coll = self.base_url, self.collection
 
         def build_request(points: list[dict]) -> tuple[str, dict]:
-            return f"{url}/collections/{coll}/points", {"points": points}
+            # Live Qdrant accepts only unsigned-int or UUID point ids —
+            # the generic `<doc_id>:<chunk_no>` string would 400. A
+            # deterministic uuid5 of that string keeps upserts
+            # idempotent (same chunk → same id → last-write-wins) while
+            # doc_id/chunk_no stay authoritative in the payload, which
+            # is what every filter and read-back path already uses.
+            import uuid
+
+            pts = [
+                {**p, "id": str(uuid.uuid5(uuid.NAMESPACE_URL, p["id"]))}
+                for p in points
+            ]
+            return f"{url}/collections/{coll}/points", {"points": pts}
 
         return _distributed_point_upsert(
             incoming, self.batch_size, self.transport, self.headers, build_request
@@ -731,9 +743,16 @@ def make_fake_pinecone_transport(state_dir: str):
         vecs: dict[str, dict] = {}
         for name in sorted(os.listdir(state_dir)):
             if name.endswith(".json"):
-                with open(os.path.join(state_dir, name)) as fh:
-                    for v in json.load(fh):
-                        vecs[str(v["id"])] = v
+                # A concurrent _rewrite may unlink a file between the
+                # listdir and the open — a real Pinecone's server-side
+                # delete is atomic, so mirror that by skipping it.
+                try:
+                    with open(os.path.join(state_dir, name)) as fh:
+                        batch = json.load(fh)
+                except FileNotFoundError:
+                    continue
+                for v in batch:
+                    vecs[str(v["id"])] = v
         return vecs
 
     def _write_batch(vectors: list[dict]) -> None:
@@ -743,10 +762,19 @@ def make_fake_pinecone_transport(state_dir: str):
         os.replace(tmp, os.path.join(state_dir, f"batch-{uuid.uuid4().hex}.json"))
 
     def _rewrite(vectors: dict[str, dict]) -> None:
-        for name in os.listdir(state_dir):
-            if name.endswith(".json"):
-                os.remove(os.path.join(state_dir, name))
+        # Delete-by-filter is atomic on a real server. Approximate that
+        # here: snapshot the current batch files, land the merged
+        # survivor batch FIRST (atomic rename), then unlink only the
+        # snapshotted files — tolerating ones a racing _rewrite already
+        # removed. Readers never observe an empty window, and two
+        # concurrent rewriters converge to last-write-wins per id.
+        import contextlib
+
+        old = [n for n in os.listdir(state_dir) if n.endswith(".json")]
         _write_batch(list(vectors.values()))
+        for name in old:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(state_dir, name))
 
     def transport(url: str, payload: dict, headers: dict) -> dict:
         if url.endswith("/vectors/upsert"):
@@ -805,17 +833,31 @@ def make_fake_qdrant_transport(state_dir: str):
         for name in sorted(os.listdir(state_dir)):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(state_dir, name)) as fh:
-                batch = json.load(fh)
+            # A racing _rewrite may have unlinked this file after the
+            # listdir; a real Qdrant's delete-by-filter is atomic
+            # server-side, so skipping the vanished file mirrors what a
+            # live deployment would observe.
+            try:
+                with open(os.path.join(state_dir, name)) as fh:
+                    batch = json.load(fh)
+            except FileNotFoundError:
+                continue
             for p in batch:
                 points[str(p["id"])] = p
         return points
 
     def _rewrite(points: dict[str, dict]) -> None:
-        for name in os.listdir(state_dir):
-            if name.endswith(".json"):
-                os.remove(os.path.join(state_dir, name))
+        # Land the merged survivor batch first (atomic rename), then
+        # unlink only the files that existed before it — so concurrent
+        # readers/rewriters never see an empty store and the loser of a
+        # remove race just skips the already-gone file.
+        import contextlib
+
+        old = [n for n in os.listdir(state_dir) if n.endswith(".json")]
         _write_batch(list(points.values()))
+        for name in old:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(state_dir, name))
 
     def _write_batch(points: list[dict]) -> None:
         tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}")

@@ -43,6 +43,11 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
         elif "-" in part:
             a, b = part.split("-", 1)
             start, end = int(a), int(b)
+        elif step != 1:
+            # Vixie cron: a bare value with a step ("5/15" in the
+            # minute field) means "from that value to the top of the
+            # range" ("5-59/15"), not the single value.
+            start, end = int(part), hi
         else:
             start = end = int(part)
         if not (lo <= start <= hi and lo <= end <= hi and start <= end):
@@ -120,6 +125,10 @@ class PipelineSchedule:
     last_error: str | None = None
     fires: int = 0
     failures: int = 0
+    # memoized next fire time — next_fire() scans minute-by-minute (a
+    # sparse cron like "0 0 29 2 *" costs ~2.1M matches), so it runs
+    # once per fire, not once per poll
+    next_due: datetime | None = None
 
 
 @dataclass
@@ -152,8 +161,10 @@ class Scheduler:
     def due(self, now: datetime) -> list[PipelineSchedule]:
         out = []
         for s in self.schedules.values():
-            anchor = s.last_fire or (now - timedelta(minutes=1))
-            if s.cron.next_fire(anchor) <= now:
+            if s.next_due is None:
+                anchor = s.last_fire or (now - timedelta(minutes=1))
+                s.next_due = s.cron.next_fire(anchor)
+            if s.next_due <= now:
                 out.append(s)
         return out
 
@@ -163,6 +174,7 @@ class Scheduler:
         for s in self.due(now):
             s.status = "INPROGRESS"
             s.last_fire = now
+            s.next_due = None  # recompute from the new anchor next poll
             s.fires += 1
             try:
                 s.fire()
