@@ -180,7 +180,7 @@ def test_image_features_mixed_real_and_error_rows(spark):
     df = spark.createDataFrame(
         [
             ("/img/ok.pgm", bytearray(encode_pgm(gray))),
-            ("/img/bad.png", bytearray(b"\x89PNG not decodable")),
+            ("/img/bad.jpg", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
             ("/img/trunc.bmp", bytearray(encode_bmp24(
                 rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))[:-8])),
         ],
@@ -189,8 +189,8 @@ def test_image_features_mixed_real_and_error_rows(spark):
     rows = {r.file_path: r for r in image_features(df, fake=False).collect()}
     assert rows["/img/ok.pgm"].decode_error is None
     assert rows["/img/ok.pgm"].feat[0] == round(int(gray.sum()) / 16, 6)
-    assert "decode requires" in rows["/img/bad.png"].decode_error
-    assert rows["/img/bad.png"].feat is None
+    assert "requires PIL/opencv" in rows["/img/bad.jpg"].decode_error
+    assert rows["/img/bad.jpg"].feat is None
     assert "truncated" in rows["/img/trunc.bmp"].decode_error
 
 
@@ -219,3 +219,211 @@ def test_audio_features_error_isolation(spark):
     row = audio_features(df).collect()[0]
     assert row.amp_mean is None
     assert "RIFF" in row.decode_error
+
+
+# -- PNG (pure stdlib: zlib inflate + scanline unfiltering) --------------
+
+
+def test_png_roundtrip_gray_and_rgb_all_filters():
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for f in range(5):  # None/Sub/Up/Average/Paeth, each alone
+        g = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(g, filters=[f])), g)
+        rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgb, filters=[f])), rgb)
+    # default cycles all five filters across rows
+    big = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(big)), big)
+
+
+def test_png_alpha_channels_dropped():
+    import zlib
+
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    # hand-built 2x2 RGBA (color type 6), filter 0 rows
+    px = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    data = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, px[:, :, :3])
+    # gray+alpha (color type 4) -> gray plane
+    px2 = np.arange(2 * 2 * 2, dtype=np.uint8).reshape(2, 2, 2)
+    raw2 = b"".join(b"\x00" + px2[y].tobytes() for y in range(2))
+    ihdr2 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 4, 0, 0, 0])
+    data2 = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(raw2))
+        + chunk(b"IEND", b"")
+    )
+    out2 = decode_png(data2)
+    assert out2.shape == (2, 2)
+    assert np.array_equal(out2, px2[:, :, 0])
+
+
+def test_png_palette_color_type():
+    import zlib
+
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    # 2x2 palette image: indices 0..3, gray palette -> (H, W)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    gray_pal = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    data = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", gray_pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2)
+    assert out.tolist() == [[10, 20], [30, 40]]
+    # color palette -> (H, W, 3)
+    color_pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    data_c = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", color_pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out_c = decode_png(data_c)
+    assert out_c.shape == (2, 2, 3)
+    assert out_c[0, 0].tolist() == [255, 0, 0] and out_c[1, 1].tolist() == [9, 8, 7]
+
+
+def test_png_rejects_interlaced_16bit_and_garbage():
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from unstract_spark.operators.multimodal import _PNG_SIG, decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    def with_ihdr(bit_depth, color_type, interlace):
+        ihdr = (
+            (2).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, interlace])
+        )
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(with_ihdr(8, 0, 1))
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_png(with_ihdr(16, 0, 0))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX not png")
+    with _pytest.raises(ValueError, match="size mismatch"):
+        g = np.zeros((4, 4), dtype=np.uint8)
+        decode_png(decode_truncate(encode_png(g)))
+
+
+def decode_truncate(data: bytes) -> bytes:
+    """Rebuild the PNG with its IDAT inflate output one row short."""
+    import zlib
+
+    from unstract_spark.operators.multimodal import _PNG_SIG
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    # parse out IHDR, shrink the raw stream by one scanline
+    ihdr = data[16:29]
+    pos = 8
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    short = raw[: len(raw) - 5]  # drop one 4-wide gray scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(short))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_features_real_png(spark):
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import encode_png, image_features
+
+    g = np.full((8, 8), 100, dtype=np.uint8)
+    g[0, 0] = 228  # one bright pixel: mean = (63*100 + 228)/64 = 102.0
+    rgb = np.stack([g, g, g], axis=2)
+    df = spark.createDataFrame(
+        [
+            ("/img/gray.png", bytearray(encode_png(g))),
+            ("/img/color.png", bytearray(encode_png(rgb))),
+            ("/img/interlaced.png", bytearray(b"\x89PNG\r\n\x1a\njunk")),
+        ],
+        "file_path string, content binary",
+    )
+    rows = {
+        r.file_path: r
+        for r in image_features(df, fake=False).collect()
+    }
+    for p in ("/img/gray.png", "/img/color.png"):
+        assert rows[p].decode_error is None
+        assert rows[p].feat[0] == 102.0  # identical luma for gray and RGB
+        assert rows[p].feat[2] == 0.0 and rows[p].feat[3] == 63.0  # bins
+    assert rows["/img/interlaced.png"].feat is None
+    assert "PNG" in rows["/img/interlaced.png"].decode_error

@@ -6,10 +6,11 @@ resize / frame-sample run as Arrow-batched `mapInPandas` stages.
 
 Decode is REAL for the formats a pure-stdlib decoder can handle —
 uncompressed BMP (8-bit palette / 24-bit / 32-bit), binary PGM/PPM
-(P5/P6), and PCM WAV (8/16-bit) — the same move as minipdf.py for
-PDFs. Compressed formats (PNG/JPEG/MP4...) would need PIL/opencv/
-ffmpeg, which are not in this container: those raise
-NotImplementedError unless `fake=True`, which substitutes a
+(P5/P6), 8-bit non-interlaced PNG (zlib inflate + Sub/Up/Average/Paeth
+unfiltering — zlib ships with Python), and PCM WAV (8/16-bit) — the
+same move as minipdf.py for PDFs. DCT/video formats (JPEG/MP4...)
+would need PIL/opencv/ffmpeg, which are not in this container: those
+raise NotImplementedError unless `fake=True`, which substitutes a
 deterministic fake decode (seeded from the payload hash) so the
 Spark-side plumbing stays testable for any payload.
 
@@ -144,6 +145,115 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return px.reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> raw channel count (8-bit samples)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W) gray or (H, W, 3) RGB uint8, pure stdlib.
+
+    PNG is a chunk walk (IHDR/PLTE/IDAT/IEND) + zlib inflate (stdlib)
+    + per-scanline unfiltering — the same "the format is simpler than
+    its reputation" move as minipdf.py. Supported: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha, alpha
+    dropped), 6 (RGBA, alpha dropped), non-interlaced. Rejected loudly:
+    16-bit depth, sub-byte depths, and Adam7 interlace (each raises
+    ValueError naming the limitation — a row-level error in the
+    pipeline, never a wrong pixel).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/short IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _, _, interlace = ihdr[8:13]
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if bit_depth != 8:
+        raise ValueError(f"{bit_depth}-bit PNG unsupported (8-bit only)")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
+            line += prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need a left-to-right scan
+            rec = np.empty(stride, dtype=np.int32)
+            cur = line.astype(np.int32)
+            pr = prev.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pr[x]
+                c = pr[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth predictor
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line
+        prev = line
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8)[: (len(plte) // 3) * 3].reshape(-1, 3)
+        px = pal[out]
+        if np.all(px[:, :, 0] == px[:, :, 1]) and np.all(px[:, :, 1] == px[:, :, 2]):
+            return px[:, :, 0]  # grayscale palette -> (H, W)
+        return px
+    if color_type == 0:
+        return out
+    px = out.reshape(height, width, channels)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return px[:, :, 0]  # gray + alpha -> gray
+    return px[:, :, :3]  # RGBA -> RGB
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (samples int64 [n] or [n, channels], sample_rate).
 
@@ -189,17 +299,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_one(payload: bytes, fake: bool) -> np.ndarray:
     """Dispatch on magic bytes; `fake` substitutes a deterministic 4x4
-    fake image for formats with no stdlib decoder (PNG/JPEG/...)."""
+    fake image for formats with no stdlib decoder (JPEG/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P" and payload[1:2] in b"56":
         return decode_pnm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "unsupported image format (only uncompressed BMP and binary "
-            "PGM/PPM decode natively): real decode requires PIL/opencv "
-            "(not in this container); pass fake=True for the "
-            "deterministic test double"
+            "unsupported image format (uncompressed BMP, binary PGM/PPM "
+            "and 8-bit non-interlaced PNG decode natively): JPEG (DCT) "
+            "requires PIL/opencv (not in this container); pass "
+            "fake=True for the deterministic test double"
         )
     # deterministic fake: 4x4 grayscale derived from content hash
     h = hashlib.sha256(payload or b"").digest()
@@ -370,6 +482,78 @@ def encode_bmp24(pixels: np.ndarray) -> bytes:
     for y in range(h - 1, -1, -1):  # bottom-up
         rows.append(pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # RGB->BGR
     return header + b"".join(rows)
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> non-interlaced 8-bit PNG.
+
+    `filters` picks the filter type per scanline (cycled); the default
+    cycles 0..4 so a round-trip exercises EVERY unfilter path
+    (None/Sub/Up/Average/Paeth) — that is what lets the oracle-gated
+    registry query vouch for the whole decoder, not just filter 0.
+    """
+    import zlib
+
+    if pixels.ndim == 2:
+        color_type, channels = 0, 1
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png expects (H, W) or (H, W, 3) uint8")
+    px = pixels.astype(np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    filters = filters or [0, 1, 2, 3, 4]
+    bpp = channels
+    lines = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - a
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - (a + prev) // 2
+        elif f == 4:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(f)
+        lines += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:

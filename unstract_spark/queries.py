@@ -2192,11 +2192,14 @@ def r4_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image path, REAL decode: render each document's first
-    64 bytes as an 8x8 binary PGM, decode it with the stdlib decoder
-    (multimodal.decode_pnm), and emit the integer-exact feature vector.
-    The oracle computes the same stats straight from the text bytes, so
-    any decode/feature drift fails the hash gate."""
+    """Multimodal image path, REAL decode across THREE container
+    formats: each document's first 64 bytes render as an 8x8 image —
+    doc_id%3==0 as binary PGM, ==1 as grayscale PNG, ==2 as RGB PNG
+    whose channels (v-1, v, v+1) keep the integer luma exactly v. PNG
+    rows cycle filters 0..4, so None/Sub/Up/Average/Paeth unfiltering
+    all sit under this hash gate. The oracle computes the same stats
+    straight from the text bytes — identical regardless of container —
+    so any decode/feature drift in any format fails the gate."""
     import numpy as np
     import pandas as pd
 
@@ -2207,15 +2210,23 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches):
-        from unstract_spark.operators.multimodal import encode_pgm
+        from unstract_spark.operators.multimodal import encode_pgm, encode_png
 
         for pdf in batches:
-            content = [
-                encode_pgm(
-                    np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
-                )
-                for s in pdf["s"]
-            ]
+            content = []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                px = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
+                m = int(did) % 3
+                if m == 0:
+                    content.append(encode_pgm(px))
+                elif m == 1:
+                    content.append(encode_png(px))
+                else:
+                    v = px.astype(np.int16)
+                    rgb = np.stack(
+                        [np.maximum(v - 1, 0), v, v + 1], axis=2
+                    ).astype(np.uint8)
+                    content.append(encode_png(rgb))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
     imgs = d.mapInPandas(encode, "doc_id long, content binary")
