@@ -328,3 +328,80 @@ def test_similarity_topk_override_reports_own_cost(spark, sf_dir):
     )
     assert plan.strategy == "lsh"
     assert plan.est_mults == _estimate_mults("lsh", plan.params, 100, 2, 64)
+
+
+def test_udf_assignment_path_matches_sql_path(spark, sf_dir):
+    """Above SQL_TERM_LIMIT the centroid/plane assignment runs as a
+    broadcast-matrix pandas UDF instead of generated-SQL literals.
+    Forcing term_limit=0 must reproduce the SQL path row-for-row for
+    both IVF and LSH on real embeddings (same cells, same buckets,
+    same final top-k)."""
+    from unstract_spark.operators.similarity import (
+        _argmax_cells,
+        _seeded_hyperplanes,
+        ivf_topk_join,
+        lsh_topk_join,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    index = emb.selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    queries = (
+        emb.limit(4)
+        .selectExpr("cast(vec_id as string) as query_id", "embedding as query_vec")
+    )
+
+    # cell assignment parity (the raw building block)
+    cents = _seeded_hyperplanes(64, 8, table=991)
+    sql_cells = sorted(
+        (r.vec_id, r.cell)
+        for r in _argmax_cells(index, "vec_id", "embedding", 2, cents).collect()
+    )
+    udf_cells = sorted(
+        (r.vec_id, r.cell)
+        for r in _argmax_cells(
+            index, "vec_id", "embedding", 2, cents, term_limit=0
+        ).collect()
+    )
+    assert sql_cells == udf_cells
+
+    # end-to-end IVF parity
+    kw = dict(dim=64, k=5, n_centroids=8, n_probe=2)
+    sql_ivf = sorted(
+        map(tuple, ivf_topk_join(queries, index, **kw).collect())
+    )
+    udf_ivf = sorted(
+        map(tuple, ivf_topk_join(queries, index, term_limit=0, **kw).collect())
+    )
+    assert sql_ivf == udf_ivf
+
+    # end-to-end LSH parity
+    kw = dict(dim=64, k=5, n_planes=4, n_tables=2)
+    sql_lsh = sorted(
+        map(tuple, lsh_topk_join(queries, index, **kw).collect())
+    )
+    udf_lsh = sorted(
+        map(tuple, lsh_topk_join(queries, index, term_limit=0, **kw).collect())
+    )
+    assert sql_lsh == udf_lsh
+
+
+def test_similarity_topk_term_limit_plumbs_through(spark, sf_dir):
+    """The dispatcher's term_limit knob reaches the strategy
+    implementations (forced-UDF run matches the default run)."""
+    from unstract_spark.operators.similarity import similarity_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    index = emb.selectExpr("cast(vec_id as string) as vec_id", "embedding")
+    queries = (
+        emb.limit(3)
+        .selectExpr("cast(vec_id as string) as query_id", "embedding as query_vec")
+    )
+    base, _ = similarity_topk(
+        queries, index, dim=64, k=4, strategy="ivf", index_rows=200, n_queries=3
+    )
+    forced, plan = similarity_topk(
+        queries, index, dim=64, k=4, strategy="ivf",
+        index_rows=200, n_queries=3, term_limit=0,
+    )
+    assert plan.strategy == "ivf"
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, forced.collect()))

@@ -91,6 +91,17 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Above this many matrix terms (n_exprs * dim), assignment expressions
+# switch from generated-SQL double literals to a broadcast numpy matrix
+# consumed by a pandas UDF. Generated SQL wins below it (the parser
+# swallows a 64k-literal string in ms, while the Column-API tree costs
+# seconds of py4j), but at production dims it stops scaling: 4096
+# centroids x 768 dims is ~3M literals — tens of MB of SQL text and a
+# catalyst tree to match. The broadcast matrix ships once per executor
+# via torrent instead of once per task in the plan.
+SQL_TERM_LIMIT = 65536
+
+
 def _cell_scores(cents: np.ndarray, vec_sql: str):
     """Dot product of the vector column against every centroid, as
     generated-SQL exprs (same rationale as lsh_bucket_key: literal
@@ -108,11 +119,64 @@ def _cell_scores(cents: np.ndarray, vec_sql: str):
     return out
 
 
-def _argmax_cells(df: DataFrame, id_c: str, vec_c: str, top_n: int, cents: np.ndarray):
+def _argmax_cells_pandas(
+    df: DataFrame, id_c: str, vec_c: str, top_n: int, cents: np.ndarray
+) -> DataFrame:
+    """Broadcast-matrix twin of the SQL `_argmax_cells` path: one
+    float64 matmul per Arrow batch against the torrent-broadcast
+    centroid matrix, stable argsort on the negated scores (score desc,
+    cell asc — the same deterministic tie-break as the SQL
+    comparator)."""
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+    keep = min(top_n, len(cents))
+    id_t = df.schema[id_c].dataType.simpleString()
+    vec_t = df.schema[vec_c].dataType.simpleString()
+    out_schema = f"`{id_c}` {id_t}, `{vec_c}` {vec_t}, cell int"
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_c]]
+            )
+            S = V @ C.T  # (rows, n_centroids) float64
+            # stable sort of -S: equal scores keep index order = cell asc
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :keep]
+            reps = np.repeat(np.arange(len(pdf)), keep)
+            yield pd.DataFrame(
+                {
+                    id_c: pdf[id_c].to_numpy()[reps],
+                    vec_c: pdf[vec_c].to_numpy()[reps],
+                    "cell": idx.reshape(-1).astype("int32"),
+                }
+            )
+
+    return df.select(id_c, vec_c).mapInPandas(run, schema=out_schema)
+
+
+def _argmax_cells(
+    df: DataFrame,
+    id_c: str,
+    vec_c: str,
+    top_n: int,
+    cents: np.ndarray,
+    term_limit: int | None = None,
+):
     """(id, vec, cell) for each row's top_n nearest centroids by dot
     product, ties broken by cell id so the probe set is deterministic
     cross-engine (array_sort stability is not guaranteed for
-    comparator ties)."""
+    comparator ties). Dispatches to the broadcast/pandas twin when the
+    centroid matrix exceeds `term_limit` terms (default
+    SQL_TERM_LIMIT)."""
+    limit = SQL_TERM_LIMIT if term_limit is None else term_limit
+    if cents.size > limit:
+        return _argmax_cells_pandas(df, id_c, vec_c, top_n, cents)
     n_centroids = len(cents)
     scored = df.select(F.col(id_c), F.col(vec_c), *_cell_scores(cents, vec_c))
     cells = F.array(
@@ -145,6 +209,7 @@ def kmeans_refine(
     iters: int = 2,
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    term_limit: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means refinement of the IVF centroids (Lloyd
     iterations over the cluster), deterministic given the seeded init.
@@ -164,7 +229,7 @@ def kmeans_refine(
     # centroid only when all centroids share a norm
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(max(iters, 0)):
-        assigned = _argmax_cells(index, index_id, index_vec, 1, cents)
+        assigned = _argmax_cells(index, index_id, index_vec, 1, cents, term_limit)
         sums = (
             assigned.select(
                 "cell",
@@ -204,6 +269,7 @@ def ivf_topk_join(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     centroids: np.ndarray | None = None,
+    term_limit: int | None = None,
 ) -> DataFrame:
     """ANN via IVF (inverted-file) partitioning with deterministic
     seeded centroids.
@@ -227,8 +293,8 @@ def ivf_topk_join(
     else:
         cents = _seeded_hyperplanes(dim, n_centroids, table=991)  # seeded gen
 
-    ib = _argmax_cells(index, index_id, index_vec, 1, cents)  # one cell each
-    qb = _argmax_cells(queries, query_id, query_vec, n_probe, cents)
+    ib = _argmax_cells(index, index_id, index_vec, 1, cents, term_limit)
+    qb = _argmax_cells(queries, query_id, query_vec, n_probe, cents, term_limit)
     cands = qb.join(ib, "cell").select(query_id, query_vec, index_id, index_vec)
     scored = cands.select(
         query_id,
@@ -237,6 +303,48 @@ def ivf_topk_join(
     ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _lsh_buckets_pandas(
+    df: DataFrame, id_c: str, vec_c: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Broadcast-matrix twin of `lsh_bucket_key`: all tables' plane
+    dots in one einsum per Arrow batch, identical key spelling
+    ('t{table}:' + sign bits, dot >= 0 -> '1')."""
+    import pandas as pd
+
+    planes = np.stack(
+        [_seeded_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    )  # (tables, planes, dim) float64
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(planes))
+    id_t = df.schema[id_c].dataType.simpleString()
+    vec_t = df.schema[vec_c].dataType.simpleString()
+    out_schema = f"`{id_c}` {id_t}, `{vec_c}` {vec_t}, bucket string"
+
+    def run(batches):
+        P = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_c]]
+            )
+            bits = np.einsum("rd,tpd->rtp", V, P) >= 0  # (rows, tables, planes)
+            keys = [
+                f"t{t}:" + "".join("1" if b else "0" for b in bits[r, t])
+                for r in range(len(pdf))
+                for t in range(P.shape[0])
+            ]
+            reps = np.repeat(np.arange(len(pdf)), P.shape[0])
+            yield pd.DataFrame(
+                {
+                    id_c: pdf[id_c].to_numpy()[reps],
+                    vec_c: pdf[vec_c].to_numpy()[reps],
+                    "bucket": keys,
+                }
+            )
+
+    return df.select(id_c, vec_c).mapInPandas(run, schema=out_schema)
 
 
 def lsh_topk_join(
@@ -250,15 +358,23 @@ def lsh_topk_join(
     query_vec: str = "query_vec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    term_limit: int | None = None,
 ) -> DataFrame:
     """ANN top-k via multi-table sign-LSH candidate join + exact re-rank.
 
     Recall grows with n_tables; cost per query is the matched-bucket
     size. Both sides compute the same deterministic bucket keys, the
     join is a plain shuffle-hash equi-join on (table, bucket), and only
-    candidates get the exact cosine.
+    candidates get the exact cosine. Above `term_limit` plane-matrix
+    terms (default SQL_TERM_LIMIT) key generation switches from
+    generated-SQL literals to the broadcast/pandas twin.
     """
+    limit = SQL_TERM_LIMIT if term_limit is None else term_limit
+    use_pandas = n_tables * n_planes * dim > limit
+
     def with_buckets(df: DataFrame, id_c: str, vec_c: str) -> DataFrame:
+        if use_pandas:
+            return _lsh_buckets_pandas(df, id_c, vec_c, dim, n_planes, n_tables)
         buckets = F.array(
             *[lsh_bucket_key(vec_c, dim, n_planes, t) for t in range(n_tables)]
         )
@@ -381,6 +497,7 @@ def similarity_topk(
     exact_budget: float = 5e7,
     strategy: str = "auto",
     ivf_refine_iters: int = 0,
+    term_limit: int | None = None,
     **col_names,
 ) -> tuple[DataFrame, TopkPlan]:
     """similarity_top_k with automatic physical-strategy selection.
@@ -414,7 +531,10 @@ def similarity_topk(
     if plan.strategy == "brute_force":
         out = brute_force_topk(queries, index, k=k, dim=dim, **col_names)
     elif plan.strategy == "lsh":
-        out = lsh_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+        out = lsh_topk_join(
+            queries, index, dim, k=k, term_limit=term_limit,
+            **plan.params, **col_names,
+        )
     else:
         centroids = None
         if ivf_refine_iters > 0:
@@ -425,8 +545,10 @@ def similarity_topk(
                 iters=ivf_refine_iters,
                 index_id=col_names.get("index_id", "vec_id"),
                 index_vec=col_names.get("index_vec", "embedding"),
+                term_limit=term_limit,
             )
         out = ivf_topk_join(
-            queries, index, dim, k=k, centroids=centroids, **plan.params, **col_names
+            queries, index, dim, k=k, centroids=centroids,
+            term_limit=term_limit, **plan.params, **col_names,
         )
     return out, plan
