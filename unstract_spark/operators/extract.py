@@ -281,6 +281,113 @@ def make_fake_whisperer_transport(polls_until_processed: int = 2):
     return transport, state
 
 
+def make_unstructured_adapter(
+    base_url: str,
+    api_key: str | None = None,
+    strategy: str = "auto",
+    transport=None,
+) -> Adapter:
+    """T1 — Unstructured-shaped remote extractor (partition endpoint).
+
+    Protocol parity (reference sdk1/adapters/x2text/
+    unstructured_community/src/unstructured_community.py:46-58 +
+    helper.py UnstructuredHelper.process_document/make_request: POST
+    the file bytes, optional `unstructured-api-key`, read back the
+    element list). The public Unstructured partition API shape: POST
+    multipart file to `/general/v0/general`, response is a JSON array
+    of elements `[{type, text, metadata: {page_number, ...}}]`; the
+    extracted document is the element texts joined with blank lines,
+    page count the max page_number seen.
+
+    The multipart upload travels through the engine's JSON transport
+    seam as {filename, content_b64, strategy} — a thin shim maps that
+    onto a real multipart POST where a live server exists, exactly like
+    the OCR adapter's `:process` call. The returned adapter is a plain
+    `bytes -> (text, pages)` function, so Unstructured-extracted
+    documents flow through the same extract_text mapInPandas and error
+    isolation as every other MIME type.
+    """
+    import base64
+
+    from unstract_spark.providers import http_json_transport
+
+    transport = transport or http_json_transport
+    headers = {"accept": "application/json"}
+    if api_key:
+        headers["unstructured-api-key"] = api_key
+    endpoint = f"{base_url.rstrip('/')}/general/v0/general"
+
+    def adapter(content: bytes) -> tuple[str, int]:
+        if not content:
+            raise ValueError("empty document payload")
+        body = transport(
+            endpoint,
+            {
+                "filename": "document",
+                "content_b64": base64.b64encode(content).decode(),
+                "strategy": strategy,
+            },
+            headers,
+        )
+        elements = body.get("elements") if isinstance(body, dict) else body
+        if not isinstance(elements, list):
+            raise ValueError(f"unexpected partition response: {type(body).__name__}")
+        texts = [
+            e.get("text", "")
+            for e in elements
+            if isinstance(e, dict) and e.get("text")
+        ]
+        if not texts:
+            raise ValueError("partition returned no text elements")
+        pages = max(
+            (
+                int((e.get("metadata") or {}).get("page_number") or 1)
+                for e in elements
+                if isinstance(e, dict)
+            ),
+            default=1,
+        )
+        return "\n\n".join(texts), pages
+
+    return adapter
+
+
+def make_fake_unstructured_transport():
+    """In-container Unstructured partition stand-in: splits the decoded
+    bytes into deterministic paragraph elements (double-newline
+    boundaries) with alternating Title/NarrativeText types and
+    page_number metadata every 2 elements — enough structure to
+    exercise the element-join and page-count paths. Returns
+    (transport, state) with request accounting."""
+    import base64
+
+    state = {"requests": 0, "auth_headers": []}
+
+    def transport(url: str, payload: dict, headers: dict):
+        if not url.endswith("/general/v0/general"):
+            raise ValueError(f"unexpected unstructured endpoint: {url}")
+        state["requests"] += 1
+        state["auth_headers"].append(headers.get("unstructured-api-key"))
+        content = base64.b64decode(payload["content_b64"])
+        paras = [
+            p.strip()
+            for p in content.decode("utf-8", errors="replace").split("\n\n")
+            if p.strip()
+        ]
+        if not paras:
+            raise ValueError("nothing to partition")
+        return [
+            {
+                "type": "Title" if i % 2 == 0 else "NarrativeText",
+                "text": p,
+                "metadata": {"page_number": i // 2 + 1},
+            }
+            for i, p in enumerate(paras)
+        ]
+
+    return transport, state
+
+
 DEFAULT_ADAPTERS: dict[str, Adapter] = {
     "text/plain": extract_plain,
     "text/csv": extract_csv,
