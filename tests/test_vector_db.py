@@ -346,3 +346,144 @@ def test_rest_point_ids_are_live_qdrant_legal(spark, tmp_path, chunk_rows):
     for pid in ids:
         uuid.UUID(pid)  # raises if not a real UUID
     assert str(uuid.uuid5(uuid.NAMESPACE_URL, "docA:2")) in ids
+
+
+# -- Milvus-shaped backend -----------------------------------------------
+
+
+def _milvus_store(spark, tmp_path, **kw):
+    from unstract_spark.sinks.vector_db import (
+        MilvusVectorStore,
+        make_fake_milvus_transport,
+    )
+
+    transport = make_fake_milvus_transport(str(tmp_path / "milvus_state"))
+    return MilvusVectorStore(
+        spark, "http://milvus.local:19530", transport=transport, prefix="t", **kw
+    )
+
+
+def test_milvus_store_roundtrip_and_reindex(spark, tmp_path, chunk_rows):
+    store = _milvus_store(spark, tmp_path)
+    assert store.collection == "t_64"
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0  # probe-before-write idempotency
+    assert store.read_chunks().count() == 7
+    assert {r.doc_id for r in store.existing_doc_ids().collect()} == {"docA", "docB"}
+
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {
+        r.doc_id: r.n
+        for r in store.read_chunks()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"docA": 2, "docB": 3}
+
+
+def test_milvus_filter_injection_guard(spark, tmp_path):
+    store = _milvus_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        store.delete_docs(['x" || doc_id != "'])
+    path, body = store.search_topk_request("a" * 64, [0.25], k=2)
+    assert path == "v2/vectordb/entities/search"
+    assert body["filter"] == f'doc_id == "{"a" * 64}"'
+    assert body["limit"] == 2
+
+
+# -- Weaviate-shaped backend ---------------------------------------------
+
+
+def _weaviate_store(spark, tmp_path, **kw):
+    from unstract_spark.sinks.vector_db import (
+        WeaviateVectorStore,
+        make_fake_weaviate_transport,
+    )
+
+    transport = make_fake_weaviate_transport(str(tmp_path / "weaviate_state"))
+    return WeaviateVectorStore(
+        spark, "http://weaviate.local:8080", transport=transport, prefix="t", **kw
+    )
+
+
+def test_weaviate_store_roundtrip_and_reindex(spark, tmp_path, chunk_rows):
+    store = _weaviate_store(spark, tmp_path)
+    assert store.cls == "T_64"  # class names start uppercase
+    assert store.upsert(chunk_rows) == 7
+    assert store.upsert(chunk_rows) == 0
+    assert store.read_chunks().count() == 7
+    assert {r.doc_id for r in store.existing_doc_ids().collect()} == {"docA", "docB"}
+
+    reduced = chunk_rows.filter(F.col("doc_id") == "docA").limit(2)
+    store.upsert(reduced, reindex=True)
+    counts = {
+        r.doc_id: r.n
+        for r in store.read_chunks()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"docA": 2, "docB": 3}
+
+
+def test_weaviate_object_ids_are_uuids(spark, tmp_path, chunk_rows):
+    """Weaviate requires UUID object ids — every stored id must parse
+    as a UUID and be the deterministic uuid5 of doc:chunk."""
+    import json
+    import os
+    import uuid
+
+    store = _weaviate_store(spark, tmp_path)
+    store.upsert(chunk_rows)
+    state = tmp_path / "weaviate_state"
+    ids = set()
+    for name in os.listdir(state):
+        if name.endswith(".json"):
+            with open(state / name) as fh:
+                ids.update(str(o["id"]) for o in json.load(fh))
+    assert len(ids) == 7
+    for oid in ids:
+        uuid.UUID(oid)
+    assert str(uuid.uuid5(uuid.NAMESPACE_URL, "docA:2")) in ids
+
+
+def test_weaviate_near_vector_request_shape(spark, tmp_path):
+    store = _weaviate_store(spark, tmp_path)
+    path, body = store.search_topk_request("a" * 64, [0.5, -1.0], k=3)
+    assert path == "v1/graphql"
+    q = body["query"]
+    assert "nearVector" in q and "limit: 3" in q
+    assert f'valueText: "{"a" * 64}"' in q
+    with pytest.raises(ValueError, match="unsafe doc_id"):
+        store.search_topk_request("bad id", [0.1])
+
+
+def test_six_backends_agree_on_topk(spark, tmp_path, chunk_rows):
+    """Every registered VectorStoreBackend — parquet, pgvector-JDBC,
+    qdrant-REST, pinecone, milvus, weaviate — returns identical
+    doc-scoped top-k rows (the reference's full adapter matrix)."""
+    from unstract_spark.mock import mock_embed_texts
+    from unstract_spark.sinks import vector_db as V
+
+    assert set(V.list_backends()) == {
+        "jdbc", "rest", "pinecone", "milvus", "weaviate", "parquet",
+    }
+    stores = [
+        VectorIndexStore(spark, str(tmp_path / "idx")),
+        _derby_store(spark, tmp_path),
+        _rest_store(spark, tmp_path),
+        _pinecone_store(spark, tmp_path),
+        _milvus_store(spark, tmp_path),
+        _weaviate_store(spark, tmp_path),
+    ]
+    qv = mock_embed_texts(["chunk text 2 about spark engines"])[0].tolist()
+    results = []
+    for store in stores:
+        store.upsert(chunk_rows)
+        results.append(
+            [tuple(r) for r in store.query_topk("docA", qv, k=3).collect()]
+        )
+    assert all(r == results[0] for r in results[1:])
+    assert results[0][0][1] == 2

@@ -729,6 +729,551 @@ class PineconeVectorStore(VectorStoreBackend):
         )
 
 
+class MilvusVectorStore(VectorStoreBackend):
+    """Milvus-shaped external vector store (RESTful v2 data plane).
+
+    Reference adapters/vectordb/milvus wraps MilvusClient/llama-index
+    (milvus.py:24-60) behind the same upsert/query contract; this
+    backend speaks the public Milvus v2 REST spelling over the
+    injected-transport seam:
+
+    - `POST /v2/vectordb/collections/create` — ensure collection
+      (dimension + COSINE metric; string primary key, dynamic fields).
+    - `POST /v2/vectordb/entities/upsert`    — batched {id, vector,
+      payload-fields} rows under "data".
+    - `POST /v2/vectordb/entities/query`     — filter-expression reads
+      (`doc_id == "..."`), offset/limit paging.
+    - `POST /v2/vectordb/entities/delete`    — filter-expression delete.
+    - `POST /v2/vectordb/entities/search`    — server-side top-k
+      (emitted by `search_topk_request` for live deployments).
+
+    Milvus filters are expression STRINGS, so doc ids pass through
+    `_safe_doc_id` before entering one (the same SQL-ish injection
+    guard as the JDBC store). Same distributed mapInPandas upsert and
+    engine-side ranking as every other backend.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_url: str,
+        transport=None,
+        collection: str | None = None,
+        prefix: str | None = None,
+        dim: int = 64,
+        token: str | None = None,
+        batch_size: int = 256,
+        ensure: bool = True,
+    ):
+        from unstract_spark.providers import http_json_transport
+
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.transport = transport or http_json_transport
+        self.dim = dim
+        self.collection = collection or collection_name(prefix, dim)
+        self.headers = {"Authorization": f"Bearer {token}"} if token else {}
+        self.batch_size = batch_size
+        if ensure:
+            self._call(
+                "v2/vectordb/collections/create",
+                {
+                    "collectionName": self.collection,
+                    "dimension": dim,
+                    "metricType": "COSINE",
+                    "idType": "VarChar",
+                    "enableDynamicField": True,
+                },
+            )
+
+    def _call(self, path: str, payload: dict) -> dict:
+        return self.transport(f"{self.base_url}/{path}", payload, self.headers)
+
+    @staticmethod
+    def _doc_filter(doc_id: str) -> str:
+        return f'doc_id == "{_safe_doc_id(doc_id)}"'
+
+    def _query(self, flt: str | None) -> list[dict]:
+        rows, offset = [], 0
+        while True:
+            body = self._call(
+                "v2/vectordb/entities/query",
+                {
+                    "collectionName": self.collection,
+                    "filter": flt or "",
+                    "outputFields": list(CHUNK_COLS),
+                    "limit": 1024,
+                    "offset": offset,
+                },
+            )
+            page = body.get("data") or []
+            rows.extend(page)
+            if len(page) < 1024:
+                return rows
+            offset += 1024
+
+    def _to_df(self, rows: list[dict]) -> DataFrame:
+        from unstract_spark.schemas import CHUNKS
+
+        data = [
+            (
+                r["doc_id"],
+                r["file_hash"],
+                int(r["chunk_no"]),
+                r["chunk_text"],
+                [float(x) for x in r["embedding"]],
+            )
+            for r in rows
+        ]
+        return self.spark.createDataFrame(data, schema=CHUNKS)
+
+    # -- VectorStoreBackend ----------------------------------------------
+
+    def read_chunks(self) -> DataFrame:
+        return self._to_df(self._query(None))
+
+    def existing_doc_ids(self) -> DataFrame:
+        seen = sorted({r["doc_id"] for r in self._query(None)})
+        return self.spark.createDataFrame(
+            [(d,) for d in seen], schema="doc_id string"
+        )
+
+    def delete_docs(self, doc_ids: list[str]) -> None:
+        for doc_id in doc_ids:
+            self._call(
+                "v2/vectordb/entities/delete",
+                {"collectionName": self.collection, "filter": self._doc_filter(doc_id)},
+            )
+
+    def _docs_present(self, doc_ids: list[str]) -> set[str]:
+        """One limit-1 filtered query per incoming doc — O(batch docs),
+        never an index scan."""
+        present = set()
+        for d in doc_ids:
+            body = self._call(
+                "v2/vectordb/entities/query",
+                {
+                    "collectionName": self.collection,
+                    "filter": self._doc_filter(d),
+                    "outputFields": ["doc_id"],
+                    "limit": 1,
+                    "offset": 0,
+                },
+            )
+            if body.get("data"):
+                present.add(d)
+        return present
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        incoming = chunks.select(*CHUNK_COLS)
+        ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
+        if reindex:
+            self.delete_docs(ids)
+        else:
+            present = self._docs_present(ids)
+            if present:
+                incoming = incoming.filter(~F.col("doc_id").isin(list(present)))
+        url, coll = self.base_url, self.collection
+
+        def build_request(points: list[dict]) -> tuple[str, dict]:
+            return (
+                f"{url}/v2/vectordb/entities/upsert",
+                {
+                    "collectionName": coll,
+                    "data": [
+                        {"id": p["id"], "embedding": p["vector"], **p["payload"]}
+                        for p in points
+                    ],
+                },
+            )
+
+        return _distributed_point_upsert(
+            incoming, self.batch_size, self.transport, self.headers, build_request
+        )
+
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        return self._to_df(self._query(self._doc_filter(doc_id)))
+
+    def search_topk_request(
+        self, doc_id: str, query_vec: list[float], k: int = 5
+    ) -> tuple[str, dict]:
+        """Server-side top-k (Milvus ranks by the collection metric and
+        applies the filter expression remotely)."""
+        return (
+            "v2/vectordb/entities/search",
+            {
+                "collectionName": self.collection,
+                "data": [[float(x) for x in query_vec]],
+                "filter": self._doc_filter(doc_id),
+                "limit": int(k),
+                "outputFields": ["doc_id", "chunk_no", "chunk_text"],
+            },
+        )
+
+
+class WeaviateVectorStore(VectorStoreBackend):
+    """Weaviate-shaped external vector store (REST objects + GraphQL).
+
+    Reference adapters/vectordb/weaviate wraps weaviate-client behind
+    the shared contract; this backend speaks the public wire spelling:
+
+    - `POST /v1/schema`        — ensure class (vectorizer "none": the
+      engine supplies vectors, matching the reference's use).
+    - `POST /v1/batch/objects` — batched {class, id, properties,
+      vector} objects. Weaviate REQUIRES UUID object ids, so ids are
+      the same deterministic uuid5('<doc_id>:<chunk_no>') the Qdrant
+      backend uses (idempotent re-upserts).
+    - `POST /v1/graphql`       — reads: a Get query with a doc_id
+      where-filter, paging via offset/limit, vectors via _additional.
+    - `POST /v1/batch/delete`  — delete-by-where (match.class + where).
+
+    Weaviate class names must start uppercase ([A-Z][A-Za-z0-9_]*);
+    `_class_name` normalizes the shared collection naming. GraphQL
+    strings embed only _safe_doc_id-validated literals. Same
+    distributed upsert/ranking as the other point stores.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_url: str,
+        transport=None,
+        collection: str | None = None,
+        prefix: str | None = None,
+        dim: int = 64,
+        api_key: str | None = None,
+        batch_size: int = 256,
+        ensure: bool = True,
+    ):
+        from unstract_spark.providers import http_json_transport
+
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.transport = transport or http_json_transport
+        self.dim = dim
+        self.cls = self._class_name(collection or collection_name(prefix, dim))
+        self.headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
+        self.batch_size = batch_size
+        if ensure:
+            self._call(
+                "v1/schema",
+                {
+                    "class": self.cls,
+                    "vectorizer": "none",
+                    "properties": [
+                        {"name": "doc_id", "dataType": ["text"]},
+                        {"name": "file_hash", "dataType": ["text"]},
+                        {"name": "chunk_no", "dataType": ["int"]},
+                        {"name": "chunk_text", "dataType": ["text"]},
+                    ],
+                },
+            )
+
+    @staticmethod
+    def _class_name(name: str) -> str:
+        cleaned = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return cleaned[:1].upper() + cleaned[1:]
+
+    def _call(self, path: str, payload: dict) -> dict:
+        return self.transport(f"{self.base_url}/{path}", payload, self.headers)
+
+    def _where(self, doc_id: str) -> str:
+        return (
+            '{path: ["doc_id"], operator: Equal, '
+            f'valueText: "{_safe_doc_id(doc_id)}"}}'
+        )
+
+    def _graphql_get(self, where: str | None) -> list[dict]:
+        objs, offset = [], 0
+        while True:
+            args = [f"limit: 1024, offset: {offset}"]
+            if where:
+                args.append(f"where: {where}")
+            q = (
+                f"{{ Get {{ {self.cls}({', '.join(args)}) "
+                "{ doc_id file_hash chunk_no chunk_text "
+                "_additional { vector } } } }"
+            )
+            body = self._call("v1/graphql", {"query": q})
+            page = ((body.get("data") or {}).get("Get") or {}).get(self.cls) or []
+            objs.extend(page)
+            if len(page) < 1024:
+                return objs
+            offset += 1024
+
+    def _to_df(self, objs: list[dict]) -> DataFrame:
+        from unstract_spark.schemas import CHUNKS
+
+        rows = [
+            (
+                o["doc_id"],
+                o["file_hash"],
+                int(o["chunk_no"]),
+                o["chunk_text"],
+                [float(x) for x in o["_additional"]["vector"]],
+            )
+            for o in objs
+        ]
+        return self.spark.createDataFrame(rows, schema=CHUNKS)
+
+    # -- VectorStoreBackend ----------------------------------------------
+
+    def read_chunks(self) -> DataFrame:
+        return self._to_df(self._graphql_get(None))
+
+    def existing_doc_ids(self) -> DataFrame:
+        seen = sorted({o["doc_id"] for o in self._graphql_get(None)})
+        return self.spark.createDataFrame(
+            [(d,) for d in seen], schema="doc_id string"
+        )
+
+    def delete_docs(self, doc_ids: list[str]) -> None:
+        for doc_id in doc_ids:
+            self._call(
+                "v1/batch/delete",
+                {
+                    "match": {
+                        "class": self.cls,
+                        "where": {
+                            "path": ["doc_id"],
+                            "operator": "Equal",
+                            "valueText": _safe_doc_id(doc_id),
+                        },
+                    }
+                },
+            )
+
+    def _docs_present(self, doc_ids: list[str]) -> set[str]:
+        present = set()
+        for d in doc_ids:
+            q = (
+                f"{{ Get {{ {self.cls}(limit: 1, where: {self._where(d)}) "
+                "{ doc_id } } }"
+            )
+            body = self._call("v1/graphql", {"query": q})
+            if ((body.get("data") or {}).get("Get") or {}).get(self.cls):
+                present.add(d)
+        return present
+
+    def upsert(self, chunks: DataFrame, reindex: bool = False) -> int:
+        incoming = chunks.select(*CHUNK_COLS)
+        ids = [r.doc_id for r in incoming.select("doc_id").distinct().collect()]
+        if reindex:
+            self.delete_docs(ids)
+        else:
+            present = self._docs_present(ids)
+            if present:
+                incoming = incoming.filter(~F.col("doc_id").isin(list(present)))
+        url, cls = self.base_url, self.cls
+
+        def build_request(points: list[dict]) -> tuple[str, dict]:
+            import uuid
+
+            return (
+                f"{url}/v1/batch/objects",
+                {
+                    "objects": [
+                        {
+                            "class": cls,
+                            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, p["id"])),
+                            "properties": p["payload"],
+                            "vector": p["vector"],
+                        }
+                        for p in points
+                    ]
+                },
+            )
+
+        return _distributed_point_upsert(
+            incoming, self.batch_size, self.transport, self.headers, build_request
+        )
+
+    def _chunks_for_doc(self, doc_id: str) -> DataFrame:
+        return self._to_df(self._graphql_get(self._where(doc_id)))
+
+    def search_topk_request(
+        self, doc_id: str, query_vec: list[float], k: int = 5
+    ) -> tuple[str, dict]:
+        """Server-side top-k as a GraphQL nearVector query (Weaviate
+        ranks by vector distance and applies the where-filter
+        remotely)."""
+        vec = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+        q = (
+            f"{{ Get {{ {self.cls}(limit: {int(k)}, "
+            f"nearVector: {{vector: {vec}}}, where: {self._where(doc_id)}) "
+            "{ doc_id chunk_no chunk_text _additional { distance } } } }"
+        )
+        return "v1/graphql", {"query": q}
+
+
+def make_fake_milvus_transport(state_dir: str):
+    """File-backed Milvus v2 REST stand-in (same atomic-batch-file
+    design as the qdrant/pinecone fakes, same race-tolerant rewrite)."""
+    import json
+    import os
+    import re as _re
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merged() -> dict[str, dict]:
+        rows: dict[str, dict] = {}
+        for name in sorted(os.listdir(state_dir)):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(state_dir, name)) as fh:
+                        batch = json.load(fh)
+                except FileNotFoundError:
+                    continue
+                for r in batch:
+                    rows[str(r["id"])] = r
+        return rows
+
+    def _write_batch(rows: list[dict]) -> None:
+        tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, os.path.join(state_dir, f"batch-{uuid.uuid4().hex}.json"))
+
+    def _rewrite(rows: dict[str, dict]) -> None:
+        import contextlib
+
+        old = [n for n in os.listdir(state_dir) if n.endswith(".json")]
+        _write_batch(list(rows.values()))
+        for name in old:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(state_dir, name))
+
+    def _filter_doc(flt: str) -> str | None:
+        if not flt:
+            return None
+        m = _re.fullmatch(r'doc_id == "([^"]*)"', flt)
+        if not m:
+            raise ValueError(f"fake milvus only supports doc_id filters: {flt}")
+        return m.group(1)
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/collections/create"):
+            return {"code": 0}
+        if url.endswith("/entities/upsert"):
+            _write_batch(payload["data"])
+            return {"code": 0, "data": {"upsertCount": len(payload["data"])}}
+        if url.endswith("/entities/query"):
+            want = _filter_doc(payload.get("filter") or "")
+            rows = sorted(
+                (
+                    r
+                    for r in _merged().values()
+                    if want is None or r.get("doc_id") == want
+                ),
+                key=lambda r: str(r["id"]),
+            )
+            start = int(payload.get("offset") or 0)
+            limit = int(payload.get("limit") or 1024)
+            return {"code": 0, "data": rows[start : start + limit]}
+        if url.endswith("/entities/delete"):
+            want = _filter_doc(payload["filter"])
+            kept = {
+                i: r for i, r in _merged().items() if r.get("doc_id") != want
+            }
+            _rewrite(kept)
+            return {"code": 0}
+        raise ValueError(f"unexpected milvus endpoint: {url}")
+
+    return transport
+
+
+def make_fake_weaviate_transport(state_dir: str):
+    """File-backed Weaviate stand-in: batch/objects + batch/delete +
+    a small GraphQL Get interpreter (enough grammar for the queries the
+    backend emits — class, limit/offset, where doc_id Equal,
+    _additional.vector)."""
+    import json
+    import os
+    import re as _re
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merged() -> dict[str, dict]:
+        objs: dict[str, dict] = {}
+        for name in sorted(os.listdir(state_dir)):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(state_dir, name)) as fh:
+                        batch = json.load(fh)
+                except FileNotFoundError:
+                    continue
+                for o in batch:
+                    objs[str(o["id"])] = o
+        return objs
+
+    def _write_batch(objs: list[dict]) -> None:
+        tmp = os.path.join(state_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(objs, fh)
+        os.replace(tmp, os.path.join(state_dir, f"batch-{uuid.uuid4().hex}.json"))
+
+    def _rewrite(objs: dict[str, dict]) -> None:
+        import contextlib
+
+        old = [n for n in os.listdir(state_dir) if n.endswith(".json")]
+        _write_batch(list(objs.values()))
+        for name in old:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(state_dir, name))
+
+    def _run_graphql(query: str) -> dict:
+        m = _re.search(r"Get \{ (\w+)\(([^)]*)\)", query)
+        if not m:
+            raise ValueError(f"fake weaviate can't parse: {query}")
+        cls, args = m.group(1), m.group(2)
+        lim = _re.search(r"limit: (\d+)", args)
+        off = _re.search(r"offset: (\d+)", args)
+        want = _re.search(r'valueText: "([^"]*)"', args)
+        objs = sorted(
+            (
+                o
+                for o in _merged().values()
+                if o["class"] == cls
+                and (want is None or o["properties"]["doc_id"] == want.group(1))
+            ),
+            key=lambda o: str(o["id"]),
+        )
+        start = int(off.group(1)) if off else 0
+        limit = int(lim.group(1)) if lim else 1024
+        page = [
+            {**o["properties"], "_additional": {"vector": o["vector"]}}
+            for o in objs[start : start + limit]
+        ]
+        return {"data": {"Get": {cls: page}}}
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/v1/schema"):
+            return {"class": payload["class"]}
+        if url.endswith("/v1/batch/objects"):
+            _write_batch(payload["objects"])
+            return {"results": [{"status": "SUCCESS"}] * len(payload["objects"])}
+        if url.endswith("/v1/graphql"):
+            return _run_graphql(payload["query"])
+        if url.endswith("/v1/batch/delete"):
+            match = payload["match"]
+            want = match["where"]["valueText"]
+            kept = {
+                i: o
+                for i, o in _merged().items()
+                if not (
+                    o["class"] == match["class"]
+                    and o["properties"]["doc_id"] == want
+                )
+            }
+            _rewrite(kept)
+            return {"results": {"successful": 1}}
+        raise ValueError(f"unexpected weaviate endpoint: {url}")
+
+    return transport
+
+
 def make_fake_pinecone_transport(state_dir: str):
     """File-backed Pinecone data-plane stand-in (same design as the
     qdrant fake: atomically-renamed batch files so concurrent executor
@@ -924,11 +1469,11 @@ def make_vector_store(kind: str, spark: SparkSession, **config) -> VectorStoreBa
 
     Mapping to the reference's six adapters: `postgres`/`supabase` are
     pgvector-over-JDBC (`jdbc` here — Supabase IS hosted Postgres with
-    pgvector); `qdrant`/`milvus`/`pinecone`/`weaviate` are point-store
-    services (`rest` here speaks the Qdrant REST shape; the other
-    three differ only in path/payload spelling behind the same
-    transport seam); `parquet` is the in-engine 100 TB path with no
-    reference equivalent.
+    pgvector); the four point-store services each speak their own wire
+    spelling behind the same transport seam — `rest` (Qdrant REST),
+    `pinecone` (data-plane JSON), `milvus` (RESTful v2), `weaviate`
+    (REST objects + GraphQL); `parquet` is the in-engine 100 TB path
+    with no reference equivalent.
     """
     cls = _BACKENDS.get(kind)
     if cls is None:
@@ -953,4 +1498,6 @@ def _parquet_factory(spark: SparkSession, **config):
 register_backend("jdbc")(JdbcVectorStore)
 register_backend("rest")(RestVectorStore)
 register_backend("pinecone")(PineconeVectorStore)
+register_backend("milvus")(MilvusVectorStore)
+register_backend("weaviate")(WeaviateVectorStore)
 register_backend("parquet")(_parquet_factory)
