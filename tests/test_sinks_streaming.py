@@ -592,3 +592,66 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
     assert ("u1", "2026-08-13 10:00:00") in got
     assert got[("u1", "2026-08-13 10:00:00")].n_events == 2
     assert not any(k[0] == "u9" for k in got)
+
+
+def test_streaming_similarity_two_fires_match_batch_planner(spark, tmp_path, sf_dir):
+    """Two AvailableNow fires of the streaming similarity pipeline
+    produce exactly the rows the batch planner produces on the union of
+    both query sets, and each fire records the plan it ran."""
+    from unstract_spark.operators.similarity import similarity_topk
+    from unstract_spark.streaming.incremental import streaming_similarity_pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(220)
+    index = emb.selectExpr("vec_id", "embedding")
+    q1 = emb.limit(3).selectExpr("vec_id + 100000 as vec_id", "embedding")
+    q2 = (
+        emb.orderBy("vec_id").limit(5).offset(3)
+        .selectExpr("vec_id + 200000 as vec_id", "embedding")
+    )
+    src = str(tmp_path / "query_drop")
+    out = str(tmp_path / "topk_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1.write.mode("append").parquet(src)
+    plans = streaming_similarity_pipeline(
+        spark, src, ckpt, index, dim=64, out_dir=out, k=4, index_rows=220
+    )
+    assert len(plans) == 1
+
+    q2.write.mode("append").parquet(src)
+    plans2 = streaming_similarity_pipeline(
+        spark, src, ckpt, index, dim=64, out_dir=out, k=4, index_rows=220
+    )
+    assert len(plans2) == 1  # only the NEW files fired
+
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch_queries = q1.unionByName(q2).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    expected_df, plan = similarity_topk(
+        batch_queries, index, dim=64, k=4, index_rows=220, n_queries=8,
+        index_id="vec_id", index_vec="embedding",
+    )
+    assert sorted(map(tuple, expected_df.collect())) == streamed
+    # small batches price under the exact budget -> brute force everywhere
+    assert plan.strategy == "brute_force"
+    assert [p.strategy for p in plans + plans2] == ["brute_force", "brute_force"]
+
+
+def test_streaming_similarity_planner_flips_per_batch(spark, tmp_path, sf_dir):
+    """The planner prices each micro-batch: with a tiny exact budget
+    the same stream flips to an approximate strategy."""
+    from unstract_spark.streaming.incremental import streaming_similarity_pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    index = emb.selectExpr("vec_id", "embedding")
+    queries = emb.limit(4).selectExpr("vec_id + 999 as vec_id", "embedding")
+    src = str(tmp_path / "q")
+    queries.write.mode("append").parquet(src)
+    plans = streaming_similarity_pipeline(
+        spark, src, str(tmp_path / "c"), index, dim=64,
+        out_dir=str(tmp_path / "o"), k=3, index_rows=150, exact_budget=10.0,
+    )
+    assert [p.strategy for p in plans] != ["brute_force"]
+    assert plans[0].strategy in ("lsh", "ivf")
+    assert spark.read.parquet(str(tmp_path / "o")).count() > 0

