@@ -135,10 +135,10 @@ def test_image_features_fake_decode(spark):
 
 
 def test_image_decode_stub_isolates_errors(spark):
-    df = spark.createDataFrame([("/img/a.png", b"x")], "file_path string, content binary")
+    df = spark.createDataFrame([("/img/a.jpg", b"x")], "file_path string, content binary")
     rows = image_features(df, fake=False).collect()
     assert rows[0].feat is None
-    assert "decode requires" in rows[0].decode_error  # row error, job survived
+    assert "requires PIL/opencv" in rows[0].decode_error  # row error, job survived
 
 
 def test_frame_sample_plan_explodes(spark):

@@ -427,3 +427,32 @@ def test_image_features_real_png(spark):
         assert rows[p].feat[2] == 0.0 and rows[p].feat[3] == 63.0  # bins
     assert rows["/img/interlaced.png"].feat is None
     assert "PNG" in rows["/img/interlaced.png"].decode_error
+
+
+# -- property-based PNG round-trip ---------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    rgb=st.booleans(),
+    filt=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, rgb, filt, seed):
+    """decode(encode(img, any filter sequence)) == img for arbitrary
+    sizes, both color layouts, any per-row filter assignment."""
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filters=filt))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)

@@ -89,3 +89,74 @@ def test_unstructured_in_extract_dispatch(spark):
     assert out["h2"].status == "SUCCESS"
     assert out["h3"].status == "ERROR"
     assert "empty" in out["h3"].error_message
+
+
+# -- LlamaParse-shaped adapter (upload -> poll -> result) ----------------
+
+
+def _llama(**kw):
+    from unstract_spark.operators.extract import (
+        make_fake_llamaparse_transport,
+        make_llamaparse_adapter,
+    )
+
+    transport, state = make_fake_llamaparse_transport(
+        polls_until_done=kw.pop("polls_until_done", 2)
+    )
+    adapter = make_llamaparse_adapter(
+        "https://api.cloud.llamaindex.local", api_key="lk", transport=transport, **kw
+    )
+    return adapter, state
+
+
+def test_llamaparse_upload_poll_result():
+    adapter, state = _llama()
+    text, pages = adapter(b"z" * 1700)
+    assert text.startswith("llamaparse:")
+    assert pages == 2  # 1700 // 800
+    assert state["uploads"] == 1
+    assert state["polls"] == 3  # 2 PENDING + 1 SUCCESS
+    assert state["results"] == 1
+
+
+def test_llamaparse_markdown_result_type():
+    adapter, _ = _llama(result_type="markdown")
+    text, _ = adapter(b"doc")
+    assert text.startswith("llamaparse:")
+    with pytest.raises(ValueError, match="result_type"):
+        from unstract_spark.operators.extract import make_llamaparse_adapter
+
+        make_llamaparse_adapter("http://x", api_key="k", result_type="html")
+
+
+def test_llamaparse_poll_bound_and_failure():
+    adapter, _ = _llama(polls_until_done=99, max_polls=4)
+    with pytest.raises(TimeoutError, match="not done after 4 polls"):
+        adapter(b"doc")
+
+    def failing(url, payload, headers):
+        if url.endswith("/parsing/upload"):
+            return {"id": "ab12"}
+        return {"status": "ERROR"}
+
+    from unstract_spark.operators.extract import make_llamaparse_adapter
+
+    bad = make_llamaparse_adapter("http://x", api_key="k", transport=failing)
+    with pytest.raises(ValueError, match="job failed: ERROR"):
+        bad(b"doc")
+
+
+def test_llamaparse_in_extract_dispatch(spark):
+    adapter, _ = _llama()
+    adapters = {**DEFAULT_ADAPTERS, "application/msword": adapter}
+    catalog = spark.createDataFrame(
+        [
+            ("h1", "application/msword", b"w" * 900),
+            ("h2", "text/plain", b"plain"),
+        ],
+        "file_hash string, mime_type string, content binary",
+    )
+    out = {r.file_hash: r for r in extract_text(catalog, adapters=adapters).collect()}
+    assert out["h1"].status == "SUCCESS"
+    assert out["h1"].extracted_text.startswith("llamaparse:")
+    assert out["h2"].status == "SUCCESS"

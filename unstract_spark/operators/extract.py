@@ -352,6 +352,121 @@ def make_unstructured_adapter(
     return adapter
 
 
+def make_llamaparse_adapter(
+    base_url: str,
+    api_key: str,
+    result_type: str = "text",
+    transport=None,
+    poll_interval_s: float = 0.0,
+    max_polls: int = 60,
+) -> Adapter:
+    """T1 — LlamaParse-shaped remote extractor (the reference's third
+    x2text protocol, completing whisperer/unstructured/llama_parse).
+
+    Reference parity: adapters/x2text/llama_parse/src/llama_parse.py
+    (_call_parser wraps the llama_parse client with api_key/base_url/
+    result_type and joins document texts with blank lines,
+    llama_parse.py:46-102). The public cloud protocol implemented here:
+
+    - POST `/api/parsing/upload` (file + Bearer key) -> {"id": job_id}
+    - GET-shaped `/api/parsing/job/{id}` poll -> {"status":
+      PENDING|SUCCESS|ERROR}
+    - GET-shaped `/api/parsing/job/{id}/result/{text|markdown}` ->
+      {"text"|"markdown": ..., "job_metadata": {"job_pages": N}}
+
+    Same discipline as the whisperer adapter: bounded polling inside
+    the executor task (never an unbounded wait in a Spark task),
+    injected transport, plain `bytes -> (text, pages)` contract riding
+    the shared extract_text dispatch.
+    """
+    import base64
+    import time
+
+    from unstract_spark.providers import http_json_transport
+
+    if result_type not in ("text", "markdown"):
+        raise ValueError(f"result_type must be text|markdown: {result_type!r}")
+    transport = transport or http_json_transport
+    headers = {"Authorization": f"Bearer {api_key}"}
+    svc = f"{base_url.rstrip('/')}/api/parsing"
+
+    def adapter(content: bytes) -> tuple[str, int]:
+        if not content:
+            raise ValueError("empty document payload")
+        up = transport(
+            f"{svc}/upload",
+            {"filename": "document", "content_b64": base64.b64encode(content).decode()},
+            headers,
+        )
+        job_id = up.get("id")
+        if not job_id:
+            raise ValueError(f"llamaparse upload rejected: {up}")
+        for _ in range(max_polls):
+            st = transport(f"{svc}/job/{job_id}", {}, headers)
+            status = (st.get("status") or "").upper()
+            if status == "SUCCESS":
+                break
+            if status not in ("PENDING", ""):
+                raise ValueError(f"llamaparse job failed: {status}")
+            if poll_interval_s:
+                time.sleep(poll_interval_s)
+        else:
+            raise TimeoutError(f"llamaparse job not done after {max_polls} polls")
+        res = transport(f"{svc}/job/{job_id}/result/{result_type}", {}, headers)
+        text = res.get(result_type) or ""
+        if not text:
+            raise ValueError("llamaparse returned no text")
+        pages = int((res.get("job_metadata") or {}).get("job_pages") or 0) or _pages(
+            text
+        )
+        return text, pages
+
+    return adapter
+
+
+def make_fake_llamaparse_transport(polls_until_done: int = 2):
+    """In-container LlamaParse stand-in: upload -> PENDING polls ->
+    SUCCESS -> deterministic text from the bytes. Returns (transport,
+    state) with call accounting, like the whisperer fake."""
+    import base64
+    import hashlib
+    import re as _re
+
+    state = {"uploads": 0, "polls": 0, "results": 0, "jobs": {}}
+
+    def transport(url: str, payload: dict, headers: dict) -> dict:
+        if url.endswith("/parsing/upload"):
+            state["uploads"] += 1
+            content = base64.b64decode(payload["content_b64"])
+            jid = hashlib.sha256(content).hexdigest()[:12]
+            n_pages = max(1, len(content) // 800)
+            state["jobs"][jid] = {
+                "polls_left": polls_until_done,
+                "text": f"llamaparse:{jid}:{len(content)}b",
+                "pages": n_pages,
+            }
+            return {"id": jid, "status": "PENDING"}
+        m = _re.search(r"/parsing/job/([0-9a-f]+)$", url)
+        if m:
+            state["polls"] += 1
+            job = state["jobs"][m.group(1)]
+            if job["polls_left"] > 0:
+                job["polls_left"] -= 1
+                return {"status": "PENDING"}
+            return {"status": "SUCCESS"}
+        m = _re.search(r"/parsing/job/([0-9a-f]+)/result/(\w+)$", url)
+        if m:
+            state["results"] += 1
+            job = state["jobs"][m.group(1)]
+            return {
+                m.group(2): job["text"],
+                "job_metadata": {"job_pages": job["pages"]},
+            }
+        raise ValueError(f"unexpected llamaparse endpoint: {url}")
+
+    return transport, state
+
+
 def make_fake_unstructured_transport():
     """In-container Unstructured partition stand-in: splits the decoded
     bytes into deterministic paragraph elements (double-newline
