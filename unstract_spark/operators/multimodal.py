@@ -7,10 +7,12 @@ resize / frame-sample run as Arrow-batched `mapInPandas` stages.
 Decode is REAL for the formats a pure-stdlib decoder can handle —
 uncompressed BMP (8-bit palette / 24-bit / 32-bit), binary PGM/PPM
 (P5/P6), 8-bit non-interlaced PNG (zlib inflate + Sub/Up/Average/Paeth
-unfiltering — zlib ships with Python), and PCM WAV (8/16-bit) — the
-same move as minipdf.py for PDFs. DCT/video formats (JPEG/MP4...)
-would need PIL/opencv/ffmpeg, which are not in this container: those
-raise NotImplementedError unless `fake=True`, which substitutes a
+unfiltering — zlib ships with Python), baseline sequential JPEG
+(marker walk + Huffman + IDCT, `minijpeg.py` — gray and YCbCr incl.
+subsampled chroma and restart markers), and PCM WAV (8/16-bit) — the
+same move as minipdf.py for PDFs. Video formats (MP4/...) would need
+ffmpeg, which is not in this container: those raise
+NotImplementedError unless `fake=True`, which substitutes a
 deterministic fake decode (seeded from the payload hash) so the
 Spark-side plumbing stays testable for any payload.
 
@@ -299,19 +301,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_one(payload: bytes, fake: bool) -> np.ndarray:
     """Dispatch on magic bytes; `fake` substitutes a deterministic 4x4
-    fake image for formats with no stdlib decoder (JPEG/...)."""
+    fake image for formats with no stdlib decoder (video frames/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P" and payload[1:2] in b"56":
         return decode_pnm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from unstract_spark.operators.minijpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "unsupported image format (uncompressed BMP, binary PGM/PPM "
-            "and 8-bit non-interlaced PNG decode natively): JPEG (DCT) "
-            "requires PIL/opencv (not in this container); pass "
-            "fake=True for the deterministic test double"
+            "unsupported image format (uncompressed BMP, binary PGM/PPM, "
+            "8-bit non-interlaced PNG and baseline sequential JPEG decode "
+            "natively — see minijpeg.py); pass fake=True for the "
+            "deterministic test double"
         )
     # deterministic fake: 4x4 grayscale derived from content hash
     h = hashlib.sha256(payload or b"").digest()

@@ -2297,6 +2297,78 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_features",
+    """
+    WITH bytes AS (
+        SELECT doc_id,
+               ascii(substr(rpad(substr(text, 1, 64), 64, ' '), CAST(i AS INT), 1)) AS v
+        FROM documents, unnest(range(1, 65)) AS u(i)
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean,
+               CAST(sum(v * v) AS DOUBLE) / count(*) AS msq,
+               CAST(64 * sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+               CAST(64 * sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+               CAST(64 * sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+               CAST(64 * sum(CASE WHEN v // 64 >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS b3
+        FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id, round(mean, 6) AS px_mean,
+           round(sqrt(greatest(msq - mean * mean, 0)), 6) AS px_std,
+           b0, b1, b2, b3
+    FROM stats
+    """,
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal JPEG path, REAL lossy-codec decode under a hash gate.
+
+    A lossy codec CAN sit under an exact SQL oracle: for an image whose
+    every 8x8 tile is constant, the forward DCT is DC-only (AC terms are
+    analytic zeros) and a unit quant table makes the round trip
+    bit-exact (minijpeg.py docstring). Each document's first 64 text
+    bytes render as an 8x8 grid of constant 8x8 blocks -> a 64x64
+    grayscale baseline JPEG with restart markers every 2 MCU rows; the
+    full marker walk / DHT Huffman decode / dequantize / IDCT pipeline
+    runs for real, and each byte's luma comes back exactly 64 times, so
+    mean/std equal the byte stats and histogram counts are the byte
+    counts x64 — which is what the oracle computes from the text. Any
+    drift in the Huffman coder, zigzag, quantizer, DCT, or restart
+    handling fails the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.minijpeg import encode_jpeg
+
+        for pdf in batches:
+            content = []
+            for s in pdf["s"]:
+                vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                content.append(encode_jpeg(img, restart_interval=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    feats = image_features(imgs, payload_col="content", id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("feat", 1).alias("px_mean"),
+        F.element_at("feat", 2).alias("px_std"),
+        F.element_at("feat", 3).alias("b0"),
+        F.element_at("feat", 4).alias("b1"),
+        F.element_at("feat", 5).alias("b2"),
+        F.element_at("feat", 6).alias("b3"),
+    )
+
+
+@register(
     "a1_usage_by_model",
     """
     WITH u AS (
