@@ -374,3 +374,58 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    max_bucket: int | None = None,
+    term_limit: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
+
+    The brute-force twin (`embedding_neardup_pairs`) is its oracle:
+    every emitted pair passes the same exact-cosine threshold, so the
+    output is a subset of the exact pair set whose recall grows with
+    n_tables. Candidate generation is a self-equi-join on deterministic
+    sign-LSH bucket keys (never all-pairs); above `term_limit`
+    plane-matrix terms key generation switches to the broadcast-matrix
+    pandas twin, exactly like `similarity.lsh_topk_join`. `max_bucket`
+    drops degenerate hot buckets (near-constant embedding clusters —
+    the boilerplate guard from the MinHash path).
+
+    Cosine is computed BEFORE deduplicating multi-table collisions so
+    the dedup aggregates only fixed-width columns and stays a
+    HashAggregate (the plan-audit lesson from the top-k join).
+    """
+    from unstract_spark.operators import similarity
+
+    limit = similarity.SQL_TERM_LIMIT if term_limit is None else term_limit
+    src = embeddings.select(id_col, vec_col)
+    if n_tables * n_planes * dim > limit:
+        b = similarity._lsh_buckets_pandas(src, id_col, vec_col, dim, n_planes, n_tables)
+    else:
+        buckets = F.array(
+            *[similarity.lsh_bucket_key(vec_col, dim, n_planes, t) for t in range(n_tables)]
+        )
+        b = src.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket"))
+    if max_bucket:
+        ok = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+        b = b.join(ok.select("bucket"), "bucket")
+    left = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (similarity.cosine(F.col("_va"), F.col("_vb"))).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )

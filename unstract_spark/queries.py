@@ -1057,6 +1057,8 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+
+
 # =====================================================================
 # Similarity search / retrieval (J4, R1/R3/R6, ANN)
 # =====================================================================
@@ -1203,6 +1205,58 @@ def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, n_probe: int = 3, k: int
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _emb_lsh_neardup_sql(
+    dim: int = 64, n_planes: int = 6, n_tables: int = 4, threshold: float = 0.35
+) -> str:
+    """SQL twin of dedup.embedding_neardup_lsh: seeded hyperplanes are
+    deterministic constants, so the bucketed candidate set — not just
+    the exact re-check — is reproduced by the oracle. Sign decisions
+    tolerate cross-engine summation-order ulps for the same measured
+    reason as _lsh_topk_sql (min |dot| over the corpus ~7e-5)."""
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = similarity._seeded_hyperplanes(dim, n_planes, t)
+        bits = " || ".join(
+            f"CASE WHEN list_dot_product(v, {_double_array_sql(planes[p])}) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for p in range(n_planes)
+        )
+        bucket_exprs.append(f"'t{t}:' || {bits}")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    ib AS (SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM e),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ib a JOIN ib b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register("dd_embedding_neardup_lsh", _emb_lsh_neardup_sql())
+def dd_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: sign-LSH bucketed candidate join +
+    exact cosine re-check (dedup.embedding_neardup_lsh). This gates the
+    bucketed candidate generation itself — the plan that replaces the
+    quadratic all-pairs join at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_lsh(e, threshold=0.35, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @register("sim_lsh_topk", _lsh_topk_sql())
