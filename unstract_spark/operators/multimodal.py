@@ -396,6 +396,81 @@ def image_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def box_downscale(img: np.ndarray, factor: int) -> np.ndarray:
+    """Integer box-average downscale (the standard thumbnail kernel).
+
+    Output pixel = floor(mean of the factor x factor block), computed
+    with int64 sums — exact-int domain, so a SQL oracle can reproduce
+    downstream features. Trailing rows/cols that don't fill a block are
+    dropped (consistent with how thumbnailers crop to the grid).
+    """
+    if factor < 1:
+        raise ValueError("downscale factor must be >= 1")
+    h, w = img.shape[0], img.shape[1]
+    oh, ow = h // factor, w // factor
+    if oh == 0 or ow == 0:
+        raise ValueError(f"image {h}x{w} smaller than one {factor}x{factor} block")
+    img = img[: oh * factor, : ow * factor]
+    if img.ndim == 2:
+        blocks = img.astype(np.int64).reshape(oh, factor, ow, factor)
+        return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+    c = img.shape[2]
+    blocks = img.astype(np.int64).reshape(oh, factor, ow, factor, c)
+    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    factor: int,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode + box-downscale each image; emit raw pixels + dims.
+
+    Output: (id, width, height, channels, pixels binary row-major,
+    resize_error) — the thumbnail stage of an image-training pipeline,
+    as an Arrow-batched mapInPandas with per-row error isolation.
+    Downstream stages (feature extraction, re-encode, dedup on
+    thumbnail hash) consume the raw buffer without re-decoding.
+    """
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+            T.StructField("resize_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    img = _decode_one(bytes(payload) if payload is not None else b"", fake)
+                    small = box_downscale(img, factor)
+                    ch = 1 if small.ndim == 2 else small.shape[2]
+                    out["width"].append(small.shape[1])
+                    out["height"].append(small.shape[0])
+                    out["channels"].append(ch)
+                    out["pixels"].append(small.tobytes())
+                    out["resize_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["pixels"].append(None)
+                    out["resize_error"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def audio_features(
     df: DataFrame,
     payload_col: str = "content",

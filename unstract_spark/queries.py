@@ -2423,6 +2423,64 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize_pixels",
+    """
+    SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,
+           base64(encode(rpad(substr(text, 1, 64), 64, ' '))) AS pixels_b64
+    FROM documents
+    """,
+)
+def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path, REAL decode + box-downscale under a
+    byte-for-byte hash gate: each document's first 64 text bytes render
+    as a 64x64 image of constant 8x8 blocks — doc_id%3==0 as PGM, ==1
+    as gray PNG (filters 0-4 cycled), ==2 as baseline JPEG (DC-only,
+    exact round trip) — then `resize_images(factor=8)` box-averages
+    each block back to one pixel. The resized buffer must equal the
+    original text bytes exactly, which is what the oracle asserts via
+    base64. Gates decode AND the integer box kernel across all three
+    containers."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.minijpeg import encode_jpeg
+        from unstract_spark.operators.multimodal import encode_pgm, encode_png
+
+        for pdf in batches:
+            content = []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                m = int(did) % 3
+                if m == 0:
+                    content.append(encode_pgm(img))
+                elif m == 1:
+                    content.append(encode_png(img))
+                else:
+                    content.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    resized = resize_images(imgs, factor=8, payload_col="content", id_col="doc_id", fake=False)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        # Spark's base64 emits MIME 76-char line folds; strip to match
+        # DuckDB's unfolded spelling
+        F.regexp_replace(F.base64("pixels"), "\r\n", "").alias("pixels_b64"),
+    )
+
+
+@register(
     "a1_usage_by_model",
     """
     WITH u AS (
