@@ -1,0 +1,166 @@
+"""Training-data export: deterministic shuffle-sharding, mixture
+sampling, and small-file compaction.
+
+The last mile of a 100 TB training pipeline: after dedup/filter/score,
+the corpus must leave the engine as (a) a FIXED number of shards, (b)
+in a globally shuffled but REPRODUCIBLE order (re-running the export
+on the same corpus must byte-identically reproduce shard membership
+and intra-shard order — resumable training depends on it), (c) with
+per-source mixing weights applied. Random()-based shuffles fail (b);
+everything here derives from a content hash instead.
+
+Hash choice: the first 8 hex chars of sha256(key) parsed as an int in
+[0, 2^32). sha256 is engine-portable (Spark `sha2(x, 256)` == DuckDB
+`sha256(x)`), uniform, and key-stable — which is what makes the shard
+assignment and the sampling decisions oracle-checkable SQL on BOTH
+engines (registry queries ex_shard_assignment / ex_mixture_sample).
+
+Scale shape: shard assignment is a narrow projection (no shuffle);
+intra-shard ordering is a window partitioned BY SHARD (each shard
+sorts independently — never a global sort); the physical write is one
+partitioned write. Compaction is the standard maintenance pass over a
+landing zone of many small files: one read, one repartition sized from
+actual on-disk bytes, one write.
+
+Reference parity: the reference exports per-file JSON artifacts to the
+destination connector (destination.py:339-388) and has no corpus-level
+export; sharded training export is beyond-reference north-star scope.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_u32(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform int in [0, 2^32) from a key column.
+
+    First 8 hex chars of sha256(salt || key): reproducible across
+    engines and runs, unlike `hash()` (Murmur3, Spark-private) or
+    `rand()` (partition-order dependent).
+    """
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long")
+
+
+def deterministic_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a shard in [0, n_shards) and a dense position
+    within its shard, in globally-shuffled-but-reproducible order.
+
+    shard = hash % n_shards (membership), shard_pos = rank of
+    (hash, id) within the shard (intra-shard shuffle order; the id
+    tie-break makes the order total, so re-runs reproduce it exactly).
+    The window partitions by shard — n_shards independent sorts, never
+    one global sort.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = hash_u32(F.col(id_col), salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("_h")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-group deterministic sampling — the dataset-mixing knob.
+
+    Keeps a row iff hash(id) < floor(fraction[group] * 2^32): each
+    source is down-weighted to its configured rate, decisions are
+    key-stable (a doc keeps/drops identically on every run and on
+    every engine), and no shuffle happens — it's a pure filter, pushed
+    down to the scan. Unlisted groups get `default_fraction`.
+    """
+    threshold = None
+    for g, frac in fractions.items():
+        t = int(min(max(frac, 0.0), 1.0) * 4294967296)
+        cond = F.when(F.col(group_col) == g, F.lit(t))
+        threshold = cond if threshold is None else threshold.when(
+            F.col(group_col) == g, F.lit(t)
+        )
+    default_t = int(min(max(default_fraction, 0.0), 1.0) * 4294967296)
+    threshold = (
+        F.lit(default_t) if threshold is None else threshold.otherwise(F.lit(default_t))
+    )
+    return df.filter(hash_u32(F.col(id_col), salt) < threshold)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    fmt: str = "parquet",
+) -> None:
+    """Physical sharded export: one directory per shard, rows stored in
+    shard_pos order so a sequential reader streams the shuffled order.
+
+    repartition on the shard column puts each shard's rows in one task;
+    sortWithinPartitions orders them; partitionBy writes shard=N dirs.
+    """
+    sharded = deterministic_shards(df, n_shards, id_col, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a landing zone of many small files into size-targeted
+    ones; returns the output file count.
+
+    The small-files problem is the classic streaming-sink pathology
+    (every micro-batch drop adds a file; a listing of 10M tiny files
+    throttles every downstream scan). Output file count is sized from
+    the source's ACTUAL on-disk bytes (via the input_file metadata of a
+    distributed scan — no driver-side filesystem walk), then one
+    repartition + write. Run it from the cron scheduler like any other
+    maintenance pipeline.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    # distinct (file, size) over the scan's file metadata: distributed,
+    # and exact for the bytes the compaction actually has to carry
+    sizes = (
+        df.select(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("f")
+        .agg(F.first("sz").alias("sz"))
+        .agg(F.sum("sz").alias("total"))
+        .collect()
+    )
+    total_bytes = int(sizes[0]["total"] or 0)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst_path)
+    return n_files

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unstract_spark.mock import doc_fingerprint, mock_answer_raw, mock_answer_raw_sql
-from unstract_spark.operators import dedup, chunking, retrieval, similarity, text_analysis
+from unstract_spark.operators import (
+    chunking,
+    dedup,
+    export,
+    retrieval,
+    similarity,
+    text_analysis,
+)
 from unstract_spark.operators.prompts import coerce_number, na_to_null
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2419,6 +2426,70 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feat", 4).alias("b1"),
         F.element_at("feat", 5).alias("b2"),
         F.element_at("feat", 6).alias("b3"),
+    )
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def _mixture_sample_sql() -> str:
+    """SQL twin of export.mixture_sample: same sha256-derived u32 and
+    the same integer thresholds (floor(frac * 2^32)), so keep/drop
+    decisions agree row-for-row."""
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(f * 4294967296)}"
+        for g, f in _MIX_FRACTIONS.items()
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               CAST('0x' || substr(sha256('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM h
+    WHERE hv < (CASE {cases} ELSE {int(_MIX_DEFAULT * 4294967296)} END)
+    """
+
+
+@register(
+    "ex_shard_assignment",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(hv % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv ASC, doc_id ASC) - 1
+                AS INTEGER) AS shard_pos
+    FROM h
+    """,
+)
+def ex_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sharding (export.deterministic_shards): shard
+    membership = content-hash modulo, intra-shard order = total order
+    on (hash, id) — globally shuffled yet byte-reproducible, which is
+    what makes the export resumable. The window partitions by shard
+    (8 independent sorts, no global sort); the oracle reproduces both
+    the assignment and the positions from the same sha256 math."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return export.deterministic_shards(d, n_shards=8).select(
+        "doc_id", "source", "shard", "shard_pos"
+    )
+
+
+@register("ex_mixture_sample", _mixture_sample_sql())
+def ex_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing (export.mixture_sample): per-source keep rates
+    applied as a key-stable hash filter — a pure pushed-down filter,
+    no shuffle, identical decisions on every run/engine."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return export.mixture_sample(
+        d, _MIX_FRACTIONS, group_col="source", default_fraction=_MIX_DEFAULT
     )
 
 
