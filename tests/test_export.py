@@ -105,3 +105,56 @@ def test_compact_respects_target_size(spark, tmp_path):
 def test_invalid_shard_count_raises(spark):
     with pytest.raises(ValueError):
         export.deterministic_shards(_docs(spark, 4), 0)
+
+
+def _lens(spark, lengths):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n_tokens long"
+    )
+
+
+def test_pack_sequences_fills_packs_in_order(spark):
+    d = _lens(spark, [100] * 20)
+    rows = export.pack_sequences(d, budget=400, len_col="n_tokens").collect()
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r.pack_id, []).append(r)
+    # uniform 100-token rows into a 400 budget -> packs of exactly 4
+    assert all(len(v) == 4 for v in per_pack.values())
+    # offsets are a contiguous layout: each pack spans [id*400, id*400+400)
+    for pid, v in per_pack.items():
+        offs = sorted(r.pack_off for r in v)
+        assert offs == [pid * 400 + k * 100 for k in range(4)]
+
+
+def test_pack_sequences_overshoot_bounded_by_one_row(spark):
+    rng_lens = [37, 251, 83, 110, 9, 340, 77, 64, 205, 18, 96, 143]
+    d = _lens(spark, rng_lens)
+    rows = export.pack_sequences(d, budget=300, len_col="n_tokens").collect()
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r.pack_id, 0)
+        per_pack[r.pack_id] += r.n_tokens
+    max_len = max(rng_lens)
+    assert all(total < 300 + max_len for total in per_pack.values())
+
+
+def test_pack_sequences_giant_row_does_not_drag_neighbors(spark):
+    # a row longer than the budget spans several boundaries; the next
+    # row must start a fresh pack, not share the giant's
+    d = _lens(spark, [10, 5000, 10, 10])
+    rows = {r.doc_id: r for r in export.pack_sequences(d, budget=100, len_col="n_tokens").collect()}
+    by_off = sorted(rows.values(), key=lambda r: r.pack_off)
+    giant = next(r for r in by_off if r.n_tokens == 5000)
+    after = [r for r in by_off if r.pack_off > giant.pack_off]
+    assert all(r.pack_id > giant.pack_id for r in after)
+
+
+def test_pack_sequences_sharded_is_reproducible(spark):
+    d = _docs(spark, 100).withColumn("n_tokens", (F.col("doc_id") % 7 + 1) * 10)
+    a = {(r.doc_id, r.shard, r.pack_id, r.pack_off)
+         for r in export.pack_sequences(d, 500, "n_tokens", n_shards=4).collect()}
+    b = {(r.doc_id, r.shard, r.pack_id, r.pack_off)
+         for r in export.pack_sequences(d, 500, "n_tokens", n_shards=4).collect()}
+    assert a == b
+    assert len({s for _, s, _, _ in a}) == 4

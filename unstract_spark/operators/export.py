@@ -104,6 +104,53 @@ def mixture_sample(
     return df.filter(hash_u32(F.col(id_col), salt) < threshold)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    len_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """Linear sequence packing: group rows into budget-sized packs —
+    the batch-construction step that turns documents into fixed
+    token-budget training examples.
+
+    Rows are laid out in the deterministic shuffle order (hash, id)
+    within each shard; a running length cumsum assigns
+    pack_id = floor((cumsum - len) / budget): a row joins the pack
+    where its span STARTS. Exact bin packing is NP-hard and
+    order-unstable under parallelism; linear packing is the streaming
+    packer every large trainer actually uses — one pass, deterministic,
+    packs overshoot the budget by at most one row's tail. A row longer
+    than the whole budget spans multiple boundaries and the next row
+    starts a new pack, so giants never drag neighbors along.
+
+    Scale shape: the window partitions by shard — n_shards independent
+    cumsums, never a global sort. Output adds (shard, pack_id,
+    pack_off) where pack_off is the row's start offset inside its
+    shard's layout.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = hash_u32(F.col(id_col), salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(len_col)).over(w)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pack_off", (cum - F.col(len_col)).cast("long"))
+        .withColumn("pack_id", F.floor(F.col("pack_off") / budget).cast("long"))
+        .drop("_h")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

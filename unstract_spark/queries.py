@@ -2482,6 +2482,39 @@ def ex_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_token_packing",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, n_chars, CAST(hv % 4 AS INTEGER) AS shard,
+               sum(n_chars) OVER (PARTITION BY hv % 4
+                                  ORDER BY hv ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_chars AS pack_off
+        FROM h
+    )
+    SELECT doc_id, n_chars, shard, CAST(pack_off AS BIGINT) AS pack_off,
+           CAST(floor(CAST(pack_off AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+    FROM laid
+    """,
+)
+def ex_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (export.pack_sequences): rows laid out in the
+    deterministic shuffle order per shard, running-cumsum offsets,
+    pack = budget window the row STARTS in. One window per shard —
+    4 independent cumsums, no global sort. The oracle reproduces
+    offsets and pack ids exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return export.pack_sequences(d, budget=4096, len_col="n_chars", n_shards=4).select(
+        "doc_id", "n_chars", "shard", "pack_off", "pack_id"
+    )
+
+
 @register("ex_mixture_sample", _mixture_sample_sql())
 def ex_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing (export.mixture_sample): per-source keep rates
