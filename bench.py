@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     # brute-force oracle
     "sim_lsh_topk",
     "sim_ivf_topk",
+    # round-5 additions: embedding near-dup's bucketed scale path,
+    # training-export sharding/packing windows, and the pure-stdlib
+    # JPEG decode pipeline (Arrow-batched Python — the priciest shape)
+    "dd_embedding_neardup_lsh",
+    "ex_shard_assignment",
+    "ex_token_packing",
+    "ex_corpus_prep",
+    "mm_jpeg_features",
 ]
 
 

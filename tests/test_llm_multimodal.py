@@ -135,10 +135,12 @@ def test_image_features_fake_decode(spark):
 
 
 def test_image_decode_stub_isolates_errors(spark):
-    df = spark.createDataFrame([("/img/a.jpg", b"x")], "file_path string, content binary")
+    # a payload matching no decoder's magic bytes (JPEG is real now —
+    # see minijpeg.py — so only truly unknown formats hit the stub)
+    df = spark.createDataFrame([("/img/a.bin", b"x")], "file_path string, content binary")
     rows = image_features(df, fake=False).collect()
     assert rows[0].feat is None
-    assert "requires PIL/opencv" in rows[0].decode_error  # row error, job survived
+    assert "unsupported image format" in rows[0].decode_error  # row error, job survived
 
 
 def test_frame_sample_plan_explodes(spark):

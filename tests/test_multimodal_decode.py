@@ -189,7 +189,9 @@ def test_image_features_mixed_real_and_error_rows(spark):
     rows = {r.file_path: r for r in image_features(df, fake=False).collect()}
     assert rows["/img/ok.pgm"].decode_error is None
     assert rows["/img/ok.pgm"].feat[0] == round(int(gray.sum()) / 16, 6)
-    assert "requires PIL/opencv" in rows["/img/bad.jpg"].decode_error
+    # JPEG decode is real (minijpeg.py): a JPEG-magic payload with no
+    # frame/scan now fails inside the decoder, still row-isolated
+    assert "JPEG missing SOF/SOS" in rows["/img/bad.jpg"].decode_error
     assert rows["/img/bad.jpg"].feat is None
     assert "truncated" in rows["/img/trunc.bmp"].decode_error
 

@@ -2515,6 +2515,87 @@ def ex_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_sql() -> str:
+    """SQL twin of the full prep chain: same mixture thresholds, same
+    quality-score terms as ta_quality_score, keeper = min id per
+    sha256(text), same shard/pack math as ex_token_packing."""
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(f * 4294967296)}"
+        for g, f in _MIX_FRACTIONS.items()
+    )
+    return f"""
+    WITH sampled AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE CAST('0x' || substr(sha256('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT)
+              < (CASE {cases} ELSE {int(_MIX_DEFAULT * 4294967296)} END)
+    ),
+    feats AS (
+        SELECT doc_id, length(text) AS nc,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+               len(regexp_extract_all(text, '[0-9]')) AS nd
+        FROM sampled
+    ),
+    good AS (
+        SELECT doc_id FROM feats
+        WHERE (CASE WHEN nc BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN nc / greatest(nt, 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN np / greatest(nc, 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN nd / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.0 END) / 4.0
+              >= 0.75
+    ),
+    kept AS (SELECT s.* FROM sampled s JOIN good g USING (doc_id)),
+    keepers AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)) d
+        USING (doc_id)
+    ),
+    laid AS (
+        SELECT doc_id, source, CAST(hv % 4 AS INTEGER) AS shard,
+               sum(n_chars) OVER (PARTITION BY hv % 4
+                                  ORDER BY hv ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_chars AS pack_off
+        FROM (SELECT keepers.*,
+                     CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS hv
+              FROM keepers)
+    )
+    SELECT doc_id, source, shard, CAST(pack_off AS BIGINT) AS pack_off,
+           CAST(floor(CAST(pack_off AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+    FROM laid
+    """
+
+
+@register("ex_corpus_prep", _corpus_prep_sql())
+def ex_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data prep chain as ONE Catalyst plan,
+    under ONE hash gate: mixture-sample (pushed-down hash filter) ->
+    quality filter (ta_quality_score semantics, score >= 0.75) ->
+    exact-dedup keeper selection (min id per content sha) ->
+    deterministic shard + linear pack layout. Every stage is an
+    operator already gated in isolation; this gate proves they COMPOSE
+    — same sampling salt, same score terms, same shard/pack math —
+    with no materialization barriers between stages."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    sampled = export.mixture_sample(
+        d, _MIX_FRACTIONS, group_col="source", default_fraction=_MIX_DEFAULT
+    )
+    good = (
+        text_analysis.quality_features(sampled)
+        .filter(F.col("quality_score") >= 0.75)
+        .select("doc_id")
+    )
+    kept = sampled.join(good, "doc_id")
+    keepers = kept.join(
+        dedup.exact_dedup_groups(kept).select(F.col("keeper_id").alias("doc_id")),
+        "doc_id",
+    )
+    packed = export.pack_sequences(keepers, budget=4096, len_col="n_chars", n_shards=4)
+    return packed.select("doc_id", "source", "shard", "pack_off", "pack_id")
+
+
 @register("ex_mixture_sample", _mixture_sample_sql())
 def ex_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing (export.mixture_sample): per-source keep rates
