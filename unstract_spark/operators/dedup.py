@@ -406,7 +406,11 @@ def embedding_neardup_lsh(
     from unstract_spark.operators import similarity
 
     limit = similarity.SQL_TERM_LIMIT if term_limit is None else term_limit
-    src = embeddings.select(id_col, vec_col)
+    # single-split parquet inputs would compute every bucket key on one
+    # core (the char_shingles local-mode caveat, SCALE.md); a real
+    # cluster scan already has splits and AQE coalesces the no-op
+    sc = embeddings.sparkSession.sparkContext
+    src = embeddings.select(id_col, vec_col).repartition(sc.defaultParallelism)
     if n_tables * n_planes * dim > limit:
         b = similarity._lsh_buckets_pandas(src, id_col, vec_col, dim, n_planes, n_tables)
     else:
@@ -424,7 +428,9 @@ def embedding_neardup_lsh(
         pairs.select(
             "id_a",
             "id_b",
-            (similarity.cosine(F.col("_va"), F.col("_vb"))).alias("cosine"),
+            # dim unrolls the dot product into codegen (the interpreted
+            # higher-order-function path costs ~3x on the candidate set)
+            (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias("cosine"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)

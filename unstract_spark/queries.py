@@ -1214,6 +1214,35 @@ def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, n_probe: int = 3, k: int
     """
 
 
+@register(
+    "agg_length_percentiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (corpus length profiling
+    — the filter-threshold-picking aggregation). Spark `percentile` and
+    DuckDB `quantile_cont` share the rank = p*(n-1) linear-interpolation
+    definition, so the doubles hash-match. At 100 TB the same profiling
+    runs as approx_percentile (t-digest, mergeable sketch); the exact
+    twin here IS its oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+    )
+
+
 def _emb_lsh_neardup_sql(
     dim: int = 64, n_planes: int = 6, n_tables: int = 4, threshold: float = 0.35
 ) -> str:
@@ -2266,8 +2295,13 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unstract_spark.operators.multimodal import image_features
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        # single-split parquet at bench scale would run the Python
+        # codec stage on one core (the char_shingles local-mode caveat,
+        # SCALE.md); on a cluster the scan already has splits
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def encode(batches):
@@ -2334,8 +2368,13 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unstract_spark.operators.multimodal import audio_features
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        # single-split parquet at bench scale would run the Python
+        # codec stage on one core (the char_shingles local-mode caveat,
+        # SCALE.md); on a cluster the scan already has splits
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def encode(batches):
@@ -2401,8 +2440,13 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unstract_spark.operators.multimodal import image_features
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        # single-split parquet at bench scale would run the Python
+        # codec stage on one core (the char_shingles local-mode caveat,
+        # SCALE.md); on a cluster the scan already has splits
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def encode(batches):
@@ -2630,8 +2674,13 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unstract_spark.operators.multimodal import resize_images
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        # single-split parquet at bench scale would run the Python
+        # codec stage on one core (the char_shingles local-mode caveat,
+        # SCALE.md); on a cluster the scan already has splits
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def encode(batches):
