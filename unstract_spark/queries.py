@@ -967,15 +967,20 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup: band bucket-join candidates + signature
     similarity. The 100 TB path: candidates via equi-join on band keys.
 
-    Signatures are persisted: the frame feeds four join inputs (both
-    band sides + both similarity sides), and without a persist Spark
+    Signatures are materialized once: the frame feeds four join inputs
+    (both band sides + both similarity sides), and without it Spark
     re-runs the shingle explode + groupBy for each — 4x the dominant
-    cost. At cluster scale this is a checkpoint/exchange-reuse, same
-    idea."""
+    cost. localCheckpoint, NOT persist: a persist here registers the
+    plan with the CacheManager and is never unpersisted (the contract
+    returns a lazy frame, so there is no post-action hook), and every
+    LATER query in the session then pays canonicalized-plan comparison
+    against the leaked entry on each analysis — measured 3-8x slowdowns
+    on large-plan queries (the LSH near-dup went 2.5s -> 20s once a few
+    cache entries accumulated). Checkpoint blocks are reclaimed by the
+    ContextCleaner when the frame is dropped. At cluster scale this is
+    a checkpoint/exchange-reuse, same idea."""
     sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(sh).persist()
-    sigs.count()  # eager: four downstream consumers race an unpopulated
-    # cache otherwise, each recomputing the shingle+agg lineage
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_similarity(sigs, pairs)
 
