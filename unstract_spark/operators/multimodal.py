@@ -9,10 +9,11 @@ uncompressed BMP (8-bit palette / 24-bit / 32-bit), binary PGM/PPM
 (P5/P6), 8-bit non-interlaced PNG (zlib inflate + Sub/Up/Average/Paeth
 unfiltering — zlib ships with Python), baseline sequential JPEG
 (marker walk + Huffman + IDCT, `minijpeg.py` — gray and YCbCr incl.
-subsampled chroma and restart markers), and PCM WAV (8/16-bit) — the
-same move as minipdf.py for PDFs. Video formats (MP4/...) would need
-ffmpeg, which is not in this container: those raise
-NotImplementedError unless `fake=True`, which substitutes a
+subsampled chroma and restart markers), PCM WAV (8/16-bit), and
+uncompressed-DIB AVI video (RIFF chunk walk + per-frame BMP-style
+decode, `miniavi.py`) — the same move as minipdf.py for PDFs.
+Compressed video codecs (H.264/MP4) would need ffmpeg, which is not in
+this container: those raise unless `fake=True`, which substitutes a
 deterministic fake decode (seeded from the payload hash) so the
 Spark-side plumbing stays testable for any payload.
 
@@ -661,6 +662,103 @@ def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+    every_n: int = 30,
+) -> DataFrame:
+    """REAL video frame sampling: demux AVI, keep every `every_n`-th
+    frame, emit one row per sampled frame with its re-encoded
+    still-image payload (PPM — downstream image stages decode it like
+    any other image column).
+
+    One input video row fans out to n_frames/every_n rows; the demux +
+    per-frame decode runs inside one Arrow batch pass, and the SAMPLING
+    happens before decode — skipped frames are never unpacked (at
+    cluster scale the chunk walk is I/O-sequential, decode is the CPU
+    cost). Per-row errors isolate into `decode_error` like every other
+    multimodal stage.
+    """
+    from unstract_spark.operators.miniavi import decode_frame, demux_avi
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("frame_number", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta, raw = demux_avi(bytes(payload) if payload is not None else b"")
+                    for i in range(0, len(raw), max(every_n, 1)):
+                        img = decode_frame(meta, raw[i])
+                        rows.append(
+                            (rid, i, meta.width, meta.height, encode_ppm(img), None)
+                        )
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    rows.append((rid, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_number", "width", "height", "frame", "decode_error"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def video_frame_features(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+    every_n: int = 30,
+) -> DataFrame:
+    """Per-sampled-frame feature vectors straight off the demuxer.
+
+    Same integer-exact stats as `image_features` ([mean, std, 4-bin
+    histogram] over the luma plane), one row per (video, sampled
+    frame) — fused demux+decode+feature in a single mapInPandas pass
+    so sampled frames never round-trip through an image container.
+    """
+    from unstract_spark.operators.miniavi import decode_frame, demux_avi
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("frame_number", T.LongType()),
+            T.StructField("feat", T.ArrayType(T.DoubleType())),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta, raw = demux_avi(bytes(payload) if payload is not None else b"")
+                    for i in range(0, len(raw), max(every_n, 1)):
+                        mean, std, counts = _int_stats(_gray(decode_frame(meta, raw[i])))
+                        feat = [round(mean, 6), round(std, 6)] + [float(c) for c in counts]
+                        rows.append((rid, i, feat, None))
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    rows.append((rid, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_number", "feat", "decode_error"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     payload_col: str = "content",
@@ -669,9 +767,10 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
 
-    The decode is stubbed; the row-explosion plumbing (which is the
-    Spark-side hard part — a 2h video becomes ~7k rows) is real:
-    frame count is estimated from payload size, then posexplode.
+    The size-estimate twin of `frame_sample` for opaque/compressed
+    containers the stdlib demuxer rejects: the row-explosion plumbing
+    (a 2h video becomes ~7k rows) is real — frame count is estimated
+    from payload size, then posexplode.
     """
     est_frames = (F.coalesce(F.length(F.col(payload_col)), F.lit(0)) / 1024).cast("int") + 1
     return df.select(

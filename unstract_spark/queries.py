@@ -2478,6 +2478,85 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_video_features",
+    """
+    WITH bytes AS (
+        SELECT doc_id, CAST(fr AS BIGINT) AS frame_number,
+               ascii(substr(rpad(substr(text, 1, 64), 64, ' '),
+                            CAST(fr * 16 + i AS INT), 1)) AS v
+        FROM documents,
+             unnest([0, 2]) AS uf(fr),
+             unnest(range(1, 17)) AS u(i)
+    ),
+    stats AS (
+        SELECT doc_id, frame_number,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean,
+               CAST(sum(v * v) AS DOUBLE) / count(*) AS msq,
+               CAST(sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS b0,
+               CAST(sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+               CAST(sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+               CAST(sum(CASE WHEN v // 64 >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS b3
+        FROM bytes GROUP BY doc_id, frame_number
+    )
+    SELECT doc_id, frame_number, round(mean, 6) AS px_mean,
+           round(sqrt(greatest(msq - mean * mean, 0)), 6) AS px_std,
+           b0, b1, b2, b3
+    FROM stats
+    """,
+)
+def mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO path, REAL container demux under a hash gate.
+
+    Each document's first 64 text bytes become a 4-frame 4x4 video
+    (frame f = bytes [16f, 16f+16), all three RGB channels = v so the
+    integer luma is exactly v), muxed into an uncompressed-DIB AVI by
+    miniavi.encode_avi. video_frame_features then demuxes the RIFF
+    tree, samples every 2nd frame (0 and 2), decodes each sampled DIB
+    and computes the integer-exact stats. The oracle reproduces the
+    same numbers straight from the text bytes, so the whole
+    mux -> chunk-walk -> frame-decode -> sample -> feature path must be
+    bit-exact to pass — and the skipped frames (1, 3) must actually be
+    skipped or the hash diverges."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import video_frame_features
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        # single-split parquet at bench scale would run the Python
+        # codec stage on one core (the char_shingles local-mode caveat,
+        # SCALE.md); on a cluster the scan already has splits
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.miniavi import encode_avi
+
+        for pdf in batches:
+            content = []
+            for s in pdf["s"]:
+                vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                frames = [vals[f * 16 : (f + 1) * 16].reshape(4, 4) for f in range(4)]
+                content.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    vids = d.mapInPandas(encode, "doc_id long, content binary")
+    feats = video_frame_features(vids, payload_col="content", id_col="doc_id", every_n=2)
+    return feats.select(
+        "doc_id",
+        "frame_number",
+        F.element_at("feat", 1).alias("px_mean"),
+        F.element_at("feat", 2).alias("px_std"),
+        F.element_at("feat", 3).alias("b0"),
+        F.element_at("feat", 4).alias("b1"),
+        F.element_at("feat", 5).alias("b2"),
+        F.element_at("feat", 6).alias("b3"),
+    )
+
+
 _MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.05
 
