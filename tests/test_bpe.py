@@ -1,0 +1,152 @@
+"""BPE trainer/encoder vs an independent naive implementation.
+
+The distributed statistic (pair counts) is SQL-oracle-gated by
+queries.bpe_pair_counts; here the sequential pieces are gated: the
+incremental indexed trainer must match a from-scratch recount trainer
+merge-for-merge, the greedy encoder must be lossless, and the Spark
+encode stage must agree with the driver-side encoder row-for-row.
+"""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unstract_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    encode_word,
+    learn_merges,
+    train_bpe,
+)
+
+
+def naive_learn(word_freqs, n_merges):
+    """From-scratch reference: recount every pair each round (the
+    textbook algorithm with no indexing), same tie-break."""
+    vocab = {}
+    for w, f in word_freqs:
+        if w:
+            key = tuple(w) + (END,)
+            vocab[key] = vocab.get(key, 0) + int(f)
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += f
+        if not counts:
+            break
+        best = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == best)
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+    ("new", 2), ("wider", 1), ("lowest", 2),
+]
+
+
+def test_incremental_trainer_matches_naive():
+    assert learn_merges(CORPUS, 20) == naive_learn(CORPUS, 20)
+
+
+def test_trainer_deterministic_and_tiebreaks_lexicographic():
+    assert learn_merges(CORPUS, 10) == learn_merges(list(reversed(CORPUS)), 10)
+    # two pairs with equal count -> the lexicographically smaller merges
+    m = learn_merges([("ab", 1), ("cd", 1)], 1)
+    assert m[0] == ("a", "b")
+
+
+def test_trainer_stops_when_saturated():
+    m = learn_merges([("aa", 3)], 50)
+    # "aa</w>" fully merges in 2 steps; no infinite loop after
+    assert len(m) == 2
+
+
+def test_encode_word_greedy_rank_order():
+    merges = learn_merges(CORPUS, 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = encode_word("newest", ranks)
+    assert "".join(toks) == "newest" + END
+    # a word with no learned pairs stays fully split
+    assert encode_word("xyz", ranks) == ["x", "y", "z", END]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcde", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=0, max_value=15),
+)
+def test_trainer_property_incremental_equals_naive(word_freqs, n):
+    assert learn_merges(word_freqs, n) == naive_learn(word_freqs, n)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="ab cd", min_size=0, max_size=40))
+def test_encode_lossless_roundtrip(text):
+    merges = learn_merges([(w, 1) for w in text.split()], 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in text.split():
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END
+
+
+def test_spark_encode_matches_driver(spark):
+    docs = spark.createDataFrame(
+        [(1, "the newest widest low"), (2, "lower the the newest"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=12)
+    assert merges == naive_learn(
+        Counter(w for t in ["the newest widest low", "lower the the newest"]
+                for w in t.split()).items(),
+        12,
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    for did, text in [(1, "the newest widest low"), (2, "lower the the newest")]:
+        expect = [t for w in text.split() for t in encode_word(w, ranks)]
+        assert list(rows[did].tokens) == expect
+        assert rows[did].n_tokens == len(expect)
+        assert rows[did].n_words == len(text.split())
+    assert rows[3].n_tokens == 0 and rows[4].n_words == 0
+
+
+def test_train_bpe_min_freq_and_max_words(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb zz")], "doc_id long, text string"
+    )
+    # min_freq=2 drops the hapax "zz"; its chars never merge
+    merges = train_bpe(docs, n_merges=10, min_freq=2)
+    flat = "".join(a + b for a, b in merges)
+    assert "z" not in flat and ("a", END) in merges  # '</w>' sorts before 'a'
+    # max_words=1 keeps only "aa" (freq 3): every merge is a/END-only
+    merges1 = train_bpe(docs, n_merges=10, max_words=1)
+    assert merges1 == [("a", END), ("a", "a" + END)]
+
+
+@pytest.mark.parametrize("word", ["a", "ab", "hello"])
+def test_encode_no_merges(word):
+    assert encode_word(word, {}) == list(word) + [END]

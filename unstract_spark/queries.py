@@ -888,6 +888,51 @@ def ta_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )
+    SELECT substr(word, CAST(i AS INT), 1) AS a,
+           CASE WHEN i < length(word) THEN substr(word, CAST(i + 1 AS INT), 1)
+                ELSE '</w>' END AS b,
+           CAST(sum(freq) AS BIGINT) AS freq
+    FROM words, unnest(range(1, length(word) + 1)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training statistic, the distributed part: adjacent-symbol
+    pair frequencies over the distinct-word table (symbols = chars +
+    trailing </w>). This is the aggregation each merge iteration
+    maximizes over — gated here end to end (whitespace split + word
+    groupBy + pair explode), all JVM-side."""
+    from unstract_spark.operators import bpe
+
+    w = bpe.word_frequencies(_t(spark, sf_dir, "documents"))
+    return bpe.pair_frequencies(w)
+
+
+@register("bpe_token_counts", None)  # iterative trainer: not SQL-expressible
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE train + encode: 64 merges learned from the corpus's own
+    word-frequency table (deterministic tie-breaks), then the broadcast
+    encoder over every document. Rows-only driver check by design — the
+    sequential merge loop has no SQL twin; the trainer/encoder are
+    pytest-gated against an independent naive implementation
+    (tests/test_bpe.py) and the distributed statistic they consume is
+    hash-gated by bpe_pair_counts."""
+    from unstract_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, n_merges=64, min_freq=2)
+    out = bpe.bpe_encode(d, merges)
+    return out.select("doc_id", "n_tokens", "n_words")
+
+
 # =====================================================================
 # Dedup suite (training-data ops): exact, MinHash, SimHash, Jaccard,
 # embedding near-dup
