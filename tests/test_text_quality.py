@@ -1,0 +1,89 @@
+"""Gopher quality / repetition filters + PII redaction operators.
+
+The corpus-level hash gates live in the registry (ta_gopher_quality,
+ta_repetition, ta_pii_redact); these tests pin the threshold semantics
+and replacement behavior on handcrafted documents where each rule
+demonstrably fires.
+"""
+
+from pyspark.sql import Row
+
+from unstract_spark.operators.text_analysis import (
+    gopher_quality,
+    pii_redact,
+    repetition_features,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = "the quick brown fox jumps over the lazy dog and that have with " * 3
+    docs = _docs(
+        spark,
+        [
+            (1, good),                                   # passes everything
+            (2, "word " * 5),                            # too few words
+            (3, "### " + "# " * 30 + good),              # symbol ratio
+            (4, "\n".join("- having quality words that the and with of have" for _ in range(19)) + "\nplain closing line"),
+            (5, ("12 34 56 78 90 " * 10) + "the of"),    # alpha ratio
+            (6, "zz yy xx ww vv uu tt ss rr qq " * 5),   # no stopwords
+        ],
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs, min_words=10).collect()}
+    assert out[1].gopher_pass == 1
+    assert out[2].gopher_pass == 0 and out[2].n_words == 5
+    assert out[3].gopher_pass == 0 and out[3].symbol_ratio > 0.1
+    assert out[4].gopher_pass == 0 and out[4].bullet_ratio > 0.9
+    assert out[5].gopher_pass == 0 and out[5].alpha_word_ratio < 0.8
+    assert out[6].gopher_pass == 0 and out[6].n_stopwords < 2
+
+
+def test_gopher_ellipsis_lines(spark):
+    t = "\n".join(["to be continued..."] * 4 + ["the end of that have with line"])
+    (r,) = gopher_quality(_docs(spark, [(1, t)]), min_words=1).collect()
+    assert r.ellipsis_ratio == 0.8 and r.gopher_pass == 0
+
+
+def test_repetition_top_gram_coverage(spark):
+    # "spam spam spam eggs": top word spam covers 12 of 16 word chars
+    (r,) = repetition_features(_docs(spark, [(1, "spam spam spam eggs")])).collect()
+    assert r.n_words == 4
+    assert r.top_word_char_frac == round(12 / 16, 6)
+    # top bigram "spam spam" (x2) covers 18 of 19 joined chars
+    assert r.top_bigram_char_frac == round(18 / 19, 6)
+    assert r.dup_word_frac == round(2 / 4, 6)
+
+
+def test_repetition_duplicate_lines(spark):
+    t = "copy me\ncopy me\ncopy me\nunique line"
+    (r,) = repetition_features(_docs(spark, [(1, t)])).collect()
+    assert r.dup_line_frac == round(2 / 4, 6)
+
+
+def test_repetition_single_word_doc_has_no_bigram(spark):
+    (r,) = repetition_features(_docs(spark, [(1, "alone")])).collect()
+    assert r.top_bigram_char_frac == 0.0 and r.dup_word_frac == 0.0
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    t = "mail a.b-c_1@foo.example.org or 192.168.0.1 call +1 555 010 99 now"
+    (r,) = pii_redact(_docs(spark, [(7, t)])).collect()
+    assert r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1
+    assert r.redacted == "mail [EMAIL] or [IP] call [PHONE] now"
+
+
+def test_pii_redact_order_email_before_ip(spark):
+    # the email regex must consume the host before the IP pass sees it
+    (r,) = pii_redact(_docs(spark, [(1, "x@y.zz and 1.2.3.4")])).collect()
+    assert r.n_emails == 1 and r.n_ips == 1
+    assert r.redacted == "[EMAIL] and [IP]"
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    t = "no personal data here at all"
+    (r,) = pii_redact(_docs(spark, [(1, t)])).collect()
+    assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+    assert r.redacted == t

@@ -103,6 +103,199 @@ def quality_features(
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1 — public) as one codegen projection:
+
+    - word count within [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or ...) <= 0.1
+    - <= 90% of lines start with a bullet, <= 30% end with ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct Gopher stopwords present
+
+    Emits each raw feature plus the pass/fail verdict so downstream
+    filters can re-threshold without recomputing. Zero shuffles, zero
+    Python — this runs at scan speed over 100 TB.
+    """
+    t = F.col(text_col)
+    n_words = token_count_ws(t)
+    # word chars = non-whitespace chars; mean word length over that
+    n_word_chars = F.length(F.regexp_replace(t, "\\s", ""))
+    mean_wlen = (n_word_chars / F.greatest(n_words, F.lit(1))).cast("double")
+    n_symbols = F.regexp_count(t, F.lit("#|\\.\\.\\.")).cast("long")
+    sym_ratio = (n_symbols / F.greatest(n_words, F.lit(1))).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^\\s*([-*•])")))
+    n_ellip = F.size(F.filter(lines, lambda x: x.rlike("\\.\\.\\.\\s*$")))
+    bullet_ratio = (n_bullet / F.greatest(n_lines, F.lit(1))).cast("double")
+    ellipsis_ratio = (n_ellip / F.greatest(n_lines, F.lit(1))).cast("double")
+    words = F.split(F.trim(t), "\\s+")
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = (n_alpha_words / F.greatest(n_words, F.lit(1))).cast("double")
+    n_stop = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        n_stop = n_stop + F.when(t.rlike("\\b" + w + "\\b"), 1).otherwise(0)
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+        & (alpha_ratio >= 0.8)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        passes.cast("int").alias("gopher_pass"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1): fraction
+    of content covered by the most frequent word / word-bigram, plus
+    duplicate word- and line-occurrence fractions.
+
+    Shape: explode words once, two grouped aggregations partitioned by
+    doc (bigrams pair each word with its successor via a length-offset
+    self-alignment — no window, no join: the successor is computed in
+    the same explode using posexplode + lead-free slicing). One shuffle
+    on (doc, gram); the per-doc arg-max is a max_by with deterministic
+    (count desc, gram asc) tie-break.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.trim(t), "\\s+").alias("ws"),
+        F.split(t, "\n").alias("ls"),
+        F.length(F.regexp_replace(t, "\\s", "")).cast("long").alias("n_word_chars"),
+    )
+    words = base.select(
+        id_col, "n_word_chars", F.posexplode("ws").alias("pos", "w")
+    ).filter(F.col("w") != "")
+    # word stats: top-1-gram coverage + duplicate-occurrence fraction
+    wcounts = words.groupBy(id_col, "n_word_chars", "w").agg(
+        F.count("*").alias("c")
+    )
+    wstats = wcounts.groupBy(id_col, "n_word_chars").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max(
+            F.struct(F.col("c"), (F.length("w") * F.col("c")).alias("cov"), F.col("w"))
+        )["cov"].alias("w_cov"),
+    )
+    # bigrams from the same words frame: pair via 2-row slide on the array
+    bigrams = base.select(
+        id_col,
+        F.length(F.concat_ws(" ", "ws")).cast("long").alias("n_chars"),
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(1))),
+                    lambda x, i: F.concat_ws(" ", x, F.element_at("ws", i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bcounts = bigrams.groupBy(id_col, "n_chars", "g").agg(F.count("*").alias("c"))
+    bstats = bcounts.groupBy(id_col, "n_chars").agg(
+        F.max(
+            F.struct(F.col("c"), (F.length("g") * F.col("c")).alias("cov"), F.col("g"))
+        )["cov"].alias("b_cov"),
+    )
+    # line duplicate fraction (by occurrences)
+    lns = base.select(id_col, F.explode("ls").alias("l")).filter(F.col("l") != "")
+    lstats = (
+        lns.groupBy(id_col, "l")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_lines"), F.count("*").alias("n_distinct_lines"))
+    )
+    return (
+        wstats.join(bstats, id_col, "left")
+        .join(lstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round(
+                F.col("w_cov") / F.greatest(F.col("n_word_chars"), F.lit(1)), 6
+            ).alias("top_word_char_frac"),
+            F.round(
+                F.coalesce(F.col("b_cov"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+            F.round(
+                (F.col("n_words") - F.col("n_distinct"))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    (F.col("n_lines") - F.col("n_distinct_lines"))
+                    / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_line_frac"),
+        )
+    )
+
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for corpus prep: emails, IPv4 literals and
+    international-format phone numbers replaced with typed tags, with
+    per-document match counts for audit.
+
+    Patterns are deliberately RE2-and-Java-compatible (no lookaround,
+    no \\d shorthand divergence) and applied in a fixed order
+    (email -> ip -> phone) so the result is engine-independent — the
+    SQL oracle replays the identical sequence. Pure projection: scan
+    speed, no shuffle.
+    """
+    t = F.col(text_col)
+    r1 = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    r2 = F.regexp_replace(r1, PII_IPV4, "[IP]")
+    r3 = F.regexp_replace(r2, PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(r1, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(r2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        r3.alias("redacted"),
+        F.md5(r3).alias("redacted_md5"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: exact sha, normalized md5, prefix hash.
 

@@ -888,6 +888,202 @@ def ta_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in text_analysis.GOPHER_STOPWORDS
+)
+
+
+@register(
+    "ta_gopher_quality",
+    rf"""
+    WITH f AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+               string_split(text, chr(10)) AS ls,
+               regexp_split_to_array(trim(text), '\s+') AS ws,
+               CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, n_words, n_stop,
+               n_word_chars / greatest(n_words, 1) AS mean_wlen,
+               n_symbols / greatest(n_words, 1) AS sym_ratio,
+               len(list_filter(ls, x -> regexp_matches(x, '^\s*([-*•])')))
+                   / greatest(len(ls), 1) AS bullet_ratio,
+               len(list_filter(ls, x -> regexp_matches(x, '\.\.\.\s*$')))
+                   / greatest(len(ls), 1) AS ellipsis_ratio,
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(n_words, 1) AS alpha_ratio
+        FROM f
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wlen, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(bullet_ratio, 6) AS bullet_ratio,
+           round(ellipsis_ratio, 6) AS ellipsis_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio,
+           n_stop AS n_stopwords,
+           CASE WHEN n_words BETWEEN 10 AND 100000
+                 AND mean_wlen BETWEEN 3.0 AND 10.0
+                 AND sym_ratio <= 0.1
+                 AND bullet_ratio <= 0.9
+                 AND ellipsis_ratio <= 0.3
+                 AND alpha_ratio >= 0.8
+                 AND n_stop >= 2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM g
+    """,
+)
+def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality rules (Rae et al. 2021) — raw features
+    plus verdict, min_words relaxed to 10 for this corpus's short
+    synthetic docs. Pure codegen projection; scan-speed at 100 TB."""
+    return text_analysis.gopher_quality(
+        _t(spark, sf_dir, "documents"), min_words=10
+    )
+
+
+@register(
+    "ta_repetition",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS ws,
+               string_split(text, chr(10)) AS ls,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, n_word_chars, w
+        FROM base, unnest(ws) AS t(w) WHERE w <> ''
+    ),
+    wcounts AS (
+        SELECT doc_id, n_word_chars, w, count(*) AS c
+        FROM words GROUP BY ALL
+    ),
+    wagg AS (
+        SELECT doc_id, n_word_chars,
+               CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct
+        FROM wcounts GROUP BY 1, 2
+    ),
+    wtop AS (
+        SELECT doc_id, cov AS w_cov FROM (
+            SELECT doc_id, length(w) * c AS cov,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY c DESC, length(w) * c DESC, w DESC) AS rn
+            FROM wcounts
+        ) WHERE rn = 1
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               length(array_to_string(ws, ' ')) AS n_chars,
+               ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+        FROM base, unnest(range(1, len(ws))) AS u(i)
+        WHERE len(ws) >= 2
+    ),
+    bcounts AS (
+        SELECT doc_id, n_chars, g, count(*) AS c FROM bigrams GROUP BY ALL
+    ),
+    btop AS (
+        SELECT doc_id, n_chars, cov AS b_cov FROM (
+            SELECT doc_id, n_chars, length(g) * c AS cov,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY c DESC, length(g) * c DESC, g DESC) AS rn
+            FROM bcounts
+        ) WHERE rn = 1
+    ),
+    lstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+               count(*) AS n_distinct_lines
+        FROM (SELECT doc_id, l, count(*) AS c
+              FROM base, unnest(ls) AS t(l) WHERE l <> '' GROUP BY ALL)
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           round(wtop.w_cov / greatest(w.n_word_chars, 1), 6) AS top_word_char_frac,
+           round(coalesce(btop.b_cov, 0)
+                 / greatest(coalesce(btop.n_chars, 0), 1), 6) AS top_bigram_char_frac,
+           round((w.n_words - w.n_distinct) / greatest(w.n_words, 1), 6) AS dup_word_frac,
+           round(coalesce((lstats.n_lines - lstats.n_distinct_lines)
+                 / greatest(lstats.n_lines, 1), 0.0), 6) AS dup_line_frac
+    FROM wagg w
+    JOIN wtop USING (doc_id)
+    LEFT JOIN btop USING (doc_id)
+    LEFT JOIN lstats USING (doc_id)
+    """,
+)
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: top word / top bigram character
+    coverage + duplicate word/line occurrence fractions. One shuffle
+    per gram granularity; deterministic (count, coverage, gram)
+    arg-max tie-breaks reproduced by the oracle's window."""
+    return text_analysis.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+_PII_AUG_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || ' tel +1 555 010 0' "
+    "|| CAST(doc_id % 10 AS VARCHAR) || '.'"
+)
+
+
+@register(
+    "ta_pii_redact",
+    rf"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    ),
+    r1 AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{text_analysis.PII_EMAIL}', '[EMAIL]', 'g') AS t1
+        FROM aug
+    ),
+    r2 AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1, '{text_analysis.PII_IPV4}', '[IP]', 'g') AS t2
+        FROM r1
+    ),
+    r3 AS (
+        SELECT doc_id, text, t1, t2,
+               regexp_replace(t2, '{text_analysis.PII_PHONE}', '[PHONE]', 'g') AS t3
+        FROM r2
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text_analysis.PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{text_analysis.PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{text_analysis.PII_PHONE}')) AS BIGINT) AS n_phones,
+           t3 AS redacted, md5(t3) AS redacted_md5
+    FROM r3
+    """,
+)
+def ta_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate with synthesized PII: every doc gets a
+    deterministic email + IPv4 + phone appended (same construction in
+    the oracle), so the replacement chain actually fires on every row
+    and regex-dialect drift between engines fails the hash, not just
+    the counts. Fixed order email -> ip -> phone both sides."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1 555 010 0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return text_analysis.pii_redact(d)
+
+
 @register(
     "bpe_pair_counts",
     r"""
