@@ -1,0 +1,79 @@
+"""Product-quantization ANN path: encode compactness, determinism,
+and recall against the exact brute-force ranking.
+
+The cross-engine hash gate is queries.sim_pq_topk; these tests pin the
+operator-level contracts the gate can't see (code range, codebook
+validation, recall floor vs brute force).
+"""
+
+import numpy as np
+import pytest
+
+from unstract_spark.operators.similarity import (
+    brute_force_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk_join,
+)
+
+
+def _emb(spark, n=120, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codebooks_shape_and_validation():
+    cbs = pq_codebooks(16, n_sub=4, n_codes=8)
+    assert len(cbs) == 4 and all(cb.shape == (8, 4) for cb in cbs)
+    with pytest.raises(ValueError):
+        pq_codebooks(10, n_sub=4)
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    e = _emb(spark)
+    out1 = pq_encode(e, dim=16, n_sub=4, n_codes=8).collect()
+    out2 = pq_encode(e, dim=16, n_sub=4, n_codes=8).collect()
+    assert sorted(map(str, out1)) == sorted(map(str, out2))
+    for r in out1:
+        for m in range(4):
+            assert 0 <= r[f"code_{m}"] < 8
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    e = _emb(spark, n=40)
+    cbs = pq_codebooks(16, n_sub=4, n_codes=8)
+    rows = {r.vec_id: r for r in pq_encode(e, dim=16, n_sub=4, n_codes=8).collect()}
+    for r in e.collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        for m in range(4):
+            sub = v[m * 4 : (m + 1) * 4]
+            scores = sub @ cbs[m].T - 0.5 * (cbs[m] * cbs[m]).sum(axis=1)
+            assert rows[r.vec_id][f"code_{m}"] == int(np.argmax(scores))
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    e = _emb(spark, n=150)
+    q = e.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = brute_force_topk(q, e, k=5)
+    approx = pq_topk_join(q, e, dim=16, k=5, n_sub=4, n_codes=8, refine=6)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # generous refine window on small data: expect solid overlap, and
+    # the self-match (rank 1, cosine 1.0) must always survive
+    assert len(ex & ap) >= int(0.6 * len(ex))
+    for qid in (0, 1, 2):
+        assert (qid, qid) in ap
+
+
+def test_pq_topk_ranks_are_dense_and_bounded(spark):
+    e = _emb(spark, n=60)
+    q = e.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    out = pq_topk_join(q, e, dim=16, k=4, n_sub=4, n_codes=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4]

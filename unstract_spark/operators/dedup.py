@@ -435,3 +435,57 @@ def embedding_neardup_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def word_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) — distinct sliding word n-grams per document.
+
+    The building block of train/eval decontamination (the published
+    recipe: GPT-3 App. C / PaLM / Llama all drop training docs sharing
+    long word n-grams with an eval set — public methodology). All
+    JVM-side: split + sliding transform + explode; gram strings
+    normalize to single spaces so whitespace runs can't hide overlap.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
+            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-train-document contamination against a benchmark set: how
+    many distinct word n-grams it shares, with how many bench docs.
+
+    Shape that survives 100 TB: both sides explode to distinct
+    (doc, gram) rows, the join is a gram-keyed equi-join (never
+    all-pairs), and the bench side — eval suites are tiny next to a
+    training corpus — broadcasts. Emits only contaminated docs; the
+    caller anti-joins this against the corpus to scrub.
+    """
+    tg = word_ngrams(train, n, text_col, id_col).withColumnRenamed(id_col, "train_id")
+    bg = word_ngrams(bench, n, text_col, id_col).withColumnRenamed(id_col, "bench_id")
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -305,6 +305,139 @@ def ivf_topk_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the memory-side ANN scale lever. Vectors
+# compress to n_sub byte-ish codes (64 dims -> 8 codes = 32x smaller
+# than float32), and query scoring becomes n_sub table lookups per
+# item instead of dim multiplies (asymmetric distance computation,
+# Jegou et al. 2011, TPAMI — public). Exact cosine re-ranks the ADC
+# shortlist, so PQ only generates candidates, never final ranks.
+# ---------------------------------------------------------------------
+
+
+def pq_codebooks(dim: int, n_sub: int = 8, n_codes: int = 16) -> list[np.ndarray]:
+    """One seeded codebook per subspace ((n_codes, dim/n_sub) each) —
+    deterministic like the IVF/LSH generators, so the SQL oracle can
+    inline them as literals. Data-fitted codebooks (per-subspace
+    k-means, the production move) drop in via the `codebooks` param of
+    pq_encode/pq_topk_join without touching the plan shape."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    return [_seeded_hyperplanes(d, n_codes, table=600 + m) for m in range(n_sub)]
+
+
+def _pq_sub_scores(cb_m: np.ndarray, vec_sql: str, m: int, d: int) -> list:
+    """Per-code assignment scores for one subspace: dot(sub, c) -
+    0.5*||c||^2 (argmax == nearest-by-L2), generated SQL with the same
+    sequential float-op order as the DuckDB twin."""
+    sub = f"slice(CAST({vec_sql} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
+    out = []
+    for c in range(len(cb_m)):
+        arr = ", ".join(_dlit(x) for x in cb_m[c])
+        half = _dlit(0.5 * float((cb_m[c] * cb_m[c]).sum()))
+        out.append(
+            F.expr(
+                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x) - {half}"
+            ).alias(f"s{m}_{c}")
+        )
+    return out
+
+
+def pq_encode(
+    index: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    codebooks: list[np.ndarray] | None = None,
+) -> DataFrame:
+    """(id, vec, code_0..code_{n_sub-1}) — each code the argmin-L2
+    codeword of its subvector, ties to the lowest code (measured min
+    assignment gap on the corpus ~4e-5, so the argmax agrees
+    cross-engine; same margin argument as the IVF cells)."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+    # argmax as array_position(scores, array_max(scores)): first max ->
+    # lowest code, and each score array is referenced only twice. The
+    # greatest()+16-branch-CASE spelling is semantically identical but
+    # CollapseProject inlines every score expression into every branch
+    # (~16x16 dot products PER code column) and the analyzer never
+    # returns — measured hang at 500 rows.
+    code_cols = []
+    for m in range(n_sub):
+        arr = F.array(*[s for s in _pq_sub_scores(cbs[m], index_vec, m, d)])
+        code_cols.append(
+            (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias(f"code_{m}")
+        )
+    return index.select(F.col(index_id), F.col(index_vec), *code_cols)
+
+
+def pq_topk_join(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    codebooks: list[np.ndarray] | None = None,
+) -> DataFrame:
+    """ANN via PQ asymmetric-distance scan + exact re-rank.
+
+    The index is encoded once (codes are reusable across queries — at
+    production scale they live in the vector store next to the id, 32x
+    smaller than the raw float32 vectors). Per query a lookup table of
+    dot(sub_q, codeword) is computed on the tiny broadcast side; each
+    (query, item) score is then n_sub array lookups summed in fixed
+    subspace order — bit-identical cross-engine, so the ADC shortlist
+    (top refine*k by raw score, id tie-break) is deterministic. Exact
+    cosine re-ranks the shortlist by the ROUNDED score (the float
+    parity rule)."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+    codes = pq_encode(index, dim, n_sub, n_codes, index_id, index_vec, cbs)
+
+    lut_cols = []
+    for m in range(n_sub):
+        sub = f"slice(CAST({query_vec} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
+        entries = []
+        for c in range(len(cbs[m])):
+            arr = ", ".join(_dlit(x) for x in cbs[m][c])
+            entries.append(
+                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+            )
+        lut_cols.append(F.expr(f"array({', '.join(entries)})").alias(f"lut_{m}"))
+    q = queries.select(F.col(query_id), F.col(query_vec), *lut_cols)
+
+    adc = None
+    for m in range(n_sub):  # fixed ascending-subspace summation order
+        term = F.element_at(F.col(f"lut_{m}"), F.col(f"code_{m}") + 1)
+        adc = term if adc is None else adc + term
+    paired = codes.crossJoin(F.broadcast(q)).select(
+        query_id, query_vec, index_id, index_vec, adc.alias("adc")
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col(index_id).asc())
+    shortlist = (
+        paired.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= refine * k)
+    )
+    scored = shortlist.select(
+        query_id,
+        index_id,
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _lsh_buckets_pandas(
     df: DataFrame, id_c: str, vec_c: str, dim: int, n_planes: int, n_tables: int
 ) -> DataFrame:

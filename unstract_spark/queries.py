@@ -1085,6 +1085,43 @@ def ta_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_contamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+        FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3
+    )
+    SELECT t.doc_id AS train_id,
+           CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM (SELECT * FROM grams WHERE doc_id % 97 <> 0) t
+    JOIN (SELECT doc_id, gram FROM grams WHERE doc_id % 97 = 0) b USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (GPT-3 App. C methodology): word
+    n-gram overlap between the training split (doc_id % 97 != 0) and
+    the held-out split (% 97 == 0), n=3 for this short-doc corpus
+    (production default 8). Gram-keyed equi-join with the tiny bench
+    side broadcast — never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    ).select(
+        F.col("train_id"), F.col("n_shared_grams"), F.col("n_bench_docs")
+    )
+
+
+@register(
     "bpe_pair_counts",
     r"""
     WITH words AS (
@@ -1458,6 +1495,94 @@ def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, n_probe: int = 3, k: int
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _pq_topk_sql(
+    dim: int = 64, n_sub: int = 8, n_codes: int = 16, k: int = 10, refine: int = 3
+) -> str:
+    """SQL twin of similarity.pq_topk_join: seeded codebooks inlined as
+    literals; code assignment = first-max CASE over the same
+    (dot - 0.5*||c||^2) scores in the same sequential float-op order
+    (min assignment gap on the corpus ~4e-5, the IVF margin argument);
+    ADC = fixed-ascending-subspace sum of lookup-table entries, so the
+    shortlist cut is bit-identical; exact cosine re-ranks rounded."""
+    cbs = similarity.pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+
+    def sub(col: str, m: int) -> str:
+        return f"{col}[{m * d + 1}:{m * d + d}]"
+
+    score_defs, code_cases, lut_defs, adc_terms = [], [], [], []
+    for m in range(n_sub):
+        names = []
+        for c in range(n_codes):
+            half = f"CAST({float(0.5 * (cbs[m][c] * cbs[m][c]).sum())!r} AS DOUBLE)"
+            score_defs.append(
+                f"list_dot_product({sub('v', m)}, {_double_array_sql(cbs[m][c])})"
+                f" - {half} AS s{m}_{c}"
+            )
+            names.append(f"s{m}_{c}")
+        g = f"greatest({', '.join(names)})"
+        case = " ".join(
+            f"WHEN {n} = {g} THEN {c}" for c, n in enumerate(names)
+        )
+        code_cases.append(f"CASE {case} END AS code_{m}")
+        lut_defs.append(
+            "["
+            + ", ".join(
+                f"list_dot_product({sub('v', m)}, {_double_array_sql(cbs[m][c])})"
+                for c in range(n_codes)
+            )
+            + f"] AS lut_{m}"
+        )
+        adc_terms.append(f"q.lut_{m}[c.code_{m} + 1]")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    scores AS (SELECT vec_id, v, nrm, {', '.join(score_defs)} FROM e),
+    codes AS (SELECT vec_id, v, nrm, {', '.join(code_cases)} FROM scores),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, {', '.join(lut_defs)}
+        FROM e WHERE vec_id < 5
+    ),
+    paired AS (
+        SELECT q.query_id, c.vec_id,
+               {' + '.join(adc_terms)} AS adc,
+               list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS cos
+        FROM codes c CROSS JOIN q
+    ),
+    short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id ASC) AS arank
+        FROM paired
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, round(cos, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+        FROM short WHERE arank <= {refine * k}
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_pq_topk", _pq_topk_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path #3: product-quantization ADC scan + exact re-rank
+    (similarity.pq_topk_join). Completes the ANN family — brute force
+    (exact oracle), LSH (hash buckets), IVF (data-geometry cells), PQ
+    (compressed-domain scoring): codes are 32x smaller than float32
+    vectors and each candidate costs n_sub lookups, the memory-side
+    lever the others don't pull."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.pq_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
 
 
 @register(
