@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "ex_token_packing",
     "ex_corpus_prep",
     "mm_jpeg_features",
+    # round-5 additions: PQ compressed-domain ANN, decontamination's
+    # gram equi-join, the Gopher repetition shuffle, corpus BPE
+    # train+encode, and the AVI demux/frame-sample Python stage
+    "sim_pq_topk",
+    "dd_contamination",
+    "ta_repetition",
+    "bpe_token_counts",
+    "mm_video_features",
 ]
 
 

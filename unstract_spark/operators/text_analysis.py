@@ -198,12 +198,19 @@ def repetition_features(
     wcounts = words.groupBy(id_col, "n_word_chars", "w").agg(
         F.count("*").alias("c")
     )
+    # arg-max packs (count, coverage) into ONE long: the gram string
+    # can't change the emitted coverage on (c, cov) ties, and ANY
+    # struct-typed aggregation buffer (even all-numeric) falls back to
+    # SortAggregate — HashAggregate's mutable buffer holds primitives
+    # only (plan-audit lesson). cov < 2^31 (chars per document), so
+    # max(c * 2^31 + cov) is the lexicographic (c, cov) max.
+    _PACK = 2147483648  # 2^31
     wstats = wcounts.groupBy(id_col, "n_word_chars").agg(
         F.sum("c").alias("n_words"),
         F.count("*").alias("n_distinct"),
-        F.max(
-            F.struct(F.col("c"), (F.length("w") * F.col("c")).alias("cov"), F.col("w"))
-        )["cov"].alias("w_cov"),
+        (
+            F.max(F.col("c") * _PACK + F.length("w") * F.col("c")) % _PACK
+        ).alias("w_cov"),
     )
     # bigrams from the same words frame: pair via 2-row slide on the array
     bigrams = base.select(
@@ -221,9 +228,9 @@ def repetition_features(
     )
     bcounts = bigrams.groupBy(id_col, "n_chars", "g").agg(F.count("*").alias("c"))
     bstats = bcounts.groupBy(id_col, "n_chars").agg(
-        F.max(
-            F.struct(F.col("c"), (F.length("g") * F.col("c")).alias("cov"), F.col("g"))
-        )["cov"].alias("b_cov"),
+        (
+            F.max(F.col("c") * _PACK + F.length("g") * F.col("c")) % _PACK
+        ).alias("b_cov"),
     )
     # line duplicate fraction (by occurrences)
     lns = base.select(id_col, F.explode("ls").alias("l")).filter(F.col("l") != "")
