@@ -31,6 +31,7 @@ def main() -> int:
         ivf_topk_join,
         kmeans_refine,
         lsh_topk_join,
+        pq_topk_join,
     )
     from unstract_spark.session import get_spark
 
@@ -103,6 +104,21 @@ def main() -> int:
         "recall": measure(ivf_hi),
         "expected_candidates_per_query": round(8 * index_rows / 16),
     }
+
+    # PQ: full ADC scan, so candidates/query = N, but each candidate
+    # costs n_sub lookups instead of dim multiplies and the index reads
+    # codes (n_sub bytes-ish) instead of float vectors — the
+    # memory-bandwidth lever; refine bounds the exact re-rank.
+    for refine in (3, 6):
+        pq = pq_topk_join(
+            queries, emb, dim, k=k, n_sub=8, n_codes=16, refine=refine
+        )
+        report["strategies"][f"pq_8x16_r{refine}"] = {
+            "recall": measure(pq),
+            "expected_candidates_per_query": index_rows,
+            "lookups_per_candidate": 8,
+            "exact_rerank_per_query": refine * k,
+        }
 
     print(json.dumps(report))
     return 0
