@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     # gram equi-join, the Gopher repetition shuffle, corpus BPE
     # train+encode, and the AVI demux/frame-sample Python stage
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "dd_contamination",
     "ta_repetition",
     "bpe_token_counts",

@@ -77,3 +77,75 @@ def test_pq_topk_ranks_are_dense_and_bounded(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_ivfpq_recall_and_shape(spark):
+    from unstract_spark.operators.similarity import ivfpq_topk_join
+
+    e = _emb(spark, n=150)
+    q = e.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    exact = brute_force_topk(q, e, k=5)
+    out = ivfpq_topk_join(
+        q, e, dim=16, k=5, n_centroids=8, n_probe=4, n_sub=4, n_codes=8, refine=6
+    )
+    rows = out.collect()
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in rows}
+    # probing half the cells with a generous shortlist: solid overlap,
+    # and the self-match must survive the coarse+ADC funnel
+    assert len(ex & ap) >= int(0.5 * len(ex))
+    for qid in (0, 1, 2):
+        assert (qid, qid) in ap
+    # each (query, item) pair appears at most once (one cell per item)
+    assert len(rows) == len({(r.query_id, r.vec_id) for r in rows})
+
+
+def test_dispatcher_pq_override(spark):
+    from unstract_spark.operators.similarity import pq_topk_join, similarity_topk
+
+    e = _emb(spark, n=80)
+    q = e.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    got, plan = similarity_topk(q, e, dim=16, k=4, strategy="pq")
+    assert plan.strategy == "pq" and plan.params["n_sub"] == 2
+    direct = pq_topk_join(q, e, dim=16, k=4, **plan.params)
+    assert sorted(map(str, got.collect())) == sorted(map(str, direct.collect()))
+
+
+def test_pq_auto_never_chosen_but_priced():
+    from unstract_spark.operators.similarity import (
+        _estimate_mults,
+        _pq_auto_params,
+        choose_topk_strategy,
+    )
+
+    # full-scan ADC loses the mult race to sublinear candidate
+    # generation at any large N — the auto chooser must not pick it
+    plan = choose_topk_strategy(index_rows=10**9, n_queries=10**4, dim=64)
+    assert plan.strategy in ("lsh", "ivf")
+    p = _pq_auto_params(64)
+    assert _estimate_mults("pq", p, 10**9, 10**4, 64) > plan.est_mults
+
+
+def test_pq_kmeans_refine_improves_quantization(spark):
+    import numpy as np
+
+    from unstract_spark.operators.similarity import pq_codebooks, pq_kmeans_refine
+
+    e = _emb(spark, n=200, dim=16, seed=11)
+    seeded = pq_codebooks(16, n_sub=4, n_codes=8)
+    fitted = pq_kmeans_refine(e, dim=16, n_sub=4, n_codes=8, iters=2)
+    V = np.array([r.embedding for r in e.collect()], dtype=np.float64)
+
+    def qerr(cbs):
+        tot = 0.0
+        for m in range(4):
+            sub = V[:, m * 4 : (m + 1) * 4]
+            d2 = ((sub[:, None, :] - cbs[m][None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot
+
+    assert qerr(fitted) < qerr(seeded)
+    # deterministic: same data + iters -> same codebooks
+    again = pq_kmeans_refine(e, dim=16, n_sub=4, n_codes=8, iters=2)
+    for a, b in zip(fitted, again):
+        assert np.array_equal(a, b)

@@ -29,8 +29,10 @@ def main() -> int:
     from unstract_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk_join,
+        ivfpq_topk_join,
         kmeans_refine,
         lsh_topk_join,
+        pq_kmeans_refine,
         pq_topk_join,
     )
     from unstract_spark.session import get_spark
@@ -119,6 +121,31 @@ def main() -> int:
             "lookups_per_candidate": 8,
             "exact_rerank_per_query": refine * k,
         }
+
+    # data-fitted codebooks: per-subspace Lloyd (the production
+    # training step) at identical scan cost
+    fitted = pq_kmeans_refine(emb, dim, n_sub=8, n_codes=16, iters=2)
+    pq_fit = pq_topk_join(
+        queries, emb, dim, k=k, n_sub=8, n_codes=16, refine=6, codebooks=fitted
+    )
+    report["strategies"]["pq_kmeans_8x16_r6"] = {
+        "recall": measure(pq_fit),
+        "expected_candidates_per_query": index_rows,
+        "lookups_per_candidate": 8,
+        "exact_rerank_per_query": 60,
+    }
+
+    # IVF-PQ composition: sublinear candidates AND compressed scoring
+    ivfpq = ivfpq_topk_join(
+        queries, emb, dim, k=k, n_centroids=16, n_probe=3, n_sub=8,
+        n_codes=16, refine=6, centroids=cents,
+    )
+    report["strategies"]["ivfpq_kmeans_16c3p_r6"] = {
+        "recall": measure(ivfpq),
+        "expected_candidates_per_query": round(3 * index_rows / 16),
+        "lookups_per_candidate": 8,
+        "exact_rerank_per_query": 60,
+    }
 
     print(json.dumps(report))
     return 0

@@ -353,6 +353,7 @@ def pq_encode(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     codebooks: list[np.ndarray] | None = None,
+    keep: tuple = (),
 ) -> DataFrame:
     """(id, vec, code_0..code_{n_sub-1}) — each code the argmin-L2
     codeword of its subvector, ties to the lowest code (measured min
@@ -372,7 +373,90 @@ def pq_encode(
         code_cols.append(
             (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias(f"code_{m}")
         )
-    return index.select(F.col(index_id), F.col(index_vec), *code_cols)
+    return index.select(
+        F.col(index_id), F.col(index_vec), *[F.col(c) for c in keep], *code_cols
+    )
+
+
+def pq_kmeans_refine(
+    index: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> list[np.ndarray]:
+    """Per-subspace Lloyd refinement of the PQ codebooks (the
+    production training step; seeded codebooks are the deterministic
+    init). Same distributed shape as kmeans_refine: one assignment
+    pass (pq_encode — the SAME expression the scorer uses, so fitted
+    codebooks plug straight back in), then per-(subspace, code,
+    position) partial sums; only n_sub*n_codes*d values reach the
+    driver per iteration. PQ minimizes L2 within each subspace, so
+    updates are plain means (no normalization — unlike the spherical
+    IVF refine).
+    """
+    cbs = pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+    for _ in range(max(iters, 0)):
+        assigned = pq_encode(index, dim, n_sub, n_codes, index_id, index_vec, cbs)
+        ex = assigned.select(
+            F.array(*[F.col(f"code_{m}") for m in range(n_sub)]).alias("codes"),
+            F.posexplode(F.col(index_vec).cast("array<double>")).alias("pos", "val"),
+        )
+        m_col = (F.col("pos") / d).cast("int")
+        sums = (
+            ex.select(
+                m_col.alias("m"),
+                F.element_at("codes", m_col + 1).alias("code"),
+                (F.col("pos") % d).alias("j"),
+                "val",
+            )
+            .groupBy("m", "code", "j")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [cb.copy() for cb in cbs]
+        acc = np.zeros((n_sub, n_codes, d))
+        cnt = np.zeros((n_sub, n_codes))
+        for r in sums:
+            acc[r.m][r.code][r.j] = r.s
+            cnt[r.m][r.code] = r.n  # same count repeated per position
+        for m in range(n_sub):
+            for c in range(n_codes):
+                if cnt[m][c] > 0:
+                    new[m][c] = acc[m][c] / cnt[m][c]
+        cbs = new
+    return cbs
+
+
+def _pq_lut_cols(cbs: list[np.ndarray], query_vec: str, d: int) -> list:
+    """Per-subspace lookup tables for one query vector: dot(sub_q,
+    codeword) per code, same sequential float-op order as the oracle's
+    list_dot_product."""
+    out = []
+    for m in range(len(cbs)):
+        sub = f"slice(CAST({query_vec} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
+        entries = []
+        for c in range(len(cbs[m])):
+            arr = ", ".join(_dlit(x) for x in cbs[m][c])
+            entries.append(
+                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+            )
+        out.append(F.expr(f"array({', '.join(entries)})").alias(f"lut_{m}"))
+    return out
+
+
+def _adc_expr(n_sub: int):
+    """ADC score: lookup-table entries summed in fixed ascending
+    subspace order — bit-identical cross-engine."""
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(F.col(f"lut_{m}"), F.col(f"code_{m}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def pq_topk_join(
@@ -403,30 +487,77 @@ def pq_topk_join(
     cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
     d = dim // n_sub
     codes = pq_encode(index, dim, n_sub, n_codes, index_id, index_vec, cbs)
-
-    lut_cols = []
-    for m in range(n_sub):
-        sub = f"slice(CAST({query_vec} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
-        entries = []
-        for c in range(len(cbs[m])):
-            arr = ", ".join(_dlit(x) for x in cbs[m][c])
-            entries.append(
-                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
-                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-            )
-        lut_cols.append(F.expr(f"array({', '.join(entries)})").alias(f"lut_{m}"))
-    q = queries.select(F.col(query_id), F.col(query_vec), *lut_cols)
-
-    adc = None
-    for m in range(n_sub):  # fixed ascending-subspace summation order
-        term = F.element_at(F.col(f"lut_{m}"), F.col(f"code_{m}") + 1)
-        adc = term if adc is None else adc + term
+    q = queries.select(
+        F.col(query_id), F.col(query_vec), *_pq_lut_cols(cbs, query_vec, d)
+    )
+    adc = _adc_expr(n_sub)
     paired = codes.crossJoin(F.broadcast(q)).select(
         query_id, query_vec, index_id, index_vec, adc.alias("adc")
     )
     wa = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col(index_id).asc())
     shortlist = (
         paired.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= refine * k)
+    )
+    scored = shortlist.select(
+        query_id,
+        index_id,
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk_join(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: list[np.ndarray] | None = None,
+    term_limit: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production composition of both scale levers.
+
+    Coarse IVF cells make candidate generation sublinear (the bucketed
+    equi-join — each index row lives in exactly one cell, so no dedup
+    is needed after the probe join); PQ codes make scoring those
+    candidates memory-cheap (n_sub lookups against the query's tables
+    instead of dim multiplies on float vectors the scan never has to
+    read); exact cosine re-ranks only the refine*k shortlist. Both the
+    cell assignment and the ADC sum are the SAME expressions the
+    standalone IVF and PQ paths gate, composed.
+    """
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _seeded_hyperplanes(dim, n_centroids, table=991)
+    )
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+
+    ib = _argmax_cells(index, index_id, index_vec, 1, cents, term_limit)
+    codes = pq_encode(ib, dim, n_sub, n_codes, index_id, index_vec, cbs, keep=("cell",))
+    qb = _argmax_cells(queries, query_id, query_vec, n_probe, cents, term_limit)
+    q = qb.select(
+        F.col(query_id), F.col(query_vec), F.col("cell"),
+        *_pq_lut_cols(cbs, query_vec, d),
+    )
+    cands = codes.join(F.broadcast(q), "cell").select(
+        query_id, query_vec, index_id, index_vec, _adc_expr(n_sub).alias("adc")
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col(index_id).asc())
+    shortlist = (
+        cands.withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") <= refine * k)
     )
     scored = shortlist.select(
@@ -578,7 +709,24 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
     if strategy == "ivf":
         cand = params["n_probe"] * n / params["n_centroids"]
         return (n + q) * params["n_centroids"] * dim + q * cand * dim
+    if strategy == "pq":
+        # encode n + lut q (n_codes*dim mults each), ADC full scan
+        # (n_sub lookups/item charged as 1 op each), bounded re-rank.
+        # On this metric the full scan loses to sublinear candidate
+        # generation at any large N — PQ's real win is reading codes
+        # instead of float vectors (32x less memory bandwidth), which
+        # mult counts don't price; hence explicit-override only, never
+        # auto-chosen.
+        return (
+            (n + q) * params["n_codes"] * dim
+            + q * n * params["n_sub"]
+            + q * params["refine"] * params.get("k", 10) * dim
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _pq_auto_params(dim: int) -> dict:
+    return {"n_sub": max(1, dim // 8), "n_codes": 16, "refine": 3}
 
 
 def choose_topk_strategy(
@@ -651,7 +799,7 @@ def similarity_topk(
     q = n_queries if n_queries is not None else queries.count()
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
     if strategy != "auto":
-        if strategy not in ("brute_force", "lsh", "ivf"):
+        if strategy not in ("brute_force", "lsh", "ivf", "pq"):
             raise ValueError(f"unknown strategy {strategy!r}")
         params = (
             {}
@@ -659,6 +807,8 @@ def similarity_topk(
             else _lsh_auto_params(n)
             if strategy == "lsh"
             else _ivf_auto_params(n)
+            if strategy == "ivf"
+            else _pq_auto_params(dim)
         )
         plan = TopkPlan(strategy, params, _estimate_mults(strategy, params, n, q, dim))
     if plan.strategy == "brute_force":
@@ -668,6 +818,8 @@ def similarity_topk(
             queries, index, dim, k=k, term_limit=term_limit,
             **plan.params, **col_names,
         )
+    elif plan.strategy == "pq":
+        out = pq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
     else:
         centroids = None
         if ivf_refine_iters > 0:

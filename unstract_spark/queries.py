@@ -1497,15 +1497,11 @@ def _ivf_topk_sql(dim: int = 64, n_centroids: int = 16, n_probe: int = 3, k: int
     """
 
 
-def _pq_topk_sql(
-    dim: int = 64, n_sub: int = 8, n_codes: int = 16, k: int = 10, refine: int = 3
-) -> str:
-    """SQL twin of similarity.pq_topk_join: seeded codebooks inlined as
-    literals; code assignment = first-max CASE over the same
-    (dot - 0.5*||c||^2) scores in the same sequential float-op order
-    (min assignment gap on the corpus ~4e-5, the IVF margin argument);
-    ADC = fixed-ascending-subspace sum of lookup-table entries, so the
-    shortlist cut is bit-identical; exact cosine re-ranks rounded."""
+def _pq_sql_fragments(dim: int, n_sub: int, n_codes: int):
+    """Shared DuckDB fragments for the PQ twins: per-subspace code
+    scores, first-max CASE assignment, query lookup tables, and the
+    fixed-order ADC terms — one generator so the standalone PQ and the
+    IVF-PQ oracles stay letter-identical with the Spark expressions."""
     cbs = similarity.pq_codebooks(dim, n_sub, n_codes)
     d = dim // n_sub
 
@@ -1536,6 +1532,19 @@ def _pq_topk_sql(
             + f"] AS lut_{m}"
         )
         adc_terms.append(f"q.lut_{m}[c.code_{m} + 1]")
+    return score_defs, code_cases, lut_defs, adc_terms
+
+
+def _pq_topk_sql(
+    dim: int = 64, n_sub: int = 8, n_codes: int = 16, k: int = 10, refine: int = 3
+) -> str:
+    """SQL twin of similarity.pq_topk_join: seeded codebooks inlined as
+    literals; code assignment = first-max CASE over the same
+    (dot - 0.5*||c||^2) scores in the same sequential float-op order
+    (min assignment gap on the corpus ~4e-5, the IVF margin argument);
+    ADC = fixed-ascending-subspace sum of lookup-table entries, so the
+    shortlist cut is bit-identical; exact cosine re-ranks rounded."""
+    score_defs, code_cases, lut_defs, adc_terms = _pq_sql_fragments(dim, n_sub, n_codes)
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1566,6 +1575,86 @@ def _pq_topk_sql(
         FROM short WHERE arank <= {refine * k}
     ) WHERE rank <= {k}
     """
+
+
+def _ivfpq_topk_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    refine: int = 3,
+) -> str:
+    """SQL twin of similarity.ivfpq_topk_join: the IVF cell fragment
+    (argmax dot, ties to lowest cell) composed with the PQ fragments —
+    candidates come from the probed-cell join, ADC ranks them, exact
+    cosine re-ranks the shortlist."""
+    cents = similarity._seeded_hyperplanes(dim, n_centroids, table=991)
+    structs = ", ".join(
+        f"struct_pack(cell := {c}, score := list_dot_product(v, {_double_array_sql(cents[c])}))"
+        for c in range(n_centroids)
+    )
+    score_defs, code_cases, lut_defs, adc_terms = _pq_sql_fragments(dim, n_sub, n_codes)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cells AS (SELECT vec_id, unnest([{structs}]) AS u FROM e),
+    ranked_cells AS (
+        SELECT vec_id, u.cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY u.score DESC, u.cell ASC) AS rn
+        FROM cells
+    ),
+    scores AS (SELECT vec_id, v, nrm, {', '.join(score_defs)} FROM e),
+    pcodes AS (SELECT vec_id, v, nrm, {', '.join(code_cases)} FROM scores),
+    codes AS (
+        SELECT p.*, rc.cell
+        FROM pcodes p JOIN ranked_cells rc ON rc.vec_id = p.vec_id AND rc.rn = 1
+    ),
+    q AS (
+        SELECT qc.vec_id AS query_id, qc.cell, e.v AS qv, e.nrm AS qnrm,
+               {', '.join(lut_defs)}
+        FROM (SELECT vec_id, cell FROM ranked_cells
+              WHERE rn <= {n_probe} AND vec_id < 5) qc
+        JOIN e ON e.vec_id = qc.vec_id
+    ),
+    paired AS (
+        SELECT q.query_id, c.vec_id,
+               {' + '.join(adc_terms)} AS adc,
+               list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS cos
+        FROM codes c JOIN q USING (cell)
+    ),
+    short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id ASC) AS arank
+        FROM paired
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, round(cos, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+        FROM short WHERE arank <= {refine * k}
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_ivfpq_topk", _ivfpq_topk_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path #4: IVF-PQ — coarse cells make candidate
+    generation sublinear, PQ codes make scoring the candidates
+    memory-cheap, exact cosine re-ranks the shortlist. The production
+    composition of the two gated levers, itself gated end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivfpq_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
 
 
 @register("sim_pq_topk", _pq_topk_sql())
