@@ -313,12 +313,16 @@ def _decode_one(payload: bytes, fake: bool) -> np.ndarray:
         from unstract_spark.operators.minijpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from unstract_spark.operators.minigif import decode_gif
+
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
             "unsupported image format (uncompressed BMP, binary PGM/PPM, "
-            "8-bit non-interlaced PNG and baseline sequential JPEG decode "
-            "natively — see minijpeg.py); pass fake=True for the "
-            "deterministic test double"
+            "8-bit non-interlaced PNG, baseline sequential JPEG and "
+            "GIF87a/89a decode natively — see minijpeg.py / minigif.py); "
+            "pass fake=True for the deterministic test double"
         )
     # deterministic fake: 4x4 grayscale derived from content hash
     h = hashlib.sha256(payload or b"").digest()

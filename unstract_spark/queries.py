@@ -3201,13 +3201,13 @@ def ex_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize path, REAL decode + box-downscale under a
     byte-for-byte hash gate: each document's first 64 text bytes render
-    as a 64x64 image of constant 8x8 blocks — doc_id%3==0 as PGM, ==1
+    as a 64x64 image of constant 8x8 blocks — doc_id%4==0 as PGM, ==1
     as gray PNG (filters 0-4 cycled), ==2 as baseline JPEG (DC-only,
-    exact round trip) — then `resize_images(factor=8)` box-averages
-    each block back to one pixel. The resized buffer must equal the
-    original text bytes exactly, which is what the oracle asserts via
-    base64. Gates decode AND the integer box kernel across all three
-    containers."""
+    exact round trip), ==3 as GIF89a (real LZW, lossless palette) —
+    then `resize_images(factor=8)` box-averages each block back to one
+    pixel. The resized buffer must equal the original text bytes
+    exactly, which is what the oracle asserts via base64. Gates decode
+    AND the integer box kernel across all four containers."""
     import numpy as np
     import pandas as pd
 
@@ -3223,6 +3223,7 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches):
+        from unstract_spark.operators.minigif import encode_gif
         from unstract_spark.operators.minijpeg import encode_jpeg
         from unstract_spark.operators.multimodal import encode_pgm, encode_png
 
@@ -3231,13 +3232,15 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, s in zip(pdf["doc_id"], pdf["s"]):
                 vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                m = int(did) % 3
+                m = int(did) % 4
                 if m == 0:
                     content.append(encode_pgm(img))
                 elif m == 1:
                     content.append(encode_png(img))
-                else:
+                elif m == 2:
                     content.append(encode_jpeg(img))
+                else:
+                    content.append(encode_gif(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
     imgs = d.mapInPandas(encode, "doc_id long, content binary")
