@@ -1,0 +1,84 @@
+"""Incremental MinHash near-dup: streaming fires must reproduce the
+batch near-dup result on the union of all fires, with signatures
+computed once per document and cross-fire pairs surfacing when the
+later member arrives."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from unstract_spark.operators import dedup
+from unstract_spark.streaming.incremental import streaming_neardup_pipeline
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again "
+    "while the spark engine shuffles partitions across the cluster "
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_pairs(spark, rows, threshold):
+    sigs = dedup.minhash_signatures(dedup.char_shingles(_docs(spark, rows)))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_similarity(sigs, pairs)
+        .filter(F.col("est_jaccard") >= threshold)
+        .collect()
+    }
+
+
+def test_streaming_neardup_matches_batch_across_fires(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [(1, BASE), (2, BASE + "with one extra tail sentence here ")]
+    fire2 = [(3, BASE), (4, "completely different content about nothing in common at all " * 3)]
+    threshold = 0.4
+
+    _docs(spark, fire1).coalesce(1).write.mode("append").parquet(src)
+    n1 = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=threshold)
+    assert n1 == 1
+    got1 = {
+        (r.id_a, r.id_b): r.est_jaccard for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 2) in got1  # within-fire pair
+
+    _docs(spark, fire2).coalesce(1).write.mode("append").parquet(src)
+    n2 = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=threshold)
+    assert n2 == 1
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in spark.read.parquet(out).collect()}
+
+    # cross-fire: doc 3 (fire 2) is an exact dup of doc 1 (fire 1)
+    assert got[(1, 3)] == 1.0
+    assert not any(4 in p for p in got)  # unique doc pairs with nothing
+
+    # the union of all fires == the batch near-dup on the full corpus
+    expect = _batch_pairs(spark, fire1 + fire2, threshold)
+    assert got == expect
+
+    # signatures were computed once per doc: store holds exactly 4 rows
+    assert spark.read.parquet(store).count() == 4
+    # and no pair was emitted twice across fires
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
+
+
+def test_streaming_neardup_drained_source_fires_nothing(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _docs(spark, [(1, BASE)]).coalesce(1).write.mode("append").parquet(src)
+    a = streaming_neardup_pipeline(
+        spark, src, ckpt, str(tmp_path / "st"), str(tmp_path / "o")
+    )
+    b = streaming_neardup_pipeline(
+        spark, src, ckpt, str(tmp_path / "st"), str(tmp_path / "o")
+    )
+    assert a == 1 and b == 0  # checkpoint: nothing new, no re-signature

@@ -157,6 +157,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int | None = None,
+    left_ids: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band become candidate pairs.
 
@@ -170,6 +171,13 @@ def lsh_candidate_pairs(
     before the self-join (their members are exact/near-exact template
     clusters better handled by exact_dedup_groups first); AQE skew-join
     splitting handles moderate skew below the cap.
+
+    `left_ids` (a one-column frame of {id_col}) restricts the LEFT side
+    of the band join to those ids — the incremental shape: new docs
+    probe the accumulated corpus without regenerating corpus×corpus
+    pairs every fire (streaming.incremental.streaming_neardup_pipeline).
+    Pairs are then normalized to (least, greatest) so a both-new pair
+    isn't emitted twice.
     """
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -196,19 +204,29 @@ def lsh_candidate_pairs(
             .select("band_no", "band_key")
         )
         banded = banded.join(cool, ["band_no", "band_key"])
-    a = banded.alias("a")
+    left = banded
+    if left_ids is not None:
+        left = banded.join(F.broadcast(left_ids.select(id_col)), id_col, "semi")
+    a = left.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
+    if left_ids is None:
+        cond = (
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    else:
+        cond = (
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         )
+        ida = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+        idb = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond)
+        .select(ida.alias("id_a"), idb.alias("id_b"))
         .distinct()
     )
 

@@ -343,3 +343,77 @@ def streaming_similarity_pipeline(
     )
     q.awaitTermination()
     return plans
+
+
+def streaming_neardup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> int:
+    """Incremental MinHash near-dup over a GROWING corpus: each
+    AvailableNow fire signatures only the new documents, probes them
+    against the accumulated signature store via the banded LSH join,
+    and appends (id_a, id_b, est_jaccard) pairs above `threshold`.
+
+    The scale contract: signatures are computed once per document ever
+    (the store is the materialized corpus state — at 100 TB it's a few
+    per-doc longs, ~1/1000th of the text), and each fire's join is
+    new-bands x all-bands restricted on the left (`left_ids`), so the
+    corpus x corpus pair space is never regenerated. Within-batch pairs
+    surface in the same probe (both sides new -> normalized to
+    (least, greatest), emitted once). The streaming checkpoint
+    guarantees each source file is signatured exactly once; pair
+    output and store appends are per-batch parquet appends.
+
+    Source is a parquet directory in the documents shape
+    (doc_id, text). Returns the number of fired batches.
+    """
+    from unstract_spark.operators import dedup
+
+    fires = 0
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        nonlocal fires
+        docs = batch.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        fires += 1
+        # one materialization: feeds the store append AND both join
+        # sides (localCheckpoint, not persist — the CacheManager-leak
+        # lesson in SCALE.md)
+        sigs_new = dedup.minhash_signatures(
+            dedup.char_shingles(docs)
+        ).localCheckpoint(eager=True)
+        try:
+            old = spark.read.parquet(store_dir)
+            combined = old.unionByName(sigs_new)
+        except Exception:  # first fire: store doesn't exist yet
+            combined = sigs_new
+        new_ids = sigs_new.select("doc_id")
+        pairs = dedup.lsh_candidate_pairs(
+            combined, max_bucket=max_bucket, left_ids=new_ids
+        )
+        sims = dedup.minhash_similarity(combined, pairs).filter(
+            F.col("est_jaccard") >= threshold
+        )
+        sims.write.mode("append").parquet(out_dir)
+        sigs_new.write.mode("append").parquet(store_dir)
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
