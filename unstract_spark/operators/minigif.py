@@ -33,11 +33,20 @@ def _u16(data: bytes, off: int) -> int:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF -> (H, W) gray or (H, W, 3) RGB uint8 (first frame)."""
+def _gray_collapse(px: np.ndarray) -> np.ndarray:
+    if np.all(px[:, :, 0] == px[:, :, 1]) and np.all(px[:, :, 1] == px[:, :, 2]):
+        return px[:, :, 0]  # grayscale palette -> (H, W)
+    return px
+
+
+def _iter_gif_blocks(data: bytes):
+    """Walk the GIF block stream; yields (decode_fn, left, top,
+    transparency_set) per image block — decode_fn() -> RGB pixels.
+    Decode is LAZY per block (each block's LZW stream is
+    self-contained), so a frame sampler can walk the container and
+    unpack only the frames it keeps."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
-    sw, sh = _u16(data, 6), _u16(data, 8)
     flags = data[10]
     pos = 13
     global_pal = None
@@ -45,12 +54,17 @@ def decode_gif(data: bytes) -> np.ndarray:
         n = 2 << (flags & 7)
         global_pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
         pos += n * 3
+    transparent = False
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
-            pos += 2
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            ext_pos = pos + 2
+            if label == 0xF9 and ext_pos < len(data) and data[ext_pos] >= 4:
+                transparent = bool(data[ext_pos + 1] & 0x01)  # GCE flags
+            pos = ext_pos
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -58,6 +72,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         # image descriptor
+        left, top = _u16(data, pos + 1), _u16(data, pos + 3)
         w, h = _u16(data, pos + 5), _u16(data, pos + 7)
         iflags = data[pos + 9]
         pos += 10
@@ -77,21 +92,75 @@ def decode_gif(data: bytes) -> np.ndarray:
             chunks.append(data[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1  # block terminator
-        indices = _lzw_decode(b"".join(chunks), min_code, w * h)
-        idx = np.array(indices, dtype=np.int32).reshape(h, w)
-        if iflags & 0x40:  # interlaced: stored rows follow the 4-pass schedule
-            order = [y for start, step in _INTERLACE for y in range(start, h, step)]
-            deinterlaced = np.empty_like(idx)
-            for src_row, dst_row in enumerate(order):
-                deinterlaced[dst_row] = idx[src_row]
-            idx = deinterlaced
-        if np.any(idx >= len(pal)):
-            raise ValueError("GIF index out of palette range")
-        px = pal[idx]
-        if np.all(px[:, :, 0] == px[:, :, 1]) and np.all(px[:, :, 1] == px[:, :, 2]):
-            return px[:, :, 0]  # grayscale palette -> (H, W)
-        return px
+
+        def decode_fn(chunks=chunks, min_code=min_code, w=w, h=h, iflags=iflags, pal=pal):
+            indices = _lzw_decode(b"".join(chunks), min_code, w * h)
+            idx = np.array(indices, dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: stored rows in 4-pass order
+                order = [
+                    y for start, step in _INTERLACE for y in range(start, h, step)
+                ]
+                deinterlaced = np.empty_like(idx)
+                for src_row, dst_row in enumerate(order):
+                    deinterlaced[dst_row] = idx[src_row]
+                idx = deinterlaced
+            if np.any(idx >= len(pal)):
+                raise ValueError("GIF index out of palette range")
+            return pal[idx]
+
+        yield decode_fn, left, top, (w, h), transparent
+        transparent = False
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF -> (H, W) gray or (H, W, 3) RGB uint8 (first frame)."""
+    for decode_fn, _left, _top, _wh, _t in _iter_gif_blocks(data):
+        return _gray_collapse(decode_fn())
+    sw, sh = _u16(data, 6), _u16(data, 8)
     raise ValueError(f"GIF has no image data ({sw}x{sh} screen)")
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """All frames of an animated GIF as independent full redraws.
+
+    Honest scope: every frame must cover the full logical screen at
+    (0, 0) and no graphic-control transparency may be set — the
+    "unoptimized" animation form where each frame is a complete image.
+    Partial-region frames or transparent compositing raise loudly
+    (disposal-method state machines are a re-encode concern, not a
+    frame-sampling one).
+    """
+    sw, sh = _u16(data, 6), _u16(data, 8)
+    frames: list[np.ndarray] = []
+    for decode_fn, left, top, (w, h), transparent in _iter_gif_blocks(data):
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError(
+                f"partial GIF frame ({left},{top} {w}x{h} on {sw}x{sh} "
+                "screen): compositing unsupported, re-encode as full redraws"
+            )
+        if transparent:
+            raise ValueError("transparent GIF frames unsupported (compositing)")
+        frames.append(_gray_collapse(decode_fn()))
+    if not frames:
+        raise ValueError(f"GIF has no image data ({sw}x{sh} screen)")
+    return frames
+
+
+def gif_frame_thunks(data: bytes):
+    """(n_frames, decode_fns) for the frame sampler: validates the
+    full-redraw contract for EVERY block (cheap header checks) but
+    LZW-decodes none — the sampler calls only the thunks it keeps."""
+    sw, sh = _u16(data, 6), _u16(data, 8)
+    thunks = []
+    for decode_fn, left, top, (w, h), transparent in _iter_gif_blocks(data):
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError("partial GIF frame: compositing unsupported")
+        if transparent:
+            raise ValueError("transparent GIF frames unsupported (compositing)")
+        thunks.append(decode_fn)
+    if not thunks:
+        raise ValueError(f"GIF has no image data ({sw}x{sh} screen)")
+    return (sw, sh), thunks
 
 
 def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
@@ -220,14 +289,12 @@ def encode_gif(
     with a CLEAR before the width would pass 9 bits (the
     spec-conformant "uncompressed GIF" trick).
     """
-    if pixels.ndim != 2:
-        raise ValueError("encode_gif expects (H, W) uint8 palette indices")
+    return encode_gif_frames([pixels], palette=palette, compress=compress)
+
+
+def _gif_image_block(pixels: np.ndarray, compress: bool) -> bytes:
+    """One 0x2C image block (full-screen, sequential, global palette)."""
     h, w = pixels.shape
-    if palette is None:
-        ramp = np.arange(256, dtype=np.uint8)
-        palette = np.stack([ramp, ramp, ramp], axis=1)
-    if palette.shape != (256, 3):
-        raise ValueError("palette must be (256, 3) uint8")
     min_code = 8
     clear = 1 << min_code  # 256
     eoi = clear + 1
@@ -245,6 +312,37 @@ def encode_gif(
                 bits.put(clear, 9)
                 next_code = eoi + 1
         bits.put(eoi, 9)
+    return (
+        b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code])
+        + bits.finish()
+    )
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    palette: np.ndarray | None = None,
+    compress: bool = True,
+) -> bytes:
+    """Frames of (H, W) palette indices -> animated GIF89a where every
+    frame is a full redraw (the exact form decode_gif_frames accepts)."""
+    if not frames:
+        raise ValueError("empty frame list")
+    for f in frames:
+        if f.ndim != 2:
+            raise ValueError("encode_gif expects (H, W) uint8 palette indices")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one (H, W)")
+    if palette is None:
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = np.stack([ramp, ramp, ramp], axis=1)
+    if palette.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8")
     lsd_flags = 0x80 | 0x07  # global color table, 256 entries
     return (
         b"GIF89a"
@@ -252,12 +350,6 @@ def encode_gif(
         + h.to_bytes(2, "little")
         + bytes([lsd_flags, 0, 0])
         + palette.astype(np.uint8).tobytes()
-        + b"\x2c"
-        + (0).to_bytes(2, "little") * 2
-        + w.to_bytes(2, "little")
-        + h.to_bytes(2, "little")
-        + b"\x00"
-        + bytes([min_code])
-        + bits.finish()
+        + b"".join(_gif_image_block(f, compress) for f in frames)
         + b"\x3b"
     )

@@ -666,16 +666,36 @@ def encode_wav16(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+def _video_frame_thunks(payload: bytes):
+    """((width, height), [lazy RGB decoders]) for any supported video
+    container — uncompressed-DIB AVI or full-redraw animated GIF. The
+    thunks defer the per-frame decode so sampling stays cheaper than
+    decoding (AVI: DIB unpack; GIF: each block's LZW stream is
+    self-contained)."""
+    from unstract_spark.operators.miniavi import decode_frame, demux_avi
+    from unstract_spark.operators.minigif import gif_frame_thunks
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        meta, raw = demux_avi(payload)
+        return (
+            (meta.width, meta.height),
+            [lambda r=r: decode_frame(meta, r) for r in raw],
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_frame_thunks(payload)
+    raise ValueError("unsupported video container (uncompressed AVI or GIF)")
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "content",
     id_col: str = "file_path",
     every_n: int = 30,
 ) -> DataFrame:
-    """REAL video frame sampling: demux AVI, keep every `every_n`-th
-    frame, emit one row per sampled frame with its re-encoded
-    still-image payload (PPM — downstream image stages decode it like
-    any other image column).
+    """REAL video frame sampling: demux the container (AVI or animated
+    GIF), keep every `every_n`-th frame, emit one row per sampled
+    frame with its re-encoded still-image payload (PPM — downstream
+    image stages decode it like any other image column).
 
     One input video row fans out to n_frames/every_n rows; the demux +
     per-frame decode runs inside one Arrow batch pass, and the SAMPLING
@@ -684,8 +704,6 @@ def frame_sample(
     cost). Per-row errors isolate into `decode_error` like every other
     multimodal stage.
     """
-    from unstract_spark.operators.miniavi import decode_frame, demux_avi
-
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -703,12 +721,12 @@ def frame_sample(
             rows: list[tuple] = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    meta, raw = demux_avi(bytes(payload) if payload is not None else b"")
-                    for i in range(0, len(raw), max(every_n, 1)):
-                        img = decode_frame(meta, raw[i])
-                        rows.append(
-                            (rid, i, meta.width, meta.height, encode_ppm(img), None)
-                        )
+                    (w, h), thunks = _video_frame_thunks(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    for i in range(0, len(thunks), max(every_n, 1)):
+                        img = thunks[i]()
+                        rows.append((rid, i, w, h, encode_ppm(img), None))
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     rows.append((rid, None, None, None, None, str(e)[:200]))
             yield pd.DataFrame(
@@ -731,9 +749,8 @@ def video_frame_features(
     histogram] over the luma plane), one row per (video, sampled
     frame) — fused demux+decode+feature in a single mapInPandas pass
     so sampled frames never round-trip through an image container.
+    Containers: uncompressed-DIB AVI and full-redraw animated GIF.
     """
-    from unstract_spark.operators.miniavi import decode_frame, demux_avi
-
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -749,9 +766,11 @@ def video_frame_features(
             rows: list[tuple] = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    meta, raw = demux_avi(bytes(payload) if payload is not None else b"")
-                    for i in range(0, len(raw), max(every_n, 1)):
-                        mean, std, counts = _int_stats(_gray(decode_frame(meta, raw[i])))
+                    _wh, thunks = _video_frame_thunks(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    for i in range(0, len(thunks), max(every_n, 1)):
+                        mean, std, counts = _int_stats(_gray(thunks[i]()))
                         feat = [round(mean, 6), round(std, 6)] + [float(c) for c in counts]
                         rows.append((rid, i, feat, None))
                 except Exception as e:  # noqa: BLE001 — row-level isolation

@@ -2961,18 +2961,21 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal VIDEO path, REAL container demux under a hash gate.
+    """Multimodal VIDEO path, REAL container demux under a hash gate,
+    across BOTH supported containers.
 
     Each document's first 64 text bytes become a 4-frame 4x4 video
-    (frame f = bytes [16f, 16f+16), all three RGB channels = v so the
-    integer luma is exactly v), muxed into an uncompressed-DIB AVI by
-    miniavi.encode_avi. video_frame_features then demuxes the RIFF
-    tree, samples every 2nd frame (0 and 2), decodes each sampled DIB
-    and computes the integer-exact stats. The oracle reproduces the
-    same numbers straight from the text bytes, so the whole
-    mux -> chunk-walk -> frame-decode -> sample -> feature path must be
-    bit-exact to pass — and the skipped frames (1, 3) must actually be
-    skipped or the hash diverges."""
+    (frame f = bytes [16f, 16f+16), luma exactly v) — doc_id%2==0
+    muxed as uncompressed-DIB AVI (miniavi.encode_avi), ==1 as a
+    full-redraw animated GIF (minigif.encode_gif_frames: real LZW per
+    frame, gray-ramp palette). video_frame_features demuxes either
+    container, samples every 2nd frame (0 and 2) BEFORE decoding, and
+    computes the integer-exact stats. The oracle reproduces the same
+    numbers straight from the text bytes — identical regardless of
+    container — so the whole mux -> chunk-walk -> frame-decode ->
+    sample -> feature path must be bit-exact in both formats, and the
+    skipped frames (1, 3) must actually be skipped or the hash
+    diverges."""
     import numpy as np
     import pandas as pd
 
@@ -2989,13 +2992,17 @@ def mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches):
         from unstract_spark.operators.miniavi import encode_avi
+        from unstract_spark.operators.minigif import encode_gif_frames
 
         for pdf in batches:
             content = []
-            for s in pdf["s"]:
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
                 vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
                 frames = [vals[f * 16 : (f + 1) * 16].reshape(4, 4) for f in range(4)]
-                content.append(encode_avi(frames, fps=10))
+                if int(did) % 2 == 0:
+                    content.append(encode_avi(frames, fps=10))
+                else:
+                    content.append(encode_gif_frames(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
     vids = d.mapInPandas(encode, "doc_id long, content binary")
