@@ -82,3 +82,38 @@ def test_streaming_neardup_drained_source_fires_nothing(spark, tmp_path):
         spark, src, ckpt, str(tmp_path / "st"), str(tmp_path / "o")
     )
     assert a == 1 and b == 0  # checkpoint: nothing new, no re-signature
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    from unstract_spark.streaming.incremental import (
+        streaming_decontamination_pipeline,
+    )
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    out = str(tmp_path / "dout")
+    os.makedirs(src)
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta"), (101, "one two three four")])
+    fire1 = [(1, "xx alpha beta gamma yy"), (2, "nothing shared here at all")]
+    fire2 = [(3, "one two three plus alpha beta gamma tail")]
+
+    _docs(spark, fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_decontamination_pipeline(spark, src, ckpt, bench, out, n=3) == 1
+    _docs(spark, fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_decontamination_pipeline(spark, src, ckpt, bench, out, n=3) == 1
+
+    got = {
+        r.train_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        r.train_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in dedup.ngram_contamination(
+            _docs(spark, fire1 + fire2), bench, n=3
+        ).collect()
+    }
+    assert got == expect
+    assert 1 in got and 3 in got and 2 not in got
+    # doc 3 shares grams with BOTH bench docs
+    assert got[3][1] == 2

@@ -417,3 +417,65 @@ def streaming_neardup_pipeline(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_decontamination_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    bench: DataFrame,
+    out_dir: str,
+    n: int = 8,
+) -> int:
+    """Streaming train/eval decontamination: each AvailableNow fire
+    checks only the NEW training documents for word n-gram overlap with
+    the (fixed, tiny) benchmark set and appends
+    (train_id, n_shared_grams, n_bench_docs) for contaminated docs.
+
+    The benchmark gram table is computed ONCE outside the stream and
+    localCheckpointed — eval suites are KBs against a 100 TB corpus, so
+    it broadcasts into every fire's gram equi-join; the corpus is
+    grammed exactly once per document (the stream checkpoint is the
+    seen-files ledger). Batch twin: dedup.ngram_contamination — the
+    union of fires equals the batch result on the union of sources.
+
+    Returns the number of fired batches.
+    """
+    from unstract_spark.operators import dedup
+
+    bench_grams = dedup.word_ngrams(bench, n).withColumnRenamed(
+        "doc_id", "bench_id"
+    ).localCheckpoint(eager=True)
+    fires = 0
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        nonlocal fires
+        docs = batch.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        fires += 1
+        tg = dedup.word_ngrams(docs, n).withColumnRenamed("doc_id", "train_id")
+        hits = (
+            tg.join(F.broadcast(bench_grams), "gram")
+            .groupBy("train_id")
+            .agg(
+                F.countDistinct("gram").alias("n_shared_grams"),
+                F.countDistinct("bench_id").alias("n_bench_docs"),
+            )
+        )
+        hits.write.mode("append").parquet(out_dir)
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
