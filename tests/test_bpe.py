@@ -150,3 +150,47 @@ def test_train_bpe_min_freq_and_max_words(spark):
 @pytest.mark.parametrize("word", ["a", "ab", "hello"])
 def test_encode_no_merges(word):
     assert encode_word(word, {}) == list(word) + [END]
+
+
+def test_build_vocab_layout_and_ids(spark):
+    from unstract_spark.operators.bpe import SPECIAL_TOKENS, build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab baba")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=4)
+    vocab = build_vocab(docs, merges)
+    # specials pinned at 0..3 regardless of corpus
+    for i, s in enumerate(SPECIAL_TOKENS):
+        assert vocab[s] == i
+    # base chars + END next, sorted
+    assert vocab[END] == 4 and vocab["a"] == 5 and vocab["b"] == 6
+    # merged tokens follow in merge (rank) order
+    ranks = [vocab[a + b] for a, b in merges]
+    assert ranks == sorted(ranks) and min(ranks) == 7
+
+
+def test_bpe_encode_ids_roundtrip_and_unk(spark):
+    from unstract_spark.operators.bpe import bpe_encode_ids, build_vocab
+
+    train = spark.createDataFrame(
+        [(1, "hello world hello world")], "doc_id long, text string"
+    )
+    merges = train_bpe(train, n_merges=8)
+    vocab = build_vocab(train, merges)
+    inv = {v: k for k, v in vocab.items()}
+    # encode a doc with one unseen character -> <|unk|> id, no crash
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello Zorld")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode_ids(docs, merges, vocab).collect()}
+    toks1 = [inv[i] for i in rows[1].token_ids]
+    assert "".join(toks1) == "hello" + END + "world" + END
+    assert vocab["<|unk|>"] in rows[2].token_ids
+    assert rows[1].n_tokens == len(rows[1].token_ids)
+    # bos/eos framing
+    framed = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_encode_ids(docs, merges, vocab, add_bos_eos=True).collect()
+    }
+    assert framed[1][0] == vocab["<|bos|>"] and framed[1][-1] == vocab["<|eos|>"]

@@ -226,3 +226,84 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+SPECIAL_TOKENS = ("<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>")
+
+
+def build_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    specials: tuple = SPECIAL_TOKENS,
+) -> dict[str, int]:
+    """token -> id. Specials first (fixed ids regardless of corpus),
+    then the observed base characters + {END} (sorted — deterministic),
+    then merged tokens in merge order (rank order is the conventional
+    id layout: lower id == earlier merge == more frequent).
+
+    The character inventory is one distinct-aggregation over the corpus
+    (explode chars of distinct words — vocabulary-sized, not
+    corpus-sized)."""
+    chars = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    base = sorted({r["c"] for r in chars} | {END})
+    vocab: dict[str, int] = {}
+    for s in specials:
+        vocab[s] = len(vocab)
+    for c in base:
+        vocab[c] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_bos_eos: bool = False,
+) -> DataFrame:
+    """Distributed encode to id sequences: (id, token_ids, n_tokens).
+
+    Same broadcast ranks + per-batch memo as bpe_encode; tokens outside
+    the vocab (characters unseen at vocab-build time) map to <|unk|> —
+    loud in the id stream, never a crash. `add_bos_eos` frames each
+    document for next-token training (the sequence-packing input
+    shape)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    unk = vocab["<|unk|>"]
+    bos, eos = vocab["<|bos|>"], vocab["<|eos|>"]
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, token_ids array<long>, n_tokens long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids, seqs, ns = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                out: list[int] = [bos] if add_bos_eos else []
+                for w in (text or "").split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = [vocab.get(t, unk) for t in encode_word(w, ranks)]
+                        memo[w] = got
+                    out.extend(got)
+                if add_bos_eos:
+                    out.append(eos)
+                ids.append(rid)
+                seqs.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame({id_col: ids, "token_ids": seqs, "n_tokens": ns})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
