@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     # train+encode, and the AVI demux/frame-sample Python stage
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "j7_asof_join",
+    "j8_range_join",
     "dd_contamination",
     "ta_repetition",
     "bpe_token_counts",

@@ -385,6 +385,102 @@ def j6_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j7_asof_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_ns(ts) // 1000 AS u
+        FROM events
+    ),
+    snaps AS (
+        SELECT user_id, u, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, u
+                                         ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type IN ('signup', 'view')
+        ) WHERE rn = 1
+    ),
+    purch AS (SELECT event_id, user_id, u, value FROM e
+              WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.u AS ts_us, p.value,
+           s.event_id AS snap_event_id, s.value AS snap_value
+    FROM purch p
+    LEFT JOIN snaps s ON s.user_id = p.user_id AND s.u = (
+        SELECT max(s2.u) FROM snaps s2
+        WHERE s2.user_id = p.user_id AND s2.u <= p.u)
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each purchase event matched to
+    the user's most recent signup/view snapshot at or before it. The
+    Spark side is the union+window merge-as-of (one shuffle on the
+    key, no per-event fan-out — joins.asof_join); the oracle is the
+    classic correlated arg-max spelling. Timestamps compare as epoch
+    MICROS on both engines (epoch_ns // 1000 == the nanosAsLong
+    `ts div 1000` conversion), so nanosecond precision can't skew the
+    inclusive boundary; snapshots pre-dedup per (user, ts) by max
+    event_id so ties are deterministic."""
+    from unstract_spark.operators.joins import asof_join
+
+    e0 = _t(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP (micros, via the nanosAsLong conversion)
+    # or TIMESTAMP_NTZ (native read) depending on session state; both
+    # convert to the same tz-free micros long the oracle computes
+    if dict(e0.dtypes)["ts"] == "timestamp_ntz":
+        u = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:
+        u = F.unix_micros(F.col("ts"))
+    e = e0.select("event_id", "user_id", "event_type", "value", u.alias("u"))
+    w = Window.partitionBy("user_id", "u").orderBy(F.col("event_id").desc())
+    snaps = (
+        e.filter(F.col("event_type").isin("signup", "view"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "u", "event_id", "value")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "u", "value"
+    )
+    out = asof_join(
+        purch, snaps, key="user_id", left_ts="u", right_ts="u",
+        payload=["event_id", "value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("u").alias("ts_us"), "value",
+        F.col("event_id_matched").alias("snap_event_id"),
+        F.col("value_matched").alias("snap_value"),
+    )
+
+
+_BANDS = [(b, float(b * 40), float(b * 40 + 79)) for b in range(10)]
+
+
+@register(
+    "j8_range_join",
+    f"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+        {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)}
+    )
+    SELECT e.event_id, b.band_id, e.value
+    FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events banded into overlapping value
+    intervals. The Spark side is the bin-bucketed equi-join
+    (joins.range_join — intervals explode to fixed-width bins, the
+    probe row computes ONE bin, exact BETWEEN re-check after the
+    equi-join); the oracle is the plain theta-join spelling DuckDB can
+    afford at oracle scale."""
+    from unstract_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double")
+    return range_join(e, bands, "value", "lo", "hi", bin_width=40.0).select(
+        "event_id", "band_id", "value"
+    )
+
+
 # =====================================================================
 # Set ops (§2.9) + error-union sink shape (D5)
 # =====================================================================
