@@ -61,3 +61,53 @@ def test_range_join_inclusive_bounds_and_bins(spark):
     # no duplicate (left, interval) pairs despite multi-bin intervals
     rows = range_join(left, right, "v", "lo", "hi", bin_width=4.0).collect()
     assert len(rows) == len(out)
+
+
+def test_asof_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 1), (1, 14, 2), (1, 30, 3), (2, 5, 4)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 16, 101), (2, 9, 102)],
+        "k long, ts long, snap long",
+    )
+
+    fwd = {
+        r.lid: r.snap_matched
+        for r in asof_join(left, right, "k", "ts", "ts", ["snap"],
+                           direction="forward").collect()
+    }
+    assert fwd[1] == 101  # 10 -> next at 16
+    assert fwd[2] == 101
+    assert fwd[3] is None  # nothing after 30
+    assert fwd[4] == 102  # 5 -> next at 9
+
+    near = {
+        r.lid: r.snap_matched
+        for r in asof_join(left, right, "k", "ts", "ts", ["snap"],
+                           direction="nearest").collect()
+    }
+    assert near[1] == 100  # |10-8|=2 < |16-10|=6
+    assert near[2] == 101  # |14-16|=2 < |14-8|=6
+    assert near[3] == 101  # only earlier rows exist
+    assert near[4] == 102
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = spark.createDataFrame([(1, 10, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 12, 101)], "k long, ts long, snap long"
+    )
+    (r,) = asof_join(
+        left, right, "k", "ts", "ts", ["snap"], direction="nearest"
+    ).collect()
+    assert r.snap_matched == 100  # equidistant: backward wins
+
+
+def test_asof_unknown_direction_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 1)], "k long, ts long, lid long")
+    with pytest.raises(ValueError):
+        asof_join(left, left, "k", "ts", "ts", ["lid"], direction="sideways")

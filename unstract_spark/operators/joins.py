@@ -34,17 +34,28 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of: each left row gains the payload of the
-    right row with the greatest right_ts <= left_ts for its key (nulls
-    when no snapshot precedes it).
+    """As-of join: each left row gains the payload of its matching
+    right row for the key — `direction`:
+
+    - "backward" (default): greatest right_ts <= left_ts
+    - "forward": smallest right_ts >= left_ts
+    - "nearest": whichever of the two is closer in |ts|; exact ties go
+      backward (the pandas merge_asof convention)
+
+    Nulls when no right row qualifies. Both directional passes are
+    windows over ONE union frame partitioned by the key — "nearest"
+    costs a second sort, never a second shuffle or any fan-out.
 
     Determinism contract: callers must ensure right is unique per
     (key, ts) — at equal timestamps the carried payload would otherwise
     be order-dependent on BOTH engines. At equal left/right ts the
-    right row IS visible (inclusive), enforced by sorting right before
-    left within a timestamp.
+    right row IS visible (inclusive both directions), enforced by
+    sorting right before left within a timestamp.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
@@ -59,22 +70,46 @@ def asof_join(
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         *[F.col(c).alias(f"_p_{c}") for c in payload],
     )
-    w = (
+    unioned = l_tag.unionByName(r_tag)
+    wb = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rts = F.when(F.col("_is_right") == 1, F.col("_ts"))
+
+    def carry(w, tag):
+        cols = [
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_{tag}_{c}")
+            for c in payload
+        ]
+        cols.append(F.last(rts, ignorenulls=True).over(w).alias(f"_{tag}_ts"))
+        return cols
+
+    if direction == "backward":
+        carried = unioned.select("*", *carry(wb, "b"))
+        pick = {c: F.col(f"_b_{c}") for c in payload}
+    elif direction == "forward":
+        carried = unioned.select("*", *carry(wf, "f"))
+        pick = {c: F.col(f"_f_{c}") for c in payload}
+    else:
+        carried = unioned.select("*", *carry(wb, "b"), *carry(wf, "f"))
+        db = F.col("_ts") - F.col("_b_ts")
+        df_ = F.col("_f_ts") - F.col("_ts")
+        use_b = F.col("_f_ts").isNull() | (F.col("_b_ts").isNotNull() & (db <= df_))
+        pick = {
+            c: F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+            for c in payload
+        }
     out = carried.filter(F.col("_is_right") == 0)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"{c}{suffix}") for c in payload],
+        *[pick[c].alias(f"{c}{suffix}") for c in payload],
     )
 
 
