@@ -2,13 +2,35 @@
 
 Modules:
   dedup          F1-F3 anti-join dedup + exact/MinHash/SimHash/Jaccard/
-                 embedding near-dup (training-data pipeline ops)
+                 embedding near-dup + train/eval n-gram decontamination
   chunking       T3 chunk/posexplode (+ sentence splitter UDF)
   retrieval      J4/R1-R8 top-k similarity, RRF fusion, keyword table
   prompts        T8-T10 prompt assembly, extraction, type coercion (§1.2)
-  text_analysis  language-ID, quality scoring, token counts, fingerprints
-  similarity     brute-force + LSH-bucketed ANN over embeddings
+  text_analysis  language-ID, quality scoring (incl. Gopher rules +
+                 repetition filters), PII redaction, token counts,
+                 fingerprints
+  bpe            distributed BPE: corpus counting, exact merges,
+                 broadcast encode, vocab/id export
+  similarity     ANN over embeddings: brute-force, sign-LSH, IVF
+                 (+k-means refine), PQ (+per-subspace refine), IVF-PQ,
+                 cost-based strategy planner
+  joins          as-of (backward/forward/nearest merge-as-of) and
+                 bin-bucketed range joins
+  export         training export: deterministic shards, sequence
+                 packing, mixture sampling, small-file compaction
   usage          A1-A5 usage/cost/status aggregations
   llm            batched/bounded/retrying pandas-UDF LLM controller (T7)
-  multimodal     binary-column plumbing for image/audio (decode stubbed)
+  lineitems      bounded-round line-item continuation (distributed state)
+  enrich         T11-T18 summarize/challenge/eval/lookup/classify/repair
+  extract        T1/T2 x2text adapter registry (PDF/OCR/remote shapes)
+  index_store    T4/T5 chunk embedding + vector index store
+  variables      F8 variable replacement (static/custom/dynamic)
+  multimodal     image/audio/video binary columns with REAL pure-stdlib
+                 codecs (BMP/PGM/PPM/PNG/JPEG/GIF/WAV/AVI via minijpeg,
+                 minigif, miniavi, helpers here); features, resize,
+                 frame sampling
+  minipdf        machine-generated-PDF text extraction
+  minijpeg       baseline sequential JPEG codec
+  minigif        GIF87a/89a codec incl. full-redraw animations
+  miniavi        uncompressed-DIB AVI mux/demux
 """
