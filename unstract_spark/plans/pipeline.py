@@ -61,7 +61,14 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     listing = list_files(
         spark, job.source_dir, FilePattern(globs=globs, max_files=job.max_files)
     )
-    catalog = build_catalog(listing)
+    # Stage the catalog ONCE: three consumers follow (history anti-join,
+    # replay join, extraction), and without a barrier each one re-lists
+    # and re-reads every source file. localCheckpoint writes partitions
+    # to executor-local storage — the classic staging step, no driver
+    # involvement, no CacheManager entry — so the source connector is
+    # read exactly once per run (reference reads each file once,
+    # source.py:938-954).
+    catalog = build_catalog(listing).localCheckpoint(eager=True)
     store = FileHistoryStore(spark, job.history_path)
 
     fresh = store.dedup_catalog(catalog)
@@ -133,6 +140,17 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
                 )
                 outputs[key] = f"<{key}>"
                 usage_rows.append(key)
+
+    # Extract ONCE: three consumers follow (history MERGE write,
+    # results, usage). Without a materialization barrier each action
+    # re-runs the whole scan -> decode -> per-field extraction lineage
+    # (3x the corpus read; at 100 TB that is 3x the extraction cost —
+    # the reference extracts each file exactly once,
+    # legacy_executor.py:159). localCheckpoint, not persist: blocks are
+    # owned by the RDD and reclaimed by the ContextCleaner when the
+    # frame goes out of scope, so repeated pipeline runs in one session
+    # can't accumulate CacheManager entries (SCALE.md local-mode caveat).
+    result = result.localCheckpoint(eager=True)
 
     usage = result.select(
         F.col("file_hash").alias("run_id"),
