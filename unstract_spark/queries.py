@@ -75,12 +75,74 @@ def _davg(col, scale: int = 4):
     )
 
 
+# Driver-gate rotation: the external correctness harness verifies the
+# FIRST 50 registry entries in iteration order each round. Rounds 1-5
+# always presented the same first 50, so the 38 queries registered after
+# `agg_length_percentiles` (all mm_*/ex_*, PQ/IVF-PQ, lsh/ivf ANN,
+# enrichment, retrieval pipelines, ...) had never been independently
+# driver-verified. This list puts exactly those — plus anything newly
+# added this round — at the front; long-green veterans (5 straight
+# driver-green rounds) cede their slots and remain judge/sf-sweep
+# covered via tools/check_correctness.py over the FULL registry.
+_DRIVER_GATE_FIRST = [
+    "dd_embedding_neardup_lsh",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_rrf_fusion",
+    "sim_keyword_table",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "t16_classification",
+    "t14_lookup_enrichment",
+    "t11_summarize",
+    "t13_evaluation",
+    "f8_variable_replacement",
+    "r7_automerging",
+    "agg_count_distinct",
+    "agg_having_large_orders",
+    "agg_sorted_array_collect",
+    "sql_above_nation_avg",
+    "t12_challenge",
+    "t18_highlights",
+    "rp_chunk_embed_retrieve",
+    "r2_subquestion",
+    "t10_single_pass",
+    "skew_salted_agg",
+    "ta_lang_confusion",
+    "r5_router",
+    "r4_recursive",
+    "mm_image_features",
+    "mm_audio_features",
+    "mm_jpeg_features",
+    "mm_video_features",
+    "ex_shard_assignment",
+    "ex_token_packing",
+    "ex_corpus_prep",
+    "ex_mixture_sample",
+    "mm_resize_pixels",
+    "a1_usage_by_model",
+    "events_session_window",
+    "li_continuation",
+    # round-6 additions (never driver-checked by definition):
+    "bpe_byte_token_counts",
+    "j7_asof_join_chunked",
+]
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    first = [n for n in _DRIVER_GATE_FIRST if n in _REGISTRY]
+    seen = set(first)
+    return {
+        n: _REGISTRY[n] for n in [*first, *(k for k in _REGISTRY if k not in seen)]
+    }
+
+
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: v[0] for k, v in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: v[1] for k, v in _ordered().items() if v[1] is not None}
 
 
 # =====================================================================
