@@ -111,3 +111,130 @@ def test_asof_unknown_direction_raises(spark):
     left = spark.createDataFrame([(1, 1, 1)], "k long, ts long, lid long")
     with pytest.raises(ValueError):
         asof_join(left, left, "k", "ts", "ts", ["lid"], direction="sideways")
+
+
+def test_asof_chunked_matches_flat_all_directions(spark):
+    """Chunked (skew-safe) plan is result-identical to the flat plan for
+    every direction, across bucket widths that split / don't split the
+    data, including carry-across-empty-bucket cases."""
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000), i) for i in range(300)],
+        "k long, ts long, lid long",
+    )
+    # right must be unique per (key, ts) — the operator's determinism
+    # contract (duplicates make BOTH plans order-dependent)
+    seen: dict[tuple[int, int], int] = {}
+    for i in range(40):
+        seen.setdefault((rng.randrange(3), rng.randrange(1000)), 100 + i)
+    right = spark.createDataFrame(
+        [(k, t, s) for (k, t), s in seen.items()], "k long, ts long, snap long"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        flat = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"], direction=direction
+            ).collect()
+        }
+        for bucket in (7.0, 100.0, 5000.0):
+            chunked = {
+                r.lid: r.snap_matched
+                for r in asof_join(
+                    left, right, "k", "ts", "ts", ["snap"],
+                    direction=direction, ts_bucket=bucket,
+                ).collect()
+            }
+            assert chunked == flat, (direction, bucket)
+
+
+def test_asof_chunked_null_payload_falls_through(spark):
+    """A right row whose payload value is NULL must fall through to the
+    previous right row's value (flat-plan last(..., ignorenulls)
+    semantics) — including across a bucket boundary."""
+    left = spark.createDataFrame([(1, 100, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 90, None)], "k long, ts long, snap long"
+    )
+    for bucket in (None, 50.0):
+        (r,) = asof_join(
+            left, right, "k", "ts", "ts", ["snap"], ts_bucket=bucket
+        ).collect()
+        assert r.snap_matched == 7, bucket
+
+
+def test_asof_chunked_bounds_hot_key_partitions(spark):
+    """One key holding 90% of rows: the chunked plan's window partitions
+    are (key, bucket), so the max rows any single window task sees is
+    bounded by rows-per-bucket, not rows-per-key."""
+    from pyspark.sql import functions as F
+
+    n = 2000
+    rows = [(0, i, i) for i in range(n - 100)] + [
+        (k, i * 13 % 1000, 10_000 + i) for k in (1, 2) for i in range(50)
+    ]
+    left = spark.createDataFrame(rows, "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(0, t, t) for t in range(0, 2000, 40)], "k long, ts long, snap long"
+    )
+    bucket = 100.0
+    # the plan's window partition key cardinality: every (k, bucket) group
+    # must stay under the bucket's row capacity even for the hot key
+    grouped = (
+        left.groupBy("k", F.floor(F.col("ts") / bucket).alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert grouped <= 101  # bounded by bucket width, NOT by the 1900-row key
+    flat = {
+        r.lid: r.snap_matched
+        for r in asof_join(left, right, "k", "ts", "ts", ["snap"]).collect()
+    }
+    chunked = {
+        r.lid: r.snap_matched
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["snap"], ts_bucket=bucket
+        ).collect()
+    }
+    assert chunked == flat
+
+
+def test_asof_bad_bucket_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 1)], "k long, ts long, lid long")
+    with pytest.raises(ValueError, match="ts_bucket"):
+        asof_join(left, left, "k", "ts", "ts", ["lid"], ts_bucket=0)
+
+
+def test_range_join_bin_width_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1.0)], "lid long, v double")
+    right = spark.createDataFrame([(1, 0.0, 2.0)], "rid long, lo double, hi double")
+    for bad in (0, -1.5):
+        with pytest.raises(ValueError, match="bin_width"):
+            range_join(left, right, "v", "lo", "hi", bin_width=bad)
+    with pytest.raises(ValueError, match="max_bins"):
+        range_join(left, right, "v", "lo", "hi", bin_width=1.0, max_bins=0)
+
+
+def test_range_join_max_bins_guard_is_loud(spark):
+    """A degenerate interval spanning the domain raises instead of
+    silently exploding to domain/bin_width rows."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 5.0)], "lid long, v double")
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 0.0, 1e9)], "rid long, lo double, hi double"
+    )
+    with pytest.raises(Exception, match="max_bins"):
+        range_join(left, right, "v", "lo", "hi", bin_width=1.0, max_bins=100).collect()
+    # same data passes once the cap admits the wide interval
+    ok = range_join(
+        left, right, "v", "lo", "hi", bin_width=1e7, max_bins=1000
+    ).collect()
+    assert {r.rid for r in ok} == {1, 2}

@@ -35,6 +35,7 @@ def asof_join(
     payload: list[str],
     suffix: str = "_matched",
     direction: str = "backward",
+    ts_bucket: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gains the payload of its matching
     right row for the key — `direction`:
@@ -48,6 +49,17 @@ def asof_join(
     windows over ONE union frame partitioned by the key — "nearest"
     costs a second sort, never a second shuffle or any fan-out.
 
+    Skew: `partitionBy(key)` serializes each key's full history into
+    one task — fine when keys are balanced, fatal for a power-law hot
+    key (one entity with 100M events). Pass `ts_bucket` (a timestamp
+    width in the ts column's units) to switch to the range-chunked
+    plan: rows partition by `(key, floor(ts / ts_bucket))`, a tiny
+    per-(key, bucket) boundary pass computes each bucket's carry-in
+    (latest right row before the bucket / earliest after), and the
+    window then runs per bucket — max task size is bounded by rows per
+    (key, bucket), never by rows per key. Results are identical to the
+    unchunked plan for any bucket width.
+
     Determinism contract: callers must ensure right is unique per
     (key, ts) — at equal timestamps the carried payload would otherwise
     be order-dependent on BOTH engines. At equal left/right ts the
@@ -56,6 +68,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction {direction!r}")
+    if ts_bucket is not None and not ts_bucket > 0:
+        raise ValueError(f"ts_bucket must be > 0, got {ts_bucket!r}")
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
@@ -71,6 +85,10 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload],
     )
     unioned = l_tag.unionByName(r_tag)
+    if ts_bucket is not None:
+        return _asof_chunked(
+            unioned, left.columns, key, payload, suffix, direction, float(ts_bucket)
+        )
     wb = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
@@ -113,6 +131,134 @@ def asof_join(
     )
 
 
+def _asof_chunked(
+    unioned: DataFrame,
+    left_cols: list[str],
+    key: str,
+    payload: list[str],
+    suffix: str,
+    direction: str,
+    bucket: float,
+) -> DataFrame:
+    """Range-chunked as-of plan (skew-safe): windows run per
+    (key, ts_bucket), seeded by a per-bucket boundary pass.
+
+    Three steps, all bounded:
+    1. Per-(key, bucket) boundary aggregate over the union — for each
+       payload column, the value of the latest/earliest right row in
+       the bucket whose value is non-null (per-field, matching the
+       flat plan's `last(..., ignorenulls)` fall-through), plus the
+       bucket's last/first right timestamp. One row per occupied
+       (key, bucket): the frame is tiny relative to the input.
+    2. A window over that boundary frame (partitioned by key, ordered
+       by bucket) turns per-bucket boundaries into carry-in (latest
+       right strictly before the bucket) and carry-out (earliest right
+       strictly after). The hot key contributes n_buckets rows here,
+       not n_rows.
+    3. Join the carries back on (key, bucket) and run the directional
+       window per (key, bucket), coalescing to the carried boundary
+       when the bucket has no qualifying right row. Max task size is
+       rows-per-(key, bucket) — the caller bounds it via the bucket
+       width, independent of key skew.
+    """
+    bkt = F.floor(F.col("_ts") / F.lit(bucket)).cast("long")
+    u = unioned.withColumn("_bkt", bkt)
+    is_r = F.col("_is_right") == 1
+
+    # 1 — per-bucket boundaries (nulls in a payload column fall through
+    # to the previous right row with a value, exactly like the flat
+    # plan's last(..., ignorenulls) over all preceding rows)
+    aggs = [
+        F.max(F.when(is_r, F.col("_ts"))).alias("_lastts"),
+        F.min(F.when(is_r, F.col("_ts"))).alias("_firstts"),
+    ]
+    for c in payload:
+        has_v = is_r & F.col(f"_p_{c}").isNotNull()
+        aggs.append(
+            F.max_by(F.col(f"_p_{c}"), F.when(has_v, F.col("_ts"))).alias(f"_lastv_{c}")
+        )
+        aggs.append(
+            F.min_by(F.col(f"_p_{c}"), F.when(has_v, F.col("_ts"))).alias(
+                f"_firstv_{c}"
+            )
+        )
+    bounds = u.groupBy(key, "_bkt").agg(*aggs)
+
+    # 2 — carries across buckets (strictly-before / strictly-after)
+    w_in = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_out = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_cols = [
+        F.last("_lastts", ignorenulls=True).over(w_in).alias("_cin_ts"),
+        F.last("_firstts", ignorenulls=True).over(w_out).alias("_cout_ts"),
+    ]
+    for c in payload:
+        carry_cols.append(
+            F.last(f"_lastv_{c}", ignorenulls=True).over(w_in).alias(f"_cin_{c}")
+        )
+        carry_cols.append(
+            F.last(f"_firstv_{c}", ignorenulls=True).over(w_out).alias(f"_cout_{c}")
+        )
+    carries = bounds.select(key, "_bkt", *carry_cols)
+
+    # 3 — per-bucket windows seeded by the carries
+    seeded = u.join(carries, [key, "_bkt"])
+    wb = (
+        Window.partitionBy(key, "_bkt")
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key, "_bkt")
+        .orderBy(F.col("_ts").desc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rts = F.when(is_r, F.col("_ts"))
+
+    def carry(w, tag, fallback):
+        cols = [
+            F.coalesce(
+                F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w),
+                F.col(f"_{fallback}_{c}"),
+            ).alias(f"_{tag}_{c}")
+            for c in payload
+        ]
+        cols.append(
+            F.coalesce(
+                F.last(rts, ignorenulls=True).over(w), F.col(f"_{fallback}_ts")
+            ).alias(f"_{tag}_ts")
+        )
+        return cols
+
+    if direction == "backward":
+        carried = seeded.select("*", *carry(wb, "b", "cin"))
+        pick = {c: F.col(f"_b_{c}") for c in payload}
+    elif direction == "forward":
+        carried = seeded.select("*", *carry(wf, "f", "cout"))
+        pick = {c: F.col(f"_f_{c}") for c in payload}
+    else:
+        carried = seeded.select("*", *carry(wb, "b", "cin"), *carry(wf, "f", "cout"))
+        db = F.col("_ts") - F.col("_b_ts")
+        df_ = F.col("_f_ts") - F.col("_ts")
+        use_b = F.col("_f_ts").isNull() | (F.col("_b_ts").isNotNull() & (db <= df_))
+        pick = {
+            c: F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+            for c in payload
+        }
+    out = carried.filter(F.col("_is_right") == 0)
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left_cols],
+        *[pick[c].alias(f"{c}{suffix}") for c in payload],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -120,6 +266,7 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bin_width: float,
+    max_bins: int = 10_000,
 ) -> DataFrame:
     """Inner interval join: left rows matched to every right interval
     with lo <= value <= hi (inclusive both ends).
@@ -128,16 +275,40 @@ def range_join(
     side computes ONE bin; equi-join on bin then the exact BETWEEN
     re-check. A (left, interval) pair meets in exactly one bin (the
     left row's), so no post-join dedup is needed.
+
+    Fan-out guard: one degenerate interval spanning the domain would
+    explode to domain/bin_width rows and silently dominate the job, so
+    any interval wider than `max_bins` bins raises at execution time —
+    the caller either picks a coarser bin_width or raises the cap
+    knowingly.
     """
     bw = float(bin_width)
-    r_binned = right.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bw).cast("long"),
-                F.floor(F.col(hi_col) / bw).cast("long"),
+    if not bw > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
+    if max_bins < 1:
+        raise ValueError(f"max_bins must be >= 1, got {max_bins!r}")
+    lo_bin = F.floor(F.col(lo_col) / bw).cast("long")
+    hi_bin = F.floor(F.col(hi_col) / bw).cast("long")
+    # raise_error inside a filter so Catalyst cannot prune it away; the
+    # NullType branch coerces to boolean alongside lit(True)
+    span_guard = F.when(
+        hi_bin - lo_bin >= F.lit(max_bins),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join interval wider than max_bins={max_bins} "
+                    f"bins at bin_width={bw}: [{lo_col}="
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(f", {hi_col}="),
+                F.col(hi_col).cast("string"),
+                F.lit("]; pick a coarser bin_width or raise max_bins"),
             )
-        ).alias("_bin"),
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    r_binned = right.filter(span_guard).select(
+        "*",
+        F.explode(F.sequence(lo_bin, hi_bin)).alias("_bin"),
     )
     l_binned = left.select(
         "*", F.floor(F.col(value_col) / bw).cast("long").alias("_bin")
