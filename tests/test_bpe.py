@@ -194,3 +194,150 @@ def test_bpe_encode_ids_roundtrip_and_unk(spark):
         for r in bpe_encode_ids(docs, merges, vocab, add_bos_eos=True).collect()
     }
     assert framed[1][0] == vocab["<|bos|>"] and framed[1][-1] == vocab["<|eos|>"]
+
+
+# --- byte-level variant ------------------------------------------------
+
+
+def test_byte_tables_are_a_bijection():
+    from unstract_spark.operators.bpe import _BYTE_DEC, _BYTE_ENC
+
+    assert len(_BYTE_ENC) == 256
+    assert len(_BYTE_DEC) == 256
+    assert all(_BYTE_DEC[_BYTE_ENC[b]] == b for b in range(256))
+    # printable ASCII keeps itself (GPT-2 convention)
+    assert _BYTE_ENC[ord("A")] == "A" and _BYTE_ENC[ord("~")] == "~"
+    # control bytes and high bytes are relabeled out of the way
+    assert ord(_BYTE_ENC[0]) >= 256 and ord(_BYTE_ENC[ord(" ")]) >= 256
+
+
+def test_byte_symbols_split_multibyte_codepoints():
+    from unstract_spark.operators.bpe import byte_symbols
+
+    syms = byte_symbols("é")  # 2 UTF-8 bytes -> 2 symbols + END
+    assert len(syms) == 3 and syms[-1] == END
+    assert byte_symbols("a")[:-1] == ("a",)
+    emoji = byte_symbols("🎉")
+    assert len(emoji) == 5  # 4 bytes + END
+
+
+@given(
+    st.lists(
+        st.text(
+            st.characters(blacklist_categories=("Zs", "Cs", "Cc")),
+            min_size=1,
+            max_size=8,
+        ).filter(lambda w: "</w>" not in w),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_byte_encode_roundtrips_any_unicode(words):
+    """Lossless round-trip with ZERO unk for arbitrary unicode — the
+    property char-level BPE cannot give (unseen chars fall to unk)."""
+    from unstract_spark.operators.bpe import (
+        FIXED_BYTE_MERGES,
+        byte_merges_to_symbols,
+        byte_symbols,
+        decode_tokens,
+        encode_symbols,
+    )
+
+    merges = byte_merges_to_symbols(FIXED_BYTE_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = [t for w in words for t in encode_symbols(byte_symbols(w), ranks)]
+    assert decode_tokens(toks, byte_level=True) == " ".join(words)
+
+
+def test_byte_level_trainer_learns_multibyte_merges():
+    """A corpus dominated by a non-ASCII word: the byte trainer's first
+    merges stitch the codepoint's bytes back together."""
+    from unstract_spark.operators.bpe import byte_symbols, learn_merges
+
+    merges = learn_merges([("ééé", 50), ("ab", 1)], 2, byte_level=True)
+    c3, a9 = byte_symbols("é")[:-1]
+    assert merges[0] == (c3, a9)  # the two bytes of é
+    assert merges[1] == (c3 + a9, c3 + a9)  # then é+é
+
+
+def test_byte_vocab_layout_and_no_unk(spark):
+    """Byte vocab = specials + 256 base bytes + END + merges; encoding
+    arbitrary unseen unicode produces zero <|unk|> ids."""
+    from unstract_spark.operators.bpe import (
+        FIXED_BYTE_MERGES,
+        SPECIAL_TOKENS,
+        bpe_encode_ids,
+        build_vocab,
+        byte_merges_to_symbols,
+    )
+
+    merges = byte_merges_to_symbols(FIXED_BYTE_MERGES)
+    vocab = build_vocab(None, merges, byte_level=True)
+    n_specials = len(SPECIAL_TOKENS)
+    assert len(vocab) == n_specials + 256 + 1 + len(merges)
+    ids = sorted(vocab.values())
+    assert ids == list(range(len(vocab)))  # dense, deterministic
+
+    df = spark.createDataFrame(
+        [(1, "naïve café 🎉 привет the"), (2, None)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in bpe_encode_ids(df, merges, vocab, byte_level=True).collect()
+    }
+    unk = vocab["<|unk|>"]
+    assert unk not in set(rows[1].token_ids)
+    assert rows[2].token_ids == [] and rows[2].n_tokens == 0
+
+
+def test_byte_and_char_agree_on_ascii(spark):
+    """On pure-ASCII text the two alphabets coincide symbol-for-symbol,
+    so the same merge chains yield identical token counts."""
+    from unstract_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_encode,
+        byte_merges_to_symbols,
+    )
+
+    ascii_byte_merges = byte_merges_to_symbols(
+        [(a.encode(), b.encode() if b != END else END) for a, b in
+         [(x, y) for x, y in FIXED_MERGES]]
+    )
+    df = spark.createDataFrame(
+        [(1, "the then and sing to of"), (2, "tot tote that")],
+        "doc_id long, text string",
+    )
+    char = {r.doc_id: r.n_tokens for r in bpe_encode(df, FIXED_MERGES).collect()}
+    byte = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(df, ascii_byte_merges, byte_level=True).collect()
+    }
+    assert char == byte
+
+
+def test_fixed_merges_equal_inorder_rewrite():
+    """The oracle's semantics: applying the fixed merges in rank order
+    as full left-to-right rewrites equals the greedy encoder — the
+    well-formedness property the SQL twin depends on."""
+    from unstract_spark.operators.bpe import FIXED_MERGES, encode_word
+
+    ranks = {p: i for i, p in enumerate(FIXED_MERGES)}
+
+    def inorder(word):
+        syms = list(word) + [END]
+        for a, b in FIXED_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in ("the", "then", "tot", "tothe", "ingthe", "ooff", "andand",
+              "thethe", "eee", "sss", "ttt", "banana", "xyzzy"):
+        assert inorder(w) == encode_word(w, ranks), w

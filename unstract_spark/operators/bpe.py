@@ -20,8 +20,13 @@ execution model:
   in similarity.py.
 - **Encoding is the distributed hot path** — merge ranks broadcast to
   executors, applied per word inside an Arrow-batched mapInPandas with
-  a per-batch word→tokens memo (natural-language batches repeat most
-  words, so the memo collapses the per-row cost to a dict lookup).
+  a size-capped per-partition word→tokens memo (natural-language
+  batches repeat most words, so the memo collapses the per-row cost to
+  a dict lookup; the cap bounds task memory on adversarial vocabularies).
+
+Both a char-level and a byte-level (GPT-2 relabeled UTF-8 alphabet)
+variant: byte-level is what a production training pipeline deploys —
+every unicode string round-trips with zero <|unk|>.
 
 Determinism: pair selection breaks frequency ties lexicographically,
 so the learned merge list — and therefore every encoded token — is a
@@ -45,6 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 END = "</w>"
+
+# Per-task encode-memo bound: distinct words cached per mapInPandas
+# task before the memo resets. Caps task memory on adversarially
+# diverse partitions (random-string corpora); on natural text the
+# Zipf head repopulates within one batch of a reset.
+_MEMO_CAP = 200_000
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,8 +97,76 @@ def _symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (END,)
 
 
+# --- byte-level alphabet (GPT-2 style) -------------------------------
+#
+# Production tokenizers operate on UTF-8 BYTES, not unicode chars, so
+# any byte sequence round-trips with zero <|unk|>. The standard trick
+# (Radford et al. 2019, the public GPT-2 byte-level BPE) relabels each
+# of the 256 bytes as one printable unicode char: printable latin bytes
+# keep themselves, everything else shifts to 256+n — so the merge
+# machinery (which works on strings) applies unchanged, and decode is
+# an exact inverse table.
+
+
+def _build_byte_tables() -> tuple[dict[int, str], dict[str, int]]:
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    enc: dict[int, str] = {b: chr(b) for b in keep}
+    n = 0
+    for b in range(256):
+        if b not in enc:
+            enc[b] = chr(256 + n)
+            n += 1
+    dec = {c: b for b, c in enc.items()}
+    return enc, dec
+
+
+_BYTE_ENC, _BYTE_DEC = _build_byte_tables()
+
+
+def byte_symbols(word: str) -> tuple[str, ...]:
+    """Word -> per-byte symbol tuple (+ END), in the relabeled alphabet."""
+    return tuple(_BYTE_ENC[b] for b in word.encode("utf-8")) + (END,)
+
+
+def byte_merges_to_symbols(
+    byte_merges: list[tuple[bytes | str, bytes | str]],
+) -> list[tuple[str, str]]:
+    """Translate merges given as raw byte strings (or the END marker)
+    into the relabeled alphabet the encoder works in."""
+
+    def _m(side: bytes | str) -> str:
+        if side == END:
+            return END
+        if isinstance(side, str):
+            side = side.encode("utf-8")
+        return "".join(_BYTE_ENC[b] for b in side)
+
+    return [(_m(a), _m(b)) for a, b in byte_merges]
+
+
+def decode_tokens(tokens: list[str], byte_level: bool = False) -> str:
+    """Inverse of the encoder for round-trip checks: tokens -> text
+    (words re-joined with single spaces; the END marker delimits words).
+    Caveat: raw text containing the literal END marker string would
+    alias the delimiter — natural-language corpora don't."""
+    joined = "".join(tokens)
+    words = [w for w in joined.split(END) if w != ""]
+    if byte_level:
+        words = [
+            bytes(_BYTE_DEC[c] for c in w).decode("utf-8", errors="strict")
+            for w in words
+        ]
+    return " ".join(words)
+
+
 def learn_merges(
-    word_freqs: list[tuple[str, int]], n_merges: int
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a word-frequency table.
 
@@ -95,11 +174,14 @@ def learn_merges(
     pairs weighted by word frequency, merges the most frequent pair
     (ties: lexicographically smallest, so the result is deterministic),
     and rewrites only the words that contain it (indexed by pair, the
-    standard speedup)."""
+    standard speedup). `byte_level` learns over the relabeled UTF-8
+    byte alphabet instead of unicode chars."""
+    to_syms = byte_symbols if byte_level else _symbols
     vocab: dict[tuple[str, ...], int] = {}
     for w, f in word_freqs:
         if w:
-            vocab[_symbols(w)] = vocab.get(_symbols(w), 0) + int(f)
+            s = to_syms(w)
+            vocab[s] = vocab.get(s, 0) + int(f)
 
     pair_counts: Counter = Counter()
     where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
@@ -155,26 +237,33 @@ def train_bpe(
     n_merges: int = 200,
     min_freq: int = 1,
     max_words: int | None = None,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Distributed word counting + driver-side merge learning.
 
     Only the distinct-word frequency table crosses to the driver —
     bounded by `min_freq` (drop hapax noise) and `max_words` (keep the
     top of the Zipf curve; ordering ties break on the word so the cut
-    is deterministic)."""
+    is deterministic). `byte_level=True` trains over UTF-8 bytes (the
+    GPT-2 relabeled alphabet): every string round-trips losslessly, no
+    <|unk|> for unseen unicode."""
     wf = word_frequencies(docs, text_col)
     if min_freq > 1:
         wf = wf.filter(F.col("freq") >= min_freq)
     if max_words is not None:
         wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
     rows = wf.collect()
-    return learn_merges([(r["word"], r["freq"]) for r in rows], n_merges)
+    return learn_merges(
+        [(r["word"], r["freq"]) for r in rows], n_merges, byte_level=byte_level
+    )
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Apply merges to one word, lowest-rank (earliest-learned) first —
-    the classic greedy BPE encoder."""
-    syms = list(_symbols(word))
+def encode_symbols(
+    syms_in: tuple[str, ...], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Apply merges to one symbol sequence, lowest-rank
+    (earliest-learned) first — the classic greedy BPE encoder."""
+    syms = list(syms_in)
     while len(syms) > 1:
         best_rank, best_i = None, -1
         for i in range(len(syms) - 1):
@@ -187,17 +276,30 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def encode_word(
+    word: str, ranks: dict[tuple[str, str], int], byte_level: bool = False
+) -> list[str]:
+    """Greedy-encode one word (char symbols, or relabeled UTF-8 bytes)."""
+    return encode_symbols(
+        byte_symbols(word) if byte_level else _symbols(word), ranks
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Distributed encode: (id, tokens, n_tokens, n_words) per row.
 
     The merge-rank dict rides the closure (broadcast once per
-    executor); a per-batch word→tokens memo collapses repeated words to
-    a lookup, which on natural text is the overwhelming majority."""
+    executor); a per-partition word→tokens memo collapses repeated
+    words to a lookup (natural-language batches repeat most words).
+    The memo is capped at _MEMO_CAP distinct words and reset when full,
+    so a task over a huge partition holds bounded memory — on a Zipf
+    vocabulary the hot words repopulate instantly after a reset."""
     ranks = {p: i for i, p in enumerate(merges)}
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -214,7 +316,9 @@ def bpe_encode(
                 for w in words:
                     t = memo.get(w)
                     if t is None:
-                        t = encode_word(w, ranks)
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        t = encode_word(w, ranks, byte_level)
                         memo[w] = t
                     out.extend(t)
                 ids.append(rid)
@@ -228,6 +332,69 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+# Fixed merge lists for the oracle-gated encode queries. Encoding with
+# a FIXED merge list is deterministic string rewriting, so DuckDB can
+# reproduce it exactly (nested delimiter-wrapped replace() in rank
+# order — see queries.py _bpe_rewrite_sql); that upgrades the encode
+# gate from rows-only to a full value-hash match. The lists are
+# well-formed (every composite operand is produced by an earlier
+# merge), which is the property that makes in-rank-order full rewriting
+# equal to the greedy lowest-rank encoder. Chains (t+h -> th+e ->
+# the+</w>) deliberately exercise rank ordering.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", END),
+    ("i", "n"),
+    ("in", "g"),
+    ("ing", END),
+    ("e", "r"),
+    ("a", "n"),
+    ("an", "d"),
+    ("and", END),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+    ("e", "n"),
+    ("o", "r"),
+    ("e", END),
+    ("s", END),
+    ("d", END),
+    ("t", END),
+    ("y", END),
+    ("o", "f"),
+    ("of", END),
+    ("t", "o"),
+    ("to", END),
+]
+
+# Byte-level twin: same chains expressed as raw UTF-8 bytes, plus the
+# two-byte sequence of 'é' (a merge only a byte-level tokenizer can
+# express — a char-level one never sees half a codepoint).
+FIXED_BYTE_MERGES: list[tuple[bytes | str, bytes | str]] = [
+    (b"t", b"h"),
+    (b"th", b"e"),
+    (b"the", END),
+    (b"i", b"n"),
+    (b"in", b"g"),
+    (b"ing", END),
+    (b"e", b"r"),
+    (b"a", b"n"),
+    (b"an", b"d"),
+    (b"and", END),
+    (b"o", b"n"),
+    (b"r", b"e"),
+    (b"a", b"t"),
+    (b"e", b"n"),
+    (b"o", b"r"),
+    (b"e", END),
+    (b"s", END),
+    (b"d", END),
+    (b"t", END),
+    (b"y", END),
+    (b"\xc3", b"\xa9"),
+]
+
 SPECIAL_TOKENS = ("<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>")
 
 
@@ -236,24 +403,30 @@ def build_vocab(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     specials: tuple = SPECIAL_TOKENS,
+    byte_level: bool = False,
 ) -> dict[str, int]:
     """token -> id. Specials first (fixed ids regardless of corpus),
-    then the observed base characters + {END} (sorted — deterministic),
-    then merged tokens in merge order (rank order is the conventional
-    id layout: lower id == earlier merge == more frequent).
+    then the base alphabet (sorted — deterministic), then merged tokens
+    in merge order (rank order is the conventional id layout: lower id
+    == earlier merge == more frequent).
 
-    The character inventory is one distinct-aggregation over the corpus
-    (explode chars of distinct words — vocabulary-sized, not
-    corpus-sized)."""
-    chars = (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
-        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
-        .filter(F.col("c") != "")
-        .distinct()
-        .collect()
-    )
-    base = sorted({r["c"] for r in chars} | {END})
+    Char-level: the character inventory is one distinct-aggregation
+    over the corpus (explode chars of distinct words — vocabulary-
+    sized, not corpus-sized). Byte-level: the alphabet is the fixed 256
+    relabeled bytes + END — no corpus scan, and <|unk|> can never fire
+    (every byte sequence is encodable)."""
+    if byte_level:
+        base = sorted({_BYTE_ENC[b] for b in range(256)} | {END})
+    else:
+        chars = (
+            docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+            .filter(F.col("c") != "")
+            .distinct()
+            .collect()
+        )
+        base = sorted({r["c"] for r in chars} | {END})
     vocab: dict[str, int] = {}
     for s in specials:
         vocab[s] = len(vocab)
@@ -273,14 +446,16 @@ def bpe_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_bos_eos: bool = False,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Distributed encode to id sequences: (id, token_ids, n_tokens).
 
-    Same broadcast ranks + per-batch memo as bpe_encode; tokens outside
-    the vocab (characters unseen at vocab-build time) map to <|unk|> —
-    loud in the id stream, never a crash. `add_bos_eos` frames each
-    document for next-token training (the sequence-packing input
-    shape)."""
+    Same broadcast ranks + capped per-partition memo as bpe_encode;
+    tokens outside the vocab (characters unseen at vocab-build time)
+    map to <|unk|> — loud in the id stream, never a crash (with
+    `byte_level` vocabs <|unk|> is unreachable: all 256 bytes are base
+    tokens). `add_bos_eos` frames each document for next-token training
+    (the sequence-packing input shape)."""
     ranks = {p: i for i, p in enumerate(merges)}
     unk = vocab["<|unk|>"]
     bos, eos = vocab["<|bos|>"], vocab["<|eos|>"]
@@ -296,7 +471,12 @@ def bpe_encode_ids(
                 for w in (text or "").split():
                     got = memo.get(w)
                     if got is None:
-                        got = [vocab.get(t, unk) for t in encode_word(w, ranks)]
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        got = [
+                            vocab.get(t, unk)
+                            for t in encode_word(w, ranks, byte_level)
+                        ]
                         memo[w] = got
                     out.extend(got)
                 if add_bos_eos:

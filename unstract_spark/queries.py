@@ -1368,20 +1368,123 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.pair_frequencies(w)
 
 
-@register("bpe_token_counts", None)  # iterative trainer: not SQL-expressible
+def _bpe_rewrite_sql(col: str, merges, label) -> str:
+    """Nested delimiter-wrapped replace() applying a fixed merge list
+    in rank order. Each symbol is wrapped chr(31)<label>chr(31), so a
+    pair match can never span a symbol boundary and adjacent
+    occurrences don't share a delimiter (left-to-right non-overlapping
+    replace then equals the greedy lowest-rank encoder for a
+    well-formed merge list)."""
+    D = "chr(31)"
+    expr = col
+    for a, b in merges:
+        la, lb = label(a), label(b)
+        expr = (
+            f"replace({expr}, {D}||'{la}'||{D}||{D}||'{lb}'||{D}, "
+            f"{D}||'{la}{lb}'||{D})"
+        )
+    return expr
+
+
+def _bpe_count_sql(sym_expr: str, rewrite) -> str:
+    """Shared shell of the two BPE encode oracles: words -> wrapped
+    symbol strings -> rank-order rewriting -> per-doc token/word counts
+    (empty docs kept at 0 via the LEFT JOIN)."""
+    return rf"""
+    WITH w AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    sym AS (SELECT doc_id, {sym_expr} AS s FROM w),
+    enc AS (SELECT doc_id, {rewrite} AS s FROM sym),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum((length(s) - length(replace(s, chr(31), ''))) / 2)
+                    AS BIGINT) AS n_tokens,
+               count(*) AS n_words
+        FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_words, 0) AS n_words
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+_BPE_CHAR_SYM_SQL = (
+    "array_to_string(list_transform(range(1, length(word) + 1), "
+    "i -> chr(31) || substr(word, CAST(i AS INT), 1) || chr(31)), '') "
+    "|| chr(31) || '</w>' || chr(31)"
+)
+
+# byte-level: the word's UTF-8 bytes as 2-hex-char symbols — a pure
+# relabeling of the engine's GPT-2-style byte alphabet (token COUNTS
+# are alphabet-invariant, so the hex twin gates the byte mechanics)
+_BPE_BYTE_SYM_SQL = (
+    "array_to_string(list_transform(range(1, length(hex(word)) + 1, 2), "
+    "i -> chr(31) || substr(hex(word), CAST(i AS INT), 2) || chr(31)), '') "
+    "|| chr(31) || '</w>' || chr(31)"
+)
+
+
+def _bpe_label_char(s):
+    return s
+
+
+def _bpe_label_byte(s):
+    from unstract_spark.operators.bpe import END
+
+    return s if s == END else s.hex().upper()
+
+
+def _bpe_fixed_oracles():
+    from unstract_spark.operators.bpe import FIXED_BYTE_MERGES, FIXED_MERGES
+
+    char_sql = _bpe_count_sql(
+        _BPE_CHAR_SYM_SQL, _bpe_rewrite_sql("s", FIXED_MERGES, _bpe_label_char)
+    )
+    byte_sql = _bpe_count_sql(
+        _BPE_BYTE_SYM_SQL, _bpe_rewrite_sql("s", FIXED_BYTE_MERGES, _bpe_label_byte)
+    )
+    return char_sql, byte_sql
+
+
+_BPE_CHAR_SQL, _BPE_BYTE_SQL = _bpe_fixed_oracles()
+
+
+@register("bpe_token_counts", _BPE_CHAR_SQL)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE train + encode: 64 merges learned from the corpus's own
-    word-frequency table (deterministic tie-breaks), then the broadcast
-    encoder over every document. Rows-only driver check by design — the
-    sequential merge loop has no SQL twin; the trainer/encoder are
-    pytest-gated against an independent naive implementation
-    (tests/test_bpe.py) and the distributed statistic they consume is
-    hash-gated by bpe_pair_counts."""
+    """Distributed BPE encode under a FIXED well-formed merge list
+    (bpe.FIXED_MERGES — 24 merges incl. rank-ordered chains): per-doc
+    token/word counts from the broadcast-ranks mapInPandas encoder.
+    Fixing the merges makes encoding pure string rewriting, so the
+    DuckDB twin reproduces it exactly (nested delimiter-wrapped
+    replace in rank order) and the gate is a full value-hash match —
+    this was the registry's one rows-only row through r5. The
+    corpus-trained path stays covered by bpe_pair_counts (the
+    distributed statistic, hash-gated) + the pytest trainer oracle."""
     from unstract_spark.operators import bpe
 
     d = _t(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(d, n_merges=64, min_freq=2)
-    out = bpe.bpe_encode(d, merges)
+    out = bpe.bpe_encode(d, bpe.FIXED_MERGES)
+    return out.select("doc_id", "n_tokens", "n_words")
+
+
+@register("bpe_byte_token_counts", _BPE_BYTE_SQL)
+def bpe_byte_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE encode (GPT-2 relabeled UTF-8 alphabet) under
+    bpe.FIXED_BYTE_MERGES. The oracle rewrites each word's hex byte
+    pairs with the same merges in hex labels — token counts are
+    alphabet-invariant, so the hash match proves the byte-splitting,
+    rank ordering and merge mechanics; lossless non-ASCII round-trips
+    are property-tested in tests/test_bpe.py."""
+    from unstract_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.byte_merges_to_symbols(bpe.FIXED_BYTE_MERGES)
+    out = bpe.bpe_encode(d, merges, byte_level=True)
     return out.select("doc_id", "n_tokens", "n_words")
 
 
