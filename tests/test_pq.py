@@ -149,3 +149,21 @@ def test_pq_kmeans_refine_improves_quantization(spark):
     again = pq_kmeans_refine(e, dim=16, n_sub=4, n_codes=8, iters=2)
     for a, b in zip(fitted, again):
         assert np.array_equal(a, b)
+
+
+def test_pq_auto_params_divide_awkward_dims(spark):
+    """dim=100 (not divisible by 100//8=12) must still yield a valid
+    subspace split — largest divisor <= dim//8 — instead of a
+    ValueError out of pq_codebooks."""
+    from unstract_spark.operators.similarity import _pq_auto_params, similarity_topk
+
+    for d in (65, 100, 17):
+        p = _pq_auto_params(d)
+        assert d % p["n_sub"] == 0, (d, p)
+
+    e = _emb(spark, n=40, dim=100)
+    q = e.filter("vec_id < 1").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got, plan = similarity_topk(q, e, dim=100, k=3, strategy="pq")
+    assert plan.params["n_sub"] == 10 and got.count() == 3

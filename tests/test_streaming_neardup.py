@@ -117,3 +117,34 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     assert 1 in got and 3 in got and 2 not in got
     # doc 3 shares grams with BOTH bench docs
     assert got[3][1] == 2
+
+
+def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch must overwrite
+    its own output partition, not append duplicates. Simulate a replay
+    by pre-populating the batch-0 partitions with a previous attempt's
+    (stale) rows and running with a fresh checkpoint — epoch 0 fires
+    again and must supersede them."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    docs = [(1, BASE), (2, BASE + "with one extra tail sentence here ")]
+    _docs(spark, docs).coalesce(1).write.mode("append").parquet(src)
+
+    # a prior attempt of epoch 0 that died after writing its outputs
+    spark.createDataFrame(
+        [(99, 98, 0.99)], "id_a long, id_b long, est_jaccard double"
+    ).write.parquet(f"{out}/batch_id=0")
+    spark.range(1).selectExpr(
+        "CAST(555 AS LONG) AS doc_id", "array(1L, 2L) AS minhash"
+    ).write.parquet(f"{store}/batch_id=0")
+
+    n = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=0.4)
+    assert n == 1
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
+    assert (99, 98) not in pairs  # stale attempt replaced, not appended
+    assert (1, 2) in pairs
+    store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert store_ids == {1, 2}  # half-written store partition replaced

@@ -726,7 +726,13 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
 
 
 def _pq_auto_params(dim: int) -> dict:
-    return {"n_sub": max(1, dim // 8), "n_codes": 16, "refine": 3}
+    # n_sub must divide dim (pq_codebooks splits the vector into equal
+    # subspaces); take the largest divisor <= dim//8 so awkward dims
+    # (65, 100) still get a valid split instead of a downstream
+    # ValueError. Worst case (prime dim) falls back to 1 subspace.
+    target = max(1, dim // 8)
+    n_sub = next(d for d in range(target, 0, -1) if dim % d == 0)
+    return {"n_sub": n_sub, "n_codes": 16, "refine": 3}
 
 
 def choose_topk_strategy(

@@ -365,18 +365,27 @@ def streaming_neardup_pipeline(
     new-bands x all-bands restricted on the left (`left_ids`), so the
     corpus x corpus pair space is never regenerated. Within-batch pairs
     surface in the same probe (both sides new -> normalized to
-    (least, greatest), emitted once). The streaming checkpoint
-    guarantees each source file is signatured exactly once; pair
-    output and store appends are per-batch parquet appends.
+    (least, greatest), emitted once).
+
+    Delivery: foreachBatch is AT-LEAST-ONCE (a crash between the sink
+    write and the checkpoint commit replays the batch), so both sinks
+    write to a batchId-derived partition directory with overwrite — a
+    replay rewrites its own partition instead of appending duplicates,
+    making the pipeline effectively exactly-once end to end. The store
+    read excludes the current batch's partition (metadata-only prune),
+    so a replay that died after a partial store write can't probe
+    against its own half-written signatures.
 
     Source is a parquet directory in the documents shape
     (doc_id, text). Returns the number of fired batches.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from unstract_spark.operators import dedup
 
     fires = 0
 
-    def process(batch: DataFrame, _epoch: int) -> None:
+    def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
         docs = batch.select("doc_id", "text")
         if docs.isEmpty():
@@ -389,9 +398,16 @@ def streaming_neardup_pipeline(
             dedup.char_shingles(docs)
         ).localCheckpoint(eager=True)
         try:
-            old = spark.read.parquet(store_dir)
+            old = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch_id") != int(epoch))
+                .drop("batch_id")
+            )
             combined = old.unionByName(sigs_new)
-        except Exception:  # first fire: store doesn't exist yet
+        except AnalysisException:
+            # only PATH_NOT_FOUND-class analysis errors mean "first
+            # fire"; IO/permission errors surface instead of silently
+            # skipping cross-corpus dedup for the batch
             combined = sigs_new
         new_ids = sigs_new.select("doc_id")
         pairs = dedup.lsh_candidate_pairs(
@@ -400,8 +416,10 @@ def streaming_neardup_pipeline(
         sims = dedup.minhash_similarity(combined, pairs).filter(
             F.col("est_jaccard") >= threshold
         )
-        sims.write.mode("append").parquet(out_dir)
-        sigs_new.write.mode("append").parquet(store_dir)
+        sims.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        sigs_new.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={int(epoch)}"
+        )
 
     schema = "doc_id long, text string"
     stream = (
@@ -448,7 +466,7 @@ def streaming_decontamination_pipeline(
     ).localCheckpoint(eager=True)
     fires = 0
 
-    def process(batch: DataFrame, _epoch: int) -> None:
+    def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
         docs = batch.select("doc_id", "text")
         if docs.isEmpty():
@@ -463,7 +481,10 @@ def streaming_decontamination_pipeline(
                 F.countDistinct("bench_id").alias("n_bench_docs"),
             )
         )
-        hits.write.mode("append").parquet(out_dir)
+        # idempotent under foreachBatch's at-least-once replay: each
+        # batch owns its partition directory (same contract as
+        # streaming_neardup_pipeline)
+        hits.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
 
     schema = "doc_id long, text string"
     stream = (
