@@ -120,3 +120,85 @@ def test_ledger_lock_times_out_and_breaks_stale(tmp_path):
     with LedgerLock(target, timeout_s=5.0, stale_s=600.0):
         assert time.monotonic() - t0 < 2.0
     assert not os.path.exists(lock_file)  # released on exit
+
+
+# --- manifest (lock-free transactional) backend ----------------------
+
+
+def test_concurrent_history_merges_manifest_backend(spark, tmp_path):
+    """Same row-preservation property as the swap backend, with NO
+    LedgerLock anywhere on the path: writers race on the put-if-absent
+    manifest commit and retry from the fresh snapshot."""
+    store = FileHistoryStore(spark, str(tmp_path / "hist"), backend="manifest")
+
+    def writer(tag: str):
+        for i in range(3):
+            store.merge(_hist_rows(spark, f"{tag}{i}", 4))
+
+    with ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(writer, t) for t in ("a", "b")]
+        for f in futs:
+            f.result()
+    assert store.read().count() == 24
+    # and no lock file was ever created
+    assert not os.path.exists(str(tmp_path / "hist") + ".lock")
+
+
+def test_concurrent_index_upserts_manifest_backend(spark, tmp_path):
+    store = VectorIndexStore(spark, str(tmp_path / "idx"), backend="manifest")
+
+    def writer(tag: str):
+        for i in range(2):
+            rows = [(f"doc-{tag}-{i}", f"h-{tag}", j, f"text {tag} {i} {j}")
+                    for j in range(3)]
+            df = spark.createDataFrame(
+                rows, "doc_id string, file_hash string, chunk_no int, chunk_text string"
+            )
+            store.upsert(embed_chunks(df))
+
+    with ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(writer, t) for t in ("a", "b")]
+        for f in futs:
+            f.result()
+    assert store.read().count() == 12
+    assert store.existing_doc_ids().count() == 4
+    assert not os.path.exists(str(tmp_path / "idx") + ".lock")
+
+
+def test_manifest_upsert_newest_wins_and_idempotent(spark, tmp_path):
+    store = FileHistoryStore(spark, str(tmp_path / "h"), backend="manifest")
+    store.merge(_hist_rows(spark, "w", 2))
+    # re-merge same keys with new payloads: upsert, not append
+    updated = _hist_rows(spark, "w", 2).withColumn("status", F.lit("ERROR"))
+    store.merge(updated)
+    rows = store.read().collect()
+    assert len(rows) == 2
+    assert all(r.status == "ERROR" for r in rows)
+
+
+def test_manifest_crash_orphan_is_invisible_then_vacuumed(spark, tmp_path):
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    store = FileHistoryStore(spark, str(tmp_path / "h"), backend="manifest")
+    store.merge(_hist_rows(spark, "a", 3))
+    t = ManifestTable(spark, str(tmp_path / "h"))
+    # a writer that died after writing its segment, before committing
+    orphan = t.write_segment(_hist_rows(spark, "dead", 5))
+    assert store.read().count() == 3  # orphan never visible
+    os.utime(os.path.join(t.data_dir, orphan), (1, 1))  # age it out
+    assert t.vacuum(min_age_s=60) == 1
+    assert store.read().count() == 3
+
+
+def test_manifest_commit_conflict_detected(spark, tmp_path):
+    import pytest as _pytest
+
+    from unstract_spark.sinks.manifest import CommitConflict, ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "h"))
+    s1 = t.write_segment(_hist_rows(spark, "a", 1))
+    s2 = t.write_segment(_hist_rows(spark, "b", 1))
+    t.try_commit(-1, [s1])
+    with _pytest.raises(CommitConflict):
+        t.try_commit(-1, [s2])  # same base version: loser must retry
+    assert t.version() == 0

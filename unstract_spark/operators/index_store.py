@@ -34,11 +34,21 @@ class VectorIndexStore(VectorStoreBackend):
     (sinks/vector_db.py defines the interface; JdbcVectorStore is the
     pgvector-shaped external backend)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, backend: str = "swap"):
+        if backend not in ("swap", "manifest"):
+            raise ValueError(f"unknown ledger backend {backend!r}")
         self.spark = spark
         self.path = path
+        from unstract_spark.sinks.manifest import ManifestTable
+
+        self._manifest = (
+            ManifestTable(spark, path) if backend == "manifest" else None
+        )
 
     def read(self) -> DataFrame:
+        if self._manifest is not None:
+            # immutable segments: snapshot is stable without pinning
+            return self._manifest.snapshot(CHUNKS)[1]
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], CHUNKS)
         return self.spark.read.parquet(self.path).localCheckpoint(eager=True)
@@ -58,19 +68,38 @@ class VectorIndexStore(VectorStoreBackend):
         At scale this is `MERGE ... WHEN NOT MATCHED INSERT` / a
         replaceWhere partition overwrite on Delta.
         """
-        with LedgerLock(self.path):
-            current = self.read()
+
+        def merge_fn(current: DataFrame, incoming_chunks: DataFrame):
             if reindex:
                 keep = current.join(
-                    chunks.select("doc_id").distinct(), "doc_id", "left_anti"
+                    incoming_chunks.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
                 )
-                incoming = chunks
+                incoming = incoming_chunks
             else:
                 keep = current
-                incoming = chunks.join(
+                incoming = incoming_chunks.join(
                     current.select("doc_id").distinct(), "doc_id", "left_anti"
                 )
-            merged = keep.unionByName(incoming)
+            return keep.unionByName(incoming), incoming
+
+        if self._manifest is not None:
+            # lock-free optimistic commit (sinks/manifest.py): a lost
+            # race re-runs merge_fn against the fresh snapshot, so the
+            # idempotence probe composes with concurrent writers
+            written: dict = {}
+
+            def manifest_merge(current, inc):
+                merged, incoming = merge_fn(current, inc)
+                written["incoming"] = incoming
+                return merged
+
+            self._manifest.merge(chunks, manifest_merge, CHUNKS)
+            return written["incoming"].count()
+
+        with LedgerLock(self.path):
+            merged, incoming = merge_fn(self.read(), chunks)
             staging = f"{self.path}.staging-{int(time.time() * 1000)}"
             merged.write.mode("overwrite").parquet(staging)
             # Swap order matters: the live path must never be absent. Move

@@ -4,12 +4,16 @@ Reference: FileHistory rows keyed by content hash + path, status-gated
 replay of cached results (workflow_v2/models/file_history.py:14-54;
 replay destination.py:593-612).
 
-Storage here is plain parquet with an atomic directory swap, because
-this container has no Delta/Iceberg. The upsert contract is the same
-as a Delta `MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`
-keyed on (cache_key, workflow_id, file_path) — at cluster scale swap
-this module's `merge` for a real Delta MERGE and everything upstream
-is unchanged (the API only promises upsert semantics).
+Two storage backends behind one upsert-only API (the contract is a
+Delta `MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` keyed on
+(cache_key, workflow_id, file_path)):
+
+- `backend="swap"` (default): plain parquet + atomic directory swap,
+  writers serialized by LedgerLock — single-node/NFS honest.
+- `backend="manifest"`: the transactional log of sinks/manifest.py —
+  lock-FREE optimistic commits (put-if-absent manifest files, Delta's
+  own protocol), snapshot-isolated readers, crash-orphans invisible.
+  This is the cluster story; LedgerLock is not used on this path.
 """
 
 from __future__ import annotations
@@ -23,20 +27,42 @@ from pyspark.sql import functions as F
 
 from unstract_spark.schemas import FILE_HISTORY
 from unstract_spark.sinks.ledger_lock import LedgerLock
+from unstract_spark.sinks.manifest import ManifestTable
 
 MERGE_KEYS = ["cache_key", "workflow_id", "file_path"]
 
 
+def _merge_newest_wins(current: DataFrame, updates: DataFrame) -> DataFrame:
+    """MERGE semantics shared by both backends: union + per-key window
+    dedup, updates outranking the current snapshot."""
+    cur = current.withColumn("_ts", F.lit(0.0))
+    upd = updates.withColumn("_ts", F.lit(1.0))
+    merged = cur.unionByName(upd, allowMissingColumns=True)
+    w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_ts").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ts")
+    )
+
+
 class FileHistoryStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, backend: str = "swap"):
+        if backend not in ("swap", "manifest"):
+            raise ValueError(f"unknown ledger backend {backend!r}")
         self.spark = spark
         self.path = path
+        self._manifest = (
+            ManifestTable(spark, path) if backend == "manifest" else None
+        )
 
     def read(self) -> DataFrame:
-        """Snapshot read: localCheckpoint pins the contents so a
-        subsequent merge()'s directory swap can't invalidate open
-        lineages (Delta gives this via snapshot isolation; the parquet
-        substitute must materialize)."""
+        """Snapshot read. Swap backend: localCheckpoint pins the
+        contents so a subsequent merge()'s directory swap can't
+        invalidate open lineages. Manifest backend: segments are
+        immutable, so the snapshot is stable with no materialization."""
+        if self._manifest is not None:
+            return self._manifest.snapshot(FILE_HISTORY)[1]
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], FILE_HISTORY)
         return self.spark.read.parquet(self.path).localCheckpoint(eager=True)
@@ -44,24 +70,16 @@ class FileHistoryStore:
     def merge(self, updates: DataFrame) -> None:
         """Upsert: newest row per merge key wins.
 
-        union + window-dedup implements MERGE semantics; the write goes
-        to a staging dir then swaps atomically so concurrent readers
-        never see a half-written ledger. The whole read-modify-swap is
-        serialized under LedgerLock so two concurrent writers cannot
-        base their merge on the same snapshot and drop each other's
-        rows (the reference gets this from Postgres transactions;
-        Delta's optimistic commit replaces the lock at cluster scale).
+        Swap backend: read-modify-swap under LedgerLock (two unlocked
+        writers would base on the same snapshot and drop each other's
+        rows). Manifest backend: lock-free optimistic commit — a lost
+        race re-merges against the fresh snapshot and retries.
         """
-        updates = updates.withColumn("_ts", F.lit(time.time()))
+        if self._manifest is not None:
+            self._manifest.merge(updates, _merge_newest_wins, FILE_HISTORY)
+            return
         with LedgerLock(self.path):
-            current = self.read().withColumn("_ts", F.lit(0.0))
-            merged = current.unionByName(updates, allowMissingColumns=True)
-            w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_ts").desc())
-            deduped = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_ts")
-            )
+            deduped = _merge_newest_wins(self.read(), updates)
             staging = f"{self.path}.staging-{int(time.time() * 1000)}"
             deduped.write.mode("overwrite").parquet(staging)
             old = f"{self.path}.old-{int(time.time() * 1000)}"

@@ -1,0 +1,180 @@
+"""Optimistic-concurrency parquet table — the transactional ledger
+backend that replaces LedgerLock.
+
+The swap-backend ledgers (sinks/history.py, operators/index_store.py)
+serialize writers with a lock FILE, which is honest only on a single
+node or an NFS mount. This module implements the protocol Delta Lake
+builds its ACID on (public design: the Delta transaction-log paper,
+Armbrust et al., VLDB 2020): an append-only log of immutable manifest
+files, where commit N+1 is a PUT-IF-ABSENT of `_manifests/v{N+1}.json`.
+
+- **Snapshot isolation for readers**: a snapshot is the segment list
+  inside the highest manifest; segments are immutable parquet
+  directories, so an open lineage can never be invalidated by a later
+  commit (no localCheckpoint pinning needed — immutability gives the
+  property the swap backend had to buy with a materialization).
+- **Lock-free writers**: a writer reads snapshot V, writes its merged
+  result as a NEW segment, then tries to create manifest V+1 with
+  O_CREAT|O_EXCL — the one atomic put-if-absent every POSIX filesystem
+  has (object stores expose the same primitive: S3 conditional PUT,
+  GCS if-generation-match, ABFS ETag). Losing the race costs a retry
+  from the fresh snapshot; no writer ever bases a commit on a stale
+  snapshot without noticing, so no rows are lost — the exact failure
+  LedgerLock existed to prevent.
+- **Crash safety**: a writer that dies after writing its segment but
+  before the manifest leaves an orphan that no reader ever loads
+  (only manifested segments exist); a writer that dies holding nothing
+  blocks nobody. Contrast: a crashed LedgerLock holder stalls every
+  writer until the stale-lock timeout.
+
+Merge commits currently rewrite the full table into one segment
+(parity with the swap backend's semantics); the protocol itself is
+append-capable — a cluster deployment adds appended segments +
+dedup-on-read + compaction without touching the commit primitive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (retryable)."""
+
+
+class ManifestTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest_dir = os.path.join(path, _MANIFEST_DIR)
+        self.data_dir = os.path.join(path, _DATA_DIR)
+
+    # -- log ----------------------------------------------------------
+
+    def version(self) -> int:
+        """Highest committed version; -1 for an empty/absent table."""
+        try:
+            names = os.listdir(self.manifest_dir)
+        except FileNotFoundError:
+            return -1
+        best = -1
+        for n in names:
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:012d}.json")
+
+    def segments(self, version: int) -> list[str]:
+        if version < 0:
+            return []
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)["segments"]
+
+    # -- snapshot -----------------------------------------------------
+
+    def snapshot(self, schema) -> tuple[int, DataFrame]:
+        """(version, DataFrame) of the committed state. Segments are
+        immutable, so the frame stays valid across later commits."""
+        v = self.version()
+        segs = self.segments(v)
+        if not segs:
+            return v, self.spark.createDataFrame([], schema)
+        return v, self.spark.read.parquet(
+            *[os.path.join(self.data_dir, s) for s in segs]
+        )
+
+    # -- write path ---------------------------------------------------
+
+    def write_segment(self, df: DataFrame) -> str:
+        """Materialize a frame as an immutable segment; returns its
+        relative name. Not visible to readers until manifested."""
+        name = f"seg-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(os.path.join(self.data_dir, name))
+        return name
+
+    def try_commit(self, base_version: int, segments: list[str]) -> None:
+        """Commit `segments` as version base+1, or raise CommitConflict
+        if another writer got there first. O_CREAT|O_EXCL is the
+        atomic put-if-absent."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        target = base_version + 1
+        payload = json.dumps(
+            {"version": target, "segments": segments, "ts": time.time()}
+        )
+        try:
+            fd = os.open(
+                self._manifest_path(target),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {target} already committed at {self.path}"
+            ) from None
+        try:
+            os.write(fd, payload.encode())
+        finally:
+            os.close(fd)
+
+    def merge(self, updates: DataFrame, merge_fn, schema, max_retries: int = 20):
+        """Transactional read-merge-commit with optimistic retry.
+
+        `merge_fn(current, updates) -> merged` supplies the MERGE
+        semantics (newest-wins dedup, anti-join insert-only, ...);
+        it is re-evaluated against the fresh snapshot after a lost
+        race, so concurrent writers compose instead of overwriting.
+        Returns the merged frame that was committed.
+        """
+        for _ in range(max_retries):
+            v, current = self.snapshot(schema)
+            merged = merge_fn(current, updates)
+            seg = self.write_segment(merged)
+            try:
+                self.try_commit(v, [seg])
+            except CommitConflict:
+                continue  # orphaned segment; vacuum() reclaims it
+            return self.spark.read.parquet(os.path.join(self.data_dir, seg))
+        raise TimeoutError(
+            f"ledger merge at {self.path} lost the commit race "
+            f"{max_retries} times — writer storm or clock trouble"
+        )
+
+    # -- maintenance --------------------------------------------------
+
+    def vacuum(self, min_age_s: float = 600.0) -> int:
+        """Delete orphan segments (written but never manifested, or
+        superseded by later full-rewrite commits). `min_age_s` is the
+        retention window protecting concurrent readers whose open
+        lineage still references a superseded segment (Delta's VACUUM
+        retention, same reasoning). Returns dirs removed."""
+        import shutil
+
+        keep = set(self.segments(self.version()))
+        removed = 0
+        now = time.time()
+        try:
+            names = os.listdir(self.data_dir)
+        except FileNotFoundError:
+            return 0
+        for n in names:
+            p = os.path.join(self.data_dir, n)
+            try:
+                young = now - os.stat(p).st_mtime < min_age_s
+            except OSError:
+                continue
+            if n not in keep and not young:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
