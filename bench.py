@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     "ta_repetition",
     "bpe_token_counts",
     "mm_video_features",
+    # round-6 additions: the skew-safe chunked as-of plan (priced
+    # against the flat j7 above), the byte-level BPE encoder, and the
+    # iterative connected-components cluster extraction
+    "j7_asof_join_chunked",
+    "bpe_byte_token_counts",
+    "dd_duplicate_clusters",
 ]
 
 

@@ -289,3 +289,52 @@ def test_usage_breakdown_by_model_drop_guard(spark):
     assert ext.sum_input_tokens == 30 and ext.sum_total_tokens == 40
     assert abs(ext.sum_cost - 0.003) < 1e-9
     assert out[("embedding", "e1")].sum_embedding_tokens == 64
+
+
+# --- connected components / duplicate clusters -----------------------
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node chain: plain min-label propagation needs ~200 rounds;
+    the star algorithm must finish within its 25-round budget
+    (O(log n)) and label every node with the chain head."""
+    from unstract_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(out) == set(range(1, 201)) and set(out.values()) == {0} or (
+        set(out) >= set(range(1, 201))
+    )
+    assert all(c == 0 for c in out.values())
+
+
+def test_connected_components_hot_node_star(spark):
+    """One doc near-duplicating 500 others (the skew case): no
+    neighbor-list materialization, correct single component."""
+    from unstract_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, i) for i in range(100, 600)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(c == 7 for c in out.values())
+    assert len(out) == 501  # 500 spokes + the hub's own root row
+
+
+def test_duplicate_clusters_shapes(spark):
+    from unstract_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.75), (4, 5, 0.25), (6, 7, 1.0)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    rows = {r.doc_id: r for r in duplicate_clusters(docs, pairs, 0.5).collect()}
+    assert rows[1].cluster_id == 1 and rows[3].cluster_id == 1
+    assert rows[1].cluster_size == 3 and rows[1].is_keeper
+    assert not rows[2].is_keeper and not rows[3].is_keeper
+    # the 0.25 pair is below threshold: 4 and 5 stay singleton keepers
+    assert rows[4].cluster_size == 1 and rows[4].is_keeper
+    assert rows[6].is_keeper and rows[7].cluster_id == 6

@@ -126,6 +126,7 @@ _DRIVER_GATE_FIRST = [
     # round-6 additions (never driver-checked by definition):
     "bpe_byte_token_counts",
     "j7_asof_join_chunked",
+    "dd_duplicate_clusters",
 ]
 
 
@@ -1583,6 +1584,71 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_similarity(sigs, pairs)
+
+
+@register(
+    "dd_duplicate_clusters",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    simpairs AS (
+        SELECT p.id_a, p.id_b,
+               (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id) p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM simpairs WHERE est >= 0.5
+        UNION
+        SELECT id_b, id_a FROM simpairs WHERE est >= 0.5
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM labels
+    """,
+)
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS over the MinHash-LSH pairs — the
+    keep-one-per-cluster step every production dedup pipeline runs
+    after pairwise near-dup. Spark side: alternating large-star/
+    small-star connected components (O(log n) rounds of groupBy-min +
+    equi-join, no neighbor lists — dedup.connected_components); the
+    oracle computes the same clusters by recursive-CTE transitive
+    closure, affordable at oracle scale. est_jaccard is an exact
+    multiple of 1/8, so the 0.5 threshold can't straddle a rounding
+    boundary across engines."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(d)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sims = dedup.minhash_similarity(sigs, pairs)
+    return dedup.duplicate_clusters(d, sims, threshold=0.5)
 
 
 _SIMHASH_BITS = 32
