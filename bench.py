@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "j7_asof_join_chunked",
     "bpe_byte_token_counts",
     "dd_duplicate_clusters",
+    "dd_intra_overlap",
 ]
 
 

@@ -338,3 +338,23 @@ def test_duplicate_clusters_shapes(spark):
     # the 0.25 pair is below threshold: 4 and 5 stay singleton keepers
     assert rows[4].cluster_size == 1 and rows[4].is_keeper
     assert rows[6].is_keeper and rows[7].cluster_id == 6
+
+
+def test_intra_corpus_overlap_zeros_and_fractions(spark):
+    from unstract_spark.operators.dedup import intra_corpus_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: "a b c", "b c d"
+            (2, "a b c x"),          # shares "a b c"
+            (3, "zz"),               # too short: zero grams
+            (4, None),               # null text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in intra_corpus_overlap(docs, n=3).collect()}
+    assert rows[1].n_grams == 2 and rows[1].n_shared_grams == 1
+    assert abs(rows[1].share_fraction - 0.5) < 1e-12
+    assert rows[2].n_shared_grams == 1
+    assert rows[3].n_grams == 0 and rows[3].share_fraction == 0.0
+    assert rows[4].n_grams == 0 and rows[4].n_shared_grams == 0

@@ -636,3 +636,55 @@ def duplicate_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def intra_corpus_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics against the REST of the
+    corpus: (id, n_grams, n_shared_grams, share_fraction) over distinct
+    sliding word n-grams.
+
+    The windowed-fingerprint approximation of suffix-based substring
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — public methodology): a span duplicated
+    across documents shows up as its n-grams appearing in >= 2 docs,
+    and `share_fraction` is the per-doc scrub/keep signal boilerplate
+    filters threshold on.
+
+    Two shuffles, both skew-safe: gram multiplicity via groupBy (the
+    partial aggregate absorbs hot boilerplate grams map-side — a
+    count-over-window spelling would materialize a hot gram's whole
+    partition in one task), then a gram-keyed equi-join back (AQE
+    splits skewed keys) and a per-doc rollup.
+    """
+    g = word_ngrams(docs, n, text_col, id_col)
+    nd = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_nd"))
+    per_doc = (
+        g.join(nd, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias(
+                "n_shared_grams"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_shared_grams") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("share_fraction"),
+        )
+    )

@@ -127,6 +127,7 @@ _DRIVER_GATE_FIRST = [
     "bpe_byte_token_counts",
     "j7_asof_join_chunked",
     "dd_duplicate_clusters",
+    "dd_intra_overlap",
 ]
 
 
@@ -1339,6 +1340,50 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("train_id"), F.col("n_shared_grams"), F.col("n_bench_docs")
     )
+
+
+@register(
+    "dd_intra_overlap",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+        FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3
+    ),
+    nd AS (SELECT gram, count(*) AS m FROM grams GROUP BY gram),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_grams
+        FROM grams JOIN nd USING (gram)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_shared_grams, 0) AS n_shared_grams,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN p.n_shared_grams / p.n_grams ELSE 0.0 END
+               AS share_fraction
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dd_intra_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics within the corpus (the windowed-
+    fingerprint approximation of suffix-based substring dedup, Lee et
+    al. 2021): per doc, how many of its distinct word n-grams appear
+    anywhere else — share_fraction is the boilerplate scrub signal.
+    n=3 for this short-doc corpus (production default 8). Spark side:
+    dedup.intra_corpus_overlap — gram-multiplicity groupBy (map-side
+    combine absorbs hot boilerplate grams) + gram equi-join + per-doc
+    rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.intra_corpus_overlap(d, n=3)
 
 
 @register(
