@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "bpe_byte_token_counts",
     "dd_duplicate_clusters",
     "dd_intra_overlap",
+    "sim_bm25_topk",
 ]
 
 

@@ -358,3 +358,26 @@ def test_intra_corpus_overlap_zeros_and_fractions(spark):
     assert rows[2].n_shared_grams == 1
     assert rows[3].n_grams == 0 and rows[3].share_fraction == 0.0
     assert rows[4].n_grams == 0 and rows[4].n_shared_grams == 0
+
+
+def test_bm25_semantics(spark):
+    """tf saturation, idf: rare-term matches outrank common-term
+    matches; longer docs are penalized at equal tf."""
+    from unstract_spark.operators.retrieval import bm25_retrieve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare word here"),
+            (2, "common common common filler filler filler filler filler"),
+            (3, "common word plus " + "pad " * 40),
+            (4, "common word"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_retrieve(docs, ["rare", "common"], k=4).collect()}
+    # 'rare' appears in 1 doc of 4 -> higher idf than 'common' (3 docs)
+    assert rows[1].rank == 1
+    # same tf of 'common', doc 4 much shorter than doc 3 -> ranks higher
+    assert rows[4].rank < rows[3].rank
+    # tf saturation: doc 2 has tf=3 but no rare term; still below doc 1
+    assert rows[2].bm25 < rows[1].bm25

@@ -326,3 +326,64 @@ def subquestion_retrieve(
         index_id=index_id, index_vec=index_vec,
     )
     return per_sub.select(index_id).distinct()
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    k1: float = 1.25,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson et al. — the public TREC formula):
+    the real keyword retriever, upgrading keyword_table_retrieve's raw
+    hit count with tf saturation, length normalization and idf.
+
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Distribution shape: the (doc, term, tf) table is the inverted
+    index (one explode + groupBy — the corpus-scale shuffle, built
+    once and reusable across queries); doc lengths fold out of the
+    same table; corpus scalars (N, total words) broadcast; per-term df
+    is computed AFTER restricting to the query's terms, so the df pass
+    touches a terms-sized slice, never the full index. Defaults k1 =
+    1.25, b = 0.75 are standard AND exact binary fractions — every
+    literal in the scoring expression is representable, so the DuckDB
+    oracle reproduces the doubles bit-for-bit. Scores aggregate in the
+    decimal domain (order-independent) and rank by the ROUNDED score
+    with an id tie-break (the cross-engine ranking rules).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    scalars = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("total_words")))
+    )
+    qtf = tf.filter(F.col("word").isin(terms))
+    df_t = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_words") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    per_term = idf * (F.col("tf") * (k1 + 1)) / denom
+    scored = (
+        qtf.join(F.broadcast(df_t), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(per_term.cast("decimal(28,10)")), 6)
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    return bounded_rank(scored, [F.col("bm25").desc(), F.col(id_col).asc()], k)

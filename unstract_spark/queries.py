@@ -128,6 +128,7 @@ _DRIVER_GATE_FIRST = [
     "j7_asof_join_chunked",
     "dd_duplicate_clusters",
     "dd_intra_overlap",
+    "sim_bm25_topk",
 ]
 
 
@@ -1694,6 +1695,59 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sigs)
     sims = dedup.minhash_similarity(sigs, pairs)
     return dedup.duplicate_clusters(d, sims, threshold=0.5)
+
+
+_BM25_TERMS = ("merge", "shuffle", "vector", "window")
+_BM25_K1, _BM25_B = 1.25, 0.75  # exact binary fractions (see operator)
+
+
+@register(
+    "sim_bm25_topk",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(tf) FROM tf) AS total_words),
+    qtf AS (SELECT * FROM tf
+            WHERE word IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})),
+    dft AS (SELECT word, count(*) AS df FROM qtf GROUP BY 1),
+    agg AS (
+        SELECT q.doc_id,
+               CAST(round(sum(CAST(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (q.tf * ({_BM25_K1} + 1))
+                   / (q.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dl / (s.total_words / s.n_docs)))
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        FROM qtf q JOIN dft d USING (word) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+                   AS rank
+        FROM agg
+    ) WHERE rank <= 10
+    """,
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed multi-term query over the
+    documents corpus (retrieval.bm25_retrieve — inverted-index tf,
+    length normalization, idf; exact-binary k1/b so the oracle's
+    doubles match bit-for-bit; decimal-domain score sum, rounded
+    ranking with id tie-break)."""
+    from unstract_spark.operators.retrieval import bm25_retrieve
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_retrieve(
+        d, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", "bm25", "rank")
 
 
 _SIMHASH_BITS = 32
