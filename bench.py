@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dd_duplicate_clusters",
     "dd_intra_overlap",
     "sim_bm25_topk",
+    "ta_unigram_logprob",
 ]
 
 

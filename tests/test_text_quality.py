@@ -87,3 +87,33 @@ def test_pii_redact_clean_text_untouched(spark):
     (r,) = pii_redact(_docs(spark, [(1, t)])).collect()
     assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
     assert r.redacted == t
+
+
+def test_unigram_logprob_semantics(spark):
+    """Docs of common words score higher (less negative) than docs of
+    rare words; empty/null docs -> NULL score, 0 words; an external
+    model frame overrides corpus training."""
+    from unstract_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # common
+            (2, "zyzzyva"),                  # rare (count 1)
+            (3, ""),                         # empty
+            (4, None),                       # null
+            (5, "the zyzzyva"),              # mixed
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert rows[1].avg_logprob > rows[2].avg_logprob
+    assert rows[3].n_words == 0 and rows[3].avg_logprob is None
+    assert rows[4].avg_logprob is None
+    assert rows[2].avg_logprob < rows[5].avg_logprob < rows[1].avg_logprob
+
+    # external model: unseen words simply don't score (inner join)
+    model = spark.createDataFrame([("the", 0.5)], "word string, p double")
+    ext = {r.doc_id: r for r in unigram_logprob(docs, model=model).collect()}
+    import math
+    assert abs(ext[1].avg_logprob - round(math.log(0.5), 6)) < 1e-9
+    assert ext[2].avg_logprob is None  # no modeled words at all

@@ -317,3 +317,52 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.md5(norm).alias("md5_norm"),
         F.md5(F.substring(norm, 1, 64)).alias("prefix_hash"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the fluency/
+    perplexity proxy corpus filters threshold on (CCNet, Wenzek et al.
+    2020, scores documents with an LM and keeps the fluent tail; the
+    unigram LM is the in-container stand-in with the same pipeline
+    shape: model table join + per-doc weighted mean).
+
+    `model` is a (word, p) frame; None trains on the corpus itself
+    (p = count/total over whitespace words — every in-corpus word has
+    mass, no smoothing needed). Shape: one explode + (doc, word, tf)
+    groupBy, the model join is a word-keyed equi-join (the model is
+    vocabulary-sized, not corpus-sized), weighted mean in the decimal
+    domain so partial-aggregation order can't wiggle the last bits.
+
+    Output: (id, n_words, avg_logprob) — avg_logprob NULL for empty
+    docs (no words to score), rounded to 6.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    if model is None:
+        wc = tf.groupBy("word").agg(F.sum("tf").alias("wc"))
+        totals = tf.agg(F.sum("tf").alias("total"))
+        model = wc.crossJoin(F.broadcast(totals)).select(
+            "word", (F.col("wc") / F.col("total")).alias("p")
+        )
+    scored = tf.join(model, "word").groupBy(id_col).agg(
+        F.sum("tf").alias("n_words"),
+        F.round(
+            F.sum((F.col("tf") * F.log("p")).cast("decimal(28,10)"))
+            .cast("double")
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.col("avg_logprob"),
+    )

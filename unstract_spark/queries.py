@@ -129,6 +129,7 @@ _DRIVER_GATE_FIRST = [
     "dd_duplicate_clusters",
     "dd_intra_overlap",
     "sim_bm25_topk",
+    "ta_unigram_logprob",
 ]
 
 
@@ -1695,6 +1696,42 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sigs)
     sims = dedup.minhash_similarity(sigs, pairs)
     return dedup.duplicate_clusters(d, sims, threshold=0.5)
+
+
+@register(
+    "ta_unigram_logprob",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    wc AS (SELECT word, CAST(sum(tf) AS BIGINT) AS wc FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+    model AS (SELECT word, wc / total AS p FROM wc CROSS JOIN tot),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(sum(t.tf) AS BIGINT) AS n_words,
+               round(CAST(sum(CAST(t.tf * ln(m.p) AS DECIMAL(28,10)))
+                          AS DOUBLE) / CAST(sum(t.tf) AS BIGINT), 6)
+                   AS avg_logprob
+        FROM tf t JOIN model m USING (word)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_words, 0) AS n_words,
+           s.avg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the CCNet-style
+    fluency score (text_analysis.unigram_logprob): corpus-trained
+    unigram model, word-keyed model join, decimal-domain weighted
+    mean. NULL for empty docs."""
+    d = _t(spark, sf_dir, "documents")
+    return text_analysis.unigram_logprob(d)
 
 
 _BM25_TERMS = ("merge", "shuffle", "vector", "window")
