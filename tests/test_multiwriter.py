@@ -202,3 +202,35 @@ def test_manifest_commit_conflict_detected(spark, tmp_path):
     with _pytest.raises(CommitConflict):
         t.try_commit(-1, [s2])  # same base version: loser must retry
     assert t.version() == 0
+
+
+def test_manifest_merge_is_append_only_and_compacts(spark, tmp_path):
+    """History merges on the manifest backend append O(updates)
+    segments (no table rewrite); reads resolve newest-wins across
+    segments; compact() folds them to one preserving the resolved
+    view."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    path = str(tmp_path / "h")
+    store = FileHistoryStore(spark, path, backend="manifest")
+    store.merge(_hist_rows(spark, "a", 3))
+    store.merge(_hist_rows(spark, "b", 2))
+    updated = _hist_rows(spark, "a", 1).withColumn("status", F.lit("ERROR"))
+    store.merge(updated)  # supersedes one 'a' key
+
+    t = ManifestTable(spark, path)
+    assert len(t.segments(t.version())) == 3  # appends, not rewrites
+    rows = {r.cache_key: r.status for r in store.read().collect()}
+    assert len(rows) == 5
+    assert rows["hash-a-0"] == "ERROR"  # newest segment wins
+
+    assert store.compact()
+    assert len(t.segments(t.version())) == 1
+    rows2 = {r.cache_key: r.status for r in store.read().collect()}
+    assert rows2 == rows  # resolved view unchanged
+    # superseded segments are orphans now; age them out and vacuum
+    for seg in os.listdir(t.data_dir):
+        os.utime(os.path.join(t.data_dir, seg), (1, 1))
+    keep = set(t.segments(t.version()))
+    removed = t.vacuum(min_age_s=1)
+    assert removed == 3 and set(os.listdir(t.data_dir)) == keep

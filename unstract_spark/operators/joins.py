@@ -278,9 +278,14 @@ def range_join(
 
     Fan-out guard: one degenerate interval spanning the domain would
     explode to domain/bin_width rows and silently dominate the job, so
-    any interval wider than `max_bins` bins raises at execution time —
-    the caller either picks a coarser bin_width or raises the cap
-    knowingly.
+    any interval wider than `max_bins` bins raises — the caller either
+    picks a coarser bin_width or raises the cap knowingly. The guard
+    is an EAGER one-aggregate pass over the intervals side at build
+    time: an in-plan raise_error guard is non-deterministic, which
+    poisons size estimation for the whole subtree and flips the join's
+    broadcast side (measured 3x on the bench). One extra linear scan
+    of the (smaller, by design) intervals table buys a pristine join
+    plan and a failure that's loud before the big side is ever read.
     """
     bw = float(bin_width)
     if not bw > 0:
@@ -289,24 +294,14 @@ def range_join(
         raise ValueError(f"max_bins must be >= 1, got {max_bins!r}")
     lo_bin = F.floor(F.col(lo_col) / bw).cast("long")
     hi_bin = F.floor(F.col(hi_col) / bw).cast("long")
-    # raise_error inside a filter so Catalyst cannot prune it away; the
-    # NullType branch coerces to boolean alongside lit(True)
-    span_guard = F.when(
-        hi_bin - lo_bin >= F.lit(max_bins),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"range_join interval wider than max_bins={max_bins} "
-                    f"bins at bin_width={bw}: [{lo_col}="
-                ),
-                F.col(lo_col).cast("string"),
-                F.lit(f", {hi_col}="),
-                F.col(hi_col).cast("string"),
-                F.lit("]; pick a coarser bin_width or raise max_bins"),
-            )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
-    r_binned = right.filter(span_guard).select(
+    widest = right.agg(F.max(hi_bin - lo_bin).alias("mx")).collect()[0]["mx"]
+    if widest is not None and widest >= max_bins:
+        raise ValueError(
+            f"range_join interval spans {int(widest) + 1} bins at "
+            f"bin_width={bw} (max_bins={max_bins}); pick a coarser "
+            f"bin_width or raise max_bins"
+        )
+    r_binned = right.select(
         "*",
         F.explode(F.sequence(lo_bin, hi_bin)).alias("_bin"),
     )

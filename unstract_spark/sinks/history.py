@@ -60,9 +60,18 @@ class FileHistoryStore:
         """Snapshot read. Swap backend: localCheckpoint pins the
         contents so a subsequent merge()'s directory swap can't
         invalidate open lineages. Manifest backend: segments are
-        immutable, so the snapshot is stable with no materialization."""
+        immutable, so the snapshot is stable with no materialization;
+        upserts resolve here by newest-wins dedup-on-read over the
+        segment commit order (the LSM read path; compact() folds the
+        window cost back down)."""
         if self._manifest is not None:
-            return self._manifest.snapshot(FILE_HISTORY)[1]
+            _, df = self._manifest.snapshot_with_seq(FILE_HISTORY)
+            w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_seq").desc())
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], FILE_HISTORY)
         return self.spark.read.parquet(self.path).localCheckpoint(eager=True)
@@ -72,11 +81,15 @@ class FileHistoryStore:
 
         Swap backend: read-modify-swap under LedgerLock (two unlocked
         writers would base on the same snapshot and drop each other's
-        rows). Manifest backend: lock-free optimistic commit — a lost
-        race re-merges against the fresh snapshot and retries.
+        rows) — O(table) per merge. Manifest backend: lock-free
+        transactional APPEND of just the update segment — O(updates)
+        per merge, the only write cost a 100 TB ledger can afford for
+        a 200-row batch; precedence is resolved at read time. A batch
+        with internal duplicate keys keeps an arbitrary one — the same
+        contract the swap path's single-timestamp window gives.
         """
         if self._manifest is not None:
-            self._manifest.merge(updates, _merge_newest_wins, FILE_HISTORY)
+            self._manifest.append(updates)
             return
         with LedgerLock(self.path):
             deduped = _merge_newest_wins(self.read(), updates)
@@ -88,6 +101,18 @@ class FileHistoryStore:
             os.rename(staging, self.path)
             if os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
+
+    def compact(self) -> bool:
+        """Manifest backend maintenance: fold all segments into one
+        (the resolved newest-wins view), bounding the read window and
+        vacuum-able garbage. No-op on the swap backend (always one
+        'segment'). Returns True if the compaction committed."""
+        if self._manifest is None:
+            return True
+        ok = self._manifest.compact(self.read())
+        if ok:
+            self._manifest.vacuum()
+        return ok
 
     def completed(self) -> DataFrame:
         """Rows eligible for dedup/replay (status gate, file_history.py:21)."""

@@ -27,10 +27,13 @@ files, where commit N+1 is a PUT-IF-ABSENT of `_manifests/v{N+1}.json`.
   blocks nobody. Contrast: a crashed LedgerLock holder stalls every
   writer until the stale-lock timeout.
 
-Merge commits currently rewrite the full table into one segment
-(parity with the swap backend's semantics); the protocol itself is
-append-capable — a cluster deployment adds appended segments +
-dedup-on-read + compaction without touching the commit primitive.
+Two write modes over the same commit primitive:
+- merge(): full-rewrite into one segment (needed when the merge
+  semantics include deletion, e.g. the vector index's reindex).
+- append(): LSM-style O(updates) commit of just the new segment;
+  readers resolve precedence by segment order (snapshot_with_seq) and
+  compact() folds the list back down. This is the write path a 100 TB
+  upsert ledger actually runs.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -150,6 +154,66 @@ class ManifestTable:
             f"ledger merge at {self.path} lost the commit race "
             f"{max_retries} times — writer storm or clock trouble"
         )
+
+    def snapshot_with_seq(self, schema) -> tuple[int, DataFrame]:
+        """Like snapshot(), plus a `_seq` column carrying each row's
+        segment commit order (0 = oldest) — the precedence key for
+        newest-wins dedup-on-read. Derived from the file path via
+        input_file_name + a literal map (segment count is bounded by
+        compaction), so the whole snapshot stays ONE multi-path scan."""
+        v = self.version()
+        segs = self.segments(v)
+        if not segs:
+            empty = self.spark.createDataFrame([], schema)
+            return v, empty.withColumn("_seq", F.lit(0))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, s) for s in segs]
+        )
+        seg_of_row = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        mapping = F.create_map(
+            *[F.lit(x) for i, s in enumerate(segs) for x in (s, i)]
+        )
+        return v, df.withColumn("_seq", mapping[seg_of_row].cast("int"))
+
+    def append(self, updates: DataFrame, max_retries: int = 20) -> None:
+        """LSM-style transactional append: write `updates` as ONE new
+        segment and commit [existing segments..., new segment].
+
+        This is the O(updates) write path — merge-by-rewrite costs
+        O(table) per commit, which at a 100 TB ledger is absurd for a
+        200-row batch. Readers resolve upserts with newest-wins
+        dedup-on-read keyed by `_seq` (snapshot_with_seq); compact()
+        amortizes the read-side window back down. A lost commit race
+        is retried WITHOUT rewriting the segment — only the fresh
+        segment list is re-read (contrast merge(), which must re-run
+        its merge function against the new snapshot).
+        """
+        seg = self.write_segment(updates)
+        for _ in range(max_retries):
+            v = self.version()
+            try:
+                self.try_commit(v, self.segments(v) + [seg])
+            except CommitConflict:
+                continue
+            return
+        raise TimeoutError(
+            f"ledger append at {self.path} lost the commit race "
+            f"{max_retries} times — writer storm or clock trouble"
+        )
+
+    def compact(self, resolved: DataFrame) -> bool:
+        """Fold the segment list down to one: write `resolved` (the
+        caller's deduped view of the current snapshot) as a single
+        segment and commit it as the next version. Returns False if a
+        concurrent writer committed first (compaction is maintenance —
+        callers just try again later rather than retrying in a loop)."""
+        v = self.version()
+        seg = self.write_segment(resolved)
+        try:
+            self.try_commit(v, [seg])
+        except CommitConflict:
+            return False
+        return True
 
     # -- maintenance --------------------------------------------------
 
