@@ -148,3 +148,52 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
     assert (1, 2) in pairs
     store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
     assert store_ids == {1, 2}  # half-written store partition replaced
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
+    """Incremental union-find over a growing pair stream: after N
+    fires, the label store equals batch connected_components over ALL
+    pairs — including a cross-fire edge that MERGES two existing
+    clusters and a new node with a smaller id than an existing root."""
+    from unstract_spark.operators.dedup import connected_components
+    from unstract_spark.streaming.incremental import streaming_cluster_pipeline
+
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "cl_ckpt")
+    labels = str(tmp_path / "labels")
+    os.makedirs(pairs)
+
+    fire1 = [(10, 20, 0.9), (30, 40, 0.8), (50, 60, 0.2)]  # 0.2 below thr
+    fire2 = [(20, 30, 0.7), (5, 40, 1.0)]  # merges {10,20}+{30,40}, root 5
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "id_a long, id_b long, est_jaccard double"
+        ).coalesce(1).write.mode("append").parquet(pairs)
+
+    _write(fire1)
+    n1 = streaming_cluster_pipeline(spark, pairs, ckpt, labels, threshold=0.5)
+    assert n1 == 1
+    _write(fire2)
+    n2 = streaming_cluster_pipeline(spark, pairs, ckpt, labels, threshold=0.5)
+    assert n2 == 1
+
+    import glob
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(labels)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(f"{labels}/batch_id={latest}").collect()
+    }
+    all_edges = spark.createDataFrame(
+        [r[:2] for r in fire1 + fire2 if r[2] >= 0.5], "id_a long, id_b long"
+    )
+    expect = {
+        r.node: r.component for r in connected_components(all_edges).collect()
+    }
+    assert got == expect
+    assert got[10] == 5 and got[40] == 5  # merged cluster takes new min root
+    assert 50 not in got  # sub-threshold pair admitted nobody

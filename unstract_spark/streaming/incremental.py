@@ -500,3 +500,137 @@ def streaming_decontamination_pipeline(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_cluster_pipeline(
+    spark: SparkSession,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    labels_dir: str,
+    threshold: float = 0.5,
+) -> int:
+    """Incremental duplicate-cluster maintenance over a GROWING pair
+    stream (the downstream half of streaming_neardup_pipeline): each
+    AvailableNow fire folds the NEW near-dup edges into the persistent
+    (doc_id, cluster_id) label store without re-clustering the corpus.
+
+    Incremental union-find, map-reduce style: new edge endpoints map to
+    their CURRENT components (broadcast-join against the label store),
+    the CONTRACTED graph — one node per touched component — is tiny
+    regardless of corpus size, connected_components runs on that, and
+    the resulting root mapping broadcasts back to relabel only the
+    merged clusters. Per fire the full-corpus work is ONE broadcast
+    join over the store; the iterative CC never sees corpus-sized data.
+    Labels equal the batch dedup.connected_components over all pairs
+    ever seen (min-id roots — proven by the union-of-fires pytest).
+
+    Delivery matches the engine's streaming contract: label snapshots
+    write to a batchId partition with overwrite (at-least-once replays
+    rewrite their own partition); the read side picks the latest
+    committed snapshot, excluding the current epoch so a half-written
+    replay can't seed itself. Returns fired batch count.
+    """
+    import os
+
+    from unstract_spark.operators.dedup import connected_components
+
+    fires = 0
+
+    def _latest_labels(epoch: int) -> DataFrame:
+        done = []
+        if os.path.isdir(labels_dir):
+            for d in os.listdir(labels_dir):
+                if d.startswith("batch_id="):
+                    try:
+                        b = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if b != epoch:
+                        done.append(b)
+        if not done:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.read.parquet(f"{labels_dir}/batch_id={max(done)}")
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        edges = (
+            batch.filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        if edges.isEmpty():
+            return
+        fires += 1
+        labels = _latest_labels(int(epoch)).localCheckpoint(eager=True)
+
+        # endpoints -> current components (unknown node = its own id)
+        la = labels.select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_ca")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_cb")
+        )
+        e = (
+            edges.join(la, "id_a", "left")
+            .join(lb, "id_b", "left")
+            .select(
+                F.coalesce("_ca", "id_a").alias("ca"),
+                F.coalesce("_cb", "id_b").alias("cb"),
+                "id_a",
+                "id_b",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # contracted graph: one node per touched component — tiny
+        contracted = e.filter(F.col("ca") != F.col("cb")).select(
+            F.col("ca").alias("id_a"), F.col("cb").alias("id_b")
+        )
+        if contracted.isEmpty():
+            roots = spark.createDataFrame([], "node long, component long")
+        else:
+            roots = connected_components(contracted)
+        roots = F.broadcast(
+            roots.select(
+                F.col("node").alias("_old"), F.col("component").alias("_new")
+            )
+        )
+
+        # relabel merged clusters (broadcast map, one pass over store)
+        relabeled = labels.join(
+            roots, labels["cluster_id"] == roots["_old"], "left"
+        ).select(
+            "doc_id", F.coalesce("_new", "cluster_id").alias("cluster_id")
+        )
+        # admit new nodes at their (possibly remapped) component
+        nodes = (
+            e.select(F.col("id_a").alias("doc_id"), F.col("ca").alias("comp"))
+            .unionByName(
+                e.select(F.col("id_b").alias("doc_id"), F.col("cb").alias("comp"))
+            )
+            .distinct()
+            .join(labels.select("doc_id"), "doc_id", "left_anti")
+        )
+        fresh = nodes.join(
+            roots, nodes["comp"] == roots["_old"], "left"
+        ).select("doc_id", F.coalesce("_new", "comp").alias("cluster_id"))
+
+        updated = relabeled.unionByName(fresh)
+        updated.write.mode("overwrite").parquet(
+            f"{labels_dir}/batch_id={int(epoch)}"
+        )
+
+    schema = "id_a long, id_b long, est_jaccard double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(pairs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
