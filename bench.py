@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dd_intra_overlap",
     "sim_bm25_topk",
     "ta_unigram_logprob",
+    "sim_bm25_batch",
 ]
 
 

@@ -381,3 +381,29 @@ def test_bm25_semantics(spark):
     assert rows[4].rank < rows[3].rank
     # tf saturation: doc 2 has tf=3 but no rare term; still below doc 1
     assert rows[2].bm25 < rows[1].bm25
+
+
+def test_bm25_batch_matches_single(spark):
+    """One query through the batch API equals the single-query path
+    row-for-row; per-query isolation holds."""
+    from unstract_spark.operators.retrieval import bm25_retrieve, bm25_retrieve_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} " + "alpha " * (i % 4)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    single = [
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_retrieve(docs, ["alpha", "doc3"], k=5).collect()
+    ]
+    q = spark.createDataFrame(
+        [(7, ["alpha", "doc3"]), (8, ["gamma"])],
+        "query_id int, terms array<string>",
+    )
+    batch = bm25_retrieve_batch(docs, q, k=5).collect()
+    got7 = sorted(
+        (r.doc_id, r.bm25, r.rank) for r in batch if r.query_id == 7
+    )
+    assert got7 == sorted(single)
+    assert {r.query_id for r in batch} == {7, 8}
+    assert all(r.rank <= 5 for r in batch)

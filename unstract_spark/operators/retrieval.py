@@ -387,3 +387,73 @@ def bm25_retrieve(
         )
     )
     return bounded_rank(scored, [F.col("bm25").desc(), F.col(id_col).asc()], k)
+
+
+def bm25_retrieve_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.25,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 for a BATCH of queries: `queries` is (query_id,
+    terms array<string>); returns per-query top-k (query_id, doc_id,
+    bm25, rank).
+
+    The batch shape a retrieval service actually runs: the inverted
+    index (doc, term, tf) and doc lengths are built ONCE and shared by
+    every query; the union of all query terms (tiny) broadcasts to
+    slice the index; scoring is one (term-sliced index) x (query,
+    term) equi-join; ranking is a per-query window — partitioned by
+    query_id, so no global sort and no driver involvement, unlike the
+    single-query TakeOrdered. Same exact-binary constants and
+    decimal-domain aggregation as bm25_retrieve, so the batch result
+    for one query equals the single-query result row-for-row.
+    """
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("word"),
+    ).select("query_id", F.lower(F.col("word")).alias("word")).distinct()
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    scalars = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("total_words")))
+    )
+    vocab = q_terms.select("word").distinct()
+    qtf = tf.join(F.broadcast(vocab), "word")
+    df_t = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_words") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    per_term = idf * (F.col("tf") * (k1 + 1)) / denom
+    scored = (
+        q_terms.join(qtf, "word")
+        .join(F.broadcast(df_t), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum(per_term.cast("decimal(28,10)")), 6)
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "bm25", "rank")
+    )

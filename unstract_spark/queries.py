@@ -130,6 +130,7 @@ _DRIVER_GATE_FIRST = [
     "dd_intra_overlap",
     "sim_bm25_topk",
     "ta_unigram_logprob",
+    "sim_bm25_batch",
 ]
 
 
@@ -1785,6 +1786,69 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_retrieve(
         d, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
     ).select("doc_id", "bm25", "rank")
+
+
+_BM25_BATCH = (
+    (1, ("merge", "window")),
+    (2, ("vector", "customer", "query")),
+    (3, ("scan", "sort")),
+)
+
+
+@register(
+    "sim_bm25_batch",
+    rf"""
+    WITH q(query_id, word) AS (
+        SELECT query_id, unnest(terms) FROM (VALUES
+            {", ".join(f"({qid}, {list(ts)!r}::VARCHAR[])" for qid, ts in _BM25_BATCH)}
+        ) AS v(query_id, terms)
+    ),
+    w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(tf) FROM tf) AS total_words),
+    qtf AS (SELECT * FROM tf WHERE word IN (SELECT DISTINCT word FROM q)),
+    dft AS (SELECT word, count(*) AS df FROM qtf GROUP BY 1),
+    agg AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(round(sum(CAST(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * ({_BM25_K1} + 1))
+                   / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * l.dl / (s.total_words / s.n_docs)))
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS bm25
+        FROM q JOIN qtf t USING (word) JOIN dft d USING (word)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+        SELECT query_id, doc_id, bm25,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+        FROM agg
+    ) WHERE rank <= 5
+    """,
+)
+def sim_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: three fixed multi-term queries ranked in ONE pass —
+    the index/doc-length tables built once and shared, the union of
+    query terms broadcast to slice the index, per-query window ranking
+    (retrieval.bm25_retrieve_batch). Same exact-binary constants and
+    decimal aggregation as sim_bm25_topk."""
+    from unstract_spark.operators.retrieval import bm25_retrieve_batch
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in _BM25_BATCH],
+        "query_id int, terms array<string>",
+    )
+    return bm25_retrieve_batch(d, q, k=5, k1=_BM25_K1, b=_BM25_B)
 
 
 _SIMHASH_BITS = 32
