@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sim_bm25_topk",
     "ta_unigram_logprob",
     "sim_bm25_batch",
+    "ex_stratified_sample",
 ]
 
 

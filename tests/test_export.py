@@ -158,3 +158,26 @@ def test_pack_sequences_sharded_is_reproducible(spark):
          for r in export.pack_sequences(d, 500, "n_tokens", n_shards=4).collect()}
     assert a == b
     assert len({s for _, s, _, _ in a}) == 4
+
+
+def test_stratified_sample_exact_and_reproducible(spark):
+    from unstract_spark.operators.export import stratified_sample
+
+    rows = [(i, "a" if i < 40 else "b", i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, bucket int")
+    out = stratified_sample(df, ["src", "bucket"], 7, id_col="doc_id")
+    got = out.collect()
+    from collections import Counter
+    sizes = Counter((r.src, r.bucket) for r in got)
+    # strata a/0 and a/1 have 20 each -> capped at 7;
+    # b/0 and b/1 have 5 each -> kept whole
+    assert sizes[("a", 0)] == 7 and sizes[("a", 1)] == 7
+    assert sizes[("b", 0)] == 5 and sizes[("b", 1)] == 5
+    # reproducible across runs; salt changes membership
+    again = {r.doc_id for r in stratified_sample(df, ["src", "bucket"], 7).collect()}
+    assert again == {r.doc_id for r in got}
+    salted = {
+        r.doc_id
+        for r in stratified_sample(df, ["src", "bucket"], 7, salt="s2").collect()
+    }
+    assert salted != again  # 2^-160-ish chance of collision

@@ -211,3 +211,32 @@ def compact_small_files(
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst_path)
     return n_files
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sample of exactly min(n, |stratum|)
+    rows — the reservoir-sampling shape for corpus curation (balance
+    sources/languages/length-buckets in an eval or seed set), made
+    reproducible: keep the n smallest hash_u32 values per stratum
+    instead of a random reservoir, so the sample is a pure function of
+    (ids, salt) across runs AND engines.
+
+    One shuffle (window per stratum); a hot stratum sorts only its own
+    rows. Rank ties break on the id for full determinism.
+    """
+    h = hash_u32(F.col(id_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_h", "_rn")
+    )

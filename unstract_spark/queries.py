@@ -131,6 +131,7 @@ _DRIVER_GATE_FIRST = [
     "sim_bm25_topk",
     "ta_unigram_logprob",
     "sim_bm25_batch",
+    "ex_stratified_sample",
 ]
 
 
@@ -3629,6 +3630,34 @@ def _mixture_sample_sql() -> str:
     SELECT doc_id, source, n_chars FROM h
     WHERE hv < (CASE {cases} ELSE {int(_MIX_DEFAULT * 4294967296)} END)
     """
+
+
+@register(
+    "ex_stratified_sample",
+    """
+    WITH h AS (
+        SELECT doc_id, source, lang,
+               CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY hv ASC, doc_id ASC) AS rn
+        FROM h
+    ) WHERE rn <= 5
+    """,
+)
+def ex_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (export.stratified_sample):
+    exactly min(5, |stratum|) docs per (source, lang) stratum, chosen
+    as the smallest portable-hash values — a reproducible reservoir
+    for balanced eval/seed sets. One per-stratum window, id
+    tie-breaks; the oracle reproduces membership from the same sha256
+    math."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return export.stratified_sample(d, ["source", "lang"], 5)
 
 
 @register(
