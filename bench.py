@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ta_unigram_logprob",
     "sim_bm25_batch",
     "ex_stratified_sample",
+    "events_rollup_cascade",
 ]
 
 

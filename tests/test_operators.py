@@ -407,3 +407,27 @@ def test_bm25_batch_matches_single(spark):
     assert got7 == sorted(single)
     assert {r.query_id for r in batch} == {7, 8}
     assert all(r.rank <= 5 for r in batch)
+
+
+def test_rollup_cascade_reads_raw_once_and_is_exact(spark):
+    from unstract_spark.operators.timeseries import rollup_cascade
+
+    df = spark.createDataFrame(
+        [(f"2024-01-01 10:{m:02d}:{s:02d}", 0.1 * i)
+         for i, (m, s) in enumerate((m, s) for m in range(3) for s in (0, 30))],
+        "t string, value double",
+    ).select(F.to_timestamp("t").alias("ts"), "value")
+    out = rollup_cascade(df)
+    rows = {(r.level, str(r.bucket_start)): r for r in out.collect()}
+    assert sum(1 for k in rows if k[0] == "minute") == 3
+    assert sum(1 for k in rows if k[0] == "hour") == 1
+    hour = next(r for (lvl, _), r in rows.items() if lvl == "hour")
+    assert hour.n_events == 6
+    # decimal cascade is exact: sum of 0.1*i over i=0..5 = 1.5
+    assert hour.total_value == 1.5
+    day = next(r for (lvl, _), r in rows.items() if lvl == "day")
+    assert day.n_events == 6 and day.total_value == 1.5
+    # tiers are materialized: the presentation union never re-reads the
+    # source (raw was scanned exactly once, at fine-tier checkpoint)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and plan.count("Scan ExistingRDD") >= 3

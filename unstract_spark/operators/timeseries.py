@@ -1,0 +1,82 @@
+"""Multi-resolution time-series rollups (continuous-aggregate shape).
+
+The telemetry side of a training pipeline wants the same aggregate at
+several resolutions (minute dashboards, hourly reports, daily
+retention). The naive spelling scans the raw table once PER
+resolution; at 100 TB of events that is the whole cost. The
+continuous-aggregate trick (public design: materialized rollup
+cascades in time-series stores) computes the FINEST level from raw,
+then each coarser level from the level below — the hourly rollup
+reads minute rows (~1/60th of raw), daily reads hourly (~1/24th of
+that). Raw is scanned exactly once.
+
+Exactness: per-bucket sums stay in the DECIMAL domain until the final
+presentation cast, and decimal addition is exact and associative — so
+sum-of-minute-sums equals the direct sum over raw bit-for-bit, which
+is precisely what the oracle gate proves (the DuckDB twin computes
+every level directly from raw).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEVELS = ("minute", "hour", "day")
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = LEVELS,
+) -> DataFrame:
+    """(level, bucket_start, n_events, total_value) for each resolution,
+    each level aggregated FROM the previous one (raw scanned once).
+
+    `levels` must be ordered fine -> coarse and be valid date_trunc
+    fields. Presentation columns round/cast only at the end; the
+    cascade itself carries exact decimals and long counts.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    # Each tier is MATERIALIZED (executor-local checkpoint) before the
+    # next derives from it: the lazy spelling would re-expand every
+    # tier's lineage inside the final union and scan raw once per
+    # level — exactly the cost this operator exists to avoid. Tiers
+    # are aggregate-sized (minutes, hours, days), so the
+    # materialization is ~free; localCheckpoint, not persist (the
+    # CacheManager-leak rule, SCALE.md).
+    fine = (
+        events.groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tiers = [fine]
+    for lvl in levels[1:]:
+        prev = tiers[-1]
+        tiers.append(
+            prev.groupBy(
+                F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start")
+            )
+            .agg(
+                F.sum("_n").alias("_n"),
+                F.sum("_sum").alias("_sum"),  # exact decimal addition
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for lvl, tier in zip(levels, tiers):
+        part = tier.select(
+            F.lit(lvl).alias("level"),
+            "bucket_start",
+            F.col("_n").cast("long").alias("n_events"),
+            F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -132,6 +132,7 @@ _DRIVER_GATE_FIRST = [
     "ta_unigram_logprob",
     "sim_bm25_batch",
     "ex_stratified_sample",
+    "events_rollup_cascade",
 ]
 
 
@@ -828,6 +829,35 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("value")).alias("total_value"),
         _davg(F.col("value")).alias("avg_value"),
     )
+
+
+@register(
+    "events_rollup_cascade",
+    """
+    SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), count(*),
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollups where each coarser level aggregates
+    FROM the level below (timeseries.rollup_cascade) — raw events
+    scanned exactly once, vs the oracle's three direct scans. Decimal
+    sums are exact and associative, so the cascade must hash-match the
+    direct computation — that equality IS the gate."""
+    from unstract_spark.operators.timeseries import rollup_cascade
+
+    return rollup_cascade(_t(spark, sf_dir, "events"))
 
 
 @register(
