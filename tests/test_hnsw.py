@@ -1,0 +1,81 @@
+"""Sharded HNSW graph ANN (operators/hnsw.py).
+
+No SQL oracle by design (graph search has no SQL twin — keeping it
+out of the registry preserves the zero-rows-only gate); quality and
+semantics pin here: recall vs brute force, determinism, shard
+isolation, degenerate inputs.
+"""
+
+import numpy as np
+import pytest
+
+from unstract_spark.operators.hnsw import _HnswIndex, _level_of, hnsw_topk_join
+from unstract_spark.operators.similarity import brute_force_topk
+
+
+def _frames(spark, n=400, dim=16, seed=11, n_q=12):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(f"vec_id < {n_q}").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    return q, emb
+
+
+def test_levels_are_deterministic_and_geometricish():
+    import math
+
+    m_l = 1.0 / math.log(8)
+    levels = [_level_of(i, m_l) for i in range(5000)]
+    assert levels == [_level_of(i, m_l) for i in range(5000)]
+    # ~ (1 - 1/M) of nodes at level 0 for M=8
+    frac0 = sum(1 for l in levels if l == 0) / len(levels)
+    assert 0.8 < frac0 < 0.95
+    assert max(levels) >= 2  # hierarchy actually forms
+
+
+def test_single_shard_index_exact_on_self_queries():
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 8))
+    idx = _HnswIndex(m=8, ef_construction=64)
+    idx.build(list(range(300)), vecs)
+    for probe in (0, 13, 299):
+        assert idx.search(vecs[probe], 3, 64)[0][0] == probe
+
+
+def test_hnsw_recall_and_determinism(spark):
+    q, emb = _frames(spark)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(q, emb, k=10, dim=16).collect()
+    }
+    a = hnsw_topk_join(q, emb, dim=16, k=10, n_shards=4).collect()
+    got = {(r.query_id, r.vec_id) for r in a}
+    assert len(got & exact) / len(exact) >= 0.9
+    assert all(r.rank <= 10 for r in a)
+    b = {(r.query_id, r.vec_id, r.rank) for r in
+         hnsw_topk_join(q, emb, dim=16, k=10, n_shards=4).collect()}
+    assert b == {(r.query_id, r.vec_id, r.rank) for r in a}
+
+
+def test_hnsw_shard_count_changes_nothing_much(spark):
+    """Shard membership only affects which graph answers — union of
+    shard answers still finds the planted neighbors."""
+    q, emb = _frames(spark, n=200, n_q=6)
+    r1 = {(r.query_id, r.vec_id) for r in
+          hnsw_topk_join(q, emb, dim=16, k=5, n_shards=1).collect()}
+    r8 = {(r.query_id, r.vec_id) for r in
+          hnsw_topk_join(q, emb, dim=16, k=5, n_shards=8).collect()}
+    # self-match always present in both
+    for qid in range(6):
+        assert (qid, qid) in r1 and (qid, qid) in r8
+
+
+def test_hnsw_dim_mismatch_raises(spark):
+    q, emb = _frames(spark, n=50, n_q=2)
+    with pytest.raises(ValueError, match="dim"):
+        hnsw_topk_join(q, emb, dim=32, k=3)

@@ -147,6 +147,22 @@ def main() -> int:
         "exact_rerank_per_query": 60,
     }
 
+    # HNSW: sharded graphs, scatter/gather (operators/hnsw.py). Search
+    # cost is ef·log(n/shards) sims per shard instead of a candidate
+    # set — report the ef budget as the comparable knob.
+    from unstract_spark.operators.hnsw import hnsw_topk_join
+
+    for ef in (32, 96):
+        h = hnsw_topk_join(
+            queries, emb, dim, k=k, m=8, ef_construction=64,
+            ef_search=ef, n_shards=8,
+        )
+        report["strategies"][f"hnsw_m8_ef{ef}_8sh"] = {
+            "recall": measure(h),
+            "ef_per_shard": ef,
+            "shards": 8,
+        }
+
     print(json.dumps(report))
     return 0
 

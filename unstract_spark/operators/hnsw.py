@@ -1,0 +1,213 @@
+"""Sharded HNSW graph ANN (Malkov & Yashunin 2016 — the public
+hierarchical navigable-small-world algorithm).
+
+Spark mapping: an HNSW graph is inherently sequential to build
+(insertion order defines the graph), so it cannot be a DataFrame
+expression — instead each PARTITION builds its own graph inside one
+Arrow-batched mapInPandas task and answers the (broadcast, small)
+query set from it; a per-query window merges shard answers into the
+global top-k. This is the production distributed-ANN shape —
+shard-local graphs + scatter/gather — and the per-shard search cost is
+O(ef · log n_shard) similarity evaluations instead of the brute-force
+n_shard.
+
+Everything is deterministic: node levels derive from sha256 of the
+vector id (not RNG), insertion order is sorted by id within a shard,
+shard membership is a hash repartition, and ties break on (rounded
+score desc, id asc) — so repeated runs return identical rows.
+
+Registry note: graph search has no SQL twin, so HNSW is deliberately
+NOT in the oracle registry (it would reintroduce a rows-only row).
+Quality is gated by the recall pytest (vs brute force) and reported by
+tools/ann_report.py alongside LSH / IVF / PQ / IVF-PQ.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _level_of(key: int | str, m_l: float) -> int:
+    """Deterministic HNSW level: the standard floor(-ln(u)·mL) draw
+    with u derived from sha256(id) instead of an RNG."""
+    h = hashlib.sha256(str(key).encode()).hexdigest()[:13]
+    u = (int(h, 16) + 1) / float(16**13 + 1)  # (0, 1]
+    return int(-math.log(u) * m_l)
+
+
+class _HnswIndex:
+    """In-memory single-shard HNSW over row-normalized vectors
+    (similarity = dot product = cosine)."""
+
+    def __init__(self, m: int = 8, ef_construction: int = 64):
+        self.m = m
+        self.m0 = 2 * m  # layer-0 degree cap (paper convention)
+        self.efc = ef_construction
+        self.m_l = 1.0 / math.log(m)
+        self.ids: list = []
+        self.vecs: np.ndarray | None = None
+        self.levels: list[int] = []
+        # neighbors[layer][node] -> list[node]
+        self.neighbors: list[dict[int, list[int]]] = []
+        self.entry: int | None = None
+
+    def _sim(self, q: np.ndarray, node: int) -> float:
+        return float(np.dot(self.vecs[node], q))
+
+    def _search_layer(
+        self, q: np.ndarray, entries: list[int], ef: int, layer: int
+    ) -> list[tuple[float, int]]:
+        """Beam search: returns up to ef (sim, node) best, sim desc."""
+        visited = set(entries)
+        # candidates: max-heap by sim (store -sim); results: min-heap
+        cand = [(-self._sim(q, e), e) for e in entries]
+        heapq.heapify(cand)
+        result = [(-negs, e) for negs, e in cand]
+        heapq.heapify(result)
+        while len(result) > ef:
+            heapq.heappop(result)
+        while cand:
+            c_negsim, c = heapq.heappop(cand)
+            worst = result[0][0] if result else -math.inf
+            if -c_negsim < worst and len(result) >= ef:
+                break
+            for nb in self.neighbors[layer].get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = self._sim(q, nb)
+                if len(result) < ef or s > result[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(result, (s, nb))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return sorted(result, reverse=True)
+
+    def build(self, ids: list, vecs: np.ndarray) -> None:
+        order = np.argsort(np.asarray([str(i) for i in ids]))
+        self.ids = [ids[i] for i in order]
+        v = vecs[order].astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        self.vecs = v / norms[:, None]
+        n = len(self.ids)
+        self.levels = [_level_of(self.ids[i], self.m_l) for i in range(n)]
+        top = max(self.levels, default=0)
+        self.neighbors = [dict() for _ in range(top + 1)]
+        for node in range(n):
+            self._insert(node)
+
+    def _insert(self, node: int) -> None:
+        lvl = self.levels[node]
+        q = self.vecs[node]
+        if self.entry is None:
+            self.entry = node
+            for l in range(lvl + 1):
+                self.neighbors[l][node] = []
+            return
+        ep = [self.entry]
+        top = self.levels[self.entry]
+        for l in range(top, lvl, -1):
+            ep = [self._search_layer(q, ep, 1, l)[0][1]]
+        for l in range(min(lvl, top), -1, -1):
+            found = self._search_layer(q, ep, self.efc, l)
+            cap = self.m0 if l == 0 else self.m
+            chosen = [e for _, e in found[:cap]]
+            self.neighbors[l][node] = chosen
+            for nb in chosen:
+                lst = self.neighbors[l].setdefault(nb, [])
+                lst.append(node)
+                if len(lst) > cap:
+                    lst.sort(
+                        key=lambda x: (-self._sim(self.vecs[nb], x), self.ids[x])
+                    )
+                    del lst[cap:]
+            ep = [e for _, e in found]
+        if lvl > self.levels[self.entry]:
+            for l in range(self.levels[self.entry] + 1, lvl + 1):
+                self.neighbors[l].setdefault(node, [])
+            self.entry = node
+
+    def search(self, q: np.ndarray, k: int, ef: int) -> list[tuple]:
+        if self.entry is None:
+            return []
+        qn = np.linalg.norm(q)
+        q = q / (qn if qn else 1.0)
+        ep = [self.entry]
+        for l in range(self.levels[self.entry], 0, -1):
+            ep = [self._search_layer(q, ep, 1, l)[0][1]]
+        found = self._search_layer(q, ep, max(ef, k), 0)
+        return [(self.ids[e], s) for s, e in found[:k]]
+
+
+def hnsw_topk_join(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    n_shards: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Distributed HNSW top-k: per-shard graphs, scatter/gather merge.
+
+    `queries` is the SMALL side (it collects to the driver and rides
+    the task closure — the same contract as the LSH/IVF query side);
+    the index shards by hash of its id so each task's graph covers a
+    disjoint slice, and every shard answers every query. A shard must
+    fit one task's memory — n_shards tunes that (default: the session's
+    shuffle parallelism). Output: (query_id, vec_id, score, rank), the
+    lsh/ivf_topk_join contract (score rounded to 6, id tie-break).
+    """
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    if q_mat.size and q_mat.shape[1] != dim:
+        raise ValueError(f"query dim {q_mat.shape[1]} != index dim {dim}")
+    shards = n_shards or int(
+        index.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    src = index.select(index_id, index_vec).repartition(shards, F.col(index_id))
+
+    out_schema = f"{query_id} long, {index_id} long, score double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(pdf[index_id].tolist())
+            vecs.extend(list(v) for v in pdf[index_vec])
+        if not ids or not len(q_ids):
+            return
+        idx = _HnswIndex(m=m, ef_construction=ef_construction)
+        idx.build(ids, np.asarray(vecs, dtype=np.float64))
+        out_q, out_v, out_s = [], [], []
+        for qi, qv in zip(q_ids, q_mat):
+            for vid, s in idx.search(qv, k, ef_search):
+                out_q.append(qi)
+                out_v.append(vid)
+                out_s.append(s)
+        yield pd.DataFrame({query_id: out_q, index_id: out_v, "score": out_s})
+
+    shard_hits = src.mapInPandas(run, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col(index_id).asc()
+    )
+    return (
+        shard_hits.withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
