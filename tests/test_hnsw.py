@@ -79,3 +79,16 @@ def test_hnsw_dim_mismatch_raises(spark):
     q, emb = _frames(spark, n=50, n_q=2)
     with pytest.raises(ValueError, match="dim"):
         hnsw_topk_join(q, emb, dim=32, k=3)
+
+
+def test_dispatcher_hnsw_override(spark):
+    from unstract_spark.operators.similarity import similarity_topk
+
+    q, emb = _frames(spark, n=80, n_q=2)
+    got, plan = similarity_topk(q, emb, dim=16, k=4, strategy="hnsw")
+    assert plan.strategy == "hnsw" and plan.params["m"] == 8
+    assert plan.est_mults > 0
+    rows = got.collect()
+    assert len(rows) == 8 and all(r.rank <= 4 for r in rows)
+    # self-match survives the dispatcher path
+    assert {(r.query_id, r.vec_id) for r in rows if r.rank == 1} == {(0, 0), (1, 1)}

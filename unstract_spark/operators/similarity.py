@@ -709,6 +709,20 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
     if strategy == "ivf":
         cand = params["n_probe"] * n / params["n_centroids"]
         return (n + q) * params["n_centroids"] * dim + q * cand * dim
+    if strategy == "hnsw":
+        # build n·efc·log2(n/shards) + search q·ef·log2(n/shards), each
+        # "op" a dim-wide dot product. Mult counts undersell HNSW's real
+        # cost (graph build is sequential per shard, vectors live
+        # uncompressed in task memory), so like PQ it is explicit-
+        # override only — the recall-bound choice, never auto-chosen.
+        import math as _math
+
+        per_shard = max(2.0, n / params["n_shards"])
+        lg = _math.log2(per_shard)
+        return (
+            n * params["ef_construction"] * lg * dim
+            + q * params["n_shards"] * params["ef_search"] * lg * dim
+        )
     if strategy == "pq":
         # encode n + lut q (n_codes*dim mults each), ADC full scan
         # (n_sub lookups/item charged as 1 op each), bounded re-rank.
@@ -723,6 +737,13 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
             + q * params["refine"] * params.get("k", 10) * dim
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _hnsw_auto_params(n: int) -> dict:
+    # sharded so one task's graph (full float vectors + adjacency)
+    # stays bounded; ~64k rows per shard is comfortable task memory
+    return {"m": 8, "ef_construction": 64, "ef_search": 64,
+            "n_shards": max(1, n // 65536)}
 
 
 def _pq_auto_params(dim: int) -> dict:
@@ -805,7 +826,7 @@ def similarity_topk(
     q = n_queries if n_queries is not None else queries.count()
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
     if strategy != "auto":
-        if strategy not in ("brute_force", "lsh", "ivf", "pq"):
+        if strategy not in ("brute_force", "lsh", "ivf", "pq", "hnsw"):
             raise ValueError(f"unknown strategy {strategy!r}")
         params = (
             {}
@@ -815,6 +836,8 @@ def similarity_topk(
             else _ivf_auto_params(n)
             if strategy == "ivf"
             else _pq_auto_params(dim)
+            if strategy == "pq"
+            else _hnsw_auto_params(n)
         )
         plan = TopkPlan(strategy, params, _estimate_mults(strategy, params, n, q, dim))
     if plan.strategy == "brute_force":
@@ -826,6 +849,10 @@ def similarity_topk(
         )
     elif plan.strategy == "pq":
         out = pq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    elif plan.strategy == "hnsw":
+        from unstract_spark.operators.hnsw import hnsw_topk_join
+
+        out = hnsw_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
     else:
         centroids = None
         if ivf_refine_iters > 0:
