@@ -431,3 +431,20 @@ def test_rollup_cascade_reads_raw_once_and_is_exact(spark):
     # source (raw was scanned exactly once, at fine-tier checkpoint)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and plan.count("Scan ExistingRDD") >= 3
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find fast path and distributed star rounds produce
+    identical labels on the same graph."""
+    import random
+
+    from unstract_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(edges, small_graph_threshold=0).collect()}
+    assert fast == dist

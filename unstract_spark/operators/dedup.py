@@ -514,6 +514,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) labels for the undirected graph in `edges` —
     component = the smallest node id reachable from `node`.
@@ -538,6 +539,13 @@ def connected_components(
 
     Nodes with no edges don't appear; callers left-join and default
     the label to the node itself (see duplicate_clusters).
+
+    Small-graph fast path: when the distinct edge set fits
+    `small_graph_threshold`, labels come from a driver-side union-find
+    instead of ~5 Spark jobs per star round — the same bounded-driver-
+    state pattern as the k-means centroids and BPE vocabulary (a
+    100k-edge duplicate graph is a few MB). Identical min-label
+    output; the distributed star rounds remain the unbounded path.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -545,6 +553,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if e.count() <= small_graph_threshold:
+        parent: dict = {}
+        nodes: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            u, v = row["u"], row["v"]
+            nodes.add(u)
+            nodes.add(v)
+            ra, rb = find(u), find(v)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # root stays the component min
+        out = sorted((x, find(x)) for x in nodes)
+        return e.sparkSession.createDataFrame(
+            out, "node long, component long"
+        )
 
     def fingerprint(df: DataFrame) -> tuple:
         # order-independent set digest; xor + decimal-domain sum avoid
