@@ -92,3 +92,20 @@ def test_dispatcher_hnsw_override(spark):
     assert len(rows) == 8 and all(r.rank <= 4 for r in rows)
     # self-match survives the dispatcher path
     assert {(r.query_id, r.vec_id) for r in rows if r.rank == 1} == {(0, 0), (1, 1)}
+
+
+def test_hnsw_string_ids(spark):
+    """Non-long ids ride the schema-derived contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 8))
+    emb = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 'doc-3'").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    rows = hnsw_topk_join(q, emb, dim=8, k=3).collect()
+    assert rows[0].vec_id == "doc-3" and rows[0].rank == 1

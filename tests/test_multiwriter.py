@@ -234,3 +234,41 @@ def test_manifest_merge_is_append_only_and_compacts(spark, tmp_path):
     keep = set(t.segments(t.version()))
     removed = t.vacuum(min_age_s=1)
     assert removed == 3 and set(os.listdir(t.data_dir)) == keep
+
+
+def test_manifest_compact_refuses_stale_base(spark, tmp_path):
+    """compact() commits at the base version its resolved view was
+    computed from — a concurrent append in between makes it return
+    False (and lose nothing) instead of silently erasing the append."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    path = str(tmp_path / "h")
+    store = FileHistoryStore(spark, path, backend="manifest")
+    store.merge(_hist_rows(spark, "a", 3))
+    t = ManifestTable(spark, path)
+    base = t.version()
+    resolved = store.read()  # view computed at version `base`
+    store.merge(_hist_rows(spark, "b", 2))  # concurrent append wins a version
+    assert t.compact(resolved, base_version=base) is False
+    assert store.read().count() == 5  # nothing lost
+    assert store.compact()  # retried against the fresh snapshot
+    assert store.read().count() == 5
+
+
+def test_manifest_commit_is_atomic_with_content(spark, tmp_path):
+    """No moment exists where a manifest file is visible without its
+    payload: version N is readable the instant it exists."""
+    import json as _json
+
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    path = str(tmp_path / "h")
+    store = FileHistoryStore(spark, path, backend="manifest")
+    store.merge(_hist_rows(spark, "a", 2))
+    t = ManifestTable(spark, path)
+    mf = t._manifest_path(t.version())
+    with open(mf) as f:
+        payload = _json.load(f)  # parses — never empty/partial
+    assert payload["segments"]
+    # no temp files left behind
+    assert not [n for n in os.listdir(t.manifest_dir) if n.startswith(".tmp-")]

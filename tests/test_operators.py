@@ -303,7 +303,8 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    out = {r.node: r.component for r in connected_components(edges).collect()}
+    out = {r.node: r.component
+           for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert set(out) == set(range(1, 201)) and set(out.values()) == {0} or (
         set(out) >= set(range(1, 201))
     )
@@ -318,7 +319,8 @@ def test_connected_components_hot_node_star(spark):
     edges = spark.createDataFrame(
         [(7, i) for i in range(100, 600)], "id_a long, id_b long"
     )
-    out = {r.node: r.component for r in connected_components(edges).collect()}
+    out = {r.node: r.component
+           for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert all(c == 7 for c in out.values())
     assert len(out) == 501  # 500 spokes + the hub's own root row
 

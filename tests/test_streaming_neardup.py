@@ -138,7 +138,8 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
         [(99, 98, 0.99)], "id_a long, id_b long, est_jaccard double"
     ).write.parquet(f"{out}/batch_id=0")
     spark.range(1).selectExpr(
-        "CAST(555 AS LONG) AS doc_id", "array(1L, 2L) AS minhash"
+        "CAST(555 AS LONG) AS doc_id",
+        *[f"CAST({i} AS LONG) AS mh_{i}" for i in range(8)],
     ).write.parquet(f"{store}/batch_id=0")
 
     n = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=0.4)
@@ -197,3 +198,29 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
     assert got == expect
     assert got[10] == 5 and got[40] == 5  # merged cluster takes new min root
     assert 50 not in got  # sub-threshold pair admitted nobody
+
+
+def test_streaming_neardup_reads_legacy_flat_store(spark, tmp_path):
+    """A store written by the pre-partitioned (flat-append) layout is
+    still probed for cross-corpus dedup — not silently treated as a
+    first fire."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    # legacy store: signatures of doc 1 written as a FLAT parquet dir
+    from unstract_spark.operators import dedup
+
+    legacy = dedup.minhash_signatures(
+        dedup.char_shingles(_docs(spark, [(1, BASE)]))
+    )
+    legacy.write.parquet(store)  # no batch_id partitioning
+
+    # new fire carries an exact dup of doc 1
+    _docs(spark, [(2, BASE)]).coalesce(1).write.mode("append").parquet(src)
+    n = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=0.4)
+    assert n == 1
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in pairs  # legacy store was probed, dup found

@@ -117,3 +117,26 @@ def test_unigram_logprob_semantics(spark):
     import math
     assert abs(ext[1].avg_logprob - round(math.log(0.5), 6)) < 1e-9
     assert ext[2].avg_logprob is None  # no modeled words at all
+
+
+def test_unigram_logprob_oov_penalty(spark):
+    """External model + oov_logprob: unknown words count and get the
+    penalty (gibberish scores WORSE, not dropped)."""
+    import math
+
+    from unstract_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the"), (2, "zxqv zxqv"), (3, "the zxqv")],
+        "doc_id long, text string",
+    )
+    model = spark.createDataFrame([("the", 0.5)], "word string, p double")
+    rows = {
+        r.doc_id: r
+        for r in unigram_logprob(docs, model=model, oov_logprob=-20.0).collect()
+    }
+    assert rows[1].n_words == 2
+    assert abs(rows[1].avg_logprob - round(math.log(0.5), 6)) < 1e-9
+    assert rows[2].n_words == 2 and rows[2].avg_logprob == -20.0
+    assert rows[3].avg_logprob == round((math.log(0.5) - 20.0) / 2, 6)
+    assert rows[2].avg_logprob < rows[3].avg_logprob < rows[1].avg_logprob

@@ -575,8 +575,11 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo  # root stays the component min
         out = sorted((x, find(x)) for x in nodes)
+        # schema derives from the input id type so string ids behave
+        # identically on both paths
+        id_t = e.schema["u"].dataType.simpleString()
         return e.sparkSession.createDataFrame(
-            out, "node long, component long"
+            out, f"node {id_t}, component {id_t}"
         )
 
     def fingerprint(df: DataFrame) -> tuple:

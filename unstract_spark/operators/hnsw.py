@@ -182,7 +182,11 @@ def hnsw_topk_join(
     )
     src = index.select(index_id, index_vec).repartition(shards, F.col(index_id))
 
-    out_schema = f"{query_id} long, {index_id} long, score double"
+    # id types derive from the actual frames (string doc ids work the
+    # same as longs — the lsh/ivf_topk_join contract)
+    q_id_t = queries.schema[query_id].dataType.simpleString()
+    i_id_t = index.schema[index_id].dataType.simpleString()
+    out_schema = f"`{query_id}` {q_id_t}, `{index_id}` {i_id_t}, score double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list = []

@@ -324,6 +324,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     model: DataFrame | None = None,
+    oov_logprob: float | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the fluency/
     perplexity proxy corpus filters threshold on (CCNet, Wenzek et al.
@@ -337,6 +338,13 @@ def unigram_logprob(
     groupBy, the model join is a word-keyed equi-join (the model is
     vocabulary-sized, not corpus-sized), weighted mean in the decimal
     domain so partial-aggregation order can't wiggle the last bits.
+
+    OOV contract for external models: `oov_logprob` is the per-word
+    log-prob penalty assigned to words the model doesn't know (the
+    CCNet-style behavior — gibberish should score WORSE, not be
+    silently dropped); with the default None, unknown words are
+    excluded from both the mean and n_words (score-what-you-know),
+    which is safe for the self-trained case where OOV cannot occur.
 
     Output: (id, n_words, avg_logprob) — avg_logprob NULL for empty
     docs (no words to score), rounded to 6.
@@ -352,10 +360,16 @@ def unigram_logprob(
         model = wc.crossJoin(F.broadcast(totals)).select(
             "word", (F.col("wc") / F.col("total")).alias("p")
         )
-    scored = tf.join(model, "word").groupBy(id_col).agg(
+    if oov_logprob is None:
+        joined = tf.join(model, "word")
+        lp = F.log("p")
+    else:
+        joined = tf.join(model, "word", "left")
+        lp = F.coalesce(F.log("p"), F.lit(float(oov_logprob)))
+    scored = joined.groupBy(id_col).agg(
         F.sum("tf").alias("n_words"),
         F.round(
-            F.sum((F.col("tf") * F.log("p")).cast("decimal(28,10)"))
+            F.sum((F.col("tf") * lp).cast("decimal(28,10)"))
             .cast("double")
             / F.sum("tf"),
             6,

@@ -106,10 +106,19 @@ class FileHistoryStore:
         """Manifest backend maintenance: fold all segments into one
         (the resolved newest-wins view), bounding the read window and
         vacuum-able garbage. No-op on the swap backend (always one
-        'segment'). Returns True if the compaction committed."""
+        'segment'). Returns True if the compaction committed; False
+        means a concurrent append won the version — the appended rows
+        are preserved and compaction should simply be retried later."""
         if self._manifest is None:
             return True
-        ok = self._manifest.compact(self.read())
+        v, df = self._manifest.snapshot_with_seq(FILE_HISTORY)
+        w = Window.partitionBy(*MERGE_KEYS).orderBy(F.col("_seq").desc())
+        resolved = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        ok = self._manifest.compact(resolved, base_version=v)
         if ok:
             self._manifest.vacuum()
         return ok

@@ -111,26 +111,34 @@ class ManifestTable:
 
     def try_commit(self, base_version: int, segments: list[str]) -> None:
         """Commit `segments` as version base+1, or raise CommitConflict
-        if another writer got there first. O_CREAT|O_EXCL is the
-        atomic put-if-absent."""
+        if another writer got there first.
+
+        Content is written to a private temp file first and the commit
+        point is one os.link() — atomic put-if-absent WITH the payload
+        already durable, so no reader or crash can ever observe an
+        empty/partial manifest (a bare O_CREAT|O_EXCL followed by a
+        write would make the file visible before its content exists:
+        a crash between the two wedges the version number forever)."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         target = base_version + 1
         payload = json.dumps(
             {"version": target, "segments": segments, "ts": time.time()}
         )
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                self._manifest_path(target),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            os.link(tmp, self._manifest_path(target))
         except FileExistsError:
             raise CommitConflict(
                 f"version {target} already committed at {self.path}"
             ) from None
-        try:
-            os.write(fd, payload.encode())
         finally:
-            os.close(fd)
+            os.unlink(tmp)
 
     def merge(self, updates: DataFrame, merge_fn, schema, max_retries: int = 20):
         """Transactional read-merge-commit with optimistic retry.
@@ -201,16 +209,19 @@ class ManifestTable:
             f"{max_retries} times — writer storm or clock trouble"
         )
 
-    def compact(self, resolved: DataFrame) -> bool:
+    def compact(self, resolved: DataFrame, base_version: int) -> bool:
         """Fold the segment list down to one: write `resolved` (the
-        caller's deduped view of the current snapshot) as a single
-        segment and commit it as the next version. Returns False if a
+        caller's deduped view of the snapshot it read at
+        `base_version`) as a single segment and commit it as
+        base_version+1. `base_version` MUST be the version the
+        resolved view was computed from — re-reading version() here
+        would silently discard any append committed while the view was
+        being built (a lost update with no error). Returns False if a
         concurrent writer committed first (compaction is maintenance —
         callers just try again later rather than retrying in a loop)."""
-        v = self.version()
         seg = self.write_segment(resolved)
         try:
-            self.try_commit(v, [seg])
+            self.try_commit(base_version, [seg])
         except CommitConflict:
             return False
         return True

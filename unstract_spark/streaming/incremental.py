@@ -398,17 +398,24 @@ def streaming_neardup_pipeline(
             dedup.char_shingles(docs)
         ).localCheckpoint(eager=True)
         try:
-            old = (
-                spark.read.parquet(store_dir)
-                .filter(F.col("batch_id") != int(epoch))
-                .drop("batch_id")
-            )
-            combined = old.unionByName(sigs_new)
-        except AnalysisException:
-            # only PATH_NOT_FOUND-class analysis errors mean "first
-            # fire"; IO/permission errors surface instead of silently
-            # skipping cross-corpus dedup for the batch
+            old = spark.read.parquet(store_dir)
+        except AnalysisException as ex:
+            # ONLY a missing store dir means "first fire". Any other
+            # analysis error (schema corruption, permissions surfaced
+            # as analysis) must raise — treating it as first-fire
+            # silently skips cross-corpus dedup for the batch.
+            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+                raise
             combined = sigs_new
+        else:
+            if "batch_id" in old.columns:
+                # partitioned layout (this release): prune the current
+                # epoch so a half-written replay can't probe itself
+                old = old.filter(F.col("batch_id") != int(epoch)).drop("batch_id")
+            # else: legacy flat-append store — use it whole (its rows
+            # all predate this epoch by construction)
+            combined = old.unionByName(sigs_new)
         new_ids = sigs_new.select("doc_id")
         pairs = dedup.lsh_candidate_pairs(
             combined, max_bucket=max_bucket, left_ids=new_ids
@@ -508,6 +515,7 @@ def streaming_cluster_pipeline(
     checkpoint_dir: str,
     labels_dir: str,
     threshold: float = 0.5,
+    keep_snapshots: int = 2,
 ) -> int:
     """Incremental duplicate-cluster maintenance over a GROWING pair
     stream (the downstream half of streaming_neardup_pipeline): each
@@ -619,6 +627,20 @@ def streaming_cluster_pipeline(
         updated.write.mode("overwrite").parquet(
             f"{labels_dir}/batch_id={int(epoch)}"
         )
+        # retention: each fire writes a full label snapshot (the store
+        # is corpus-membership-sized), so without pruning a long-running
+        # stream accumulates O(fires x corpus) storage. Keep the newest
+        # `keep_snapshots` (>=2 so the previous snapshot survives until
+        # the new one is fully committed) and drop the rest.
+        import shutil
+
+        snaps = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(labels_dir)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
+        )
+        for b in snaps[: -max(keep_snapshots, 1)]:
+            shutil.rmtree(f"{labels_dir}/batch_id={b}", ignore_errors=True)
 
     schema = "id_a long, id_b long, est_jaccard double"
     stream = (
