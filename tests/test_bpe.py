@@ -341,3 +341,18 @@ def test_fixed_merges_equal_inorder_rewrite():
     for w in ("the", "then", "tot", "tothe", "ingthe", "ooff", "andand",
               "thethe", "eee", "sss", "ttt", "banana", "xyzzy"):
         assert inorder(w) == encode_word(w, ranks), w
+
+
+def test_byte_pair_frequencies_split_multibyte(spark):
+    """The byte statistic sees HALF codepoints: 'éé' contributes the
+    (a9, c3) cross-codepoint byte pair no char-level statistic has."""
+    from unstract_spark.operators.bpe import pair_frequencies_bytes, word_frequencies
+
+    docs = spark.createDataFrame([(1, "éé ab")], "doc_id long, text string")
+    wf = word_frequencies(docs)
+    pairs = {(r.a, r.b): r.freq for r in pair_frequencies_bytes(wf).collect()}
+    assert pairs[("C3", "A9")] == 2   # within each é
+    assert pairs[("A9", "C3")] == 1   # across the two é's
+    assert pairs[("A9", "</w>")] == 1
+    assert pairs[("61", "62")] == 1   # 'ab'
+    assert pairs[("62", "</w>")] == 1

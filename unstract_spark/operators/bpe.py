@@ -93,6 +93,37 @@ def pair_frequencies(words: DataFrame) -> DataFrame:
     )
 
 
+def pair_frequencies_bytes(words: DataFrame) -> DataFrame:
+    """Byte-level twin of pair_frequencies: adjacent BYTE-pair counts
+    (+ trailing END), weighted by word frequency — the statistic the
+    byte-level trainer maximizes. Symbols are the word's UTF-8 bytes
+    relabeled as 2-hex-char strings (a pure alphabet relabeling of the
+    GPT-2 byte alphabet — counts are label-invariant), which keeps the
+    whole computation JVM-side (encode + hex + substr; no Python) and
+    makes the SQL twin a straight transliteration."""
+    h = F.hex(F.encode(F.col("word"), "UTF-8"))
+    n = (F.length(h) / 2).cast("int")
+    return (
+        words.select("freq", h.alias("_h"), n.alias("_n"))
+        .select(
+            "freq",
+            "_h",
+            "_n",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("_p", "i"),
+        )
+        .select(
+            F.expr("substr(_h, i * 2 - 1, 2)").alias("a"),
+            F.expr(
+                f"CASE WHEN i < _n THEN substr(_h, i * 2 + 1, 2) "
+                f"ELSE '{END}' END"
+            ).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
 def _symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (END,)
 

@@ -133,6 +133,7 @@ _DRIVER_GATE_FIRST = [
     "sim_bm25_batch",
     "ex_stratified_sample",
     "events_rollup_cascade",
+    "bpe_byte_pair_counts",
 ]
 
 
@@ -1446,6 +1447,39 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = bpe.word_frequencies(_t(spark, sf_dir, "documents"))
     return bpe.pair_frequencies(w)
+
+
+@register(
+    "bpe_byte_pair_counts",
+    r"""
+    WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    h AS (SELECT hex(encode(word)) AS hx, length(hex(encode(word))) / 2 AS n,
+                 freq
+          FROM words)
+    SELECT substr(hx, CAST(i * 2 - 1 AS INT), 2) AS a,
+           CASE WHEN i < n THEN substr(hx, CAST(i * 2 + 1 AS INT), 2)
+                ELSE '</w>' END AS b,
+           CAST(sum(freq) AS BIGINT) AS freq
+    FROM h, unnest(range(1, CAST(n AS BIGINT) + 1)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def bpe_byte_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training statistic: adjacent UTF-8 byte-pair
+    frequencies over the distinct-word table, symbols as 2-hex-char
+    relabels (bpe.pair_frequencies_bytes — all JVM-side: encode + hex
+    + substr). This is the aggregation each byte-level merge iteration
+    maximizes; together with bpe_byte_token_counts it gates the byte
+    trainer end to end."""
+    from unstract_spark.operators import bpe
+
+    w = bpe.word_frequencies(_t(spark, sf_dir, "documents"))
+    return bpe.pair_frequencies_bytes(w)
 
 
 def _bpe_rewrite_sql(col: str, merges, label) -> str:
