@@ -224,3 +224,46 @@ def test_streaming_neardup_reads_legacy_flat_store(spark, tmp_path):
     assert n == 1
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
     assert (1, 2) in pairs  # legacy store was probed, dup found
+
+
+def test_streaming_rollup_matches_batch_cascade(spark, tmp_path):
+    """Additive minute partials across fires fold to exactly the batch
+    rollup_cascade over all events (decimal sums are associative)."""
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.timeseries import rollup_cascade
+    from unstract_spark.streaming.incremental import (
+        read_streaming_rollups,
+        streaming_rollup_pipeline,
+    )
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ru_ckpt")
+    store = str(tmp_path / "ru_store")
+
+    def _ev(rows):
+        return spark.createDataFrame(rows, "t string, value double").select(
+            F.to_timestamp("t").alias("ts"), "value"
+        )
+
+    fire1 = [("2024-01-01 10:00:05", 1.25), ("2024-01-01 10:00:40", 2.5),
+             ("2024-01-01 11:30:00", 10.0)]
+    fire2 = [("2024-01-01 10:00:59", 4.75),  # same minute as fire1 rows
+             ("2024-01-02 09:00:00", 7.0)]   # new day
+
+    _ev(fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_rollup_pipeline(spark, src, ckpt, store) == 1
+    _ev(fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_rollup_pipeline(spark, src, ckpt, store) == 1
+
+    got = {
+        (r.level, str(r.bucket_start)): (r.n_events, r.total_value)
+        for r in read_streaming_rollups(spark, store).collect()
+    }
+    expect = {
+        (r.level, str(r.bucket_start)): (r.n_events, r.total_value)
+        for r in rollup_cascade(_ev(fire1 + fire2)).collect()
+    }
+    assert got == expect
+    # cross-fire minute actually merged
+    assert got[("minute", "2024-01-01 10:00:00")] == (3, 8.5)

@@ -80,3 +80,55 @@ def rollup_cascade(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cascade_from_partials(
+    partials: DataFrame, levels: tuple[str, ...] = LEVELS
+) -> DataFrame:
+    """Same (level, bucket_start, n_events, total_value) output as
+    rollup_cascade, but starting from ADDITIVE finest-level partials
+    (bucket_start, _n, _sum-as-decimal) — the incremental-maintenance
+    entry point: per-batch partials fold by simple addition (decimal
+    sums are exact and associative), so a streaming store of per-fire
+    partials re-aggregates to exactly the batch answer."""
+    fine = (
+        partials.groupBy("bucket_start")
+        .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+        .localCheckpoint(eager=True)
+    )
+    tiers = [fine]
+    for lvl in levels[1:]:
+        prev = tiers[-1]
+        tiers.append(
+            prev.groupBy(
+                F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start")
+            )
+            .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for lvl, tier in zip(levels, tiers):
+        part = tier.select(
+            F.lit(lvl).alias("level"),
+            "bucket_start",
+            F.col("_n").cast("long").alias("n_events"),
+            F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def minute_partials(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    level: str = LEVELS[0],
+) -> DataFrame:
+    """One batch's additive finest-level partial aggregate — the unit
+    the streaming rollup store accumulates."""
+    return events.groupBy(
+        F.date_trunc(level, F.col(ts_col)).alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum"),
+    )

@@ -656,3 +656,65 @@ def streaming_cluster_pipeline(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_rollup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> int:
+    """Incremental multi-resolution rollup maintenance: each
+    AvailableNow fire reduces ONLY the new events to additive
+    minute-level partials and lands them in the partial store; the
+    minute/hour/day cascade is re-derived from the (aggregate-sized)
+    store on demand via timeseries.cascade_from_partials. Decimal sums
+    are exact and associative, so the union of fires equals the batch
+    rollup_cascade over all events bit-for-bit (pytest-gated).
+
+    Idempotent per the engine's streaming contract: each batch owns
+    its batch_id partition (overwrite on replay). The store grows one
+    partial-set per fire; folding it is cheap (it is bucket-sized, not
+    event-sized) and a maintenance compaction can fold old partials
+    into one without changing any sum. Returns fired batch count.
+    """
+    from unstract_spark.operators.timeseries import minute_partials
+
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        part = minute_partials(batch, ts_col=ts_col, value_col=value_col)
+        part.write.mode("overwrite").parquet(f"{store_dir}/batch_id={int(epoch)}")
+
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def read_streaming_rollups(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the partial store into the full (level, bucket_start,
+    n_events, total_value) cascade — the read side of
+    streaming_rollup_pipeline."""
+    from unstract_spark.operators.timeseries import cascade_from_partials
+
+    partials = spark.read.parquet(store_dir)
+    if "batch_id" in partials.columns:
+        partials = partials.drop("batch_id")
+    return cascade_from_partials(partials)
