@@ -288,7 +288,7 @@ def test_similarity_topk_strategy_override_with_refinement(spark, sf_dir):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown strategy"):
-        similarity_topk(queries, emb, dim=64, strategy="hnsw")
+        similarity_topk(queries, emb, dim=64, strategy="annoy")
 
 
 def test_estimate_mults_prices_the_named_strategy():
