@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "sim_bm25_batch",
     "ex_stratified_sample",
     "events_rollup_cascade",
+    "ex_curation_e2e",
 ]
 
 

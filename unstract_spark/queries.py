@@ -134,6 +134,7 @@ _DRIVER_GATE_FIRST = [
     "ex_stratified_sample",
     "events_rollup_cascade",
     "bpe_byte_pair_counts",
+    "ex_curation_e2e",
 ]
 
 
@@ -1914,6 +1915,120 @@ def sim_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>",
     )
     return bm25_retrieve_batch(d, q, k=5, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "ex_curation_e2e",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    simpairs AS (
+        SELECT p.id_a, p.id_b,
+               (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id) p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM simpairs WHERE est >= 0.5
+        UNION
+        SELECT id_b, id_a FROM simpairs WHERE est >= 0.5
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    keepers AS (SELECT src AS doc_id FROM reach
+                GROUP BY src HAVING src = min(dst)),
+    w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+        FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3
+    ),
+    contaminated AS (
+        SELECT t.doc_id
+        FROM (SELECT * FROM grams WHERE doc_id % 97 <> 0) t
+        JOIN (SELECT doc_id, gram FROM grams WHERE doc_id % 97 = 0) b
+          USING (gram)
+        GROUP BY t.doc_id HAVING count(DISTINCT t.gram) >= 2
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN keepers k USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    h AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM kept
+    )
+    SELECT doc_id, source, CAST(hv % 4 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 4
+                                   ORDER BY hv ASC, doc_id ASC) - 1
+                AS INTEGER) AS shard_pos
+    FROM h
+    """,
+)
+def ex_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation capstone — the full modern pipeline as ONE
+    Catalyst plan: MinHash-LSH pairs -> transitive duplicate clusters
+    (keep the min-id doc per cluster) -> train/eval decontamination
+    (drop train docs sharing >=2 word 3-grams with the held-out split)
+    -> deterministic shard assignment of the survivors. Every stage
+    reuses its individually-gated operator; the oracle chains the same
+    CTEs (recursive closure for clusters). This is the composition a
+    training-data team actually ships."""
+    from unstract_spark.operators.export import deterministic_shards
+
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(d)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sims = dedup.minhash_similarity(sigs, pairs)
+    clusters = dedup.duplicate_clusters(d, sims, threshold=0.5)
+    keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
+
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    contaminated = (
+        dedup.ngram_contamination(train, bench, n=3)
+        .filter(F.col("n_shared_grams") >= 2)
+        .select(F.col("train_id").alias("doc_id"))
+    )
+    kept = (
+        train.select("doc_id", "source")
+        .join(keepers, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return deterministic_shards(kept, n_shards=4).select(
+        "doc_id", "source", "shard", "shard_pos"
+    )
 
 
 _SIMHASH_BITS = 32
