@@ -358,8 +358,9 @@ def test_png_rejects_interlaced_16bit_and_garbage():
             + chunk(b"IEND", b"")
         )
 
-    with _pytest.raises(ValueError, match="interlaced"):
-        decode_png(with_ihdr(8, 0, 1))
+    # Adam7 (interlace=1) is SUPPORTED since round 6; method 2 isn't real
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(with_ihdr(8, 0, 2))
     with _pytest.raises(ValueError, match="16-bit"):
         decode_png(with_ihdr(16, 0, 0))
     with _pytest.raises(ValueError, match="not a PNG"):
@@ -458,3 +459,101 @@ def test_png_roundtrip_property(w, h, rgb, filt, seed):
     out = decode_png(encode_png(img, filters=filt))
     assert out.shape == img.shape
     assert np.array_equal(out, img)
+
+
+# --- Adam7 interlaced PNG --------------------------------------------
+
+
+def _encode_adam7_png(img):
+    """Hand-rolled Adam7 encoder for the round-trip test: split the
+    image into the seven passes, filter-0 every scanline, one zlib
+    stream, standard chunk layout."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import _ADAM7_PASSES
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    ctype = 0 if channels == 1 else 2
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        rows = np.arange(y0, h, dy)
+        cols = np.arange(x0, w, dx)
+        if len(rows) == 0 or len(cols) == 0:
+            continue
+        sub = img[np.ix_(rows, cols)]
+        for r in range(len(rows)):
+            raw.append(0)  # filter None
+            raw += sub[r].tobytes()
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_png_roundtrips_gray_and_rgb():
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(9)
+    for shape in ((13, 9), (8, 8), (1, 7), (5, 1), (16, 24, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(_encode_adam7_png(img))
+        assert got.shape == img.shape, shape
+        assert (got == img).all(), shape
+
+
+def test_adam7_truncated_raises():
+    import numpy as np
+    import pytest
+
+    from unstract_spark.operators.multimodal import decode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = _encode_adam7_png(img)
+    # chop the IDAT payload: re-assemble with half the stream
+    import struct
+    import zlib
+
+    from unstract_spark.operators.multimodal import _ADAM7_PASSES  # noqa: F401
+
+    sig, rest = data[:8], data[8:]
+    # find IDAT
+    pos = 0
+    chunks = []
+    while pos < len(rest):
+        ln = int.from_bytes(rest[pos : pos + 4], "big")
+        tag = rest[pos + 4 : pos + 8]
+        body = rest[pos + 8 : pos + 8 + ln]
+        chunks.append((tag, body))
+        pos += 12 + ln
+    out = sig
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            # decompress, drop the tail, recompress -> short stream
+            raw = zlib.decompress(body)
+            body = zlib.compress(raw[: len(raw) // 2])
+        out += (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(out)

@@ -153,58 +153,24 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG -> (H, W) gray or (H, W, 3) RGB uint8, pure stdlib.
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    PNG is a chunk walk (IHDR/PLTE/IDAT/IEND) + zlib inflate (stdlib)
-    + per-scanline unfiltering — the same "the format is simpler than
-    its reputation" move as minipdf.py. Supported: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha, alpha
-    dropped), 6 (RGBA, alpha dropped), non-interlaced. Rejected loudly:
-    16-bit depth, sub-byte depths, and Adam7 interlace (each raises
-    ValueError naming the limitation — a row-level error in the
-    pipeline, never a wrong pixel).
-    """
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG file")
-    pos = 8
-    ihdr = plte = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        length = int.from_bytes(data[pos : pos + 4], "big")
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) < length:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            ihdr = body
-        elif ctype == b"PLTE":
-            plte = body
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if ihdr is None or len(ihdr) != 13:
-        raise ValueError("PNG missing/short IHDR")
-    width = int.from_bytes(ihdr[0:4], "big")
-    height = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, _, _, interlace = ihdr[8:13]
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
-    if bit_depth != 8:
-        raise ValueError(f"{bit_depth}-bit PNG unsupported (8-bit only)")
-    channels = _PNG_CHANNELS.get(color_type)
-    if channels is None:
-        raise ValueError(f"PNG color type {color_type} unsupported")
-    if width <= 0 or height <= 0:
-        raise ValueError("degenerate PNG dimensions")
-    import zlib
 
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline filters over one (sub-)image's raw
+    bytes -> (height, width*channels) uint8. Shared by the sequential
+    path and each Adam7 pass (a pass filters against its own previous
+    scanline, exactly like a small standalone image)."""
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels  # bytes per pixel at 8-bit depth
@@ -239,6 +205,89 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = line
         prev = line
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W) gray or (H, W, 3) RGB uint8, pure stdlib.
+
+    PNG is a chunk walk (IHDR/PLTE/IDAT/IEND) + zlib inflate (stdlib)
+    + per-scanline unfiltering — the same "the format is simpler than
+    its reputation" move as minipdf.py. Supported: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha, alpha
+    dropped), 6 (RGBA, alpha dropped); BOTH interlace methods (none +
+    Adam7 — each of the seven passes unfilters independently then
+    scatters onto the 8x8 grid). Rejected loudly: 16-bit depth and
+    sub-byte depths (each raises ValueError naming the limitation — a
+    row-level error in the pipeline, never a wrong pixel).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/short IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _, _, interlace = ihdr[8:13]
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if bit_depth != 8:
+        raise ValueError(f"{bit_depth}-bit PNG unsupported (8-bit only)")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data size mismatch")
+        out = _png_unfilter(raw, width, height, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered on
+        # an 8x8 grid (PNG spec 8.2); each pass unfilters like a tiny
+        # non-interlaced image, then its pixels land at
+        # (y0 + i*dy, x0 + j*dx)
+        out = np.zeros((height, width * channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            need = (pstride + 1) * ph
+            if offset + need > len(raw):
+                raise ValueError("PNG pixel data size mismatch (Adam7)")
+            sub = _png_unfilter(raw[offset : offset + need], pw, ph, channels)
+            offset += need
+            rows = np.arange(y0, height, dy)[:ph]
+            cols = np.arange(x0, width, dx)[:pw]
+            px = sub.reshape(ph, pw, channels)
+            grid = out.reshape(height, width, channels)
+            grid[np.ix_(rows, cols)] = px
+        if offset != len(raw):
+            raise ValueError("PNG pixel data size mismatch (Adam7 tail)")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -570,30 +619,16 @@ def encode_bmp24(pixels: np.ndarray) -> bytes:
     return header + b"".join(rows)
 
 
-def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 -> non-interlaced 8-bit PNG.
-
-    `filters` picks the filter type per scanline (cycled); the default
-    cycles 0..4 so a round-trip exercises EVERY unfilter path
-    (None/Sub/Up/Average/Paeth) — that is what lets the oracle-gated
-    registry query vouch for the whole decoder, not just filter 0.
-    """
-    import zlib
-
-    if pixels.ndim == 2:
-        color_type, channels = 0, 1
-    elif pixels.ndim == 3 and pixels.shape[2] == 3:
-        color_type, channels = 2, 3
-    else:
-        raise ValueError("encode_png expects (H, W) or (H, W, 3) uint8")
-    px = pixels.astype(np.uint8)
-    h, w = px.shape[0], px.shape[1]
-    flat = px.reshape(h, w * channels).astype(np.int32)
-    filters = filters or [0, 1, 2, 3, 4]
+def _png_filter_lines(
+    flat: np.ndarray, channels: int, filters: list[int]
+) -> bytearray:
+    """Filter one (sub-)image's scanlines (rows of width*channels int32)
+    into the PNG line stream — shared by the sequential path and each
+    Adam7 pass."""
     bpp = channels
     lines = bytearray()
-    prev = np.zeros(w * channels, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
         f = filters[y % len(filters)]
         cur = flat[y]
         if f == 0:
@@ -620,6 +655,50 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
         lines.append(f)
         lines += (enc & 0xFF).astype(np.uint8).tobytes()
         prev = cur
+    return lines
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> 8-bit PNG.
+
+    `filters` picks the filter type per scanline (cycled); the default
+    cycles 0..4 so a round-trip exercises EVERY unfilter path
+    (None/Sub/Up/Average/Paeth) — that is what lets the oracle-gated
+    registry query vouch for the whole decoder, not just filter 0.
+    `interlace=True` emits Adam7: the seven passes are filtered
+    independently (each against its own previous scanline) into one
+    zlib stream, per spec.
+    """
+    import zlib
+
+    if pixels.ndim == 2:
+        color_type, channels = 0, 1
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png expects (H, W) or (H, W, 3) uint8")
+    px = pixels.astype(np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    filters = filters or [0, 1, 2, 3, 4]
+    if not interlace:
+        flat = px.reshape(h, w * channels).astype(np.int32)
+        lines = _png_filter_lines(flat, channels, filters)
+    else:
+        grid = px.reshape(h, w, channels)
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            rows = np.arange(y0, h, dy)
+            cols = np.arange(x0, w, dx)
+            if len(rows) == 0 or len(cols) == 0:
+                continue
+            sub = grid[np.ix_(rows, cols)].reshape(
+                len(rows), len(cols) * channels
+            ).astype(np.int32)
+            lines += _png_filter_lines(sub, channels, filters)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -632,7 +711,7 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, int(interlace)])
     )
     return (
         _PNG_SIG

@@ -3510,14 +3510,16 @@ def r4_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image path, REAL decode across THREE container
-    formats: each document's first 64 bytes render as an 8x8 image —
-    doc_id%3==0 as binary PGM, ==1 as grayscale PNG, ==2 as RGB PNG
-    whose channels (v-1, v, v+1) keep the integer luma exactly v. PNG
-    rows cycle filters 0..4, so None/Sub/Up/Average/Paeth unfiltering
-    all sit under this hash gate. The oracle computes the same stats
-    straight from the text bytes — identical regardless of container —
-    so any decode/feature drift in any format fails the gate."""
+    """Multimodal image path, REAL decode across FOUR container
+    variants: each document's first 64 bytes render as an 8x8 image —
+    doc_id%4==0 as binary PGM, ==1 as grayscale PNG, ==2 as RGB PNG
+    whose channels (v-1, v, v+1) keep the integer luma exactly v, ==3
+    as Adam7-INTERLACED grayscale PNG (all seven de-interlacing passes
+    under the hash). PNG rows cycle filters 0..4, so None/Sub/Up/
+    Average/Paeth unfiltering all sit under this gate too. The oracle
+    computes the same stats straight from the text bytes — identical
+    regardless of container — so any decode/feature drift in any
+    format fails the gate."""
     import numpy as np
     import pandas as pd
 
@@ -3539,17 +3541,19 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             content = []
             for did, s in zip(pdf["doc_id"], pdf["s"]):
                 px = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
-                m = int(did) % 3
+                m = int(did) % 4
                 if m == 0:
                     content.append(encode_pgm(px))
                 elif m == 1:
                     content.append(encode_png(px))
-                else:
+                elif m == 2:
                     v = px.astype(np.int16)
                     rgb = np.stack(
                         [np.maximum(v - 1, 0), v, v + 1], axis=2
                     ).astype(np.uint8)
                     content.append(encode_png(rgb))
+                else:
+                    content.append(encode_png(px, interlace=True))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
     imgs = d.mapInPandas(encode, "doc_id long, content binary")
