@@ -1379,6 +1379,48 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_length_trim",
+    """
+    WITH bounds AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT d.doc_id, d.n_chars,
+           round(b.lo, 6) AS p05, round(b.hi, 6) AS p95
+    FROM documents d CROSS JOIN bounds b
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """,
+)
+def ta_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-trimmed corpus filter (drop the length tails — the
+    standard outlier scrub before training): keep docs inside the
+    exact interpolated [p5, p95] of n_chars. The scalar-subquery
+    shape: one tiny percentile aggregate broadcast against the scan
+    (never a sort of the corpus — Spark's `percentile` is a
+    fixed-size aggregate buffer). Spark `percentile()` and DuckDB
+    `quantile_cont` share the rank = p*(n-1) linear-interpolation
+    definition over identical integer inputs, so the bounds — and the
+    boundary comparisons — are bit-identical."""
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("lo", 6).alias("p05"),
+            F.round("hi", 6).alias("p95"),
+        )
+    )
+
+
+@register(
     "dd_intra_overlap",
     r"""
     WITH w AS (
