@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ex_stratified_sample",
     "events_rollup_cascade",
     "ex_curation_e2e",
+    "ta_length_trim",
 ]
 
 
