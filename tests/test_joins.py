@@ -238,3 +238,45 @@ def test_range_join_max_bins_guard_is_loud(spark):
         left, right, "v", "lo", "hi", bin_width=1e7, max_bins=1000
     ).collect()
     assert {r.rid for r in ok} == {1, 2}
+
+
+def test_asof_chunked_matches_flat_property(spark):
+    """Hypothesis-style randomized sweep (seeded loop — a spark fixture
+    inside @given re-runs the session per example): random key/ts
+    distributions including heavy ties and sparse buckets, all three
+    directions, random bucket widths — chunked == flat every time."""
+    import random
+
+    for trial in range(6):
+        rng = random.Random(100 + trial)
+        n_keys = rng.choice([1, 2, 5])
+        left = spark.createDataFrame(
+            [
+                (rng.randrange(n_keys), rng.randrange(60), i)
+                for i in range(rng.choice([5, 40, 120]))
+            ],
+            "k long, ts long, lid long",
+        )
+        seen = {}
+        for i in range(rng.choice([3, 25])):
+            seen.setdefault((rng.randrange(n_keys), rng.randrange(60)), 200 + i)
+        right = spark.createDataFrame(
+            [(k, t, s) for (k, t), s in seen.items()],
+            "k long, ts long, snap long",
+        )
+        direction = rng.choice(["backward", "forward", "nearest"])
+        bucket = rng.choice([1.0, 3.5, 17.0, 1000.0])
+        flat = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"], direction=direction
+            ).collect()
+        }
+        chunked = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"],
+                direction=direction, ts_bucket=bucket,
+            ).collect()
+        }
+        assert chunked == flat, (trial, direction, bucket)
