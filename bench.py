@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_rollup_cascade",
     "ex_curation_e2e",
     "ta_length_trim",
+    "j9_interval_overlap",
 ]
 
 

@@ -280,3 +280,41 @@ def test_asof_chunked_matches_flat_property(spark):
             ).collect()
         }
         assert chunked == flat, (trial, direction, bucket)
+
+
+def test_interval_overlap_join_exactly_once_and_lengths(spark):
+    from unstract_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 30.0), (2, 50.0, 55.0), (3, 100.0, 101.0)],
+        "l_id long, l_lo double, l_hi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 10.0, 20.0),   # inside interval 1, spans 3 bins at bw=4
+         (20, 29.0, 52.0),   # overlaps 1 AND 2
+         (30, 200.0, 210.0)],  # overlaps nothing
+        "r_id long, r_lo double, r_hi double",
+    )
+    rows = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=4.0
+    ).collect()
+    got = {(r.l_id, r.r_id): r.overlap for r in rows}
+    assert got == {(1, 10): 10.0, (1, 20): 1.0, (2, 20): 2.0}
+    assert len(rows) == len(got)  # exactly-once despite multi-bin overlaps
+
+
+def test_interval_overlap_guards(spark):
+    import pytest
+
+    from unstract_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0.0, 1.0)], "l_id long, l_lo double, l_hi double")
+    wide = spark.createDataFrame(
+        [(9, 0.0, 1e9)], "r_id long, r_lo double, r_hi double"
+    )
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_join(left, wide, "l_lo", "l_hi", "r_lo", "r_hi", 0)
+    with pytest.raises(ValueError, match="max_bins"):
+        interval_overlap_join(
+            left, wide, "l_lo", "l_hi", "r_lo", "r_hi", 1.0, max_bins=100
+        )

@@ -315,3 +315,61 @@ def range_join(
         )
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    max_bins: int = 10_000,
+    overlap_col: str = "overlap",
+) -> DataFrame:
+    """Interval-x-interval join: every (left, right) pair whose
+    [lo, hi] ranges overlap (inclusive), with the overlap length —
+    the time-weighted attribution/billing primitive (how long was
+    session X inside maintenance window Y).
+
+    Both sides explode to their fixed-width bins and meet in an
+    equi-join; a pair overlapping k bins would surface k times, so a
+    row is kept only in the FIRST bin of its overlap
+    (bin == floor(max(lo_l, lo_r) / width)) — exactly-once without a
+    distinct. Same eager `max_bins` fan-out guard as range_join, on
+    BOTH sides.
+    """
+    bw = float(bin_width)
+    if not bw > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
+    if max_bins < 1:
+        raise ValueError(f"max_bins must be >= 1, got {max_bins!r}")
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_bin = F.floor(F.col(lo) / bw).cast("long")
+        hi_bin = F.floor(F.col(hi) / bw).cast("long")
+        widest = df.agg(F.max(hi_bin - lo_bin).alias("mx")).collect()[0]["mx"]
+        if widest is not None and widest >= max_bins:
+            raise ValueError(
+                f"interval_overlap_join interval spans {int(widest) + 1} "
+                f"bins at bin_width={bw} (max_bins={max_bins})"
+            )
+        return df.select(
+            "*", F.explode(F.sequence(lo_bin, hi_bin)).alias("_bin")
+        )
+
+    l_b = binned(left, left_lo, left_hi)
+    r_b = binned(right, right_lo, right_hi)
+    start = F.greatest(F.col(left_lo), F.col(right_lo))
+    end = F.least(F.col(left_hi), F.col(right_hi))
+    return (
+        l_b.join(r_b, "_bin")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("_bin") == F.floor(start / bw).cast("long"))
+        )
+        .withColumn(overlap_col, end - start)
+        .drop("_bin")
+    )

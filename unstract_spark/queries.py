@@ -584,6 +584,47 @@ def j7_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j9_interval_overlap",
+    """
+    WITH l AS (SELECT event_id AS l_id, value AS l_lo, value + 10 AS l_hi
+               FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0),
+    r AS (SELECT event_id AS r_id, value AS r_lo, value + 10 AS r_hi
+          FROM events WHERE event_type = 'view' AND event_id % 70 = 0)
+    SELECT l_id, r_id,
+           least(l_hi, r_hi) - greatest(l_lo, r_lo) AS overlap
+    FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+    """,
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join with overlap length — the
+    time-weighted attribution primitive (joins.interval_overlap_join):
+    both sides bin-bucketed, equi-join on bin, a pair kept only in the
+    FIRST bin of its overlap (exactly-once, no distinct). The oracle
+    is the plain theta spelling DuckDB affords at oracle scale; the
+    Spark plan never builds the cartesian space."""
+    from unstract_spark.operators.joins import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 50 == 0)
+    ).select(
+        F.col("event_id").alias("l_id"),
+        F.col("value").alias("l_lo"),
+        (F.col("value") + 10).alias("l_hi"),
+    )
+    right = e.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 70 == 0)
+    ).select(
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_lo"),
+        (F.col("value") + 10).alias("r_hi"),
+    )
+    return interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=10.0
+    ).select("l_id", "r_id", "overlap")
+
+
 _BANDS = [(b, float(b * 40), float(b * 40 + 79)) for b in range(10)]
 
 
