@@ -1462,6 +1462,49 @@ def ta_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_trending_terms",
+    r"""
+    WITH w AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, word, count(*) AS n
+        FROM w WHERE word <> '' AND length(word) >= 4
+        GROUP BY 1, 2
+    )
+    SELECT source, word, n, rank FROM (
+        SELECT source, word, n,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n DESC, word ASC) AS INT) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def ta_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trending terms: top-3 words (len>=4) by count within
+    each source — the grouped-top-k analytic (per-group window rank,
+    word tie-break; no global sort, each group ranks only its own
+    vocabulary slice)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter((F.col("word") != "") & (F.length("word") >= 4))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "word", "n", "rank")
+    )
+
+
+@register(
     "dd_intra_overlap",
     r"""
     WITH w AS (
