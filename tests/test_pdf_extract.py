@@ -185,3 +185,41 @@ def test_pipeline_mixed_mime_e2e(spark, tmp_path):
     out2 = run_extraction(spark, job)
     assert out2["results"].count() == 2  # only the two ERROR files re-enter
     assert out2["skipped"].count() == 4
+
+
+def test_explode_pages_multipage_and_single(spark):
+    from unstract_spark.operators.extract import explode_pages
+
+    docs = spark.createDataFrame(
+        [("h1", "page one\fpage two\fpage three"),
+         ("h2", "single page text"),
+         ("h3", None)],
+        "file_hash string, extracted_text string",
+    )
+    rows = explode_pages(docs).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.file_hash, []).append((r.page_no, r.page_text))
+    assert by_id["h1"] == [(1, "page one"), (2, "page two"), (3, "page three")]
+    assert by_id["h2"] == [(1, "single page text")]
+    assert "h3" not in by_id  # null text -> no fake page rows
+
+
+def test_explode_pages_roundtrips_minipdf(spark):
+    """Pages exploded from a real multi-page minipdf extraction match
+    the parser's own page count and order."""
+    from tests.pdf_fixtures import simple_pdf
+    from unstract_spark.operators.extract import explode_pages
+    from unstract_spark.operators.minipdf import extract_pdf_text
+
+    pdf = simple_pdf(["alpha page", "beta page"])
+    text, n_pages = extract_pdf_text(pdf)
+    assert n_pages == 2
+    docs = spark.createDataFrame(
+        [("h", text)], "file_hash string, extracted_text string"
+    )
+    rows = sorted(
+        (r.page_no, r.page_text) for r in explode_pages(docs).collect()
+    )
+    assert len(rows) == 2
+    assert "alpha" in rows[0][1] and "beta" in rows[1][1]

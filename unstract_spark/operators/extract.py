@@ -31,6 +31,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 Adapter = Callable[[bytes], tuple[str, int]]
 
@@ -566,3 +567,25 @@ def extract_text(
 
     cols = [id_col, *passthrough, mime_col, content_col]
     return catalog.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def explode_pages(
+    docs: DataFrame,
+    text_col: str = "extracted_text",
+    id_col: str = "file_hash",
+) -> DataFrame:
+    """Per-PAGE rows from extracted documents: (id, page_no, page_text),
+    1-based, in document order. The page separator is form-feed —
+    minipdf joins page texts with \\f and the whisperer adapter's
+    `<<<` page marker normalizes to the same convention — so page
+    explode is one JVM split+posexplode, no re-parse. Single-page
+    (or non-paginated) text yields exactly one row. NULL text yields
+    no rows (the ERROR row carries the failure, not a fake page)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\f")).alias("_p", "page_text"),
+    ).select(
+        id_col,
+        (F.col("_p") + 1).cast("int").alias("page_no"),
+        "page_text",
+    )
