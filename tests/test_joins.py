@@ -318,3 +318,46 @@ def test_interval_overlap_guards(spark):
         interval_overlap_join(
             left, wide, "l_lo", "l_hi", "r_lo", "r_hi", 1.0, max_bins=100
         )
+
+
+def test_asof_tolerance_all_directions_and_chunked(spark):
+    """merge_asof tolerance semantics: a match farther than the budget
+    nulls out; identical on flat and chunked plans."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 10), (1, 250, 20)], "k long, ts long, snap long"
+    )
+    for bucket in (None, 30.0):
+        back = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"],
+                tolerance=10, ts_bucket=bucket,
+            ).collect()
+        }
+        assert back[1] == 10      # |100-95| = 5 <= 10
+        assert back[2] is None    # backward match at 95 is 105 away
+        fwd = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"],
+                direction="forward", tolerance=60, ts_bucket=bucket,
+            ).collect()
+        }
+        assert fwd[1] is None     # next at 250 is 150 away
+        assert fwd[2] == 20       # 50 <= 60
+        near = {
+            r.lid: r.snap_matched
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["snap"],
+                direction="nearest", tolerance=5, ts_bucket=bucket,
+            ).collect()
+        }
+        assert near[1] == 10      # nearest is 5 away, at budget
+        assert near[2] is None    # nearest (250) is 50 away
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, "k", "ts", "ts", ["snap"], tolerance=-1)

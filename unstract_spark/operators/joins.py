@@ -36,6 +36,7 @@ def asof_join(
     suffix: str = "_matched",
     direction: str = "backward",
     ts_bucket: float | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gains the payload of its matching
     right row for the key — `direction`:
@@ -70,6 +71,8 @@ def asof_join(
         raise ValueError(f"unknown as-of direction {direction!r}")
     if ts_bucket is not None and not ts_bucket > 0:
         raise ValueError(f"ts_bucket must be > 0, got {ts_bucket!r}")
+    if tolerance is not None and not tolerance >= 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance!r}")
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
@@ -87,7 +90,8 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     if ts_bucket is not None:
         return _asof_chunked(
-            unioned, left.columns, key, payload, suffix, direction, float(ts_bucket)
+            unioned, left.columns, key, payload, suffix, direction,
+            float(ts_bucket), tolerance,
         )
     wb = (
         Window.partitionBy(key)
@@ -124,11 +128,31 @@ def asof_join(
             c: F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
             for c in payload
         }
+    pick = _apply_tolerance(pick, payload, direction, tolerance)
     out = carried.filter(F.col("_is_right") == 0)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[pick[c].alias(f"{c}{suffix}") for c in payload],
     )
+
+
+def _apply_tolerance(pick, payload, direction, tolerance):
+    """Null the match when it lies farther than `tolerance` from the
+    left timestamp (the pandas merge_asof tolerance semantic). Uses the
+    carried _b_ts/_f_ts columns both plans compute; a missing match has
+    a NULL carried ts, so the condition stays NULL -> no change."""
+    if tolerance is None:
+        return pick
+    if direction == "backward":
+        ok = (F.col("_ts") - F.col("_b_ts")) <= tolerance
+    elif direction == "forward":
+        ok = (F.col("_f_ts") - F.col("_ts")) <= tolerance
+    else:
+        db = F.col("_ts") - F.col("_b_ts")
+        df_ = F.col("_f_ts") - F.col("_ts")
+        use_b = F.col("_f_ts").isNull() | (F.col("_b_ts").isNotNull() & (db <= df_))
+        ok = F.when(use_b, db).otherwise(df_) <= tolerance
+    return {c: F.when(ok, pick[c]) for c in payload}
 
 
 def _asof_chunked(
@@ -139,6 +163,7 @@ def _asof_chunked(
     suffix: str,
     direction: str,
     bucket: float,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Range-chunked as-of plan (skew-safe): windows run per
     (key, ts_bucket), seeded by a per-bucket boundary pass.
@@ -252,6 +277,7 @@ def _asof_chunked(
             c: F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
             for c in payload
         }
+    pick = _apply_tolerance(pick, payload, direction, tolerance)
     out = carried.filter(F.col("_is_right") == 0)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left_cols],

@@ -585,6 +585,66 @@ def j7_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_asof_tolerance",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_ns(ts) // 1000 AS u
+        FROM events
+    ),
+    snaps AS (
+        SELECT user_id, u, event_id, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, u
+                                         ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type IN ('signup', 'view')
+        ) WHERE rn = 1
+    ),
+    purch AS (SELECT event_id, user_id, u, value FROM e
+              WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.u AS ts_us, p.value,
+           s.event_id AS snap_event_id, s.value AS snap_value
+    FROM purch p
+    LEFT JOIN snaps s ON s.user_id = p.user_id AND s.u = (
+        SELECT max(s2.u) FROM snaps s2
+        WHERE s2.user_id = p.user_id AND s2.u <= p.u
+          AND s2.u >= p.u - 3600000000)
+    """,
+)
+def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-distance budget (pandas merge_asof
+    `tolerance`): snapshots older than one hour are no match at all.
+    Same union+window plan as j7 with a null-out mask on the carried
+    timestamp; the oracle bounds the correlated arg-max the same way."""
+    from unstract_spark.operators.joins import asof_join
+
+    e0 = _t(spark, sf_dir, "events")
+    if dict(e0.dtypes)["ts"] == "timestamp_ntz":
+        u = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:
+        u = F.unix_micros(F.col("ts"))
+    e = e0.select("event_id", "user_id", "event_type", "value", u.alias("u"))
+    w = Window.partitionBy("user_id", "u").orderBy(F.col("event_id").desc())
+    snaps = (
+        e.filter(F.col("event_type").isin("signup", "view"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "u", "event_id", "value")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "u", "value"
+    )
+    out = asof_join(
+        purch, snaps, key="user_id", left_ts="u", right_ts="u",
+        payload=["event_id", "value"], tolerance=3_600e6,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("u").alias("ts_us"), "value",
+        F.col("event_id_matched").alias("snap_event_id"),
+        F.col("value_matched").alias("snap_value"),
+    )
+
+
+@register(
     "j9_interval_overlap",
     """
     WITH l AS (SELECT event_id AS l_id, value AS l_lo, value + 10 AS l_hi
