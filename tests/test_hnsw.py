@@ -109,3 +109,40 @@ def test_hnsw_string_ids(spark):
     )
     rows = hnsw_topk_join(q, emb, dim=8, k=3).collect()
     assert rows[0].vec_id == "doc-3" and rows[0].rank == 1
+
+
+def test_hnsw_store_build_query_matches_transient(spark, tmp_path):
+    """Persistent store round-trip: serialized graphs answer queries
+    identically to the transient per-call build with the same shard
+    count (same graphs, reload instead of re-insert)."""
+    import numpy as np
+
+    from unstract_spark.operators.hnsw import HnswIndexStore, hnsw_topk_join
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(300, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    store = HnswIndexStore(spark, str(tmp_path / "hnsw_idx"))
+    assert store.build(emb, n_shards=4) == 300  # every node serialized
+
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in store.query(q, k=5, ef_search=64).collect()
+    }
+    transient = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in hnsw_topk_join(q, emb, dim=16, k=5, n_shards=4).collect()
+    }
+    assert got == transient
+    # query twice: immutable artifact, same answer
+    again = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in store.query(q, k=5, ef_search=64).collect()
+    }
+    assert again == got

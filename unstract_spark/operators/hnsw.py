@@ -215,3 +215,169 @@ def hnsw_topk_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------
+# Persistent index: build once, query many
+# ---------------------------------------------------------------------
+
+
+def _index_to_rows(idx: _HnswIndex, shard: int) -> list[tuple]:
+    """Serialize one shard's graph: a row per node carrying its level,
+    normalized vector and per-layer neighbor lists BY ID (ids are
+    stable across reload; internal indices are not)."""
+    rows = []
+    for i, nid in enumerate(idx.ids):
+        layers = []
+        for l in range(idx.levels[i] + 1):
+            layers.append([idx.ids[nb] for nb in idx.neighbors[l].get(i, ())])
+        rows.append(
+            (
+                shard,
+                nid,
+                idx.levels[i],
+                [float(x) for x in idx.vecs[i]],
+                layers,
+            )
+        )
+    return rows
+
+
+def _index_from_rows(ids, levels, vecs, layer_lists, m, efc) -> _HnswIndex:
+    """Rebuild a searchable shard graph from its serialized rows —
+    no re-insertion, the stored adjacency IS the graph."""
+    idx = _HnswIndex(m=m, ef_construction=efc)
+    idx.ids = list(ids)
+    idx.levels = list(levels)
+    idx.vecs = np.asarray(vecs, dtype=np.float64)
+    pos = {nid: i for i, nid in enumerate(idx.ids)}
+    top = max(idx.levels, default=0)
+    idx.neighbors = [dict() for _ in range(top + 1)]
+    for i, layers in enumerate(layer_lists):
+        for l, nbrs in enumerate(layers):
+            idx.neighbors[l][i] = [pos[n] for n in nbrs]
+    if idx.ids:
+        # entry must MATCH the build: insertion goes in ascending
+        # str(id) order and the entry only moves on a strictly higher
+        # level, so the final entry is the smallest-str(id) node among
+        # those at the maximum level
+        idx.entry = min(
+            (i for i in range(len(idx.ids)) if idx.levels[i] == top),
+            key=lambda i: str(idx.ids[i]),
+        )
+    return idx
+
+
+class HnswIndexStore:
+    """Persistent sharded HNSW index — the build-once/query-many shape
+    a retrieval service runs (the transient hnsw_topk_join rebuilds
+    per call; real indexes are immutable artifacts, like the PQ
+    codebooks and IVF centroids).
+
+    `build` constructs each shard's graph in its own task and writes
+    the serialized graph partitioned by shard; `query` streams the
+    stored rows per shard, reconstructs the adjacency (no
+    re-insertion — the stored lists ARE the graph), and answers the
+    broadcast query set. Rebuild-free query cost is the whole point:
+    graph construction is O(n·ef·log n), reload is O(n).
+    """
+
+    def __init__(self, spark, path: str, m: int = 8, ef_construction: int = 64):
+        self.spark = spark
+        self.path = path
+        self.m = m
+        self.efc = ef_construction
+
+    def build(
+        self,
+        index: DataFrame,
+        n_shards: int | None = None,
+        index_id: str = "vec_id",
+        index_vec: str = "embedding",
+    ) -> int:
+        m, efc = self.m, self.efc
+        shards = n_shards or int(
+            index.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        src = index.select(index_id, index_vec).repartition(
+            shards, F.col(index_id)
+        )
+        id_t = index.schema[index_id].dataType.simpleString()
+        schema = (
+            f"shard int, `{index_id}` {id_t}, level int, "
+            "vec array<double>, layers array<array<long>>"
+        )
+
+        def run(it):
+            from pyspark import TaskContext
+
+            ids, vecs = [], []
+            for pdf in it:
+                ids.extend(pdf[index_id].tolist())
+                vecs.extend(list(v) for v in pdf[index_vec])
+            if not ids:
+                return
+            # shard label = the build partition id: unique per task, so
+            # one stored shard is always exactly one connected graph
+            shard = TaskContext.get().partitionId()
+            idx = _HnswIndex(m=m, ef_construction=efc)
+            idx.build(ids, np.asarray(vecs, dtype=np.float64))
+            rows = _index_to_rows(idx, shard)
+            yield pd.DataFrame(
+                rows, columns=["shard", index_id, "level", "vec", "layers"]
+            )
+
+        frame = src.mapInPandas(run, schema=schema)
+        frame.write.mode("overwrite").partitionBy("shard").parquet(self.path)
+        return self.spark.read.parquet(self.path).count()
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ef_search: int = 64,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        index_id: str = "vec_id",
+    ) -> DataFrame:
+        m, efc = self.m, self.efc
+        q_rows = queries.select(query_id, query_vec).collect()
+        q_ids = [r[0] for r in q_rows]
+        q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        stored = self.spark.read.parquet(self.path)
+        q_id_t = queries.schema[query_id].dataType.simpleString()
+        id_t = stored.schema[index_id].dataType.simpleString()
+        out_schema = f"`{query_id}` {q_id_t}, `{index_id}` {id_t}, score double"
+
+        # groupBy(shard).applyInPandas, NOT a repartition+mapInPandas:
+        # a hash repartition can land two shard labels in one task, and
+        # two MERGED graphs are disconnected — nodes outside the entry's
+        # component become unreachable. One group == one graph, always.
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0 or not len(q_ids):
+                return pd.DataFrame({query_id: [], index_id: [], "score": []})
+            idx = _index_from_rows(
+                pdf[index_id].tolist(),
+                [int(x) for x in pdf["level"]],
+                [list(v) for v in pdf["vec"]],
+                [[list(layer) for layer in row] for row in pdf["layers"]],
+                m,
+                efc,
+            )
+            oq, ov, os_ = [], [], []
+            for qi, qv in zip(q_ids, q_mat):
+                for vid, s in idx.search(qv, k, ef_search):
+                    oq.append(qi)
+                    ov.append(vid)
+                    os_.append(s)
+            return pd.DataFrame({query_id: oq, index_id: ov, "score": os_})
+
+        hits = stored.groupBy("shard").applyInPandas(run, schema=out_schema)
+        w = Window.partitionBy(query_id).orderBy(
+            F.round(F.col("score"), 6).desc(), F.col(index_id).asc()
+        )
+        return (
+            hits.withColumn("score", F.round("score", 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
