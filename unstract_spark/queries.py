@@ -1522,6 +1522,37 @@ def ta_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text || chr(7) || '  MIXED' || chr(9) || chr(8203)
+                     || 'Case' || chr(13)),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+               '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def ta_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (text_analysis.normalize_text):
+    lowercase, control-char and zero-width strip, whitespace squash,
+    trim — one codegen projection. Control/zero-width characters are
+    SYNTHESIZED into every row on both engines (the PII-gate trick),
+    so the strip rules demonstrably fire under the hash rather than
+    no-op on the ASCII corpus."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("\x07  MIXED\t\u200bCase\r"),
+    )
+    return d.select(
+        "doc_id", text_analysis.normalize_text(dirty).alias("norm_text")
+    )
+
+
+@register(
     "ta_trending_terms",
     r"""
     WITH w AS (
