@@ -146,3 +146,28 @@ def test_hnsw_store_build_query_matches_transient(spark, tmp_path):
         for r in store.query(q, k=5, ef_search=64).collect()
     }
     assert again == got
+
+
+def test_hnsw_store_string_ids_and_empty(spark, tmp_path):
+    import numpy as np
+
+    from unstract_spark.operators.hnsw import HnswIndexStore
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8))
+    emb = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<float>",
+    )
+    store = HnswIndexStore(spark, str(tmp_path / "sidx"))
+    assert store.build(emb, n_shards=2) == 30
+    q = emb.filter("vec_id = 'doc-7'").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    rows = store.query(q, k=3).collect()
+    assert rows[0].vec_id == "doc-7" and rows[0].rank == 1
+
+    empty = emb.filter("vec_id = 'nope'")
+    store2 = HnswIndexStore(spark, str(tmp_path / "eidx"))
+    assert store2.build(empty, n_shards=2) == 0
+    assert store2.query(q, k=3).count() == 0

@@ -223,3 +223,16 @@ def test_explode_pages_roundtrips_minipdf(spark):
     )
     assert len(rows) == 2
     assert "alpha" in rows[0][1] and "beta" in rows[1][1]
+
+
+def test_explode_pages_whisperer_marker(spark):
+    """The whisperer adapter keeps the service's literal '<<<' page
+    marker; explode_pages' default separator must split on it too."""
+    from unstract_spark.operators.extract import explode_pages
+
+    docs = spark.createDataFrame(
+        [("h", "page one<<<page two<<<page three")],
+        "file_hash string, extracted_text string",
+    )
+    rows = sorted((r.page_no, r.page_text) for r in explode_pages(docs).collect())
+    assert rows == [(1, "page one"), (2, "page two"), (3, "page three")]

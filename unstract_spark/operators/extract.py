@@ -573,17 +573,21 @@ def explode_pages(
     docs: DataFrame,
     text_col: str = "extracted_text",
     id_col: str = "file_hash",
+    separator: str = "\\f|<<<",
 ) -> DataFrame:
     """Per-PAGE rows from extracted documents: (id, page_no, page_text),
-    1-based, in document order. The page separator is form-feed —
-    minipdf joins page texts with \\f and the whisperer adapter's
-    `<<<` page marker normalizes to the same convention — so page
-    explode is one JVM split+posexplode, no re-parse. Single-page
-    (or non-paginated) text yields exactly one row. NULL text yields
-    no rows (the ERROR row carries the failure, not a fake page)."""
+    1-based, in document order. The default separator regex covers
+    BOTH page conventions this engine produces — minipdf joins page
+    texts with form-feed, the whisperer adapter keeps the service's
+    literal `<<<` marker — so page explode is one JVM split+posexplode
+    over either, no re-parse. Single-page (or non-paginated) text
+    yields exactly one row. NULL text yields no rows (the ERROR row
+    carries the failure, not a fake page)."""
     return docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\f")).alias("_p", "page_text"),
+        F.posexplode(F.split(F.col(text_col), separator)).alias(
+            "_p", "page_text"
+        ),
     ).select(
         id_col,
         (F.col("_p") + 1).cast("int").alias("page_no"),

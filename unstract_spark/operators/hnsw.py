@@ -305,7 +305,7 @@ class HnswIndexStore:
         id_t = index.schema[index_id].dataType.simpleString()
         schema = (
             f"shard int, `{index_id}` {id_t}, level int, "
-            "vec array<double>, layers array<array<long>>"
+            f"vec array<double>, layers array<array<{id_t}>>"
         )
 
         def run(it):
@@ -328,8 +328,14 @@ class HnswIndexStore:
             )
 
         frame = src.mapInPandas(run, schema=schema)
-        frame.write.mode("overwrite").partitionBy("shard").parquet(self.path)
-        return self.spark.read.parquet(self.path).count()
+        # plain (non-partitioned) write: an EMPTY index under
+        # partitionBy produces zero files and the read-back can't infer
+        # a schema; a plain empty parquet write still carries one. The
+        # query side reads all shards anyway, so pruning buys nothing.
+        frame.write.mode("overwrite").parquet(self.path)
+        # count over the pruned id column — not a full re-read of
+        # vectors and adjacency arrays
+        return self.spark.read.parquet(self.path).select(index_id).count()
 
     def query(
         self,

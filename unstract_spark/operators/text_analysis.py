@@ -384,7 +384,7 @@ def unigram_logprob(
 
 def normalize_text(text: Column) -> Column:
     """Corpus text normalization, all JVM-side codegen: lowercase,
-    strip C0/C1 control chars and zero-width code points, squash
+    strip C0 and C1 control chars (incl. DEL and U+0080-009F) and zero-width code points, squash
     whitespace runs to single spaces, trim. The standard pre-dedup /
     pre-tokenize cleanup; patterns are RE2-and-Java compatible (the
     PII-redaction discipline) so the SQL twin matches byte-for-byte.
@@ -392,7 +392,7 @@ def normalize_text(text: Column) -> Column:
     stage), and the corpus ops that depend on byte equality (exact
     dedup, fingerprints) must see exactly what this produced."""
     t = F.lower(text)
-    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", "")
     t = F.regexp_replace(t, "[\\u200b\\u200c\\u200d\\ufeff]", "")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)

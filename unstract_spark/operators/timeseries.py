@@ -40,46 +40,14 @@ def rollup_cascade(
     """
     if not levels:
         raise ValueError("levels must be non-empty")
-    # Each tier is MATERIALIZED (executor-local checkpoint) before the
-    # next derives from it: the lazy spelling would re-expand every
-    # tier's lineage inside the final union and scan raw once per
-    # level — exactly the cost this operator exists to avoid. Tiers
-    # are aggregate-sized (minutes, hours, days), so the
-    # materialization is ~free; localCheckpoint, not persist (the
-    # CacheManager-leak rule, SCALE.md).
-    fine = (
-        events.groupBy(
-            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum"),
-        )
-        .localCheckpoint(eager=True)
+    # one definition of the cascade: the batch path IS the incremental
+    # path applied to this frame's own finest-level partials (decimal
+    # sums are exact, so partial-then-fold equals direct aggregation)
+    return cascade_from_partials(
+        minute_partials(events, ts_col=ts_col, value_col=value_col,
+                        level=levels[0]),
+        levels,
     )
-    tiers = [fine]
-    for lvl in levels[1:]:
-        prev = tiers[-1]
-        tiers.append(
-            prev.groupBy(
-                F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start")
-            )
-            .agg(
-                F.sum("_n").alias("_n"),
-                F.sum("_sum").alias("_sum"),  # exact decimal addition
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = None
-    for lvl, tier in zip(levels, tiers):
-        part = tier.select(
-            F.lit(lvl).alias("level"),
-            "bucket_start",
-            F.col("_n").cast("long").alias("n_events"),
-            F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
 
 
 def cascade_from_partials(

@@ -1527,8 +1527,8 @@ def ta_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(
                lower(text || chr(7) || '  MIXED' || chr(9) || chr(8203)
-                     || 'Case' || chr(13)),
-               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     || 'Case' || chr(133) || chr(13)),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
                '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
                '', 'g'),
                '\s+', ' ', 'g')) AS norm_text
@@ -1545,7 +1545,7 @@ def ta_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     dirty = F.concat(
         F.col("text"),
-        F.lit("\x07  MIXED\t\u200bCase\r"),
+        F.lit("\x07  MIXED\t\u200bCase\x85\r"),
     )
     return d.select(
         "doc_id", text_analysis.normalize_text(dirty).alias("norm_text")
