@@ -356,3 +356,26 @@ def test_byte_pair_frequencies_split_multibyte(spark):
     assert pairs[("A9", "</w>")] == 1
     assert pairs[("61", "62")] == 1   # 'ab'
     assert pairs[("62", "</w>")] == 1
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    from unstract_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        byte_merges_to_symbols,
+        FIXED_BYTE_MERGES,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    merges = byte_merges_to_symbols(FIXED_BYTE_MERGES)
+    vocab = build_vocab(None, merges, byte_level=True)
+    p = str(tmp_path / "tok.json")
+    save_tokenizer(p, merges, vocab, byte_level=True)
+    m2, v2, bl = load_tokenizer(p)
+    assert m2 == merges and v2 == vocab and bl is True
+
+    df = spark.createDataFrame([(1, "the thé 🎉")], "doc_id long, text string")
+    a = bpe_encode_ids(df, merges, vocab, byte_level=True).collect()[0]
+    b = bpe_encode_ids(df, m2, v2, byte_level=bl).collect()[0]
+    assert a.token_ids == b.token_ids and a.n_tokens > 0

@@ -167,3 +167,49 @@ def test_pq_auto_params_divide_awkward_dims(spark):
     )
     got, plan = similarity_topk(q, e, dim=100, k=3, strategy="pq")
     assert plan.params["n_sub"] == 10 and got.count() == 3
+
+
+def test_ivfpq_store_matches_transient_and_prunes(spark, tmp_path):
+    """Persistent IVF-PQ artifact: stored codes answer identically to
+    the transient ivfpq_topk_join with the same params, the probe join
+    prunes to cell partitions, and repeated queries are stable."""
+    from unstract_spark.operators.similarity import (
+        IvfPqIndexStore,
+        ivfpq_topk_join,
+    )
+
+    e = _emb(spark, n=120, dim=16)
+    q = e.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    store = IvfPqIndexStore(
+        spark, str(tmp_path / "ivfpq"), dim=16, n_centroids=8, n_sub=4,
+        n_codes=8,
+    )
+    assert store.build(e) == 120
+
+    got = {
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in store.query(q, k=5, n_probe=3, refine=3).collect()
+    }
+    transient = {
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in ivfpq_topk_join(
+            q, e, dim=16, k=5, n_centroids=8, n_probe=3, n_sub=4,
+            n_codes=8, refine=3,
+        ).collect()
+    }
+    assert got == transient and len(got) == 20
+    again = {
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in store.query(q, k=5, n_probe=3, refine=3).collect()
+    }
+    assert again == got
+    # the artifact is cell-partitioned: probe pruning is directory-level
+    import os
+
+    parts = [
+        d for d in os.listdir(str(tmp_path / "ivfpq" / "data"))
+        if d.startswith("cell=")
+    ]
+    assert len(parts) >= 2

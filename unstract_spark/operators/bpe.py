@@ -518,3 +518,39 @@ def bpe_encode_ids(
             yield pd.DataFrame({id_col: ids, "token_ids": seqs, "n_tokens": ns})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def save_tokenizer(
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+    byte_level: bool = False,
+) -> None:
+    """Persist a trained tokenizer as one JSON artifact (the
+    HuggingFace-style layout: ordered merge list + token->id vocab +
+    flags). Training is expensive and corpus-wide; encoding runs in
+    every downstream job — the artifact is what crosses that boundary."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "version": 1,
+        "byte_level": byte_level,
+        "merges": [[a, b] for a, b in merges],
+        "vocab": vocab,
+    }
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_tokenizer(path: str) -> tuple[list[tuple[str, str]], dict[str, int] | None, bool]:
+    """(merges, vocab, byte_level) — inverse of save_tokenizer."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    merges = [tuple(p) for p in payload["merges"]]
+    return merges, payload.get("vocab"), bool(payload.get("byte_level"))

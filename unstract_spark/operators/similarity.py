@@ -870,3 +870,131 @@ def similarity_topk(
             term_limit=term_limit, **plan.params, **col_names,
         )
     return out, plan
+
+
+class IvfPqIndexStore:
+    """Persistent IVF-PQ index — encode once, query many.
+
+    The transient ivfpq_topk_join recomputes the expensive index-side
+    work (cell assignment + PQ codes over every vector) on every call;
+    a production index is an immutable ARTIFACT (the FAISS flow):
+    `build` runs the assignment+encode expressions once and lands
+    (id, vec, cell, code_0..code_{n_sub-1}) as parquet partitioned by
+    cell — so a query's probe join prunes to its n_probe cell
+    DIRECTORIES before reading a row — with the centroid/codebook
+    matrices saved beside it (driver-side .npz, centroid-sized).
+    `query` rebuilds only the query-side expressions (LUTs, probes)
+    and reuses the stored codes; results are identical to the
+    transient call with the same parameters because both sides compose
+    the SAME gated expressions.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        dim: int,
+        n_centroids: int = 16,
+        n_sub: int = 8,
+        n_codes: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.n_centroids = n_centroids
+        self.n_sub = n_sub
+        self.n_codes = n_codes
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_meta.npz")
+
+    def build(
+        self,
+        index: DataFrame,
+        index_id: str = "vec_id",
+        index_vec: str = "embedding",
+        centroids: np.ndarray | None = None,
+        codebooks: list[np.ndarray] | None = None,
+        term_limit: int | None = None,
+    ) -> int:
+        import os
+
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _seeded_hyperplanes(self.dim, self.n_centroids, table=991)
+        )
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(self.dim, self.n_sub, self.n_codes)
+        )
+        ib = _argmax_cells(index, index_id, index_vec, 1, cents, term_limit)
+        codes = pq_encode(
+            ib, self.dim, self.n_sub, self.n_codes, index_id, index_vec,
+            cbs, keep=("cell",),
+        )
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(self.path, "data")
+        )
+        os.makedirs(self.path, exist_ok=True)
+        np.savez(
+            self._meta_path(),
+            centroids=cents,
+            **{f"cb_{m}": cbs[m] for m in range(self.n_sub)},
+        )
+        return (
+            self.spark.read.parquet(os.path.join(self.path, "data"))
+            .select(index_id)
+            .count()
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 3,
+        refine: int = 3,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        index_id: str = "vec_id",
+        index_vec: str = "embedding",
+        term_limit: int | None = None,
+    ) -> DataFrame:
+        import os
+
+        meta = np.load(self._meta_path())
+        cents = meta["centroids"]
+        cbs = [meta[f"cb_{m}"] for m in range(self.n_sub)]
+        d = self.dim // self.n_sub
+        stored = self.spark.read.parquet(os.path.join(self.path, "data"))
+
+        qb = _argmax_cells(queries, query_id, query_vec, n_probe, cents, term_limit)
+        q = qb.select(
+            F.col(query_id), F.col(query_vec), F.col("cell"),
+            *_pq_lut_cols(cbs, query_vec, d),
+        )
+        cands = stored.join(F.broadcast(q), "cell").select(
+            query_id, query_vec, index_id, index_vec,
+            _adc_expr(self.n_sub).alias("adc"),
+        )
+        wa = Window.partitionBy(query_id).orderBy(
+            F.col("adc").desc(), F.col(index_id).asc()
+        )
+        shortlist = (
+            cands.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= refine * k)
+        )
+        scored = shortlist.select(
+            query_id,
+            index_id,
+            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").desc(), F.col(index_id).asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
