@@ -964,6 +964,57 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomalies",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS mean,
+               CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(*) AS msq
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mean)
+                 / sqrt(greatest(s.msq - s.mean * s.mean, 1e-12)), 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.mean)
+          > 3 * sqrt(greatest(s.msq - s.mean * s.mean, 1e-12))
+    """,
+)
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type outlier detection: events more than 3 population-sigmas
+    from their type's mean, with the z-score. Moments come from EXACT
+    decimal sums (the mm-stats pattern) so mean/std — and therefore the
+    boundary comparisons — are bit-identical cross-engine; the per-type
+    stats table is broadcast back against the scan (grouped
+    standardization without a second corpus shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    std = F.sqrt(F.greatest(F.col("msq") - F.col("mean") * F.col("mean"), F.lit(1e-12)))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3 * std)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mean")) / std, 6).alias("z"),
+        )
+    )
+
+
+@register(
     "events_json_props",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
