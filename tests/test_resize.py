@@ -66,3 +66,33 @@ def test_resize_images_distributed_with_error_isolation(spark):
     assert c.resize_error is None
     b = rows["broken.bin"]
     assert b.pixels is None and b.resize_error  # row-level isolation
+
+
+def test_downsample_audio_exact_and_partial_group(spark):
+    import numpy as np
+
+    from unstract_spark.operators.multimodal import (
+        decode_wav,
+        downsample_audio,
+        encode_wav16,
+    )
+
+    samples = np.array([10, 20, 30, 40, -7, -8, -9], dtype=np.int16)
+    wav = encode_wav16(samples, rate=8000)
+    df = spark.createDataFrame([(1, wav), (2, b"junk")], "doc_id long, content binary")
+    rows = {r.doc_id: r for r in downsample_audio(df, factor=4).collect()}
+    out, rate = decode_wav(bytes(rows[1].content))
+    # groups: floor(mean(10,20,30,40))=25; floor(mean(-7,-8,-9))=-8
+    assert list(out) == [25, -8]
+    assert rate == 2000 and rows[1].n_samples == 2
+    assert rows[2].content is None and "Error" in rows[2].resample_error
+
+
+def test_downsample_audio_factor_validation(spark):
+    import pytest
+
+    from unstract_spark.operators.multimodal import downsample_audio
+
+    df = spark.createDataFrame([(1, b"")], "doc_id long, content binary")
+    with pytest.raises(ValueError, match="factor"):
+        downsample_audio(df, factor=0)

@@ -883,3 +883,66 @@ def frame_sample_plan(
     ).select(
         id_col, "sample_no", (F.col("frame_idx") * every_n).alias("frame_number")
     )
+
+
+def downsample_audio(
+    df: DataFrame,
+    factor: int,
+    payload_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode WAV + integer box-downsample by `factor`; emit the
+    re-encoded WAV at rate/factor — the audio twin of resize_images
+    (the standard pre-feature decimation stage).
+
+    Each output sample is floor(mean) of its `factor`-sample group in
+    the EXACT integer domain (int64 sums, floor division — no float in
+    the kernel), so the result is reproducible bit-for-bit by a SQL
+    oracle from the same source samples. A trailing partial group
+    averages over its actual length. Per-row error isolation; output:
+    (id, content, sample_rate, n_samples, resample_error).
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor!r}")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("resample_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    samples, rate = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    s = samples.astype(np.int64)
+                    n = len(s)
+                    groups = (n + factor - 1) // factor
+                    sums = np.zeros(groups, dtype=np.int64)
+                    np.add.at(sums, np.arange(n) // factor, s)
+                    sizes = np.full(groups, factor, dtype=np.int64)
+                    if n % factor:
+                        sizes[-1] = n % factor
+                    small = np.floor_divide(sums, sizes).astype(np.int16)
+                    new_rate = max(1, rate // factor)
+                    out["content"].append(encode_wav16(small, rate=new_rate))
+                    out["sample_rate"].append(new_rate)
+                    out["n_samples"].append(int(groups))
+                    out["resample_error"].append(None)
+                except Exception as ex:  # noqa: BLE001 — row-level isolation
+                    out["content"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["resample_error"].append(f"{type(ex).__name__}: {ex}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -3838,6 +3838,75 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_downsample_audio",
+    """
+    WITH samples AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               (ascii(substr(rpad(substr(text, 1, 64), 64, ' '), CAST(i AS INT), 1))
+                - 100) * 300 AS v
+        FROM documents, unnest(range(1, 65)) AS u(i)
+    )
+    SELECT doc_id, CAST((i - 1) // 4 AS INT) AS idx,
+           CAST(sum(v) // 4 AS INT) AS v
+    FROM samples GROUP BY doc_id, (i - 1) // 4
+    """,
+)
+def mm_downsample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation under a sample-exact gate: 64 synthesized PCM
+    samples per doc, WAV-encoded, box-downsampled 4x in the exact
+    integer domain (multimodal.downsample_audio: int64 group sums +
+    floor division, no float), re-encoded, decoded again, exploded.
+    The oracle reproduces every output sample as floor(group mean)
+    straight from the text bytes — so encode -> decimate -> encode ->
+    decode is verified sample-for-sample."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import (
+        decode_wav,
+        downsample_audio,
+        encode_wav16,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            content = [
+                encode_wav16(
+                    (
+                        np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                        .astype(np.int16)
+                        - 100
+                    )
+                    * 300
+                )
+                for s in pdf["s"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    wavs = d.mapInPandas(encode, "doc_id long, content binary")
+    small = downsample_audio(wavs, factor=4)
+
+    def decode(batches):
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["content"]):
+                samples, _ = decode_wav(bytes(payload))
+                for j, v in enumerate(samples):
+                    ids.append(rid)
+                    idxs.append(j)
+                    vals.append(int(v))
+            yield pd.DataFrame({"doc_id": ids, "idx": idxs, "v": vals})
+
+    return small.mapInPandas(decode, "doc_id long, idx int, v int")
+
+
+@register(
     "mm_audio_features",
     """
     WITH samples AS (
