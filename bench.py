@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ex_curation_e2e",
     "ta_length_trim",
     "j9_interval_overlap",
+    "events_anomalies",
+    "mm_downsample_audio",
 ]
 
 
