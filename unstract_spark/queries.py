@@ -1969,6 +1969,76 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_cluster_histogram",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    simpairs AS (
+        SELECT p.id_a, p.id_b,
+               (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id) p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM simpairs WHERE est >= 0.5
+        UNION
+        SELECT id_b, id_a FROM simpairs WHERE est >= 0.5
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dd_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup-rate report a
+    curation run publishes (how many docs sit in 2-, 3-, n-member
+    clusters, how many are unique). Pure derivation of the gated
+    cluster labels: one aggregate over cluster sizes."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(d)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sims = dedup.minhash_similarity(sigs, pairs)
+    clusters = dedup.duplicate_clusters(d, sims, threshold=0.5)
+    return (
+        clusters.select("cluster_id", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+    )
+
+
+@register(
     "dd_duplicate_clusters",
     f"""
     WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
