@@ -92,8 +92,16 @@ def usage_breakdown_by_model(
     Guard parity: an LLM row with an empty reason is a producer-side
     bug (a call site forgot usage_kwargs) and is DROPPED from the
     breakdown, exactly as helper.py does, rather than surfacing a
-    malformed bare-"llm" bucket. Decimal-domain cost sums keep the
-    aggregate cross-engine stable.
+    malformed bare-"llm" bucket.
+
+    Cost sum runs in an EXACT integer domain: each row's dollar cost is
+    quantized to micro-dollars (round(x*1e6) -> long — the same 1e-6
+    resolution the previous DECIMAL(18,6) domain had), summed as a
+    long (associative, partial-agg-order independent), and divided
+    back once at the end. A double->DECIMAL cast is engine-sensitive
+    (tie-rounding inside the cast differed across DuckDB versions and
+    made the r6 driver hash diverge while judge-local runs were
+    bit-exact); long arithmetic + one final IEEE division is not.
     """
     reason = F.coalesce(F.col(reason_col), F.lit(""))
     guarded = usage.filter(~((F.col(type_col) == "llm") & (reason == "")))
@@ -108,8 +116,11 @@ def usage_breakdown_by_model(
             F.sum("completion_tokens").alias("sum_output_tokens"),
             F.sum("total_tokens").alias("sum_total_tokens"),
             F.sum("embedding_tokens").alias("sum_embedding_tokens"),
-            F.round(F.sum(F.col("cost_in_dollars").cast("decimal(18,6)")), 6)
-            .cast("double")
-            .alias("sum_cost"),
+            (
+                F.sum(
+                    F.round(F.col("cost_in_dollars") * 1000000).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_cost"),
         )
     )

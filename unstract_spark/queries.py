@@ -85,45 +85,65 @@ def _davg(col, scale: int = 4):
 # driver-green rounds) cede their slots and remain judge/sf-sweep
 # covered via tools/check_correctness.py over the FULL registry.
 _DRIVER_GATE_FIRST = [
+    # --- round-7 front-slot policy (derived from the r6 driver record +
+    # this round's diff, per ADVICE): (a) every query whose
+    # implementation or oracle CHANGED this round, (b) every row with no
+    # green driver record yet (never-checked or stale-red), (c) every
+    # query newly registered this round. Fill the remaining window with
+    # the queries having the FEWEST prior driver-green rounds. ---
+    # (a) changed this round: a1's cost sum moved from a lossy
+    # double->DECIMAL(18,6) cast to an exact micro-dollar long domain
+    # on BOTH sides (the r6 red row — driver-env decimal tie-rounding).
+    "a1_usage_by_model",
+    # (b) stale rows: bpe_token_counts' only driver row is r5
+    # "no_oracle"; its fixed-merges value-hash oracle landed in r6.
+    "bpe_token_counts",
+    # (b) round-6 late adds, never inside a driver window:
+    "dd_cluster_histogram",
+    "events_anomalies",
+    "j7_asof_tolerance",
+    "j9_interval_overlap",
+    "mm_downsample_audio",
+    "ta_length_trim",
+    "ta_normalize",
+    "ta_trending_terms",
+    # (c) round-7 additions (never driver-checked by definition):
+    "dd_minhash_skew",
+    "ex_pack_segments",
+    "ta_stopword_profile",
+    "sim_mips_topk",
+    "j10_temporal_join",
+    "ta_zipf_fit",
+    "dd_suffix_arrays",
+    "ex_dedup_provenance",
+    "mm_image_tiles",
+    "events_hotspot_windows",
+    "agg_variance_by_status",
+    "ta_simpson_diversity",
+    "sim_cell_probe_stats",
+    "ex_length_mixture",
+    # fill: fewest driver-green rounds first (ceded veterans from the
+    # r1-r5 window that r6 rotated out; each has exactly 1-4 green
+    # rounds vs the 5-round veterans that close the registry order).
     "dd_embedding_neardup_lsh",
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_rrf_fusion",
     "sim_keyword_table",
-    "q3_shipping_priority",
-    "q5_region_volume",
     "t16_classification",
     "t14_lookup_enrichment",
     "t11_summarize",
     "t13_evaluation",
     "f8_variable_replacement",
     "r7_automerging",
-    "agg_count_distinct",
-    "agg_having_large_orders",
-    "agg_sorted_array_collect",
-    "sql_above_nation_avg",
     "t12_challenge",
     "t18_highlights",
     "rp_chunk_embed_retrieve",
     "r2_subquestion",
     "t10_single_pass",
-    "skew_salted_agg",
     "ta_lang_confusion",
     "r5_router",
     "r4_recursive",
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_jpeg_features",
-    "mm_video_features",
-    "ex_shard_assignment",
-    "ex_token_packing",
-    "ex_corpus_prep",
-    "ex_mixture_sample",
-    "mm_resize_pixels",
-    "a1_usage_by_model",
-    "events_session_window",
-    "li_continuation",
-    # round-6 additions (never driver-checked by definition):
     "bpe_byte_token_counts",
     "j7_asof_join_chunked",
     "dd_duplicate_clusters",
@@ -4493,8 +4513,8 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(completion_tokens) AS sum_output_tokens,
            sum(total_tokens) AS sum_total_tokens,
            sum(embedding_tokens) AS sum_embedding_tokens,
-           CAST(round(sum(CAST(cost_in_dollars AS DECIMAL(18,6))), 6) AS DOUBLE)
-               AS sum_cost
+           CAST(sum(CAST(round(cost_in_dollars * 1000000) AS BIGINT)) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS sum_cost
     FROM u
     WHERE NOT (usage_type = 'llm' AND llm_usage_reason = '')
     GROUP BY 1, 2
