@@ -272,3 +272,99 @@ def test_manifest_commit_is_atomic_with_content(spark, tmp_path):
     assert payload["segments"]
     # no temp files left behind
     assert not [n for n in os.listdir(t.manifest_dir) if n.startswith(".tmp-")]
+
+
+def test_manifest_vacuum_retention_measures_since_supersession(spark, tmp_path):
+    """Segments hours old at the moment a commit supersedes them must
+    still get the FULL min_age_s retention window (commit stamps their
+    mtime with the supersession time): a reader holding a pre-compact
+    snapshot is protected no matter how long ago the segment was
+    written. After the window they vacuum normally."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    path = str(tmp_path / "h")
+    store = FileHistoryStore(spark, path, backend="manifest")
+    store.merge(_hist_rows(spark, "a", 3))
+    store.merge(_hist_rows(spark, "b", 2))
+    t = ManifestTable(spark, path)
+    # age the live segments: written "hours ago"
+    for seg in os.listdir(t.data_dir):
+        os.utime(os.path.join(t.data_dir, seg), (1, 1))
+    assert store.compact()  # supersedes both old segments + auto-vacuums
+    # immediately after compaction the superseded segments must survive
+    assert t.vacuum(min_age_s=60) == 0
+    assert len(os.listdir(t.data_dir)) == 3  # 2 superseded + 1 compacted
+    assert store.read().count() == 5
+    # once the retention window has truly elapsed since supersession
+    keep = set(t.segments(t.version()))
+    for seg in set(os.listdir(t.data_dir)) - keep:
+        os.utime(os.path.join(t.data_dir, seg), (1, 1))
+    assert t.vacuum(min_age_s=60) == 2
+    assert set(os.listdir(t.data_dir)) == keep
+
+
+# -- pluggable commit backend: object-store conditional PUT ------------
+
+
+def test_object_store_put_if_absent_semantics():
+    """The fake models exactly what S3 If-None-Match:* / GCS
+    ifGenerationMatch=0 guarantee: first PUT wins with its payload
+    atomic, second PUT on the same key is rejected with nothing
+    changed."""
+    from unstract_spark.sinks.manifest import FakeObjectStoreBackend
+
+    b = FakeObjectStoreBackend()
+    assert b.put_if_absent("v000.json", b"one") is True
+    assert b.put_if_absent("v000.json", b"two") is False
+    assert b.read_manifest("v000.json") == b"one"
+    assert b.list_manifests() == ["v000.json"]
+
+
+def test_manifest_on_object_store_concurrent_merges_lose_nothing(
+    spark, tmp_path
+):
+    """The multiwriter guarantee holds with the commit log on the
+    object-store backend: every writer's rows survive concurrent
+    lock-free merges, versions advance one per commit, and losers
+    retried (version count >= commit count proves each commit burned a
+    distinct conditional PUT)."""
+    from unstract_spark.sinks.manifest import FakeObjectStoreBackend
+
+    bucket = FakeObjectStoreBackend()
+    store = FileHistoryStore(spark, str(tmp_path / "h"), backend=bucket)
+
+    def writer(tag: str):
+        for i in range(3):
+            store.merge(_hist_rows(spark, f"{tag}{i}", 4))
+
+    with ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(writer, t) for t in ("a", "b")]
+        for f in futs:
+            f.result()
+    assert store.read().count() == 24
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "h"), commit_backend=bucket)
+    assert t.version() == 5  # 6 commits -> v0..v5, no gaps, no POSIX log
+    assert not os.path.exists(os.path.join(str(tmp_path / "h"), "_manifests"))
+
+
+def test_manifest_on_object_store_crash_orphan_invisible(spark, tmp_path):
+    """Crash safety is backend-independent: a segment written but never
+    manifested through the bucket is invisible to readers and
+    vacuumable."""
+    from unstract_spark.sinks.manifest import (
+        FakeObjectStoreBackend,
+        ManifestTable,
+    )
+
+    bucket = FakeObjectStoreBackend()
+    path = str(tmp_path / "h")
+    store = FileHistoryStore(spark, path, backend=bucket)
+    store.merge(_hist_rows(spark, "a", 3))
+    t = ManifestTable(spark, path, commit_backend=bucket)
+    orphan = t.write_segment(_hist_rows(spark, "dead", 5))
+    assert store.read().count() == 3
+    os.utime(os.path.join(t.data_dir, orphan), (1, 1))
+    assert t.vacuum(min_age_s=60) == 1
+    assert store.read().count() == 3

@@ -213,3 +213,24 @@ def test_ivfpq_store_matches_transient_and_prunes(spark, tmp_path):
         if d.startswith("cell=")
     ]
     assert len(parts) >= 2
+
+
+def test_ivfpq_store_empty_build_round_trips(spark, tmp_path):
+    """An empty corpus must build a readable (zero-row) artifact: a
+    partitionBy write of an empty frame emits NO files, so the store
+    falls back to a plain write that still carries the schema — build's
+    read-back count and later query() both work instead of dying on
+    parquet schema inference."""
+    from unstract_spark.operators.similarity import IvfPqIndexStore
+
+    e = _emb(spark, n=12, dim=16)
+    empty = e.filter("vec_id < 0")
+    store = IvfPqIndexStore(
+        spark, str(tmp_path / "eivfpq"), dim=16, n_centroids=4, n_sub=4,
+        n_codes=8,
+    )
+    assert store.build(empty) == 0
+    q = e.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    assert store.query(q, k=5).count() == 0

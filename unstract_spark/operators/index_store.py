@@ -34,16 +34,22 @@ class VectorIndexStore(VectorStoreBackend):
     (sinks/vector_db.py defines the interface; JdbcVectorStore is the
     pgvector-shaped external backend)."""
 
-    def __init__(self, spark: SparkSession, path: str, backend: str = "swap"):
-        if backend not in ("swap", "manifest"):
-            raise ValueError(f"unknown ledger backend {backend!r}")
+    def __init__(self, spark: SparkSession, path: str, backend="swap"):
+        """`backend`: "swap", "manifest" (POSIX put-if-absent), or a
+        `manifest.CommitBackend` instance (pluggable commit log, e.g.
+        object-store conditional PUT)."""
         self.spark = spark
         self.path = path
-        from unstract_spark.sinks.manifest import ManifestTable
+        from unstract_spark.sinks.manifest import CommitBackend, ManifestTable
 
-        self._manifest = (
-            ManifestTable(spark, path) if backend == "manifest" else None
-        )
+        if isinstance(backend, CommitBackend):
+            self._manifest = ManifestTable(spark, path, commit_backend=backend)
+        elif backend == "manifest":
+            self._manifest = ManifestTable(spark, path)
+        elif backend == "swap":
+            self._manifest = None
+        else:
+            raise ValueError(f"unknown ledger backend {backend!r}")
 
     def read(self) -> DataFrame:
         if self._manifest is not None:

@@ -936,9 +936,20 @@ class IvfPqIndexStore:
             ib, self.dim, self.n_sub, self.n_codes, index_id, index_vec,
             cbs, keep=("cell",),
         )
-        codes.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(self.path, "data")
-        )
+        if codes.isEmpty():
+            # A partitionBy write of an empty frame produces ZERO
+            # parquet files, so the read-back below (and every later
+            # query()) dies on schema inference — same pitfall the HNSW
+            # store documents. A plain write still carries the schema
+            # (cell becomes a data column, which query()'s filter reads
+            # identically).
+            codes.write.mode("overwrite").parquet(
+                os.path.join(self.path, "data")
+            )
+        else:
+            codes.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.path, "data")
+            )
         os.makedirs(self.path, exist_ok=True)
         np.savez(
             self._meta_path(),

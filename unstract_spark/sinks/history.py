@@ -47,14 +47,23 @@ def _merge_newest_wins(current: DataFrame, updates: DataFrame) -> DataFrame:
 
 
 class FileHistoryStore:
-    def __init__(self, spark: SparkSession, path: str, backend: str = "swap"):
-        if backend not in ("swap", "manifest"):
-            raise ValueError(f"unknown ledger backend {backend!r}")
+    def __init__(self, spark: SparkSession, path: str, backend="swap"):
+        """`backend`: "swap", "manifest" (POSIX put-if-absent), or a
+        `manifest.CommitBackend` instance (manifest protocol over a
+        pluggable commit log — e.g. an object store's conditional
+        PUT)."""
+        from unstract_spark.sinks.manifest import CommitBackend
+
         self.spark = spark
         self.path = path
-        self._manifest = (
-            ManifestTable(spark, path) if backend == "manifest" else None
-        )
+        if isinstance(backend, CommitBackend):
+            self._manifest = ManifestTable(spark, path, commit_backend=backend)
+        elif backend == "manifest":
+            self._manifest = ManifestTable(spark, path)
+        elif backend == "swap":
+            self._manifest = None
+        else:
+            raise ValueError(f"unknown ledger backend {backend!r}")
 
     def read(self) -> DataFrame:
         """Snapshot read. Swap backend: localCheckpoint pins the
@@ -108,7 +117,12 @@ class FileHistoryStore:
         vacuum-able garbage. No-op on the swap backend (always one
         'segment'). Returns True if the compaction committed; False
         means a concurrent append won the version — the appended rows
-        are preserved and compaction should simply be retried later."""
+        are preserved and compaction should simply be retried later.
+
+        The vacuum after a successful commit is safe for concurrent
+        readers regardless of segment age: try_commit stamps superseded
+        segments with the supersession time, so min_age_s measures time
+        since DEREFERENCE, not since the segment was written."""
         if self._manifest is None:
             return True
         v, df = self._manifest.snapshot_with_seq(FILE_HISTORY)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -54,23 +55,113 @@ class CommitConflict(Exception):
     """Another writer committed this version first (retryable)."""
 
 
+class CommitBackend:
+    """Storage seam for the manifest LOG — the tiny JSON files whose
+    creation IS the transaction. Segments (bulk parquet) stay on
+    whatever shared storage Spark reads/writes; only the commit
+    protocol's three primitives are abstracted, because put-if-absent
+    is the one operation whose atomicity the ACID story rests on.
+
+    Contract for put_if_absent: atomically create `name` with
+    `payload`, fully visible the instant the key exists; return False
+    (no partial state) if the key already exists. Real object-store
+    bindings are one subclass each: S3 `PutObject` with
+    `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag `*`
+    precondition.
+    """
+
+    def list_manifests(self) -> list[str]:
+        raise NotImplementedError
+
+    def read_manifest(self, name: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, name: str, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkBackend(CommitBackend):
+    """Default: manifests as files, put-if-absent as temp-write +
+    os.link (atomic create WITH durable payload — a bare
+    O_CREAT|O_EXCL then write would expose an empty manifest to a
+    crash). Honest on any POSIX filesystem, including NFS."""
+
+    def __init__(self, manifest_dir: str):
+        self.manifest_dir = manifest_dir
+
+    def list_manifests(self) -> list[str]:
+        try:
+            return os.listdir(self.manifest_dir)
+        except FileNotFoundError:
+            return []
+
+    def read_manifest(self, name: str) -> bytes:
+        with open(os.path.join(self.manifest_dir, name), "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, name: str, payload: bytes) -> bool:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(self.manifest_dir, name))
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+
+class FakeObjectStoreBackend(CommitBackend):
+    """Object-store-shaped fake: a flat key->bytes bucket whose
+    conditional PUT rejects existing keys — the exact semantics of S3
+    `If-None-Match: *` / GCS `ifGenerationMatch=0`. The internal lock
+    models the atomicity the store's API guarantees (each PUT is one
+    all-or-nothing request); there is NO rename, NO link, NO directory
+    — proving the commit protocol needs nothing POSIX."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def list_manifests(self) -> list[str]:
+        with self._lock:
+            return list(self._objects)
+
+    def read_manifest(self, name: str) -> bytes:
+        with self._lock:
+            return self._objects[name]
+
+    def put_if_absent(self, name: str, payload: bytes) -> bool:
+        with self._lock:
+            if name in self._objects:
+                return False
+            self._objects[name] = payload
+            return True
+
+
 class ManifestTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_backend: CommitBackend | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.manifest_dir = os.path.join(path, _MANIFEST_DIR)
         self.data_dir = os.path.join(path, _DATA_DIR)
+        self.backend = commit_backend or PosixLinkBackend(self.manifest_dir)
 
     # -- log ----------------------------------------------------------
 
     def version(self) -> int:
         """Highest committed version; -1 for an empty/absent table."""
-        try:
-            names = os.listdir(self.manifest_dir)
-        except FileNotFoundError:
-            return -1
         best = -1
-        for n in names:
+        for n in self.backend.list_manifests():
             if n.startswith("v") and n.endswith(".json"):
                 try:
                     best = max(best, int(n[1:-5]))
@@ -78,14 +169,18 @@ class ManifestTable:
                     continue
         return best
 
+    def _manifest_name(self, version: int) -> str:
+        return f"v{version:012d}.json"
+
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.manifest_dir, f"v{version:012d}.json")
+        return os.path.join(self.manifest_dir, self._manifest_name(version))
 
     def segments(self, version: int) -> list[str]:
         if version < 0:
             return []
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)["segments"]
+        return json.loads(self.backend.read_manifest(self._manifest_name(version)))[
+            "segments"
+        ]
 
     # -- snapshot -----------------------------------------------------
 
@@ -113,32 +208,33 @@ class ManifestTable:
         """Commit `segments` as version base+1, or raise CommitConflict
         if another writer got there first.
 
-        Content is written to a private temp file first and the commit
-        point is one os.link() — atomic put-if-absent WITH the payload
-        already durable, so no reader or crash can ever observe an
-        empty/partial manifest (a bare O_CREAT|O_EXCL followed by a
-        write would make the file visible before its content exists:
-        a crash between the two wedges the version number forever)."""
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        The commit point is ONE put-if-absent on the backend — payload
+        atomically visible with the key, so no reader or crash can ever
+        observe an empty/partial manifest and a lost race never wedges
+        the version number."""
         target = base_version + 1
         payload = json.dumps(
             {"version": target, "segments": segments, "ts": time.time()}
-        )
-        tmp = os.path.join(
-            self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
-        )
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._manifest_path(target))
-        except FileExistsError:
+        ).encode()
+        if not self.backend.put_if_absent(self._manifest_name(target), payload):
             raise CommitConflict(
                 f"version {target} already committed at {self.path}"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
+        # Stamp supersession time: segments the previous version
+        # referenced but this one dropped become vacuum-eligible NOW,
+        # not at their (possibly hours-old) write time — touching them
+        # makes vacuum's mtime-based retention measure time since
+        # DEREFERENCE, so a reader holding a pre-commit snapshot gets
+        # the full min_age_s window (Delta's VACUUM retention
+        # semantics). Crash orphans were never referenced; their write
+        # mtime is already their dereference time.
+        if base_version >= 0:
+            now = time.time()
+            for seg in set(self.segments(base_version)) - set(segments):
+                try:
+                    os.utime(os.path.join(self.data_dir, seg), (now, now))
+                except OSError:
+                    pass
 
     def merge(self, updates: DataFrame, merge_fn, schema, max_retries: int = 20):
         """Transactional read-merge-commit with optimistic retry.

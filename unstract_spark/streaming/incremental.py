@@ -639,7 +639,7 @@ def streaming_cluster_pipeline(
             for d in os.listdir(labels_dir)
             if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
         )
-        for b in snaps[: -max(keep_snapshots, 1)]:
+        for b in snaps[: -max(keep_snapshots, 2)]:
             shutil.rmtree(f"{labels_dir}/batch_id={b}", ignore_errors=True)
 
     schema = "id_a long, id_b long, est_jaccard double"
