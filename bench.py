@@ -159,6 +159,15 @@ def main() -> None:
     dt = statistics.median(_pipeline_e2e(spark, n_docs=200) for _ in range(N_RUNS))
     timings["pipeline_e2e_200docs"] = round(dt, 3)
     total += dt
+    # 10x corpus datapoint (single run — it IS the steady-state shape):
+    # at 200 docs the pipeline is scheduling-latency-bound (~12 jobs of
+    # sub-second tasks), so round-over-round deltas there measure host
+    # noise; 2000 docs puts real work in each task and is the datapoint
+    # where per-doc throughput (and the checkpoint-reuse saving, which
+    # grows with corpus size) is visible.
+    dt2k = _pipeline_e2e(spark, n_docs=2000)
+    timings["pipeline_e2e_2000docs"] = round(dt2k, 3)
+    total += dt2k
 
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()  # warm: codegen + JIT + page cache

@@ -885,6 +885,26 @@ def frame_sample_plan(
     )
 
 
+def decimate_pcm(
+    samples: "np.ndarray", factor: int, rate: int
+) -> tuple["np.ndarray", int]:
+    """The exact-integer box-decimation kernel shared by
+    downsample_audio and fused single-pass pipelines: each output
+    sample is floor(mean) of its `factor`-group (int64 sums, floor
+    division — no float), trailing partial group averaged over its
+    actual length. Returns (int16 samples, new rate)."""
+    s = samples.astype(np.int64)
+    n = len(s)
+    groups = (n + factor - 1) // factor
+    sums = np.zeros(groups, dtype=np.int64)
+    np.add.at(sums, np.arange(n) // factor, s)
+    sizes = np.full(groups, factor, dtype=np.int64)
+    if n % factor:
+        sizes[-1] = n % factor
+    small = np.floor_divide(sums, sizes).astype(np.int16)
+    return small, max(1, rate // factor)
+
+
 def downsample_audio(
     df: DataFrame,
     factor: int,
@@ -924,19 +944,10 @@ def downsample_audio(
                     samples, rate = decode_wav(
                         bytes(payload) if payload is not None else b""
                     )
-                    s = samples.astype(np.int64)
-                    n = len(s)
-                    groups = (n + factor - 1) // factor
-                    sums = np.zeros(groups, dtype=np.int64)
-                    np.add.at(sums, np.arange(n) // factor, s)
-                    sizes = np.full(groups, factor, dtype=np.int64)
-                    if n % factor:
-                        sizes[-1] = n % factor
-                    small = np.floor_divide(sums, sizes).astype(np.int16)
-                    new_rate = max(1, rate // factor)
+                    small, new_rate = decimate_pcm(samples, factor, rate)
                     out["content"].append(encode_wav16(small, rate=new_rate))
                     out["sample_rate"].append(new_rate)
-                    out["n_samples"].append(int(groups))
+                    out["n_samples"].append(len(small))
                     out["resample_error"].append(None)
                 except Exception as ex:  # noqa: BLE001 — row-level isolation
                     out["content"].append(None)

@@ -1988,6 +1988,93 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_similarity(sigs, pairs)
 
 
+_SKEW_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT 1000000 + u.i AS doc_id,
+               d.text || ' copy ' || CAST(u.i AS VARCHAR) AS text
+        FROM (SELECT text FROM documents WHERE doc_id = 0) d,
+             unnest(range(1, 241)) AS u(i)
+"""
+
+_MINHASH_SKEW_SQL = _MINHASH_SQL.replace("FROM documents", "FROM skew_corpus")
+
+
+@register(
+    "dd_minhash_skew",
+    f"""
+    WITH skew_corpus AS ({_SKEW_CORPUS_SQL}),
+    sigs AS ({_MINHASH_SKEW_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    cool AS (
+        SELECT band_no, band_key FROM bands
+        GROUP BY band_no, band_key HAVING count(*) <= 64
+    ),
+    cbands AS (
+        SELECT bands.* FROM bands JOIN cool USING (band_no, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cbands a JOIN cbands b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+)
+def dd_minhash_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup over a DELIBERATELY skewed corpus with the
+    `max_bucket` hot-band fuse active — the guard's semantics under the
+    driver's hash gate, not just pytest.
+
+    The corpus is documents + 240 near-copies of doc 0 (template flood:
+    one boilerplate document near-duplicating hundreds — the real-world
+    shape that makes a band bucket corpus-sized and its self-join
+    quadratic). With max_bucket=64, buckets the flood saturates are
+    DROPPED before the self-join; the oracle reproduces the exact
+    capped candidate set (count per band bucket -> HAVING <= 64 ->
+    pair join), so a drift in the cap's placement (before vs after the
+    join) or its boundary (< vs <=) fails the hash. At 100 TB the cap
+    is what bounds the worst band's pair fan-out; template clusters it
+    drops are exact/near-exact groups that exact_dedup_groups handles
+    upstream at hash-groupBy cost."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    variants = (
+        d.filter(F.col("doc_id") == 0)
+        .select("text", F.explode(F.sequence(F.lit(1), F.lit(240))).alias("i"))
+        .select(
+            (F.lit(1000000) + F.col("i")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" copy "), F.col("i").cast("string")
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(variants)
+    sh = dedup.char_shingles(corpus)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs, max_bucket=64)
+    return dedup.minhash_similarity(sigs, pairs)
+
+
 @register(
     "dd_cluster_histogram",
     f"""
@@ -3944,17 +4031,25 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_downsample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decimation under a sample-exact gate: 64 synthesized PCM
     samples per doc, WAV-encoded, box-downsampled 4x in the exact
-    integer domain (multimodal.downsample_audio: int64 group sums +
-    floor division, no float), re-encoded, decoded again, exploded.
-    The oracle reproduces every output sample as floor(group mean)
-    straight from the text bytes — so encode -> decimate -> encode ->
-    decode is verified sample-for-sample."""
+    integer domain (multimodal.decimate_pcm: int64 group sums + floor
+    division, no float — the same kernel downsample_audio runs),
+    re-encoded, decoded again, exploded. The oracle reproduces every
+    output sample as floor(group mean) straight from the text bytes —
+    so encode -> decimate -> encode -> decode is verified
+    sample-for-sample.
+
+    The whole chain runs in ONE mapInPandas (one Arrow crossing): the
+    r6 shape was three chained Python stages (encode | decimate |
+    decode), and the per-row work is microseconds — the three
+    JVM<->Python serialization boundaries dominated the query's cost.
+    Nothing between the stages is relational, so fusing loses no
+    Catalyst opportunity."""
     import numpy as np
     import pandas as pd
 
     from unstract_spark.operators.multimodal import (
+        decimate_pcm,
         decode_wav,
-        downsample_audio,
         encode_wav16,
     )
 
@@ -3964,36 +4059,26 @@ def mm_downsample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def encode(batches):
-        for pdf in batches:
-            content = [
-                encode_wav16(
-                    (
-                        np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-                        .astype(np.int16)
-                        - 100
-                    )
-                    * 300
-                )
-                for s in pdf["s"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
-
-    wavs = d.mapInPandas(encode, "doc_id long, content binary")
-    small = downsample_audio(wavs, factor=4)
-
-    def decode(batches):
+    def fused(batches):
         for pdf in batches:
             ids, idxs, vals = [], [], []
-            for rid, payload in zip(pdf["doc_id"], pdf["content"]):
-                samples, _ = decode_wav(bytes(payload))
-                for j, v in enumerate(samples):
+            for rid, s in zip(pdf["doc_id"], pdf["s"]):
+                pcm = (
+                    np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                        np.int16
+                    )
+                    - 100
+                ) * 300
+                samples, rate = decode_wav(encode_wav16(pcm))
+                small, new_rate = decimate_pcm(samples, 4, rate)
+                out, _ = decode_wav(encode_wav16(small, rate=new_rate))
+                for j, v in enumerate(out):
                     ids.append(rid)
                     idxs.append(j)
                     vals.append(int(v))
             yield pd.DataFrame({"doc_id": ids, "idx": idxs, "v": vals})
 
-    return small.mapInPandas(decode, "doc_id long, idx int, v int")
+    return d.mapInPandas(fused, "doc_id long, idx int, v int")
 
 
 @register(

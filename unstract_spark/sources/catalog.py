@@ -157,8 +157,15 @@ def build_catalog(listing: DataFrame, allowed_mime: list[str] | None = None) -> 
     )
     if allowed_mime:
         df = df.filter(F.col("mime_type").isin(allowed_mime))
-    # Global row_number is a single-partition window — acceptable because a
-    # catalog is bounded by max_files (default 100, hard cap 40k with
-    # ordering); never applied to unbounded listings.
+    # Global row_number needs a single-partition window, but ONLY the
+    # file_path column rides through it (bounded by max_files — default
+    # 100, hard cap 40k — so a few MB at worst); the numbering is then
+    # broadcast back onto the full rows. Ranking the full frame would
+    # funnel every file's binary `content` through one partition — the
+    # window's payload, not its row count, is what breaks at scale.
     w_order = F.row_number().over(Window.orderBy(F.col("file_path")))
-    return df.withColumn("file_number", w_order.cast("int"))
+    numbers = (
+        df.select("file_path")
+        .withColumn("file_number", w_order.cast("int"))
+    )
+    return df.join(F.broadcast(numbers), "file_path")
