@@ -655,3 +655,88 @@ def test_streaming_similarity_planner_flips_per_batch(spark, tmp_path, sf_dir):
     assert [p.strategy for p in plans] != ["brute_force"]
     assert plans[0].strategy in ("lsh", "ivf")
     assert spark.read.parquet(str(tmp_path / "o")).count() > 0
+
+
+def test_streaming_queue_consumer_union_equals_batch_and_redelivers(
+    spark, tmp_path
+):
+    """S9 streaming twin: an AvailableNow drain of the review queue
+    consumes exactly what batch claim-until-empty consumes (union of
+    fire partitions == batch set), a lapsed foreign claim is
+    REDELIVERED into a later fire, and an actively-claimed message is
+    left alone."""
+    import pyspark.sql.functions as F
+
+    from unstract_spark.sinks.review_queue import (
+        ack_messages,
+        claim_batch,
+        pending_messages,
+        write_queue,
+    )
+    from unstract_spark.streaming.incremental import (
+        read_consumed_messages,
+        streaming_queue_consumer,
+    )
+
+    qp, lp = str(tmp_path / "queue"), str(tmp_path / "ledger")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def enqueue(tags):
+        results = spark.createDataFrame(
+            [(f"{t}.txt", f"h-{t}", 200.0) for t in tags],
+            "file_name string, file_hash string, total double",
+        ).coalesce(1)
+        write_queue(route_to_review(results, "q1", pct=100.0), qp)
+
+    # three separate enqueue batches -> three file-triggered fires
+    enqueue(["a0", "a1", "a2"])
+    enqueue(["b0", "b1", "b2"])
+    enqueue(["c0", "c1"])
+
+    fires = streaming_queue_consumer(
+        spark, qp, lp, ckpt, out, "q1", "sc1", max_messages_per_fire=4
+    )
+    assert fires >= 2  # the drain took multiple claiming fires
+    streamed = {r.message_id for r in read_consumed_messages(spark, out).collect()}
+
+    # batch twin on a FRESH ledger: claim-until-empty over the same queue
+    blp = str(tmp_path / "bl")
+    batch_ids: set[str] = set()
+    while True:
+        got = claim_batch(spark, qp, blp, "q1", "bc", max_messages=4)
+        ids = [r.message_id for r in got.collect()]
+        if not ids:
+            break
+        ack_messages(spark, blp, "q1", ids, "bc")
+        batch_ids.update(ids)
+    assert streamed == batch_ids and len(streamed) == 8
+
+    # --- redelivery: 3 new messages; a crashed consumer's STALE claim
+    # on one must redeliver, a live foreign claim on another must not.
+    enqueue(["d0", "d1", "d2"])
+    new_ids = sorted(
+        r.message_id
+        for r in pending_messages(spark, qp, lp, "q1").collect()
+    )
+    stale_id, live_id, free_id = new_ids[0], new_ids[1], new_ids[2]
+    ghost = spark.createDataFrame(
+        [("q1", stale_id, "ghost", "CLAIMED"), ("q1", live_id, "ghost2", "CLAIMED")],
+        "queue_name string, message_id string, consumer_id string, state string",
+    ).withColumn(
+        "ts",
+        F.when(
+            F.col("message_id") == stale_id,
+            F.current_timestamp() - F.make_dt_interval(hours=F.lit(1)),
+        ).otherwise(F.current_timestamp()),
+    )
+    ghost.write.mode("append").partitionBy("queue_name").parquet(lp)
+
+    fires2 = streaming_queue_consumer(
+        spark, qp, lp, ckpt, out, "q1", "sc1", max_messages_per_fire=4
+    )
+    assert fires2 >= 1
+    consumed = {r.message_id for r in read_consumed_messages(spark, out).collect()}
+    assert stale_id in consumed  # lapsed claim redelivered
+    assert free_id in consumed
+    assert live_id not in consumed  # active claim respected
+    assert consumed == streamed | {stale_id, free_id}

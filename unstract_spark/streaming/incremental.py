@@ -718,3 +718,94 @@ def read_streaming_rollups(spark: SparkSession, store_dir: str) -> DataFrame:
     if "batch_id" in partials.columns:
         partials = partials.drop("batch_id")
     return cascade_from_partials(partials)
+
+
+def streaming_queue_consumer(
+    spark: SparkSession,
+    queue_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    queue_name: str,
+    consumer_id: str,
+    visibility_timeout_s: int = 300,
+    max_messages_per_fire: int = 10_000,
+) -> int:
+    """S9 streaming twin — the HITL consume LOOP as an AvailableNow
+    drain of the review queue (reference: the worker that dequeues
+    QueueResult packets from review_queue_{org}_{workflow},
+    endpoint_v2/queue_utils.py consume path; the batch claim/ack ledger
+    in sinks/review_queue.py is the state it drives).
+
+    Each fire claims up to `max_messages_per_fire` PENDING messages —
+    unexpired, never DONE, not actively claimed — via the same
+    claim_batch ledger protocol the batch consumer uses, writes them to
+    `out_dir/batch_id=N`, then acks. The stream over the queue table is
+    the arrival signal (new enqueued files trigger fires); the pending
+    view is computed against the FULL queue state, so a message whose
+    earlier claim lapsed un-acked (crashed consumer) RE-ENTERS pending
+    and is redelivered by a later fire — SQS-style visibility-timeout
+    recovery, driven by the ledger, not by stream replay.
+
+    Delivery contract: AT-LEAST-ONCE per message, effectively-once in
+    the normal path (DONE rows gate re-claims). The crash matrix:
+    - die after claim, before output: the claim lapses; a later fire
+      redelivers into ITS batch partition (this fire's replay writes
+      nothing — claims are still active and the partition overwrite is
+      skipped when the fire claims zero, so a committed partition is
+      never blanked by a replay).
+    - die after output, before ack: the claim lapses and the message is
+      redelivered into a later partition — a duplicate across
+      partitions, deduped downstream by the stable message_id (the
+      at-least-once half of the contract).
+    Claim batches stay driver-bounded (human-review-sized), exactly as
+    the batch API documents. Returns the number of fires that claimed
+    at least one message.
+    """
+    from unstract_spark.sinks.review_queue import ack_messages, claim_batch
+
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        claimed = claim_batch(
+            spark,
+            queue_path,
+            ledger_path,
+            queue_name,
+            consumer_id,
+            max_messages=max_messages_per_fire,
+            visibility_timeout_s=visibility_timeout_s,
+        )
+        ids = [r.message_id for r in claimed.select("message_id").collect()]
+        if not ids:
+            return
+        fires += 1
+        claimed.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(epoch)}"
+        )
+        ack_messages(spark, ledger_path, queue_name, ids, consumer_id)
+
+    schema = spark.read.parquet(queue_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(queue_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def read_consumed_messages(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all fires' claimed batches, message_id-deduped (the
+    at-least-once -> effectively-once fold a downstream reader does)."""
+    df = spark.read.parquet(out_dir)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    return df.dropDuplicates(["message_id"])
