@@ -240,3 +240,47 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_h", "_rn")
     )
+
+
+def length_mixture_plan(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum/length-mixture plan: bin documents by token length
+    and allocate a training-token budget proportional to each bin's
+    corpus share — the planning table a data-mixture config is tuned
+    against (length buckets are the standard curriculum axis).
+
+    Allocation stays in INTEGER arithmetic (budget * bin_tokens DIV
+    corpus_tokens) so the plan is engine-portable; shares are rounded
+    doubles for the human column. Two aggregations (per-bin, corpus
+    total) + one broadcast join — no window, no Python.
+    """
+    from unstract_spark.operators.text_analysis import token_count_ws
+
+    n = token_count_ws(F.col(text_col))
+    binned = docs.select(
+        F.when(n < 64, "s")
+        .when(n < 256, "m")
+        .when(n < 1024, "l")
+        .otherwise("xl")
+        .alias("length_bin"),
+        n.alias("n_tokens"),
+    )
+    per = binned.groupBy("length_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    tot = binned.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "length_bin",
+        "n_docs",
+        "bin_tokens",
+        F.round(
+            F.col("bin_tokens").cast("double") / F.col("corpus_tokens"), 6
+        ).alias("token_share"),
+        F.expr(f"{budget_tokens} * bin_tokens DIV corpus_tokens").alias(
+            "budget_alloc"
+        ),
+    )

@@ -45,6 +45,16 @@ def bounded_rank(
 _bounded_rank = bounded_rank  # back-compat alias (pre-export name)
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Raw inner product of two array<float/double> columns, JVM-side,
+    double domain, left-to-right fold (oracle-parity order)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
@@ -62,6 +72,14 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
+    # The unrolled form is a LEFT-DEEP 3*dim-term tree (the sequential
+    # sum order is load-bearing: it matches the oracle's fold
+    # bit-for-bit, so a balanced tree is NOT a legal fix) — past a few
+    # hundred dims Catalyst's recursive analysis overflows the JVM
+    # stack. High-dim callers get the fold path, which computes the
+    # identical left-to-right sum.
+    if dim is not None and dim > 256:
+        dim = None
     if dim is not None:
         ea = [F.element_at(ad, i + 1) for i in range(dim)]
         eb = [F.element_at(bd, i + 1) for i in range(dim)]

@@ -91,6 +91,45 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def mips_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Maximum inner-product search (MIPS): top-k by raw dot product,
+    UN-normalized — the scoring recommendation/retrieval models with
+    learned-magnitude embeddings need (cosine's normalization erases
+    the magnitude signal). Same physical shape as brute_force_topk:
+    broadcast queries, score-all, per-query window rank on the rounded
+    score with id tie-break. The LSH/IVF scale paths apply after the
+    standard MIPS->cosine reduction (append sqrt(M^2-|x|^2) as an extra
+    coordinate — Shrivastava & Li, NeurIPS 2014), which callers do
+    upstream of those operators.
+    """
+    from unstract_spark.operators.retrieval import dot as _dot
+
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    )
+    scored = q.crossJoin(
+        index.select(F.col(index_id), F.col(index_vec).alias("_iv"))
+    ).select(
+        query_id,
+        index_id,
+        F.round(_dot(F.col("_iv"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(index_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # Above this many matrix terms (n_exprs * dim), assignment expressions
 # switch from generated-SQL double literals to a broadcast numpy matrix
 # consumed by a pandas UDF. Generated SQL wins below it (the parser

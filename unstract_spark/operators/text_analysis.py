@@ -8,7 +8,7 @@ that processes 100 TB at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword sets per language. Word-boundary regexes are
@@ -435,4 +435,148 @@ def compression_ratio(
         run,
         schema=f"`{id_col}` {id_t}, raw_len long, compressed_len long,"
         " ratio double",
+    )
+
+
+def simpson_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document vocabulary diversity: Simpson's index (the
+    Hunter–Gaston unbiased form) D = sum(c_i*(c_i-1)) / (n*(n-1)) over
+    whitespace-token counts — 0 = every token distinct, 1 = one token
+    repeated. A cheap repetitiveness signal complementary to the Gopher
+    repetition features: entirely INTEGER-domain until one final
+    division, so the value is bit-portable to any SQL engine.
+
+    Shape: explode -> per-(doc, token) count -> per-doc sum — two
+    hash aggregations on uniform keys, no window, no Python.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep_pairs"),
+    )
+    d = (
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.round(
+                F.col("rep_pairs")
+                / (F.col("n_tokens") * (F.col("n_tokens") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    return docs.select(F.col(id_col)).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        F.coalesce(d, F.lit(0.0)).alias("simpson_index"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus Zipf fit: least-squares slope of ln(freq) on ln(rank)
+    over the top `top_n` terms — the standard corpus-health diagnostic
+    (natural text ~ -1; templated/boilerplate corpora flatten, spam
+    steepens). One output row: n_terms, zipf_slope, zipf_intercept.
+
+    Cross-engine float discipline: ln() values are rounded to 9
+    decimals and cast to DECIMAL(12,9) BEFORE the regression sums, so
+    every sum (x, y, x^2, x*y — products are exact DECIMAL(25,18)) is
+    exact integer-scaled arithmetic in both engines; the closed-form
+    slope then combines the exact sums through one fixed double
+    expression. Plain double sums would be partial-aggregation-order
+    dependent.
+
+    Scale shape: token explode -> term count (one shuffle on term) ->
+    global top-N (TakeOrdered, no global sort) -> the regression is
+    over top_n rows, a single partial+final aggregate.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") >= min_len))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        counts.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(top_n)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+            .alias("rank"),
+            "n",
+        )
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(12,9)")
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(12,9)")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd)
+    return sums.select(
+        F.col("m").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syd - slope * sxd) / md, 6).alias("zipf_intercept"),
+    )
+
+
+def stopword_profile(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-language corpus profile of English-stopword density: doc
+    count, mean stop ratio, and the fraction of docs above `threshold`
+    — the aggregate view a corpus-curation dashboard keys filter
+    sweeps on (C4/CCNet tune stopword filters per language).
+
+    Each doc's ratio is rounded to 9 decimals and summed in the exact
+    decimal domain (the repo's grouped-double-sum discipline), so the
+    per-language means are engine-portable.
+    """
+    t = F.col(text_col)
+    n_tokens = token_count_ws(t)
+    n_stop = _marker_count(t, LANG_MARKERS["en"])
+    ratio = F.round(
+        (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double"), 9
+    ).cast("decimal(12,9)")
+    return (
+        docs.select(F.col(lang_col), ratio.alias("r"))
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # numerators cast to double BEFORE the division: Spark's
+            # decimal/long division picks a result scale by its own
+            # rules and other engines pick differently — double/long is
+            # one IEEE op both agree on
+            F.round(
+                F.sum("r").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_stop_ratio"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r") > F.lit(threshold), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_above_threshold"),
+        )
     )

@@ -1667,6 +1667,115 @@ def ta_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_simpson_diversity",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS vocab,
+               sum(c * (c - 1)) AS rep_pairs
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.vocab, 0) AS vocab,
+           CASE WHEN coalesce(p.n_tokens, 0) >= 2
+                THEN round(p.rep_pairs / (p.n_tokens * (p.n_tokens - 1)), 6)
+                ELSE 0.0 END AS simpson_index
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def ta_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Simpson diversity index (Hunter–Gaston form) over
+    whitespace tokens — integer-domain repetitiveness scoring
+    (text_analysis.simpson_diversity)."""
+    return text_analysis.simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ta_zipf_fit",
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS n FROM w WHERE w <> '' GROUP BY w),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS INT) AS rank,
+               n
+        FROM counts ORDER BY n DESC, w ASC LIMIT 200
+    ),
+    vals AS (
+        SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM vals
+    )
+    SELECT m AS n_terms,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE), 6)
+               AS zipf_intercept
+    FROM s
+    """,
+)
+def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit: LS slope of ln(freq) on ln(rank) over the
+    top-200 terms, exact-decimal regression sums
+    (text_analysis.zipf_fit)."""
+    return text_analysis.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+_STOP_RATIO_SQL = f"""
+               CAST(round(
+                   {_marker_sql("text", text_analysis.LANG_MARKERS["en"])}
+                   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text),
+                                                                  '\\s+'))
+                              END, 1), 9) AS DECIMAL(12,9))
+"""
+
+
+@register(
+    "ta_stopword_profile",
+    f"""
+    WITH f AS (
+        SELECT lang, {_STOP_RATIO_SQL} AS r
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mean_stop_ratio,
+           round(CAST(sum(CASE WHEN r > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_above_threshold
+    FROM f GROUP BY lang
+    """,
+)
+def ta_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword-density profile (mean ratio + fraction
+    above threshold), decimal-domain means
+    (text_analysis.stopword_profile)."""
+    return text_analysis.stopword_profile(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dd_intra_overlap",
     r"""
     WITH w AS (
@@ -2983,6 +3092,83 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_mips_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, i.vec_id,
+               round(list_dot_product(q.qv, i.embedding::DOUBLE[]), 6) AS score
+        FROM q CROSS JOIN embeddings i
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product top-k (similarity.mips_topk): raw-dot
+    ranking — magnitude-sensitive, so rankings legitimately differ
+    from the cosine twin; ranked on the rounded score with id
+    tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.mips_topk(q, e, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+def _cell_probe_stats_sql(dim: int = 64, n_centroids: int = 16) -> str:
+    """Cell-population twin reusing the seeded-centroid argmax spelling
+    of _ivf_topk_sql (same struct_pack / rn<=1 assignment)."""
+    cents = similarity._seeded_hyperplanes(dim, n_centroids, table=991)
+    structs = ", ".join(
+        f"struct_pack(cell := {c}, score := list_dot_product(v, {_double_array_sql(cents[c])}))"
+        for c in range(n_centroids)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (SELECT vec_id, unnest([{structs}]) AS u FROM e),
+    ranked_cells AS (
+        SELECT vec_id, u.cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY u.score DESC, u.cell ASC) AS rn
+        FROM cells
+    ),
+    ic AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 1),
+    pop AS (SELECT cell, count(*) AS n_vecs FROM ic GROUP BY cell),
+    tot AS (SELECT count(*) AS n FROM e)
+    SELECT p.cell, p.n_vecs,
+           round(CAST(p.n_vecs AS DOUBLE) / t.n, 6) AS share
+    FROM pop p CROSS JOIN tot t
+    """
+
+
+@register("sim_cell_probe_stats", _cell_probe_stats_sql())
+def sim_cell_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index diagnostics under the hash gate: per-cell population
+    and corpus share for the seeded 16-cell assignment — the imbalance
+    table that decides n_probe / re-fit / salting at scale (a hot cell
+    is to IVF what a hot band is to LSH). Gates the ASSIGNMENT argmax
+    itself over the whole corpus, not just the 5-query probe slice
+    sim_ivf_topk exercises."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity._seeded_hyperplanes(64, 16, table=991)
+    ib = similarity._argmax_cells(e, "vec_id", "embedding", 1, cents)
+    pop = ib.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return pop.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs").cast("double") / F.col("n"), 6).alias("share"),
+    )
+
+
 @register("sim_ivf_topk", _ivf_topk_sql())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 scale path: IVF cell-probed candidate join + exact re-rank
@@ -3346,6 +3532,62 @@ def r7_automerging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return automerging_retrieve(
         chunks, ranked, id_col="leaf_id", parent_col="parent_id", merge_threshold=0.5
+    )
+
+
+@register(
+    "agg_variance_by_status",
+    """
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderstatus, count(*) AS n, sum(c) AS s1,
+               sum(CAST(c AS DECIMAL(10,0)) * CAST(c AS DECIMAL(10,0))) AS s2
+        FROM c GROUP BY 1
+    )
+    SELECT o_orderstatus, n AS n_orders,
+           round(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_total,
+           round((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 10000, 4) AS var_total,
+           round(sqrt((CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                      / 10000), 6) AS std_total
+    FROM s
+    """,
+)
+def agg_variance_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev of order totals per status, computed
+    as E[x^2]-E[x]^2 over CENT-QUANTIZED integer sums — the
+    cross-engine-stable spelling of a statistical aggregate. Native
+    var_pop/stddev_pop stream Welford updates whose low-order bits
+    depend on partial-aggregation order, so a gated variance must come
+    from exact integer sums combined through one fixed double
+    expression (same discipline as the usage cost micro-dollars)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = o.select(F.col("o_orderstatus"), c.alias("c")).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(
+            F.col("c").cast("decimal(10,0)") * F.col("c").cast("decimal(10,0)")
+        ).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n")
+    var = (s2d / nd - (s1d / nd) * (s1d / nd)) / 10000
+    return s.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        F.round(s1d / nd / 100, 6).alias("mean_total"),
+        F.round(var, 4).alias("var_total"),
+        F.round(F.sqrt(var), 6).alias("std_total"),
     )
 
 
@@ -4381,6 +4623,40 @@ def ex_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return export.deterministic_shards(d, n_shards=8).select(
         "doc_id", "source", "shard", "shard_pos"
+    )
+
+
+@register(
+    "ex_length_mixture",
+    r"""
+    WITH b AS (
+        SELECT CASE WHEN n < 64 THEN 's'
+                    WHEN n < 256 THEN 'm'
+                    WHEN n < 1024 THEN 'l'
+                    ELSE 'xl' END AS length_bin,
+               n AS n_tokens
+        FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n
+              FROM documents)
+    ),
+    per AS (
+        SELECT length_bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM b GROUP BY length_bin
+    ),
+    tot AS (SELECT sum(n_tokens) AS corpus_tokens FROM b)
+    SELECT length_bin, n_docs, bin_tokens,
+           round(CAST(bin_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
+           100000 * bin_tokens // corpus_tokens AS budget_alloc
+    FROM per CROSS JOIN tot
+    """,
+)
+def ex_length_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-binned mixture plan (export.length_mixture_plan):
+    token-share per curriculum bin + integer-exact budget allocation
+    (budget * bin_tokens DIV corpus_tokens)."""
+    return export.length_mixture_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=100_000
     )
 
 
