@@ -163,10 +163,10 @@ def main() -> int:
     rec, secs = measure(
         ivfpq_topk_join(
             queries, emb, dim, k=k, n_centroids=n_centroids, n_probe=8,
-            n_sub=16, n_codes=64, refine=5, centroids=cents, codebooks=cbs,
+            n_sub=16, n_codes=64, refine=20, centroids=cents, codebooks=cbs,
         )
     )
-    report["strategies"]["ivfpq_1024c_8p_16x64_r5"] = {
+    report["strategies"]["ivfpq_1024c_8p_16x64_r20"] = {
         "recall": rec,
         "measured_candidate_fraction": measured_fraction(8),
         "lookups_per_candidate": 16,
@@ -186,7 +186,7 @@ def main() -> int:
     # HNSW sharded graphs
     from unstract_spark.operators.hnsw import hnsw_topk_join
 
-    for ef in (48,):
+    for ef in (48, 128):
         t0 = time.time()
         rec, secs = measure(
             hnsw_topk_join(

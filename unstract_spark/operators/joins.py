@@ -399,3 +399,52 @@ def interval_overlap_join(
         .withColumn(overlap_col, end - start)
         .drop("_bin")
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key_col: str,
+    fact_ts: str,
+    valid_from: str,
+    version_cols: tuple[str, ...] = (),
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (SCD Type 2) join: each fact row picks the
+    dimension version active at its timestamp.
+
+    `versions` carries (key, valid_from, payload...); validity is
+    derived, not stored: valid_to = the key's NEXT valid_from
+    (lead window, half-open [from, to)), so the version table can be
+    append-only — the standard slowly-changing-dimension layout.
+    Facts before a key's first version get NULL payloads under
+    how="left" (the honest answer; "inner" drops them).
+
+    Scale shape: ONE window pass over versions per key (version
+    tables are small relative to facts), then an equi-join on the key
+    with the range predicate applied as a post-join filter — the
+    fan-out per fact is bounded by versions-per-key BEFORE the filter
+    and is exactly 1 after it (validity intervals partition time).
+    No window ever runs over the fact side. A hot key costs
+    (its facts x its versions) — bounded by the dimension's churn,
+    not the corpus; keys with pathological churn belong in asof_join's
+    ts_bucket chunked plan instead.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    w = Window.partitionBy(key_col).orderBy(F.col(valid_from).asc())
+    v = versions.select(
+        F.col(key_col).alias("_vkey"),
+        F.col(valid_from).alias("version_from"),
+        F.lead(valid_from).over(w).alias("version_to"),
+        *[F.col(c) for c in version_cols],
+    )
+    # ONE join: equi on the key, validity range as a join predicate
+    # (not a post-filter — in a left join a filter would drop the
+    # null-extended rows the contract promises)
+    cond = (
+        (facts[key_col] == v["_vkey"])
+        & (facts[fact_ts] >= v["version_from"])
+        & (v["version_to"].isNull() | (facts[fact_ts] < v["version_to"]))
+    )
+    return facts.join(v, cond, how).drop("_vkey")

@@ -705,6 +705,70 @@ def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_id", "r_id", "overlap")
 
 
+@register(
+    "j10_temporal_join",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'signup'
+    ),
+    v AS (
+        SELECT user_id, ts AS version_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS version_to,
+               event_id AS version_id, value AS profile_score
+        FROM s WHERE rn = 1
+    ),
+    f AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           v.version_from, v.version_to, v.version_id, v.profile_score
+    FROM f LEFT JOIN v
+      ON f.user_id = v.user_id AND f.ts >= v.version_from
+     AND (v.version_to IS NULL OR f.ts < v.version_to)
+    """,
+)
+def j10_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 point-in-time join (joins.scd2_join): every purchase
+    event picks the profile version (signup event) active at its
+    timestamp — valid_to derived as the user's next signup (half-open
+    intervals partition time, so each fact matches exactly one version;
+    purchases before the first signup keep NULLs). Versions are
+    pre-deduped to one per (user, instant) so the lead() window is
+    deterministic. One window over the SMALL versions side + one
+    equi-join on user_id with the validity range as a join predicate —
+    the dimension-churn-bounded plan, no window over facts."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    versions = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("vfrom"),
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("profile_score"),
+        )
+    )
+    from unstract_spark.operators import joins
+
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return joins.scd2_join(
+        facts,
+        versions,
+        key_col="user_id",
+        fact_ts="ts",
+        valid_from="vfrom",
+        version_cols=("version_id", "profile_score"),
+    )
+
+
 _BANDS = [(b, float(b * 40), float(b * 40 + 79)) for b in range(10)]
 
 
@@ -951,6 +1015,65 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _dsum(F.col("value")).alias("total_value"),
         _davg(F.col("value")).alias("avg_value"),
+    )
+
+
+@register(
+    "events_hotspot_windows",
+    """
+    WITH x AS (
+        SELECT event_type, value,
+               epoch_us(ts) // 900000000 * 900000000
+                   - CAST(u.k AS BIGINT) * 900000000 AS start_us
+        FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    ),
+    c AS (
+        SELECT event_type, start_us, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM x GROUP BY 1, 2
+    )
+    SELECT event_type, make_timestamp(start_us) AS window_start,
+           make_timestamp(start_us + 3600000000) AS window_end,
+           n_events, total_value, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n_events DESC, start_us ASC) AS INT) AS rank
+        FROM c
+    ) WHERE rank <= 5
+    """,
+)
+def events_hotspot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window hotspot detection: per event type, the 5 busiest
+    1-hour windows sliding every 15 minutes (Spark's native sliding
+    `window()` — each event lands in exactly 4 windows). The oracle
+    derives the same 4 window starts per event from epoch microseconds
+    (floor to the 15-min grid, back-shift k slides), so the window
+    ALIGNMENT (epoch-anchored, half-open) is gated, not just counts.
+    Grouped top-k: per-type window rank, no global sort; decimal-domain
+    value sums. The streaming twin is the same expression with a
+    watermark (windowed_event_aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+    flat = counts.select(
+        "event_type",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("window_start").asc()
+    )
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
 
 
