@@ -284,3 +284,60 @@ def length_mixture_plan(
             "budget_alloc"
         ),
     )
+
+
+def segment_pieces(
+    df: DataFrame,
+    budget: int,
+    len_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-budget segment construction WITH document splitting — the
+    step after pack_sequences that real pretraining packers run: the
+    shard's concatenated token stream is cut into exact `budget`-sized
+    segments, and a document spanning a cut contributes a PIECE to each
+    segment it crosses (continuation pieces, piece_no > 0). Every
+    segment is exactly full; nothing is padded or dropped.
+
+    Pure integer arithmetic on the pack_sequences layout: a row at
+    offset `off` with length `len` spans segments off DIV B ..
+    (off+len-1) DIV B; its piece in segment s starts at
+    max(0, s*B - off) inside the document and has length
+    min(off+len, (s+1)*B) - max(off, s*B). Fan-out per row is
+    ceil(len/B)+1 at worst — bounded by the row's own length, and the
+    explode stays proportional to total corpus tokens / budget.
+    Zero-length rows contribute no pieces.
+    """
+    packed = pack_sequences(
+        df.filter(F.col(len_col) > 0), budget, len_col, id_col, n_shards, salt
+    )
+    b = int(budget)
+    first = F.expr(f"pack_off DIV {b}")
+    last = F.expr(f"(pack_off + {len_col} - 1) DIV {b}")
+    off = F.col("pack_off")
+    ln = F.col(len_col)
+    seg = F.col("seg_id")
+    return (
+        packed.select(
+            id_col,
+            "shard",
+            "pack_off",
+            len_col,
+            F.explode(F.sequence(first, last)).alias("seg_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("shard"),
+            seg.cast("long").alias("seg_id"),
+            (seg - F.expr(f"pack_off DIV {b}")).cast("int").alias("piece_no"),
+            F.greatest(seg * b - off, F.lit(0).cast("long")).alias(
+                "piece_start"
+            ),
+            (
+                F.least(off + ln, (seg + 1) * b)
+                - F.greatest(off, seg * b)
+            ).cast("long").alias("piece_len"),
+        )
+    )

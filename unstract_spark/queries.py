@@ -2443,6 +2443,105 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ex_dedup_provenance",
+    f"""
+    WITH RECURSIVE ek AS (
+        SELECT doc_id, sha256(text) AS sha FROM documents
+    ),
+    eg AS (SELECT sha, min(doc_id) AS keeper FROM ek GROUP BY sha),
+    exact_tag AS (SELECT ek.doc_id, eg.keeper FROM ek JOIN eg USING (sha)),
+    keepers AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN exact_tag t ON t.doc_id = d.doc_id AND t.doc_id = t.keeper
+    ),
+    sigs AS ({_MINHASH_SQL.replace("FROM documents", "FROM keepers")}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    simpairs AS (
+        SELECT p.id_a, p.id_b,
+               (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id) p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM simpairs WHERE est >= 0.5
+        UNION
+        SELECT id_b, id_a FROM simpairs WHERE est >= 0.5
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM keepers
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT doc_id, 'drop_exact' AS action, keeper AS keeper_id
+    FROM exact_tag WHERE doc_id <> keeper
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN doc_id = cluster_id THEN 'keep'
+                ELSE 'drop_neardup' END AS action,
+           cluster_id AS keeper_id
+    FROM labels
+    """,
+)
+def ex_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup PROVENANCE report — per document: kept or dropped, why,
+    and which document superseded it. The audit table a curation
+    pipeline must ship with the corpus (every removal traceable to its
+    keeper): layer 1 exact sha-dedup (drop_exact -> group min-id
+    keeper), layer 2 MinHash-LSH + connected-components near-dup over
+    the exact survivors (drop_neardup -> cluster min-id keeper), else
+    keep. Both layers reuse the gated operators (exact_dedup shape,
+    dedup.duplicate_clusters); the oracle rebuilds both layers
+    including the recursive transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    sha = d.select("doc_id", F.sha2("text", 256).alias("sha"))
+    eg = sha.groupBy("sha").agg(F.min("doc_id").alias("keeper"))
+    tagged = sha.join(eg, "sha").select("doc_id", "keeper")
+    exact_drops = tagged.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id",
+        F.lit("drop_exact").alias("action"),
+        F.col("keeper").alias("keeper_id"),
+    )
+    keepers = d.join(
+        tagged.filter(F.col("doc_id") == F.col("keeper")).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    sh = dedup.char_shingles(keepers)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sims = dedup.minhash_similarity(sigs, pairs)
+    clusters = dedup.duplicate_clusters(keepers, sims, threshold=0.5)
+    near = clusters.select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), "keep")
+        .otherwise("drop_neardup")
+        .alias("action"),
+        F.col("cluster_id").alias("keeper_id"),
+    )
+    return exact_drops.unionByName(near)
+
+
+@register(
     "ta_unigram_logprob",
     r"""
     WITH w AS (
@@ -4780,6 +4879,44 @@ def ex_length_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (budget * bin_tokens DIV corpus_tokens)."""
     return export.length_mixture_plan(
         _t(spark, sf_dir, "documents"), budget_tokens=100_000
+    )
+
+
+@register(
+    "ex_pack_segments",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, n_chars, CAST(hv % 4 AS INTEGER) AS shard,
+               sum(n_chars) OVER (PARTITION BY hv % 4
+                                  ORDER BY hv ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - n_chars AS off
+        FROM h
+    ),
+    p AS (SELECT doc_id, n_chars, shard, CAST(off AS BIGINT) AS off
+          FROM laid WHERE n_chars > 0)
+    SELECT doc_id, shard, CAST(u.s AS BIGINT) AS seg_id,
+           CAST(u.s - off // 4096 AS INT) AS piece_no,
+           greatest(u.s * 4096 - off, 0) AS piece_start,
+           least(off + n_chars, (u.s + 1) * 4096)
+               - greatest(off, u.s * 4096) AS piece_len
+    FROM p, unnest(range(off // 4096, (off + n_chars - 1) // 4096 + 1)) AS u(s)
+    """,
+)
+def ex_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-splitting segment packer (export.segment_pieces): the
+    shard token stream cut into exact 4096-budget segments, long docs
+    contributing continuation pieces (piece_no > 0) to every segment
+    they cross — integer-exact piece offsets/lengths gated against the
+    oracle's arithmetic on the same sha-ordered layout."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return export.segment_pieces(
+        d, budget=4096, len_col="n_chars", n_shards=4
     )
 
 
