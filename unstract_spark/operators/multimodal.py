@@ -957,3 +957,81 @@ def downsample_audio(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def tile_images(
+    df: DataFrame,
+    tile: int,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+    fake: bool = True,
+) -> DataFrame:
+    """ViT-style patch extraction: decode each image and emit one row
+    per `tile` x `tile` patch with integer-exact pixel stats — the
+    prep stage before per-patch embedding (the row-per-patch layout is
+    what a patch-embedding mapInPandas consumes downstream). Edge
+    patches smaller than `tile` are kept with their true pixel count.
+
+    Output: (id, tile_row, tile_col, tile_h, tile_w, px_sum,
+    px_mean_floor = px_sum DIV n_px, tile_error). Sums accumulate in
+    int64 over all channels, so every emitted number is reproducible
+    by a SQL oracle from the source pixel values. Row-level error
+    isolation like the other decode stages.
+    """
+    if tile < 1:
+        raise ValueError(f"tile must be >= 1, got {tile!r}")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("tile_row", T.IntegerType()),
+            T.StructField("tile_col", T.IntegerType()),
+            T.StructField("tile_h", T.IntegerType()),
+            T.StructField("tile_w", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_mean_floor", T.LongType()),
+            T.StructField("tile_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+
+            def emit(rid, tr=None, tc=None, th=None, tw=None, s=None,
+                     m=None, err=None):
+                out[id_col].append(rid)
+                out["tile_row"].append(tr)
+                out["tile_col"].append(tc)
+                out["tile_h"].append(th)
+                out["tile_w"].append(tw)
+                out["px_sum"].append(s)
+                out["px_mean_floor"].append(m)
+                out["tile_error"].append(err)
+
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = _decode_one(
+                        bytes(payload) if payload is not None else b"", fake
+                    )
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    h, w = img.shape[0], img.shape[1]
+                    ch = img.shape[2]
+                    for tr in range((h + tile - 1) // tile):
+                        for tc in range((w + tile - 1) // tile):
+                            patch = img[
+                                tr * tile : (tr + 1) * tile,
+                                tc * tile : (tc + 1) * tile,
+                            ]
+                            n_px = patch.shape[0] * patch.shape[1] * ch
+                            s = int(patch.astype(np.int64).sum())
+                            emit(
+                                rid, tr, tc, patch.shape[0], patch.shape[1],
+                                s, s // n_px,
+                            )
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    emit(rid, err=str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

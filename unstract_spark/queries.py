@@ -5112,6 +5112,69 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_tiles",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               CAST((i - 1) // 16 // 4 AS INT) AS tile_row,
+               CAST(((i - 1) % 16) // 4 AS INT) AS tile_col,
+               ascii(substr(rpad(substr(text, 1, 256), 256, ' '),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, unnest(range(1, 257)) AS u(i)
+    )
+    SELECT doc_id, tile_row, tile_col,
+           4 AS tile_h, 4 AS tile_w,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v) // 16 AS BIGINT) AS px_mean_floor
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction under an integer-exact gate: each
+    doc's first 256 text bytes render as a REAL 16x16 image (PGM for
+    even doc_ids, PNG for odd — decode is exercised, not faked), then
+    multimodal.tile_images cuts the 4x4 patch grid and emits per-patch
+    int64 sums / floor-means. The oracle recomputes every patch sum
+    straight from the byte values and the tile GEOMETRY (row-major
+    4-pixel blocks), so a transposed patch index, an off-by-one tile
+    boundary, or any decoder drift fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import tile_images
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.rpad(F.substring("text", 1, 256), 256, " ").alias("s")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.multimodal import encode_pgm, encode_png
+
+        for pdf in batches:
+            content = []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                img = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(
+                    16, 16
+                )
+                content.append(
+                    encode_pgm(img) if int(did) % 2 == 0 else encode_png(img)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    tiles = tile_images(imgs, tile=4, payload_col="content", id_col="doc_id",
+                        fake=False)
+    return tiles.select(
+        "doc_id", "tile_row", "tile_col", "tile_h", "tile_w", "px_sum",
+        "px_mean_floor",
+    )
+
+
+@register(
     "a1_usage_by_model",
     """
     WITH u AS (
