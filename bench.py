@@ -89,6 +89,17 @@ BENCH_QUERIES = [
     "j9_interval_overlap",
     "events_anomalies",
     "mm_downsample_audio",
+    # round-7 additions: the skew-fused LSH plan (hot-band cap live),
+    # SCD2 point-in-time join, sliding-window hotspots, patch
+    # extraction (Arrow decode fan-out), the doc-splitting packer,
+    # MIPS ranking, and the Zipf regression
+    "dd_minhash_skew",
+    "j10_temporal_join",
+    "events_hotspot_windows",
+    "mm_image_tiles",
+    "ex_pack_segments",
+    "sim_mips_topk",
+    "ta_zipf_fit",
 ]
 
 

@@ -724,3 +724,66 @@ def intra_corpus_overlap(
             .alias("share_fraction"),
         )
     )
+
+
+def suffix_array(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """Per-document suffix array by PREFIX DOUBLING (Manber & Myers
+    1990) — the exact-substring-dedup foundation (Lee et al. 2022 use
+    suffix arrays to find duplicated spans; dd_intra_overlap is the
+    windowed approximation, this is the exact structure).
+
+    Prefix doubling is THE distributed suffix-array construction:
+    round k sorts suffixes by their first 2^k characters using only
+    (rank, rank-at-offset-2^(k-1)) pairs — ceil(log2(max_len)) rounds
+    of one self-join + one per-document dense_rank each, never
+    materializing or comparing actual substrings after round 0. A
+    suffix ending before the offset takes pair-rank 0 (the sentinel:
+    a proper prefix sorts first), matching plain lexicographic order.
+
+    Scale shape: rows = corpus chars (bounded here by `max_len` per
+    doc — the fingerprint window); every round shuffles on (doc, pos)
+    for the join and (doc) for the rank window, whose partitions are
+    bounded by max_len. localCheckpoint per round truncates the
+    iterative lineage exactly like connected_components.
+
+    Output: (id, pos, sa_rank) — sa_rank is the suffix's 1-based
+    position in the doc's sorted suffix order (all ranks distinct:
+    same-doc suffixes differ in length, so no ties exist).
+    """
+    t = F.substring(F.col(text_col), 1, max_len)
+    base = docs.select(F.col(id_col), t.alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    pos = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("pos"),
+        F.col("_t"),
+    ).select(
+        id_col, "pos", F.substring(F.col("_t"), F.col("pos"), 1).alias("_ch")
+    )
+    w0 = Window.partitionBy(id_col).orderBy("_ch")
+    r = pos.select(
+        id_col, "pos", F.dense_rank().over(w0).alias("rank")
+    ).localCheckpoint(eager=True)
+    k = 1
+    while k < max_len:
+        right = r.select(
+            F.col(id_col),
+            (F.col("pos") - k).alias("pos"),
+            F.col("rank").alias("_rank2"),
+        )
+        paired = (
+            r.join(right, [id_col, "pos"], "left")
+            .na.fill({"_rank2": 0})
+        )
+        wk = Window.partitionBy(id_col).orderBy("rank", "_rank2")
+        r = paired.select(
+            id_col, "pos", F.dense_rank().over(wk).alias("rank")
+        ).localCheckpoint(eager=True)
+        k *= 2
+    return r.select(id_col, "pos", F.col("rank").alias("sa_rank"))

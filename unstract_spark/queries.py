@@ -1790,6 +1790,30 @@ def ta_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_suffix_arrays",
+    """
+    SELECT doc_id, CAST(u.i AS INT) AS pos,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY substr(substr(text, 1, 128), CAST(u.i AS INT))
+           ) AS INT) AS sa_rank
+    FROM documents, unnest(range(1, least(length(text), 128) + 1)) AS u(i)
+    WHERE length(text) > 0
+    """,
+)
+def dd_suffix_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array construction (dedup.suffix_array):
+    prefix doubling over the first 128 chars of each document — 7
+    rounds of join + per-doc dense_rank. The oracle sorts the actual
+    suffix STRINGS per doc; rank equality proves the doubling rounds,
+    the end-of-string sentinel, and the pair ordering are all exactly
+    lexicographic."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.suffix_array(d, max_len=128)
+    return out.select("doc_id", F.col("pos").cast("int"), F.col("sa_rank").cast("int"))
+
+
+@register(
     "ta_simpson_diversity",
     r"""
     WITH w AS (
