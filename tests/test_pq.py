@@ -234,3 +234,40 @@ def test_ivfpq_store_empty_build_round_trips(spark, tmp_path):
         "vec_id AS query_id", "embedding AS query_vec"
     )
     assert store.query(q, k=5).count() == 0
+
+
+def test_mips_augment_reduces_to_cosine_ranking(spark):
+    """The Shrivastava-Li augmentation makes cosine ranking over the
+    augmented vectors equal MIPS ranking over the originals — so the
+    bucketed ANN families apply to inner-product workloads."""
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        mips_augment,
+        mips_topk,
+    )
+
+    e = _emb(spark, n=80, dim=16)
+    # give vectors distinct magnitudes so MIPS != cosine genuinely
+    import pyspark.sql.functions as F
+
+    scaled = e.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: x * (1.0 + (F.col("vec_id") % 7) / 3.0),
+        ).cast("array<float>"),
+    )
+    q = scaled.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in mips_topk(q, scaled, k=5).collect()
+    }
+    ai = mips_augment(scaled, dim=16)
+    aq = mips_augment(q, dim=16, index_vec="query_vec", is_query=True)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(aq, ai, k=5).collect()
+    }
+    assert got == want and len(got) == 15

@@ -740,3 +740,77 @@ def test_streaming_queue_consumer_union_equals_batch_and_redelivers(
     assert free_id in consumed
     assert live_id not in consumed  # active claim respected
     assert consumed == streamed | {stale_id, free_id}
+
+def test_streaming_queue_consumer_sweep_recovers_without_new_arrivals(
+    spark, tmp_path
+):
+    """The strand shape the stream alone cannot recover (review
+    finding r7): a message's claim is ACTIVE when the consumer's fire
+    passes over its queue file, so the checkpoint advances past the
+    file with the message undelivered; the claim then lapses with NO
+    further enqueues — a later run has zero stream fires, and only the
+    post-drain sweep can claim, deliver, and ack it."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from unstract_spark.sinks.review_queue import pending_messages, write_queue
+    from unstract_spark.streaming.incremental import (
+        read_consumed_messages,
+        streaming_queue_consumer,
+    )
+
+    qp, lp = str(tmp_path / "queue"), str(tmp_path / "ledger")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def enqueue(tag):
+        rows = spark.createDataFrame(
+            [(f"{tag}.txt", f"h-{tag}", 200.0)],
+            "file_name string, file_hash string, total double",
+        ).coalesce(1)
+        write_queue(route_to_review(rows, "q1", pct=100.0), qp)
+
+    enqueue("a")
+    assert streaming_queue_consumer(spark, qp, lp, ckpt, out, "q1", "sc1") == 1
+
+    # new message; another consumer claims it and "crashes" (no ack)
+    enqueue("b")
+    b_id = [r.message_id for r in pending_messages(spark, qp, lp, "q1").collect()]
+    assert len(b_id) == 1
+    ghost = spark.createDataFrame(
+        [("q1", b_id[0], "ghost", "CLAIMED")],
+        "queue_name string, message_id string, consumer_id string, state string",
+    ).withColumn("ts", F.current_timestamp())
+    ghost.write.mode("append").partitionBy("queue_name").parquet(lp)
+
+    # the fire sees b's file (new to the checkpoint) but the claim is
+    # ACTIVE -> nothing claimable; checkpoint still advances past it
+    assert (
+        streaming_queue_consumer(
+            spark, qp, lp, ckpt, out, "q1", "sc1", visibility_timeout_s=3600
+        )
+        == 0
+    )
+    assert b_id[0] not in {
+        r.message_id for r in read_consumed_messages(spark, out).collect()
+    }
+
+    # ghost's claim lapses; NO new enqueues. A run now has zero stream
+    # fires — the sweep must deliver b (fires returns 1 for the sweep).
+    _time.sleep(5.5)
+    assert (
+        streaming_queue_consumer(
+            spark, qp, lp, ckpt, out, "q1", "sc1", visibility_timeout_s=5
+        )
+        == 1
+    )
+    consumed = {r.message_id for r in read_consumed_messages(spark, out).collect()}
+    assert b_id[0] in consumed
+    # sweep partition lives in the disjoint namespace
+    import os
+
+    sweeps = [
+        d for d in os.listdir(out)
+        if d.startswith("batch_id=") and int(d.split("=")[1]) >= (1 << 40)
+    ]
+    assert len(sweeps) == 1

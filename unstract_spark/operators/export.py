@@ -272,7 +272,9 @@ def length_mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
-    tot = binned.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    # corpus total folds the 4-row per-bin aggregate — summing `binned`
+    # again would re-scan and re-tokenize the whole corpus
+    tot = per.agg(F.sum("bin_tokens").alias("corpus_tokens"))
     return per.crossJoin(F.broadcast(tot)).select(
         "length_bin",
         "n_docs",

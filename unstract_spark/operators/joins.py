@@ -422,10 +422,11 @@ def scd2_join(
 
     Scale shape: ONE window pass over versions per key (version
     tables are small relative to facts), then an equi-join on the key
-    with the range predicate applied as a post-join filter — the
-    fan-out per fact is bounded by versions-per-key BEFORE the filter
-    and is exactly 1 after it (validity intervals partition time).
-    No window ever runs over the fact side. A hot key costs
+    with the validity range INSIDE the join condition — the join
+    evaluates versions-per-key candidates per fact and emits exactly 1
+    (validity intervals partition time; a range predicate as a
+    post-join filter would instead drop the null-extended rows the
+    left contract promises). No window ever runs over the fact side. A hot key costs
     (its facts x its versions) — bounded by the dimension's churn,
     not the corpus; keys with pathological churn belong in asof_join's
     ts_bucket chunked plan instead.

@@ -1018,6 +1018,12 @@ def tile_images(
                         img = img[:, :, None]
                     h, w = img.shape[0], img.shape[1]
                     ch = img.shape[2]
+                    if h == 0 or w == 0:
+                        # keep the every-input-produces-a-row contract:
+                        # a degenerate image yields zero tiles, which
+                        # would otherwise vanish silently
+                        emit(rid, err="degenerate image: 0 pixels")
+                        continue
                     for tr in range((h + tile - 1) // tile):
                         for tc in range((w + tile - 1) // tile):
                             patch = img[

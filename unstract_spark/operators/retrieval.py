@@ -83,18 +83,18 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     if dim is not None:
         ea = [F.element_at(ad, i + 1) for i in range(dim)]
         eb = [F.element_at(bd, i + 1) for i in range(dim)]
-        dot = ea[0] * eb[0]
+        dp = ea[0] * eb[0]
         na2 = ea[0] * ea[0]
         nb2 = eb[0] * eb[0]
         for i in range(1, dim):
-            dot = dot + ea[i] * eb[i]
+            dp = dp + ea[i] * eb[i]
             na2 = na2 + ea[i] * ea[i]
             nb2 = nb2 + eb[i] * eb[i]
-        return dot / (F.sqrt(na2) * F.sqrt(nb2))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        return dp / (F.sqrt(na2) * F.sqrt(nb2))
+    dp = dot(a, b)
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
+    return dp / (na * nb)
 
 
 def query_vector_lit(vec: list[float]) -> Column:

@@ -130,6 +130,45 @@ def mips_topk(
     )
 
 
+def mips_augment(
+    index: DataFrame,
+    dim: int,
+    index_vec: str = "embedding",
+    is_query: bool = False,
+) -> DataFrame:
+    """Shrivastava & Li (NeurIPS 2014) MIPS->cosine reduction: append
+    one coordinate so inner-product order becomes cosine order and the
+    BUCKETED families (LSH/IVF/HNSW) apply to MIPS workloads.
+
+    Index side: x' = [x, sqrt(M^2 - |x|^2)] with M = max |x| over the
+    index — all augmented vectors share norm M, so cos(q', x') ranks
+    exactly by <q, x>. Query side: q' = [q, 0]. M must be computed on
+    the INDEX and passed through unchanged to the query augment (the
+    query side ignores it but needs the same dim+1 layout).
+
+    One aggregate over the index for M (driver scalar), then a pure
+    projection — no shuffle beyond the agg. Returns the frame with
+    `index_vec` replaced by the dim+1 array<double> column.
+    """
+    from unstract_spark.operators.retrieval import dot as _dot
+
+    v = F.col(index_vec).cast("array<double>")
+    if is_query:
+        aug = F.concat(v, F.array(F.lit(0.0)))
+        return index.withColumn(index_vec, aug)
+    norm2 = _dot(F.col(index_vec), F.col(index_vec))
+    m2 = index.agg(F.max(norm2).alias("m2")).collect()[0]["m2"]
+    if m2 is None:
+        return index.withColumn(
+            index_vec, F.concat(v, F.array(F.lit(0.0)))
+        )
+    aug = F.concat(
+        v,
+        F.array(F.sqrt(F.greatest(F.lit(float(m2)) - norm2, F.lit(0.0)))),
+    )
+    return index.withColumn(index_vec, aug)
+
+
 # Above this many matrix terms (n_exprs * dim), assignment expressions
 # switch from generated-SQL double literals to a broadcast numpy matrix
 # consumed by a pandas UDF. Generated SQL wins below it (the parser
@@ -970,12 +1009,13 @@ class IvfPqIndexStore:
             if codebooks is not None
             else pq_codebooks(self.dim, self.n_sub, self.n_codes)
         )
+        empty_input = index.select(index_id).isEmpty()
         ib = _argmax_cells(index, index_id, index_vec, 1, cents, term_limit)
         codes = pq_encode(
             ib, self.dim, self.n_sub, self.n_codes, index_id, index_vec,
             cbs, keep=("cell",),
         )
-        if codes.isEmpty():
+        if empty_input:
             # A partitionBy write of an empty frame produces ZERO
             # parquet files, so the read-back below (and every later
             # query()) dies on schema inference — same pitfall the HNSW

@@ -749,11 +749,14 @@ def streaming_queue_consumer(
 
     Delivery contract: AT-LEAST-ONCE per message, effectively-once in
     the normal path (DONE rows gate re-claims). The crash matrix:
-    - die after claim, before output: the claim lapses; a later fire
-      redelivers into ITS batch partition (this fire's replay writes
-      nothing — claims are still active and the partition overwrite is
-      skipped when the fire claims zero, so a committed partition is
-      never blanked by a replay).
+    - die after claim, before output: the claim lapses; the next run
+      redelivers — into a stream fire's partition if new files arrived,
+      else into the POST-DRAIN SWEEP (stream fires only trigger on new
+      queue files, so the sweep is what makes "run the consumer again
+      after the visibility timeout" sufficient recovery with no new
+      arrivals; this fire's replay writes nothing — claims are still
+      active and the partition overwrite is skipped when the fire
+      claims zero, so a committed partition is never blanked).
     - die after output, before ack: the claim lapses and the message is
       redelivered into a later partition — a duplicate across
       partitions, deduped downstream by the stable message_id (the
@@ -799,6 +802,44 @@ def streaming_queue_consumer(
         .start()
     )
     q.awaitTermination()
+
+    # Post-drain sweep: stream fires only happen when NEW queue files
+    # arrive, so without this a message whose claim lapsed after a
+    # crash (claimed, never written) would stay pending until an
+    # unrelated enqueue triggered a fire — "run the consumer again
+    # after the visibility timeout" must recover it with or without
+    # new arrivals. Sweep partitions live in a namespace disjoint from
+    # stream epochs (SWEEP_BASE offset) so a later run's epoch N can
+    # never overwrite an earlier sweep's committed partition.
+    SWEEP_BASE = 1 << 40
+    import os
+
+    try:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
+        ]
+    except FileNotFoundError:
+        existing = []
+    nxt = max([e for e in existing if e >= SWEEP_BASE], default=SWEEP_BASE - 1) + 1
+    while True:
+        claimed = claim_batch(
+            spark,
+            queue_path,
+            ledger_path,
+            queue_name,
+            consumer_id,
+            max_messages=max_messages_per_fire,
+            visibility_timeout_s=visibility_timeout_s,
+        )
+        ids = [r.message_id for r in claimed.select("message_id").collect()]
+        if not ids:
+            break
+        fires += 1
+        claimed.write.mode("overwrite").parquet(f"{out_dir}/batch_id={nxt}")
+        ack_messages(spark, ledger_path, queue_name, ids, consumer_id)
+        nxt += 1
     return fires
 
 
