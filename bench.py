@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "ex_pack_segments",
     "sim_mips_topk",
     "ta_zipf_fit",
+    "events_retention_cohorts",
+    "agg_correlation",
 ]
 
 

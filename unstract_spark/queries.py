@@ -1078,6 +1078,58 @@ def events_hotspot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    """
+    WITH s AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+          FROM events),
+    r AS (
+        SELECT s.cohort_day,
+               (epoch_us(a.day) - epoch_us(s.cohort_day)) // 86400000000
+                   AS offset_days
+        FROM a JOIN s USING (user_id) WHERE a.day >= s.cohort_day
+    )
+    SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+           count(*) AS n_active_users
+    FROM r GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users cohorted by first-signup day,
+    activity bucketed by whole days since cohort (epoch-microsecond
+    integer division — date_diff counts boundary crossings differently
+    across engines, so day offsets must come from epoch arithmetic on
+    already-truncated days). (user, day) is made distinct first, so
+    count(*) per (cohort, offset) IS distinct active users — no
+    count_distinct expand needed. Pre-signup activity is excluded."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("cohort_day"))
+    )
+    a = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    r = (
+        a.join(s, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "cohort_day",
+            F.expr(
+                "(unix_micros(day) - unix_micros(cohort_day)) DIV 86400000000"
+            ).alias("offset_days"),
+        )
+    )
+    return r.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
     "events_rollup_cascade",
     """
     SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start,
@@ -1811,6 +1863,90 @@ def dd_suffix_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = dedup.suffix_array(d, max_len=128)
     return out.select("doc_id", F.col("pos").cast("int"), F.col("sa_rank").cast("int"))
+
+
+@register(
+    "dd_duplicated_spans",
+    """
+    WITH t AS (
+        SELECT doc_id, substr(text, 1, 128) AS t
+        FROM documents WHERE length(text) > 0
+    ),
+    suf AS (
+        SELECT doc_id, t, CAST(u.i AS INT) AS pos
+        FROM t, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    ord AS (
+        SELECT doc_id, t, pos,
+               lead(pos) OVER (PARTITION BY doc_id
+                               ORDER BY substr(t, pos)) AS next_pos
+        FROM suf
+    )
+    SELECT doc_id,
+           count(*) AS n_adj_pairs,
+           CAST(sum(CASE WHEN length(t) - pos + 1 >= 8
+                          AND length(t) - next_pos + 1 >= 8
+                          AND substr(t, pos, 8) = substr(t, next_pos, 8)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup8,
+           CAST(sum(CASE WHEN length(t) - pos + 1 >= 16
+                          AND length(t) - next_pos + 1 >= 16
+                          AND substr(t, pos, 16) = substr(t, next_pos, 16)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup16,
+           CAST(sum(CASE WHEN length(t) - pos + 1 >= 32
+                          AND length(t) - next_pos + 1 >= 32
+                          AND substr(t, pos, 32) = substr(t, next_pos, 32)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup32
+    FROM ord WHERE next_pos IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def dd_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection on the suffix array — the read-out
+    that makes dd_suffix_arrays an exact substring-dedup tool (Lee et
+    al. 2022 find duplicated spans as rank-ADJACENT suffixes sharing a
+    long prefix; adjacency in suffix order is where the maximal common
+    prefixes live). Per doc: adjacent-rank pairs whose suffixes share
+    an 8/16/32-char prefix, counted with end-of-text guards so a short
+    equal tail never fakes a long span. The Spark side pairs rank r
+    with r+1 from the PREFIX-DOUBLED ranks; the oracle pairs them with
+    lead() over actual sorted suffix strings — rank-order equality is
+    re-gated as a by-product."""
+    d = _t(spark, sf_dir, "documents")
+    sa = dedup.suffix_array(d, max_len=128)
+    t = d.filter(F.length("text") > 0).select(
+        "doc_id", F.substring("text", 1, 128).alias("t")
+    )
+    nxt = sa.select(
+        "doc_id",
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("pos").alias("next_pos"),
+    )
+    pairs = (
+        sa.join(nxt, ["doc_id", "sa_rank"])
+        .join(t, "doc_id")
+        .select("doc_id", "t", "pos", "next_pos")
+    )
+
+    def dup(k: int):
+        tl = F.length("t")
+        return F.sum(
+            F.when(
+                (tl - F.col("pos") + 1 >= k)
+                & (tl - F.col("next_pos") + 1 >= k)
+                & (
+                    F.expr(f"substr(t, pos, {k})")
+                    == F.expr(f"substr(t, next_pos, {k})")
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long")
+
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_adj_pairs"),
+        dup(8).alias("n_dup8"),
+        dup(16).alias("n_dup16"),
+        dup(32).alias("n_dup32"),
+    )
 
 
 @register(
@@ -3834,6 +3970,73 @@ def agg_variance_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1d / nd / 100, 6).alias("mean_total"),
         F.round(var, 4).alias("var_total"),
         F.round(F.sqrt(var), 6).alias("std_total"),
+    )
+
+
+@register(
+    "agg_correlation",
+    """
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(q) AS sq, sum(p) AS sp,
+               sum(CAST(q AS DECIMAL(10,0)) * CAST(q AS DECIMAL(10,0))) AS sqq,
+               sum(CAST(p AS DECIMAL(12,0)) * CAST(p AS DECIMAL(12,0))) AS spp,
+               sum(CAST(q AS DECIMAL(10,0)) * CAST(p AS DECIMAL(12,0))) AS sqp
+        FROM c GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_lines,
+           round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag from
+    EXACT integer/decimal sums combined in one fixed double expression
+    — the engine-portable corr() (native corr streams Welford-style
+    co-moments whose low bits depend on partial-merge order, same
+    reason agg_variance_by_status avoids var_pop)."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = l.select(F.col("l_returnflag"), q.alias("q"), p.alias("p")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(
+            F.col("q").cast("decimal(10,0)") * F.col("q").cast("decimal(10,0)")
+        ).alias("sqq"),
+        F.sum(
+            F.col("p").cast("decimal(12,0)") * F.col("p").cast("decimal(12,0)")
+        ).alias("spp"),
+        F.sum(
+            F.col("q").cast("decimal(10,0)") * F.col("p").cast("decimal(12,0)")
+        ).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+    sqd, spd = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqqd, sppd = F.col("sqq").cast("double"), F.col("spp").cast("double")
+    sqpd = F.col("sqp").cast("double")
+    corr = (nd * sqpd - sqd * spd) / F.sqrt(
+        (nd * sqqd - sqd * sqd) * (nd * sppd - spd * spd)
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        F.round(corr, 6).alias("corr_qty_price"),
     )
 
 
