@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "ta_zipf_fit",
     "events_retention_cohorts",
     "agg_correlation",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
 ]
 
 
