@@ -814,3 +814,56 @@ def test_streaming_queue_consumer_sweep_recovers_without_new_arrivals(
         if d.startswith("batch_id=") and int(d.split("=")[1]) >= (1 << 40)
     ]
     assert len(sweeps) == 1
+
+
+def test_dead_letter_redrive_policy(spark, tmp_path):
+    """SQS-style redrive: a message whose claims lapsed un-acked
+    max_deliveries times surfaces in the dead-letter view and is
+    excluded from pending under the same policy; healthy and acked
+    messages never appear there."""
+    import pyspark.sql.functions as F
+
+    from unstract_spark.sinks.review_queue import (
+        ack_messages,
+        dead_letter_messages,
+        pending_messages,
+        write_queue,
+    )
+
+    qp, lp = str(tmp_path / "queue"), str(tmp_path / "ledger")
+    results = spark.createDataFrame(
+        [("p.txt", "h-p", 200.0), ("ok.txt", "h-ok", 200.0)],
+        "file_name string, file_hash string, total double",
+    )
+    write_queue(route_to_review(results, "q1", pct=100.0), qp)
+    ids = {r.file: r.message_id
+           for r in pending_messages(spark, qp, lp, "q1").collect()}
+    poison, healthy = ids["p.txt"], ids["ok.txt"]
+
+    # healthy message consumed normally (acked; poison never claimed
+    # by a live consumer — only by the crashed ghosts below)
+    ack_messages(spark, lp, "q1", [healthy], "c1")
+
+    # poison message: 3 crashed delivery attempts (stale claims)
+    ghost = spark.createDataFrame(
+        [("q1", poison, f"crash{i}", "CLAIMED") for i in range(3)],
+        "queue_name string, message_id string, consumer_id string, state string",
+    ).withColumn(
+        "ts", F.current_timestamp() - F.make_dt_interval(hours=F.lit(1))
+    )
+    ghost.write.mode("append").partitionBy("queue_name").parquet(lp)
+
+    dlq = {r.message_id for r in dead_letter_messages(
+        spark, qp, lp, "q1", max_deliveries=3).collect()}
+    assert dlq == {poison}
+    # redrive-aware pending excludes it; plain pending still offers it
+    aware = {r.message_id for r in pending_messages(
+        spark, qp, lp, "q1", max_deliveries=3).collect()}
+    assert poison not in aware
+    plain = {r.message_id for r in pending_messages(spark, qp, lp, "q1").collect()}
+    assert poison in plain
+    # under the threshold it is NOT dead-lettered
+    assert dead_letter_messages(
+        spark, qp, lp, "q1", max_deliveries=4).count() == 0
+    # acked messages never reach the DLQ regardless of old claims
+    assert healthy not in dlq

@@ -1136,6 +1136,59 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH su AS (SELECT user_id, min(ts) AS signup_ts
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    v AS (SELECT e.user_id, min(e.ts) AS view_ts
+          FROM events e JOIN su USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts >= su.signup_ts GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= v.view_ts GROUP BY 1)
+    SELECT '1_signup' AS stage, count(*) AS n_users FROM su
+    UNION ALL SELECT '2_view', count(*) FROM v
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> first view AFTER signup -> first
+    purchase AFTER that view (ORDER is the semantics — a purchase
+    before the qualifying view does not convert; each stage anchors on
+    the previous stage's min timestamp, the standard funnel
+    definition). Three stage-chained aggregate+join steps, each a
+    shuffle on user_id only."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit(name).alias("stage"), "n_users")
+    return (
+        one(su, "1_signup")
+        .unionByName(one(v, "2_view"))
+        .unionByName(one(p, "3_purchase"))
+    )
+
+
+@register(
     "events_rollup_cascade",
     """
     SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start,

@@ -145,9 +145,12 @@ def pending_messages(
     ledger_path: str,
     queue_name: str,
     visibility_timeout_s: int = 300,
+    max_deliveries: int | None = None,
 ) -> DataFrame:
     """Messages a consumer may claim: unexpired, never acked, and not
-    claimed within the visibility window."""
+    claimed within the visibility window. With `max_deliveries`,
+    messages whose claims already lapsed un-acked that many times are
+    excluded (poison — see dead_letter_messages)."""
     msgs = read_unexpired(spark, queue_path).filter(F.col("queue_name") == queue_name)
     ledger = _read_ledger(spark, ledger_path, queue_name)
     done = ledger.filter(F.col("state") == "DONE").select("message_id")
@@ -159,7 +162,15 @@ def pending_messages(
         .join(done, "message_id", "left_anti")
         .select("message_id")
     )
-    return msgs.join(done, "message_id", "left_anti").join(active, "message_id", "left_anti")
+    out = msgs.join(done, "message_id", "left_anti").join(
+        active, "message_id", "left_anti"
+    )
+    if max_deliveries is not None:
+        poison = _lapsed_claim_counts(
+            spark, ledger_path, queue_name, visibility_timeout_s
+        ).filter(F.col("n_failed_deliveries") >= max_deliveries).select("message_id")
+        out = out.join(poison, "message_id", "left_anti")
+    return out
 
 
 def claim_batch(
@@ -255,3 +266,46 @@ def ack_messages(
     ).withColumn("ts", F.current_timestamp())
     with LedgerLock(ledger_path):
         df.write.mode("append").partitionBy("queue_name").parquet(ledger_path)
+
+
+def _lapsed_claim_counts(
+    spark, ledger_path: str, queue_name: str, visibility_timeout_s: int
+) -> DataFrame:
+    """Per-message count of claims that LAPSED un-acked (delivery
+    attempts that died) — the redrive counter."""
+    ledger = _read_ledger(spark, ledger_path, queue_name)
+    done = ledger.filter(F.col("state") == "DONE").select("message_id")
+    lapsed = ledger.filter(
+        (F.col("state") == "CLAIMED")
+        & (
+            F.col("ts")
+            <= F.current_timestamp()
+            - F.make_dt_interval(secs=F.lit(visibility_timeout_s))
+        )
+    ).join(done, "message_id", "left_anti")
+    return lapsed.groupBy("message_id").agg(
+        F.count(F.lit(1)).alias("n_failed_deliveries")
+    )
+
+
+def dead_letter_messages(
+    spark,
+    queue_path: str,
+    ledger_path: str,
+    queue_name: str,
+    visibility_timeout_s: int = 300,
+    max_deliveries: int = 3,
+) -> DataFrame:
+    """SQS-style redrive policy: messages whose claims lapsed un-acked
+    `max_deliveries` times are POISON — endlessly redelivering them
+    wedges consumers on the same crashing payload. This view (queue
+    rows + their failure count) is what an operator drains to a
+    dead-letter store; consumers exclude exactly this set via
+    pending_messages(..., max_deliveries=...)."""
+    msgs = read_unexpired(spark, queue_path).filter(
+        F.col("queue_name") == queue_name
+    )
+    counts = _lapsed_claim_counts(
+        spark, ledger_path, queue_name, visibility_timeout_s
+    ).filter(F.col("n_failed_deliveries") >= max_deliveries)
+    return msgs.join(counts, "message_id")
