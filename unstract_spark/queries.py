@@ -128,6 +128,7 @@ _DRIVER_GATE_FIRST = [
     "q4_order_priority",
     "q7_nation_volume",
     "q10_returned_items",
+    "events_funnel",
     # fill: fewest driver-green rounds first (ceded veterans from the
     # r1-r5 window that r6 rotated out; each has exactly 1-4 green
     # rounds vs the 5-round veterans that close the registry order).
