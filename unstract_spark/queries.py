@@ -76,101 +76,64 @@ def _davg(col, scale: int = 4):
 
 
 # Driver-gate rotation: the external correctness harness verifies the
-# FIRST 50 registry entries in iteration order each round. Rounds 1-5
-# always presented the same first 50, so the 38 queries registered after
-# `agg_length_percentiles` (all mm_*/ex_*, PQ/IVF-PQ, lsh/ivf ANN,
-# enrichment, retrieval pipelines, ...) had never been independently
-# driver-verified. This list puts exactly those — plus anything newly
-# added this round — at the front; long-green veterans (5 straight
-# driver-green rounds) cede their slots and remain judge/sf-sweep
-# covered via tools/check_correctness.py over the FULL registry.
-_DRIVER_GATE_FIRST = [
-    # --- round-7 front-slot policy (derived from the r6 driver record +
-    # this round's diff, per ADVICE): (a) every query whose
-    # implementation or oracle CHANGED this round, (b) every row with no
-    # green driver record yet (never-checked or stale-red), (c) every
-    # query newly registered this round. Fill the remaining window with
-    # the queries having the FEWEST prior driver-green rounds. ---
-    # (a) changed this round: a1's cost sum moved from a lossy
-    # double->DECIMAL(18,6) cast to an exact micro-dollar long domain
-    # on BOTH sides (the r6 red row — driver-env decimal tie-rounding).
-    "a1_usage_by_model",
-    # (b) stale rows: bpe_token_counts' only driver row is r5
-    # "no_oracle"; its fixed-merges value-hash oracle landed in r6.
-    "bpe_token_counts",
-    # (b) round-6 late adds, never inside a driver window:
-    "dd_cluster_histogram",
-    "events_anomalies",
-    "j7_asof_tolerance",
-    "j9_interval_overlap",
-    "mm_downsample_audio",
-    "ta_length_trim",
-    "ta_normalize",
-    "ta_trending_terms",
-    # (c) round-7 additions (never driver-checked by definition):
-    "dd_minhash_skew",
-    "ex_pack_segments",
-    "ta_stopword_profile",
-    "sim_mips_topk",
-    "j10_temporal_join",
-    "ta_zipf_fit",
-    "dd_suffix_arrays",
-    "ex_dedup_provenance",
-    "mm_image_tiles",
-    "events_hotspot_windows",
-    "agg_variance_by_status",
-    "ta_simpson_diversity",
-    "sim_cell_probe_stats",
-    "ex_length_mixture",
-    "dd_duplicated_spans",
-    "events_retention_cohorts",
-    "agg_correlation",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "events_funnel",
-    # fill: fewest driver-green rounds first (ceded veterans from the
-    # r1-r5 window that r6 rotated out; each has exactly 1-4 green
-    # rounds vs the 5-round veterans that close the registry order).
-    "dd_embedding_neardup_lsh",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_rrf_fusion",
-    "sim_keyword_table",
-    "t16_classification",
-    "t14_lookup_enrichment",
-    "t11_summarize",
-    "t13_evaluation",
-    "f8_variable_replacement",
-    "r7_automerging",
-    "t12_challenge",
-    "t18_highlights",
-    "rp_chunk_embed_retrieve",
-    "r2_subquestion",
-    "t10_single_pass",
-    "ta_lang_confusion",
-    "r5_router",
-    "r4_recursive",
-    "bpe_byte_token_counts",
-    "j7_asof_join_chunked",
-    "dd_duplicate_clusters",
-    "dd_intra_overlap",
-    "sim_bm25_topk",
-    "ta_unigram_logprob",
-    "sim_bm25_batch",
-    "ex_stratified_sample",
-    "events_rollup_cascade",
-    "bpe_byte_pair_counts",
-    "ex_curation_e2e",
+# FIRST 50 registry entries in iteration order each round, so iteration
+# order IS the verification schedule. It is derived MECHANICALLY (the
+# r6 ADVICE: no hand-picked slates) from the driver's own recorded
+# results:
+#   1. queries whose implementation or oracle CHANGED this round
+#      (_CHANGED_THIS_ROUND — the one per-round manual input, since the
+#      git diff is not visible at import time),
+#   2. then ascending count of green driver rows across every
+#      CORRECTNESS_r*.json in the repo root — never-checked and
+#      stale-red rows have count 0 and land at the front; long-green
+#      veterans sink to the back (they stay covered by the full-registry
+#      tools/check_correctness.py sweep each round),
+#   3. ties broken by registration order (stable, deterministic).
+# A new registration has no driver record, so it auto-rotates into the
+# window with no list to maintain.
+
+# Per-round manual input: queries whose semantics changed this round.
+_CHANGED_THIS_ROUND = [
+    "a1_usage_by_model",  # r7: cost sum moved to exact micro-dollar longs
 ]
 
 
+def _driver_green_counts() -> dict[str, int]:
+    """Green driver rows per query across all recorded rounds."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
-    first = [n for n in _DRIVER_GATE_FIRST if n in _REGISTRY]
-    seen = set(first)
-    return {
-        n: _REGISTRY[n] for n in [*first, *(k for k in _REGISTRY if k not in seen)]
-    }
+    counts = _driver_green_counts()
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+
+    def key(n: str):
+        return (
+            0 if n in changed else 1,
+            changed.get(n, 0),
+            counts.get(n, 0),
+            reg_pos[n],
+        )
+
+    return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 
 
 def queries() -> dict[str, QueryFn]:
