@@ -867,3 +867,61 @@ def test_dead_letter_redrive_policy(spark, tmp_path):
         spark, qp, lp, "q1", max_deliveries=4).count() == 0
     # acked messages never reach the DLQ regardless of old claims
     assert healthy not in dlq
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path, sf_dir):
+    """The sliding-window hotspot shape on a real STREAM: an
+    AvailableNow drain with complete-mode foreachBatch over the events
+    slice must produce exactly the batch expression's rows (same
+    epoch-anchored window alignment the events_hotspot_windows oracle
+    gates)."""
+    from unstract_spark.queries import _t
+    from unstract_spark.streaming.incremental import (
+        windowed_event_aggregation,
+    )
+
+    import pyspark.sql.functions as F
+
+    # watermarks need TIMESTAMP (LTZ); the test slice converts the
+    # engine's NTZ event time once at the source
+    events = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(2000)
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.total_value)
+        for r in windowed_event_aggregation(
+            spark.read.parquet(src), "1 hour", slide="15 minutes"
+        ).collect()
+    }
+    assert batch and len({w for w, *_ in batch}) > 4
+
+    got: set = set()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    agg = windowed_event_aggregation(stream, "1 hour", slide="15 minutes")
+
+    def sink(df, _epoch):
+        got.clear()  # complete mode re-emits the full result each fire
+        got.update(
+            (r.window_start, r.window_end, r.event_type, r.n_events,
+             r.total_value)
+            for r in df.collect()
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == batch

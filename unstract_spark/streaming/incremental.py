@@ -128,19 +128,28 @@ def windowed_event_aggregation(
     watermark_delay: str = "2 hours",
     ts_col: str = "ts",
     group_cols: tuple[str, ...] = ("event_type",),
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation (streaming or batch).
+    """Watermarked tumbling OR sliding window aggregation (streaming or
+    batch). `slide` < window_duration makes it sliding (each event in
+    duration/slide windows — the hotspot-detection shape gated by
+    `events_hotspot_windows`); None/equal is tumbling.
 
     On a stream: state is dropped past the watermark, so memory is
-    bounded by (windows in flight x groups). The same expression on a
-    batch frame computes the identical result — used by the oracle test.
+    bounded by (windows in flight x groups) — sliding multiplies the
+    in-flight window count by duration/slide, which the watermark still
+    bounds. The same expression on a batch frame computes the identical
+    result — used by the oracle test.
     """
     return (
         events.withWatermark(ts_col, watermark_delay)
         if events.isStreaming
         else events
     ).groupBy(
-        F.window(F.col(ts_col), window_duration).alias("w"), *group_cols
+        F.window(
+            F.col(ts_col), window_duration, slide or window_duration
+        ).alias("w"),
+        *group_cols,
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
