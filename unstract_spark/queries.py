@@ -5571,6 +5571,99 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_dedup",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               CAST((i - 1) // 16 // 4 AS INT) * 4
+                   + CAST(((i - 1) % 16) // 4 AS INT) AS tile_idx,
+               ascii(substr(rpad(substr(text, 1, 256), 256, ' '),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, unnest(range(1, 257)) AS u(i)
+    ),
+    tiles AS (
+        SELECT doc_id, tile_idx, CAST(sum(v) AS BIGINT) AS tsum
+        FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(tsum) AS total FROM tiles GROUP BY 1),
+    fp AS (
+        SELECT t.doc_id,
+               CAST(sum(CASE WHEN t.tsum * 16 >= o.total
+                             THEN CAST(1 AS BIGINT) << t.tile_idx
+                             ELSE 0 END) AS BIGINT) AS ahash
+        FROM tiles t JOIN tot o USING (doc_id)
+        GROUP BY t.doc_id
+    )
+    SELECT ahash, count(*) AS n_images, min(doc_id) AS keeper_id
+    FROM fp GROUP BY ahash
+    """,
+)
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup (average hash, Krawetz 2011): decode
+    each 16x16 image (real PGM/PNG), cut the 4x4 tile grid
+    (multimodal.tile_images — the same gated extractor), fingerprint =
+    one bit per tile (tile mean >= image mean, INTEGER-EXACT:
+    tsum*16 >= total avoids any division), and group by the 16-bit
+    hash — near-duplicate image clusters with min-id keepers. This is
+    the image twin of exact_dedup_groups: at 100 TB the fingerprint is
+    a groupBy key (uniform, bounded cardinality), never a pairwise
+    compare; the decode fan-out is the only Python stage."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import tile_images
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.rpad(F.substring("text", 1, 256), 256, " ").alias("s")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.multimodal import encode_pgm, encode_png
+
+        for pdf in batches:
+            content = []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                img = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(
+                    16, 16
+                )
+                content.append(
+                    encode_pgm(img) if int(did) % 2 == 0 else encode_png(img)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    # tiles feeds TWO consumers (the per-image total and the bit sum);
+    # without a materialization each re-runs the encode+decode Python
+    # stages — localCheckpoint, not persist (CacheManager-leak lesson)
+    tiles = tile_images(
+        imgs, tile=4, payload_col="content", id_col="doc_id", fake=False
+    ).localCheckpoint(eager=True)
+    tot = tiles.groupBy("doc_id").agg(F.sum("px_sum").alias("total"))
+    fp = (
+        tiles.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("px_sum") * 16 >= F.col("total"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), tile_row * 4 + tile_col)"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("ahash")
+        )
+    )
+    return fp.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+@register(
     "a1_usage_by_model",
     """
     WITH u AS (
