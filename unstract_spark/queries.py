@@ -95,6 +95,10 @@ def _davg(col, scale: int = 4):
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
     "a1_usage_by_model",  # r7: cost sum moved to exact micro-dollar longs
+    # r7: catalog file numbering re-planned (path-only rank window +
+    # broadcast join-back) — the catalog-backed queries changed plans
+    "s2_pattern_filter",
+    "s3_ordered_scan_topk",
 ]
 
 
