@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q7_nation_volume",
     "q10_returned_items",
+    "events_funnel",
+    # dd_suffix_arrays / dd_duplicated_spans are registry-gated but
+    # deliberately NOT benched: 7 prefix-doubling rounds at sf0.1 are
+    # ~8 s x 4 runs of pure iterative-algorithm cost that would drown
+    # the suite's signal (same policy as the recursive-CTE-oracle-only
+    # provenance query).
 ]
 
 
