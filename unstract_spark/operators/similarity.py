@@ -1088,3 +1088,174 @@ class IvfPqIndexStore:
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+
+
+def _residuals_pandas(
+    index: DataFrame,
+    cents: np.ndarray,
+    id_c: str = "vec_id",
+    vec_c: str = "embedding",
+) -> DataFrame:
+    """(id, cell, resid): assign each vector to its max-dot centroid and
+    subtract it — the IVFADC residual frame (one matmul per Arrow
+    batch against the broadcast centroid matrix)."""
+    bc = index.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+    id_t = index.schema[id_c].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_c]])
+            cells = np.argmax(V @ C.T, axis=1)
+            R = V - C[cells]
+            yield pd.DataFrame(
+                {
+                    id_c: pdf[id_c],
+                    "cell": cells.astype("int32"),
+                    "resid": [r for r in R],
+                }
+            )
+
+    return index.select(id_c, vec_c).mapInPandas(
+        run, schema=f"`{id_c}` {id_t}, cell int, resid array<double>"
+    )
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: list[np.ndarray] | None = None,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ (Jegou et al. 2011's actual IVFADC): codes
+    quantize (vector - cell centroid), not the raw vector. On clustered
+    corpora — which embedding spaces are — raw-vector PQ fails exactly
+    when it matters: intra-cluster distances sit below the quantization
+    error, so ADC cannot order same-cluster members (the prod ladder
+    measured recall 0.615 at refine 20). Residuals are small by
+    construction, so the same code budget quantizes them finely and
+    <q, v> = <q, c_cell> + <q, r_v> is approximated per candidate as
+    coarse-term + sum_m LUT_m[code_m].
+
+    This is the pandas scatter/gather path (per-(query, probed-cell)
+    lookup tables don't fit the per-query generated-SQL LUT shape):
+    the codes frame is hash-partitioned by cell; ONE mapInPandas task
+    scores its cells' candidates against the broadcast probe set and
+    emits only its local refine*k shortlist per query; a per-query
+    window merges shards and exact cosine re-ranks the global
+    shortlist. Queries ride a driver collect — the same documented
+    small-side contract as HNSW (hnsw.py). Codebooks should be fitted
+    on the residual frame (pq_kmeans_refine over _residuals_pandas);
+    the seeded default is honest but loose.
+    """
+    spark = index.sparkSession
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _seeded_hyperplanes(dim, n_centroids, table=991)
+    )
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+
+    resid = _residuals_pandas(index, cents, index_id, index_vec)
+    codes = pq_encode(
+        resid, dim, n_sub, n_codes, index_id, "resid", cbs, keep=("cell",)
+    ).drop("resid")
+
+    # probe set: (cell -> [(qid, qvec)]) — queries are the small side
+    qb = _argmax_cells_pandas(queries, query_id, query_vec, n_probe, cents)
+    probes: dict[int, list] = {}
+    for r in qb.collect():
+        probes.setdefault(int(r["cell"]), []).append(
+            (r[query_id], np.asarray(r[query_vec], dtype=np.float64))
+        )
+    bc = spark.sparkContext.broadcast(
+        (probes, np.ascontiguousarray(cents), [np.ascontiguousarray(c) for c in cbs])
+    )
+    per_shard = refine * k
+
+    def score(batches):
+        import pandas as pd
+
+        pr, C, CB = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qs = pr.get(int(cell))
+                if not qs:
+                    continue
+                codes_m = np.stack(
+                    [grp[f"code_{m}"].to_numpy() for m in range(n_sub)], axis=1
+                )  # (rows, n_sub)
+                ids = grp[index_id].to_numpy()
+                for qid, qv in qs:
+                    coarse = float(qv @ C[int(cell)])
+                    # LUT[m][c] = <q_sub_m, codeword_mc>
+                    lut = np.stack(
+                        [qv[m * d : (m + 1) * d] @ CB[m].T for m in range(n_sub)]
+                    )  # (n_sub, n_codes)
+                    adc = coarse + lut[np.arange(n_sub)[None, :], codes_m].sum(axis=1)
+                    top = np.argsort(-adc, kind="stable")[:per_shard]
+                    out_q.extend([qid] * len(top))
+                    out_i.extend(ids[top])
+                    out_s.extend(adc[top])
+            yield pd.DataFrame(
+                {query_id: out_q, index_id: out_i, "adc": out_s}
+            )
+
+    id_t = index.schema[index_id].dataType.simpleString()
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cands = (
+        codes.repartition(F.col("cell"))
+        .mapInPandas(
+            score, schema=f"`{query_id}` {qid_t}, `{index_id}` {id_t}, adc double"
+        )
+    )
+    wa = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(index_id).asc()
+    )
+    shortlist = (
+        cands.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= per_shard)
+        .select(query_id, index_id)
+    )
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    )
+    scored = (
+        shortlist.join(
+            index.select(F.col(index_id), F.col(index_vec).alias("_iv")),
+            index_id,
+        )
+        .join(q, query_id)
+        .select(
+            query_id,
+            index_id,
+            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(index_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
