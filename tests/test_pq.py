@@ -345,3 +345,21 @@ def test_residual_ivfpq_beats_raw_on_clustered(spark):
         )
     )
     assert sat == 1.0, sat
+
+
+def test_dispatcher_ivfpq_residual_strategy(spark):
+    """strategy='ivfpq_residual' dispatches with merged auto-params and
+    returns the standard (query_id, vec_id, score, rank) shape."""
+    from unstract_spark.operators.similarity import similarity_topk
+
+    e = _emb(spark, n=200, dim=16)
+    q = e.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out, plan = similarity_topk(q, e, dim=16, k=5, strategy="ivfpq_residual")
+    assert plan.strategy == "ivfpq_residual"
+    assert {"n_centroids", "n_probe", "n_sub", "n_codes", "refine"} <= set(
+        plan.params
+    )
+    rows = out.collect()
+    assert len(rows) == 10 and {r.rank for r in rows} == {1, 2, 3, 4, 5}

@@ -814,6 +814,20 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
             + q * n * params["n_sub"]
             + q * params["refine"] * params.get("k", 10) * dim
         )
+    if strategy == "ivfpq_residual":
+        # cell assign (n+q) + residual encode n + per-(q, probed cell)
+        # LUTs + ADC lookups on the sublinear candidate set + bounded
+        # re-rank. Explicit-override only, like pq/hnsw: its real win
+        # (codes instead of float vectors on clustered corpora) is a
+        # memory-bandwidth/recall property mult counts don't price.
+        cand = params["n_probe"] * n / params["n_centroids"]
+        return (
+            (n + q) * params["n_centroids"] * dim
+            + n * params["n_codes"] * dim
+            + q * params["n_probe"] * params["n_codes"] * dim
+            + q * cand * params["n_sub"]
+            + q * params["refine"] * params.get("k", 10) * dim
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -904,7 +918,9 @@ def similarity_topk(
     q = n_queries if n_queries is not None else queries.count()
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
     if strategy != "auto":
-        if strategy not in ("brute_force", "lsh", "ivf", "pq", "hnsw"):
+        if strategy not in (
+            "brute_force", "lsh", "ivf", "pq", "hnsw", "ivfpq_residual"
+        ):
             raise ValueError(f"unknown strategy {strategy!r}")
         params = (
             {}
@@ -915,6 +931,8 @@ def similarity_topk(
             if strategy == "ivf"
             else _pq_auto_params(dim)
             if strategy == "pq"
+            else {**_ivf_auto_params(n), **_pq_auto_params(dim), "refine": 5}
+            if strategy == "ivfpq_residual"
             else _hnsw_auto_params(n)
         )
         plan = TopkPlan(strategy, params, _estimate_mults(strategy, params, n, q, dim))
@@ -931,6 +949,10 @@ def similarity_topk(
         from unstract_spark.operators.hnsw import hnsw_topk_join
 
         out = hnsw_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    elif plan.strategy == "ivfpq_residual":
+        out = ivfpq_residual_topk(
+            queries, index, dim, k=k, **plan.params, **col_names
+        )
     else:
         centroids = None
         if ivf_refine_iters > 0:
