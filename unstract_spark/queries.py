@@ -5880,4 +5880,769 @@ def li_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Full TPC-H query-shape suite (r7): the remaining 16 of the 22 TPC-H
+# query shapes, adapted to the reduced synthetic schema.  Where a TPC-H
+# column/table is absent (partsupp, l_shipmode, l_commitdate/
+# l_receiptdate, c_phone, p_container, comments) the query keeps the
+# PLAN SHAPE — scalar subqueries, semi/anti joins, conditional
+# aggregation, disjunctive pushdown — over the columns that exist, and
+# documents the substitution.  All money rollups go through the
+# order-independent decimal domain (_dsum/_davg); every ranked output
+# breaks ties on a unique key.
+# =====================================================================
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH lp AS (
+        SELECT p.p_partkey, p.p_name, l.l_suppkey,
+               l.l_extendedprice / l.l_quantity AS unit_price
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size = 15
+    ),
+    m AS (SELECT p_partkey, min(unit_price) AS mp FROM lp GROUP BY 1)
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, lp.p_partkey,
+                    lp.p_name, m.mp AS min_unit_price
+    FROM lp
+    JOIN m ON m.p_partkey = lp.p_partkey AND lp.unit_price = m.mp
+    JOIN supplier s ON s.s_suppkey = lp.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in the schema — lineitem's observed
+    unit price stands in for ps_supplycost): for every size-15 part,
+    the supplier(s) that shipped it at the minimum unit price.  The
+    min-agg join-back is the decorrelated correlated-subquery plan; the
+    part filter is pushed into the scan and the dimension joins are
+    broadcast.  Unit price is a per-row IEEE division — identical on
+    both engines, so the min and the equality join-back are exact; the
+    output price stays a RAW double (rounding a double at a .5
+    boundary is engine-dependent — Spark rounds the exact binary
+    value, DuckDB the shortest decimal form — so no round() here)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    m = lp.groupBy("p_partkey").agg(F.min("unit_price").alias("mp"))
+    return (
+        lp.join(
+            m.withColumnRenamed("p_partkey", "m_partkey"),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_price") == F.col("mp")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("mp").alias("min_unit_price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan; a single partial+final decimal-domain sum, no shuffle of any
+    width beyond the 1-row exchange."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the share of ASIA-region
+    PROMO-part revenue supplied by NATION_3, per order year.  Five
+    broadcast dimension joins around the lineitem-orders shuffle join;
+    numerator and denominator are decimal-domain sums so the final
+    double ratio is bit-identical cross-engine."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_vol.cast("decimal(18,6)")).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.1 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp — 10% of retail price per unit
+    stands in for ps_supplycost): profit on widget parts by supplier
+    nation and order year.  The p_name LIKE filter prunes the part
+    dimension before the broadcast; profit is a single decimal-domain
+    expression so the rollup is order-independent."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH v AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY 1
+    ),
+    t AS (SELECT sum(val) AS total FROM v)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(round(v.val, 2) AS DOUBLE) AS part_value
+    FROM v, t
+    WHERE CAST(v.val AS DOUBLE) > 0.0008 * CAST(t.total AS DOUBLE)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value stands in for partsupp stock
+    value): parts whose NATION_3-supplied revenue exceeds a fraction of
+    the national total.  The scalar subquery is a 1-row broadcast
+    cross join — no driver collect; both the per-part values and the
+    total are exact decimal sums so the HAVING boundary is identical
+    cross-engine."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val"))
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.join(F.broadcast(t))
+        .filter(F.col("val").cast("double") > 0.0008 * F.col("total").cast("double"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_ship_priority_class",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode — l_linestatus is the class
+    column): conditional counts of high- vs low-priority orders per
+    line class in a ship-date window.  Pure conditional aggregation
+    after one shuffle join; the date filter pushes to the scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — outer join with
+    an ON-clause filter (the comment NOT LIKE analog is a priority
+    exclusion; the filter must live in the join condition, not a WHERE,
+    to preserve zero-order customers), then a double aggregation.
+    Exact integer counts end-to-end."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship month — conditional
+    decimal sum over unconditional decimal sum, one broadcast join,
+    single-row output."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(promo.cast("decimal(18,6)")).cast("double")
+            / F.sum(vol.cast("decimal(18,6)")).cast("double"),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    ),
+    m AS (SELECT max(total_revenue) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    CROSS JOIN m
+    WHERE rev.total_revenue = m.mx
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — the view + scalar
+    max + equality join-back (returns ALL ties, as the spec requires).
+    Revenue is rounded in the exact decimal domain before the max, so
+    the tie boundary is deterministic cross-engine; the 1-row max is a
+    broadcast cross join, not a driver collect."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    m = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(m))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#12'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem supplies the part-supplier relation;
+    negative account balance is the complaints analog): distinct
+    supplier count per (brand, type, size) over an excluded-brand,
+    size-list part filter, minus black-listed suppliers via a broadcast
+    anti-join (the decorrelated NOT IN).  Exact integer counts."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12'
+    ),
+    a AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) AS avg_qty
+        FROM li GROUP BY 1
+    )
+    SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM li JOIN a ON a.l_partkey = li.l_partkey
+    WHERE li.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity revenue — the correlated per-part
+    average-quantity subquery, decorrelated into a grouped aggregate
+    and an equi-join back.  The per-part mean is an exact decimal sum
+    over an exact count, so the 0.2× threshold comparison is
+    bit-identical cross-engine."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    a = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(a), li.l_partkey == a.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty,
+           rnk
+    FROM (
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty,
+               CAST(row_number() OVER (
+                    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS INT) AS rnk
+        FROM big
+        JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rnk <= 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — the grouped HAVING subquery
+    (sum of quantity per order above a threshold, exact decimal sum),
+    joined back to orders/customer, global top-100 by order value with
+    an orderkey tie-break (TakeOrderedAndProject, no full sort)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 200)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the disjunctive predicate query — three OR'd
+    brand/size/quantity branches.  Catalyst extracts the common
+    join key and pushes the brand/size disjunction to the part scan;
+    the residual mixed predicate evaluates post-join inside codegen."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#18")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(br)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_part_promotion",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300
+    )
+    SELECT s.s_name, n.n_name, round(shipped.qty, 2) AS red_qty
+    FROM shipped
+    JOIN supplier s ON s.s_suppkey = shipped.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty — an absolute shipped-
+    quantity threshold stands in for the 50%-of-stock predicate):
+    suppliers that moved over 300 units of red parts in 1997.  The
+    nested subquery chain (part name filter → lineitem window sum →
+    HAVING → supplier semi-join) keeps Q20's plan shape; the quantity
+    sum is exact decimal so the HAVING boundary is deterministic."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty")
+        )
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        shipped.join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name", F.round("qty", 2).alias("red_qty"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH base AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey, l.l_returnflag
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_supp_r
+        FROM base GROUP BY 1
+    )
+    SELECT s_name, numwait, rnk FROM (
+        SELECT s.s_name, count(*) AS numwait,
+               CAST(row_number() OVER (
+                    ORDER BY count(*) DESC, s.s_name ASC) AS INT) AS rnk
+        FROM base b
+        JOIN per_order po ON po.l_orderkey = b.l_orderkey
+        JOIN supplier s   ON s.s_suppkey = b.l_suppkey
+        WHERE b.l_returnflag = 'R'
+          AND po.n_supp > 1 AND po.n_supp_r = 1
+        GROUP BY 1
+    ) WHERE rnk <= 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates — a returned line in a
+    finished order marks the 'late' supplier): suppliers who were the
+    ONLY supplier with a returned line in a multi-supplier order.  The
+    EXISTS (another supplier participated) and NOT EXISTS (no other
+    supplier returned) pair is decorrelated into one per-order
+    aggregate — n_supp > 1 ∧ n_supp_r = 1 — replacing two correlated
+    self-joins with a single shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .distinct()
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    waiting = (
+        base.filter(F.col("l_returnflag") == "R")
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        waiting.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH sel AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    a AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) AS avg_bal
+        FROM sel WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM sel, a
+    WHERE sel.c_acctbal > a.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = sel.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY 1
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation key stands in for the phone country
+    code; 'no recent orders' stands in for 'no orders ever', which the
+    dense synthetic data never satisfies): above-average-balance
+    customers in seven nations with no order in the last 13 months.
+    Scalar average via 1-row broadcast cross join, anti-join for the
+    NOT EXISTS, exact decimal mean so the balance cutoff is
+    deterministic cross-engine."""
+    sel = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select("o_custkey")
+    )
+    a = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        sel.join(F.broadcast(a))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, sel.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
