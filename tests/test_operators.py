@@ -450,3 +450,39 @@ def test_connected_components_paths_agree(spark):
     dist = {(r.node, r.component)
             for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert fast == dist
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Crafted corpus: shared boilerplate is excised, unique text kept,
+    a wholly-duplicated doc cleans to empty, overlapping windows merge
+    into one span."""
+    from unstract_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY!"  # 34 chars, shared
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha unique text one. " + boiler),
+            (2, boiler + " beta unique closing words."),
+            (3, boiler),          # wholly duplicated -> empty
+            (4, "totally original content without repeats"),
+            (5, "short"),          # < k, untouched by construction
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=16).collect()}
+    # unique doc and sub-k doc untouched
+    assert out[4].n_spans == 0 and out[4].cleaned_text.startswith("totally")
+    assert out[5].n_spans == 0 and out[5].cleaned_text == "short"
+    # the boilerplate vanished from every carrier
+    for i in (1, 2, 3):
+        assert "SUBSCRIBE" not in out[i].cleaned_text
+    # wholly-duplicated doc cleans to empty
+    assert out[3].cleaned_text == "" and out[3].cleaned_len == 0
+    # overlapping k-windows merged: one span per doc here, not many
+    assert out[1].n_spans == 1 and out[2].n_spans == 1
+    # removal is exact-span: unique prefix/suffix survive verbatim
+    assert out[1].cleaned_text == "alpha unique text one. "
+    assert out[2].cleaned_text == " beta unique closing words."
+    # accounting holds
+    for i in (1, 2, 3, 4, 5):
+        assert out[i].cleaned_len == len(out[i].cleaned_text)

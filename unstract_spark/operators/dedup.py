@@ -787,3 +787,128 @@ def suffix_array(
         ).localCheckpoint(eager=True)
         k *= 2
     return r.select(id_col, "pos", F.col("rank").alias("sa_rank"))
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact duplicated-span REMOVAL — the end-to-end step
+    of exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": excise every span that occurs
+    verbatim elsewhere in the corpus, keep the remainder).  The
+    detection side here is the k-gram formulation: a character belongs
+    to a duplicated span iff it is covered by some k-char window whose
+    content appears >= `min_count` times across the whole corpus
+    (suffix-array adjacency — dd_suffix_arrays/dd_duplicated_spans —
+    finds the same spans; grams join back to positions without
+    driver-side suffix walks, which is what scales).
+
+    Plan shape (all native, no Python):
+      1. explode k-gram start positions, groupBy gram -> corpus count
+         (one shuffle on gram; uniform keys — a gram is 16 chars, so
+         no hot-key fuse is needed the way raw tokens would);
+      2. join duplicated grams back to positions (linear fan-out),
+         each start p covers the interval [p, p+k-1];
+      3. merge overlapping/adjacent intervals per doc with the
+         gaps-and-islands window (running max of interval end);
+      4. complement the merged islands into kept pieces via lag();
+      5. reassemble cleaned text with an ordered concat of substr
+         pieces.
+    At 100 TB: rows scale with corpus characters; every shuffle is on
+    (gram) or (doc) keys, partition sizes stay bounded by doc length,
+    and the reassembly is a per-doc sorted-array fold — no global sort
+    and no driver state.
+
+    Returns (id, n_spans, removed_chars, cleaned_len, cleaned_text).
+    """
+    t = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_len")
+    ).filter(F.col("_len") > 0)
+    pos = t.filter(F.col("_len") >= k).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("_len") - k + 1)).alias("p"),
+        "_t",
+    ).select(id_col, "p", F.substring("_t", F.col("p"), k).alias("_gram"))
+    dup_gram = (
+        pos.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gram")
+    )
+    marked = pos.join(dup_gram, "_gram").select(
+        id_col, F.col("p").alias("s"), (F.col("p") + k - 1).alias("e")
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    isl = marked.withColumn("_pmax", F.max("e").over(w_run)).withColumn(
+        "_new",
+        F.when(
+            F.col("_pmax").isNull() | (F.col("s") > F.col("_pmax") + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            Window.partitionBy(id_col).orderBy("s").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    rem = isl.groupBy(id_col, "_isl").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re")
+    )
+    w_rem = Window.partitionBy(id_col).orderBy("rs")
+    before = rem.select(
+        id_col,
+        (F.coalesce(F.lag("re").over(w_rem), F.lit(0)) + 1).alias("ks"),
+        (F.col("rs") - 1).alias("ke"),
+    )
+    tail = rem.groupBy(id_col).agg((F.max("re") + 1).alias("ks")).join(
+        t.select(id_col, "_len"), id_col
+    ).select(id_col, "ks", F.col("_len").alias("ke"))
+    untouched = t.join(rem.select(id_col).distinct(), id_col, "left_anti").select(
+        id_col, F.lit(1).alias("ks"), F.col("_len").alias("ke")
+    )
+    kept = (
+        before.unionByName(tail)
+        .unionByName(untouched)
+        .filter(F.col("ke") >= F.col("ks"))
+    )
+    pieces = kept.join(t, id_col).select(
+        id_col,
+        "ks",
+        F.expr("substr(_t, ks, ke - ks + 1)").alias("_piece"),
+    )
+    cleaned = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "_piece"))),
+                lambda x: x["_piece"],
+            ),
+            "",
+        ).alias("cleaned_text")
+    )
+    stats = rem.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("re") - F.col("rs") + 1).alias("removed_chars"),
+    )
+    return (
+        t.join(stats, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            (F.col("_len") - F.coalesce("removed_chars", F.lit(0))).alias(
+                "cleaned_len"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -6645,4 +6645,98 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_span_removal",
+    """
+    WITH t AS (
+        SELECT doc_id, text AS _t, CAST(length(text) AS BIGINT) AS _len
+        FROM documents WHERE length(text) > 0
+    ),
+    pos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+               substr(_t, CAST(u.i AS INT), 16) AS g
+        FROM t, unnest(range(1, _len - 16 + 2)) AS u(i)
+        WHERE _len >= 16
+    ),
+    dg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+    m AS (SELECT doc_id, p AS s, p + 15 AS e FROM pos JOIN dg USING (g)),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+                    THEN 1 ELSE 0 END AS nw
+        FROM m
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM isl
+    ),
+    rem AS (SELECT doc_id, grp, min(s) AS rs, max(e) AS re
+            FROM isl2 GROUP BY 1, 2),
+    bef AS (
+        SELECT doc_id,
+               coalesce(lag(re) OVER (PARTITION BY doc_id ORDER BY rs), 0) + 1
+                   AS ks,
+               rs - 1 AS ke
+        FROM rem
+    ),
+    tl AS (
+        SELECT rem.doc_id, max(rem.re) + 1 AS ks, t._len AS ke
+        FROM rem JOIN t USING (doc_id) GROUP BY rem.doc_id, t._len
+    ),
+    unt AS (
+        SELECT t.doc_id, CAST(1 AS BIGINT) AS ks, t._len AS ke
+        FROM t WHERE NOT EXISTS (SELECT 1 FROM rem WHERE rem.doc_id = t.doc_id)
+    ),
+    kept AS (
+        SELECT * FROM bef UNION ALL SELECT * FROM tl UNION ALL SELECT * FROM unt
+    ),
+    pieces AS (
+        SELECT k.doc_id, k.ks,
+               substr(t._t, CAST(k.ks AS INT), CAST(k.ke - k.ks + 1 AS INT))
+                   AS piece
+        FROM kept k JOIN t USING (doc_id) WHERE k.ke >= k.ks
+    ),
+    cln AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS cleaned_text
+        FROM pieces GROUP BY 1
+    ),
+    st AS (
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(re - rs + 1) AS BIGINT) AS removed_chars
+        FROM rem GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+           CAST(t._len - coalesce(st.removed_chars, 0) AS BIGINT) AS cleaned_len,
+           coalesce(cln.cleaned_text, '') AS cleaned_text
+    FROM t
+    LEFT JOIN st  ON st.doc_id = t.doc_id
+    LEFT JOIN cln ON cln.doc_id = t.doc_id
+    """,
+)
+def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact duplicated-span REMOVAL
+    (dedup.remove_duplicated_spans) — the end-to-end Lee et al. 2022
+    step on top of the detection queries: every 16-gram occurring >= 2
+    times in the corpus marks its span, overlapping spans merge via
+    gaps-and-islands, the complement reassembles into the cleaned
+    document.  The oracle rebuilds the whole pipeline relationally —
+    hash equality covers the island merge, the complement derivation,
+    AND the reassembled cleaned strings character-for-character."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicated_spans(d, k=16, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_spans").cast("long"),
+        F.col("removed_chars").cast("long"),
+        F.col("cleaned_len").cast("long"),
+        "cleaned_text",
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
