@@ -580,3 +580,79 @@ def stopword_profile(
             ).alias("frac_above_threshold"),
         )
     )
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Deterministic count-min sketch over whitespace tokens (Cormode &
+    Muthukrishnan 2005) — the bounded-state frequency summary: depth x
+    width counters regardless of vocabulary size, mergeable by cell-wise
+    addition (partial aggregation IS the merge), point estimate =
+    min over rows of the hashed cell (always an over-estimate).
+
+    Row hashes are md5-derived (first 8 hex digits of md5(j:word), mod
+    width) so the sketch is reproducible cross-engine — no seeded
+    xxhash, which DuckDB lacks.  At 100 TB the counter table is
+    depth*width rows however large the corpus: the groupBy combines
+    map-side, and the shuffle carries at most depth*width*partitions
+    rows.
+
+    Returns (j, bucket, cnt) — the counter matrix.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    wj = words.select("w", F.explode(rows).alias("j"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        wj.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame, terms: DataFrame, term_col: str = "w", width: int = 1024
+) -> DataFrame:
+    """Point-estimate lookup against a count-min counter matrix: hash
+    the term per sketch row, join the counters (broadcast — the counter
+    matrix is fixed-size), min across rows.  Returns terms + cms_est."""
+    depth_rows = counters.select("j").distinct()
+    tj = terms.crossJoin(F.broadcast(depth_rows))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col(term_col))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    others = [c for c in terms.columns]
+    return (
+        tj.withColumn("bucket", bucket)
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -6739,4 +6739,129 @@ def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_heavy_hitters_cms",
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    ww AS (SELECT w FROM w WHERE w <> ''),
+    ex AS (SELECT w, count(*) AS c FROM ww GROUP BY 1),
+    top AS (
+        SELECT w, c,
+               CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS INT) AS rnk
+        FROM ex QUALIFY rnk <= 20
+    ),
+    wj AS (
+        SELECT w, CAST(u.j AS INT) AS j
+        FROM ww, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    cnts AS (
+        SELECT j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+                   % 1024 AS bucket,
+               count(*) AS cnt
+        FROM wj GROUP BY 1, 2
+    ),
+    tj AS (
+        SELECT t.w, t.c, t.rnk, CAST(u.j AS INT) AS j
+        FROM top t, unnest([0, 1, 2, 3]) AS u(j)
+    )
+    SELECT tj.w AS word, tj.c AS exact_cnt, min(cnts.cnt) AS cms_est, tj.rnk
+    FROM tj
+    JOIN cnts ON cnts.j = tj.j
+             AND cnts.bucket =
+                 ('0x' || substr(md5(CAST(tj.j AS VARCHAR) || ':' || tj.w), 1, 8))
+                     ::BIGINT % 1024
+    GROUP BY 1, 2, 4
+    """,
+)
+def ta_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (text_analysis.count_min_sketch /
+    cms_lookup): the 4x1024 counter matrix is built over the whole
+    corpus (fixed-size mergeable state — THE sketch property the gate
+    certifies), then the top-20 exact tokens are point-estimated
+    against it.  The oracle rebuilds the identical md5-derived sketch
+    relationally, so the hash gate pins the hash-row derivation, the
+    bucket arithmetic, and the min-combine.  cms_est >= exact_cnt by
+    construction; equality where no collision landed."""
+    from unstract_spark.operators.text_analysis import cms_lookup, count_min_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    counters = count_min_sketch(d, depth=4, width=1024)
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    ex = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rnk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    top = (
+        ex.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w_rnk).cast("int"))
+    )
+    est = cms_lookup(counters, top, term_col="w", width=1024)
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("exact_cnt"),
+        "cms_est",
+        "rnk",
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           max(CASE WHEN rn = CAST(floor(0.5  * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.9  * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p90,
+           max(CASE WHEN rn = CAST(floor(0.99 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p99
+    FROM r GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (lower-index definition: the value
+    at sorted position floor(q*(n-1))+1, orderkey tie-break) — the
+    deterministic twin of approx_percentile, which is sketch-based and
+    NOT cross-engine gateable.  One per-group sort window + conditional
+    max; emitted values are raw stored doubles, so no float drift
+    exists anywhere.  At scale the native percentile_approx / KLL
+    sketch replaces this; the exact variant is the calibration tool."""
+    o = _t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+
+    def pick(q: float):
+        idx = (
+            F.floor(F.lit(q) * (F.col("n") - 1).cast("double")).cast("long") + 1
+        )
+        return F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
