@@ -106,6 +106,21 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q10_returned_items",
     "events_funnel",
+    # round-7b additions: representative TPC-H shapes from the
+    # completed 22-query suite (pure scan-agg, outer-join
+    # distribution, HAVING + bounded top-k, disjunctive pushdown,
+    # decorrelated double-EXISTS), the corpus-wide exact span
+    # remover, and the exact-percentile window
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "dd_span_removal",
+    "agg_percentiles",
+    # ta_heavy_hitters_cms is registry-gated but not benched: its cost
+    # is the fixed 4-row hash fan-out (sketch property under test, not
+    # a scan shape the suite lacks).
     # dd_suffix_arrays / dd_duplicated_spans are registry-gated but
     # deliberately NOT benched: 7 prefix-doubling rounds at sf0.1 are
     # ~8 s x 4 runs of pure iterative-algorithm cost that would drown
