@@ -173,6 +173,36 @@ def main() -> int:
         "query_s": secs,
     }
 
+    # OPQ vs plain PQ, full ADC scan at equal budget — isolates the
+    # learned rotation's effect at production dim on clustered data
+    # (SCALE.md: the spectrum here is 256 strong directions + isotropic
+    # noise — between the decay regime where OPQ wins and the
+    # degenerate regime where identity wins; this row records where
+    # real clustered corpora land).
+    from unstract_spark.operators.similarity import opq_topk_join, opq_train, pq_topk_join
+
+    rec, secs = measure(
+        pq_topk_join(
+            queries, emb, dim, k=k, n_sub=16, n_codes=64, refine=20,
+            codebooks=cbs,
+        )
+    )
+    report["strategies"]["pq_16x64_r20_fullscan"] = {
+        "recall": rec, "query_s": secs,
+    }
+    t0 = time.time()
+    R, ocbs = opq_train(emb, dim, n_sub=16, n_codes=64, iters=4)
+    report["opq_fit_s"] = round(time.time() - t0, 1)
+    rec, secs = measure(
+        opq_topk_join(
+            queries, emb, dim, k=k, n_sub=16, n_codes=64, refine=20,
+            rotation=R, codebooks=ocbs,
+        )
+    )
+    report["strategies"]["opq_16x64_r20_fullscan"] = {
+        "recall": rec, "query_s": secs,
+    }
+
     # LSH ladder (12 planes x 4 tables = 9216-term SQL path per table)
     rec, secs = measure(
         lsh_topk_join(queries, emb, dim, k=k, n_planes=12, n_tables=4)

@@ -6864,4 +6864,50 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w4_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS run_n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS run_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+                 / count(*) OVER w3, 4) AS mov_avg3
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + moving window aggregates (§2.8's running-balance
+    shape): per-customer running order count, running spend, and a
+    3-order moving average, all framed on (orderdate, orderkey) so the
+    prefix is unique and deterministic.  Sums run in the exact decimal
+    domain — a cumulative DOUBLE sum is a different prefix rounding
+    per engine, a cumulative decimal sum is exact at every row."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    tp = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("long").alias("run_n"),
+        F.round(F.sum(tp).over(w), 2).cast("double").alias("run_total"),
+        F.round(
+            F.sum(tp).over(w3).cast("double") / F.count(F.lit(1)).over(w3), 4
+        ).alias("mov_avg3"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
