@@ -6910,4 +6910,73 @@ def w4_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_string_agg",
+    """
+    SELECT n.n_name,
+           count(*) AS n_cust,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS members
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): high-balance customer
+    roster per nation.  Spark has no ordered string_agg, so the
+    deterministic spelling is collect_list -> array_sort -> array_join
+    (sort inside the row, NOT in the shuffle — collect_list order is
+    nondeterministic and must never be emitted raw)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "members"
+            ),
+        )
+    )
+
+
+@register(
+    "events_time_features",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT)                   AS y,
+           CAST(quarter(ts) AS INT)                AS q,
+           CAST(month(ts) AS INT)                  AS m,
+           CAST(dayofweek(ts) + 1 AS INT)          AS dow,
+           CAST(hour(ts) AS INT)                   AS hr,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE)   AS month_end,
+           CAST(date_add(CAST(ts AS DATE), 30) AS DATE) AS plus30
+    FROM events
+    WHERE event_id < 20000
+    """,
+)
+def events_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction — the date/time scalar surface
+    (year/quarter/month/dayofweek/hour/date_trunc/last_day/date_add)
+    every time-partitioned pipeline projects before bucketing.  DuckDB
+    date_trunc returns DATE for month granularity, so the oracle casts
+    back to TIMESTAMP (the standing cross-engine gotcha), and DuckDB's
+    dayofweek is 0-based Sunday where Spark's is 1-based (+1 in the
+    oracle)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.quarter("ts").cast("int").alias("q"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.date_add(F.col("ts").cast("date"), 30).alias("plus30"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
