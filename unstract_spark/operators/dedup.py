@@ -912,3 +912,53 @@ def remove_duplicated_spans(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def bloom_filter_bits(
+    history: DataFrame, fp_col: str = "fingerprint", m: int = 8192, k: int = 4
+) -> DataFrame:
+    """The set-bit table of a deterministic Bloom filter over history
+    fingerprints — the at-scale membership primitive (Dolma's
+    paragraph dedup, CCNet's URL dedup): m bits of state regardless of
+    history size, no false negatives, bounded false-positive rate
+    (1-e^{-kn/m})^k.  Bits are md5-derived (first 8 hex digits of
+    md5(j:fp) mod m, j < k) so the filter is reproducible
+    cross-engine; the relational form keeps it as a <= m-row table
+    (distinct bit ids), which is broadcast at query time.  Spark's
+    native BloomFilterAggregate is the drop-in at cluster scale — this
+    is its oracle-gateable twin with identical semantics.
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    hx = F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col(fp_col)))
+    bit = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m
+    return (
+        history.select(F.col(fp_col), rows)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    docs: DataFrame,
+    bits: DataFrame,
+    fp_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    m: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Test every doc's fingerprint against a Bloom bit table:
+    maybe_seen iff ALL k derived bits are set.  One explode (k rows per
+    doc), a broadcast join against the bit table, and a per-doc
+    all-present aggregate — no shuffle wider than the doc keys."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    hx = F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col(fp_col)))
+    bit = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m
+    probes = docs.select(F.col(id_col), rows, F.col(fp_col)).select(
+        id_col, bit.alias("bit")
+    )
+    hits = probes.join(
+        F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        (F.sum(F.coalesce("present", F.lit(0))) == k).alias("maybe_seen")
+    )

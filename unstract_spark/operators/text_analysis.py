@@ -656,3 +656,74 @@ def cms_lookup(
         .groupBy(*others)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability — the next
+    rung above unigram_logprob on the CCNet-style fluency ladder:
+    p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/total, scored
+    over every adjacent pair.  Interpolation (Jelinek-Mercer) keeps
+    unseen-in-context pairs finite without leaving the exact-count
+    domain, so the whole model stays cross-engine gateable.
+
+    Shape: bigrams come from arrays_zip of two slices (no self-join,
+    no window) — one explode per doc; the three count tables (bigram,
+    bigram-start, unigram) are vocabulary-sized groupBys; scoring is a
+    pair-keyed equi-join; the per-doc mean runs in the decimal domain.
+    `lam` must be an exact binary fraction (0.75 default) — a 0.7
+    would parse as DECIMAL in one engine and double in the other.
+
+    Output: (id, n_bigrams, avg_logprob) — NULL for docs with < 2
+    words, rounded to 6.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col), ws.alias("ws"))
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " slice(ws, 2, greatest(size(ws) - 1, 0)))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    words = base.select(id_col, F.explode("ws").alias("w2"))
+    wc = words.groupBy("w2").agg(F.count(F.lit(1)).alias("wc"))
+    tot = words.agg(F.count(F.lit(1)).alias("total"))
+    p = (
+        F.lit(lam) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("wc") / F.col("total")
+    )
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(wc, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, F.log(p).alias("lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

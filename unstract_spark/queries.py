@@ -6979,4 +6979,107 @@ def events_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_bigram_logprob",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[CAST(u.i AS INT)] AS w1,
+               ws[CAST(u.i AS INT) + 1] AS w2
+        FROM t, unnest(range(1, len(ws))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    w AS (SELECT doc_id, unnest(ws) AS w2 FROM t),
+    wc AS (SELECT w2, count(*) AS wc FROM w GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM w),
+    sc AS (
+        SELECT bg.doc_id,
+               ln(0.75 * c12.c12 / c1.c1 + 0.25 * wc.wc / tot.total) AS lp
+        FROM bg
+        JOIN c12 USING (w1, w2)
+        JOIN c1  USING (w1)
+        JOIN wc  USING (w2)
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS nb,
+               round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_logprob
+        FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           a.avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram fluency score
+    (text_analysis.bigram_logprob): Jelinek-Mercer
+    0.75*p(w2|w1) + 0.25*p(w2), corpus-trained, decimal-domain per-doc
+    mean — the rung above ta_unigram_logprob on the CCNet filter
+    ladder.  The oracle rebuilds bigrams by list indexing; the Spark
+    side slices+zips — identical pair sets gate both tokenizations."""
+    d = _t(spark, sf_dir, "documents")
+    return text_analysis.bigram_logprob(d)
+
+
+@register(
+    "dd_bloom_membership",
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    bits AS (
+        SELECT DISTINCT
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || f), 1, 8))
+                ::BIGINT % 8192 AS bit
+        FROM hist, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    probes AS (
+        SELECT fp.doc_id,
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp.f), 1, 8))
+                ::BIGINT % 8192 AS bit
+        FROM fp, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    mem AS (
+        SELECT p.doc_id,
+               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+                   AS maybe_seen
+        FROM probes p LEFT JOIN bits b USING (bit) GROUP BY 1
+    )
+    SELECT fp.doc_id, mem.maybe_seen,
+           fp.f IN (SELECT f FROM hist) AS exact_seen
+    FROM fp JOIN mem USING (doc_id)
+    """,
+)
+def dd_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter membership
+    (dedup.bloom_filter_bits/bloom_membership): even-id docs form the
+    history, every doc probes the 8192-bit/4-hash filter.  The gate
+    pins the bit derivation, the all-k-bits conjunction, and the
+    no-false-negative invariant (exact_seen implies maybe_seen row by
+    row); false positives are data, not error — the m/k rate bound is
+    the operator's documented contract.  At cluster scale Spark's
+    native BloomFilterAggregate is the drop-in; this is its
+    oracle-gateable twin."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("fingerprint"))
+    hist = (
+        fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    )
+    bits = dedup.bloom_filter_bits(hist, m=8192, k=4)
+    mem = dedup.bloom_membership(fp, bits, m=8192, k=4)
+    exact = fp.join(
+        F.broadcast(hist.withColumn("seen", F.lit(1))), "fingerprint", "left"
+    ).select("doc_id", F.col("seen").isNotNull().alias("exact_seen"))
+    return mem.join(exact, "doc_id").select(
+        "doc_id", "maybe_seen", "exact_seen"
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
