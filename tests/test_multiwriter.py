@@ -368,3 +368,112 @@ def test_manifest_on_object_store_crash_orphan_invisible(spark, tmp_path):
     os.utime(os.path.join(t.data_dir, orphan), (1, 1))
     assert t.vacuum(min_age_s=60) == 1
     assert store.read().count() == 3
+
+
+# -- HTTP object-store binding: conditional PUT over a real wire hop ---
+
+
+def _start_bucket_server():
+    """In-process S3-shaped bucket: GET /?list=prefix, GET /key,
+    PUT /key honoring If-None-Match:* with 412 on conflict. The
+    handler holds the store's lock only around the check-and-set,
+    modeling the per-request atomicity the real service guarantees."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            srv = self.server
+            if self.path.startswith("/?list="):
+                prefix = self.path[len("/?list="):]
+                with srv.lock:
+                    keys = sorted(k for k in srv.objects if k.startswith(prefix))
+                body = "\n".join(keys).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            key = self.path.lstrip("/")
+            with srv.lock:
+                data = srv.objects.get(key)
+            if data is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_PUT(self):
+            srv = self.server
+            key = self.path.lstrip("/")
+            n = int(self.headers.get("Content-Length", 0))
+            payload = self.rfile.read(n)
+            cond = self.headers.get("If-None-Match") == "*"
+            with srv.lock:
+                if cond and key in srv.objects:
+                    self.send_response(412)
+                    self.end_headers()
+                    return
+                srv.objects[key] = payload
+            self.send_response(200)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    srv.objects = {}
+    srv.lock = __import__("threading").Lock()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_http_object_store_put_if_absent_semantics():
+    from unstract_spark.sinks.manifest import HttpObjectStoreBackend
+
+    srv, url = _start_bucket_server()
+    try:
+        b = HttpObjectStoreBackend(url)
+        assert b.put_if_absent("v000.json", b"one") is True
+        assert b.put_if_absent("v000.json", b"two") is False
+        assert b.read_manifest("v000.json") == b"one"
+        assert b.list_manifests() == ["v000.json"]
+    finally:
+        srv.shutdown()
+
+
+def test_manifest_over_http_concurrent_merges_lose_nothing(spark, tmp_path):
+    """The full multiwriter guarantee with the commit log behind an
+    actual HTTP hop: no shared memory between writers and the bucket,
+    losers see 412 and retry from the fresh snapshot, every row
+    survives."""
+    from unstract_spark.sinks.manifest import (
+        HttpObjectStoreBackend,
+        ManifestTable,
+    )
+
+    srv, url = _start_bucket_server()
+    try:
+        bucket = HttpObjectStoreBackend(url)
+        store = FileHistoryStore(spark, str(tmp_path / "h"), backend=bucket)
+
+        def writer(tag: str):
+            for i in range(3):
+                store.merge(_hist_rows(spark, f"{tag}{i}", 4))
+
+        with ThreadPoolExecutor(2) as pool:
+            futs = [pool.submit(writer, t) for t in ("a", "b")]
+            for f in futs:
+                f.result()
+        assert store.read().count() == 24
+        t = ManifestTable(spark, str(tmp_path / "h"), commit_backend=bucket)
+        assert t.version() == 5
+        assert not os.path.exists(
+            os.path.join(str(tmp_path / "h"), "_manifests")
+        )
+    finally:
+        srv.shutdown()

@@ -143,6 +143,59 @@ class FakeObjectStoreBackend(CommitBackend):
             return True
 
 
+class HttpObjectStoreBackend(CommitBackend):
+    """S3-wire-shaped client binding: list/read via GET, commit via
+    PUT with `If-None-Match: *` — True on 2xx, False on HTTP 412
+    Precondition Failed, which is byte-for-byte S3's conditional-PUT
+    contract (GCS speaks `x-goog-if-generation-match: 0`, same shape).
+    Exists so the commit protocol is exercised over a REAL network hop
+    with no shared memory between writer and store (the in-process
+    fake models atomicity; this binding proves the client side issues
+    the right request and interprets the right status)."""
+
+    def __init__(self, endpoint: str, prefix: str = "manifests/"):
+        self.endpoint = endpoint.rstrip("/")
+        self.prefix = prefix
+
+    def _url(self, name: str) -> str:
+        return f"{self.endpoint}/{self.prefix}{name}"
+
+    def list_manifests(self) -> list[str]:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"{self.endpoint}/?list={self.prefix}"
+        ) as r:
+            body = r.read().decode()
+        return [
+            k[len(self.prefix):] for k in body.splitlines() if k.strip()
+        ]
+
+    def read_manifest(self, name: str) -> bytes:
+        import urllib.request
+
+        with urllib.request.urlopen(self._url(name)) as r:
+            return r.read()
+
+    def put_if_absent(self, name: str, payload: bytes) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(name),
+            data=payload,
+            method="PUT",
+            headers={"If-None-Match": "*"},
+        )
+        try:
+            with urllib.request.urlopen(req):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 412:
+                return False
+            raise
+
+
 class ManifestTable:
     def __init__(
         self,
