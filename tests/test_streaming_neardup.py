@@ -267,3 +267,57 @@ def test_streaming_rollup_matches_batch_cascade(spark, tmp_path):
     assert got == expect
     # cross-fire minute actually merged
     assert got[("minute", "2024-01-01 10:00:00")] == (3, 8.5)
+
+
+def test_streaming_bloom_matches_batch_history(spark, tmp_path):
+    """Incremental Bloom dedup: fire 2's decisions must equal batch
+    bloom_membership against fire 1's bits; the accumulated bit store
+    must equal the batch filter over all docs; no false negatives for
+    cross-fire exact duplicates."""
+    from unstract_spark.streaming.incremental import streaming_bloom_pipeline
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [(1, "alpha text one"), (2, "beta text two")]
+    fire2 = [(3, "alpha text one"), (4, "gamma fresh content")]
+
+    _docs(spark, fire1).coalesce(1).write.mode("append").parquet(src)
+    n1 = streaming_bloom_pipeline(spark, src, ckpt, store, out)
+    assert n1 == 1
+    d1 = {r.doc_id: r.maybe_seen for r in spark.read.parquet(out).collect()}
+    assert d1 == {1: False, 2: False}  # empty history at first fire
+
+    _docs(spark, fire2).coalesce(1).write.mode("append").parquet(src)
+    n2 = streaming_bloom_pipeline(spark, src, ckpt, store, out)
+    assert n2 == 1
+    d = {r.doc_id: r.maybe_seen for r in spark.read.parquet(out).collect()}
+    # cross-fire exact dup MUST be flagged (no false negatives)
+    assert d[3] is True
+
+    # fire-2 decisions == batch membership against fire-1 bits
+    fp1 = _docs(spark, fire1).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    fp2 = _docs(spark, fire2).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    bits1 = dedup.bloom_filter_bits(fp1)
+    expect2 = {
+        r.doc_id: r.maybe_seen
+        for r in dedup.bloom_membership(fp2, bits1).collect()
+    }
+    assert {i: d[i] for i in (3, 4)} == expect2
+
+    # accumulated store == batch filter over the union of all docs
+    all_fp = fp1.unionByName(fp2)
+    expect_bits = {
+        r.bit for r in dedup.bloom_filter_bits(all_fp).collect()
+    }
+    got_bits = {
+        r.bit for r in spark.read.parquet(store).drop("batch_id").collect()
+    }
+    assert got_bits == expect_bits

@@ -7082,4 +7082,58 @@ def dd_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j11_full_outer_reconcile",
+    """
+    WITH hi AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9500
+    ),
+    spend AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    )
+    SELECT coalesce(hi.c_custkey, spend.o_custkey) AS custkey,
+           hi.c_name,
+           spend.n_orders,
+           spend.spend,
+           hi.c_custkey IS NULL     AS missing_profile,
+           spend.o_custkey IS NULL  AS missing_activity
+    FROM hi FULL OUTER JOIN spend ON spend.o_custkey = hi.c_custkey
+    """,
+)
+def j11_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the join type the registry lacked:
+    high-balance customer profiles against recent order activity, with
+    both null-marker columns (profile without activity, activity
+    without profile).  One shuffle on the customer key; the coalesced
+    key keeps the output keyed even for one-sided rows."""
+    hi = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select("c_custkey", "c_name")
+    )
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("spend"),
+        )
+    )
+    return hi.join(spend, hi.c_custkey == spend.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "spend",
+        F.col("c_custkey").isNull().alias("missing_profile"),
+        F.col("o_custkey").isNull().alias("missing_activity"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"

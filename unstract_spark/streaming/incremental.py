@@ -859,3 +859,86 @@ def read_consumed_messages(spark: SparkSession, out_dir: str) -> DataFrame:
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
     return df.dropDuplicates(["message_id"])
+
+
+def streaming_bloom_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    m: int = 8192,
+    k: int = 4,
+) -> int:
+    """Incremental Bloom-filter history dedup: each AvailableNow fire
+    probes the NEW documents' fingerprints against the accumulated bit
+    store, emits (doc_id, maybe_seen) decisions, then appends the
+    batch's own bits — the streaming twin of
+    dedup.bloom_filter_bits/bloom_membership and the shape of Dolma's
+    incremental paragraph dedup.
+
+    Scale contract: state is <= m bit rows however large the history
+    (the whole point of the Bloom primitive); the bit store is a
+    metadata-pruned parquet read + broadcast per fire; no full-history
+    rescan ever.  Same exactly-once discipline as the sibling
+    pipelines: both writes go to batch_id partitions with overwrite
+    (at-least-once replay rewrites its own partition), the store read
+    excludes the current epoch, and only PATH_NOT_FOUND means
+    first-fire.
+
+    Returns the number of fired batches.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from unstract_spark.operators import dedup
+
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        docs = batch.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        fires += 1
+        fp = docs.select(
+            "doc_id", F.md5("text").alias("fingerprint")
+        ).localCheckpoint(eager=True)
+        try:
+            old_bits = spark.read.parquet(store_dir)
+        except AnalysisException as ex:
+            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+                raise
+            old_bits = None
+        else:
+            old_bits = old_bits.filter(
+                F.col("batch_id") != int(epoch)
+            ).drop("batch_id").distinct()
+        if old_bits is None:
+            decisions = fp.select(
+                "doc_id", F.lit(False).alias("maybe_seen")
+            )
+        else:
+            decisions = dedup.bloom_membership(fp, old_bits, m=m, k=k)
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(epoch)}"
+        )
+        new_bits = dedup.bloom_filter_bits(fp, m=m, k=k)
+        new_bits.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={int(epoch)}"
+        )
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
