@@ -7136,4 +7136,101 @@ def j11_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_pagerank_fixed",
+    """
+    WITH raw AS (
+        SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+    ),
+    e AS (SELECT a AS src, b AS dst FROM raw
+          UNION SELECT b AS src, a AS dst FROM raw),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS p
+           FROM deg CROSS JOIN nn),
+    i1 AS (SELECT e.dst AS node, sum(p0.p // d.deg) AS s
+           FROM e JOIN p0 ON p0.node = e.src
+                  JOIN deg d ON d.node = e.src
+           GROUP BY 1),
+    p1 AS (SELECT deg.node,
+                  CAST(1000000000000 // (8 * nn.n)
+                       + (7 * coalesce(i1.s, 0)) // 8 AS BIGINT) AS p
+           FROM deg CROSS JOIN nn LEFT JOIN i1 ON i1.node = deg.node),
+    i2 AS (SELECT e.dst AS node, sum(p1.p // d.deg) AS s
+           FROM e JOIN p1 ON p1.node = e.src
+                  JOIN deg d ON d.node = e.src
+           GROUP BY 1),
+    p2 AS (SELECT deg.node,
+                  CAST(1000000000000 // (8 * nn.n)
+                       + (7 * coalesce(i2.s, 0)) // 8 AS BIGINT) AS p
+           FROM deg CROSS JOIN nn LEFT JOIN i2 ON i2.node = deg.node),
+    i3 AS (SELECT e.dst AS node, sum(p2.p // d.deg) AS s
+           FROM e JOIN p2 ON p2.node = e.src
+                  JOIN deg d ON d.node = e.src
+           GROUP BY 1),
+    p3 AS (SELECT deg.node,
+                  CAST(1000000000000 // (8 * nn.n)
+                       + (7 * coalesce(i3.s, 0)) // 8 AS BIGINT) AS p
+           FROM deg CROSS JOIN nn LEFT JOIN i3 ON i3.node = deg.node)
+    SELECT node, p AS pr_fixed FROM p3
+    """,
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (graph.pagerank_fixed, damping
+    exactly 7/8, micro-unit BIGINT mass) over the recent
+    customer-supplier interaction graph — the deterministic twin of
+    float PageRank, which cannot be hash-gated (partial-sum order
+    leaks into low bits).  Three iterations; the oracle unrolls them
+    as CTEs, so rank equality certifies the edge symmetrization, the
+    floor-division mass split, the damping arithmetic, and the
+    teleport term bit for bit."""
+    from unstract_spark.operators.graph import pagerank_fixed
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01"
+    )
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return pagerank_fixed(raw, iters=3)
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS bin_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (25k-wide bins): the
+    classic distribution profile — floor of an exact-binary-divisor
+    division buckets identically on both engines; bin mass in the
+    decimal domain."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice")).alias("bin_total"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
