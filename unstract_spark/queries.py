@@ -7233,4 +7233,182 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_jsd_drift",
+    r"""
+    WITH w AS (
+        SELECT doc_id % 2 = 0 AS in_a,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT in_a, word FROM w WHERE word <> ''),
+    cnt AS (
+        SELECT word,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+        FROM w2 GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cnt),
+    pq AS (
+        SELECT word, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+               CAST(ca AS DOUBLE) / tot.ta AS p,
+               CAST(cb AS DOUBLE) / tot.tb AS q
+        FROM cnt CROSS JOIN tot
+    ),
+    contrib AS (
+        SELECT word, ca, cb,
+               (CASE WHEN p > 0 THEN 0.5 * p * ln(p / (0.5 * (p + q)))
+                     ELSE 0 END)
+             + (CASE WHEN q > 0 THEN 0.5 * q * ln(q / (0.5 * (p + q)))
+                     ELSE 0 END) AS c
+        FROM pq
+    ),
+    total AS (
+        SELECT round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 8)
+            AS jsd_total
+        FROM contrib
+    )
+    SELECT word, ca AS cnt_a, cb AS cnt_b,
+           round(c, 8) AS contrib, rnk, total.jsd_total
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY round(c, 8) DESC, word ASC) AS INT) AS rnk
+        FROM contrib
+    ) CROSS JOIN total
+    WHERE rnk <= 30
+    """,
+)
+def ta_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift between two corpus slices (even vs odd
+    doc ids — the dump-over-dump distribution-shift check a training
+    pipeline runs before mixing): per-word JS contributions from exact
+    count ratios, the top-30 drivers ranked on the ROUNDED
+    contribution with a word tie-break, and the full-vocabulary JSD
+    total summed in the decimal domain (carried on every row)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    cnt = w.groupBy("word").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pq = cnt.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.col("ca").cast("long").alias("ca"),
+        F.col("cb").cast("long").alias("cb"),
+        (F.col("ca").cast("double") / F.col("ta")).alias("p"),
+        (F.col("cb").cast("double") / F.col("tb")).alias("q"),
+    )
+    m = 0.5 * (F.col("p") + F.col("q"))
+    c = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = pq.select("word", "ca", "cb", c.alias("c")).localCheckpoint(
+        eager=True
+    )
+    total = contrib.agg(
+        F.round(F.sum(F.col("c").cast("decimal(28,12)")).cast("double"), 8).alias(
+            "jsd_total"
+        )
+    )
+    wr = Window.orderBy(F.round("c", 8).desc(), F.col("word").asc())
+    top = (
+        contrib.orderBy(F.round("c", 8).desc(), F.col("word").asc())
+        .limit(30)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.col("ca").alias("cnt_a"),
+        F.col("cb").alias("cnt_b"),
+        F.round("c", 8).alias("contrib"),
+        "rnk",
+        "jsd_total",
+    )
+
+
+@register(
+    "events_cusum",
+    """
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) - 5000 AS d
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, ts, event_id,
+               CAST(sum(d) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS s
+        FROM c
+    ),
+    pk AS (
+        SELECT event_type, event_id AS peak_event_id
+        FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY s DESC, ts ASC, event_id ASC)
+                       AS rn
+            FROM cum
+        ) WHERE rn = 1
+    )
+    SELECT cum.event_type,
+           count(*) AS n_events,
+           max(s) AS max_cusum,
+           min(s) AS min_cusum,
+           max(pk.peak_event_id) AS peak_event_id
+    FROM cum JOIN pk ON pk.event_type = cum.event_type
+    GROUP BY 1
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift scan per event type (Page 1954): deviations
+    from the reference level run in CENT-QUANTIZED integers, so the
+    cumulative sums are exact whatever order the window engine
+    associates additions in (a double CUSUM would differ between
+    Spark's running accumulation and DuckDB's segment-tree windows).
+    Output: per-type extremes of the CUSUM path plus the first event
+    achieving the max (the changepoint candidate), deterministic via
+    (s desc, ts, event_id) ranking."""
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - 5000).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = c.select(
+        "event_type", "ts", "event_id", F.sum("d").over(w).cast("long").alias("s")
+    ).localCheckpoint(eager=True)
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pk = (
+        cum.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("event_id").alias("peak_event_id"))
+    )
+    return (
+        cum.join(pk, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("s").alias("max_cusum"),
+            F.min("s").alias("min_cusum"),
+            F.max("peak_event_id").alias("peak_event_id"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
