@@ -118,6 +118,15 @@ BENCH_QUERIES = [
     "q21_waiting_supplier",
     "dd_span_removal",
     "agg_percentiles",
+    "ta_bigram_logprob",
+    "dd_bloom_membership",
+    "j11_full_outer_reconcile",
+    "w4_running_totals",
+    "events_cusum",
+    "graph_pagerank_fixed",
+    # ta_jsd_drift is registry-gated but not benched (two-slice explode
+    # + checkpoint + global rank — the shape is covered by the cheaper
+    # text aggregations above).
     # ta_heavy_hitters_cms is registry-gated but not benched: its cost
     # is the fixed 4-row hash fan-out (sketch property under test, not
     # a scan shape the suite lacks).
