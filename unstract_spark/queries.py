@@ -7411,4 +7411,46 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_PROBES = (
+    "Suplier#000000002",   # deletion
+    "Supplier#00000o003",  # substitution
+    "Supplier#0000000055", # insertion
+    "Suppler#000000007",   # deletion
+    "Totally Unrelated Vendor",  # no match at threshold
+)
+
+
+@register(
+    "j12_fuzzy_match",
+    f"""
+    WITH probes(probe) AS (VALUES
+        {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}
+    )
+    SELECT p.probe, s.s_suppkey, s.s_name,
+           CAST(levenshtein(p.probe, s.s_name) AS INT) AS dist
+    FROM probes p CROSS JOIN supplier s
+    WHERE levenshtein(p.probe, s.s_name) <= 1
+    """,
+)
+def j12_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: typo'd vendor probes matched to
+    supplier names at edit distance <= 1 (levenshtein is native JVM in
+    Spark and native in DuckDB — integer-exact, no float anywhere).
+    The probe side is tiny and broadcast (a nested-loop join over
+    n_suppliers x n_probes rows); at corpus scale the standard
+    blocking applies first — length-band or first-k-char keys bound
+    candidates before the edit-distance filter, the same
+    candidate-then-verify shape as the n-gram Jaccard dedup."""
+    s = _t(spark, sf_dir, "supplier")
+    probes = spark.createDataFrame(
+        [(p,) for p in _FUZZY_PROBES], "probe string"
+    )
+    d = F.levenshtein(F.col("probe"), F.col("s_name"))
+    return (
+        s.crossJoin(F.broadcast(probes))
+        .filter(d <= 1)
+        .select("probe", "s_suppkey", "s_name", d.cast("int").alias("dist"))
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
