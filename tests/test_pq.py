@@ -494,3 +494,22 @@ def test_opq_low_rank_counter_regime_documented(spark):
                       rotation=R, codebooks=ocbs)
     )
     assert pq_r >= opq_r, (pq_r, opq_r)
+
+
+def test_dispatcher_opq_strategy(spark):
+    """strategy='opq' trains + serves through the dispatcher and
+    returns the standard (query_id, vec_id, score, rank) shape with
+    a priced plan."""
+    from unstract_spark.operators.similarity import similarity_topk
+
+    e = _spectrum_data(spark, dim=16, n=300)
+    q = e.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out, plan = similarity_topk(q, e, dim=16, k=5, strategy="opq")
+    assert plan.strategy == "opq" and plan.est_mults > 0
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]

@@ -814,6 +814,19 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
             + q * n * params["n_sub"]
             + q * params["refine"] * params.get("k", 10) * dim
         )
+    if strategy == "opq":
+        # pq cost + the rotation gemms ((n+q)·dim^2) + training's
+        # iters·n·(dim^2 + n_codes·dim). Same explicit-override-only
+        # status as pq: the measured win (+0.135 recall at the prod
+        # shape, SCALE.md) is a quantization-accuracy property mult
+        # counts don't price.
+        return (
+            (n + q) * dim * dim
+            + params.get("iters", 4) * n * (dim * dim + params["n_codes"] * dim)
+            + (n + q) * params["n_codes"] * dim
+            + q * n * params["n_sub"]
+            + q * params["refine"] * params.get("k", 10) * dim
+        )
     if strategy == "ivfpq_residual":
         # cell assign (n+q) + residual encode n + per-(q, probed cell)
         # LUTs + ADC lookups on the sublinear candidate set + bounded
@@ -919,7 +932,8 @@ def similarity_topk(
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
     if strategy != "auto":
         if strategy not in (
-            "brute_force", "lsh", "ivf", "pq", "hnsw", "ivfpq_residual"
+            "brute_force", "lsh", "ivf", "pq", "opq", "hnsw",
+            "ivfpq_residual"
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         params = (
@@ -931,6 +945,8 @@ def similarity_topk(
             if strategy == "ivf"
             else _pq_auto_params(dim)
             if strategy == "pq"
+            else {**_pq_auto_params(dim), "iters": 4}
+            if strategy == "opq"
             else {**_ivf_auto_params(n), **_pq_auto_params(dim), "refine": 5}
             if strategy == "ivfpq_residual"
             else _hnsw_auto_params(n)
@@ -945,6 +961,8 @@ def similarity_topk(
         )
     elif plan.strategy == "pq":
         out = pq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    elif plan.strategy == "opq":
+        out = opq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
     elif plan.strategy == "hnsw":
         from unstract_spark.operators.hnsw import hnsw_topk_join
 
