@@ -7453,4 +7453,56 @@ def j12_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w5_rank_variants",
+    """
+    WITH r AS (
+        SELECT l_returnflag,
+               rank()       OVER w AS rk,
+               dense_rank() OVER w AS dr,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity DESC,
+                                           l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rank_le3,
+           CAST(sum(CASE WHEN dr <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dense_le3,
+           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rownum_le3,
+           CAST(max(dr) AS BIGINT) AS n_distinct_qty
+    FROM r GROUP BY 1
+    """,
+)
+def w5_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() vs row_number() tie semantics on a
+    heavily tied column (integer quantities): counts under each rank
+    definition per return flag — gap behavior (rank), gapless
+    (dense_rank), and the tie-broken bijection (row_number always
+    exactly 3).  max(dense_rank) doubles as the distinct-value count,
+    cross-checking the window against the aggregate domain."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    wrn = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    r = l.select(
+        "l_returnflag",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("dr"),
+        F.row_number().over(wrn).alias("rn"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0)).alias("n_rank_le3"),
+        F.sum(F.when(F.col("dr") <= 3, 1).otherwise(0)).alias("n_dense_le3"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).alias("n_rownum_le3"),
+        F.max("dr").cast("long").alias("n_distinct_qty"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
