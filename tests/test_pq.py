@@ -513,3 +513,57 @@ def test_dispatcher_opq_strategy(spark):
     for qid in (0, 1):
         ranks = sorted(r.rank for r in rows if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_opq_store_matches_transient_recall(spark, tmp_path):
+    """OpqIndexStore: build persists (codes, R, codebooks); query
+    reuses them and reaches the same recall as the transient
+    opq_topk_join with the same artifacts; repeated queries are
+    deterministic."""
+    import numpy as np
+
+    from unstract_spark.operators.similarity import (
+        OpqIndexStore,
+        brute_force_topk,
+        opq_topk_join,
+        opq_train,
+    )
+
+    dim = 16
+    e = _spectrum_data(spark, dim=dim, n=400).localCheckpoint(eager=True)
+    q = e.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(q, e, k=5, dim=dim).collect()
+    }
+    R, cbs = opq_train(e, dim, n_sub=4, n_codes=8, iters=4)
+    transient = {
+        (r.query_id, r.vec_id)
+        for r in opq_topk_join(
+            q, e, dim, k=5, n_sub=4, n_codes=8, refine=4,
+            rotation=R, codebooks=cbs,
+        ).collect()
+    }
+    store = OpqIndexStore(spark, str(tmp_path / "opq"), dim, n_sub=4, n_codes=8)
+    n = store.build(e, rotation=R, codebooks=cbs)
+    assert n == 400
+    got1 = {
+        (r.query_id, r.vec_id)
+        for r in store.query(q, k=5, refine=4).collect()
+    }
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in store.query(q, k=5, refine=4).collect()
+    }
+    assert got1 == got2  # artifact queries are deterministic
+    # same recall as the transient path (scores re-rank in the original
+    # frame vs the rotated frame — orthogonal-invariant up to the
+    # rounded boundary, so the recalled SETS agree on this data)
+    r_t = len(transient & exact) / len(exact)
+    r_s = len(got1 & exact) / len(exact)
+    assert r_s == r_t, (r_s, r_t)
+    # meta round-trips
+    meta = np.load(store._meta_path())
+    assert np.allclose(meta["rotation"] @ meta["rotation"].T, np.eye(dim))

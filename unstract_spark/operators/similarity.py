@@ -1493,3 +1493,111 @@ def opq_topk_join(
         index_vec=index_vec,
         codebooks=codebooks,
     )
+
+
+class OpqIndexStore:
+    """Persistent OPQ index — train the rotation + codebooks once,
+    persist (codes, R, codebooks) as an immutable artifact, query
+    many times (the FAISS OPQMatrix+IndexPQ flow).
+
+    Storage layout: (id, ORIGINAL vector, code_0..code_{n_sub-1})
+    parquet + a driver-side .npz with R and the codebooks.  The
+    rotated vectors are NOT stored: codes encode the rotated frame,
+    but the exact re-rank runs on original vectors against original
+    queries — an orthogonal rotation preserves cosine, so only the
+    ADC scan needs the learned frame (queries are rotated per call, a
+    tiny gemm on the broadcast side).
+    """
+
+    def __init__(self, spark, path: str, dim: int, n_sub: int = 8,
+                 n_codes: int = 16):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.n_sub = n_sub
+        self.n_codes = n_codes
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_meta.npz")
+
+    def build(
+        self,
+        index: DataFrame,
+        index_id: str = "vec_id",
+        index_vec: str = "embedding",
+        rotation: np.ndarray | None = None,
+        codebooks: list[np.ndarray] | None = None,
+        iters: int = 4,
+    ) -> int:
+        import os
+
+        if rotation is None or codebooks is None:
+            rotation, codebooks = opq_train(
+                index, self.dim, n_sub=self.n_sub, n_codes=self.n_codes,
+                iters=iters, index_vec=index_vec,
+            )
+        ri = rotate_vectors(index, rotation, vec_col=index_vec, out_col="_rv")
+        codes = pq_encode(
+            ri, self.dim, self.n_sub, self.n_codes, index_id, "_rv",
+            codebooks, keep=(index_vec,),
+        ).drop("_rv")
+        codes.write.mode("overwrite").parquet(os.path.join(self.path, "data"))
+        os.makedirs(self.path, exist_ok=True)
+        np.savez(
+            self._meta_path(),
+            rotation=np.asarray(rotation, dtype=np.float64),
+            **{f"cb_{m}": codebooks[m] for m in range(self.n_sub)},
+        )
+        return (
+            self.spark.read.parquet(os.path.join(self.path, "data"))
+            .select(index_id)
+            .count()
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        refine: int = 3,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        index_id: str = "vec_id",
+        index_vec: str = "embedding",
+    ) -> DataFrame:
+        import os
+
+        meta = np.load(self._meta_path())
+        R = meta["rotation"]
+        cbs = [meta[f"cb_{m}"] for m in range(self.n_sub)]
+        d = self.dim // self.n_sub
+        stored = self.spark.read.parquet(os.path.join(self.path, "data"))
+        rq = rotate_vectors(queries, R, vec_col=query_vec, out_col="_rq")
+        q = rq.select(
+            F.col(query_id), F.col(query_vec), *_pq_lut_cols(cbs, "_rq", d)
+        )
+        cands = stored.crossJoin(F.broadcast(q)).select(
+            query_id, query_vec, index_id, index_vec,
+            _adc_expr(self.n_sub).alias("adc"),
+        )
+        wa = Window.partitionBy(query_id).orderBy(
+            F.col("adc").desc(), F.col(index_id).asc()
+        )
+        shortlist = (
+            cands.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= refine * k)
+        )
+        scored = shortlist.select(
+            query_id,
+            index_id,
+            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias(
+                "score"
+            ),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").desc(), F.col(index_id).asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
