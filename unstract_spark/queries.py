@@ -7505,4 +7505,78 @@ def w5_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_ks_test",
+    """
+    WITH v AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    c AS (SELECT x, sum(g1) AS c1, sum(g2) AS c2 FROM v GROUP BY 1),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+    e AS (
+        SELECT x,
+               CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER w AS BIGINT) AS cum2
+        FROM c
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT x,
+               abs(CAST(cum1 AS DOUBLE) / n.n1
+                   - CAST(cum2 AS DOUBLE) / n.n2) AS dd
+        FROM e CROSS JOIN n
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(m.ks_d, 8) AS ks_d, m.ks_at
+    FROM n CROSS JOIN (
+        SELECT dd AS ks_d, x AS ks_at
+        FROM d ORDER BY round(dd, 8) DESC, x ASC LIMIT 1
+    ) m
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between order-value
+    distributions (finished vs open orders) — the numeric-distribution
+    drift test beside ta_jsd_drift's categorical one.  ECDFs come from
+    INTEGER cumulative counts over the distinct-value grid (exact
+    under any window association), the sup-difference picks its
+    argmax deterministically (rounded D desc, value asc).  At corpus
+    scale the grid pre-aggregates into quantile bins before the
+    window; here the distinct grid is the exact reference."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    c = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    n = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    e = c.select(
+        "x",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    d = e.crossJoin(F.broadcast(n)).select(
+        "x",
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1")
+            - F.col("cum2").cast("double") / F.col("n2")
+        ).alias("dd"),
+    )
+    m = d.orderBy(F.round("dd", 8).desc(), F.col("x").asc()).limit(1).select(
+        F.col("dd").alias("ks_d"), F.col("x").alias("ks_at")
+    )
+    return n.crossJoin(m).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("ks_d", 8).alias("ks_d"),
+        "ks_at",
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
