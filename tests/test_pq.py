@@ -567,3 +567,79 @@ def test_opq_store_matches_transient_recall(spark, tmp_path):
     # meta round-trips
     meta = np.load(store._meta_path())
     assert np.allclose(meta["rotation"] @ meta["rotation"].T, np.eye(dim))
+
+
+def test_residual_opq_beats_plain_residual_on_anisotropic(spark):
+    """OPQ composed into the residual frame: clusters whose residuals
+    have a decaying spectrum (the real embedding shape — residuals
+    live near a low-dim manifold, not isotropic noise).  Rotation
+    trained on the residual frame must beat residual-PQ with plain
+    fitted codebooks at equal budgets, and the existing no-rotation
+    path must be bit-unchanged (rotation=None)."""
+    import numpy as np
+
+    from unstract_spark.operators.similarity import (
+        _residuals_pandas,
+        _seeded_hyperplanes,
+        brute_force_topk,
+        ivfpq_residual_topk,
+        kmeans_refine,
+        opq_train,
+        pq_kmeans_refine,
+    )
+
+    dim, n, n_centers, n_cells = 32, 2000, 16, 16
+    centers = _seeded_hyperplanes(dim, n_centers, table=555)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rng = np.random.default_rng(31)
+    eig = 0.8 ** np.arange(dim)
+    rot = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
+    rows = []
+    for i in range(n):
+        rg = np.random.default_rng(70_000 + i)
+        resid = ((rg.standard_normal(dim) * np.sqrt(eig)) @ rot.T) * (
+            0.6 / np.sqrt(dim)
+        )
+        rows.append((i, [float(x) for x in centers[i % n_centers] + resid]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    q = e.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(q, e, k=10, dim=dim).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    cents = kmeans_refine(e, dim, n_centroids=n_cells, iters=2)
+    resid_frame = _residuals_pandas(e, cents)
+    res_cbs = pq_kmeans_refine(
+        resid_frame.withColumnRenamed("resid", "embedding"),
+        dim, n_sub=8, n_codes=8, iters=2,
+    )
+    R, ocbs = opq_train(
+        resid_frame, dim, n_sub=8, n_codes=8, iters=6, index_vec="resid"
+    )
+    gains = []
+    for refine in (3, 5):
+        plain = recall(
+            ivfpq_residual_topk(
+                q, e, dim, k=10, n_centroids=n_cells, n_probe=4, n_sub=8,
+                n_codes=8, refine=refine, centroids=cents, codebooks=res_cbs,
+            )
+        )
+        opq = recall(
+            ivfpq_residual_topk(
+                q, e, dim, k=10, n_centroids=n_cells, n_probe=4, n_sub=8,
+                n_codes=8, refine=refine, centroids=cents, codebooks=ocbs,
+                rotation=R,
+            )
+        )
+        gains.append((refine, plain, opq))
+        assert opq >= plain, gains
+    assert any(o > p for _, p, o in gains), gains

@@ -1183,6 +1183,7 @@ def ivfpq_residual_topk(
     index_vec: str = "embedding",
     centroids: np.ndarray | None = None,
     codebooks: list[np.ndarray] | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """RESIDUAL IVF-PQ (Jegou et al. 2011's actual IVFADC): codes
     quantize (vector - cell centroid), not the raw vector. On clustered
@@ -1204,6 +1205,13 @@ def ivfpq_residual_topk(
     small-side contract as HNSW (hnsw.py). Codebooks should be fitted
     on the residual frame (pq_kmeans_refine over _residuals_pandas);
     the seeded default is honest but loose.
+
+    `rotation` composes OPQ into the residual frame (train with
+    opq_train over _residuals_pandas, index_vec="resid"): codes then
+    quantize r@R and the scorer builds LUTs from q@R — <q, r> =
+    <q@R, r@R> by orthogonality, so the coarse term is untouched.
+    Real embedding residuals are anisotropic (low-dim manifold), which
+    is exactly the regime the learned rotation wins in.
     """
     spark = index.sparkSession
     cents = (
@@ -1215,6 +1223,8 @@ def ivfpq_residual_topk(
     d = dim // n_sub
 
     resid = _residuals_pandas(index, cents, index_id, index_vec)
+    if rotation is not None:
+        resid = rotate_vectors(resid, rotation, vec_col="resid")
     codes = pq_encode(
         resid, dim, n_sub, n_codes, index_id, "resid", cbs, keep=("cell",)
     ).drop("resid")
@@ -1226,15 +1236,25 @@ def ivfpq_residual_topk(
         probes.setdefault(int(r["cell"]), []).append(
             (r[query_id], np.asarray(r[query_vec], dtype=np.float64))
         )
+    R_b = (
+        np.ascontiguousarray(np.asarray(rotation, dtype=np.float64))
+        if rotation is not None
+        else None
+    )
     bc = spark.sparkContext.broadcast(
-        (probes, np.ascontiguousarray(cents), [np.ascontiguousarray(c) for c in cbs])
+        (
+            probes,
+            np.ascontiguousarray(cents),
+            [np.ascontiguousarray(c) for c in cbs],
+            R_b,
+        )
     )
     per_shard = refine * k
 
     def score(batches):
         import pandas as pd
 
-        pr, C, CB = bc.value
+        pr, C, CB, Rm = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1249,9 +1269,11 @@ def ivfpq_residual_topk(
                 ids = grp[index_id].to_numpy()
                 for qid, qv in qs:
                     coarse = float(qv @ C[int(cell)])
-                    # LUT[m][c] = <q_sub_m, codeword_mc>
+                    # LUT[m][c] = <q_sub_m, codeword_mc>; with OPQ the
+                    # LUT side rotates so <q,r> = <q@R, r@R>
+                    qr = qv @ Rm if Rm is not None else qv
                     lut = np.stack(
-                        [qv[m * d : (m + 1) * d] @ CB[m].T for m in range(n_sub)]
+                        [qr[m * d : (m + 1) * d] @ CB[m].T for m in range(n_sub)]
                     )  # (n_sub, n_codes)
                     adc = coarse + lut[np.arange(n_sub)[None, :], codes_m].sum(axis=1)
                     top = np.argsort(-adc, kind="stable")[:per_shard]
