@@ -7579,4 +7579,92 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_quality_logit",
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) / 1024.0 AS f_len,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\s+'),
+                                    x -> x <> '')) AS DOUBLE) / 256.0
+                   AS f_words,
+               CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+                    AS DOUBLE) / 16.0 AS f_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS f_digit
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id,
+               -0.5 + 0.75 * f_len + 1.5 * f_words
+                    - 0.25 * f_punct - 2.0 * f_digit AS z
+        FROM f
+    )
+    SELECT doc_id, round(z, 8) AS logit,
+           round(1.0 / (1.0 + exp(-z)), 8) AS p_keep,
+           1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def ta_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier scoring at scale (the fastText-style quality
+    filter applied as a projection): fixed logistic weights over
+    cheap text features — length, word count, sentence punctuation,
+    digit ratio — entirely in codegen, sigmoid per row, keep decision
+    at 0.5.  All weights are exact binary fractions so the linear form
+    is bit-identical cross-engine; the feature divisors (1024/256/16)
+    are powers of two for the same reason."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    f_len = F.length("text").cast("double") / 1024.0
+    f_words = F.size(words).cast("double") / 256.0
+    f_punct = (
+        F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double") / 16.0
+    )
+    f_digit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    z = -0.5 + 0.75 * f_len + 1.5 * f_words - 0.25 * f_punct - 2.0 * f_digit
+    p = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(z, 8).alias("logit"),
+        F.round(p, 8).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "events_window_distinct",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def events_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour and event type — the
+    expand-then-two-phase countDistinct shape (Spark plans it as a
+    partial dedup on (window, type, user) then a count; at larger
+    cardinalities agg_distinct_sketch is the bounded-state swap)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-03 00:00:00"
+    )
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
