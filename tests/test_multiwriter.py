@@ -477,3 +477,27 @@ def test_manifest_over_http_concurrent_merges_lose_nothing(spark, tmp_path):
         )
     finally:
         srv.shutdown()
+
+
+def test_manifest_append_schema_evolution(spark, tmp_path):
+    """A widened append (new column) must survive the multi-segment
+    snapshot read: old rows surface with NULL in the new column, new
+    rows carry their values — the Delta-style additive evolution the
+    mergeSchema reader guarantees (without it the reader takes one
+    file's footer and silently drops the addition)."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "h"))
+    s1 = "id long, val string"
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], s1))
+    s2 = "id long, val string, score double"
+    t.append(spark.createDataFrame([(3, "c", 0.5)], s2))
+
+    v, snap = t.snapshot_with_seq(s2)
+    rows = {r.id: r for r in snap.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert "score" in snap.columns
+    assert rows[1].score is None and rows[2].score is None
+    assert rows[3].score == 0.5
+    # precedence column still derived per segment
+    assert rows[3]._seq > rows[1]._seq

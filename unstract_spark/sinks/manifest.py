@@ -244,7 +244,12 @@ class ManifestTable:
         segs = self.segments(v)
         if not segs:
             return v, self.spark.createDataFrame([], schema)
-        return v, self.spark.read.parquet(
+        # mergeSchema: segments may carry WIDENED schemas (append() of
+        # updates with a new column); the plain reader would take one
+        # file's schema and silently drop the addition. Footer-merge
+        # cost is proportional to segment count, which compact() keeps
+        # small.
+        return v, self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.data_dir, s) for s in segs]
         )
 
@@ -323,7 +328,7 @@ class ManifestTable:
         if not segs:
             empty = self.spark.createDataFrame([], schema)
             return v, empty.withColumn("_seq", F.lit(0))
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.data_dir, s) for s in segs]
         )
         seg_of_row = F.element_at(F.split(F.input_file_name(), "/"), -2)
