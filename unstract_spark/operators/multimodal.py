@@ -1041,3 +1041,80 @@ def tile_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def augment_images(
+    df: DataFrame,
+    crop: int,
+    payload_col: str = "content",
+    id_col: str = "file_path",
+    fake: bool = True,
+) -> DataFrame:
+    """Training-data image augmentation under integer-exact gates:
+    horizontal flip then center crop — the two canonical deterministic
+    augmentations (random variants are the same kernels with a seeded
+    per-row choice).  Emitted stats are position-sensitive so the gate
+    actually certifies geometry: `wcol_sum` weights each pixel by its
+    POST-FLIP column index (a plain sum is flip-invariant and would
+    gate nothing), `crop_sum` totals the centered crop window.
+
+    Output: (id, h, w, wcol_sum, crop_h, crop_w, crop_sum, aug_error);
+    int64 throughout, row-level error isolation like every decode
+    stage.
+    """
+    if crop < 1:
+        raise ValueError(f"crop must be >= 1, got {crop!r}")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("wcol_sum", T.LongType()),
+            T.StructField("crop_h", T.IntegerType()),
+            T.StructField("crop_w", T.IntegerType()),
+            T.StructField("crop_sum", T.LongType()),
+            T.StructField("aug_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+
+            def emit(rid, h=None, w=None, ws=None, ch_=None, cw=None,
+                     cs=None, err=None):
+                out[id_col].append(rid)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["wcol_sum"].append(ws)
+                out["crop_h"].append(ch_)
+                out["crop_w"].append(cw)
+                out["crop_sum"].append(cs)
+                out["aug_error"].append(err)
+
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = _decode_one(
+                        bytes(payload) if payload is not None else b"", fake
+                    )
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    h, w = img.shape[0], img.shape[1]
+                    if h == 0 or w == 0:
+                        emit(rid, err="degenerate image: 0 pixels")
+                        continue
+                    flipped = img[:, ::-1, :].astype(np.int64)
+                    weights = np.arange(1, w + 1, dtype=np.int64)[None, :, None]
+                    ws = int((flipped * weights).sum())
+                    ch_ = min(crop, h)
+                    cw = min(crop, w)
+                    r0 = (h - ch_) // 2
+                    c0 = (w - cw) // 2
+                    cs = int(flipped[r0 : r0 + ch_, c0 : c0 + cw, :].sum())
+                    emit(rid, h, w, ws, ch_, cw, cs)
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    emit(rid, err=str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -7667,4 +7667,68 @@ def events_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_image_augment",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               CAST((i - 1) // 16 AS INT) AS r,
+               CAST((i - 1) % 16 AS INT) AS c,
+               ascii(substr(rpad(substr(text, 1, 256), 256, ' '),
+                            CAST(i AS INT), 1)) AS v
+        FROM documents, unnest(range(1, 257)) AS u(i)
+    )
+    SELECT doc_id,
+           16 AS h, 16 AS w,
+           CAST(sum((16 - c) * v) AS BIGINT) AS wcol_sum,
+           8 AS crop_h, 8 AS crop_w,
+           CAST(sum(CASE WHEN r BETWEEN 4 AND 11 AND c BETWEEN 4 AND 11
+                         THEN v ELSE 0 END) AS BIGINT) AS crop_sum
+    FROM px GROUP BY 1
+    """,
+)
+def mm_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image augmentation (multimodal.augment_images)
+    under the same render-text-as-real-image harness as
+    mm_image_tiles: horizontal flip gated by a POST-FLIP
+    column-weighted sum (weight 16-c in source coordinates — a plain
+    sum is flip-invariant and would certify nothing) and an 8x8 center
+    crop (flip-symmetric window, so the oracle states it in source
+    coordinates).  PGM for even ids, PNG for odd — both decoders in
+    the loop."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import augment_images
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.rpad(F.substring("text", 1, 256), 256, " ").alias("s")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        from unstract_spark.operators.multimodal import encode_pgm, encode_png
+
+        for pdf in batches:
+            content = []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                img = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(
+                    16, 16
+                )
+                content.append(
+                    encode_pgm(img) if int(did) % 2 == 0 else encode_png(img)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    aug = augment_images(imgs, crop=8, payload_col="content", id_col="doc_id",
+                         fake=False)
+    return aug.select(
+        "doc_id", "h", "w", "wcol_sum", "crop_h", "crop_w", "crop_sum"
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
