@@ -501,3 +501,32 @@ def test_manifest_append_schema_evolution(spark, tmp_path):
     assert rows[3].score == 0.5
     # precedence column still derived per segment
     assert rows[3]._seq > rows[1]._seq
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """snapshot(as_of=v) reproduces any historical committed state —
+    segments are immutable, so old manifests stay readable until
+    vacuum retires their segments (the Delta versionAsOf contract)."""
+    import pytest
+
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "h"))
+    s = "id long, val string"
+
+    def newest_wins(cur, upd):
+        return upd.unionByName(cur.join(upd, "id", "left_anti"))
+
+    t.merge(spark.createDataFrame([(1, "a")], s), newest_wins, s)
+    t.merge(spark.createDataFrame([(1, "A"), (2, "b")], s), newest_wins, s)
+    t.merge(spark.createDataFrame([(3, "c")], s), newest_wins, s)
+
+    assert t.version() == 2
+    _, v0 = t.snapshot(s, as_of=0)
+    assert {(r.id, r.val) for r in v0.collect()} == {(1, "a")}
+    _, v1 = t.snapshot(s, as_of=1)
+    assert {(r.id, r.val) for r in v1.collect()} == {(1, "A"), (2, "b")}
+    _, latest = t.snapshot(s)
+    assert latest.count() == 3
+    with pytest.raises(ValueError):
+        t.snapshot(s, as_of=99)

@@ -237,10 +237,20 @@ class ManifestTable:
 
     # -- snapshot -----------------------------------------------------
 
-    def snapshot(self, schema) -> tuple[int, DataFrame]:
+    def snapshot(self, schema, as_of: int | None = None) -> tuple[int, DataFrame]:
         """(version, DataFrame) of the committed state. Segments are
-        immutable, so the frame stays valid across later commits."""
-        v = self.version()
+        immutable, so the frame stays valid across later commits.
+
+        `as_of` reads a HISTORICAL version (time travel, Delta's
+        `versionAsOf`): any version whose manifest still exists is
+        readable because segments are never mutated — only vacuum()
+        of superseded segments retires old reads, which is the same
+        retention contract Delta has."""
+        v = self.version() if as_of is None else as_of
+        if as_of is not None and as_of > self.version():
+            raise ValueError(
+                f"as_of={as_of} is beyond latest version {self.version()}"
+            )
         segs = self.segments(v)
         if not segs:
             return v, self.spark.createDataFrame([], schema)
