@@ -181,3 +181,48 @@ def test_stratified_sample_exact_and_reproducible(spark):
         for r in stratified_sample(df, ["src", "bucket"], 7, salt="s2").collect()
     }
     assert salted != again  # 2^-160-ish chance of collision
+
+
+def test_zorder_layout_shrinks_file_bounding_boxes(spark, tmp_path):
+    """The point of Z-ordering: after the layout transform, each
+    written file covers a small bounding BOX in (x, y), so parquet
+    min/max stats prune files for predicates on EITHER column. Gate:
+    the mean per-file box area under the zorder layout is far below
+    the hash-shuffled layout's (which spreads every file across the
+    whole domain)."""
+    import pyspark.sql.functions as F
+
+    from unstract_spark.operators.export import zorder_layout
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),
+    )
+
+    def mean_box_area(path):
+        got = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        rows = (
+            got.groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return sum(r.sx * r.sy for r in rows) / len(rows)
+
+    base = str(tmp_path / "plain")
+    df.repartition(8).write.parquet(base)
+    zpath = str(tmp_path / "z")
+    zorder_layout(df, "x", "y", bits=7, n_files=8).write.parquet(zpath)
+
+    plain_area = mean_box_area(base)
+    z_area = mean_box_area(zpath)
+    # hash layout: every file spans ~the whole 128x128 domain (~16k);
+    # zorder: ~n_files^-1 of the curve -> box area shrinks by ~8x
+    assert z_area < plain_area / 4, (plain_area, z_area)
+    # row content untouched by the layout
+    assert spark.read.parquet(zpath).count() == n

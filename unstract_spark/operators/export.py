@@ -343,3 +343,44 @@ def segment_pieces(
             ).cast("long").alias("piece_len"),
         )
     )
+
+
+def morton_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """Generated-SQL Morton (Z-order) interleave of two non-negative
+    integer expressions: bit i of x lands at position 2i, bit i of y
+    at 2i+1.  Emitted as a sum of disjoint single-bit terms, so the
+    identical spelling runs on Spark and DuckDB (both speak >>, &,
+    <<) and the value is integer-exact — the layout key IS gateable.
+    """
+    # every term fully parenthesized: DuckDB binds + TIGHTER than <<
+    # (1 << 2 + 3 parses as 1 << 5), so a bare `a << i + b << j` chain
+    # nests the shifts instead of summing them
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_sql}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_sql}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int = 8,
+    out_col: str = "zorder",
+) -> DataFrame:
+    """Multi-dimensional clustering for data skipping (the Delta
+    OPTIMIZE ZORDER BY idea): add the Morton key over two columns and
+    range-partition + sort by it, so each written file covers a small
+    BOUNDING BOX in (x, y) — parquet min/max stats then prune files
+    for predicates on EITHER column, which a single-column sort only
+    gives you for that one column.  Purely a layout transform: row
+    content is untouched; write the result with .write.parquet and
+    the skipping comes from the stats the layout produces."""
+    z = F.expr(morton_sql(x_col, y_col, bits)).alias(out_col)
+    return (
+        df.withColumn(out_col, z)
+        .repartitionByRange(n_files, F.col(out_col))
+        .sortWithinPartitions(out_col)
+    )

@@ -7731,4 +7731,50 @@ def mm_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_oracle(x: str, y: str, bits: int = 16) -> str:
+    from unstract_spark.operators.export import morton_sql
+
+    return morton_sql(x, y, bits)
+
+
+@register(
+    "ex_zorder_codes",
+    f"""
+    WITH z AS (
+        SELECT {_morton_oracle("l_partkey % 65536", "l_suppkey % 65536")}
+                   AS zorder
+        FROM lineitem
+    )
+    SELECT CAST(zorder >> 24 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(zorder) AS BIGINT) AS z_min,
+           CAST(max(zorder) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def ex_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys for multi-dimensional data
+    skipping (export.morton_sql/zorder_layout): the full 32-bit
+    interleave of (partkey, suppkey) gated per top-8-bit bucket —
+    min/max/count per bucket certify every bit position of the
+    interleave.  The SAME generated-SQL expression string runs on both
+    engines, so the layout key a writer sorts by is itself
+    oracle-checked."""
+    l = _t(spark, sf_dir, "lineitem")
+    from unstract_spark.operators.export import morton_sql
+
+    z = l.select(
+        F.expr(
+            morton_sql("l_partkey % 65536", "l_suppkey % 65536")
+        ).alias("zorder")
+    )
+    return z.groupBy(
+        F.expr("zorder >> 24").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zorder").cast("long").alias("z_min"),
+        F.max("zorder").cast("long").alias("z_max"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
