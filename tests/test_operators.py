@@ -486,3 +486,36 @@ def test_remove_duplicated_spans_semantics(spark):
     # accounting holds
     for i in (1, 2, 3, 4, 5):
         assert out[i].cleaned_len == len(out[i].cleaned_text)
+
+
+def test_bm25_store_matches_transient(spark, tmp_path):
+    """Bm25IndexStore: persisted postings + scalars reproduce the
+    transient bm25_retrieve row-for-row (same decimal-rounded scores,
+    same ranks), and the word-bucket layout prunes to the query's
+    partitions."""
+    from unstract_spark.operators.retrieval import Bm25IndexStore, bm25_retrieve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle merge join window"),
+            (2, "spark spark spark window"),
+            (3, "completely unrelated words here"),
+            (4, "merge window merge shuffle"),
+            (5, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "merge", "window"]
+    want = {
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_retrieve(docs, terms, k=4).collect()
+    }
+    store = Bm25IndexStore(spark, str(tmp_path / "bm25"))
+    assert store.build(docs) == 5
+    got_df = store.query(terms, k=4)
+    got = {(r.doc_id, r.bm25, r.rank) for r in got_df.collect()}
+    assert got == want
+    # partition pruning reaches the scan: the postings read carries a
+    # wb filter over the partition column
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "wb" in plan

@@ -475,3 +475,103 @@ def bm25_retrieve_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "bm25", "rank")
     )
+
+
+class Bm25IndexStore:
+    """Persistent inverted index for BM25 — build the corpus-scale
+    shuffle ONCE, query many times (the Lucene segment flow).
+
+    Layout: the (doc, word, tf) postings land as parquet partitioned
+    by a 64-way md5-derived word bucket, so a query's term slice
+    prunes to its terms' bucket DIRECTORIES before reading a posting;
+    doc lengths are a side table; the two corpus scalars ride a tiny
+    JSON. Scoring reuses the exact expressions bm25_retrieve gates —
+    store results are row-identical to the transient call."""
+
+    N_BUCKETS = 64
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    @staticmethod
+    def _bucket(word_col):
+        return (
+            F.conv(F.substring(F.md5(word_col), 1, 8), 16, 10).cast("long")
+            % Bm25IndexStore.N_BUCKETS
+        )
+
+    def build(self, docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> int:
+        import json
+        import os
+
+        words = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+        ).filter(F.col("word") != "")
+        tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+        tf = tf.withColumn("wb", self._bucket(F.col("word")))
+        tf.write.mode("overwrite").partitionBy("wb").parquet(
+            os.path.join(self.path, "postings")
+        )
+        stored = self.spark.read.parquet(os.path.join(self.path, "postings"))
+        dl = stored.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(self.path, "dl"))
+        n_docs = docs.count()
+        total_words = stored.agg(F.sum("tf")).collect()[0][0] or 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_meta.json"), "w") as f:
+            json.dump(
+                {"n_docs": n_docs, "total_words": int(total_words),
+                 "id_col": id_col},
+                f,
+            )
+        return n_docs
+
+    def query(self, query_terms: list[str], k: int = 5, k1: float = 1.25,
+              b: float = 0.75) -> DataFrame:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_meta.json")) as f:
+            meta = json.load(f)
+        id_col = meta["id_col"]
+        terms = sorted({t.lower() for t in query_terms})
+        import hashlib
+
+        buckets = sorted(
+            {
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                % self.N_BUCKETS
+                for t in terms
+            }
+        )
+        postings = self.spark.read.parquet(
+            os.path.join(self.path, "postings")
+        )
+        qtf = postings.filter(
+            F.col("wb").isin(buckets) & F.col("word").isin(terms)
+        ).drop("wb")
+        dl = self.spark.read.parquet(os.path.join(self.path, "dl"))
+        df_t = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = F.lit(meta["n_docs"])
+        avgdl = F.lit(float(meta["total_words"])) / n_docs
+        idf = F.log(
+            F.lit(1.0) + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+        per_term = idf * (F.col("tf") * (k1 + 1)) / denom
+        scored = (
+            qtf.join(F.broadcast(df_t), "word")
+            .join(dl, id_col)
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum(per_term.cast("decimal(28,10)")), 6)
+                .cast("double")
+                .alias("bm25")
+            )
+        )
+        return bounded_rank(
+            scored, [F.col("bm25").desc(), F.col(id_col).asc()], k
+        )
