@@ -7777,4 +7777,70 @@ def ex_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_top_terms_tfidf",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, CAST(df AS BIGINT) AS df, tfidf, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rnk
+        FROM s
+    ) WHERE rnk <= 3
+    """,
+)
+def ta_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf
+    (tf * ln(N/df) from exact integer counts — the double is one
+    fixed expression, identical cross-engine), ranked on the ROUNDED
+    score with a term tie-break.  The document-frequency table is
+    vocabulary-sized and broadcast; the per-doc window ranks only each
+    doc's own terms."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
