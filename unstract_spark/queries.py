@@ -7843,4 +7843,46 @@ def ta_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot",
+    """
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*), 4) AS avg_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, measure, value FROM (
+        SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value
+        FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'total_price', total_price FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: the wide per-status aggregate stacked into
+    (status, measure, value) long form via stack() — the reporting
+    reshape that pairs with the pivot query.  The oracle spells it as
+    the equivalent UNION ALL so the gate is engine-syntax-neutral."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+        _davg(F.col("o_totalprice")).alias("avg_price"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'total_price', total_price,"
+            " 'avg_price', avg_price) AS (measure, value)"
+        ),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
