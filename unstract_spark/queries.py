@@ -7885,4 +7885,184 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_curation_v2",
+    r"""
+    WITH t AS (
+        SELECT doc_id, text AS _t, CAST(length(text) AS BIGINT) AS _len
+        FROM documents WHERE length(text) > 0
+    ),
+    pos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+               substr(_t, CAST(u.i AS INT), 16) AS g
+        FROM t, unnest(range(1, _len - 16 + 2)) AS u(i)
+        WHERE _len >= 16
+    ),
+    dg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+    m AS (SELECT doc_id, p AS s, p + 15 AS e FROM pos JOIN dg USING (g)),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+                    THEN 1 ELSE 0 END AS nw
+        FROM m
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM isl
+    ),
+    rem AS (SELECT doc_id, grp, min(s) AS rs, max(e) AS re
+            FROM isl2 GROUP BY 1, 2),
+    bef AS (
+        SELECT doc_id,
+               coalesce(lag(re) OVER (PARTITION BY doc_id ORDER BY rs), 0) + 1
+                   AS ks,
+               rs - 1 AS ke
+        FROM rem
+    ),
+    tl AS (
+        SELECT rem.doc_id, max(rem.re) + 1 AS ks, t._len AS ke
+        FROM rem JOIN t USING (doc_id) GROUP BY rem.doc_id, t._len
+    ),
+    unt AS (
+        SELECT t.doc_id, CAST(1 AS BIGINT) AS ks, t._len AS ke
+        FROM t WHERE NOT EXISTS (SELECT 1 FROM rem WHERE rem.doc_id = t.doc_id)
+    ),
+    kept AS (
+        SELECT * FROM bef UNION ALL SELECT * FROM tl UNION ALL SELECT * FROM unt
+    ),
+    pieces AS (
+        SELECT k.doc_id, k.ks,
+               substr(t._t, CAST(k.ks AS INT), CAST(k.ke - k.ks + 1 AS INT))
+                   AS piece
+        FROM kept k JOIN t USING (doc_id) WHERE k.ke >= k.ks
+    ),
+    cln AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS ct
+        FROM pieces GROUP BY 1
+    ),
+    res AS (
+        SELECT t.doc_id, coalesce(cln.ct, '') AS ct
+        FROM t LEFT JOIN cln ON cln.doc_id = t.doc_id
+    ),
+    fp AS (SELECT doc_id, md5(ct) AS f, ct FROM res),
+    hist AS (SELECT DISTINCT md5(text) AS f FROM documents
+             WHERE doc_id % 3 = 0),
+    bits AS (
+        SELECT DISTINCT
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || f), 1, 8))
+                ::BIGINT % 8192 AS bit
+        FROM hist, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    probes AS (
+        SELECT fp.doc_id,
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp.f), 1, 8))
+                ::BIGINT % 8192 AS bit
+        FROM fp, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    mem AS (
+        SELECT p.doc_id,
+               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+                   AS maybe_seen
+        FROM probes p LEFT JOIN bits b USING (bit) GROUP BY 1
+    ),
+    surv AS (
+        SELECT fp.doc_id, fp.ct FROM fp
+        JOIN mem USING (doc_id) WHERE NOT mem.maybe_seen
+    ),
+    feat AS (
+        SELECT doc_id, ct,
+               -0.5 + 0.75 * (CAST(length(ct) AS DOUBLE) / 1024.0)
+                    + 1.5 * (CAST(len(list_filter(
+                          string_split_regex(lower(trim(ct)), '\s+'),
+                          x -> x <> '')) AS DOUBLE) / 256.0)
+                    - 0.25 * (CAST(length(regexp_replace(ct, '[^.!?]', '',
+                                                         'g')) AS DOUBLE)
+                              / 16.0)
+                    - 2.0 * (CAST(length(regexp_replace(ct, '[^0-9]', '',
+                                                        'g')) AS DOUBLE)
+                             / CAST(greatest(length(ct), 1) AS DOUBLE)) AS z
+        FROM surv
+    )
+    SELECT doc_id,
+           CAST(length(ct) AS BIGINT) AS cleaned_len,
+           CAST(len(list_filter(string_split_regex(lower(trim(ct)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-z)), 8) AS p_keep,
+           CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT % 8 AS INT) AS shard
+    FROM feat
+    WHERE 1.0 / (1.0 + exp(-z)) >= 0.5
+    """,
+)
+def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone v2 — the round-7 operators composed in ONE
+    Catalyst plan: corpus-wide duplicated-SPAN removal
+    (dedup.remove_duplicated_spans) -> Bloom-filter history
+    decontamination on the CLEANED fingerprints
+    (bloom_filter_bits/bloom_membership; history = every third doc's
+    original fingerprint) -> fixed-weight logistic quality keep on the
+    cleaned text -> md5-derived shard assignment.  The oracle rebuilds
+    the whole chain relationally, so the hash certifies not just each
+    operator but their composition boundaries (cleaned text feeding
+    the filter fingerprints and the quality features)."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = dedup.remove_duplicated_spans(d, k=16, min_count=2)
+    fp = cleaned.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("fingerprint"),
+        F.col("cleaned_text").alias("ct"),
+    )
+    hist = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    bits = dedup.bloom_filter_bits(hist, m=8192, k=4)
+    mem = dedup.bloom_membership(fp, bits, m=8192, k=4)
+    surv = fp.join(mem, "doc_id").filter(~F.col("maybe_seen"))
+    words = F.filter(
+        F.split(F.lower(F.trim("ct")), r"\s+"), lambda x: x != ""
+    )
+    z = (
+        -0.5
+        + 0.75 * (F.length("ct").cast("double") / 1024.0)
+        + 1.5 * (F.size(words).cast("double") / 256.0)
+        - 0.25
+        * (F.length(F.regexp_replace("ct", r"[^.!?]", "")).cast("double") / 16.0)
+        - 2.0
+        * (
+            F.length(F.regexp_replace("ct", r"[^0-9]", "")).cast("double")
+            / F.greatest(F.length("ct"), F.lit(1)).cast("double")
+        )
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    ).cast("int")
+    return (
+        surv.withColumn("_p", p)
+        .filter(F.col("_p") >= 0.5)
+        .select(
+            "doc_id",
+            F.length("ct").cast("long").alias("cleaned_len"),
+            F.size(words).cast("long").alias("n_tokens"),
+            F.round("_p", 8).alias("p_keep"),
+            shard.alias("shard"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
