@@ -124,6 +124,17 @@ BENCH_QUERIES = [
     "w4_running_totals",
     "events_cusum",
     "graph_pagerank_fixed",
+    # round-7c additions: the v2 capstone (span removal -> Bloom ->
+    # quality -> shards in ONE plan), Z-order layout keys, TF-IDF
+    # keywords, KS drift, the classifier projection, and the
+    # augmentation decode fan-out
+    "ex_curation_v2",
+    "ex_zorder_codes",
+    "ta_top_terms_tfidf",
+    "agg_ks_test",
+    "ta_quality_logit",
+    "mm_image_augment",
+    "events_window_distinct",
     # ta_jsd_drift is registry-gated but not benched (two-slice explode
     # + checkpoint + global rank — the shape is covered by the cheaper
     # text aggregations above).
