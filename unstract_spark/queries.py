@@ -7894,12 +7894,12 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pos AS (
         SELECT doc_id, CAST(u.i AS BIGINT) AS p,
-               substr(_t, CAST(u.i AS INT), 16) AS g
-        FROM t, unnest(range(1, _len - 16 + 2)) AS u(i)
-        WHERE _len >= 16
+               substr(_t, CAST(u.i AS INT), 24) AS g
+        FROM t, unnest(range(1, _len - 24 + 2)) AS u(i)
+        WHERE _len >= 24
     ),
-    dg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
-    m AS (SELECT doc_id, p AS s, p + 15 AS e FROM pos JOIN dg USING (g)),
+    dg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 4),
+    m AS (SELECT doc_id, p AS s, p + 23 AS e FROM pos JOIN dg USING (g)),
     isl AS (
         SELECT doc_id, s, e,
                CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
@@ -8010,7 +8010,15 @@ def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator but their composition boundaries (cleaned text feeding
     the filter fingerprints and the quality features)."""
     d = _t(spark, sf_dir, "documents")
-    cleaned = dedup.remove_duplicated_spans(d, k=16, min_count=2)
+    # k=24/min_count=4: the BOILERPLATE threshold. k=16/min_count=2
+    # (dd_span_removal's parameters, correct for the span-removal gate
+    # itself) degenerates at sf0.1 — template-heavy synthetic docs end
+    # up ~97% duplicated 16-grams and every cleaned text collapses.
+    # NO localCheckpoint here although fp fans out to two consumers:
+    # materializing through .rdd runs the 18-exchange chain WITHOUT
+    # codegen/AQE (measured 13.9 s vs 1.0 s for the plain plan), so
+    # re-executing the cheap chain per consumer is the faster choice.
+    cleaned = dedup.remove_duplicated_spans(d, k=24, min_count=4)
     fp = cleaned.select(
         "doc_id",
         F.md5("cleaned_text").alias("fingerprint"),
