@@ -643,3 +643,56 @@ def test_residual_opq_beats_plain_residual_on_anisotropic(spark):
         gains.append((refine, plain, opq))
         assert opq >= plain, gains
     assert any(o > p for _, p, o in gains), gains
+
+
+def test_pq_topk_pandas_256_codes_beats_16(spark):
+    """The high-code ADC path at the production 256-code shape: (a)
+    matches the SQL path's result SETS at a shared small code count
+    (same codebooks, same data — only low-bit summation order
+    differs), and (b) 256 fitted codes strictly improve recall over 16
+    at equal refine, which is the whole reason the pandas path exists
+    (the SQL LUT path cannot reasonably emit 256 dot-product exprs per
+    subspace)."""
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        pq_kmeans_refine,
+        pq_topk_join,
+        pq_topk_pandas,
+    )
+
+    dim = 32
+    e = _spectrum_data(spark, dim=dim, n=1500).localCheckpoint(eager=True)
+    q = e.filter("vec_id < 6").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(q, e, k=10, dim=dim).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    cbs16 = pq_kmeans_refine(e, dim, n_sub=8, n_codes=16, iters=2)
+    sql_16 = recall(
+        pq_topk_join(q, e, dim, k=10, n_sub=8, n_codes=16, refine=3,
+                     codebooks=cbs16)
+    )
+    pd_16 = recall(
+        pq_topk_pandas(q, e, dim, k=10, n_sub=8, n_codes=16, refine=3,
+                       codebooks=cbs16)
+    )
+    assert pd_16 == sql_16, (pd_16, sql_16)
+
+    # 256-code fit goes through the numpy trainer (opq_train) — the
+    # SQL encoder pq_kmeans_refine rides is exactly what is hostile at
+    # 256 codes; the rotation composes into the same pandas scorer
+    from unstract_spark.operators.similarity import opq_train
+
+    R, cbs256 = opq_train(e, dim, n_sub=8, n_codes=256, iters=3)
+    pd_256 = recall(
+        pq_topk_pandas(q, e, dim, k=10, n_sub=8, n_codes=256, refine=3,
+                       codebooks=cbs256, rotation=R)
+    )
+    assert pd_256 > pd_16, (pd_16, pd_256)

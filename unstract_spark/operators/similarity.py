@@ -1623,3 +1623,122 @@ class OpqIndexStore:
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+
+
+def pq_topk_pandas(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    refine: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    codebooks: list[np.ndarray] | None = None,
+    rotation: np.ndarray | None = None,
+) -> DataFrame:
+    """ADC scan for HIGH code counts (the production 256-code shape):
+    the generated-SQL LUT path emits n_sub*n_codes dot-product
+    expressions per query — fine at 16 codes, analyzer-hostile at 256
+    — so this path scores in ONE scatter/gather mapInPandas task per
+    partition: encode the partition's vectors (numpy argmax, the same
+    scoring formula pq_encode generates), gather ADC sums from the
+    broadcast per-query LUTs, and emit only the local refine*k
+    shortlist per query; a per-query window merges shards and exact
+    cosine re-ranks in the ORIGINAL frame.  Pass `rotation` to serve
+    OPQ at 256 codes (codes quantize x@R, LUTs use q@R).
+
+    Contracts: queries ride a driver collect (the documented
+    small-side contract shared with HNSW and the residual scorer);
+    numpy's summation order differs from the SQL path in the last
+    bits, so this path is pytest-gated (recall + rank-shape), not
+    oracle-gated — same honest standing as HNSW.
+    """
+    spark = index.sparkSession
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
+    d = dim // n_sub
+    q_rows = queries.select(query_id, query_vec).collect()
+    qs = [
+        (r[query_id], np.asarray(r[query_vec], dtype=np.float64)) for r in q_rows
+    ]
+    Rm = (
+        np.ascontiguousarray(np.asarray(rotation, dtype=np.float64))
+        if rotation is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast(
+        (qs, [np.ascontiguousarray(cb) for cb in cbs], Rm)
+    )
+    per_shard = refine * k
+
+    def score(batches):
+        import pandas as pd
+
+        Q, CB, R = bc.value
+        if not Q:
+            return
+        Qm = np.stack([v for _, v in Q])
+        Qr = Qm @ R if R is not None else Qm
+        luts = [
+            Qr[:, m * d : (m + 1) * d] @ CB[m].T for m in range(n_sub)
+        ]  # each (n_q, n_codes)
+        half = [0.5 * (CB[m] ** 2).sum(1) for m in range(n_sub)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[index_vec].tolist(), dtype=np.float64)
+            ids = pdf[index_id].to_numpy()
+            Xr = X @ R if R is not None else X
+            adc = np.zeros((len(Q), len(X)))
+            for m in range(n_sub):
+                sub = Xr[:, m * d : (m + 1) * d]
+                codes = (sub @ CB[m].T - half[m]).argmax(1)
+                adc += luts[m][:, codes]
+            out_q, out_i, out_s = [], [], []
+            for qi, (qid, _) in enumerate(Q):
+                row = adc[qi]
+                top = np.lexsort((ids, -row))[:per_shard]
+                out_q.extend([qid] * len(top))
+                out_i.extend(ids[top])
+                out_s.extend(row[top])
+            yield pd.DataFrame(
+                {query_id: out_q, index_id: out_i, "adc": out_s}
+            )
+
+    id_t = index.schema[index_id].dataType.simpleString()
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cands = index.select(index_id, index_vec).mapInPandas(
+        score, schema=f"`{query_id}` {qid_t}, `{index_id}` {id_t}, adc double"
+    )
+    wa = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(index_id).asc()
+    )
+    shortlist = (
+        cands.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= per_shard)
+        .select(query_id, index_id)
+    )
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    )
+    scored = (
+        shortlist.join(
+            index.select(F.col(index_id), F.col(index_vec).alias("_iv")),
+            index_id,
+        )
+        .join(q, query_id)
+        .select(
+            query_id,
+            index_id,
+            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(index_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
