@@ -1360,8 +1360,14 @@ def opq_train(
     n_codes: int = 16,
     iters: int = 4,
     index_vec: str = "embedding",
+    train_rotation: bool = True,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Fit (R, codebooks) by OPQ-NP alternation (Ge et al. 2013, §4).
+
+    `train_rotation=False` skips every Procrustes step: the loop
+    degenerates to distributed Lloyd iterations in the identity frame
+    — the way to fit plain-PQ codebooks at code counts the generated
+    SQL encoder (pq_kmeans_refine) cannot reasonably express.
 
     Each iteration is ONE distributed pass (mapInPandas over the
     vectors): rotate the batch by the current R, assign each subvector
@@ -1458,7 +1464,7 @@ def opq_train(
                 if ccnt[m][c] > 0:
                     new[m][c] = (fullsum[m][c] @ R)[m * d : (m + 1) * d] / ccnt[m][c]
         cbs = new
-        if not last:
+        if not last and train_rotation:
             # Procrustes with the UPDATED codebooks (block-factored M)
             M = np.zeros((dim, dim))
             for m in range(n_sub):
