@@ -696,3 +696,32 @@ def test_pq_topk_pandas_256_codes_beats_16(spark):
                        codebooks=cbs256, rotation=R)
     )
     assert pd_256 > pd_16, (pd_16, pd_256)
+
+
+def test_pq_join_auto_routes_high_code_shapes(spark):
+    """pq_topk_join above SQL_TERM_LIMIT LUT terms must route to the
+    pandas scorer (the SQL path at 512 codes would drown the
+    analyzer); at a generous refine the result saturates to the exact
+    ranking, proving the routed path end-to-end."""
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk_join,
+    )
+
+    dim = 32
+    e = _spectrum_data(spark, dim=dim, n=400).localCheckpoint(eager=True)
+    q = e.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(q, e, k=5, dim=dim).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk_join(
+            q, e, dim, k=5, n_sub=8, n_codes=512, refine=80,
+            term_limit=1024,
+        ).collect()
+    }
+    assert got == exact

@@ -550,6 +550,7 @@ def pq_topk_join(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     codebooks: list[np.ndarray] | None = None,
+    term_limit: int | None = None,
 ) -> DataFrame:
     """ANN via PQ asymmetric-distance scan + exact re-rank.
 
@@ -561,9 +562,22 @@ def pq_topk_join(
     subspace order — bit-identical cross-engine, so the ADC shortlist
     (top refine*k by raw score, id tie-break) is deterministic. Exact
     cosine re-ranks the shortlist by the ROUNDED score (the float
-    parity rule)."""
+    parity rule).
+
+    Above SQL_TERM_LIMIT LUT terms (n_sub*n_codes*d — e.g. the
+    production 16x256 shape at dim 768) serving auto-routes to
+    pq_topk_pandas: the generated-SQL LUT/encode expressions stop
+    being analyzer-friendly there (same threshold contract as the
+    IVF/LSH assignment paths)."""
     cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
     d = dim // n_sub
+    limit = SQL_TERM_LIMIT if term_limit is None else term_limit
+    if n_sub * n_codes * d > limit:
+        return pq_topk_pandas(
+            queries, index, dim, k=k, n_sub=n_sub, n_codes=n_codes,
+            refine=refine, query_id=query_id, query_vec=query_vec,
+            index_id=index_id, index_vec=index_vec, codebooks=cbs,
+        )
     codes = pq_encode(index, dim, n_sub, n_codes, index_id, index_vec, cbs)
     q = queries.select(
         F.col(query_id), F.col(query_vec), *_pq_lut_cols(cbs, query_vec, d)
@@ -1504,6 +1518,16 @@ def opq_topk_join(
         rotation, codebooks = opq_train(
             index, dim, n_sub=n_sub, n_codes=n_codes, iters=iters,
             index_vec=index_vec,
+        )
+    if n_sub * n_codes * (dim // n_sub) > SQL_TERM_LIMIT:
+        # high-code shape: one pandas scorer handles rotation + ADC
+        # (rotating both frames through the SQL path would also pay
+        # two extra Arrow passes)
+        return pq_topk_pandas(
+            queries, index, dim, k=k, n_sub=n_sub, n_codes=n_codes,
+            refine=refine, query_id=query_id, query_vec=query_vec,
+            index_id=index_id, index_vec=index_vec, codebooks=codebooks,
+            rotation=rotation,
         )
     ri = rotate_vectors(index, rotation, vec_col=index_vec)
     rq = rotate_vectors(queries, rotation, vec_col=query_vec)
