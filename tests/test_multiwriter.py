@@ -530,3 +530,58 @@ def test_manifest_time_travel(spark, tmp_path):
     assert latest.count() == 3
     with pytest.raises(ValueError):
         t.snapshot(s, as_of=99)
+
+
+def test_manifest_append_idempotency_key(spark, tmp_path):
+    """Replayed appends with the same idempotency key land exactly
+    once; distinct keys append normally; keys survive in the manifest
+    log for later replays to discover."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "h"))
+    s = "id long, val string"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], s)
+    t.append(df, idempotency_key="batch-0")
+    t.append(df, idempotency_key="batch-0")  # replay: no-op
+    _, snap = t.snapshot(s)
+    assert snap.count() == 2
+    t.append(spark.createDataFrame([(3, "c")], s), idempotency_key="batch-1")
+    _, snap = t.snapshot(s)
+    assert snap.count() == 3
+    assert t.committed_keys() == {"batch-0", "batch-1"}
+    # un-keyed appends still work and carry no key
+    t.append(spark.createDataFrame([(4, "d")], s))
+    assert t.committed_keys() == {"batch-0", "batch-1"}
+
+
+def test_streaming_ledger_sink_exactly_once(spark, tmp_path):
+    """The streaming-to-ledger bridge: union of fires == source rows,
+    snapshot visibility is ACID (version count == fired batches), and
+    re-running a drained stream fires nothing."""
+    from unstract_spark.sinks.manifest import ManifestTable
+    from unstract_spark.streaming.incremental import streaming_ledger_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    s = "doc_id long, text string"
+    spark.createDataFrame([(1, "a"), (2, "b")], s).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    n1 = streaming_ledger_sink(spark, src, str(tmp_path / "ck"),
+                               str(tmp_path / "tbl"))
+    assert n1 == 1
+    spark.createDataFrame([(3, "c")], s).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    n2 = streaming_ledger_sink(spark, src, str(tmp_path / "ck"),
+                               str(tmp_path / "tbl"))
+    assert n2 == 1
+    t = ManifestTable(spark, str(tmp_path / "tbl"))
+    _, snap = t.snapshot(s)
+    assert {r.doc_id for r in snap.collect()} == {1, 2, 3}
+    assert t.version() == 1  # two commits: v0, v1
+    assert len(t.committed_keys()) == 2
+    # drained source: no fire, no version movement
+    n3 = streaming_ledger_sink(spark, src, str(tmp_path / "ck"),
+                               str(tmp_path / "tbl"))
+    assert n3 == 0 and t.version() == 1

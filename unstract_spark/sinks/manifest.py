@@ -272,7 +272,31 @@ class ManifestTable:
         df.write.mode("overwrite").parquet(os.path.join(self.data_dir, name))
         return name
 
-    def try_commit(self, base_version: int, segments: list[str]) -> None:
+    def committed_keys(self) -> set:
+        """Idempotency keys carried by every committed manifest — the
+        exactly-once primitive for streaming writers (each foreachBatch
+        commit carries its batch id; a replay sees its key and skips).
+        Manifests are tiny JSON and the log is compact()-bounded, so
+        this scan is metadata-sized."""
+        keys = set()
+        for name in self.backend.list_manifests():
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                doc = json.loads(self.backend.read_manifest(name))
+            except (OSError, ValueError, KeyError):
+                continue
+            k = doc.get("idempotency_key")
+            if k is not None:
+                keys.add(k)
+        return keys
+
+    def try_commit(
+        self,
+        base_version: int,
+        segments: list[str],
+        idempotency_key: str | None = None,
+    ) -> None:
         """Commit `segments` as version base+1, or raise CommitConflict
         if another writer got there first.
 
@@ -281,9 +305,10 @@ class ManifestTable:
         observe an empty/partial manifest and a lost race never wedges
         the version number."""
         target = base_version + 1
-        payload = json.dumps(
-            {"version": target, "segments": segments, "ts": time.time()}
-        ).encode()
+        doc = {"version": target, "segments": segments, "ts": time.time()}
+        if idempotency_key is not None:
+            doc["idempotency_key"] = idempotency_key
+        payload = json.dumps(doc).encode()
         if not self.backend.put_if_absent(self._manifest_name(target), payload):
             raise CommitConflict(
                 f"version {target} already committed at {self.path}"
@@ -347,7 +372,12 @@ class ManifestTable:
         )
         return v, df.withColumn("_seq", mapping[seg_of_row].cast("int"))
 
-    def append(self, updates: DataFrame, max_retries: int = 20) -> None:
+    def append(
+        self,
+        updates: DataFrame,
+        max_retries: int = 20,
+        idempotency_key: str | None = None,
+    ) -> None:
         """LSM-style transactional append: write `updates` as ONE new
         segment and commit [existing segments..., new segment].
 
@@ -359,13 +389,32 @@ class ManifestTable:
         is retried WITHOUT rewriting the segment — only the fresh
         segment list is re-read (contrast merge(), which must re-run
         its merge function against the new snapshot).
+
+        `idempotency_key` makes the append EXACTLY-ONCE under replay
+        (the foreachBatch contract): if a manifest already carries the
+        key, the append is a no-op — the at-least-once redelivery of a
+        committed batch lands nothing twice.
         """
+        if idempotency_key is not None and (
+            idempotency_key in self.committed_keys()
+        ):
+            return
         seg = self.write_segment(updates)
         for _ in range(max_retries):
             v = self.version()
             try:
-                self.try_commit(v, self.segments(v) + [seg])
+                self.try_commit(
+                    v, self.segments(v) + [seg],
+                    idempotency_key=idempotency_key,
+                )
             except CommitConflict:
+                if idempotency_key is not None and (
+                    idempotency_key in self.committed_keys()
+                ):
+                    # the race loser discovers its OWN batch already
+                    # landed (another attempt of the same replayed
+                    # batch won) — appending again would duplicate
+                    return
                 continue
             return
         raise TimeoutError(

@@ -942,3 +942,51 @@ def streaming_bloom_pipeline(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_ledger_sink(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+    schema: str = "doc_id long, text string",
+) -> int:
+    """Transactional streaming sink: every foreachBatch commits
+    through the manifest ledger's append with
+    idempotency_key=stream-batch-<epoch> — the exactly-once bridge
+    between the streaming family and the ACID log.  Against the
+    batch_id-partition sinks the other pipelines use, the ledger sink
+    buys: atomic batch VISIBILITY (a reader never sees a partial
+    batch — the segment only exists once its manifest commits),
+    replay no-ops via the committed key (at-least-once foreachBatch
+    redelivery lands nothing twice, even when the replay races a
+    concurrent writer), and a queryable table (snapshot isolation,
+    time travel, compaction, vacuum) instead of raw directories.
+
+    Returns the number of fired batches.
+    """
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    table = ManifestTable(spark, table_path)
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        table.append(batch, idempotency_key=f"stream-batch-{int(epoch)}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
