@@ -8073,4 +8073,65 @@ def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_weighted_sample",
+    """
+    WITH u AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+               (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                    ::BIGINT + 1) / 4503599627370496.0 AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (SELECT doc_id, w, round(ln(u) / w, 10) AS skey FROM u)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight, skey, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY skey DESC, doc_id ASC) AS INT) AS rnk
+        FROM keyed
+    ) WHERE rnk <= 50
+    """,
+)
+def ex_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006): rank by ln(u)/w with u an md5-derived
+    uniform in (0,1] — the monotone-equivalent spelling of u^(1/w)
+    that avoids pow(), whose last-ulp rounding is engine-dependent
+    (ln and division are the already-gated primitives).  Top-50 by
+    rounded key with id tie-break.  This is THE mixture-construction
+    sampler: one pass, any weight column, rerunnable bit-identically —
+    a seeded TABLESAMPLE cannot weight and is not cross-engine
+    stable.  2^52 divisor keeps u exactly representable."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4503599627370496.0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        u.alias("u"),
+    ).select(
+        "doc_id", "w", F.round(F.log("u") / F.col("w"), 10).alias("skey")
+    )
+    wr = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        keyed.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            "skey",
+            F.row_number().over(wr).cast("int").alias("rnk"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
