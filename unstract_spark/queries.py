@@ -8134,4 +8134,189 @@ def ex_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_mad_outliers",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+        FROM r GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - med.med) AS d, e.event_id
+        FROM events e JOIN med USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (n - 1) // 2 + 1 THEN d END) AS mad
+        FROM r2 GROUP BY 1
+    )
+    SELECT med.event_type, med.med, mad.mad,
+           CAST(sum(CASE WHEN abs(e.value - med.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_events
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median and MAD by the
+    exact lower-index definition (the agg_percentiles discipline —
+    picked values are raw stored doubles, no float derivation), then
+    the 3-MAD rule counted over the raw stream.  The robust twin of
+    events_anomalies' mean/stddev standardization."""
+    e = _t(spark, sf_dir, "events")
+
+    def lower_median(df, val_col, out_name):
+        w_rn = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        w_n = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(val_col),
+            F.row_number().over(w_rn).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        idx = F.expr("(n - 1) div 2") + 1
+        return r.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == idx, F.col(val_col))).alias(out_name)
+        )
+
+    med = lower_median(e, "value", "med")
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+        "event_id",
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        e.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_entropy",
+    """
+    WITH c AS (
+        SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, sum(c) AS n FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(max(t.n) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(CAST(sum(CAST(
+               -(c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)
+               AS DECIMAL(28,12))) AS DOUBLE), 8) AS lang_entropy
+    FROM c JOIN t USING (source)
+    GROUP BY 1
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the diversity
+    profile a corpus dashboard reports next to the JSD drift number.
+    Probabilities come from exact counts; per-term contributions
+    quantize to the decimal domain before summing so the total is
+    order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(28,12)")).cast("double"),
+                8,
+            ).alias("lang_entropy"),
+        )
+    )
+
+
+@register(
+    "agg_chi_square",
+    """
+    WITH o AS (
+        SELECT c_mktsegment AS seg, n_name AS nation, count(*) AS o
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    rs AS (SELECT seg, sum(o) AS r FROM o GROUP BY 1),
+    cs AS (SELECT nation, sum(o) AS cc FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM o)
+    SELECT round(CAST(sum(CAST(
+               (o.o - CAST(rs.r AS DOUBLE) * cs.cc / n.n)
+             * (o.o - CAST(rs.r AS DOUBLE) * cs.cc / n.n)
+             / (CAST(rs.r AS DOUBLE) * cs.cc / n.n)
+               AS DECIMAL(28,10))) AS DOUBLE), 6) AS chi2,
+           CAST((count(DISTINCT o.seg) - 1)
+                * (count(DISTINCT o.nation) - 1) AS BIGINT) AS dof,
+           CAST(max(n.n) AS BIGINT) AS n_total
+    FROM o
+    JOIN rs USING (seg)
+    JOIN cs USING (nation)
+    CROSS JOIN n
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic over the market-
+    segment x nation contingency table (are segments distributed
+    independently of nation?) — expected counts from exact marginals,
+    per-cell contributions in ONE fixed double expression quantized to
+    the decimal domain before summing (the agg_variance discipline)."""
+    c = _t(spark, sf_dir, "customer")
+    nn = _t(spark, sf_dir, "nation")
+    o = (
+        c.join(F.broadcast(nn), c.c_nationkey == nn.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rs = o.groupBy("seg").agg(F.sum("o").alias("r"))
+    cs = o.groupBy("nation").agg(F.sum("o").alias("cc"))
+    n = o.agg(F.sum("o").alias("n"))
+    e_cnt = F.col("r").cast("double") * F.col("cc") / F.col("n")
+    contrib = (F.col("o") - e_cnt) * (F.col("o") - e_cnt) / e_cnt
+    return (
+        o.join(rs, "seg")
+        .join(cs, "nation")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(28,10)")).cast("double"), 6
+            ).alias("chi2"),
+            (
+                (F.countDistinct("seg") - 1) * (F.countDistinct("nation") - 1)
+            ).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n_total"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
