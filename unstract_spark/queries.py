@@ -8319,4 +8319,68 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_concentration",
+    """
+    WITH s AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT o_custkey, cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rnk,
+               count(*) OVER () AS n,
+               sum(cents) OVER () AS tot
+        FROM s
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * CAST(sum(CAST(rnk AS BIGINT) * cents) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * max(tot))
+                 - (CAST(max(n) AS DOUBLE) + 1) / max(n), 8) AS gini,
+           round(CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                 / (CAST(max(tot) AS DOUBLE) * max(tot)), 8) AS hhi
+    FROM r
+    """,
+)
+def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration metrics — Gini coefficient (sorted-rank
+    formula over cent-quantized integer spend, rank tie-broken on the
+    key so the Σ i·x term is deterministic) and Herfindahl-Hirschman
+    index (Σ share² from exact integer squares) — the inequality
+    profile a corpus report runs on tokens-per-document just as a
+    sales report runs it on customers."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w_r = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    r = s.select(
+        "cents",
+        F.row_number().over(w_r).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    nd = F.max("n").cast("double")
+    totd = F.max("tot").cast("double")
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("rnk").cast("long") * F.col("cents")).cast("double")
+            / (nd * totd)
+            - (nd + 1) / F.max("n"),
+            8,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).cast("double")
+            / (totd * totd),
+            8,
+        ).alias("hhi"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
