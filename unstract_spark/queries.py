@@ -8383,4 +8383,96 @@ def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_rollup_hierarchy",
+    """
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_cust,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_bal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total): the
+    drill-down report shape, distinct from the cube query's full
+    grouping-set lattice — rollup emits only the hierarchy's prefixes.
+    Decimal-domain balances; NULL grouping markers align across
+    engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "w6_share_of_total",
+    """
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+                 6) AS share_in_region,
+           round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+               AS share_global
+    FROM rev
+    """,
+)
+def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windows (RATIO_TO_REPORT): each nation's
+    revenue share within its region and globally — window sums over
+    the DECIMAL aggregate (exact at any association order), ratios in
+    double.  The aggregated input is nations-sized, so the global
+    window's single partition is bounded by the dimension, not the
+    fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_reg).cast("double"),
+            6,
+        ).alias("share_in_region"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("share_global"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
