@@ -8475,4 +8475,128 @@ def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_dataset_card",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text, lang, md5(text) AS f,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\s+'),
+                        x -> x <> '')) AS BIGINT) AS nt
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id,
+               -0.5 + 0.75 * (CAST(nc AS DOUBLE) / 1024.0)
+                    + 1.5 * (CAST(nt AS DOUBLE) / 256.0)
+                    - 0.25 * (CAST(length(regexp_replace(text, '[^.!?]', '',
+                                                         'g')) AS DOUBLE)
+                              / 16.0)
+                    - 2.0 * (CAST(length(regexp_replace(text, '[^0-9]', '',
+                                                        'g')) AS DOUBLE)
+                             / CAST(greatest(nc, 1) AS DOUBLE)) AS zz
+        FROM base
+    ),
+    lc AS (SELECT lang, count(*) AS c FROM base GROUP BY 1),
+    top_lang AS (
+        SELECT lang FROM lc ORDER BY c DESC, lang ASC LIMIT 1
+    ),
+    ent AS (
+        SELECT round(CAST(sum(CAST(
+            -(c * 1.0 / t.n) * ln(c * 1.0 / t.n) AS DECIMAL(28,12)))
+            AS DOUBLE), 8) AS lang_entropy
+        FROM lc CROSS JOIN (SELECT sum(c) AS n FROM lc) t
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(base.nc) AS BIGINT) AS total_chars,
+           CAST(sum(base.nt) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT base.lang) AS BIGINT) AS n_langs,
+           max(top_lang.lang) AS top_lang,
+           round(1.0 - CAST(count(DISTINCT base.f) AS DOUBLE) / count(*), 6)
+               AS exact_dup_rate,
+           round(CAST(sum(CAST(1.0 / (1.0 + exp(-z.zz)) AS DECIMAL(28,12)))
+                      AS DOUBLE) / count(*), 6) AS mean_quality,
+           max(ent.lang_entropy) AS lang_entropy
+    FROM base
+    JOIN z USING (doc_id)
+    CROSS JOIN top_lang
+    CROSS JOIN ent
+    """,
+)
+def ex_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD: the one-row release summary a training-data
+    drop ships — volume (docs/chars/tokens), language profile (count,
+    top language, Shannon entropy), exact-duplicate rate, and mean
+    quality-classifier score — composed from the same gated fragments
+    the individual queries certify, evaluated in ONE plan."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    base = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.md5("text").alias("f"),
+        F.length("text").cast("long").alias("nc"),
+        F.size(words).cast("long").alias("nt"),
+    )
+    zz = (
+        -0.5
+        + 0.75 * (F.col("nc").cast("double") / 1024.0)
+        + 1.5 * (F.col("nt").cast("double") / 256.0)
+        - 0.25
+        * (
+            F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double")
+            / 16.0
+        )
+        - 2.0
+        * (
+            F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+            / F.greatest(F.col("nc"), F.lit(1)).cast("double")
+        )
+    )
+    lc = base.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top_lang = (
+        lc.orderBy(F.col("c").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("tl"))
+    )
+    t = lc.agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        lc.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(28,12)")).cast("double"),
+                8,
+            ).alias("lang_entropy")
+        )
+    )
+    q = 1.0 / (1.0 + F.exp(-zz))
+    return (
+        base.withColumn("q", q)
+        .crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(ent))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.max("tl").alias("top_lang"),
+            F.round(
+                1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+            F.max("lang_entropy").alias("lang_entropy"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
