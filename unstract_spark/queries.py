@@ -8599,4 +8599,70 @@ def ex_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_readability",
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sents,
+               CAST(greatest(len(regexp_extract_all(lower(text),
+                                                    '[aeiouy]+')), 1)
+                    AS BIGINT) AS n_syll
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           round(CAST(0.39 AS DOUBLE) * n_words / n_sents
+                 + CAST(11.8 AS DOUBLE) * n_syll
+                   / CAST(greatest(n_words, 1) AS DOUBLE)
+                 - CAST(15.59 AS DOUBLE), 4) AS fk_grade
+    FROM f
+    """,
+)
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level — the classic readability filter
+    (syllables approximated as vowel-group runs, the standard
+    heuristic): 0.39*(words/sentences) + 11.8*(syllables/words) -
+    15.59.  The coefficients are NOT exact binary, so the oracle CASTs
+    each literal to DOUBLE — DuckDB would otherwise parse them as
+    DECIMAL and change the arithmetic domain (the standing float-
+    literal gotcha); all counts are exact integers with
+    divide-by-zero floors."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    f = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(
+            F.lit(0.39) * F.col("n_words") / F.col("n_sents")
+            + F.lit(11.8)
+            * F.col("n_syll")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+            - F.lit(15.59),
+            4,
+        ).alias("fk_grade"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
