@@ -361,3 +361,29 @@ def test_asof_tolerance_all_directions_and_chunked(spark):
         assert near[2] is None    # nearest (250) is 50 away
     with pytest.raises(ValueError, match="tolerance"):
         asof_join(left, right, "k", "ts", "ts", ["snap"], tolerance=-1)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a LAYOUT transform: results are row-identical to the
+    plain join for inner and left joins, including a pathologically
+    hot key, and the join actually runs on (key, salt)."""
+    from unstract_spark.operators.joins import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901), (5, 902)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unused")], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            (r.k, r.payload, r.name)
+            for r in facts.join(dim, "k", how).collect()
+        )
+        got_df = salted_join(facts, dim, "k", n_salts=4, how=how)
+        got = sorted((r.k, r.payload, r.name) for r in got_df.collect())
+        assert got == want, how
+    plan = salted_join(facts, dim, "k", n_salts=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "_salt" in plan

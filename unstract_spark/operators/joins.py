@@ -449,3 +449,43 @@ def scd2_join(
         & (v["version_to"].isNull() | (facts[fact_ts] < v["version_to"]))
     )
     return facts.join(v, cond, how).drop("_vkey")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by SALTING: the classic fix when one join
+    key carries a disproportionate share of the fact rows and a plain
+    shuffle join funnels them into a single straggler task.
+
+    Facts get a deterministic per-row salt (md5 of the whole row's
+    key + a stable intra-partition discriminator is unnecessary —
+    spark_partition_id + a monotonic row id would break retry
+    determinism, so the salt derives from the row's own key hashed
+    with a per-row uniform: pmod(xxhash64(key, rand-free columns), n)
+    would be ideal, but xxhash64 over the full row is overkill;
+    monotonically_increasing_id is NOT used because it changes across
+    retries). Here the salt is pmod(xxhash64(all fact columns), n) —
+    deterministic in the DATA, so retried tasks re-derive identical
+    salts. The dim side replicates n_salts times (dims are small by
+    definition — that is why the key is skewed on the fact side), and
+    the join runs on (key, salt): the hot key's rows spread over
+    n_salts tasks.
+
+    AQE's skew-join split handles MODERATE skew automatically
+    (SCALE.md); explicit salting is for the pathological key that
+    exceeds a single task even after AQE splits, or engines/configs
+    without AQE. Results are row-identical to the plain join (pytest).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt)
+    reps = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    d = dim.withColumn("_salt", reps)
+    out = f.join(d, [on, "_salt"], how)
+    return out.drop("_salt")
