@@ -519,3 +519,40 @@ def test_bm25_store_matches_transient(spark, tmp_path):
     # wb filter over the partition column
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "wb" in plan
+
+
+def test_bm25_store_empty_build_round_trips(spark, tmp_path):
+    """Empty corpus: build writes a schema-carrying store (the
+    empty-partitionBy-write pitfall), query returns an empty frame
+    with the standard columns instead of dying on schema inference."""
+    from unstract_spark.operators.retrieval import Bm25IndexStore
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    store = Bm25IndexStore(spark, str(tmp_path / "bm25"))
+    assert store.build(docs) == 0
+    out = store.query(["anything"], k=3)
+    assert out.count() == 0
+    assert {"doc_id", "bm25", "rank"} <= set(out.columns)
+
+
+def test_opq_store_empty_build_round_trips(spark, tmp_path):
+    """OpqIndexStore on an empty index: build persists schema + meta,
+    query returns empty with the standard shape."""
+    from unstract_spark.operators.similarity import (
+        OpqIndexStore,
+        pq_codebooks,
+    )
+    import numpy as np
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    store = OpqIndexStore(spark, str(tmp_path / "opq"), dim=16, n_sub=4,
+                          n_codes=8)
+    n = store.build(
+        e, rotation=np.eye(16), codebooks=pq_codebooks(16, 4, 8)
+    )
+    assert n == 0
+    q = spark.createDataFrame(
+        [(0, [0.1] * 16)], "query_id long, query_vec array<float>"
+    )
+    out = store.query(q, k=3)
+    assert out.count() == 0

@@ -512,9 +512,19 @@ class Bm25IndexStore:
         ).filter(F.col("word") != "")
         tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
         tf = tf.withColumn("wb", self._bucket(F.col("word")))
-        tf.write.mode("overwrite").partitionBy("wb").parquet(
-            os.path.join(self.path, "postings")
-        )
+        if docs.select(id_col).isEmpty():
+            # empty partitionBy writes produce ZERO parquet files and
+            # every later read dies on schema inference — the exact
+            # pitfall the IVF-PQ store documents; a plain write still
+            # carries the schema (wb becomes a data column, which the
+            # query filter reads identically)
+            tf.write.mode("overwrite").parquet(
+                os.path.join(self.path, "postings")
+            )
+        else:
+            tf.write.mode("overwrite").partitionBy("wb").parquet(
+                os.path.join(self.path, "postings")
+            )
         stored = self.spark.read.parquet(os.path.join(self.path, "postings"))
         dl = stored.groupBy(id_col).agg(F.sum("tf").alias("dl"))
         dl.write.mode("overwrite").parquet(os.path.join(self.path, "dl"))
@@ -556,7 +566,11 @@ class Bm25IndexStore:
         dl = self.spark.read.parquet(os.path.join(self.path, "dl"))
         df_t = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
         n_docs = F.lit(meta["n_docs"])
-        avgdl = F.lit(float(meta["total_words"])) / n_docs
+        # max(n,1): an empty store would otherwise hit ANSI
+        # DIVIDE_BY_ZERO before the (empty) join ever prunes the row
+        avgdl = F.lit(float(meta["total_words"])) / F.lit(
+            max(meta["n_docs"], 1)
+        )
         idf = F.log(
             F.lit(1.0) + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )
