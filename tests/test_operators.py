@@ -556,3 +556,44 @@ def test_opq_store_empty_build_round_trips(spark, tmp_path):
     )
     out = store.query(q, k=3)
     assert out.count() == 0
+
+
+def test_new_operators_empty_input_sanity(spark):
+    """Empty-input contracts for the round-7 operator family: empty in,
+    empty (or sane) out, never an exception — the row-level-isolation
+    discipline extended to whole-frame degeneracy."""
+    import numpy as np
+
+    from unstract_spark.operators.dedup import (
+        bloom_filter_bits,
+        bloom_membership,
+        remove_duplicated_spans,
+    )
+    from unstract_spark.operators.graph import pagerank_fixed
+    from unstract_spark.operators.joins import salted_join
+    from unstract_spark.operators.text_analysis import (
+        bigram_logprob,
+        count_min_sketch,
+    )
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert remove_duplicated_spans(edocs).count() == 0
+    assert count_min_sketch(edocs).count() == 0
+    out = bigram_logprob(edocs)
+    assert out.count() == 0 and "avg_logprob" in out.columns
+
+    efp = spark.createDataFrame([], "doc_id long, fingerprint string")
+    bits = bloom_filter_bits(efp)
+    assert bits.count() == 0
+    some = spark.createDataFrame(
+        [(1, "abc")], "doc_id long, fingerprint string"
+    )
+    mem = {r.doc_id: r.maybe_seen for r in bloom_membership(some, bits).collect()}
+    assert mem == {1: False}  # empty filter: nothing maybe_seen
+
+    eedges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(eedges, iters=1).count() == 0
+
+    efacts = spark.createDataFrame([], "k long, v long")
+    dim_df = spark.createDataFrame([(1, "a")], "k long, name string")
+    assert salted_join(efacts, dim_df, "k").count() == 0
