@@ -60,7 +60,12 @@ def main() -> int:
 
     import bench
 
-    names = [n for n in bench.BENCH_QUERIES if not filters or any(f in n for f in filters)]
+    if filters and filters[0] == "--all":
+        names = [n for n in _REGISTRY if len(filters) == 1
+                 or any(f in n for f in filters[1:])]
+    else:
+        names = [n for n in bench.BENCH_QUERIES
+                 if not filters or any(f in n for f in filters)]
     spark = get_spark("plan_audit")
     bad = 0
     for name in names:

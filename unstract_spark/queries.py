@@ -8575,26 +8575,36 @@ def ex_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = 1.0 / (1.0 + F.exp(-zz))
+    # aggregate FIRST with fixed-width buffers only (a string max in
+    # the agg forces SortAggregate — the plan-audit flag), then attach
+    # the 1-row top-language and entropy frames
+    agg = base.withColumn("q", q).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
     return (
-        base.withColumn("q", q)
-        .crossJoin(F.broadcast(top_lang))
+        agg.crossJoin(F.broadcast(top_lang))
         .crossJoin(F.broadcast(ent))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nc").cast("long").alias("total_chars"),
-            F.sum("nt").cast("long").alias("total_tokens"),
-            F.countDistinct("lang").cast("long").alias("n_langs"),
-            F.max("tl").alias("top_lang"),
-            F.round(
-                1.0 - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
-                6,
-            ).alias("exact_dup_rate"),
-            F.round(
-                F.sum(F.col("q").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_quality"),
-            F.max("lang_entropy").alias("lang_entropy"),
+        .select(
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            F.col("tl").alias("top_lang"),
+            "exact_dup_rate",
+            "mean_quality",
+            "lang_entropy",
         )
     )
 
