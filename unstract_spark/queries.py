@@ -8675,4 +8675,105 @@ def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_benford",
+    """
+    WITH d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac
+    FROM d GROUP BY 1
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of order values — the
+    audit-analytics classic (fabricated numbers flunk it).  The first
+    digit comes from the STRING of the cent-quantized integer —
+    integer-to-string is identical cross-engine, where a
+    log10/power derivation would ride double rounding."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    w = Window.partitionBy()
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac"),
+        )
+    )
+
+
+@register(
+    "ta_novelty",
+    """
+    WITH t AS (
+        SELECT doc_id, substr(text, 1, 256) AS t
+        FROM documents WHERE length(text) >= 8
+    ),
+    g AS (
+        SELECT doc_id, substr(t, CAST(u.i AS INT), 8) AS gram
+        FROM t, unnest(range(1, length(t) - 8 + 2)) AS u(i)
+    ),
+    gc AS (
+        SELECT gram, count(*) AS tot, count(DISTINCT doc_id) AS nd
+        FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           round(CAST(sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM g JOIN gc USING (gram)
+    GROUP BY 1
+    """,
+)
+def ta_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's 8-grams that
+    appear in NO other document — the inverse of the boilerplate
+    signal, and the curation knob for favoring informative documents
+    (dedup removes the copies; novelty ranks what remains).  Gram
+    document-frequencies come from one corpus groupBy; the per-doc
+    join-back is linear (same shape as the span marker)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    t = d.select("doc_id", F.substring("text", 1, 256).alias("t"))
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - 8 + 1)
+        ).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substr(t, i, 8)").alias("gram"))
+    gc = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return (
+        g.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
