@@ -8776,4 +8776,100 @@ def ta_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j15_purchase_intervals",
+    """
+    WITH s AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS ts_us,
+               lead(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS next_us
+        FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_intervals,
+           CAST(min((next_us - ts_us) // 86400000000) AS BIGINT) AS min_days,
+           CAST(max((next_us - ts_us) // 86400000000) AS BIGINT) AS max_days,
+           round(CAST(sum((next_us - ts_us) // 86400000000) AS DOUBLE)
+                 / count(*), 4) AS avg_days
+    FROM s WHERE next_us IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+)
+def j15_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per-customer gaps between consecutive
+    orders via lead() over the (date, orderkey) order, day deltas in
+    EPOCH-MICROSECOND integer division (DuckDB date_diff counts
+    boundary crossings — the standing gotcha — so both engines floor
+    the same integer instead)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ep = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    s = o.select(
+        "o_custkey",
+        ep.alias("ts_us"),
+        F.lead(ep).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    days = F.expr("(next_us - ts_us) div 86400000000")
+    return (
+        s.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.min(days).cast("long").alias("min_days"),
+            F.max(days).cast("long").alias("max_days"),
+            F.round(
+                F.sum(days).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_days"),
+        )
+        .filter(F.col("n_intervals") >= 5)
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / r.tot, 6) AS p
+    FROM c JOIN r USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead() on the deterministic (ts, event_id) order) —
+    the behavioral model a sessionized product-analytics stack fits:
+    exact transition counts, row-normalized probabilities."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(r, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
