@@ -8872,4 +8872,128 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_pack_efficiency",
+    r"""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    laid AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY md5('pk:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM docs
+    ),
+    packs AS (
+        SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+               doc_id, n_tok
+        FROM laid
+    )
+    SELECT pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS used_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / 512, 6) AS fill_rate
+    FROM packs GROUP BY 1
+    """,
+)
+def ex_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the SAME deterministic layout
+    pack_sequences gates (hash-shuffled order, running cumsum,
+    pack = floor((cum-len)/budget)): per-pack doc count, used tokens,
+    and fill rate against the 512 budget — the utilization dashboard a
+    training-batch pipeline watches (mean fill < ~0.9 means the budget
+    or the length mixture needs retuning)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    docs = d.select("doc_id", F.size(words).cast("long").alias("n_tok"))
+    key = F.md5(F.concat(F.lit("pk:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    laid = docs.select(
+        "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum")
+    )
+    packs = laid.select(
+        F.expr("(cum - n_tok) div 512").alias("pack_id"), "doc_id", "n_tok"
+    )
+    return packs.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("used_tokens"),
+        F.round(F.sum("n_tok").cast("double") / 512, 6).alias("fill_rate"),
+    )
+
+
+@register(
+    "agg_runs_test",
+    """
+    WITH r AS (
+        SELECT o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    ),
+    med AS (
+        SELECT max(CASE WHEN rn = (n - 1) // 2 + 1 THEN o_totalprice END)
+            AS med
+        FROM r
+    ),
+    seq AS (
+        SELECT CASE WHEN r.o_totalprice > med.med THEN 1 ELSE 0 END AS above,
+               lag(CASE WHEN r.o_totalprice > med.med THEN 1 ELSE 0 END)
+                   OVER (ORDER BY r.o_orderdate, r.o_orderkey) AS prev
+        FROM r CROSS JOIN med
+    )
+    SELECT count(*) AS n,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN prev IS NULL OR above <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM seq
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs statistic: is the above/below-median
+    sequence of order values (in date order) random, or does it
+    streak?  The lower-index median (exact), a lag() run-boundary
+    count — all integers, the randomness screen an anomaly pipeline
+    runs before trusting a metric's independence assumptions."""
+    o = _t(spark, sf_dir, "orders")
+    w_rn = Window.orderBy("o_totalprice", "o_orderkey")
+    w_n = Window.partitionBy()
+    r = o.select(
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    idx = F.expr("(n - 1) div 2") + 1
+    med = r.agg(
+        F.max(F.when(F.col("rn") == idx, F.col("o_totalprice"))).alias("med")
+    )
+    above = F.when(F.col("o_totalprice") > F.col("med"), 1).otherwise(0)
+    w_seq = Window.orderBy("o_orderdate", "o_orderkey")
+    seq = r.crossJoin(F.broadcast(med)).select(
+        above.alias("above"),
+        F.lag(above).over(w_seq).alias("prev"),
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("above") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
