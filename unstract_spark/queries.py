@@ -8996,4 +8996,109 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_keep_longest",
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS f,
+               CAST(length(text) AS BIGINT) AS nc
+        FROM documents
+    ),
+    pick AS (
+        SELECT f, count(*) AS n_members,
+               max(struct_pack(v1 := nc, v2 := -doc_id)) AS best
+        FROM fp GROUP BY f
+    )
+    SELECT fp.doc_id,
+           pick.n_members,
+           fp.doc_id = -pick.best.v2 AND fp.nc = pick.best.v1 AS keep
+    FROM fp JOIN pick USING (f)
+    """,
+)
+def dd_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-policy variant for exact-dup groups: keep the LONGEST
+    member (ties to the LOWEST doc_id) instead of min-id — the real
+    curation choice when near-identical copies differ by truncation
+    and the most complete one should survive.  The argmax is a struct
+    max over (length, -id): deterministic, no window, one aggregate —
+    DuckDB's row() comparison and Spark's struct ordering agree
+    field-by-field."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("f"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    pick = fp.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct(F.col("nc").alias("v1"), (-F.col("doc_id")).alias("v2"))).alias(
+            "best"
+        ),
+    )
+    return fp.join(pick, "f").select(
+        "doc_id",
+        "n_members",
+        (
+            (F.col("doc_id") == -F.col("best.v2"))
+            & (F.col("nc") == F.col("best.v1"))
+        ).alias("keep"),
+    )
+
+
+@register(
+    "sim_batch_diversity",
+    """
+    WITH v AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 24
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) AS n_pairs,
+           round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos,
+           max(cos) AS max_cos,
+           min(cos) AS min_cos
+    FROM p
+    """,
+)
+def sim_batch_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch diversity metric: mean/extremes of pairwise cosine over a
+    bounded candidate set (the mixture-QA number that says whether a
+    sampled batch collapsed onto one mode).  All-pairs is BOUNDED by
+    construction (the batch, not the corpus — a corpus-level version
+    rides the LSH/IVF candidate families); pair scores round before
+    the decimal-domain mean."""
+    from unstract_spark.operators.retrieval import cosine, dot
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 24)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    p = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+        F.max("cos").alias("max_cos"),
+        F.min("cos").alias("min_cos"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
