@@ -9004,44 +9004,48 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(text) AS BIGINT) AS nc
         FROM documents
     ),
-    pick AS (
-        SELECT f, count(*) AS n_members,
-               max(struct_pack(v1 := nc, v2 := -doc_id)) AS best
-        FROM fp GROUP BY f
+    mx AS (
+        SELECT f, max(nc) AS mnc, count(*) AS n_members FROM fp GROUP BY f
+    ),
+    kp AS (
+        SELECT fp.f, min(fp.doc_id) AS keeper_id
+        FROM fp JOIN mx USING (f) WHERE fp.nc = mx.mnc GROUP BY fp.f
     )
-    SELECT fp.doc_id,
-           pick.n_members,
-           fp.doc_id = -pick.best.v2 AND fp.nc = pick.best.v1 AS keep
-    FROM fp JOIN pick USING (f)
+    SELECT fp.doc_id, mx.n_members, fp.doc_id = kp.keeper_id AS keep
+    FROM fp JOIN mx USING (f) JOIN kp USING (f)
     """,
 )
 def dd_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper-policy variant for exact-dup groups: keep the LONGEST
     member (ties to the LOWEST doc_id) instead of min-id — the real
     curation choice when near-identical copies differ by truncation
-    and the most complete one should survive.  The argmax is a struct
-    max over (length, -id): deterministic, no window, one aggregate —
-    DuckDB's row() comparison and Spark's struct ordering agree
-    field-by-field."""
+    and the most complete one should survive.  The argmax decomposes
+    into two FIXED-WIDTH aggregates (max length per group, then min id
+    among the maxima) — a struct-max spelling is one aggregate but its
+    non-fixed-width buffer forces SortAggregate, the plan-audit flag."""
     d = _t(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("f"),
         F.length("text").cast("long").alias("nc"),
     )
-    pick = fp.groupBy("f").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.max(F.struct(F.col("nc").alias("v1"), (-F.col("doc_id")).alias("v2"))).alias(
-            "best"
-        ),
+    mx = fp.groupBy("f").agg(
+        F.max("nc").alias("mnc"), F.count(F.lit(1)).alias("n_members")
     )
-    return fp.join(pick, "f").select(
-        "doc_id",
-        "n_members",
-        (
-            (F.col("doc_id") == -F.col("best.v2"))
-            & (F.col("nc") == F.col("best.v1"))
-        ).alias("keep"),
+    kp = (
+        fp.join(mx, "f")
+        .filter(F.col("nc") == F.col("mnc"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    return (
+        fp.join(mx, "f")
+        .join(kp, "f")
+        .select(
+            "doc_id",
+            "n_members",
+            (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+        )
     )
 
 
