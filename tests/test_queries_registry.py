@@ -17,6 +17,36 @@ def test_entry_runs_with_stable_schema(spark):
     assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
 
 
+def test_oracle_output_types_have_no_hugeint(sf_dir):
+    """Process armor for the r7 driver reds: DuckDB types a bare
+    sum(INTEGER)/sum(BIGINT) as HUGEINT (int128), and the driver's
+    pandas-style fetch converts HUGEINT to float64 — so its value hash
+    sees "123.0" against Spark's BIGINT "123" and the row goes red even
+    though fetchall() is bit-exact. Every oracle output column must
+    therefore avoid HUGEINT/UHUGEINT: wrap wide integer sums in
+    CAST(... AS BIGINT). Judge-verified in r7 that exactly the
+    HUGEINT-emitting oracles were exactly the red driver rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)  # binds + types without executing
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ).upper() in ("HUGEINT", "UHUGEINT"):
+                offenders.append((name, col, str(typ)))
+    assert not offenders, offenders
+
+
 def test_every_query_runs_at_smallest_sf(spark, sf_dir):
     failures = []
     for name, fn in entrymod.queries().items():

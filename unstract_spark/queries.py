@@ -94,12 +94,21 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    "a1_usage_by_model",  # r7: cost sum moved to exact micro-dollar longs
-    "agg_distinct_sketch",  # r7 new (auto-front anyway; listed for audit)
-    # r7: catalog file numbering re-planned (path-only rank window +
-    # broadcast join-back) — the catalog-backed queries changed plans
-    "s2_pattern_filter",
-    "s3_ordered_scan_topk",
+    # r8: the four r7 driver-reds — judge root cause: bare sum(INTEGER)
+    # oracle outputs are HUGEINT in DuckDB, and a pandas-style fetch
+    # converts int128 to float64, so the driver hashes "123.0" against
+    # Spark's BIGINT "123". Each offending column now CAST(... AS BIGINT)
+    # in the oracle SQL (Spark side already emits LongType).
+    "a1_usage_by_model",
+    "ta_simpson_diversity",
+    "ex_length_mixture",
+    "q12_ship_priority_class",
+    # r8: partition-less-window scale fixes (distributed re-spellings;
+    # hashes must stay identical — re-gate under the driver)
+    "agg_concentration",
+    "agg_runs_test",
+    "agg_ks_test",
+    "ex_pack_efficiency",
 ]
 
 
@@ -1994,7 +2003,7 @@ def dd_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(p.n_tokens, 0) AS n_tokens,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
            coalesce(p.vocab, 0) AS vocab,
            CASE WHEN coalesce(p.n_tokens, 0) >= 2
                 THEN round(p.rep_pairs / (p.n_tokens * (p.n_tokens - 1)), 6)
@@ -5329,9 +5338,9 @@ def ex_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY length_bin
     ),
     tot AS (SELECT sum(n_tokens) AS corpus_tokens FROM b)
-    SELECT length_bin, n_docs, bin_tokens,
+    SELECT length_bin, n_docs, CAST(bin_tokens AS BIGINT) AS bin_tokens,
            round(CAST(bin_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
-           100000 * bin_tokens // corpus_tokens AS budget_alloc
+           CAST(100000 * bin_tokens // corpus_tokens AS BIGINT) AS budget_alloc
     FROM per CROSS JOIN tot
     """,
 )
@@ -5749,9 +5758,9 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE llm_usage_reason || '_' || usage_type END AS bucket,
            model_name,
            sum(prompt_tokens) AS sum_input_tokens,
-           sum(completion_tokens) AS sum_output_tokens,
+           CAST(sum(completion_tokens) AS BIGINT) AS sum_output_tokens,
            sum(total_tokens) AS sum_total_tokens,
-           sum(embedding_tokens) AS sum_embedding_tokens,
+           CAST(sum(embedding_tokens) AS BIGINT) AS sum_embedding_tokens,
            CAST(sum(CAST(round(cost_in_dollars * 1000000) AS BIGINT)) AS DOUBLE)
                / CAST(1000000 AS DOUBLE) AS sum_cost
     FROM u
@@ -6141,10 +6150,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_priority_class",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
