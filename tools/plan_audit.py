@@ -16,6 +16,11 @@ anti-patterns that have bitten this engine at scale:
 - global Sort                 a `Sort ... global=true` outside
                               TakeOrderedAndProject: whole-dataset sort
                               where a bounded top-k was intended
+- partition-less Window       `Window` with no partition spec moves the
+                              ENTIRE input through one task (the r7
+                              audit blind spot: four global-order-
+                              statistic queries hid here) — use
+                              operators.ranks.range_prefix instead
 - Exchange count              informational; every exchange is a
                               shuffle to justify
 
@@ -26,6 +31,69 @@ from __future__ import annotations
 
 import re
 import sys
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a plan line (length of the ' :+-' scaffold)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _subtree_is_limit_bounded(lines: list[str], i: int) -> bool:
+    """True if the window at lines[i] sits above a bounded top-k: its
+    subtree contains a TakeOrderedAndProject / GlobalLimit /
+    CollectLimit, i.e. the sanctioned `orderBy().limit(k)` idiom where
+    the 'global' window ranks <= k already-reduced rows."""
+    d = _indent(lines[i])
+    for line in lines[i + 1 :]:
+        if line.strip() and _indent(line) <= d:
+            break
+        if any(
+            tok in line
+            for tok in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ):
+            return True
+    return False
+
+
+def _has_partitionless_window(simple: str) -> bool:
+    """A Window node prints `Window [exprs], [partSpec], [orderSpec]`;
+    with NO partition spec the middle group is omitted and only TWO
+    top-level bracket groups remain — count them with a depth scan
+    (expressions nest brackets, so a regex can't)."""
+    lines = simple.splitlines()
+    for lineno, line in enumerate(lines):
+        stripped = line.strip()
+        idx = stripped.find("Window [")
+        if idx < 0 or "WindowGroupLimit" in stripped:
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in stripped[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0:
+                groups[-1] += ch
+        # Three groups = [exprs], [partSpec], [orderSpec]: fine.  Two
+        # groups is ambiguous — `Window.partitionBy(k)` with no order
+        # prints [exprs], [k] (fine, per-group) while
+        # `Window.orderBy(k)` with no partition prints [exprs],
+        # [k ASC ...] (single-task) — the order spec always carries an
+        # ASC/DESC sort direction, the partition spec never does.  One
+        # group = both empty (Window.partitionBy() over everything).
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue
+        if _subtree_is_limit_bounded(lines, lineno):
+            continue
+        return True
+    return False
 
 
 def audit_plan(simple: str, formatted: str = "") -> tuple[list[str], dict[str, int]]:
@@ -43,6 +111,11 @@ def audit_plan(simple: str, formatted: str = "") -> tuple[list[str], dict[str, i
         if m.group(1) == "true":
             flags.append("global Sort (full-dataset ordering)")
             break
+    if _has_partitionless_window(simple):
+        flags.append(
+            "partition-less Window (single-task full-input window — "
+            "use operators.ranks.range_prefix)"
+        )
     stats = {
         "exchanges": simple.count("Exchange"),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", formatted))),

@@ -26,6 +26,7 @@ from unstract_spark.operators import (
     text_analysis,
 )
 from unstract_spark.operators.prompts import coerce_number, na_to_null
+from unstract_spark.operators.ranks import range_prefix
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -109,6 +110,8 @@ _CHANGED_THIS_ROUND = [
     "agg_runs_test",
     "agg_ks_test",
     "ex_pack_efficiency",
+    "w6_share_of_total",
+    "agg_benford",
 ]
 
 
@@ -7564,11 +7567,15 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("c2"),
     )
     n = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    e = c.select(
+    # ECDF running counts over the distinct-value grid (grid size ~
+    # table size): distributed range-partitioned prefix sums, not a
+    # single-partition global window (r7 perf-weak fix).  x is unique
+    # after the groupBy, so ordering by x alone is a total order;
+    # integer sums make the prefix exact under any partitioning.
+    e = range_prefix(c, ["x"], ("c1", "c2"), rank_col=None).select(
         "x",
-        F.sum("c1").over(w).cast("long").alias("cum1"),
-        F.sum("c2").over(w).cast("long").alias("cum2"),
+        F.col("cum_c1").cast("long").alias("cum1"),
+        F.col("cum_c2").cast("long").alias("cum2"),
     )
     d = e.crossJoin(F.broadcast(n)).select(
         "x",
@@ -8363,32 +8370,34 @@ def agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w_r = Window.orderBy("cents", "o_custkey")
-    w_all = Window.partitionBy()
-    r = s.select(
-        "cents",
-        F.row_number().over(w_r).alias("rnk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("tot"),
+    # Global rank WITHOUT a single-partition window (the r7 perf-weak
+    # finding): distributed range-partitioned prefix rank; n and tot
+    # fold into the one final aggregate.  The Sigma i*x term sums in
+    # decimal(38,0) so the rank*cents product cannot overflow BIGINT at
+    # 100x — exact integers, so the final double is bit-identical to
+    # the long-domain sum the oracle takes.
+    r = range_prefix(s, ["cents", "o_custkey"], rank_col="rnk")
+    base = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(
+            F.col("rnk").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("src"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ssq"),
     )
-    nd = F.max("n").cast("double")
-    totd = F.max("tot").cast("double")
-    return r.agg(
-        F.max("n").cast("long").alias("n_customers"),
+    nd = F.col("n").cast("double")
+    totd = F.col("tot").cast("double")
+    return base.select(
+        F.col("n").cast("long").alias("n_customers"),
         F.round(
-            2.0
-            * F.sum(F.col("rnk").cast("long") * F.col("cents")).cast("double")
-            / (nd * totd)
-            - (nd + 1) / F.max("n"),
+            2.0 * F.col("src").cast("double") / (nd * totd)
+            - (nd + 1) / F.col("n"),
             8,
         ).alias("gini"),
-        F.round(
-            F.sum(
-                F.col("cents").cast("decimal(38,0)") * F.col("cents")
-            ).cast("double")
-            / (totd * totd),
-            8,
-        ).alias("hhi"),
+        F.round(F.col("ssq").cast("double") / (totd * totd), 8).alias("hhi"),
     )
 
 
@@ -8466,8 +8475,12 @@ def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
     )
     w_reg = Window.partitionBy("r_name")
-    w_all = Window.partitionBy()
-    return rev.select(
+    # The global denominator comes from a broadcast one-row aggregate
+    # instead of `Window.partitionBy()` (which funnels the frame — even
+    # a bounded one — through one task and trips the plan audit's
+    # partition-less-window flag).  Same exact decimal total.
+    tot = rev.agg(F.sum("rev").alias("tot_all"))
+    return rev.crossJoin(F.broadcast(tot)).select(
         "r_name",
         "n_name",
         F.round("rev", 2).cast("double").alias("revenue"),
@@ -8477,8 +8490,7 @@ def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_in_region"),
         F.round(
-            F.col("rev").cast("double")
-            / F.sum("rev").over(w_all).cast("double"),
+            F.col("rev").cast("double") / F.col("tot_all").cast("double"),
             6,
         ).alias("share_global"),
     )
@@ -8711,15 +8723,14 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("digit")
     )
-    w = Window.partitionBy()
-    return (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "digit",
-            "n",
-            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac"),
-        )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # Broadcast one-row total instead of Window.partitionBy() — same
+    # exact integer denominator, no single-task window funnel.
+    tot = counts.agg(F.sum("n").alias("tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("frac"),
     )
 
 
@@ -8921,16 +8932,22 @@ def ex_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
     )
-    docs = d.select("doc_id", F.size(words).cast("long").alias("n_tok"))
-    key = F.md5(F.concat(F.lit("pk:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    docs = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat(F.lit("pk:"), F.col("doc_id").cast("string"))
+        ).alias("pk"),
     )
-    laid = docs.select(
-        "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum")
-    )
+    # Global running cumsum over the hash-shuffled layout WITHOUT a
+    # single-partition window (r7 perf-weak fix): distributed
+    # range-partitioned prefix sum — identical layout and pack ids,
+    # P-way parallel.  Exact long sums, so cum is partition-invariant.
+    laid = range_prefix(docs, ["pk", "doc_id"], ("n_tok",), rank_col=None)
     packs = laid.select(
-        F.expr("(cum - n_tok) div 512").alias("pack_id"), "doc_id", "n_tok"
+        F.expr("(cum_n_tok - n_tok) div 512").alias("pack_id"),
+        "doc_id",
+        "n_tok",
     )
     return packs.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -8973,35 +8990,54 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — all integers, the randomness screen an anomaly pipeline
     runs before trusting a metric's independence assumptions."""
     o = _t(spark, sf_dir, "orders")
-    w_rn = Window.orderBy("o_totalprice", "o_orderkey")
-    w_n = Window.partitionBy()
-    r = o.select(
-        "o_orderdate",
-        "o_orderkey",
-        "o_totalprice",
-        F.row_number().over(w_rn).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
+    base = o.select("o_orderdate", "o_orderkey", "o_totalprice")
+    # Both global order statistics run distributed (r7 perf-weak fix):
+    # the median comes from a range-partitioned prefix RANK over the
+    # value order, and the run boundaries come from a rank over the
+    # DATE order plus an equi-join of position p with p-1 — the
+    # shuffle-join spelling of lag(), no single-partition window.
+    rv = range_prefix(
+        base.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="rn",
     )
-    idx = F.expr("(n - 1) div 2") + 1
-    med = r.agg(
-        F.max(F.when(F.col("rn") == idx, F.col("o_totalprice"))).alias("med")
+    cnt = base.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        rv.crossJoin(F.broadcast(cnt))
+        .filter(F.col("rn") == F.expr("(n - 1) div 2") + 1)
+        .agg(F.max("o_totalprice").alias("med"))
     )
     above = F.when(F.col("o_totalprice") > F.col("med"), 1).otherwise(0)
-    w_seq = Window.orderBy("o_orderdate", "o_orderkey")
-    seq = r.crossJoin(F.broadcast(med)).select(
-        above.alias("above"),
-        F.lag(above).over(w_seq).alias("prev"),
-    )
-    return seq.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("above").cast("long").alias("n_above"),
-        F.sum(
-            F.when(
-                F.col("prev").isNull() | (F.col("above") != F.col("prev")), 1
-            ).otherwise(0)
+    # o_totalprice rides as a TRAILING order key: (date, orderkey) is
+    # already a total order, so appending it changes nothing — it just
+    # satisfies range_prefix's no-payload-columns plan-identity rule.
+    seq = (
+        range_prefix(
+            base,
+            ["o_orderdate", "o_orderkey", "o_totalprice"],
+            rank_col="pos",
         )
-        .cast("long")
-        .alias("n_runs"),
+        .crossJoin(F.broadcast(med))
+        .select("pos", above.alias("above"))
+    )
+    prevs = seq.select(
+        (F.col("pos") + 1).alias("pos"), F.col("above").alias("prev")
+    )
+    return (
+        seq.join(prevs, "pos", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("above").cast("long").alias("n_above"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
     )
 
 
