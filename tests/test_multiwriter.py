@@ -554,6 +554,39 @@ def test_manifest_append_idempotency_key(spark, tmp_path):
     assert t.committed_keys() == {"batch-0", "batch-1"}
 
 
+def test_manifest_append_same_key_race_loser_rechecks(spark, tmp_path):
+    """The r7-advice race: two concurrent attempts of the SAME
+    idempotency key both pass the entry committed_keys() check; the
+    winner commits; if the loser then reads version() it targets the
+    winner's successor version and — without the in-loop recheck —
+    commits the batch a second time with no CommitConflict. Simulate
+    the loser's stale entry check by patching committed_keys to come
+    back empty exactly once; the in-loop recheck (which runs after
+    version()) must see the winner's key and no-op."""
+    from unstract_spark.sinks.manifest import ManifestTable
+
+    path = str(tmp_path / "race")
+    s = "id long, val string"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], s)
+
+    winner = ManifestTable(spark, path)
+    winner.append(df, idempotency_key="batch-0")
+
+    loser = ManifestTable(spark, path)
+    real = loser.committed_keys
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return set() if calls["n"] == 1 else real()
+
+    loser.committed_keys = stale_once
+    loser.append(df, idempotency_key="batch-0")
+    assert calls["n"] >= 2  # the in-loop recheck actually ran
+    _, snap = ManifestTable(spark, path).snapshot(s)
+    assert snap.count() == 2  # not doubled
+
+
 def test_streaming_ledger_sink_exactly_once(spark, tmp_path):
     """The streaming-to-ledger bridge: union of fires == source rows,
     snapshot visibility is ACID (version count == fired batches), and

@@ -741,6 +741,56 @@ def test_streaming_queue_consumer_union_equals_batch_and_redelivers(
     assert live_id not in consumed  # active claim respected
     assert consumed == streamed | {stale_id, free_id}
 
+def test_streaming_queue_consumer_fresh_checkpoint_keeps_prior_runs(
+    spark, tmp_path
+):
+    """The r7-advice gap: a rerun against the same out_dir with a
+    FRESH checkpoint_dir restarts epochs at 0 — without per-run
+    partition namespacing, the new run's batch_id=0 overwrites the
+    first run's committed partition, silently losing messages that
+    were already acked (hence never redelivered)."""
+    from unstract_spark.streaming.incremental import (
+        read_consumed_messages,
+        streaming_queue_consumer,
+    )
+    from unstract_spark.sinks.review_queue import write_queue
+
+    qp, lp = str(tmp_path / "queue"), str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+
+    def enqueue(tags):
+        results = spark.createDataFrame(
+            [(f"{t}.txt", f"h-{t}", 200.0) for t in tags],
+            "file_name string, file_hash string, total double",
+        ).coalesce(1)
+        write_queue(route_to_review(results, "q1", pct=100.0), qp)
+
+    enqueue(["a0", "a1"])
+    assert (
+        streaming_queue_consumer(
+            spark, qp, lp, str(tmp_path / "ckpt1"), out, "q1", "sc1"
+        )
+        >= 1
+    )
+    first = {
+        r.message_id for r in read_consumed_messages(spark, out).collect()
+    }
+    assert len(first) == 2
+
+    enqueue(["b0", "b1"])
+    # fresh checkpoint: epochs restart at 0
+    assert (
+        streaming_queue_consumer(
+            spark, qp, lp, str(tmp_path / "ckpt2"), out, "q1", "sc1"
+        )
+        >= 1
+    )
+    consumed = {
+        r.message_id for r in read_consumed_messages(spark, out).collect()
+    }
+    assert first <= consumed and len(consumed) == 4  # nothing clobbered
+
+
 def test_streaming_queue_consumer_sweep_recovers_without_new_arrivals(
     spark, tmp_path
 ):

@@ -409,6 +409,7 @@ def scd2_join(
     valid_from: str,
     version_cols: tuple[str, ...] = (),
     how: str = "left",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Point-in-time (SCD Type 2) join: each fact row picks the
     dimension version active at its timestamp.
@@ -419,6 +420,14 @@ def scd2_join(
     append-only — the standard slowly-changing-dimension layout.
     Facts before a key's first version get NULL payloads under
     how="left" (the honest answer; "inner" drops them).
+
+    Determinism contract: (key, valid_from) must identify ONE version
+    row, or `tie_break` must name a column (e.g. a version id) that
+    breaks the tie.  With two versions at the same (key, valid_from)
+    and no tie_break, lead() ordering is nondeterministic — WHICH
+    payload gets the non-empty validity interval (the other collapses
+    to an empty [t, t) interval) can differ run to run, so facts at
+    that instant could pick different versions across runs/engines.
 
     Scale shape: ONE window pass over versions per key (version
     tables are small relative to facts), then an equi-join on the key
@@ -433,7 +442,10 @@ def scd2_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    w = Window.partitionBy(key_col).orderBy(F.col(valid_from).asc())
+    order = [F.col(valid_from).asc()]
+    if tie_break is not None:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
     v = versions.select(
         F.col(key_col).alias("_vkey"),
         F.col(valid_from).alias("version_from"),
@@ -480,6 +492,17 @@ def salted_join(
     (SCALE.md); explicit salting is for the pathological key that
     exceeds a single task even after AQE splits, or engines/configs
     without AQE. Results are row-identical to the plain join (pytest).
+
+    Known limitation (deliberate): BYTE-IDENTICAL duplicate fact rows
+    all hash to the same salt, so a template flood of exact copies of
+    one row still funnels into a single task — data-derived salting
+    cannot separate indistinguishable rows without a row index, and
+    row indexes (monotonically_increasing_id, partition id) change
+    across task retries, silently corrupting retried partitions. For
+    exact-duplicate-heavy facts, pre-aggregate the duplicates first —
+    facts.groupBy(<all cols>).count() — join the distinct rows, and
+    re-expand by the count (or keep the weighted form); that both
+    fixes the skew and shrinks the join input.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")

@@ -402,6 +402,18 @@ class ManifestTable:
         seg = self.write_segment(updates)
         for _ in range(max_retries):
             v = self.version()
+            # Re-check the key AFTER reading the version: a concurrent
+            # attempt of the same key that committed before the
+            # version() read is visible here (keys grow monotonically),
+            # and one landing after it necessarily bumps the version,
+            # so try_commit(v) raises CommitConflict and the
+            # conflict-path recheck below returns safely.  Without this
+            # read the loser could target the winner's successor
+            # version, commit cleanly, and double-append the batch.
+            if idempotency_key is not None and (
+                idempotency_key in self.committed_keys()
+            ):
+                return
             try:
                 self.try_commit(
                     v, self.segments(v) + [seg],

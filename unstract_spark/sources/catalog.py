@@ -168,4 +168,8 @@ def build_catalog(listing: DataFrame, allowed_mime: list[str] | None = None) -> 
         df.select("file_path")
         .withColumn("file_number", w_order.cast("int"))
     )
+    # Join-back is 1:1, not a fan-out: file_path is unique by the
+    # dropDuplicates(["file_path"]) above, which runs BEFORE both the
+    # numbering side and the full-row side are derived — a listing
+    # carrying the same path twice collapses to one catalog row first.
     return df.join(F.broadcast(numbers), "file_path")

@@ -778,6 +778,35 @@ def streaming_queue_consumer(
 
     fires = 0
 
+    # Stream-fire partitions are namespaced PER RUN: epochs restart at
+    # 0 whenever the consumer runs against a fresh checkpoint_dir, and
+    # un-offset epoch partitions would then overwrite an earlier run's
+    # committed batch_id=0..N — losing messages that were already
+    # acked (hence never redelivered). Offsetting by max existing
+    # non-sweep batch_id + 1 makes every run's partitions disjoint
+    # from every earlier run's (mirroring the sweep's SWEEP_BASE
+    # discipline). Within a run the base is fixed, so a foreachBatch
+    # replay of the same epoch still overwrites its own partition; a
+    # crash-restart that shifts the base strands at most one partial
+    # partition whose messages were never acked — they lapse, get
+    # re-claimed into a later partition, and read_consumed_messages'
+    # message_id dedup folds the copies (the documented at-least-once
+    # half of the contract).
+    import os as _os
+
+    _SWEEP_BASE = 1 << 40
+    try:
+        _existing = [
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(out_dir)
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
+        ]
+    except FileNotFoundError:
+        _existing = []
+    run_base = (
+        max([e for e in _existing if e < _SWEEP_BASE], default=-1) + 1
+    )
+
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
         claimed = claim_batch(
@@ -794,7 +823,7 @@ def streaming_queue_consumer(
             return
         fires += 1
         claimed.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={int(epoch)}"
+            f"{out_dir}/batch_id={run_base + int(epoch)}"
         )
         ack_messages(spark, ledger_path, queue_name, ids, consumer_id)
 
