@@ -49,3 +49,45 @@ def test_unbucketed_join_does_shuffle(spark, sf_dir):
     j = l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+def test_partsupp_materialized_bucketed_join_no_exchange(spark, sf_dir):
+    """The derived partsupp relation (operators/partsupp.py)
+    materialized bucketed by ps_partkey joins a same-bucketed part
+    table with ZERO exchanges — the co-location contract Q2/Q11/Q16/
+    Q20 rely on when the relation is reused across queries."""
+    import shutil
+
+    from unstract_spark.operators import partsupp
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ps")
+    try:
+        partsupp.materialize(spark, sf_dir, table="ps.partsupp_b", buckets=8)
+        (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .write.bucketBy(8, "p_partkey").sortBy("p_partkey")
+            .mode("overwrite").saveAsTable("ps.part_b")
+        )
+        psb = spark.table("ps.partsupp_b")
+        pb = spark.table("ps.part_b")
+        j = psb.hint("merge").join(pb, psb.ps_partkey == pb.p_partkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # the materialized relation matches the inline derivation
+        inline = partsupp.derive(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        )
+        assert psb.count() == inline.count()
+        assert (
+            psb.join(
+                inline,
+                ["ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
+                 "ps_value"],
+            ).count()
+            == inline.count()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ps.partsupp_b")
+        spark.sql("DROP TABLE IF EXISTS ps.part_b")
+        spark.sql("DROP DATABASE IF EXISTS ps")
+        shutil.rmtree("spark-warehouse/ps.db", ignore_errors=True)

@@ -21,6 +21,7 @@ from unstract_spark.operators import (
     chunking,
     dedup,
     export,
+    partsupp,
     retrieval,
     similarity,
     text_analysis,
@@ -112,6 +113,12 @@ _CHANGED_THIS_ROUND = [
     "ex_pack_efficiency",
     "w6_share_of_total",
     "agg_benford",
+    # r8: partsupp-grade TPC-H fidelity — the four re-spelled against
+    # the derived partsupp relation (operators/partsupp.py)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_cnt",
+    "q20_part_promotion",
 ]
 
 
@@ -5907,51 +5914,58 @@ def li_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q2_min_cost_supplier",
-    """
-    WITH lp AS (
-        SELECT p.p_partkey, p.p_name, l.l_suppkey,
-               l.l_extendedprice / l.l_quantity AS unit_price
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_size = 15
+    f"""
+    WITH ps AS ({partsupp.PS_SQL}),
+    costs AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
     ),
-    m AS (SELECT p_partkey, min(unit_price) AS mp FROM lp GROUP BY 1)
-    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, lp.p_partkey,
-                    lp.p_name, m.mp AS min_unit_price
-    FROM lp
-    JOIN m ON m.p_partkey = lp.p_partkey AND lp.unit_price = m.mp
-    JOIN supplier s ON s.s_suppkey = lp.l_suppkey
+    m AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM costs GROUP BY 1)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           c.ps_supplycost AS min_supplycost
+    FROM part p
+    JOIN costs c ON c.ps_partkey = p.p_partkey
+    JOIN m ON m.ps_partkey = p.p_partkey AND c.ps_supplycost = m.mc
+    JOIN supplier s ON s.s_suppkey = c.ps_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (no partsupp in the schema — lineitem's observed
-    unit price stands in for ps_supplycost): for every size-15 part,
-    the supplier(s) that shipped it at the minimum unit price.  The
-    min-agg join-back is the decorrelated correlated-subquery plan; the
-    part filter is pushed into the scan and the dimension joins are
-    broadcast.  Unit price is a per-row IEEE division — identical on
-    both engines, so the min and the equality join-back are exact; the
-    output price stays a RAW double (rounding a double at a .5
-    boundary is engine-dependent — Spark rounds the exact binary
-    value, DuckDB the shortest decimal form — so no round() here)."""
+    """TPC-H Q2, the REAL shape over the derived PARTSUPP relation
+    (operators/partsupp.py): for every size-15 part, the EUROPE
+    supplier(s) offering it at the minimum supply cost.  The
+    correlated min-cost scalar subquery decorrelates into a grouped
+    min + equality join-back — the reference TPC-H plan — with the
+    region/nation/supplier dimension chain broadcast on the cost side.
+    ps_supplycost is a per-row IEEE division (min + equality are
+    exact); it is emitted RAW, never rounded (double rounding at a .5
+    boundary is engine-dependent).  (part, supplier) is unique in
+    partsupp, so the join-back needs no DISTINCT."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    l = _t(spark, sf_dir, "lineitem")
+    ps = partsupp.derive(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
-        "p_partkey",
-        "p_name",
-        "l_suppkey",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costs = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
     )
-    m = lp.groupBy("p_partkey").agg(F.min("unit_price").alias("mp"))
+    m = costs.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("mc"))
     return (
-        lp.join(
-            m.withColumnRenamed("p_partkey", "m_partkey"),
+        p.join(costs, p.p_partkey == costs.ps_partkey)
+        .join(
+            m.withColumnRenamed("ps_partkey", "m_partkey"),
             (F.col("p_partkey") == F.col("m_partkey"))
-            & (F.col("unit_price") == F.col("mp")),
+            & (F.col("ps_supplycost") == F.col("mc")),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             "s_acctbal",
@@ -5959,9 +5973,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.col("mp").alias("min_unit_price"),
+            F.col("ps_supplycost").alias("min_supplycost"),
         )
-        .distinct()
     )
 
 
@@ -6105,45 +6118,48 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_parts",
-    """
-    WITH v AS (
-        SELECT l.l_partkey,
-               sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS val
-        FROM lineitem l
-        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    f"""
+    WITH ps AS ({partsupp.PS_SQL}),
+    v AS (
+        SELECT ps.ps_partkey, sum(ps.ps_value) AS val
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = 'NATION_3'
         GROUP BY 1
     ),
     t AS (SELECT sum(val) AS total FROM v)
-    SELECT v.l_partkey AS p_partkey,
+    SELECT v.ps_partkey AS p_partkey,
            CAST(round(v.val, 2) AS DOUBLE) AS part_value
     FROM v, t
     WHERE CAST(v.val AS DOUBLE) > 0.0008 * CAST(t.total AS DOUBLE)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (lineitem value stands in for partsupp stock
-    value): parts whose NATION_3-supplied revenue exceeds a fraction of
-    the national total.  The scalar subquery is a 1-row broadcast
-    cross join — no driver collect; both the per-part values and the
+    """TPC-H Q11 over the derived PARTSUPP relation: parts whose
+    NATION_3-supplied stock value (ps_value, the partsupp value
+    fraction) exceeds 0.08% of the national total — the reference
+    plan's value-fraction shape.  The scalar subquery is a 1-row
+    broadcast cross join — no driver collect; per-part values and the
     total are exact decimal sums so the HAVING boundary is identical
-    cross-engine."""
-    l = _t(spark, sf_dir, "lineitem")
+    cross-engine.  (ps_value aggregated per part equals the direct
+    lineitem sum — the partsupp grain refines it, so the re-spell kept
+    the original query's hashes.)"""
+    ps = partsupp.derive(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("ps_value").alias("val"))
     )
     t = v.agg(F.sum("val").alias("total"))
     return (
         v.join(F.broadcast(t))
         .filter(F.col("val").cast("double") > 0.0008 * F.col("total").cast("double"))
         .select(
-            F.col("l_partkey").alias("p_partkey"),
+            F.col("ps_partkey").alias("p_partkey"),
             F.round("val", 2).cast("double").alias("part_value"),
         )
     )
@@ -6295,39 +6311,42 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_supplier_cnt",
-    """
+    f"""
+    WITH ps AS ({partsupp.PS_SQL})
     SELECT p.p_brand, p.p_type, p.p_size,
-           count(DISTINCT l.l_suppkey) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
     WHERE p.p_brand <> 'Brand#12'
       AND p.p_type <> 'PROMO'
       AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+      AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
     GROUP BY 1, 2, 3
     """,
 )
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (lineitem supplies the part-supplier relation;
-    negative account balance is the complaints analog): distinct
+    """TPC-H Q16, the real shape over the derived PARTSUPP relation
+    (negative account balance is the complaints analog): distinct
     supplier count per (brand, type, size) over an excluded-brand,
-    size-list part filter, minus black-listed suppliers via a broadcast
-    anti-join (the decorrelated NOT IN).  Exact integer counts."""
+    size-list part filter, minus black-listed suppliers via a
+    broadcast anti-join (the decorrelated NOT IN).  Counting over
+    partsupp instead of raw lineitem pre-shrinks the distinct input to
+    the (part, supplier) grain — same exact counts, smaller shuffle."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#12")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
-    l = _t(spark, sf_dir, "lineitem")
+    ps = partsupp.derive(_t(spark, sf_dir, "lineitem"))
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -6487,50 +6506,68 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_part_promotion",
-    """
-    WITH shipped AS (
-        SELECT l.l_suppkey,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+    f"""
+    WITH ps AS ({partsupp.PS_SQL}),
+    shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qty97
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_name LIKE 'red%'
           AND l.l_shipdate >= TIMESTAMP '1997-01-01'
           AND l.l_shipdate <  TIMESTAMP '1998-01-01'
-        GROUP BY 1
-        HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300
+        GROUP BY 1, 2
+    ),
+    picked AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM ps JOIN shipped sh
+          ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+        WHERE 2 * sh.qty97 > ps.ps_availqty
     )
-    SELECT s.s_name, n.n_name, round(shipped.qty, 2) AS red_qty
-    FROM shipped
-    JOIN supplier s ON s.s_suppkey = shipped.l_suppkey
+    SELECT s.s_name, n.n_name
+    FROM picked
+    JOIN supplier s ON s.s_suppkey = picked.ps_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     """,
 )
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (no partsupp availqty — an absolute shipped-
-    quantity threshold stands in for the 50%-of-stock predicate):
-    suppliers that moved over 300 units of red parts in 1997.  The
-    nested subquery chain (part name filter → lineitem window sum →
-    HAVING → supplier semi-join) keeps Q20's plan shape; the quantity
-    sum is exact decimal so the HAVING boundary is deterministic."""
+    """TPC-H Q20, the real availqty-threshold shape over the derived
+    PARTSUPP relation: suppliers who in 1997 shipped MORE THAN HALF of
+    their all-time volume (ps_availqty, the stock stand-in) of some
+    red part — the reference plan's correlated partsupp EXISTS,
+    decorrelated into a grouped 1997 sum joined to partsupp on the
+    (part, supplier) key, then a supplier semi-join (DISTINCT before
+    the dimension joins).  The half-of-stock predicate is spelled
+    2*qty97 > availqty: both sides exact decimal, no 0.5 literal
+    (DuckDB parses 0.5 as DECIMAL, Spark as double — an engine-domain
+    divergence the doubling avoids)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l97 = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
+    ps = partsupp.derive(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("l_suppkey")
+        l97.join(F.broadcast(p), l97.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("qty")
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty97")
         )
-        .filter(F.col("qty") > 300)
+    )
+    picked = (
+        ps.join(
+            shipped,
+            (shipped.l_partkey == ps.ps_partkey)
+            & (shipped.l_suppkey == ps.ps_suppkey),
+        )
+        .filter(F.lit(2) * F.col("qty97") > F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
     )
     return (
-        shipped.join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        picked.join(F.broadcast(s), picked.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .select("s_name", "n_name", F.round("qty", 2).alias("red_qty"))
+        .select("s_name", "n_name")
     )
 
 
