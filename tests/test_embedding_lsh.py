@@ -82,3 +82,43 @@ def test_max_bucket_guard_drops_degenerate_cluster(spark):
     ).count()
     assert n_unguarded > 0
     assert n_guarded == 0
+
+
+def test_auto_lsh_params_scale_with_corpus():
+    """The sf1-rung lesson: fixed-width buckets densify linearly and
+    the candidate join grows quadratically.  auto params must grow
+    planes ~log2(n) (holding expected occupancy near target_bucket)
+    and buy recall back with tables."""
+    p_small, t_small = dedup.auto_lsh_params(2_000, threshold=0.35)
+    p_big, t_big = dedup.auto_lsh_params(20_000, threshold=0.35)
+    p_huge, t_huge = dedup.auto_lsh_params(2_000_000_000, threshold=0.35)
+    # planes grow with log2(n): +~3.3 bits per 10x
+    assert p_big - p_small >= 3
+    assert p_huge > p_big
+    # expected occupancy n / 2^planes stays bounded near the target
+    for n, p in [(2_000, p_small), (20_000, p_big), (2_000_000_000, p_huge)]:
+        assert n / (1 << p) <= 64
+    # recall is bought back with more tables as planes sharpen
+    assert t_big >= t_small
+    assert 1 <= t_huge <= 64
+    # degenerate corpora don't explode
+    assert dedup.auto_lsh_params(0, 0.9) == (1, 1)
+    assert dedup.auto_lsh_params(10, 0.999999) [1] >= 1
+
+
+def test_auto_mode_keeps_recall_on_clusters(spark):
+    e = _corpus(spark, n_clusters=6, per_cluster=8)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs(e, threshold=0.9).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_lsh(
+            e, threshold=0.9, dim=16, n_planes="auto"
+        ).collect()
+    }
+    assert auto <= exact
+    # tight clusters (cosine ~1): collision probability per table is
+    # near 1, so auto mode must recover nearly everything
+    assert len(auto) >= 0.9 * len(exact)

@@ -394,13 +394,47 @@ def embedding_neardup_pairs(
     )
 
 
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket: int = 32,
+    recall: float = 0.9,
+) -> tuple[int, int]:
+    """Corpus-size-aware sign-LSH parameters: (n_planes, n_tables).
+
+    Fixed-width LSH is a SCALE TRAP the sf1 rung measured directly:
+    with n_planes frozen, bucket occupancy grows linearly in corpus
+    size and the within-bucket candidate join grows QUADRATICALLY —
+    10x vectors cost 16.4x wall-clock (SCALE.md sf1 rung).  The
+    scale-correct parameterization holds expected bucket occupancy
+    ~constant by growing planes with log2(n), and then re-sizes the
+    table count to keep recall at the target: per-table collision
+    probability for cosine theta is p = (1 - acos(theta)/pi)^planes
+    (Goemans-Williamson / Charikar sign-LSH), so
+    tables = ceil(ln(1-recall) / ln(1-p)).  More planes -> smaller,
+    more selective buckets; more tables buy the recall back — total
+    candidate work stays ~linear in n.
+    """
+    import math
+
+    if n <= 0:
+        return 1, 1
+    n_planes = max(4, math.ceil(math.log2(max(n / target_bucket, 2))))
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p_plane**n_planes
+    if p_table >= 1.0 or recall >= 1.0:
+        return n_planes, 1
+    n_tables = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_table)))
+    return n_planes, min(n_tables, 64)
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 4,
     max_bucket: int | None = None,
     term_limit: int | None = None,
@@ -420,9 +454,18 @@ def embedding_neardup_lsh(
     Cosine is computed BEFORE deduplicating multi-table collisions so
     the dedup aggregates only fixed-width columns and stays a
     HashAggregate (the plan-audit lesson from the top-k join).
+
+    n_planes="auto" derives (planes, tables) from the corpus count via
+    auto_lsh_params — the scale-correct mode (one count() job, scalar
+    driver state).  The fixed default stays for oracle-pinned callers
+    whose SQL twin hard-codes the hyperplanes.
     """
     from unstract_spark.operators import similarity
 
+    if n_planes == "auto":
+        n_planes, n_tables = auto_lsh_params(
+            embeddings.count(), threshold
+        )
     limit = similarity.SQL_TERM_LIMIT if term_limit is None else term_limit
     # single-split parquet inputs would compute every bucket key on one
     # core (the char_shingles local-mode caveat, SCALE.md); a real

@@ -11,12 +11,23 @@ Decoder scope (reject loudly outside it — a row-level error in the
 pipeline, never a wrong pixel):
 - baseline sequential DCT (SOF0) and extended sequential (SOF1),
   8-bit precision, Huffman entropy coding;
+- PROGRESSIVE DCT (SOF2): multi-scan coefficient accumulation with
+  spectral selection AND successive approximation — DC first/refine
+  (interleaved or single-component), AC first/refine with EOB runs
+  and correction bits (T.81 G.2), restart markers inside scans;
 - 1 component (grayscale) or 3 components (JFIF YCbCr) with any
   sampling factors (4:4:4, 4:2:2, 4:2:0, ... — chroma upsampled by
   pixel replication per the common JFIF practice);
 - restart markers (DRI/RSTn) with DC-predictor reset;
-- rejected: progressive (SOF2), arithmetic coding (SOF9+), 12-bit
-  precision, component counts other than 1/3.
+- rejected: arithmetic coding (SOF9+), hierarchical/lossless SOFs,
+  12-bit precision, component counts other than 1/3.
+
+Exactness property for the PROGRESSIVE path: progressive and baseline
+encodings of the same image with the same quant table carry the same
+quantized coefficients, so their decodes must agree bit-for-bit on
+every pixel — the pytest gates progressive decode against the
+oracle-gated baseline decode on seeded random images across sampling/
+restart/approximation configurations.
 
 Encoder scope (fixture side — build real payloads without PIL):
 grayscale or RGB->YCbCr baseline JPEG with the spec's Annex K.3.3
@@ -194,8 +205,17 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _frame_geometry(frame: dict) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W) gray or (H, W, 3) RGB uint8."""
+    """Baseline or progressive JPEG -> (H, W) gray or (H, W, 3) RGB
+    uint8."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -205,6 +225,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     scan = None
+    # progressive state: per-component quantized coefficients in zigzag
+    # order, accumulated across scans; IDCT happens once at EOI
+    coefs: dict[int, np.ndarray] | None = None
+    grids: dict[int, tuple[int, int]] | None = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -236,7 +260,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _decode_map(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG unsupported (8-bit only)")
@@ -249,23 +273,67 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h_img, "w": w_img, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) unsupported")
+            frame = {
+                "h": h_img,
+                "w": w_img,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG SOF{marker - 0xC0} coding unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             sel = {}
             for c in range(ns):
                 cid, tt = body[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
-            scan = sel
-            pos += 2 + seg_len
-            break
+            if not frame["progressive"]:
+                scan = sel
+                pos += 2 + seg_len
+                break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coefs is None:
+                hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32
+                    )
+                    for c in frame["comps"]
+                }
+                # non-interleaved scan grid (A.2.2): ceil over the
+                # component's own sampled dimensions, NOT the padded
+                # MCU grid
+                grids = {}
+                for c in frame["comps"]:
+                    ch = -(-(frame["h"] * c["v"]) // vmax)
+                    cw = -(-(frame["w"] * c["h"]) // hmax)
+                    grids[c["id"]] = (-(-ch // 8), -(-cw // 8))
+            pos = _decode_prog_scan(
+                data,
+                pos + 2 + seg_len,
+                frame,
+                sel,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
+                huff_dc,
+                huff_ac,
+                coefs,
+                grids,
+                restart_interval,
+            )
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame["progressive"]:
+        if coefs is None:
+            raise ValueError("JPEG missing SOS")
+        return _reconstruct_progressive(frame, coefs, qt)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
@@ -324,6 +392,196 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = np.repeat(p, vmax // c["v"], axis=0)
         return p[: frame["h"], : frame["w"]]
 
+    if len(comps) == 1:
+        return np.clip(np.rint(full_res(comps[0])), 0, 255).astype(np.uint8)
+    y, cb, cr = (full_res(c) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# Progressive decoding (T.81 G.2): scans accumulate quantized
+# coefficients (zigzag order) per component; IDCT runs once at EOI.
+# ---------------------------------------------------------------------
+
+
+def _dc_scan_block(br, blk, dc_t, ah, al, preds, cid) -> None:
+    if ah == 0:  # DC first: diff-coded approximation, shifted left Al
+        s = br.huff(dc_t)
+        preds[cid] += _extend(br.receive(s), s)
+        blk[0] = preds[cid] << al
+    else:  # DC refine: one raw bit per block (works on two's complement)
+        if br.bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_block(br, blk, ac_t, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ac_t, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    k = ss
+
+    def correct(idx: int) -> None:
+        # correction bit: add 2^Al toward the magnitude if that bit of
+        # the (two's complement) coefficient isn't already set
+        if br.bit() and (blk[idx] & p1) == 0:
+            blk[idx] += p1 if blk[idx] > 0 else -p1
+
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:  # EOB run: ends this block here
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — a run of 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if br.bit() else -p1
+            while k <= se:
+                idx = k
+                k += 1
+                if blk[idx] != 0:
+                    correct(idx)
+                else:
+                    if r == 0:
+                        if s:
+                            blk[idx] = val
+                        break
+                    r -= 1
+    if eobrun > 0:
+        # block inside an EOB run still carries correction bits for
+        # its already-nonzero coefficients in the band
+        while k <= se:
+            idx = k
+            k += 1
+            if blk[idx] != 0:
+                correct(idx)
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data, pos, frame, sel, ss, se, ah, al, huff_dc, huff_ac, coefs, grids, ri
+):
+    comps = [c for c in frame["comps"] if c["id"] in sel]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    state = {"eobrun": 0}
+
+    def maybe_restart(i: int) -> None:
+        if ri and i and i % ri == 0:
+            br.restart()
+            for key in preds:
+                preds[key] = 0
+            state["eobrun"] = 0
+
+    if len(comps) > 1:  # interleaved: progressive allows DC scans only
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        for m in range(mcus_x * mcus_y):
+            maybe_restart(m)
+            my, mx = divmod(m, mcus_x)
+            for c in comps:
+                arr = coefs[c["id"]]
+                dc_t = huff_dc.get(sel[c["id"]][0])
+                for b in range(c["v"] * c["h"]):
+                    by, bx = divmod(b, c["h"])
+                    _dc_scan_block(
+                        br,
+                        arr[my * c["v"] + by, mx * c["h"] + bx],
+                        dc_t,
+                        ah,
+                        al,
+                        preds,
+                        c["id"],
+                    )
+    else:  # non-interleaved: raster order over the component's grid
+        c = comps[0]
+        hb, wb = grids[c["id"]]
+        arr = coefs[c["id"]]
+        dc_t = huff_dc.get(sel[c["id"]][0])
+        ac_t = huff_ac.get(sel[c["id"]][1])
+        for i in range(hb * wb):
+            maybe_restart(i)
+            by, bx = divmod(i, wb)
+            blk = arr[by, bx]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("JPEG DC scan must have Se=0")
+                _dc_scan_block(br, blk, dc_t, ah, al, preds, c["id"])
+            elif ah == 0:
+                state["eobrun"] = _ac_first_block(
+                    br, blk, ac_t, ss, se, al, state["eobrun"]
+                )
+            else:
+                state["eobrun"] = _ac_refine_block(
+                    br, blk, ac_t, ss, se, al, state["eobrun"]
+                )
+    # resync: scan forward to the next non-RST, non-stuffing marker
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = {}
+    for c in frame["comps"]:
+        zz = coefs[c["id"]].astype(np.int64)  # (by, bx, 64) zigzag order
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz * qt[c["tq"]]
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8).astype(np.float64)
+        px = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A) + 128.0
+        planes[c["id"]] = (
+            px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+
+    def full_res(c: dict) -> np.ndarray:
+        p = planes[c["id"]]
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        return p[: frame["h"], : frame["w"]]
+
+    comps = frame["comps"]
     if len(comps) == 1:
         return np.clip(np.rint(full_res(comps[0])), 0, 255).astype(np.uint8)
     y, cb, cr = (full_res(c) for c in comps)
@@ -422,6 +680,16 @@ def _pad_to_multiple(px: np.ndarray, my: int, mx: int) -> np.ndarray:
 def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
     return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+# Progressive AC table: the Annex K BASELINE AC table has no EOBRUN
+# symbols ((r<<4)|0 for r=1..14 — baseline never emits an EOB run), so
+# progressive scans need their own.  A flat canonical table — all 176
+# possibly-emitted symbols ((r<<4)|s, r 0..15, s 0..10) at 8 bits —
+# is legal (176 < 255 leaves the all-ones code unused per C.2),
+# maximally simple, and the decoder reads whatever DHT says anyway.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
 
 
 def encode_jpeg(
@@ -529,5 +797,309 @@ def encode_jpeg(
         + _dht_segment(1, 0, _STD_AC_BITS, _STD_AC_VALS)
         + b"\xff\xda" + (len(sos_body) + 2).to_bytes(2, "big") + sos_body
         + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------
+# Progressive encoder (fixture side): spectral selection + successive
+# approximation, per T.81 G.1.  Scan plan: interleaved DC first at
+# Al=dc_al, DC refinement bits down to Al=0, then per component one
+# AC-first scan of band 1..63 at Al=ac_al and refinement scans down to
+# Al=0 — the layered progression real encoders emit.  The encoder's
+# EOB-run / ZRL / buffered-correction-bit discipline mirrors the
+# decoder's G.2 consumption order exactly (the pytest proves it:
+# progressive and baseline decodes must agree bit-for-bit, since both
+# containers carry the same quantized coefficients).
+# ---------------------------------------------------------------------
+
+
+def _quantize_components(
+    pixels: np.ndarray,
+    quant: np.ndarray | None,
+    subsample: tuple[int, int],
+):
+    """pixels -> per-component (by, bx, 64) ZIGZAG-order quantized
+    coefficient arrays at the padded MCU grid, plus geometry."""
+    q_nat = (
+        np.ones((8, 8), np.int64)
+        if quant is None
+        else np.asarray(quant, np.int64).reshape(8, 8)
+    )
+    if np.any(q_nat < 1) or np.any(q_nat > 255):
+        raise ValueError("quant values must be in [1, 255] (8-bit DQT)")
+    q_zz = q_nat.reshape(-1)[_ZIGZAG]
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("expected (H, W) or (H, W, 3) uint8")
+    h_img, w_img = pixels.shape[0], pixels.shape[1]
+    sh, sv = (1, 1) if gray else subsample
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsample factors must be 1 or 2")
+    if gray:
+        comp_px = [pixels.astype(np.float64)]
+        comp_hv = [(1, 1)]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sh > 1 or sv > 1:
+            ph = (-h_img) % sv
+            pw = (-w_img) % sh
+
+            def box(cpl: np.ndarray) -> np.ndarray:
+                cpl = np.pad(cpl, ((0, ph), (0, pw)), mode="edge")
+                hh, ww = cpl.shape
+                return cpl.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+            cb, cr = box(cb), box(cr)
+        comp_px = [y, cb, cr]
+        comp_hv = [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in comp_hv)
+    vmax = max(v for _, v in comp_hv)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    qblocks = []
+    for cpl, (ch, cv) in zip(comp_px, comp_hv):
+        cpl = _pad_to_multiple(cpl, mcus_y * cv * 8, mcus_x * ch * 8)
+        by, bx = cpl.shape[0] // 8, cpl.shape[1] // 8
+        tiles = cpl.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ij,abjk,kl->abil", _A, tiles, _A.T)
+        qz = np.rint(
+            coefs.reshape(by, bx, 64)[..., _ZIGZAG] / q_zz
+        ).astype(np.int64)
+        qblocks.append(qz)
+    return qblocks, comp_hv, h_img, w_img, q_zz, mcus_x, mcus_y
+
+
+def _encode_ac_first_scan(blocks, ac_codes, ss, se, al, ri) -> bytes:
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            w.marker(0xD0 + (i // ri - 1) % 8)
+        coded = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            vp = (abs(v) >> al) * (1 if v > 0 else -1)
+            if vp:
+                coded.append((k, vp))
+        if not coded:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        prev = ss - 1
+        for k, v in coded:
+            run = k - prev - 1
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            prev = k
+        if prev < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.out)
+
+
+def _encode_ac_refine_scan(blocks, ac_codes, ss, se, al, ri) -> bytes:
+    w = _BitWriter()
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits riding with the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            for b in be_bits:
+                w.put(b, 1)
+            be_bits = []
+            eobrun = 0
+
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            w.marker(0xD0 + (i // ri - 1) % 8)
+        t = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        news = [j for j, v in enumerate(t) if v == 1]
+        eob = news[-1] if news else -1  # last newly-significant position
+        r = 0
+        br_bits: list[int] = []
+        for j, v in enumerate(t):
+            if v == 0:
+                r += 1
+                continue
+            # ZRLs only before/at the last newly-significant coef —
+            # beyond it, zeros and correction bits fold into the EOB
+            # run (the libjpeg invariant the decoder's consumption
+            # order depends on)
+            while r > 15 and j <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for b in br_bits:
+                    w.put(b, 1)
+                br_bits = []
+            if v > 1:  # history coefficient: buffer its correction bit
+                br_bits.append(v & 1)
+                continue
+            # newly significant
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(blk[ss + j]) > 0 else 0, 1)
+            for b in br_bits:
+                w.put(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.out)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (1, 1),
+    dc_al: int = 1,
+    ac_al: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> progressive JPEG (SOF2).
+
+    dc_al / ac_al set the successive-approximation depth (0 = spectral
+    selection only).  restart_interval > 0 emits DRI + RSTn inside
+    every scan (MCU-counted in the interleaved DC scans, block-counted
+    in the non-interleaved AC scans), exercising the decoder's
+    in-scan predictor/EOB-run resets.
+    """
+    qb, comp_hv, h_img, w_img, q_zz, mcus_x, mcus_y = _quantize_components(
+        pixels, quant, subsample
+    )
+    ncomp = len(qb)
+    dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(list(comp_ids))])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+
+    chunks: list[bytes] = []
+
+    # DC first scan: interleaved, diff-coded over the Al-shifted DCs
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            w.marker(0xD0 + (m // restart_interval - 1) % 8)
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, (ch, cv) in enumerate(comp_hv):
+            for b in range(cv * ch):
+                by_, bx_ = divmod(b, ch)
+                dc = int(qb[ci][my * cv + by_, mx * ch + bx_, 0]) >> dc_al
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _category(diff)
+                code, ln = dc_codes[s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    chunks.append(sos(range(ncomp), 0, 0, 0, dc_al) + bytes(w.out))
+
+    # DC refinement scans: one raw bit per block per level
+    for al in range(dc_al - 1, -1, -1):
+        w = _BitWriter()
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                w.marker(0xD0 + (m // restart_interval - 1) % 8)
+            my, mx = divmod(m, mcus_x)
+            for ci, (ch, cv) in enumerate(comp_hv):
+                for b in range(cv * ch):
+                    by_, bx_ = divmod(b, ch)
+                    w.put(
+                        (int(qb[ci][my * cv + by_, mx * ch + bx_, 0]) >> al)
+                        & 1,
+                        1,
+                    )
+        w.flush()
+        chunks.append(sos(range(ncomp), 0, 0, al + 1, al) + bytes(w.out))
+
+    # AC scans: per component, non-interleaved raster over its grid
+    hmax = max(h for h, _ in comp_hv)
+    vmax = max(v for _, v in comp_hv)
+    for ci, (ch, cv) in enumerate(comp_hv):
+        hb = -(-(-(-h_img * cv // vmax)) // 8)
+        wb = -(-(-(-w_img * ch // hmax)) // 8)
+        blocks = [qb[ci][i // wb, i % wb] for i in range(hb * wb)]
+        chunks.append(
+            sos([ci], 1, 63, 0, ac_al)
+            + _encode_ac_first_scan(
+                blocks, ac_codes, 1, 63, ac_al, restart_interval
+            )
+        )
+        for al in range(ac_al - 1, -1, -1):
+            chunks.append(
+                sos([ci], 1, 63, al + 1, al)
+                + _encode_ac_refine_scan(
+                    blocks, ac_codes, 1, 63, al, restart_interval
+                )
+            )
+
+    sof_body = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof_body += bytes([ncomp])
+    for ci, (ch, cv) in enumerate(comp_hv):
+        sof_body += bytes([ci + 1, ch << 4 | cv, 0])
+    dqt_body = bytes([0x00]) + bytes(int(v) for v in q_zz)
+    dri = (
+        b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + dri
+        + b"\xff\xdb" + (len(dqt_body) + 2).to_bytes(2, "big") + dqt_body
+        + b"\xff\xc2" + (len(sof_body) + 2).to_bytes(2, "big") + sof_body
+        + _dht_segment(0, 0, _STD_DC_BITS, _STD_DC_VALS)
+        + _dht_segment(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+        + b"".join(chunks)
         + b"\xff\xd9"
     )
