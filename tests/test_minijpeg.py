@@ -102,9 +102,14 @@ def test_smooth_gradient_compresses_well_lossy():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
 
 
-def test_progressive_rejected_loudly():
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08" + b"\x00" * 8)
+def test_arithmetic_and_lossless_sofs_rejected_loudly():
+    # progressive (SOF2) is supported since r8; the still-unsupported
+    # coding classes must keep failing loudly, never silently
+    for sof in (0xC3, 0xC9, 0xCB):
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_jpeg(
+                b"\xff\xd8\xff" + bytes([sof]) + b"\x00\x0b\x08" + b"\x00" * 8
+            )
 
 
 def test_non_jpeg_rejected():
@@ -125,3 +130,66 @@ def test_multimodal_dispatch_routes_jpeg():
     vals = _rng().integers(0, 256, size=(8, 8), dtype=np.uint8)
     img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     assert np.array_equal(_decode_one(encode_jpeg(img), fake=False), img)
+
+
+# ---------------------------------------------------------------------
+# Progressive (SOF2): decode gated against the oracle-gated baseline —
+# both containers carry the same quantized coefficients, so decodes
+# must agree bit-for-bit on every pixel.
+# ---------------------------------------------------------------------
+
+from unstract_spark.operators.minijpeg import encode_jpeg_progressive
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,dc_al,ac_al,ri",
+    [
+        ((64, 64), (1, 1), 1, 1, 0),       # gray, successive approx
+        ((64, 64), (1, 1), 0, 0, 0),       # gray, spectral selection only
+        ((40, 56), (1, 1), 2, 2, 0),       # non-multiple-of-8, deep approx
+        ((64, 64, 3), (1, 1), 1, 1, 0),    # RGB 4:4:4
+        ((64, 64, 3), (2, 2), 1, 1, 0),    # RGB 4:2:0
+        ((64, 64), (1, 1), 1, 1, 4),       # restarts inside every scan
+        ((48, 48, 3), (2, 1), 1, 2, 3),    # 4:2:2 + restarts + mixed Al
+    ],
+)
+def test_progressive_decodes_identically_to_baseline(
+    shape, subsample, dc_al, ac_al, ri
+):
+    img = _rng().integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, subsample=subsample, dc_al=dc_al, ac_al=ac_al,
+            restart_interval=ri,
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_lossy_quant_matches_baseline():
+    # a real quant table drives long zero runs -> EOB runs, ZRL, and
+    # refinement correction bits all exercise
+    q = np.clip(np.arange(1, 65).reshape(8, 8) * 3, 1, 255)
+    img = _rng().integers(0, 256, size=(96, 80), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quant=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quant=q, ac_al=2))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_gradient_eob_runs():
+    # smooth content -> most blocks have empty AC bands -> long
+    # cross-block EOB runs in both first and refinement scans
+    x = np.linspace(0, 255, 128)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_block_constant_is_bit_exact():
+    # the mm_jpeg_features gate property holds for the progressive
+    # container too: constant tiles + unit quant round-trip exactly
+    vals = _rng().integers(0, 256, size=(8, 8), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img)), img)

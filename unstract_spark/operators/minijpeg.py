@@ -451,33 +451,6 @@ def _ac_refine_block(br, blk, ac_t, ss, se, al, eobrun) -> int:
         if br.bit() and (blk[idx] & p1) == 0:
             blk[idx] += p1 if blk[idx] > 0 else -p1
 
-    if eobrun == 0:
-        while k <= se:
-            rs = br.huff(ac_t)
-            r, s = rs >> 4, rs & 15
-            val = 0
-            if s == 0:
-                if r < 15:  # EOB run: ends this block here
-                    eobrun = (1 << r) - 1
-                    if r:
-                        eobrun += br.receive(r)
-                    break
-                # r == 15: ZRL — a run of 16 zero-HISTORY positions
-            else:
-                if s != 1:
-                    raise ValueError("invalid JPEG refinement magnitude")
-                val = p1 if br.bit() else -p1
-            while k <= se:
-                idx = k
-                k += 1
-                if blk[idx] != 0:
-                    correct(idx)
-                else:
-                    if r == 0:
-                        if s:
-                            blk[idx] = val
-                        break
-                    r -= 1
     if eobrun > 0:
         # block inside an EOB run still carries correction bits for
         # its already-nonzero coefficients in the band
@@ -486,7 +459,44 @@ def _ac_refine_block(br, blk, ac_t, ss, se, al, eobrun) -> int:
             k += 1
             if blk[idx] != 0:
                 correct(idx)
-        eobrun -= 1
+        return eobrun - 1
+    hit_eob = False
+    while k <= se:
+        rs = br.huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        val = 0
+        if s == 0:
+            if r < 15:  # EOB run: ends this block's symbol stream
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                hit_eob = True
+                break
+            # r == 15: ZRL — a run of 16 zero-HISTORY positions
+        else:
+            if s != 1:
+                raise ValueError("invalid JPEG refinement magnitude")
+            val = p1 if br.bit() else -p1
+        while k <= se:
+            idx = k
+            k += 1
+            if blk[idx] != 0:
+                correct(idx)
+            else:
+                if r == 0:
+                    if s:
+                        blk[idx] = val
+                    break
+                r -= 1
+    if hit_eob:
+        # the EOB-symbol block corrects its own tail WITHOUT consuming
+        # from the run — the run value counts SUBSEQUENT blocks (the
+        # off-by-one that desyncs the whole scan if decremented here)
+        while k <= se:
+            idx = k
+            k += 1
+            if blk[idx] != 0:
+                correct(idx)
     return eobrun
 
 
@@ -568,7 +578,16 @@ def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
         nat[:, :, _ZIGZAG] = zz * qt[c["tq"]]
         by, bx = nat.shape[0], nat.shape[1]
         blocks = nat.reshape(by, bx, 8, 8).astype(np.float64)
-        px = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A) + 128.0
+        # per-block matmul in EXACTLY the baseline path's form: batched
+        # (A.T @ blocks) @ A and 3-operand einsum both change the
+        # floating-point summation order in the last ulp, and np.rint on
+        # a .5-boundary value then flips pixels — which breaks the
+        # progressive-equals-baseline bit-for-bit gate
+        px = np.empty_like(blocks)
+        for i in range(by):
+            for j in range(bx):
+                px[i, j] = _A.T @ blocks[i, j] @ _A
+        px += 128.0
         planes[c["id"]] = (
             px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
@@ -866,7 +885,15 @@ def _quantize_components(
         cpl = _pad_to_multiple(cpl, mcus_y * cv * 8, mcus_x * ch * 8)
         by, bx = cpl.shape[0] // 8, cpl.shape[1] // 8
         tiles = cpl.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
-        coefs = np.einsum("ij,abjk,kl->abil", _A, tiles, _A.T)
+        # forward DCT in EXACTLY encode_jpeg's per-block form: einsum /
+        # batched matmul change the float summation order in the last
+        # ulp, and np.rint then quantizes .5-boundary coefficients
+        # differently — the two containers must carry IDENTICAL
+        # quantized coefficients for the progressive==baseline gate
+        coefs = np.empty((by, bx, 8, 8), np.float64)
+        for i in range(by):
+            for j in range(bx):
+                coefs[i, j] = _A @ tiles[i, j] @ _A.T
         qz = np.rint(
             coefs.reshape(by, bx, 64)[..., _ZIGZAG] / q_zz
         ).astype(np.int64)

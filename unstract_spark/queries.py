@@ -119,6 +119,8 @@ _CHANGED_THIS_ROUND = [
     "q11_important_parts",
     "q16_supplier_cnt",
     "q20_part_promotion",
+    # r8: progressive-JPEG container rows added (doc_id%2==1 now SOF2)
+    "mm_jpeg_features",
 ]
 
 
@@ -5110,20 +5112,24 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal JPEG path, REAL lossy-codec decode under a hash gate.
+    """Multimodal JPEG path, REAL lossy-codec decode under a hash gate,
+    across BOTH coding processes (baseline SOF0 and progressive SOF2).
 
     A lossy codec CAN sit under an exact SQL oracle: for an image whose
     every 8x8 tile is constant, the forward DCT is DC-only (AC terms are
     analytic zeros) and a unit quant table makes the round trip
     bit-exact (minijpeg.py docstring). Each document's first 64 text
     bytes render as an 8x8 grid of constant 8x8 blocks -> a 64x64
-    grayscale baseline JPEG with restart markers every 2 MCU rows; the
-    full marker walk / DHT Huffman decode / dequantize / IDCT pipeline
-    runs for real, and each byte's luma comes back exactly 64 times, so
-    mean/std equal the byte stats and histogram counts are the byte
-    counts x64 — which is what the oracle computes from the text. Any
-    drift in the Huffman coder, zigzag, quantizer, DCT, or restart
-    handling fails the gate."""
+    grayscale JPEG: doc_id%2==0 baseline with restart markers every 2
+    MCU rows, ==1 progressive (SOF2: spectral selection + successive
+    approximation, in-scan restarts) — the full marker walk / DHT
+    Huffman decode / multi-scan coefficient accumulation / dequantize /
+    IDCT pipeline runs for real, and each byte's luma comes back exactly
+    64 times, so mean/std equal the byte stats and histogram counts are
+    the byte counts x64 — which is what the oracle computes from the
+    text, identically for both containers. Any drift in the Huffman
+    coder, zigzag, quantizer, DCT, EOB-run bookkeeping, refinement-bit
+    order, or restart handling fails the gate."""
     import numpy as np
     import pandas as pd
 
@@ -5139,14 +5145,21 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches):
-        from unstract_spark.operators.minijpeg import encode_jpeg
+        from unstract_spark.operators.minijpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         for pdf in batches:
             content = []
-            for s in pdf["s"]:
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
                 vals = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(8, 8)
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                content.append(encode_jpeg(img, restart_interval=16))
+                content.append(
+                    encode_jpeg(img, restart_interval=16)
+                    if int(did) % 2 == 0
+                    else encode_jpeg_progressive(img, restart_interval=16)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
     imgs = d.mapInPandas(encode, "doc_id long, content binary")
