@@ -369,9 +369,9 @@ def _decode_one(payload: bytes, fake: bool) -> np.ndarray:
     if not fake:
         raise NotImplementedError(
             "unsupported image format (uncompressed BMP, binary PGM/PPM, "
-            "8-bit non-interlaced PNG, baseline sequential JPEG and "
-            "GIF87a/89a decode natively — see minijpeg.py / minigif.py); "
-            "pass fake=True for the deterministic test double"
+            "8-bit PNG incl. Adam7, baseline/extended/PROGRESSIVE JPEG "
+            "and GIF87a/89a decode natively — see minijpeg.py / "
+            "minigif.py); pass fake=True for the deterministic test double"
         )
     # deterministic fake: 4x4 grayscale derived from content hash
     h = hashlib.sha256(payload or b"").digest()
