@@ -146,6 +146,16 @@ BENCH_QUERIES = [
     # ~8 s x 4 runs of pure iterative-algorithm cost that would drown
     # the suite's signal (same policy as the recursive-CTE-oracle-only
     # provenance query).
+    # round-8 additions: the web-corpus ingestion front end — WARC
+    # demux (Arrow-batched Python, the blob-parse shape) and HTML
+    # boilerplate removal (regex-heavy codegen + per-doc reassembly).
+    # web_mojibake_repair / web_url_normalize are registry-gated but
+    # not benched (pure narrow projections, shapes already covered).
+    # NOTE: .count() prunes html's final main_text reassembly (~2x at
+    # sf0.1: 0.85 s counted vs 1.70 s forced); the measured portion is
+    # the dominant regex/explode/link-density pipeline.
+    "web_warc_extract",
+    "web_html_main_content",
 ]
 
 

@@ -1,0 +1,213 @@
+"""Web-corpus ingestion operators: adversarial cases the oracle-gated
+queries can't express (malformed inputs, entity double-decode guard,
+framing attacks, detector precision)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from unstract_spark.operators.webcorpus import (
+    _parse_warc_blob,
+    encode_warc,
+    html_main_content,
+    normalize_urls,
+    repair_mojibake,
+    warc_records,
+)
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_round_trip_multi_record():
+    blob = encode_warc(
+        [
+            {"type": "request", "uri": "http://e.com/doc/1", "path": "/doc/1"},
+            {"type": "response", "uri": "http://e.com/doc/1", "body": "hello"},
+            {"type": "response", "uri": "http://e.com/doc/2", "body": "", "http_status": 404},
+        ]
+    )
+    recs = _parse_warc_blob(blob)
+    assert [r["rec_type"] for r in recs] == ["request", "response", "response"]
+    assert recs[1]["body"] == "hello" and recs[1]["http_status"] == 200
+    assert recs[2]["http_status"] == 404 and recs[2]["body"] == ""
+
+
+def test_warc_content_length_framing_is_binary_safe():
+    # a payload that CONTAINS record-boundary markers must not split
+    evil = "x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\ny"
+    blob = encode_warc(
+        [
+            {"type": "response", "uri": "http://e.com/a", "body": evil},
+            {"type": "response", "uri": "http://e.com/b", "body": "tail"},
+        ]
+    )
+    recs = _parse_warc_blob(blob)
+    assert len(recs) == 2
+    assert recs[0]["body"] == evil
+    assert recs[1]["body"] == "tail"
+
+
+def test_warc_truncated_blob_yields_parseable_prefix():
+    blob = encode_warc(
+        [
+            {"type": "response", "uri": "http://e.com/a", "body": "keep me"},
+            {"type": "response", "uri": "http://e.com/b", "body": "cut off here"},
+        ]
+    )
+    recs = _parse_warc_blob(blob[:-30])  # truncates the 2nd body
+    assert len(recs) >= 1
+    assert recs[0]["body"] == "keep me"
+
+
+def test_warc_non_warc_and_empty():
+    assert _parse_warc_blob(b"") == []
+    assert _parse_warc_blob(b"HTTP/1.1 200 OK\r\n\r\n") == []
+
+
+def test_warc_metadata_record_passthrough():
+    blob = encode_warc(
+        [{"type": "warcinfo", "uri": "http://e.com/", "body": "robots: obey"}]
+    )
+    recs = _parse_warc_blob(blob)
+    assert recs[0]["rec_type"] == "warcinfo"
+    assert recs[0]["http_status"] is None
+    assert recs[0]["body"] == "robots: obey"
+
+
+def test_warc_records_carries_columns_and_isolates_bad_blob(spark):
+    good = encode_warc([{"type": "response", "uri": "u", "body": "ok"}])
+    df = spark.createDataFrame(
+        [(1, "s1", good), (2, "s2", b"garbage not warc")],
+        "doc_id long, source string, content binary",
+    )
+    rows = warc_records(df).collect()
+    assert [(r.doc_id, r.source, r.body) for r in rows] == [(1, "s1", "ok")]
+
+
+# ---------------------------------------------------------------- HTML
+
+
+def _extract_one(spark, html: str):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_main_content(df).collect()[0]
+
+
+def test_html_entities_decode_without_double_decode(spark):
+    row = _extract_one(
+        spark,
+        "<p>a &amp;lt; b &lt; c &gt; d &quot;q&quot; &#39;s&#39; &nbsp;e &amp; f</p>",
+    )
+    # &amp;lt; must become the TEXT '&lt;', never '<'
+    assert row.main_text == 'a &lt; b < c > d "q" \'s\' e & f'
+
+
+def test_html_script_decoy_and_case_insensitive_tags(spark):
+    row = _extract_one(
+        spark,
+        '<SCRIPT>var a = "<p>decoy</p>";</SCRIPT><STYLE>p{}</STYLE>'
+        "<P>real <B>content</B> here</P>",
+    )
+    assert row.main_text == "real content here"
+    assert row.n_kept == 1 and row.n_dropped == 0
+
+
+def test_html_link_density_boundary(spark):
+    # anchor chars == 50% of text -> kept (threshold is strict >)
+    kept = _extract_one(spark, "<p><a href='/'>abcde</a>fghij</p>")
+    assert kept.n_kept == 1 and kept.main_text == "abcdefghij"
+    # anchor-dominated -> dropped
+    dropped = _extract_one(spark, "<li><a href='/'>abcdefgh</a>ij</li>")
+    assert dropped.n_kept == 0 and dropped.n_dropped == 1
+
+
+def test_html_whitespace_collapse_and_empty_blocks(spark):
+    row = _extract_one(
+        spark, "<p>  lots \n\t of   space  </p><p>   </p><h2>head</h2>"
+    )
+    assert row.main_text == "lots of space head"
+    assert row.n_kept == 2  # the blank <p> is neither kept nor counted dropped
+
+
+def test_html_no_blocks_at_all(spark):
+    row = _extract_one(spark, "<html><body>bare text no blocks</body></html>")
+    assert row.main_text == "" and row.n_kept == 0 and row.n_dropped == 0
+
+
+def test_html_document_order_preserved(spark):
+    row = _extract_one(
+        spark,
+        "<p>one</p><nav><a href='/'>x y z</a></nav><h1>two</h1><p>three</p>",
+    )
+    assert row.main_text == "one two three"
+    assert row.n_dropped == 1
+
+
+# ------------------------------------------------------------ mojibake
+
+
+def test_mojibake_repair_and_detector_precision(spark):
+    orig = "café — naïve København"
+    moji = orig.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(1, moji), (2, orig), (3, "pure ascii"), (4, None)],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in repair_mojibake(df).collect()}
+    assert rows[1].was_mojibake is True and rows[1].repaired == orig
+    # REAL accented text must not be flagged (would corrupt it if repaired)
+    assert rows[2].was_mojibake is False and rows[2].repaired == orig
+    assert rows[3].was_mojibake is False and rows[3].repaired == "pure ascii"
+    assert rows[4].repaired is None
+
+
+def test_mojibake_repair_is_single_shot(spark):
+    # double-encoded damage: one repair pass removes one layer only —
+    # the operator contract is one inversion, applied when flagged
+    orig = "déjà"
+    double = orig.encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(1, double)], "id long, text string")
+    row = repair_mojibake(df).collect()[0]
+    assert row.was_mojibake is True
+    assert row.repaired == orig.encode("utf-8").decode("latin-1")
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def _norm_one(spark, url: str):
+    df = spark.createDataFrame([(1, url)], "id long, url string")
+    return normalize_urls(df).collect()[0]
+
+
+def test_url_tracking_only_query_drops_question_mark(spark):
+    r = _norm_one(spark, "http://a.example.com/p?utm_source=x&utm_medium=y")
+    assert r.url_norm == "http://a.example.com/p"
+
+
+def test_url_param_order_preserved(spark):
+    r = _norm_one(spark, "http://e.com/p?b=2&utm_x=t&a=1&ref=z&c=3")
+    assert r.url_norm == "http://e.com/p?b=2&a=1&c=3"
+
+
+def test_url_nondefault_port_and_fragment(spark):
+    r = _norm_one(spark, "HTTPS://E.COM:8443/a/b#frag")
+    assert r.url_norm == "https://e.com:8443/a/b"
+    assert r.path_depth == 2
+
+
+def test_url_default_port_stripped_per_scheme(spark):
+    assert _norm_one(spark, "http://e.com:80/").url_norm == "http://e.com/"
+    assert _norm_one(spark, "https://e.com:443/").url_norm == "https://e.com/"
+    # https on :80 is NOT the default — preserved
+    assert _norm_one(spark, "https://e.com:80/").url_norm == "https://e.com:80/"
+
+
+def test_url_domain_and_depth(spark):
+    r = _norm_one(spark, "http://deep.sub.example.co/x/y/z/")
+    assert r.domain == "example.co"
+    assert r.path_depth == 3
+
+
+def test_url_ref_is_param_key_not_substring(spark):
+    # 'ref' must match as a whole key: a param NAMED reftarget survives
+    r = _norm_one(spark, "http://e.com/p?reftarget=1&ref=2")
+    assert r.url_norm == "http://e.com/p?reftarget=1"

@@ -1,0 +1,358 @@
+"""Web-corpus ingestion operators: WARC record parsing, HTML
+main-content extraction, mojibake repair, URL normalization.
+
+The front end of a crawl-to-training-data pipeline (the CCNet /
+RefinedWeb / Gopher preprocessing shape): records arrive packed in
+multi-record WARC files, documents as HTML wrapped in boilerplate,
+text with encoding damage, URLs carrying tracking parameters. The
+reference platform ingests documents through connector sources and
+normalizes values before extraction (SURVEY §2 S-family, F5 —
+reference `unstract/core` workflow source/transform stages); these are
+the beyond-reference equivalents for web-scale corpora, feeding the
+existing dedup / quality / export families.
+
+Scale design:
+- WARC parsing is mapInPandas over blob rows — one blob decodes inside
+  one task, records explode locally, NO shuffle. At 100 TB the blobs
+  arrive as binary rows from the object-store scan and parallelism is
+  the file-split count.
+- HTML extraction, mojibake repair, and URL normalization are pure
+  native column expressions (regexp/array/higher-order functions) —
+  whole-stage codegen end to end, no Python in the hot path, trivially
+  partition-parallel with zero shuffle (the block reassembly in
+  html_main_content groups only within a document id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "encode_warc",
+    "warc_records",
+    "html_main_content",
+    "repair_mojibake",
+    "normalize_urls",
+]
+
+
+# ---------------------------------------------------------------------
+# WARC (ISO 28500): plain-text record headers + Content-Length-framed
+# bodies. The format is simpler than its reputation: records are
+#   "WARC/1.0\r\n" <headers> "\r\n\r\n" <body of Content-Length bytes>
+#   "\r\n\r\n"
+# concatenated. Response bodies are HTTP messages (status line +
+# headers + blank line + payload).
+# ---------------------------------------------------------------------
+
+
+def encode_warc(records: list[dict]) -> bytes:
+    """Fixture mux: list of {type, uri, body: bytes, http_status} ->
+    one WARC 1.0 byte blob. Response records wrap the body in an HTTP
+    response message; request records carry an HTTP request message."""
+    out = bytearray()
+    for rec in records:
+        body = rec.get("body", b"")
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        if rec["type"] == "response":
+            status = int(rec.get("http_status", 200))
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                "Content-Type: text/plain; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + body
+        elif rec["type"] == "request":
+            http = (
+                f"GET {rec.get('path', '/')} HTTP/1.1\r\n"
+                "Host: example.com\r\nUser-Agent: unstract-spark\r\n\r\n"
+            ).encode("ascii")
+        else:  # warcinfo / metadata: raw body
+            http = body
+        headers = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rec['type']}\r\n"
+            f"WARC-Target-URI: {rec['uri']}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("ascii")
+        out += headers + http + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _parse_warc_blob(blob: bytes) -> list[dict]:
+    """One WARC blob -> record dicts. Bodies are framed by
+    Content-Length (binary-safe — never split payload bytes on
+    markers), per ISO 28500 §4."""
+    recs = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob[pos : pos + 5] != b"WARC/":
+            break  # trailing padding / truncated tail: stop cleanly
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        body = blob[hdr_end + 4 : hdr_end + 4 + clen]
+        rtype = headers.get("warc-type", "")
+        status = None
+        payload = body
+        if rtype in ("response", "request") and body[:5] in (b"HTTP/", b"GET /", b"POST ", b"HEAD "):
+            head, sep, rest = body.partition(b"\r\n\r\n")
+            payload = rest if sep else b""
+            first = head.split(b"\r\n", 1)[0]
+            if rtype == "response" and first[:5] == b"HTTP/":
+                parts = first.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+        recs.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "rec_type": rtype,
+                "http_status": status,
+                "body": payload.decode("utf-8", "replace"),
+            }
+        )
+        pos = hdr_end + 4 + clen
+        while blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+    return recs
+
+
+def warc_records(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """Explode WARC blobs into records: (url, rec_type, http_status,
+    body, body_len), all other input columns carried through.
+
+    mapInPandas, one blob per row: parsing is per-task local, no
+    shuffle; a malformed blob yields its parseable prefix rather than
+    failing the task (crawl files are routinely truncated)."""
+    import pandas as pd
+
+    carry = [c for c in df.columns if c != payload_col]
+    schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes if name != payload_col
+    )
+    if schema:
+        schema += ", "
+    schema += "url string, rec_type string, http_status long, body string, body_len long"
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[payload_col]
+                for rec in _parse_warc_blob(bytes(blob) if blob is not None else b""):
+                    out = {c: row[c] for c in carry}
+                    out.update(rec)
+                    out["body_len"] = len(rec["body"])
+                    rows.append(out)
+            yield pd.DataFrame(
+                rows,
+                columns=carry + ["url", "rec_type", "http_status", "body", "body_len"],
+            )
+
+    return df.mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------
+# HTML main-content extraction: the jusText/trafilatura core signal —
+# split into block elements, score each block's LINK DENSITY (anchor
+# text chars / block text chars), drop link-dominated boilerplate
+# (nav bars, footers, related-links rails), strip tags from survivors.
+# ---------------------------------------------------------------------
+
+_BLOCK_RE = r"(?is)<(p|h1|h2|h3|li|td|nav|footer|aside)\b[^>]*>.*?</\1>"
+_SCRIPT_RE = r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1>"
+_TAG_RE = r"(?s)<[^>]*>"
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: never double-decode &amp;lt; into <
+]
+
+
+def _block_text(block: Column) -> Column:
+    """Strip tags, decode the standard named entities, normalize
+    whitespace. &amp; decodes last so '&amp;lt;' yields '&lt;' (text),
+    not '<' (double decode) — the classic sanitizer bug."""
+    txt = F.regexp_replace(block, _TAG_RE, "")
+    for ent, ch in _ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+
+def html_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    link_density_max: float = 0.5,
+) -> DataFrame:
+    """(id, html) -> (id, main_text, n_kept, n_dropped).
+
+    Pipeline (all native expressions, one groupBy on the id):
+      1. remove script/style/noscript/template subtrees,
+      2. split into leaf block elements (p/h*/li/td/nav/footer/aside —
+         container divs are transparent),
+      3. per block: text = strip tags + decode entities + collapse
+         whitespace; link_chars = total anchor-text length,
+      4. drop empty blocks and blocks with link density >
+         link_density_max (boilerplate: nav/footer rails are
+         link-dominated, content paragraphs are not),
+      5. reassemble survivors in document order with single spaces.
+
+    Document order is carried explicitly (posexplode + array_sort on
+    the position) — correctness never depends on task ordering."""
+    # regex literals go through the function API, never F.expr — SQL
+    # string literals eat backslashes (\b becomes backspace)
+    blocks = F.regexp_extract_all(
+        F.regexp_replace(F.col(html_col), _SCRIPT_RE, " "),
+        F.lit(_BLOCK_RE),
+        F.lit(0),
+    )
+    d = df.select(
+        F.col(id_col),
+        F.posexplode_outer(blocks).alias("pos", "block"),
+    )
+    anchor_texts = F.regexp_extract_all(
+        F.col("block"), F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)
+    )
+    scored = d.select(
+        id_col,
+        "pos",
+        _block_text(F.col("block")).alias("txt"),
+        F.aggregate(
+            F.transform(anchor_texts, lambda a: F.length(_block_text(a))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("link_chars"),
+    ).withColumn(
+        "keep",
+        (F.length("txt") > 0)
+        & (
+            F.col("link_chars").cast("double")
+            <= F.lit(float(link_density_max)) * F.length("txt").cast("double")
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "txt")).otherwise(
+                                F.lit(None)
+                            )
+                        )
+                    ),
+                    lambda s: s["txt"],
+                ),
+            ).alias("main_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(~F.col("keep") & F.col("pos").isNotNull(), 1).otherwise(0)
+            ).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Mojibake repair: UTF-8 bytes mis-decoded as Latin-1 is THE dominant
+# encoding damage in web corpora ('café' -> 'cafÃ©'). The inverse is
+# exact: re-encode as Latin-1, re-decode as UTF-8.
+# ---------------------------------------------------------------------
+
+# Every UTF-8 lead byte 0xC2-0xF4 decoded as Latin-1 lands in U+00C2..
+# U+00F4 with a continuation char in [U+0080, U+00BF] right after;
+# correctly-decoded text essentially never puts a C1-control or
+# Latin-1-punctuation char directly after one of those lead chars.
+_MOJIBAKE_RE = "[\u00c2-\u00f4][\u0080-\u00bf]"
+
+
+def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds `repaired` and `was_mojibake` columns.
+
+    Detection is the conservative lead-byte/continuation pattern above:
+    pure ASCII and correctly-decoded text never match (no Latin-1 lead
+    chars), so the repair transform only runs on flagged rows — which
+    also keeps the native decode() off byte sequences that are not
+    valid UTF-8 (ANSI mode raises there; arbitrary-binary corpora
+    should pre-filter with this same detector). All native expressions.
+    """
+    s = F.col(text_col)
+    flagged = s.rlike(_MOJIBAKE_RE)
+    repaired = F.when(
+        flagged, F.decode(F.encode(s, "ISO-8859-1"), "UTF-8")
+    ).otherwise(s)
+    return df.withColumn("repaired", repaired).withColumn("was_mojibake", flagged)
+
+
+# ---------------------------------------------------------------------
+# URL normalization: the dedup key for crawl frontiers and the join
+# key for page-level metadata. Lowercase scheme/host, strip default
+# ports and fragments, drop tracking parameters, preserve the order of
+# surviving parameters (reordering changes semantics for some sites).
+# ---------------------------------------------------------------------
+
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = ("ref", "fbclid", "gclid", "mc_eid", "igshid")
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds url_norm, domain (registrable 2-label suffix), path_depth.
+
+    parse_url is a native expression (java.net.URI under codegen);
+    the tracking-parameter filter is a higher-order array filter — no
+    UDFs, no shuffle."""
+    u = F.col(url_col)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    # strip only the scheme's DEFAULT port; non-default ports are part
+    # of the identity of the resource
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring(authority, 1, F.length(authority) - 3),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.substring(authority, 1, F.length(authority) - 4),
+    ).otherwise(authority)
+    path = F.parse_url(u, F.lit("PATH"))
+    query = F.parse_url(u, F.lit("QUERY"))
+    def _not_tracking(p):
+        key = F.substring_index(p, "=", 1)
+        is_tracking = key.isin(*_TRACKING_KEYS)
+        for pref in _TRACKING_PREFIXES:
+            is_tracking = is_tracking | key.startswith(pref)
+        return (F.length(p) > 0) & ~is_tracking
+
+    kept = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), _not_tracking)
+    url_norm = F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    labels = F.split(host, r"\.")
+    domain = F.concat_ws(".", F.slice(labels, -2, 2))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
+    return (
+        df.withColumn("url_norm", url_norm)
+        .withColumn("domain", domain)
+        .withColumn("path_depth", depth)
+    )

@@ -9200,4 +9200,222 @@ def sim_batch_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# Web-corpus ingestion family (operators/webcorpus.py): the crawl-to-
+# training-data front end — WARC demux, HTML main-content extraction,
+# mojibake repair, URL normalization. Fixtures are generated
+# deterministically from the documents table so every stage sits under
+# an exact value-hash gate (the mm_* gating pattern).
+# ---------------------------------------------------------------------
+
+
+@register(
+    "web_warc_extract",
+    """
+    SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
+           'response' AS rec_type, CAST(200 AS BIGINT) AS http_status,
+           text AS body, CAST(length(text) AS BIGINT) AS body_len
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'http://example.com/doc/' || doc_id, 'request',
+           CAST(NULL AS BIGINT), '', CAST(0 AS BIGINT)
+    FROM documents
+    """,
+)
+def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion under an exact gate: each document becomes a
+    2-record WARC blob (HTTP request + response, Content-Length-framed
+    bodies per ISO 28500), records are demuxed back by
+    webcorpus.warc_records (mapInPandas, blob-local, no shuffle), and
+    every parsed field — URI, record type, HTTP status, payload,
+    length — must reproduce the oracle's per-document expectation.
+    Truncation tolerance, header parsing, and the binary-safe
+    Content-Length framing are all on the gated path."""
+    import pandas as pd
+
+    from unstract_spark.operators import webcorpus
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mux(batches):
+        for pdf in batches:
+            blobs = [
+                webcorpus.encode_warc(
+                    [
+                        {
+                            "type": "request",
+                            "uri": f"http://example.com/doc/{i}",
+                            "path": f"/doc/{i}",
+                        },
+                        {
+                            "type": "response",
+                            "uri": f"http://example.com/doc/{i}",
+                            "body": t,
+                            "http_status": 200,
+                        },
+                    ]
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    recs = webcorpus.warc_records(blobs, payload_col="content")
+    return recs.select(
+        "doc_id", "url", "rec_type", "http_status", "body", "body_len"
+    )
+
+
+@register(
+    "web_html_main_content",
+    """
+    SELECT doc_id, text AS main_text,
+           CAST((len(string_split(text, ' ')) + 9) // 10 AS BIGINT) AS n_kept,
+           CAST(2 AS BIGINT) AS n_dropped
+    FROM documents
+    """,
+)
+def web_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal under an exact gate. Each document is
+    rendered as a full HTML page — head with <style> and a <script>
+    whose BODY contains decoy '<p>' markup, a link-only <nav>, the
+    text as <p> paragraphs of 10 words inside a container div, a
+    link-only <footer> — entirely with native expressions. The
+    extractor (webcorpus.html_main_content: script/style subtree
+    removal, leaf-block split, link-density scoring, tag strip +
+    entity decode + whitespace collapse, position-ordered reassembly)
+    must return EXACTLY the original text with the nav and footer
+    dropped: n_kept = ceil(words/10) paragraphs, n_dropped = 2
+    boilerplate blocks. The script decoy fails the gate if subtree
+    removal runs after block extraction; a dropped content paragraph
+    or a surviving nav link corrupts main_text char-for-char."""
+    from unstract_spark.operators import webcorpus
+
+    words = F.split(F.col("text"), " ")
+    npar = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), npar - F.lit(1)),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(words, i * F.lit(10) + F.lit(1), F.lit(10)), " "),
+            F.lit("</p>"),
+        ),
+    )
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p{margin:0}</style>'
+            '<script>var decoy="<p>not content</p>";</script></head><body>'
+            '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+            '<div id="main">'
+        ),
+        F.array_join(paras, ""),
+        F.lit(
+            '</div><footer><a href="/tos">terms</a> '
+            '<a href="/legal">privacy</a></footer></body></html>'
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    out = webcorpus.html_main_content(d, html_col="html", id_col="doc_id")
+    return out.select("doc_id", "main_text", "n_kept", "n_dropped")
+
+
+@register(
+    "web_mojibake_repair",
+    """
+    SELECT doc_id,
+           substr(text, 1, 40) || ' café — naïve' AS repaired,
+           doc_id % 2 = 1 AS was_mojibake
+    FROM documents
+    """,
+)
+def web_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair under an exact gate. Every document gets an
+    accented suffix; odd doc_ids are then DAMAGED natively (UTF-8
+    bytes re-read as Latin-1 — the dominant real-world mojibake).
+    webcorpus.repair_mojibake must (a) flag exactly the damaged rows —
+    the detector sees UTF-8 lead+continuation pairs, while the REAL
+    'é'/'ï'/em-dash in the clean rows must NOT trip it — and (b)
+    invert the damage bit-for-bit, so both populations converge to the
+    same oracle string. All native encode/decode expressions."""
+    from unstract_spark.operators import webcorpus
+
+    base = F.concat(F.substring(F.col("text"), 1, 40), F.lit(" café — naïve"))
+    damaged = F.decode(F.encode(base, "UTF-8"), "ISO-8859-1")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, damaged).otherwise(base).alias("text"),
+    )
+    out = webcorpus.repair_mojibake(d, text_col="text")
+    return out.select("doc_id", "repaired", "was_mojibake")
+
+
+@register(
+    "web_url_normalize",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'http://www.example.com/a/b/' || doc_id || '?id=' || doc_id
+             WHEN 1 THEN 'https://blog.example.org/post/' || doc_id || '/?id=' || doc_id
+             ELSE 'http://cdn.example.net:8080/static/' || doc_id
+           END AS url_norm,
+           CASE doc_id % 3
+             WHEN 0 THEN 'example.com'
+             WHEN 1 THEN 'example.org'
+             ELSE 'example.net'
+           END AS domain,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS path_depth
+    FROM documents
+    """,
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization under an exact gate: three
+    URL shapes per doc_id%3 — mixed-case host + default port +
+    tracking params + fragment; https default port with trailing
+    slash; non-default port with no query (must survive UNTOUCHED
+    incl. its :8080). webcorpus.normalize_urls lowercases scheme/host,
+    strips only default ports and fragments, drops utm_*/ref tracking
+    params while preserving surviving-param order, and derives the
+    registrable domain and path depth. parse_url + higher-order
+    filters, no UDFs."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id")
+    url = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/a/b/"),
+                did.cast("string"),
+                F.lit("?utm_source=feed&id="),
+                did.cast("string"),
+                F.lit("&utm_medium=em#top"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("https://Blog.Example.Org:443/post/"),
+                did.cast("string"),
+                F.lit("/?ref=tw&id="),
+                did.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://cdn.example.net:8080/static/"), did.cast("string"))
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    out = webcorpus.normalize_urls(d, url_col="url")
+    return out.select(
+        "doc_id", "url_norm", "domain", F.col("path_depth").cast("long").alias("path_depth")
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
