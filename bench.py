@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     # the dominant regex/explode/link-density pipeline.
     "web_warc_extract",
     "web_html_main_content",
+    # paragraph dedup: the corpus-wide flag-by-frequency window shape
+    # (fixed-width hash shuffle + per-doc reassembly)
+    "dd_paragraph_dedup",
 ]
 
 

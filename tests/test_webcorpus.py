@@ -211,3 +211,99 @@ def test_url_ref_is_param_key_not_substring(spark):
     # 'ref' must match as a whole key: a param NAMED reftarget survives
     r = _norm_one(spark, "http://e.com/p?reftarget=1&ref=2")
     assert r.url_norm == "http://e.com/p?reftarget=1"
+
+
+# -------------------------------------------------------------- robots
+
+
+def test_parse_robots_groups_and_idioms():
+    from unstract_spark.operators.webcorpus import parse_robots
+
+    txt = (
+        "# comment only line\n"
+        "User-agent: GoodBot\n"
+        "User-agent: OtherBot\n"   # two UA lines share the block
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-Agent: *\n"          # case-insensitive field name
+        "Disallow:\n"              # empty Disallow = allow all (no rule)
+        "Crawl-delay: 10\n"        # unknown fields ignored
+    )
+    rules = parse_robots(txt)
+    assert {(r["agent"], r["rule_path"], r["is_allow"]) for r in rules} == {
+        ("goodbot", "/private/", False),
+        ("goodbot", "/private/ok", True),
+        ("otherbot", "/private/", False),
+        ("otherbot", "/private/ok", True),
+    }
+    assert parse_robots("") == []
+    assert parse_robots(None) == []
+
+
+def test_apply_robots_agent_group_shadows_star(spark):
+    from unstract_spark.operators.webcorpus import apply_robots, robots_rules
+
+    # '*' allows everything, the bot-specific group forbids /x/ —
+    # RFC 9309: ONLY the most specific matching group applies
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: mybot\nDisallow: /x/\n\nUser-agent: *\nAllow: /\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "d.com", "/x/1"), (2, "d.com", "/y/2")],
+        "doc_id long, domain string, path string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in apply_robots(urls, robots_rules(robots), agent="MyBot").collect()
+    }
+    assert rows[1].allowed is False and rows[1].rule_len == 3
+    # the '*' group's Allow:/ must NOT leak into the bot's group
+    assert rows[2].allowed is True and rows[2].rule_len == 0
+
+
+def test_apply_robots_allow_wins_equal_length(spark):
+    from unstract_spark.operators.webcorpus import apply_robots, robots_rules
+
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /dir/\nAllow: /dir2\n")],
+        "domain string, robots_txt string",
+    )
+    # craft equal-length competing matches: path under both prefixes
+    # is impossible, so use identical-length rules on one path instead
+    robots2 = spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /p/\nAllow: /p/\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "e.com", "/p/page")], "doc_id long, domain string, path string"
+    )
+    row = apply_robots(urls, robots_rules(robots2), agent="any").collect()[0]
+    assert row.allowed is True and row.rule_len == 3
+
+
+# ---------------------------------------------------- paragraph dedup
+
+
+def test_dedup_paragraphs_min_count_and_metachar_delim(spark):
+    from unstract_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "twice||solo1"), (2, "twice||solo2"), (3, "thrice")],
+        "doc_id long, text string",
+    )
+    # min_count=3: 'twice' (2 occurrences) survives
+    rows = {
+        r.doc_id: r
+        for r in dedup_paragraphs(df, delim="||", min_count=3).collect()
+    }
+    assert rows[1].cleaned_text == "twice||solo1" and rows[1].n_removed == 0
+    assert rows[3].cleaned_text == "thrice"
+    # min_count=2 removes both 'twice' copies, keeps order of the rest
+    rows2 = {
+        r.doc_id: r
+        for r in dedup_paragraphs(df, delim="||", min_count=2).collect()
+    }
+    assert rows2[1].cleaned_text == "solo1" and rows2[1].n_removed == 1
+    assert rows2[2].cleaned_text == "solo2"

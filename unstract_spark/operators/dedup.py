@@ -1011,3 +1011,71 @@ def bloom_membership(
     return hits.groupBy(id_col).agg(
         (F.sum(F.coalesce("present", F.lit(0))) == k).alias("maybe_seen")
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet paragraph-hash step
+    (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): a paragraph occurring >=
+    `min_count` times across the corpus is boilerplate (cookie
+    banners, footers, share widgets survive HTML extraction verbatim
+    on every page of a site); remove EVERY occurrence and reassemble
+    each document from the survivors.
+
+    Complements remove_duplicated_spans: spans catch arbitrary-offset
+    verbatim runs, paragraphs catch structural repetition at its
+    natural boundary and are an order of magnitude cheaper (one
+    explode on the delimiter vs per-character k-grams).
+
+    Plan shape (all native expressions):
+      1. posexplode the delimiter-split paragraphs,
+      2. count() OVER (PARTITION BY xxhash64(paragraph)) — the
+         flag-by-frequency idiom: ONE shuffle, no groupBy+join-back;
+         partitioning by the 64-bit hash keeps shuffle keys fixed
+         width no matter how long paragraphs get (hash collisions
+         would only ever over-remove; at 2^64 the corpus-level risk
+         is negligible and the exactness gate would catch it),
+      3. one groupBy per doc reassembles survivors in position order
+         (conditional aggregate over ALL paragraphs, so a document
+         whose every paragraph is boilerplate still emits its row).
+    Skew note: a mega-duplicated paragraph concentrates its hash
+    partition, but rows there are (id, pos, hash) — fixed width; the
+    count itself is the quantity being computed, so this is the
+    minimal shuffle for exact semantics (approximate variants ride
+    the Bloom/CMS sketches in this module).
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            # \Q...\E: split's pattern arg is a regex — quote the
+            # delimiter so metacharacters split literally
+            F.split(F.col(text_col), "\\Q" + delim + "\\E", -1)
+        ).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.xxhash64("para"))
+    flagged = paras.withColumn(
+        "keep", F.count(F.lit(1)).over(w) < F.lit(min_count)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para")).otherwise(
+                            F.lit(None)
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("cleaned_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+    )

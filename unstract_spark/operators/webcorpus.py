@@ -34,6 +34,9 @@ __all__ = [
     "html_main_content",
     "repair_mojibake",
     "normalize_urls",
+    "parse_robots",
+    "robots_rules",
+    "apply_robots",
 ]
 
 
@@ -355,4 +358,122 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         df.withColumn("url_norm", url_norm)
         .withColumn("domain", domain)
         .withColumn("path_depth", depth)
+    )
+
+
+# ---------------------------------------------------------------------
+# robots.txt (RFC 9309): the crawl-policy gate. Group selection by
+# user-agent (most-specific product token, '*' fallback), then
+# longest-path-match among the group's Allow/Disallow rules; Allow
+# wins ties; no matching rule (or no robots.txt) means allowed.
+# ---------------------------------------------------------------------
+
+
+def parse_robots(robots_txt: str) -> list[dict]:
+    """One robots.txt body -> rule rows
+    {agent, rule_path, is_allow}. Consecutive User-agent lines share
+    the following rule block (RFC 9309 §2.2.1); an empty Disallow
+    value is the 'allow all' idiom and yields no rule."""
+    rules: list[dict] = []
+    agents: list[str] = []
+    block_open = False  # True once rules started for current agents
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if block_open:  # a new group starts
+                agents, block_open = [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            block_open = True
+            if not val:  # empty Disallow/Allow: no rule
+                continue
+            for a in agents or ["*"]:
+                rules.append(
+                    {"agent": a, "rule_path": val, "is_allow": key == "allow"}
+                )
+    return rules
+
+
+def robots_rules(df: DataFrame, domain_col: str = "domain",
+                 robots_col: str = "robots_txt") -> DataFrame:
+    """(domain, robots_txt) -> (domain, agent, rule_path, is_allow).
+    The robots side is one row per DOMAIN — always tiny relative to
+    the URL corpus — so parsing in Python and broadcasting the result
+    is the scale-correct split."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf[domain_col], pdf[robots_col]):
+                for r in parse_robots(txt):
+                    rows.append({"domain": dom, **r})
+            yield pd.DataFrame(
+                rows, columns=["domain", "agent", "rule_path", "is_allow"]
+            )
+
+    return df.mapInPandas(
+        parse, "domain string, agent string, rule_path string, is_allow boolean"
+    )
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Adds (allowed, rule_len) to the urls frame.
+
+    Scale shape: the rule table collapses to ONE row per domain (its
+    rules as an array) and broadcasts; the URL corpus is never
+    shuffled and never grows — the per-URL longest-match is an
+    array_max over the matching rules (struct ordering: length first,
+    then is_allow, so Allow wins length ties per RFC 9309 §2.2.2).
+    Group selection (agent-specific block if one exists, else '*')
+    happens once per domain on the tiny side. No matching rule, or no
+    robots.txt for the domain, means allowed."""
+    a = agent.lower()
+    doms = rules.groupBy("domain").agg(
+        F.max(F.when(F.col("agent") == a, 1).otherwise(0)).alias("has_agent")
+    )
+    per_domain = (
+        rules.join(doms, "domain")
+        .filter(
+            (F.col("agent") == a)
+            | ((F.col("has_agent") == 0) & (F.col("agent") == "*"))
+        )
+        .groupBy("domain")
+        .agg(
+            F.collect_list(F.struct("rule_path", "is_allow")).alias("_rules")
+        )
+        .withColumnRenamed("domain", "_rules_domain")
+    )
+    j = urls.join(
+        F.broadcast(per_domain),
+        urls[domain_col] == per_domain["_rules_domain"],
+        "left",
+    )
+    matched = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: F.col(path_col).startswith(r["rule_path"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["rule_path"]).alias("l"), r["is_allow"].alias("a")
+            ),
+        )
+    )
+    return j.select(
+        *[urls[c] for c in urls.columns],
+        F.coalesce(best["a"], F.lit(True)).alias("allowed"),
+        F.coalesce(best["l"].cast("long"), F.lit(0)).alias("rule_len"),
     )

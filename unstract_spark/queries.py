@@ -9418,4 +9418,134 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "web_robots_filter",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'example.com'
+                           WHEN 1 THEN 'example.org'
+                           ELSE 'example.net' END AS domain,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN '/a/b/' || doc_id
+                WHEN doc_id % 3 = 0                    THEN '/a/x' || doc_id
+                WHEN doc_id % 3 = 1 THEN '/post/' || doc_id || '/'
+                ELSE '/static/' || doc_id END AS path,
+           (doc_id % 3 = 2) OR (doc_id % 3 = 0 AND doc_id % 2 = 0) AS allowed,
+           CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 5
+                     WHEN doc_id % 3 = 0 THEN 3
+                     WHEN doc_id % 3 = 1 THEN 6
+                     ELSE 0 END AS BIGINT) AS rule_len
+    FROM documents
+    """,
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate under an exact oracle (RFC 9309 semantics,
+    prefix-match subset): three domains — one with a longest-match
+    Allow-under-Disallow pair (even doc_ids hit the deeper Allow, odd
+    ones the shallower Disallow), one with an agent-SPECIFIC group
+    that must shadow its permissive '*' group, one with no robots.txt
+    at all (default allow, rule_len 0). webcorpus.parse_robots /
+    robots_rules / apply_robots: the rule table collapses to one
+    array row per domain and broadcasts; the URL side is never
+    shuffled. Wrong group selection, wrong tie-break (Allow must win
+    equal lengths), or off-by-one prefix matching flips `allowed` or
+    `rule_len` for a whole residue class."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id")
+    m = did % 3
+    domain = (
+        F.when(m == 0, F.lit("example.com"))
+        .when(m == 1, F.lit("example.org"))
+        .otherwise(F.lit("example.net"))
+    )
+    path = (
+        F.when(
+            (m == 0) & (did % 2 == 0), F.concat(F.lit("/a/b/"), did.cast("string"))
+        )
+        .when(m == 0, F.concat(F.lit("/a/x"), did.cast("string")))
+        .when(m == 1, F.concat(F.lit("/post/"), did.cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/static/"), did.cast("string")))
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id", domain.alias("domain"), path.alias("path")
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "example.com",
+                "# site policy\nUser-agent: *\nDisallow: /a/\nAllow: /a/b/\n",
+            ),
+            (
+                "example.org",
+                "User-agent: trainingbot\nDisallow: /post/\n\n"
+                "User-agent: *\nDisallow:\n",
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = webcorpus.robots_rules(robots)
+    out = webcorpus.apply_robots(urls, rules, agent="TrainingBot")
+    return out.select("doc_id", "domain", "path", "allowed", "rule_len")
+
+
+@register(
+    "dd_paragraph_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               CASE WHEN (doc_id + u.i) % 5 = 0
+                    THEN 'subscribe to our newsletter for free updates'
+                    ELSE array_to_string(
+                        ws[CAST(u.i * 12 + 1 AS INT):CAST(u.i * 12 + 12 AS INT)],
+                        ' ')
+               END AS para
+        FROM w, unnest(range(0, (len(ws) + 11) // 12)) AS u(i)
+    ),
+    c AS (SELECT *, count(*) OVER (PARTITION BY para) AS cnt FROM p)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN cnt < 2 THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '')
+               AS cleaned_text,
+           CAST(coalesce(sum(CASE WHEN cnt < 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed
+    FROM c GROUP BY doc_id
+    """,
+)
+def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (dedup.dedup_paragraphs — the CCNet
+    paragraph-hash step, Wenzek et al. 2020). Fixture: documents are
+    re-laid-out as 12-word paragraphs, with every (doc_id + index) %
+    5 == 0 slot replaced by a fixed boilerplate sentence — the
+    share-widget/cookie-banner shape that survives HTML extraction on
+    every page. The operator must remove EVERY occurrence of any
+    paragraph appearing >= 2 times corpus-wide (the injected
+    boilerplate AND any naturally colliding 12-word slice — the
+    oracle recomputes the same counts relationally, so organic
+    collisions are covered, not assumed away) and reassemble the
+    survivors in order; all-boilerplate documents must still emit
+    their row with an empty cleaned_text."""
+    from unstract_spark.operators import dedup as dd
+
+    words = F.split(F.col("text"), " ")
+    npar = ((F.size(words) + F.lit(11)) / F.lit(12)).cast("int")
+    boiler = F.lit("subscribe to our newsletter for free updates")
+    paras = F.transform(
+        F.sequence(F.lit(0), npar - F.lit(1)),
+        lambda i: F.when((F.col("doc_id") + i) % 5 == 0, boiler).otherwise(
+            F.array_join(
+                F.slice(words, i * F.lit(12) + F.lit(1), F.lit(12)), " "
+            )
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    out = dd.dedup_paragraphs(d, min_count=2)
+    return out.select("doc_id", "cleaned_text", "n_kept", "n_removed")
+
+
 ENTRY_QUERY = "q1_pricing_summary"
