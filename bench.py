@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     # paragraph dedup: the corpus-wide flag-by-frequency window shape
     # (fixed-width hash shuffle + per-doc reassembly)
     "dd_paragraph_dedup",
+    # the web capstone: WARC mux/demux + HTML extraction feeding the
+    # quality/shard back end in one plan
+    "ex_curation_web",
 ]
 
 

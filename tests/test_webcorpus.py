@@ -307,3 +307,82 @@ def test_dedup_paragraphs_min_count_and_metachar_delim(spark):
     }
     assert rows2[1].cleaned_text == "solo1" and rows2[1].n_removed == 1
     assert rows2[2].cleaned_text == "solo2"
+
+
+# ------------------------------------------------------ streaming twin
+
+
+def test_streaming_crawl_pipeline(spark, tmp_path):
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()
+
+    def page(body_word: str) -> str:
+        return (
+            "<nav><a href='/'>home</a></nav>"
+            f"<p>{body_word} content here</p>"
+            "<footer><a href='/t'>terms</a></footer>"
+        )
+
+    def warc(recs):
+        from unstract_spark.operators.webcorpus import encode_warc
+
+        return encode_warc(
+            [
+                {"type": "response", "uri": uri, "body": page(word)}
+                for uri, word in recs
+            ]
+        )
+
+    # drop 1: A and B (B with tracking params that must normalize away)
+    (src / "drop1.warc").write_bytes(
+        warc(
+            [
+                ("http://site.com/a", "alpha"),
+                ("http://site.com/b?utm_source=x", "beta"),
+            ]
+        )
+    )
+    run = lambda: streaming_crawl_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "frontier"),
+        str(tmp_path / "out"),
+        robots=spark.createDataFrame(
+            [("site.com", "User-agent: *\nDisallow: /private/\n")],
+            "domain string, robots_txt string",
+        ),
+    )
+    run()
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    got = {r.url_norm: r.main_text for r in out1.collect()}
+    assert got == {
+        "http://site.com/a": "alpha content here",
+        "http://site.com/b": "beta content here",
+    }
+
+    # drop 2: B again (already-normalized URL -> frontier drop), a
+    # robots-disallowed URL, and a genuinely new C
+    (src / "drop2.warc").write_bytes(
+        warc(
+            [
+                ("http://site.com/b", "beta-DUP"),
+                ("http://site.com/private/x", "secret"),
+                ("http://site.com/c", "gamma"),
+            ]
+        )
+    )
+    run()
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    got2 = {r.url_norm: r.main_text for r in out2.collect()}
+    assert got2 == {
+        "http://site.com/a": "alpha content here",
+        "http://site.com/b": "beta content here",   # first version kept
+        "http://site.com/c": "gamma content here",  # private/x filtered
+    }
+
+    # idempotent re-fire: nothing new arrived, store unchanged
+    run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3

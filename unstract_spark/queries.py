@@ -9548,4 +9548,145 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cleaned_text", "n_kept", "n_removed")
 
 
+
+@register(
+    "ex_curation_web",
+    r"""
+    WITH feat AS (
+        SELECT doc_id, text AS ct,
+               -0.5 + 0.75 * (CAST(length(text) AS DOUBLE) / 1024.0)
+                    + 1.5 * (CAST(len(list_filter(
+                          string_split_regex(lower(trim(text)), '\s+'),
+                          x -> x <> '')) AS DOUBLE) / 256.0)
+                    - 0.25 * (CAST(length(regexp_replace(text, '[^.!?]', '',
+                                                         'g')) AS DOUBLE)
+                              / 16.0)
+                    - 2.0 * (CAST(length(regexp_replace(text, '[^0-9]', '',
+                                                        'g')) AS DOUBLE)
+                             / CAST(greatest(length(text), 1) AS DOUBLE)) AS z
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(ct) AS BIGINT) AS extracted_len,
+           CAST(len(list_filter(string_split_regex(lower(trim(ct)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-z)), 8) AS p_keep,
+           CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT % 8 AS INT) AS shard
+    FROM feat
+    WHERE 1.0 / (1.0 + exp(-z)) >= 0.5
+    """,
+)
+def ex_curation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation capstone — the round-8 ingestion front end composed
+    with the existing quality/shard back end in ONE plan: each
+    document renders as a boilerplate-wrapped HTML page, muxes into a
+    WARC response record (Content-Length-framed HTTP message), is
+    demuxed back by webcorpus.warc_records (Arrow-batched, blob-local),
+    boilerplate-stripped by webcorpus.html_main_content (link-density
+    drop + entity decode + ordered reassembly), then scored by the
+    fixed-weight logistic quality keep and md5-sharded — the
+    ex_curation_v2 back-end fragments verbatim. The oracle computes
+    quality straight from the original text, so the hash certifies
+    that the WARC mux/demux and HTML extraction recover the corpus
+    byte-for-byte INSIDE the curation chain (a single corrupted char
+    shifts length/token features, flips p_keep, and fails the gate)."""
+    import pandas as pd
+
+    from unstract_spark.operators import webcorpus
+
+    words0 = F.split(F.col("text"), " ")
+    npar = F.ceil(F.size(words0) / F.lit(10)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), npar - F.lit(1)),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(words0, i * F.lit(10) + F.lit(1), F.lit(10)), " "),
+            F.lit("</p>"),
+        ),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p{margin:0}</style>'
+            '<script>var decoy="<p>not content</p>";</script></head><body>'
+            '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+            "<div id=\"main\">"
+        ),
+        F.array_join(paras, ""),
+        F.lit(
+            '</div><footer><a href="/tos">terms</a> '
+            '<a href="/legal">privacy</a></footer></body></html>'
+        ),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", html.alias("page"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mux(batches):
+        for pdf in batches:
+            blobs = [
+                webcorpus.encode_warc(
+                    [
+                        {
+                            "type": "response",
+                            "uri": f"http://example.com/doc/{i}",
+                            "body": page,
+                        }
+                    ]
+                )
+                for i, page in zip(pdf["doc_id"], pdf["page"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    recs = webcorpus.warc_records(blobs, payload_col="content").filter(
+        F.col("rec_type") == "response"
+    )
+    extracted = webcorpus.html_main_content(
+        recs.select("doc_id", F.col("body").alias("html")),
+        html_col="html",
+        id_col="doc_id",
+    ).select("doc_id", F.col("main_text").alias("ct"))
+
+    words = F.filter(F.split(F.lower(F.trim("ct")), r"\s+"), lambda x: x != "")
+    z = (
+        -0.5
+        + 0.75 * (F.length("ct").cast("double") / 1024.0)
+        + 1.5 * (F.size(words).cast("double") / 256.0)
+        - 0.25
+        * (F.length(F.regexp_replace("ct", r"[^.!?]", "")).cast("double") / 16.0)
+        - 2.0
+        * (
+            F.length(F.regexp_replace("ct", r"[^0-9]", "")).cast("double")
+            / F.greatest(F.length("ct"), F.lit(1)).cast("double")
+        )
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    ).cast("int")
+    return (
+        extracted.withColumn("_p", p)
+        .filter(F.col("_p") >= 0.5)
+        .select(
+            "doc_id",
+            F.length("ct").cast("long").alias("extracted_len"),
+            F.size(words).cast("long").alias("n_tokens"),
+            F.round("_p", 8).alias("p_keep"),
+            shard.alias("shard"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"

@@ -1019,3 +1019,108 @@ def streaming_ledger_sink(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_crawl_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    frontier_dir: str,
+    out_dir: str,
+    robots: DataFrame | None = None,
+    agent: str = "trainingbot",
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Incremental crawl ingestion — the streaming twin of the
+    web-corpus family: each AvailableNow fire demuxes newly-arrived
+    WARC files (webcorpus.warc_records), canonicalizes URLs
+    (normalize_urls), drops URLs already in the accumulated FRONTIER
+    store (the crawl's long-horizon dedup key), optionally applies the
+    robots.txt policy gate (apply_robots), extracts main content from
+    the HTML bodies (html_main_content), writes accepted documents,
+    and appends the batch's url keys to the frontier.
+
+    Exactly-once discipline (same as the sibling pipelines): both
+    writes go to batch_id=N partitions with overwrite — an
+    at-least-once replay rewrites its own partition — and the frontier
+    read excludes the current epoch, so a replayed batch never sees
+    its own keys. checkpoint_dir and frontier_dir/out_dir lifetimes
+    are coupled: restarting epochs against a populated store requires
+    a fresh output root (the streaming_queue_consumer contract).
+
+    Scale contract: the frontier read is metadata-pruned parquet +
+    one anti-join on url_norm per fire (never a full-history rescan of
+    document CONTENT); WARC demux is blob-local Arrow batches; robots
+    rules stay one broadcast array row per domain.
+
+    Returns the number of non-empty fired batches.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from unstract_spark.operators import webcorpus
+
+    rules = webcorpus.robots_rules(robots).localCheckpoint(eager=True) if robots is not None else None
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        recs = webcorpus.warc_records(
+            batch.select("path", "content"), payload_col="content"
+        ).filter(F.col("rec_type") == "response")
+        urls = webcorpus.normalize_urls(recs, url_col="url").withColumn(
+            "url_path", F.parse_url(F.col("url"), F.lit("PATH"))
+        )
+        # in-batch dedup first (a crawl drop can repeat a URL), then
+        # frontier anti-join against every PRIOR epoch
+        urls = urls.dropDuplicates(["url_norm"])
+        try:
+            seen = spark.read.parquet(frontier_dir)
+        except AnalysisException as ex:
+            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+                raise
+            seen = None
+        else:
+            seen = seen.filter(F.col("batch_id") != int(epoch)).select("url_norm")
+        if seen is not None:
+            urls = urls.join(seen, "url_norm", "left_anti")
+        if rules is not None:
+            urls = webcorpus.apply_robots(
+                urls, rules, agent=agent, domain_col="domain", path_col="url_path"
+            ).filter(F.col("allowed"))
+        docs = webcorpus.html_main_content(
+            urls.select(F.col("url_norm"), F.col("body").alias("html")),
+            html_col="html",
+            id_col="url_norm",
+        ).join(urls.select("url_norm", "domain"), "url_norm")
+        accepted = docs.select(
+            F.xxhash64("url_norm").alias("doc_key"),
+            "url_norm",
+            "domain",
+            "main_text",
+            "n_kept",
+            "n_dropped",
+        ).localCheckpoint(eager=True)
+        accepted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        accepted.select("url_norm").write.mode("overwrite").parquet(
+            f"{frontier_dir}/batch_id={int(epoch)}"
+        )
+
+    schema = "path string, modificationTime timestamp, length long, content binary"
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
