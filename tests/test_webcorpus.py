@@ -386,3 +386,61 @@ def test_streaming_crawl_pipeline(spark, tmp_path):
     # idempotent re-fire: nothing new arrived, store unchanged
     run()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+# ------------------------------------------------------ sitemap / links
+
+
+def test_parse_sitemap_alignment_with_optional_fields(spark):
+    from unstract_spark.operators.webcorpus import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://e.com/a</loc><lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>http://e.com/b</loc></url>"
+        "<url><loc>http://e.com/c</loc><priority>0.5</priority></url>"
+        "</urlset>"
+    )
+    rows = parse_sitemap(
+        spark.createDataFrame([(1, xml)], "id long, xml string")
+    ).orderBy("pos").collect()
+    assert [(r.loc, r.lastmod, r.priority) for r in rows] == [
+        ("http://e.com/a", "2026-02-01", None),
+        ("http://e.com/b", None, None),
+        ("http://e.com/c", None, 0.5),
+    ]
+
+
+def test_parse_sitemap_empty_and_malformed(spark):
+    from unstract_spark.operators.webcorpus import parse_sitemap
+
+    rows = parse_sitemap(
+        spark.createDataFrame(
+            [(1, "<urlset></urlset>"), (2, "not xml at all")],
+            "id long, xml string",
+        )
+    ).collect()
+    assert rows == []  # no <url> entries -> no rows, no task failure
+
+
+def test_extract_links_resolution_rules(spark):
+    from unstract_spark.operators.webcorpus import extract_links
+
+    html = (
+        '<a href="/rel">r</a>'
+        "<a href='HTTP://Abs.com/x'>abs</a>"
+        '<a href="#frag">f</a>'        # fragment-only: dropped
+        '<a href="//proto.rel/x">p</a>'  # protocol-relative: dropped
+        '<a href="../dot">d</a>'         # dot-relative: dropped
+    )
+    rows = extract_links(
+        spark.createDataFrame(
+            [(1, html, "https://Base.COM:8443/deep/page")],
+            "id long, html string, base_url string",
+        )
+    ).orderBy("link_pos").collect()
+    # non-default port survives resolution (normalize_urls strips later)
+    assert [r.dst_url for r in rows] == [
+        "https://base.com:8443/rel",
+        "HTTP://Abs.com/x",
+    ]

@@ -477,3 +477,87 @@ def apply_robots(
         F.coalesce(best["a"], F.lit(True)).alias("allowed"),
         F.coalesce(best["l"].cast("long"), F.lit(0)).alias("rule_len"),
     )
+
+
+# ---------------------------------------------------------------------
+# Sitemaps + link extraction: the discovery side of the crawl —
+# sitemap.xml enumerates a site's canonical URLs, anchor hrefs build
+# the link graph that seeds frontier expansion and PageRank-style
+# quality priors.
+# ---------------------------------------------------------------------
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Explode sitemap XML (sitemaps.org urlset) into one row per
+    <url> entry: (pos, loc, lastmod, priority). All other columns
+    carry through.
+
+    All native: <url> blocks split by regexp_extract_all (keeps
+    per-entry field ALIGNMENT — a flat xpath over the whole document
+    returns parallel arrays that silently misalign when optional
+    fields are absent), then per-block native xpath_string for the
+    fields (JVM-side XML parsing, no Python). Missing optional fields
+    surface as NULL, not empty strings."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<url\b[^>]*>.*?</url>"), F.lit(0)
+    )
+    carry = [c for c in df.columns if c != xml_col]
+    d = df.select(*carry, F.posexplode(blocks).alias("pos", "_entry"))
+    return d.select(
+        *carry,
+        "pos",
+        F.nullif(F.xpath_string("_entry", F.lit("/url/loc")), F.lit("")).alias(
+            "loc"
+        ),
+        F.nullif(
+            F.xpath_string("_entry", F.lit("/url/lastmod")), F.lit("")
+        ).alias("lastmod"),
+        F.nullif(
+            F.xpath_string("_entry", F.lit("/url/priority")), F.lit("")
+        )
+        .cast("double")
+        .alias("priority"),
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str = "base_url",
+) -> DataFrame:
+    """Explode every anchor href into a resolved absolute URL:
+    (link_pos, dst_url), other columns carried through.
+
+    Resolution covers the two dominant shapes: absolute links pass
+    through, root-relative ('/path') links join the base URL's
+    scheme://host. Protocol-relative, fragment-only, and
+    dot-segment-relative hrefs are dropped (NULL) rather than
+    mis-resolved — the conservative choice for a crawl frontier.
+    Native regexp + parse_url throughout."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"'#][^"']*)["']"""),
+        F.lit(1),
+    )
+    # AUTHORITY, not HOST: a non-default port is part of the resolved
+    # origin; default-port stripping is normalize_urls' job downstream
+    base = F.concat(
+        F.lower(F.parse_url(F.col(base_url_col), F.lit("PROTOCOL"))),
+        F.lit("://"),
+        F.lower(F.parse_url(F.col(base_url_col), F.lit("AUTHORITY"))),
+    )
+    carry = [c for c in df.columns if c != html_col]
+    d = df.select(
+        *carry, base.alias("_base"), F.posexplode(hrefs).alias("link_pos", "_href")
+    )
+    dst = (
+        F.when(F.col("_href").rlike("(?i)^https?://"), F.col("_href"))
+        .when(
+            F.col("_href").startswith("/") & ~F.col("_href").startswith("//"),
+            F.concat(F.col("_base"), F.col("_href")),
+        )
+        .otherwise(F.lit(None))
+    )
+    return d.select(*carry, "link_pos", dst.alias("dst_url")).filter(
+        F.col("dst_url").isNotNull()
+    )

@@ -9689,4 +9689,127 @@ def ex_curation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "web_sitemap_extract",
+    """
+    SELECT doc_id, CAST(u.i AS INT) AS pos,
+           'http://example.com/doc/' || doc_id || '/p' || u.i AS loc,
+           CASE WHEN u.i = 0
+                THEN '2026-01-0' || (doc_id % 9 + 1) END AS lastmod,
+           CASE WHEN u.i = 1
+                THEN CAST(doc_id % 4 AS DOUBLE) * 0.25 END AS priority
+    FROM documents, unnest(range(0, 3)) AS u(i)
+    """,
+)
+def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion under an exact gate: each document renders a
+    3-entry sitemaps.org urlset where lastmod appears ONLY on entry 0
+    and priority ONLY on entry 1 — the optional-field pattern that
+    silently misaligns a flat whole-document xpath into parallel
+    arrays. webcorpus.parse_sitemap must keep per-entry alignment
+    (block split + per-block native xpath_string) and surface absent
+    optional fields as NULLs; a one-off misalignment shifts lastmod or
+    priority onto the wrong loc for an entire residue class and fails
+    the hash."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id")
+    entry = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.concat(
+            F.lit("<url><loc>http://example.com/doc/"),
+            did.cast("string"),
+            F.lit("/p"),
+            i.cast("string"),
+            F.lit("</loc>"),
+            F.when(
+                i == 0,
+                F.concat(
+                    F.lit("<lastmod>2026-01-0"),
+                    (did % 9 + 1).cast("string"),
+                    F.lit("</lastmod>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i == 1,
+                F.concat(
+                    F.lit("<priority>"),
+                    ((did % 4).cast("double") * 0.25).cast("string"),
+                    F.lit("</priority>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        ),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(entry, ""),
+        F.lit("</urlset>"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", xml.alias("xml"))
+    out = webcorpus.parse_sitemap(d, xml_col="xml")
+    return out.select("doc_id", "pos", "loc", "lastmod", "priority")
+
+
+@register(
+    "web_link_graph",
+    """
+    WITH links AS (
+        SELECT doc_id, 'example.com' AS dst_domain, 3 AS w FROM documents
+        UNION ALL
+        SELECT doc_id, 'partner.org', 1 FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id, dst_domain, CAST(sum(w) AS BIGINT) AS n_links
+    FROM links GROUP BY doc_id, dst_domain
+    """,
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction under an exact gate: each document's page
+    carries three root-relative anchors (must resolve against the
+    page's own origin), every fourth page one absolute cross-site
+    anchor, plus fragment-only / protocol-relative / dot-relative
+    decoys that a frontier must NOT mis-resolve (dropped by
+    webcorpus.extract_links). Edges aggregate per (source doc, dest
+    domain) — wrong resolution moves mass between domains, a leaked
+    decoy changes counts."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>see <a href="/doc/'),
+        (did + 1).cast("string"),
+        F.lit('">next</a> <a href="/doc/'),
+        (did + 2).cast("string"),
+        F.lit('">next2</a> <a href="/about">about</a>'),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(' <a href="http://partner.org/ref/'),
+                did.cast("string"),
+                F.lit('">partner</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(' <a href="#top">top</a> <a href="//cdn.example.com/x">cdn</a>'
+              ' <a href="../up">up</a></p>'),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        html.alias("html"),
+        F.concat(
+            F.lit("http://example.com/doc/"), did.cast("string")
+        ).alias("base_url"),
+    )
+    links = webcorpus.extract_links(d, html_col="html", base_url_col="base_url")
+    dst_domain = F.concat_ws(
+        ".",
+        F.slice(F.split(F.lower(F.parse_url("dst_url", F.lit("HOST"))), r"\."), -2, 2),
+    )
+    return (
+        links.select("doc_id", dst_domain.alias("dst_domain"))
+        .groupBy("doc_id", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
