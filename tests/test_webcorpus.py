@@ -444,3 +444,36 @@ def test_extract_links_resolution_rules(spark):
         "https://base.com:8443/rel",
         "HTTP://Abs.com/x",
     ]
+
+
+# ------------------------------------------------------- property tests
+
+
+def test_warc_framing_round_trips_arbitrary_bodies():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=300), min_size=1, max_size=5
+        )
+    )
+    def prop(bodies):
+        blob = encode_warc(
+            [
+                {"type": "response", "uri": f"http://e.com/{i}", "body": b}
+                for i, b in enumerate(bodies)
+            ]
+        )
+        recs = _parse_warc_blob(blob)
+        assert len(recs) == len(bodies)
+        for i, (rec, b) in enumerate(zip(recs, bodies)):
+            assert rec["url"] == f"http://e.com/{i}"
+            # Content-Length framing must recover each body exactly,
+            # whatever bytes it contains (markers, CRLFs, partial
+            # headers) — compare through the same utf-8/replace lens
+            assert rec["body"] == b.decode("utf-8", "replace")
+            assert rec["http_status"] == 200
+
+    prop()

@@ -9892,4 +9892,129 @@ def ta_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "ex_chat_template",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           '<|system|>' || chr(10) || 'You are a helpful assistant.'
+               || chr(10) || '<|user|>' || chr(10)
+               || array_to_string(ws[1:20], ' ')
+               || chr(10) || '<|assistant|>' || chr(10)
+               || CASE WHEN len(ws) > 20
+                       THEN array_to_string(ws[21:len(ws)], ' ')
+                       ELSE '' END
+               || '<|end|>' AS rendered,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(length('<|system|>' || chr(10)
+               || 'You are a helpful assistant.' || chr(10) || '<|user|>'
+               || chr(10) || array_to_string(ws[1:20], ' ') || chr(10)
+               || '<|assistant|>' || chr(10)
+               || CASE WHEN len(ws) > 20
+                       THEN array_to_string(ws[21:len(ws)], ' ')
+                       ELSE '' END || '<|end|>') AS BIGINT) AS n_chars
+    FROM w
+    """,
+)
+def ex_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering — the SFT-data formatting step: each
+    document becomes one system/user/assistant training example under
+    a fixed special-token template (first 20 words as the user turn,
+    remainder as the assistant turn). Pure native string/array
+    expressions — the rendered text, word count, and rendered length
+    are all value-hash gated, so a single off-by-one in the turn
+    split, a doubled separator, or a missing end token fails the
+    gate. At scale this is a zero-shuffle projection feeding
+    export.pack_sequences."""
+    words = F.split(F.col("text"), " ")
+    user = F.array_join(F.slice(words, 1, 20), " ")
+    asst = F.when(
+        F.size(words) > 20,
+        F.array_join(
+            F.slice(words, 21, F.greatest(F.size(words) - 20, F.lit(1))), " "
+        ),
+    ).otherwise(F.lit(""))
+    rendered = F.concat(
+        F.lit("<|system|>\nYou are a helpful assistant.\n<|user|>\n"),
+        user,
+        F.lit("\n<|assistant|>\n"),
+        asst,
+        F.lit("<|end|>"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            rendered.alias("rendered"),
+            F.size(words).cast("long").alias("n_words"),
+            F.length(rendered).cast("long").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "ex_preference_pairs",
+    """
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id DESC) AS rw,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT b.source, CAST(b.rb AS BIGINT) AS pair_id,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           b.n_chars - w.n_chars AS score_gap
+    FROM r b JOIN r w
+      ON b.source = w.source AND b.rb = w.rw AND b.rb <= b.n // 2
+    """,
+)
+def ex_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF dataset step: within
+    each group (source), pair the k-th BEST document with the k-th
+    WORST (score = n_chars, deterministic doc_id tie-breaks on both
+    ends) for k up to n/2, emitting (chosen, rejected, score_gap).
+    Two partitioned rank windows + a self-join on (group, k) — no
+    global order anywhere; groups are the unit of parallelism. The
+    mirrored tie-break (doc_id ASC from the top, doc_id DESC from the
+    bottom) keeps the two rankings disjoint-by-construction when n is
+    even, and the k <= n/2 bound drops the middle element when odd."""
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    wb = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").desc()
+    )
+    wn = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.select("source", "doc_id", "n_chars", "rb", "n").alias("b")
+    w = r.select("source", "doc_id", "n_chars", "rw").alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.source") == F.col("w.source"))
+            & (F.col("b.rb") == F.col("w.rw")),
+        )
+        .filter(F.col("b.rb") <= F.floor(F.col("b.n") / 2))
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.rb").cast("long").alias("pair_id"),
+            F.col("b.doc_id").alias("chosen_doc"),
+            F.col("w.doc_id").alias("rejected_doc"),
+            (F.col("b.n_chars") - F.col("w.n_chars")).alias("score_gap"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
