@@ -477,3 +477,19 @@ def test_warc_framing_round_trips_arbitrary_bodies():
             assert rec["http_status"] == 200
 
     prop()
+
+
+def test_mojibake_mixed_damage_passes_through_not_crash(spark):
+    # a flagged row whose latin-1 re-encoding is NOT valid UTF-8
+    # (stray 0xA3 from a real pound sign) must pass through unrepaired
+    # — not corrupt, not raise MALFORMED_CHARACTER_CODING
+    df = spark.createDataFrame(
+        [(1, "cafÃ© price £ 5"), (2, "over Ā range Ã©")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in repair_mojibake(df).collect()}
+    assert rows[1].was_mojibake is False
+    assert rows[1].repaired == "cafÃ© price £ 5"
+    # chars above U+00FF are not latin-1-representable: skip repair
+    assert rows[2].was_mojibake is False
+    assert rows[2].repaired == "over Ā range Ã©"

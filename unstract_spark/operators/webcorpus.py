@@ -289,17 +289,26 @@ def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Detection is the conservative lead-byte/continuation pattern above:
     pure ASCII and correctly-decoded text never match (no Latin-1 lead
-    chars), so the repair transform only runs on flagged rows — which
-    also keeps the native decode() off byte sequences that are not
-    valid UTF-8 (ANSI mode raises there; arbitrary-binary corpora
-    should pre-filter with this same detector). All native expressions.
+    chars). Repair additionally requires the row to be FULLY
+    invertible — every char Latin-1-representable (chars above U+00FF
+    would come back as '?') and the re-encoded bytes valid UTF-8
+    (decode raises MALFORMED_CHARACTER_CODING under ANSI otherwise:
+    the mixed-damage row 'cafÃ© price £ 5' carries a stray 0xA3 that
+    is no one's continuation byte). Partially-damaged rows pass
+    through unrepaired with was_mojibake=false — conservative, never
+    corrupting, never failing the task. All native expressions.
     """
     s = F.col(text_col)
-    flagged = s.rlike(_MOJIBAKE_RE)
-    repaired = F.when(
-        flagged, F.decode(F.encode(s, "ISO-8859-1"), "UTF-8")
-    ).otherwise(s)
-    return df.withColumn("repaired", repaired).withColumn("was_mojibake", flagged)
+    latin1 = F.encode(s, "ISO-8859-1")
+    repairable = (
+        s.rlike(_MOJIBAKE_RE)
+        & ~s.rlike("[\u0100-\uffff]")
+        & F.is_valid_utf8(latin1)
+    )
+    repaired = F.when(repairable, F.decode(latin1, "UTF-8")).otherwise(s)
+    return df.withColumn("repaired", repaired).withColumn(
+        "was_mojibake", repairable
+    )
 
 
 # ---------------------------------------------------------------------
