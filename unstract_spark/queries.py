@@ -10017,4 +10017,54 @@ def ex_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "w7_range_frame",
+    """
+    WITH s AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(d AS BIGINT) AS d,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS sum_30d
+    FROM s
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (the surface w4's ROWS frames don't cover):
+    per-customer trailing-30-day order count and revenue at every
+    order. The frame key is the EPOCH-DAY INTEGER (epoch_us // 86400e6
+    on both engines — date_diff/interval frames diverge on boundary
+    conventions, the standing gotcha), and RANGE semantics make
+    same-day ties deterministic WITHOUT a tie-break: every peer row
+    shares the frame, which is exactly why this query cannot be
+    spelled with a ROWS frame. Sum in the decimal domain (DuckDB's
+    segment-tree window never gates cumulative doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    s = o.select("o_custkey", "o_orderkey", d.alias("d"), "o_totalprice")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-29, 0)
+    )
+    return s.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("d").cast("long").alias("d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_30d"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
