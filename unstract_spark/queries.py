@@ -10067,4 +10067,43 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the aggregation variant ROLLUP/CUBE
+    queries don't cover: an arbitrary, non-hierarchical set list) with
+    the grouping_id disambiguator — a stored NULL key and an
+    aggregated-away key are different rows, and only grouping() tells
+    them apart cross-engine. Decimal-domain revenue. Single
+    expand+hash-aggregate, shuffles once on the grouping keys."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
