@@ -493,3 +493,22 @@ def test_mojibake_mixed_damage_passes_through_not_crash(spark):
     # chars above U+00FF are not latin-1-representable: skip repair
     assert rows[2].was_mojibake is False
     assert rows[2].repaired == "over Ā range Ã©"
+
+
+def test_parse_sitemap_index_two_level(spark):
+    from unstract_spark.operators.webcorpus import parse_sitemap_index
+
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://e.com/m1.xml</loc>"
+        "<lastmod>2026-03-01</lastmod></sitemap>"
+        "<sitemap><loc>http://e.com/m2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    rows = parse_sitemap_index(
+        spark.createDataFrame([(1, xml)], "id long, xml string")
+    ).orderBy("pos").collect()
+    assert [(r.child_loc, r.lastmod) for r in rows] == [
+        ("http://e.com/m1.xml", "2026-03-01"),
+        ("http://e.com/m2.xml", None),
+    ]

@@ -570,3 +570,28 @@ def extract_links(
     return d.select(*carry, "link_pos", dst.alias("dst_url")).filter(
         F.col("dst_url").isNotNull()
     )
+
+
+def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Explode a sitemaps.org <sitemapindex> into one row per child
+    sitemap: (pos, child_loc, lastmod). Same block-split +
+    per-block-xpath shape as parse_sitemap (alignment under optional
+    fields); the caller joins child_loc against its sitemap store and
+    runs parse_sitemap on the children — two bounded levels, exactly
+    the protocol's nesting limit (index files may not reference other
+    index files)."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<sitemap\b[^>]*>.*?</sitemap>"), F.lit(0)
+    )
+    carry = [c for c in df.columns if c != xml_col]
+    d = df.select(*carry, F.posexplode(blocks).alias("pos", "_entry"))
+    return d.select(
+        *carry,
+        "pos",
+        F.nullif(
+            F.xpath_string("_entry", F.lit("/sitemap/loc")), F.lit("")
+        ).alias("child_loc"),
+        F.nullif(
+            F.xpath_string("_entry", F.lit("/sitemap/lastmod")), F.lit("")
+        ).alias("lastmod"),
+    )

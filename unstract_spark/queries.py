@@ -10106,4 +10106,172 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "web_wet_wat_extract",
+    """
+    SELECT doc_id,
+           text AS conv_text,
+           CAST(doc_id % 7 AS BIGINT) AS n_links,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END
+                AS BIGINT) AS fetch_status
+    FROM documents
+    """,
+)
+def web_wet_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET/WAT companion-file flavors under one gate: each document's
+    blob carries a WET-style `conversion` record (plain extracted
+    text, NO HTTP wrapper — the parser must not try to split a status
+    line off it) and a WAT-style `metadata` record (a JSON envelope).
+    The demux pivots the two record types back onto one row per doc
+    and reads the envelope fields with native get_json_object. A
+    parser that HTTP-splits conversion bodies, drops non-response
+    records, or misframes the JSON (it contains no CRLFs but the
+    Content-Length path must still frame it) fails the hash."""
+    import pandas as pd
+
+    from unstract_spark.operators import webcorpus
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def mux(batches):
+        for pdf in batches:
+            blobs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                status = 404 if int(i) % 11 == 0 else 200
+                meta = (
+                    '{"envelope": {"n_links": %d, "fetch_status": %d}}'
+                    % (int(i) % 7, status)
+                )
+                blobs.append(
+                    webcorpus.encode_warc(
+                        [
+                            {
+                                "type": "conversion",
+                                "uri": f"http://example.com/doc/{i}",
+                                "body": t,
+                            },
+                            {
+                                "type": "metadata",
+                                "uri": f"http://example.com/doc/{i}",
+                                "body": meta,
+                            },
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    recs = webcorpus.warc_records(blobs, payload_col="content")
+    # single-pass pivot via a doc-partitioned window, NOT an aggregate:
+    # any declarative string agg (max/max_by over body) carries a
+    # non-fixed-width buffer and falls back to SortAggregate (the
+    # dd_keep_longest lesson). Records sort conversion < metadata, so
+    # lead(body) on the conversion row IS the metadata envelope.
+    w = Window.partitionBy("doc_id").orderBy("rec_type")
+    paired = recs.select(
+        "doc_id",
+        "rec_type",
+        "body",
+        F.lead("body").over(w).alias("_meta"),
+    ).filter(F.col("rec_type") == "conversion")
+    return paired.select(
+        "doc_id",
+        F.col("body").alias("conv_text"),
+        F.get_json_object("_meta", "$.envelope.n_links")
+        .cast("long")
+        .alias("n_links"),
+        F.get_json_object("_meta", "$.envelope.fetch_status")
+        .cast("long")
+        .alias("fetch_status"),
+    )
+
+
+@register(
+    "web_sitemap_index",
+    """
+    SELECT doc_id,
+           'http://example.com/maps/' || doc_id || '/' || u.c || '.xml'
+               AS child_loc,
+           CAST(u.c AS INT) AS child_pos,
+           'http://example.com/doc/' || doc_id || '/c' || u.c || '/p' || v.i
+               AS loc
+    FROM documents,
+         unnest(range(0, 2)) AS u(c),
+         unnest(range(0, 2)) AS v(i)
+    """,
+)
+def web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap-index recursion (the protocol's full nesting
+    depth): each site publishes a <sitemapindex> naming two child
+    sitemaps; children live in a separate (loc -> xml) store and each
+    lists two page URLs. parse_sitemap_index explodes the index,
+    joins child_loc against the store, and parse_sitemap explodes the
+    children — index rows that HTTP-404 the join (none here) would
+    drop, and any block-split misalignment at EITHER level shifts
+    URLs across children and fails the hash. The child join
+    broadcasts nothing: both sides are corpus-shaped, the join key is
+    the child URL — at 100 TB this is the standard shuffle join on a
+    uniform synthetic key."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id")
+    index_entry = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda c: F.concat(
+            F.lit("<sitemap><loc>http://example.com/maps/"),
+            did.cast("string"),
+            F.lit("/"),
+            c.cast("string"),
+            F.lit(".xml</loc></sitemap>"),
+        ),
+    )
+    index_xml = F.concat(
+        F.lit("<sitemapindex>"), F.array_join(index_entry, ""), F.lit("</sitemapindex>")
+    )
+    idx = _t(spark, sf_dir, "documents").select("doc_id", index_xml.alias("xml"))
+    children = webcorpus.parse_sitemap_index(idx, xml_col="xml").select(
+        "doc_id", F.col("pos").alias("child_pos"), "child_loc"
+    )
+
+    # the child-sitemap store: (loc, xml), built from the same corpus
+    c = F.col("c")
+    child_rows = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("c")
+    )
+    page_entry = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda i: F.concat(
+            F.lit("<url><loc>http://example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/c"),
+            c.cast("string"),
+            F.lit("/p"),
+            i.cast("string"),
+            F.lit("</loc></url>"),
+        ),
+    )
+    store = child_rows.select(
+        F.concat(
+            F.lit("http://example.com/maps/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            c.cast("string"),
+            F.lit(".xml"),
+        ).alias("child_loc"),
+        F.concat(
+            F.lit("<urlset>"), F.array_join(page_entry, ""), F.lit("</urlset>")
+        ).alias("xml"),
+    )
+    resolved = children.join(store, "child_loc")
+    pages = webcorpus.parse_sitemap(
+        resolved.select("doc_id", "child_pos", "child_loc", "xml"), xml_col="xml"
+    )
+    return pages.select("doc_id", "child_loc", "child_pos", "loc")
+
+
 ENTRY_QUERY = "q1_pricing_summary"
