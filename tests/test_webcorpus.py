@@ -512,3 +512,20 @@ def test_parse_sitemap_index_two_level(spark):
         ("http://e.com/m1.xml", "2026-03-01"),
         ("http://e.com/m2.xml", None),
     ]
+
+
+def test_parse_sitemap_malformed_block_is_row_safe(spark):
+    from unstract_spark.operators.webcorpus import parse_sitemap
+
+    # first <url> block is broken XML (unclosed <loc>) — must yield a
+    # NULL loc, never a task-fatal SAXParseException; second parses,
+    # and entities in the loc decode
+    bad = (
+        "<urlset><url><loc>http://e.com/a</url>"
+        "<url><loc>http://e.com/b?x=1&amp;y=2</loc></url></urlset>"
+    )
+    rows = parse_sitemap(
+        spark.createDataFrame([(1, bad)], "id long, xml string")
+    ).orderBy("pos").collect()
+    assert rows[0].loc is None
+    assert rows[1].loc == "http://e.com/b?x=1&y=2"

@@ -496,17 +496,32 @@ def apply_robots(
 # ---------------------------------------------------------------------
 
 
+
+def _xml_field(entry, tag: str):
+    """First <tag>...</tag> text inside an already-isolated element
+    block: regexp_extract + the standard entity decode, NULL when
+    absent.  Deliberately NOT xpath_string: Spark's xpath_* raise a
+    task-fatal SAXParseException on malformed XML (there is no
+    try_xpath), and a crawl pipeline must survive broken sitemaps —
+    regexp extraction never throws and returns '' -> NULL instead."""
+    txt = F.regexp_extract(entry, r"(?is)<" + tag + r"\b[^>]*>(.*?)</" + tag + ">", 1)
+    for ent, ch in _ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.nullif(F.trim(txt), F.lit(""))
+
+
 def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """Explode sitemap XML (sitemaps.org urlset) into one row per
     <url> entry: (pos, loc, lastmod, priority). All other columns
     carry through.
 
     All native: <url> blocks split by regexp_extract_all (keeps
-    per-entry field ALIGNMENT — a flat xpath over the whole document
+    per-entry field ALIGNMENT — a flat whole-document extraction
     returns parallel arrays that silently misalign when optional
-    fields are absent), then per-block native xpath_string for the
-    fields (JVM-side XML parsing, no Python). Missing optional fields
-    surface as NULL, not empty strings."""
+    fields are absent), then per-block field extraction with entity
+    decode (_xml_field — see its docstring for why NOT xpath_string).
+    Missing optional fields and malformed blocks surface as NULLs,
+    never task failures."""
     blocks = F.regexp_extract_all(
         F.col(xml_col), F.lit(r"(?is)<url\b[^>]*>.*?</url>"), F.lit(0)
     )
@@ -515,17 +530,9 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     return d.select(
         *carry,
         "pos",
-        F.nullif(F.xpath_string("_entry", F.lit("/url/loc")), F.lit("")).alias(
-            "loc"
-        ),
-        F.nullif(
-            F.xpath_string("_entry", F.lit("/url/lastmod")), F.lit("")
-        ).alias("lastmod"),
-        F.nullif(
-            F.xpath_string("_entry", F.lit("/url/priority")), F.lit("")
-        )
-        .cast("double")
-        .alias("priority"),
+        _xml_field(F.col("_entry"), "loc").alias("loc"),
+        _xml_field(F.col("_entry"), "lastmod").alias("lastmod"),
+        _xml_field(F.col("_entry"), "priority").cast("double").alias("priority"),
     )
 
 
@@ -575,8 +582,8 @@ def extract_links(
 def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """Explode a sitemaps.org <sitemapindex> into one row per child
     sitemap: (pos, child_loc, lastmod). Same block-split +
-    per-block-xpath shape as parse_sitemap (alignment under optional
-    fields); the caller joins child_loc against its sitemap store and
+    per-block-field shape as parse_sitemap (alignment under optional
+    fields, malformed blocks -> NULLs not task failures); the caller joins child_loc against its sitemap store and
     runs parse_sitemap on the children — two bounded levels, exactly
     the protocol's nesting limit (index files may not reference other
     index files)."""
@@ -588,10 +595,6 @@ def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     return d.select(
         *carry,
         "pos",
-        F.nullif(
-            F.xpath_string("_entry", F.lit("/sitemap/loc")), F.lit("")
-        ).alias("child_loc"),
-        F.nullif(
-            F.xpath_string("_entry", F.lit("/sitemap/lastmod")), F.lit("")
-        ).alias("lastmod"),
+        _xml_field(F.col("_entry"), "loc").alias("child_loc"),
+        _xml_field(F.col("_entry"), "lastmod").alias("lastmod"),
     )
