@@ -193,3 +193,20 @@ def test_progressive_block_constant_is_bit_exact():
     vals = _rng().integers(0, 256, size=(8, 8), dtype=np.uint8)
     img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img)), img)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    # Splice fill runs before the 2nd SOS and before EOI — both the
+    # main marker walk and the post-scan resync must skip them.
+    img = _rng().integers(0, 256, size=(24, 24), dtype=np.uint8)
+    data = encode_jpeg_progressive(img)
+    second_sos = data.index(b"\xff\xda", data.index(b"\xff\xda") + 2)
+    padded = (
+        data[:second_sos]
+        + b"\xff\xff\xff"
+        + data[second_sos:-2]
+        + b"\xff\xff"
+        + data[-2:]
+    )
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))

@@ -529,3 +529,29 @@ def test_parse_sitemap_malformed_block_is_row_safe(spark):
     ).orderBy("pos").collect()
     assert rows[0].loc is None
     assert rows[1].loc == "http://e.com/b?x=1&y=2"
+
+
+def test_mojibake_emoji_row_does_not_crash(spark):
+    # supplementary-plane chars fall OUTSIDE a BMP-bounded regex class
+    # (Java regex matches code points): the guard must still exclude
+    # them or encode('ISO-8859-1') kills the task
+    s = "cafÃ© \U0001F600"
+    df = spark.createDataFrame([(1, s)], "id long, text string")
+    row = repair_mojibake(df).collect()[0]
+    assert row.was_mojibake is False and row.repaired == s
+
+
+def test_warc_corrupt_content_length_keeps_prefix():
+    good = encode_warc([{"type": "response", "uri": "u1", "body": "keep"}])
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u2\r\n"
+        b"Content-Length: 1e3\r\n\r\nhello"
+    )
+    recs = _parse_warc_blob(good + corrupt)
+    assert [r["body"] for r in recs] == ["keep"]
+
+
+def test_url_single_label_host_domain(spark):
+    r = _norm_one(spark, "http://localhost:8080/x/y")
+    assert r.domain == "localhost"
+    assert r.url_norm == "http://localhost:8080/x/y"

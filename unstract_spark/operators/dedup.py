@@ -422,7 +422,9 @@ def auto_lsh_params(
     n_planes = max(4, math.ceil(math.log2(max(n / target_bucket, 2))))
     p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     p_table = p_plane**n_planes
-    if p_table >= 1.0 or recall >= 1.0:
+    if p_table >= 1.0 or p_table <= 0.0 or recall >= 1.0:
+        # p_table == 0 (threshold <= -1: orthogonal-or-worse target)
+        # would divide by log(1.0) below; no table count helps there
         return n_planes, 1
     n_tables = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_table)))
     return n_planes, min(n_tables, 64)

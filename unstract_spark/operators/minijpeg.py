@@ -233,6 +233,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -558,11 +561,18 @@ def _decode_prog_scan(
                 state["eobrun"] = _ac_refine_block(
                     br, blk, ac_t, ss, se, al, state["eobrun"]
                 )
-    # resync: scan forward to the next non-RST, non-stuffing marker
+    # resync: scan forward to the next non-RST, non-stuffing marker;
+    # 0xFF followed by another 0xFF is a spec-legal FILL byte
+    # (T.81 B.1.1.2) and must be skipped, not treated as the marker
+    # position — breaking on it hands the main loop marker=0xFF and a
+    # garbage segment length parsed from the padding
     p = br.pos
     while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
-            0xD0 <= data[p + 1] <= 0xD7
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and data[p + 1] != 0xFF
+            and not (0xD0 <= data[p + 1] <= 0xD7)
         ):
             break
         p += 1
@@ -727,72 +737,32 @@ def encode_jpeg(
     K Huffman tables throughout (the decoder reads them back from DHT,
     so parity never depends on this choice).
     """
-    q_nat = (
-        np.ones((8, 8), np.int64)
-        if quant is None
-        else np.asarray(quant, np.int64).reshape(8, 8)
+    # the whole quantization front half (validation, color transform,
+    # subsampling, geometry, per-block DCT + rint) is SHARED with the
+    # progressive encoder — one implementation, so the two containers
+    # carry bit-identical coefficients by construction (the
+    # progressive==baseline decode gate depends on it)
+    qb, comp_hv, h_img, w_img, q_zz, mcus_x, mcus_y = _quantize_components(
+        pixels, quant, subsample
     )
-    if np.any(q_nat < 1) or np.any(q_nat > 255):
-        raise ValueError("quant values must be in [1, 255] (8-bit DQT)")
-    q_zz = q_nat.reshape(-1)[_ZIGZAG]
-    gray = pixels.ndim == 2
-    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
-        raise ValueError("encode_jpeg expects (H, W) or (H, W, 3) uint8")
-    h_img, w_img = pixels.shape[0], pixels.shape[1]
-    sh, sv = (1, 1) if gray else subsample
-    if sh not in (1, 2) or sv not in (1, 2):
-        raise ValueError("subsample factors must be 1 or 2")
-
-    if gray:
-        comp_px = [pixels.astype(np.float64)]
-        comp_hv = [(1, 1)]
-    else:
-        p = pixels.astype(np.float64)
-        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if sh > 1 or sv > 1:
-            ph = (-h_img) % sv
-            pw = (-w_img) % sh
-            def box(cpl: np.ndarray) -> np.ndarray:
-                cpl = np.pad(cpl, ((0, ph), (0, pw)), mode="edge")
-                hh, ww = cpl.shape
-                return cpl.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
-            cb, cr = box(cb), box(cr)
-        comp_px = [y, cb, cr]
-        comp_hv = [(sh, sv), (1, 1), (1, 1)]
-
-    hmax = max(h for h, _ in comp_hv)
-    vmax = max(v for _, v in comp_hv)
-    mcus_x = -(-w_img // (8 * hmax))
-    mcus_y = -(-h_img // (8 * vmax))
-    blocks = []
-    for cpl, (ch, cv) in zip(comp_px, comp_hv):
-        cpl = _pad_to_multiple(cpl, mcus_y * cv * 8, mcus_x * ch * 8)
-        blocks.append(cpl)
 
     dc_codes = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
     ac_codes = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
     w = _BitWriter()
-    preds = [0] * len(comp_px)
+    preds = [0] * len(qb)
     for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
             w.marker(0xD0 + (m // restart_interval - 1) % 8)
-            preds = [0] * len(comp_px)
+            preds = [0] * len(qb)
         my, mx = divmod(m, mcus_x)
-        for ci, (cpl, (ch, cv)) in enumerate(zip(blocks, comp_hv)):
+        for ci, (ch, cv) in enumerate(comp_hv):
             for b in range(cv * ch):
                 by, bx = divmod(b, ch)
-                y0 = (my * cv + by) * 8
-                x0 = (mx * ch + bx) * 8
-                tile = cpl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                coefs = _A @ tile @ _A.T
-                qz = np.rint(coefs.reshape(-1)[_ZIGZAG] / q_zz).astype(np.int64)
+                qz = qb[ci][my * cv + by, mx * ch + bx]
                 preds[ci] = _encode_block(w, qz, preds[ci], dc_codes, ac_codes)
     w.flush()
 
-    ncomp = len(comp_px)
+    ncomp = len(qb)
     sof_body = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
     sof_body += bytes([ncomp])
     for ci, (ch, cv) in enumerate(comp_hv):

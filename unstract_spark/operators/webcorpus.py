@@ -37,6 +37,10 @@ __all__ = [
     "parse_robots",
     "robots_rules",
     "apply_robots",
+    "registrable_domain",
+    "parse_sitemap",
+    "parse_sitemap_index",
+    "extract_links",
 ]
 
 
@@ -102,7 +106,10 @@ def _parse_warc_blob(blob: bytes) -> list[dict]:
         for line in blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get("content-length", "0"))
+        clen_s = headers.get("content-length", "0")
+        if not clen_s.isdigit():
+            break  # corrupted length header: keep the parseable prefix
+        clen = int(clen_s)
         body = blob[hdr_end + 4 : hdr_end + 4 + clen]
         rtype = headers.get("warc-type", "")
         status = None
@@ -302,7 +309,11 @@ def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
     latin1 = F.encode(s, "ISO-8859-1")
     repairable = (
         s.rlike(_MOJIBAKE_RE)
-        & ~s.rlike("[\u0100-\uffff]")
+        # negated class, not [\u0100-\uffff]: Java regex matches CODE
+        # POINTS, so supplementary-plane chars (emoji) fall outside a
+        # BMP-bounded class and would slip through to a task-fatal
+        # encode — "contains any char outside Latin-1" catches them
+        & ~s.rlike("[^\u0000-\u00ff]")
         & F.is_valid_utf8(latin1)
     )
     repaired = F.when(repairable, F.decode(latin1, "UTF-8")).otherwise(s)
@@ -320,6 +331,19 @@ def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_KEYS = ("ref", "fbclid", "gclid", "mc_eid", "igshid")
+
+
+def registrable_domain(host) -> Column:
+    """Last two labels of a hostname ('blog.example.org' ->
+    'example.org'); single-label hosts (localhost, intranet names)
+    return themselves — F.slice(labels, -2, 2) alone yields an EMPTY
+    array there, which silently merged every bare host into one ''
+    group and made per-host robots rules unmatchable."""
+    host = F.lower(F.col(host) if isinstance(host, str) else host)
+    labels = F.split(host, r"\.")
+    return F.when(F.size(labels) >= 2, F.concat_ws(".", F.slice(labels, -2, 2))).otherwise(
+        host
+    )
 
 
 def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -360,8 +384,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.lit("")
         ),
     )
-    labels = F.split(host, r"\.")
-    domain = F.concat_ws(".", F.slice(labels, -2, 2))
+    domain = registrable_domain(host)
     depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
     return (
         df.withColumn("url_norm", url_norm)

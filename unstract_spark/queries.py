@@ -9801,9 +9801,8 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("base_url"),
     )
     links = webcorpus.extract_links(d, html_col="html", base_url_col="base_url")
-    dst_domain = F.concat_ws(
-        ".",
-        F.slice(F.split(F.lower(F.parse_url("dst_url", F.lit("HOST"))), r"\."), -2, 2),
+    dst_domain = webcorpus.registrable_domain(
+        F.parse_url("dst_url", F.lit("HOST"))
     )
     return (
         links.select("doc_id", dst_domain.alias("dst_domain"))
