@@ -555,3 +555,94 @@ def test_url_single_label_host_domain(spark):
     r = _norm_one(spark, "http://localhost:8080/x/y")
     assert r.domain == "localhost"
     assert r.url_norm == "http://localhost:8080/x/y"
+
+
+# --------------------------------------------- randomized model checks
+
+
+def test_robots_matches_reference_model(spark):
+    """apply_robots vs a brute-force longest-match reference over 120
+    randomized (rules, path) cases batched into ONE Spark call."""
+    import random
+
+    from unstract_spark.operators.webcorpus import apply_robots, robots_rules
+
+    rng = random.Random(20260815)
+    segs = ["a", "b", "c", "d"]
+    domains, urls, expected = [], [], {}
+    for i in range(120):
+        dom = f"d{i}.com"
+        rules = []
+        for _ in range(rng.randint(0, 5)):
+            depth = rng.randint(1, 3)
+            path = "/" + "/".join(rng.choice(segs) for _ in range(depth)) + (
+                "/" if rng.random() < 0.5 else ""
+            )
+            rules.append((path, rng.random() < 0.5))
+        txt = "User-agent: *\n" + "".join(
+            f"{'Allow' if allow else 'Disallow'}: {p}\n" for p, allow in rules
+        )
+        domains.append((dom, txt))
+        path = "/" + "/".join(rng.choice(segs) for _ in range(rng.randint(1, 4)))
+        urls.append((i, dom, path))
+        # reference: longest prefix match, Allow wins equal lengths
+        best = None  # (len, is_allow)
+        for rp, allow in rules:
+            if path.startswith(rp):
+                cand = (len(rp), allow)
+                if best is None or cand > best:
+                    best = cand
+        expected[i] = (best is None or best[1], best[0] if best else 0)
+
+    robots = spark.createDataFrame(domains, "domain string, robots_txt string")
+    u = spark.createDataFrame(urls, "doc_id long, domain string, path string")
+    rows = apply_robots(u, robots_rules(robots), agent="any").collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert (r.allowed, r.rule_len) == expected[r.doc_id], (
+            r.doc_id, r.path, expected[r.doc_id], (r.allowed, r.rule_len)
+        )
+
+
+def test_dedup_paragraphs_identity_when_all_unique(spark):
+    from unstract_spark.operators.dedup import dedup_paragraphs
+
+    docs = [(i, f"unique{i}a\n\nunique{i}b\n\nunique{i}c") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    for i, t in docs:
+        assert rows[i].cleaned_text == t
+        assert rows[i].n_kept == 3 and rows[i].n_removed == 0
+
+
+def test_html_extraction_round_trip_randomized(spark):
+    """100 random word-salad documents through the full fixture page
+    (script decoy, nav, paragraphs, footer): extraction must return
+    the exact original text for every one."""
+    import random
+
+    rng = random.Random(99)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = []
+    for i in range(100):
+        n = rng.randint(1, 37)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    rows = []
+    for i, text in docs:
+        ws = text.split(" ")
+        paras = "".join(
+            "<p>" + " ".join(ws[j : j + 10]) + "</p>" for j in range(0, len(ws), 10)
+        )
+        html = (
+            "<html><head><script>var x='<p>no</p>';</script></head><body>"
+            "<nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
+            f"<div>{paras}</div>"
+            "<footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer>"
+            "</body></html>"
+        )
+        rows.append((i, html))
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_main_content(df).collect()}
+    for i, text in docs:
+        assert got[i].main_text == text, (i, text, got[i].main_text)
+        assert got[i].n_dropped == 2
