@@ -646,3 +646,88 @@ def test_html_extraction_round_trip_randomized(spark):
     for i, text in docs:
         assert got[i].main_text == text, (i, text, got[i].main_text)
         assert got[i].n_dropped == 2
+
+
+def test_streaming_crawl_pipeline_wet_records(spark, tmp_path):
+    from unstract_spark.operators.webcorpus import encode_warc
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()
+    # one drop mixing an HTML response and a WET conversion record
+    (src / "drop.warc").write_bytes(
+        encode_warc(
+            [
+                {
+                    "type": "response",
+                    "uri": "http://s.com/html",
+                    "body": "<p>from html</p><nav><a href='/'>x y</a></nav>",
+                },
+                {
+                    "type": "conversion",
+                    "uri": "http://s.com/wet",
+                    "body": "already extracted text",
+                },
+            ]
+        )
+    )
+    streaming_crawl_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "frontier"),
+        str(tmp_path / "out"),
+    )
+    got = {
+        r.url_norm: (r.main_text, r.n_dropped)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        "http://s.com/html": ("from html", 1),
+        "http://s.com/wet": ("already extracted text", 0),
+    }
+
+
+def test_streaming_paragraph_dedup(spark, tmp_path):
+    from unstract_spark.streaming.incremental import streaming_paragraph_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    run = lambda: streaming_paragraph_dedup(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+    )
+    # fire 1: BOILER repeats in-fire (doc 2 keeps the first arrival,
+    # doc 3's copy drops); unique paragraphs survive
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [2, 3], "text": ["BOILER\n\nalpha", "beta\n\nBOILER"]}),
+        str(src / "f1.parquet"),
+    )
+    run()
+    out = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out[2] == ("BOILER\n\nalpha", 0)  # first arrival kept
+    assert out[3] == ("beta", 1)
+    # fire 2: BOILER now in the store -> drops; new paragraph survives
+    pq.write_table(
+        pa.table({"doc_id": [4], "text": ["BOILER\n\ngamma"]}),
+        str(src / "f2.parquet"),
+    )
+    run()
+    out2 = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out2[4] == ("gamma", 1)
+    assert out2[2] == ("BOILER\n\nalpha", 0)  # fire-1 output untouched
+    # idempotent re-fire: nothing new
+    run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1037,8 +1037,10 @@ def streaming_crawl_pipeline(
     (normalize_urls), drops URLs already in the accumulated FRONTIER
     store (the crawl's long-horizon dedup key), optionally applies the
     robots.txt policy gate (apply_robots), extracts main content from
-    the HTML bodies (html_main_content), writes accepted documents,
-    and appends the batch's url keys to the frontier.
+    the HTML bodies (html_main_content) — WET `conversion` records
+    carry pre-extracted text and bypass the extractor — writes
+    accepted documents, and appends the batch's url keys to the
+    frontier.
 
     Exactly-once discipline (same as the sibling pipelines): both
     writes go to batch_id=N partitions with overwrite — an
@@ -1069,7 +1071,7 @@ def streaming_crawl_pipeline(
         fires += 1
         recs = webcorpus.warc_records(
             batch.select("path", "content"), payload_col="content"
-        ).filter(F.col("rec_type") == "response")
+        ).filter(F.col("rec_type").isin("response", "conversion"))
         urls = webcorpus.normalize_urls(recs, url_col="url").withColumn(
             "url_path", F.parse_url(F.col("url"), F.lit("PATH"))
         )
@@ -1091,11 +1093,24 @@ def streaming_crawl_pipeline(
             urls = webcorpus.apply_robots(
                 urls, rules, agent=agent, domain_col="domain", path_col="url_path"
             ).filter(F.col("allowed"))
+        # WET `conversion` records carry ALREADY-EXTRACTED plain text:
+        # they bypass the HTML extractor (n_kept/n_dropped are not
+        # meaningful there -> 1/0 by convention)
+        html_rows = urls.filter(F.col("rec_type") == "response")
+        wet_rows = urls.filter(F.col("rec_type") == "conversion")
         docs = webcorpus.html_main_content(
-            urls.select(F.col("url_norm"), F.col("body").alias("html")),
+            html_rows.select(F.col("url_norm"), F.col("body").alias("html")),
             html_col="html",
             id_col="url_norm",
-        ).join(urls.select("url_norm", "domain"), "url_norm")
+        ).join(html_rows.select("url_norm", "domain"), "url_norm").unionByName(
+            wet_rows.select(
+                "url_norm",
+                F.col("body").alias("main_text"),
+                F.lit(1).cast("long").alias("n_kept"),
+                F.lit(0).cast("long").alias("n_dropped"),
+                "domain",
+            )
+        )
         accepted = docs.select(
             F.xxhash64("url_norm").alias("doc_key"),
             "url_norm",
@@ -1115,6 +1130,116 @@ def streaming_crawl_pipeline(
         .schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def streaming_paragraph_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    delim: str = "\n\n",
+    max_files_per_trigger: int = 100,
+) -> int:
+    """Incremental paragraph-level dedup — the streaming twin of
+    dedup.dedup_paragraphs and the shape of Dolma's incremental
+    paragraph dedup: each AvailableNow fire splits newly-arrived
+    documents into paragraphs, drops every paragraph whose hash is
+    already in the accumulated store OR repeats within the fire,
+    reassembles the survivors in order, and appends the fire's new
+    paragraph hashes.
+
+    Semantics note vs the batch operator: the batch pass removes ALL
+    copies of a >= min_count paragraph (it sees the whole corpus at
+    once); the incremental pass necessarily keeps the FIRST arrival
+    (it was unique when it arrived) and drops repeats from then on —
+    the standard batch-vs-streaming dedup asymmetry, same as
+    content_dedup_stream vs the history ledger.
+
+    Scale contract: the store holds one fixed-width xxhash64 row per
+    distinct paragraph ever seen, read metadata-pruned and joined on
+    the hash (never paragraph text); writes follow the exactly-once
+    batch_id-partition discipline (overwrite + exclude-current-epoch).
+
+    Returns the number of non-empty fired batches.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    fires = 0
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        paras = batch.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.col("text"), "\\Q" + delim + "\\E", -1)
+            ).alias("pos", "para"),
+        ).withColumn("phash", F.xxhash64("para"))
+        try:
+            seen = spark.read.parquet(store_dir)
+        except AnalysisException as ex:
+            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+                raise
+            seen = None
+        else:
+            seen = seen.filter(F.col("batch_id") != int(epoch)).select("phash")
+        # first occurrence WITHIN the fire survives; later in-fire
+        # repeats and anything already in the store drop
+        w = Window.partitionBy("phash").orderBy("doc_id", "pos")
+        flagged = paras.withColumn(
+            "keep", F.row_number().over(w) == 1
+        )
+        if seen is not None:
+            flagged = flagged.join(seen, "phash", "left_anti").unionByName(
+                # rows whose hash IS in the store: keep=false, but they
+                # must still flow into the reassembly as dropped rows
+                flagged.join(seen, "phash", "left_semi").withColumn(
+                    "keep", F.lit(False)
+                )
+            )
+        cleaned = flagged.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("pos", "para")
+                            ).otherwise(F.lit(None))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                delim,
+            ).alias("cleaned_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        ).localCheckpoint(eager=True)
+        cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        new_hashes = (
+            flagged.filter(F.col("keep")).select("phash").distinct()
+        )
+        new_hashes.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={int(epoch)}"
+        )
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
     )
     q = (
         stream.writeStream.foreachBatch(process)
