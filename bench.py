@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     # the web capstone: WARC mux/demux + HTML extraction feeding the
     # quality/shard back end in one plan
     "ex_curation_web",
+    # CCNet perplexity terciles: the distributed global-rank shape
+    # (range_prefix: range partition + per-partition rank + broadcast
+    # offsets) — the r7 scale-killer fix's plan, under a bench row
+    "ta_perplexity_buckets",
 ]
 
 
