@@ -1375,8 +1375,15 @@ def opq_train(
     iters: int = 4,
     index_vec: str = "embedding",
     train_rotation: bool = True,
+    R_init: "np.ndarray | None" = None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Fit (R, codebooks) by OPQ-NP alternation (Ge et al. 2013, §4).
+
+    `R_init` seeds the rotation — pass opq_eigen_allocation's OPQ-P
+    permuted-eigenvector frame to start the alternation from the
+    balanced-variance solution instead of identity (the parametric
+    initialization of Ge et al. §3; matters most at few iterations,
+    where NP alternation cannot escape a bad frame).
 
     `train_rotation=False` skips every Procrustes step: the loop
     degenerates to distributed Lloyd iterations in the identity frame
@@ -1423,7 +1430,12 @@ def opq_train(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d = dim // n_sub
-    R = np.eye(dim)
+    if R_init is not None:
+        R = np.asarray(R_init, dtype=np.float64)
+        if R.shape != (dim, dim):
+            raise ValueError(f"R_init must be ({dim}, {dim})")
+    else:
+        R = np.eye(dim)
     cbs = pq_codebooks(dim, n_sub, n_codes)
     vecs = index.select(
         F.col(index_vec).cast("array<double>").alias("v")
@@ -1772,3 +1784,97 @@ def pq_topk_pandas(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def covariance_matrix(
+    index: DataFrame, dim: int, index_vec: str = "embedding"
+) -> np.ndarray:
+    """Exact covariance of the vector column in ONE distributed pass:
+    partials are per-task (sum of outer products, sum, count) flattened
+    to (pos, val) rows and combined by a keyed shuffle — dim^2 + dim +
+    1 doubles per task and on the driver, independent of corpus size
+    (the opq_train sufficient-statistics idiom; at dim 768 that is a
+    ~590k-row partial per task, one shot, still bounded)."""
+    import pandas as pd
+
+    n_xx = dim * dim
+
+    def part(batches):
+        xx = np.zeros((dim, dim))
+        sx = np.zeros(dim)
+        cnt = 0.0
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            xx += X.T @ X
+            sx += X.sum(0)
+            cnt += len(X)
+        if not seen:
+            return
+        vals = np.concatenate([xx.ravel(), sx, [cnt]])
+        yield pd.DataFrame(
+            {"pos": np.arange(len(vals), dtype=np.int64), "val": vals}
+        )
+
+    agg = (
+        index.select(F.col(index_vec).cast("array<double>").alias("v"))
+        .mapInPandas(part, "pos long, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    flat = np.zeros(n_xx + dim + 1)
+    for r in agg:
+        flat[r.pos] = r.v
+    n = max(flat[-1], 1.0)
+    mean = flat[n_xx : n_xx + dim] / n
+    return flat[:n_xx].reshape(dim, dim) / n - np.outer(mean, mean)
+
+
+def opq_eigen_allocation(cov: np.ndarray, n_sub: int) -> np.ndarray:
+    """OPQ-P dimension allocation (Ge et al. 2013, §3): eigendecompose
+    the covariance and bucket eigenvectors into n_sub equal-size
+    groups balancing the PRODUCT of eigenvalues per group (greedy on
+    log-eigenvalues, largest first, into the least-loaded non-full
+    bucket) — each subquantizer then faces comparable variance, which
+    is the independence-balancing condition PQ distortion analysis
+    wants. Returns the (dim, dim) orthogonal rotation whose output
+    dimension blocks are the buckets; feed it to opq_train(R_init=…)
+    or use directly as the parametric rotation. Driver-side O(dim^3)
+    on a dim x dim input — bounded regardless of corpus size."""
+    cov = np.asarray(cov, dtype=np.float64)
+    dim = cov.shape[0]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    cap = dim // n_sub
+    w, V = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    logs = np.log(np.maximum(w, 1e-12))
+    # balanced equal-size partition of the logs = LPT greedy on the
+    # SHIFTED logs (non-negative; equal group sizes make the shift
+    # cancel out of every group-sum comparison). The naive "min
+    # product including empty buckets" greedy degenerates for
+    # sub-unity eigenvalues: empty buckets (product 1) look richest,
+    # so the first bucket hoards the d largest eigenvalues — the
+    # worst possible allocation.
+    shifted = logs - logs.min()
+    order2 = np.argsort(shifted)[::-1]  # largest shifted weight first
+    load = np.zeros(n_sub)
+    fill = np.zeros(n_sub, dtype=int)
+    buckets: list[list[int]] = [[] for _ in range(n_sub)]
+    for i in order2:
+        open_b = [b for b in range(n_sub) if fill[b] < cap]
+        b = min(open_b, key=lambda j: load[j])
+        buckets[b].append(int(i))
+        load[b] += shifted[i]
+        fill[b] += 1
+    # within a bucket keep eigen-rank order (cosmetic, deterministic)
+    perm = [i for b in buckets for i in sorted(b)]
+    # rows of R map input -> rotated frame: R = P V^T with X_rot = X @ R
+    # spelled as column permutation of V so (X @ R)[:, block m] sees
+    # bucket m's eigendirections
+    return V[:, perm]
