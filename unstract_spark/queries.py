@@ -10273,4 +10273,98 @@ def web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("doc_id", "child_loc", "child_pos", "loc")
 
 
+
+@register(
+    "ex_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)})) AS b(band_no, band_key)
+    ),
+    simpairs AS (
+        SELECT p.id_a, p.id_b,
+               (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0) AS est
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id) p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM simpairs WHERE est >= 0.5
+        UNION
+        SELECT id_b, id_a FROM simpairs WHERE est >= 0.5
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10 <= 7 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labels
+    """,
+)
+def ex_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the guard every training
+    pipeline needs and plain per-doc hashing VIOLATES: near-duplicate
+    documents in different splits leak training data into eval. Split
+    assignment keys on the duplicate CLUSTER id (MinHash-LSH pairs ->
+    connected components, the dd_duplicate_clusters machinery), so an
+    entire near-dup cluster lands in one split by construction
+    (md5(cluster_id) % 10: 8/1/1). The oracle recomputes clusters by
+    recursive transitive closure and applies the same hash — a single
+    doc split apart from its cluster fails the value hash."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(d)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sims = dedup.minhash_similarity(sigs, pairs)
+    clusters = dedup.duplicate_clusters(d, sims, threshold=0.5)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        split.alias("split"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
