@@ -10367,4 +10367,113 @@ def ex_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "sim_margin_pairs",
+    """
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id % 2 = 0 AND vec_id < 40),
+    tgt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 1),
+    fwd AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               round(list_dot_product(s.v, t.v)
+                     / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(t.v, x -> x * x)))),
+                     6) AS score
+        FROM src s CROSS JOIN tgt t
+    ),
+    fk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                                        ORDER BY score DESC, tgt_id ASC) AS r
+           FROM fwd),
+    avgx AS (SELECT src_id,
+                    CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / 4
+                        AS avg_x
+             FROM fk WHERE r <= 4 GROUP BY src_id),
+    bk AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                        ORDER BY score DESC, src_id ASC) AS r
+           FROM fwd),
+    avgy AS (SELECT tgt_id,
+                    CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / 4
+                        AS avg_y
+             FROM bk WHERE r <= 4 GROUP BY tgt_id),
+    margins AS (
+        SELECT f.src_id, f.tgt_id, f.score,
+               f.score / ((x.avg_x + y.avg_y) / 2) AS margin
+        FROM fk f JOIN avgx x USING (src_id) JOIN avgy y USING (tgt_id)
+        WHERE f.r <= 4
+    )
+    SELECT src_id, tgt_id, score, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY round(margin, 6) DESC,
+                                              tgt_id ASC) AS mr
+        FROM margins
+    ) WHERE mr = 1
+    """,
+)
+def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER pairing rule): for each source vector, score its
+    forward top-4 cosine neighbors by the RATIO margin
+    score / ((avg_fwd_k + avg_bwd_k) / 2) and keep the best pair —
+    the margin normalizes away hubness (a target close to everything
+    gets a high denominator and stops winning every source).
+
+    Cross-engine float discipline: pair scores are rounded once
+    (the corpus-wide idiom), k-NN averages are decimal-domain sums of
+    those rounded scores over a FIXED k, the margin is ONE double
+    expression over exact inputs (emitted raw — the q2 rule: never
+    round an output double), and the final ranking orders by the
+    ROUNDED margin with a tgt tie-break. Scale: the forward k-NN is
+    the ANN family's job at 100 TB (IVF/LSH swap in); backward
+    averages then price only candidate targets, and the margin join
+    is per-pair arithmetic on k*|src| rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    fwd = similarity.brute_force_topk(src, tgt, k=4).select(
+        F.col("query_id").alias("src_id"),
+        F.col("vec_id").alias("tgt_id"),
+        "score",
+    )
+    # backward ranks need every (src, tgt) score, not just forward
+    # winners: rescore tgt against the src side (src is the small
+    # bounded set, so this is the cheap direction)
+    bwd = similarity.brute_force_topk(
+        tgt.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40)),
+        k=4,
+    ).select(F.col("query_id").alias("tgt_id"), "score")
+    avg_x = fwd.groupBy("src_id").agg(
+        (F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.lit(4)).alias(
+            "avg_x"
+        )
+    )
+    avg_y = bwd.groupBy("tgt_id").agg(
+        (F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.lit(4)).alias(
+            "avg_y"
+        )
+    )
+    m = (
+        fwd.join(avg_x, "src_id")
+        .join(avg_y, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("score") / ((F.col("avg_x") + F.col("avg_y")) / F.lit(2)),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.round("margin", 6).desc(), F.col("tgt_id").asc()
+    )
+    return (
+        m.withColumn("mr", F.row_number().over(w))
+        .filter(F.col("mr") == 1)
+        .select("src_id", "tgt_id", "score", "margin")
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
