@@ -1081,3 +1081,82 @@ def dedup_paragraphs(
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings,
+    compare pairs ONLY within a cluster, and collapse groups whose
+    cosine exceeds the threshold to one keeper — semantic duplicates
+    (same content, different words) that no lexical fingerprint
+    catches.
+
+    Plan shape: one-pass nearest-centroid assignment (the IVF assign
+    expression — fitted centroids via kmeans_refine plug in through
+    `centroids`), within-cell pair generation by a cell equi-join
+    (NEVER corpus all-pairs: the cell bound is the whole point of the
+    method at scale), rounded-cosine edges, then the large-star/
+    small-star connected components already powering lexical
+    clusters. Output: (id, cell, cluster_id, cluster_size,
+    is_keeper) — keeper = min id per semantic group, singletons keep
+    themselves.
+
+    Skew note: a mega-cell degrades toward quadratic pair work — at
+    production scale use MORE centroids (cells ~ sqrt(n) keeps
+    per-cell pairs ~n) or kmeans_refine'd centroids that split dense
+    regions; both ride the same assign expression.
+    """
+    import numpy as np
+
+    from unstract_spark.operators import similarity as sim
+    from unstract_spark.operators.retrieval import cosine
+
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = sim._seeded_hyperplanes(dim, n_centroids, table=991)
+    assigned = sim._argmax_cells(embeddings, id_col, vec_col, 1, cents, None)
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    labeled = (
+        assigned.select(F.col(id_col), "cell")
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    wsize = Window.partitionBy("cluster_id")
+    return labeled.select(
+        id_col,
+        "cell",
+        "cluster_id",
+        F.count(F.lit(1)).over(wsize).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -10476,4 +10476,70 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _semdedup_sql(dim: int = 64, n_centroids: int = 16, thr: str = "0.3") -> str:
+    """SQL twin of dedup.semdedup: seeded-centroid cell assignment
+    (letter-identical to _ivf_topk_sql's), within-cell rounded-cosine
+    edges, recursive transitive closure, min-id keeper."""
+    cents = similarity._seeded_hyperplanes(dim, n_centroids, table=991)
+    structs = ", ".join(
+        f"struct_pack(cell := {c}, score := list_dot_product(v, {_double_array_sql(cents[c])}))"
+        for c in range(n_centroids)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cells AS (SELECT vec_id, unnest([{structs}]) AS u FROM e),
+    rc AS (
+        SELECT vec_id, u.cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY u.score DESC, u.cell ASC) AS rn
+        FROM cells
+    ),
+    ic AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM ic a JOIN ic b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+              >= {thr}
+    ),
+    edges AS (
+        SELECT ia AS a, ib AS b FROM pairs
+        UNION SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM ic
+        UNION
+        SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.dst
+    ),
+    labels AS (SELECT src AS vec_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT l.vec_id, i.cell, l.cluster_id,
+           CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS cluster_size,
+           l.vec_id = l.cluster_id AS is_keeper
+    FROM labels l JOIN ic i USING (vec_id)
+    """
+
+
+@register("dd_semdedup", _semdedup_sql())
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic duplicates collapse to
+    one keeper by clustering embeddings (seeded IVF cells — fitted
+    centroids plug in identically), comparing cosine ONLY within a
+    cell, and labeling the transitive groups with the same
+    large-star/small-star components that power lexical clusters. The
+    cell bound is the scale story: pair work is per-cell quadratic,
+    never corpus quadratic, and more/fitted centroids shrink cells.
+    Oracle recomputes assignment with the letter-identical
+    struct_pack argmax and the closure recursively."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semdedup(e, dim=64, n_centroids=16, threshold=0.3)
+
+
 ENTRY_QUERY = "q1_pricing_summary"
