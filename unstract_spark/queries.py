@@ -10542,4 +10542,129 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semdedup(e, dim=64, n_centroids=16, threshold=0.3)
 
 
+
+def _d4_sql(dim: int = 64, n_centroids: int = 16) -> str:
+    """SQL twin of ex_d4_prune: the semdedup CTE chain, then per-cell
+    prototype ranking of the KEEPERS by rounded dot-to-own-centroid
+    (desc, id tie-break); the closest (n+3)//4 prune as prototypes."""
+    cents = similarity._seeded_hyperplanes(dim, n_centroids, table=991)
+    structs = ", ".join(
+        f"struct_pack(cell := {c}, score := list_dot_product(v, {_double_array_sql(cents[c])}))"
+        for c in range(n_centroids)
+    )
+    cent_case = " ".join(
+        f"WHEN {c} THEN round(list_dot_product(e.v, {_double_array_sql(cents[c])}), 6)"
+        for c in range(n_centroids)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cells AS (SELECT vec_id, unnest([{structs}]) AS u FROM e),
+    rc AS (
+        SELECT vec_id, u.cell AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY u.score DESC, u.cell ASC) AS rn
+        FROM cells
+    ),
+    ic AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM ic a JOIN ic b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.3
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM ic
+        UNION
+        SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.dst
+    ),
+    labels AS (SELECT src AS vec_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+    keepers AS (
+        SELECT l.vec_id, i.cell,
+               CASE i.cell {cent_case} END AS proto_score
+        FROM labels l JOIN ic i USING (vec_id) JOIN e ON e.vec_id = l.vec_id
+        WHERE l.vec_id = l.cluster_id
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY proto_score DESC, vec_id ASC)
+                   AS proto_rank,
+               count(*) OVER (PARTITION BY cell) AS n_cell
+        FROM keepers
+    )
+    SELECT l.vec_id, i.cell,
+           CASE WHEN l.vec_id <> l.cluster_id THEN 'dup'
+                WHEN r.proto_rank <= (r.n_cell + 3) // 4 THEN 'proto'
+                ELSE 'kept' END AS stage,
+           CAST(coalesce(r.proto_rank, 0) AS BIGINT) AS proto_rank
+    FROM labels l JOIN ic i USING (vec_id)
+    LEFT JOIN ranked r ON r.vec_id = l.vec_id
+    """
+
+
+@register("ex_d4_prune", _d4_sql())
+def ex_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    Document De-Duplication and Diversification"): after SemDeDup
+    removes semantic duplicates, prune the most PROTOTYPICAL quarter
+    of each cluster-cell — the points closest to their centroid add
+    the least diversity per token. Stages per vector: 'dup' (removed
+    by SemDeDup), 'proto' (pruned by D4), 'kept'. Proximity =
+    rounded dot to the OWN cell's centroid (deterministic constants),
+    rank with id tie-break, integer (n+3)//4 cut on both engines.
+    Composes dedup.semdedup + the shared IVF assignment — the whole
+    D4 pipeline in one gated plan."""
+    from unstract_spark.operators.retrieval import dot
+
+    cents = similarity._seeded_hyperplanes(64, 16, table=991)
+    e = _t(spark, sf_dir, "embeddings")
+    sd = dedup.semdedup(e, dim=64, n_centroids=16, threshold=0.3)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    withv = sd.join(e.select("vec_id", "embedding"), "vec_id").withColumn(
+        "proto_score",
+        F.round(
+            dot(
+                F.col("embedding").cast("array<double>"),
+                F.element_at(cent_arr, F.col("cell") + 1),
+            ),
+            6,
+        ),
+    )
+    keepers = withv.filter(F.col("is_keeper"))
+    wr = Window.partitionBy("cell").orderBy(
+        F.col("proto_score").desc(), F.col("vec_id").asc()
+    )
+    wn = Window.partitionBy("cell")
+    ranked = keepers.select(
+        "vec_id",
+        F.row_number().over(wr).alias("proto_rank"),
+        F.count(F.lit(1)).over(wn).alias("n_cell"),
+    )
+    out = withv.join(ranked, "vec_id", "left")
+    stage = (
+        F.when(~F.col("is_keeper"), F.lit("dup"))
+        .when(
+            F.col("proto_rank") <= F.floor((F.col("n_cell") + 3) / 4),
+            F.lit("proto"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        stage.alias("stage"),
+        F.coalesce(F.col("proto_rank").cast("long"), F.lit(0)).alias("proto_rank"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
