@@ -10667,4 +10667,144 @@ def ex_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "ex_dsir_select",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(ws[CAST(u.i AS INT)] || ' ' ||
+                                   ws[CAST(u.i + 1 AS INT)]), 1, 8))::BIGINT
+                   % 1024 AS b
+        FROM w, unnest(range(1, len(ws))) AS u(i)
+    ),
+    docb AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    tgt AS (SELECT b, count(*) AS ct FROM bg WHERE source = 'src0'
+            GROUP BY 1),
+    src AS (SELECT b, count(*) AS cs FROM bg GROUP BY 1),
+    tots AS (SELECT (SELECT count(*) FROM bg WHERE source = 'src0') AS nt,
+                    (SELECT count(*) FROM bg) AS ns),
+    model AS (
+        SELECT s.b,
+               ln((coalesce(t.ct, 0) + 1.0) / (tots.nt + 1024.0))
+               - ln((s.cs + 1.0) / (tots.ns + 1024.0)) AS llr
+        FROM src s LEFT JOIN tgt t USING (b) CROSS JOIN tots
+    ),
+    wts AS (
+        SELECT d.doc_id,
+               round(CAST(sum(CAST(d.c * m.llr AS DECIMAL(28,10)))
+                          AS DOUBLE), 6) AS dsir_weight
+        FROM docb d JOIN model m USING (b) GROUP BY 1
+    ),
+    allw AS (
+        SELECT doc.doc_id, coalesce(w.dsir_weight, 0.0) AS dsir_weight
+        FROM documents doc LEFT JOIN wts w USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id, dsir_weight,
+               row_number() OVER (ORDER BY dsir_weight DESC, doc_id ASC)
+                   AS rnk,
+               count(*) OVER () AS n
+        FROM allw
+    )
+    SELECT doc_id, dsir_weight, CAST(rnk AS BIGINT) AS rnk,
+           rnk <= n // 4 AS selected
+    FROM r
+    """,
+)
+def ex_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): rank the corpus by the log importance
+    ratio of a TARGET-domain bag-of-hashed-bigrams model (here the
+    'src0' slice) over the source model, Laplace-smoothed over 1024
+    md5 buckets, and select the top quarter — the cheap lexical proxy
+    that picked pretraining data for LLaMA-class corpora.
+
+    Cross-engine discipline is the unigram-logprob template: one llr
+    double per BUCKET (ln of smoothed count ratios — exact integer
+    inputs), per-doc weights as decimal-domain sums of count*llr
+    terms rounded once; selection by GLOBAL RANK (distributed
+    range_prefix — no partition-less window) on the rounded weight
+    with a doc_id tie-break, integer n//4 cut."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(pairs).alias("pair"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("pair"), 1, 8), 16, 10).cast("long") % 1024,
+    )
+    docb = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        bg.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    src = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tots = bg.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    model = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(1024.0))
+                )
+                - F.log((F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.lit(1024.0)))
+            ).alias("llr"),
+        )
+    )
+    wts = (
+        docb.join(model, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("c") * F.col("llr")).cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dsir_weight")
+        )
+    )
+    allw = (
+        d.select("doc_id")
+        .join(wts, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight")
+        )
+        .withColumn("neg_w", -F.col("dsir_weight"))
+    )
+    ranked = range_prefix(
+        allw.select("neg_w", "doc_id"), ["neg_w", "doc_id"], rank_col="rnk"
+    ).select("doc_id", "rnk")
+    nrow = allw.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        allw.join(ranked, "doc_id")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "dsir_weight",
+            F.col("rnk").cast("long").alias("rnk"),
+            (F.col("rnk") <= F.floor(F.col("n") / 4)).alias("selected"),
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
