@@ -47,6 +47,32 @@ def test_oracle_output_types_have_no_hugeint(sf_dir):
     assert not offenders, offenders
 
 
+def test_dsir_select_survives_short_docs(spark, tmp_path):
+    """ADVICE r8 (medium): sequence(1, size-1) with size==1 yields the
+    descending [1, 0] and element_at(_, 0) threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, task-failing ex_dsir_select on
+    any corpus with a 1-word or empty document. The guarded fan-out
+    must give those docs zero bigrams (weight 0.0), matching the
+    oracle's range(1,1) empty set."""
+    import unstract_spark.queries as q
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma", "en", "src0", 27),
+            (2, "solo", "en", "src1", 4),  # 1 word -> zero bigrams
+            (3, "", "en", "src1", 0),  # empty -> zero bigrams
+            (4, "alpha beta gamma delta", "en", "src1", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in q.ex_dsir_select(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 4
+    assert rows[2].dsir_weight == 0.0
+    assert rows[3].dsir_weight == 0.0
+
+
 def test_every_query_runs_at_smallest_sf(spark, sf_dir):
     failures = []
     for name, fn in entrymod.queries().items():

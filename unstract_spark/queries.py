@@ -10733,10 +10733,17 @@ def ex_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
+    # Guard the fan-out: sequence(1, size-1) with size==1 yields the
+    # DESCENDING [1, 0] in Spark and element_at(_, 0+1=1) is fine but
+    # element_at(_, 0) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a
+    # 1-word (or empty) document must produce ZERO bigrams, matching
+    # the oracle's range(1, 1) = empty-set behavior.
     pairs = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1)))"
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     bg = d.select(
         "doc_id",
