@@ -236,9 +236,81 @@ def test_parse_robots_groups_and_idioms():
         ("goodbot", "/private/ok", True),
         ("otherbot", "/private/", False),
         ("otherbot", "/private/ok", True),
+        # empty Disallow = allow-all SENTINEL (keeps the '*' group
+        # visible for group selection, ranks below every real rule)
+        ("*", "", True),
     }
     assert parse_robots("") == []
     assert parse_robots(None) == []
+
+
+def test_robots_rule_regex_wildcards():
+    """RFC 9309 §2.2.3: '*' matches any char sequence, trailing '$'
+    anchors the path end; regex metachars in literal segments are
+    escaped."""
+    import re
+
+    from unstract_spark.operators.webcorpus import _robots_rule_regex
+
+    rx = _robots_rule_regex("/fish*.php$")
+    assert re.search(rx, "/fish/cod.php")
+    assert re.search(rx, "/fish.php")
+    assert not re.search(rx, "/fish/cod.php?x=1")  # $ anchors the end
+    rx2 = _robots_rule_regex("/a+b")  # '+' is literal, not regex
+    assert re.search(rx2, "/a+b/c")
+    assert not re.search(rx2, "/aab")
+    assert _robots_rule_regex("") == "^"  # sentinel matches all
+
+
+def test_apply_robots_empty_group_exempts_agent(spark):
+    """ADVICE r8: 'User-agent: bot / Disallow:' is the explicit
+    allow-all exemption idiom (RFC 9309 §2.2.1). The empty group must
+    still be SELECTED for that agent — the '*' group's Disallows must
+    not leak onto it."""
+    from unstract_spark.operators.webcorpus import apply_robots, robots_rules
+
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: nicebot\nDisallow:\n\n"
+                   "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "d.com", "/anything")], "doc_id long, domain string, path string"
+    )
+    rules = robots_rules(robots)
+    nice = apply_robots(urls, rules, agent="NiceBot").collect()[0]
+    assert nice.allowed is True and nice.rule_len == 0
+    other = apply_robots(urls, rules, agent="OtherBot").collect()[0]
+    assert other.allowed is False and other.rule_len == 1
+
+
+def test_apply_robots_wildcard_and_anchor(spark):
+    """'*' and '$' rule paths match per RFC 9309 §2.2.3; precedence is
+    still pattern LENGTH with Allow winning ties."""
+    from unstract_spark.operators.webcorpus import apply_robots, robots_rules
+
+    robots = spark.createDataFrame(
+        [("d.com",
+          "User-agent: *\nDisallow: /*.php\nAllow: /static*.php$\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "d.com", "/page.php"),          # Disallow /*.php
+            (2, "d.com", "/static/x.php"),      # Allow (longer, anchored)
+            (3, "d.com", "/static/x.php?q=1"),  # '$' fails -> Disallow
+            (4, "d.com", "/page.html"),         # no match -> allowed
+        ],
+        "doc_id long, domain string, path string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in apply_robots(urls, robots_rules(robots), agent="b").collect()
+    }
+    assert rows[1].allowed is False and rows[1].rule_len == 6
+    assert rows[2].allowed is True and rows[2].rule_len == 13
+    assert rows[3].allowed is False and rows[3].rule_len == 6
+    assert rows[4].allowed is True and rows[4].rule_len == 0
 
 
 def test_apply_robots_agent_group_shadows_star(spark):
@@ -562,8 +634,11 @@ def test_url_single_label_host_domain(spark):
 
 def test_robots_matches_reference_model(spark):
     """apply_robots vs a brute-force longest-match reference over 120
-    randomized (rules, path) cases batched into ONE Spark call."""
+    randomized (rules, path) cases batched into ONE Spark call —
+    including RFC 9309 §2.2.3 wildcard rules ('*' segments, trailing
+    '$') and the empty allow-all idiom."""
     import random
+    import re
 
     from unstract_spark.operators.webcorpus import apply_robots, robots_rules
 
@@ -575,9 +650,14 @@ def test_robots_matches_reference_model(spark):
         rules = []
         for _ in range(rng.randint(0, 5)):
             depth = rng.randint(1, 3)
-            path = "/" + "/".join(rng.choice(segs) for _ in range(depth)) + (
+            parts = [rng.choice(segs + ["*"]) for _ in range(depth)]
+            path = "/" + "/".join(parts) + (
                 "/" if rng.random() < 0.5 else ""
             )
+            if rng.random() < 0.2:
+                path += "$"
+            if rng.random() < 0.1:
+                path = ""  # empty-value allow-all idiom
             rules.append((path, rng.random() < 0.5))
         txt = "User-agent: *\n" + "".join(
             f"{'Allow' if allow else 'Disallow'}: {p}\n" for p, allow in rules
@@ -585,11 +665,17 @@ def test_robots_matches_reference_model(spark):
         domains.append((dom, txt))
         path = "/" + "/".join(rng.choice(segs) for _ in range(rng.randint(1, 4)))
         urls.append((i, dom, path))
-        # reference: longest prefix match, Allow wins equal lengths
+        # reference: longest PATTERN match (RFC wildcards), Allow wins
+        # equal lengths; empty-value rules are zero-length allows
         best = None  # (len, is_allow)
         for rp, allow in rules:
-            if path.startswith(rp):
-                cand = (len(rp), allow)
+            anchored = rp.endswith("$")
+            body = rp[:-1] if anchored else rp
+            rx = ("^"
+                  + ".*".join(re.escape(s) for s in body.split("*"))
+                  + ("$" if anchored else ""))
+            if re.search(rx, path):
+                cand = (len(rp), True if rp == "" else allow)
                 if best is None or cand > best:
                     best = cand
         expected[i] = (best is None or best[1], best[0] if best else 0)

@@ -401,11 +401,36 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def _robots_rule_regex(rule_path: str) -> str:
+    """RFC 9309 §2.2.3 rule-path pattern -> anchored Java-compatible
+    regex: '*' matches any character sequence, a TRAILING '$' anchors
+    the end of the path, everything else is literal (regex-escaped).
+    The empty pattern compiles to '^' (matches every path at length
+    0 — the allow-all sentinel)."""
+    import re as _re
+
+    anchored = rule_path.endswith("$")
+    body = rule_path[:-1] if anchored else rule_path
+    return (
+        "^"
+        + ".*".join(_re.escape(seg) for seg in body.split("*"))
+        + ("$" if anchored else "")
+    )
+
+
 def parse_robots(robots_txt: str) -> list[dict]:
     """One robots.txt body -> rule rows
-    {agent, rule_path, is_allow}. Consecutive User-agent lines share
-    the following rule block (RFC 9309 §2.2.1); an empty Disallow
-    value is the 'allow all' idiom and yields no rule."""
+    {agent, rule_path, is_allow, rule_regex}. Consecutive User-agent
+    lines share the following rule block (RFC 9309 §2.2.1); an empty
+    Disallow/Allow value is the 'allow all' idiom and yields a
+    SENTINEL row (rule_path '', is_allow True, length 0): it never
+    out-ranks a real rule, but it keeps the group VISIBLE so that an
+    agent-specific exemption group ('User-agent: bot / Disallow:')
+    correctly shadows the '*' group's Disallows during group
+    selection in apply_robots. rule_regex carries the §2.2.3
+    wildcard semantics ('*' any-sequence, trailing '$' end-anchor)
+    as a pre-compiled anchored regex so matching stays a native
+    expression on the URL side."""
     rules: list[dict] = []
     agents: list[str] = []
     block_open = False  # True once rules started for current agents
@@ -422,21 +447,27 @@ def parse_robots(robots_txt: str) -> list[dict]:
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
             block_open = True
-            if not val:  # empty Disallow/Allow: no rule
-                continue
+            # empty value = allow-all idiom -> zero-length allow
+            # sentinel (keeps the agent group selectable)
+            is_allow = True if not val else key == "allow"
             for a in agents or ["*"]:
                 rules.append(
-                    {"agent": a, "rule_path": val, "is_allow": key == "allow"}
+                    {
+                        "agent": a,
+                        "rule_path": val,
+                        "is_allow": is_allow,
+                        "rule_regex": _robots_rule_regex(val),
+                    }
                 )
     return rules
 
 
 def robots_rules(df: DataFrame, domain_col: str = "domain",
                  robots_col: str = "robots_txt") -> DataFrame:
-    """(domain, robots_txt) -> (domain, agent, rule_path, is_allow).
-    The robots side is one row per DOMAIN — always tiny relative to
-    the URL corpus — so parsing in Python and broadcasting the result
-    is the scale-correct split."""
+    """(domain, robots_txt) -> (domain, agent, rule_path, is_allow,
+    rule_regex). The robots side is one row per DOMAIN — always tiny
+    relative to the URL corpus — so parsing in Python and
+    broadcasting the result is the scale-correct split."""
     import pandas as pd
 
     def parse(batches):
@@ -446,11 +477,16 @@ def robots_rules(df: DataFrame, domain_col: str = "domain",
                 for r in parse_robots(txt):
                     rows.append({"domain": dom, **r})
             yield pd.DataFrame(
-                rows, columns=["domain", "agent", "rule_path", "is_allow"]
+                rows,
+                columns=[
+                    "domain", "agent", "rule_path", "is_allow", "rule_regex"
+                ],
             )
 
     return df.mapInPandas(
-        parse, "domain string, agent string, rule_path string, is_allow boolean"
+        parse,
+        "domain string, agent string, rule_path string, is_allow boolean,"
+        " rule_regex string",
     )
 
 
@@ -467,13 +503,25 @@ def apply_robots(
     rules as an array) and broadcasts; the URL corpus is never
     shuffled and never grows — the per-URL longest-match is an
     array_max over the matching rules (struct ordering: length first,
-    then is_allow, so Allow wins length ties per RFC 9309 §2.2.2).
-    Group selection (agent-specific block if one exists, else '*')
-    happens once per domain on the tiny side. No matching rule, or no
-    robots.txt for the domain, means allowed."""
+    then is_allow, so Allow wins length ties per RFC 9309 §2.2.2;
+    rule length is the PATTERN length, wildcards counted). Group
+    selection (agent-specific block if one exists — including an
+    empty allow-all group, which parse_robots keeps as a zero-length
+    sentinel — else '*') happens once per domain on the tiny side.
+    Matching follows RFC 9309 §2.2.3 when the rules frame carries the
+    rule_regex column robots_rules emits ('*' any-sequence, trailing
+    '$' end-anchor, via a per-rule regexp_like); a rules frame
+    without that column falls back to the literal-prefix subset. No
+    matching rule, or no robots.txt for the domain, means allowed."""
     a = agent.lower()
+    has_regex = "rule_regex" in rules.columns
     doms = rules.groupBy("domain").agg(
         F.max(F.when(F.col("agent") == a, 1).otherwise(0)).alias("has_agent")
+    )
+    rule_struct = (
+        F.struct("rule_path", "is_allow", "rule_regex")
+        if has_regex
+        else F.struct("rule_path", "is_allow")
     )
     per_domain = (
         rules.join(doms, "domain")
@@ -482,9 +530,7 @@ def apply_robots(
             | ((F.col("has_agent") == 0) & (F.col("agent") == "*"))
         )
         .groupBy("domain")
-        .agg(
-            F.collect_list(F.struct("rule_path", "is_allow")).alias("_rules")
-        )
+        .agg(F.collect_list(rule_struct).alias("_rules"))
         .withColumnRenamed("domain", "_rules_domain")
     )
     j = urls.join(
@@ -492,10 +538,16 @@ def apply_robots(
         urls[domain_col] == per_domain["_rules_domain"],
         "left",
     )
-    matched = F.filter(
-        F.coalesce(F.col("_rules"), F.array()),
-        lambda r: F.col(path_col).startswith(r["rule_path"]),
-    )
+    if has_regex:
+        matched = F.filter(
+            F.coalesce(F.col("_rules"), F.array()),
+            lambda r: F.regexp_like(F.col(path_col), r["rule_regex"]),
+        )
+    else:
+        matched = F.filter(
+            F.coalesce(F.col("_rules"), F.array()),
+            lambda r: F.col(path_col).startswith(r["rule_path"]),
+        )
     best = F.array_max(
         F.transform(
             matched,
