@@ -460,6 +460,52 @@ def test_streaming_crawl_pipeline(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
 
 
+def test_streaming_crawl_fresh_checkpoint_preserves_committed(spark, tmp_path):
+    """ADVICE r8: a FRESH checkpoint_dir pointed at a populated
+    out/frontier root restarts epochs at 0; without the run-base
+    offset the new run's batch_id=0 silently overwrote the first
+    run's committed batch. The new run must append disjoint
+    partitions AND still frontier-dedup against the old run."""
+    from unstract_spark.operators.webcorpus import encode_warc
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()
+
+    def warc(recs):
+        return encode_warc(
+            [
+                {"type": "response", "uri": uri,
+                 "body": f"<p>{w} content here</p>"}
+                for uri, w in recs
+            ]
+        )
+
+    (src / "d1.warc").write_bytes(warc([("http://s.com/a", "alpha")]))
+    streaming_crawl_pipeline(
+        spark, str(src), str(tmp_path / "ckpt1"),
+        str(tmp_path / "frontier"), str(tmp_path / "out"),
+    )
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+    # second RUN: fresh checkpoint, same roots; repeats A, adds B
+    (src / "d2.warc").write_bytes(
+        warc([("http://s.com/a", "alpha-DUP"), ("http://s.com/b", "beta")])
+    )
+    streaming_crawl_pipeline(
+        spark, str(src), str(tmp_path / "ckpt2"),
+        str(tmp_path / "frontier"), str(tmp_path / "out"),
+    )
+    got = {
+        r.url_norm: r.main_text
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        "http://s.com/a": "alpha content here",  # run-1 commit intact
+        "http://s.com/b": "beta content here",
+    }
+
+
 # ------------------------------------------------------ sitemap / links
 
 
@@ -817,3 +863,44 @@ def test_streaming_paragraph_dedup(spark, tmp_path):
     # idempotent re-fire: nothing new
     run()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_streaming_paragraph_dedup_fresh_checkpoint(spark, tmp_path):
+    """ADVICE r8: fresh checkpoint + populated store/out roots must
+    continue (disjoint run-base partitions), not overwrite committed
+    batches — and the store still dedups across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unstract_spark.streaming.incremental import streaming_paragraph_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["BOILER\n\nalpha"]}),
+        str(src / "f1.parquet"),
+    )
+    streaming_paragraph_dedup(
+        spark, str(src), str(tmp_path / "ckpt1"),
+        str(tmp_path / "store"), str(tmp_path / "out"),
+    )
+    # second run, FRESH checkpoint: re-reads f1 (store-hash dropped,
+    # not re-kept) plus a new doc repeating BOILER
+    pq.write_table(
+        pa.table({"doc_id": [2], "text": ["BOILER\n\nbeta"]}),
+        str(src / "f2.parquet"),
+    )
+    streaming_paragraph_dedup(
+        spark, str(src), str(tmp_path / "ckpt2"),
+        str(tmp_path / "store"), str(tmp_path / "out"),
+    )
+    rows = {
+        (r.doc_id, r.batch_id): (r.cleaned_text, r.n_removed)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # run-1 commit (batch_id=0) intact — NOT overwritten by run 2
+    assert rows[(1, 0)] == ("BOILER\n\nalpha", 0)
+    # run 2 landed in a disjoint partition (run base 1): its re-read
+    # of doc 1 is fully store-deduped, doc 2 keeps only 'beta'
+    assert rows[(1, 1)] == ("", 2)
+    assert rows[(2, 1)] == ("beta", 1)

@@ -31,6 +31,37 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _run_base(*roots: str, below: int | None = None) -> int:
+    """Per-run batch_id namespace base: max existing `batch_id=N`
+    partition across the given roots, plus one.
+
+    Epochs restart at 0 whenever a pipeline runs against a fresh
+    checkpoint_dir; un-offset epoch partitions would then OVERWRITE an
+    earlier run's committed batch_id=0..N — acked/committed data loss.
+    Offsetting every partition write by this base makes each run's
+    partitions disjoint from every earlier run's. Within a run the
+    base is computed once, so a foreachBatch replay of the same epoch
+    still overwrites its own partition (the exactly-once half); a
+    crash-restart that shifts the base strands at most one partial
+    partition, which downstream id-dedup folds (the at-least-once
+    half). `below` excludes out-of-band namespaces (e.g. the queue
+    consumer's post-drain SWEEP_BASE partitions)."""
+    import os as _os
+
+    mx = -1
+    for root in roots:
+        try:
+            names = _os.listdir(root)
+        except FileNotFoundError:
+            continue
+        for d in names:
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit():
+                v = int(d.split("=", 1)[1])
+                if below is None or v < below:
+                    mx = max(mx, v)
+    return mx + 1
+
+
 def incremental_file_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -792,20 +823,8 @@ def streaming_queue_consumer(
     # re-claimed into a later partition, and read_consumed_messages'
     # message_id dedup folds the copies (the documented at-least-once
     # half of the contract).
-    import os as _os
-
     _SWEEP_BASE = 1 << 40
-    try:
-        _existing = [
-            int(d.split("=", 1)[1])
-            for d in _os.listdir(out_dir)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        ]
-    except FileNotFoundError:
-        _existing = []
-    run_base = (
-        max([e for e in _existing if e < _SWEEP_BASE], default=-1) + 1
-    )
+    run_base = _run_base(out_dir, below=_SWEEP_BASE)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -1045,10 +1064,12 @@ def streaming_crawl_pipeline(
     Exactly-once discipline (same as the sibling pipelines): both
     writes go to batch_id=N partitions with overwrite — an
     at-least-once replay rewrites its own partition — and the frontier
-    read excludes the current epoch, so a replayed batch never sees
-    its own keys. checkpoint_dir and frontier_dir/out_dir lifetimes
-    are coupled: restarting epochs against a populated store requires
-    a fresh output root (the streaming_queue_consumer contract).
+    read excludes the current epoch's partition, so a replayed batch
+    never sees its own keys. Partition ids are namespaced per run via
+    the max-existing-batch_id+1 base (`_run_base` over BOTH roots), so
+    a fresh checkpoint_dir pointed at a populated frontier/out root
+    continues the crawl instead of silently overwriting committed
+    batches.
 
     Scale contract: the frontier read is metadata-pruned parquet +
     one anti-join on url_norm per fire (never a full-history rescan of
@@ -1063,12 +1084,14 @@ def streaming_crawl_pipeline(
 
     rules = webcorpus.robots_rules(robots).localCheckpoint(eager=True) if robots is not None else None
     fires = 0
+    run_base = _run_base(out_dir, frontier_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
         if batch.isEmpty():
             return
         fires += 1
+        bid = run_base + int(epoch)
         recs = webcorpus.warc_records(
             batch.select("path", "content"), payload_col="content"
         ).filter(F.col("rec_type").isin("response", "conversion"))
@@ -1086,7 +1109,7 @@ def streaming_crawl_pipeline(
                 raise
             seen = None
         else:
-            seen = seen.filter(F.col("batch_id") != int(epoch)).select("url_norm")
+            seen = seen.filter(F.col("batch_id") != bid).select("url_norm")
         if seen is not None:
             urls = urls.join(seen, "url_norm", "left_anti")
         if rules is not None:
@@ -1119,9 +1142,9 @@ def streaming_crawl_pipeline(
             "n_kept",
             "n_dropped",
         ).localCheckpoint(eager=True)
-        accepted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        accepted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
         accepted.select("url_norm").write.mode("overwrite").parquet(
-            f"{frontier_dir}/batch_id={int(epoch)}"
+            f"{frontier_dir}/batch_id={bid}"
         )
 
     schema = "path string, modificationTime timestamp, length long, content binary"
@@ -1168,19 +1191,24 @@ def streaming_paragraph_dedup(
     Scale contract: the store holds one fixed-width xxhash64 row per
     distinct paragraph ever seen, read metadata-pruned and joined on
     the hash (never paragraph text); writes follow the exactly-once
-    batch_id-partition discipline (overwrite + exclude-current-epoch).
+    batch_id-partition discipline (overwrite + exclude-current-epoch),
+    with partition ids namespaced per run (`_run_base` over both
+    roots) so a fresh checkpoint against a populated store continues
+    rather than overwriting committed batches.
 
     Returns the number of non-empty fired batches.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
     fires = 0
+    run_base = _run_base(out_dir, store_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
         if batch.isEmpty():
             return
         fires += 1
+        bid = run_base + int(epoch)
         paras = batch.select(
             "doc_id",
             F.posexplode(
@@ -1195,7 +1223,7 @@ def streaming_paragraph_dedup(
                 raise
             seen = None
         else:
-            seen = seen.filter(F.col("batch_id") != int(epoch)).select("phash")
+            seen = seen.filter(F.col("batch_id") != bid).select("phash")
         # first occurrence WITHIN the fire survives; later in-fire
         # repeats and anything already in the store drop
         w = Window.partitionBy("phash").orderBy("doc_id", "pos")
@@ -1227,12 +1255,12 @@ def streaming_paragraph_dedup(
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
         ).localCheckpoint(eager=True)
-        cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
         new_hashes = (
             flagged.filter(F.col("keep")).select("phash").distinct()
         )
         new_hashes.write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={int(epoch)}"
+            f"{store_dir}/batch_id={bid}"
         )
 
     schema = "doc_id long, text string"
