@@ -166,7 +166,38 @@ BENCH_QUERIES = [
     # (range_prefix: range partition + per-partition rank + broadcast
     # offsets) — the r7 scale-killer fix's plan, under a bench row
     "ta_perplexity_buckets",
+    # dd_embedding_neardup_auto (the corpus-size-aware LSH geometry,
+    # n_planes="auto") is registry-gated but NOT benched: at sf0.1 the
+    # auto parameters buy recall 0.9 with 42 tables (~9 s — the
+    # documented price of high recall at threshold 0.35), which would
+    # drown the suite's signal; its scaling story is measured at the
+    # SCALE.md rungs instead, where the occupancy-constant claim is
+    # the thing under test.
 ]
+
+# Calibration: a fixed, code-independent scan-aggregate whose cost
+# depends only on the host (same parquet bytes, same plan every
+# round). CALIBRATION_REF_SEC pins its median on a quiet host
+# (load avg < 2, r9 measurement at sf0.1); the emitted
+# "calibration_ratio" = measured / ref, so "is this round's BENCH
+# slower because of code or because of co-tenants?" is one division:
+# unchanged queries drifting ~uniformly by the ratio is host noise
+# (the r6/r8 forensic conclusion, now recorded per run).
+CALIBRATION_REF_SEC = 0.55  # quiet-host median (r9, load avg ~1.0, sf0.1)
+
+
+def _calibration(spark, sf_dir: str) -> float:
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    samples = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        df.selectExpr(
+            "sum(l_extendedprice * (1 - l_discount))",
+            "sum(l_quantity)",
+            "count(distinct l_orderkey)",
+        ).collect()
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
 
 
 def _pipeline_e2e(spark, n_docs: int) -> float:
@@ -215,6 +246,10 @@ def main() -> None:
     # must use the measured input.)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    load_start = os.getloadavg()
+    _calibration(spark, sf_dir)  # warm (page cache + codegen)
+    calibration_sec = _calibration(spark, sf_dir)
+
     # Median-of-N: single runs at the sub-second scale bounce inside
     # VM/host noise (r2->r3 showed +-70% swings on unchanged plans);
     # the median of 3 in-session repeats is the stable per-query signal.
@@ -257,19 +292,35 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "operator_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": N_RUNS,
-                "aggregation": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # the pinned reference is sf0.1-specific (the driver's bench SF);
+    # at other SFs the raw calibration_sec still prints but the ratio
+    # would compare different parquet volumes, so it is omitted
+    ratio = (
+        round(calibration_sec / CALIBRATION_REF_SEC, 3)
+        if CALIBRATION_REF_SEC and sf == "0.1"
+        else None
     )
+    out = {
+        "metric": "operator_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": N_RUNS,
+        "aggregation": "median",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-noise instrumentation (r8 verdict #3): the fixed
+        # scan-agg's measured cost vs its quiet-host reference, plus
+        # load averages bracketing the run. value_normalized divides
+        # out uniform host drift; per-query deltas beyond the ratio
+        # are the real signal.
+        "calibration_sec": round(calibration_sec, 3),
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_ratio": ratio,
+        "value_normalized": round(total / ratio, 3) if ratio else None,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

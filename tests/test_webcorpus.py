@@ -736,6 +736,34 @@ def test_robots_matches_reference_model(spark):
         )
 
 
+def test_dedup_paragraphs_hot_min_fuse_matches_window_path(spark):
+    """The skew fuse (hot_min) must be semantics-preserving: same
+    output as the window spelling on a corpus mixing a mega-frequency
+    paragraph (hot path), a count-2 duplicate (cold path), and uniques
+    — including an all-boilerplate doc that must still emit."""
+    from unstract_spark.operators.dedup import dedup_paragraphs
+
+    docs = [(i, "HOT\n\nonly%d" % i) for i in range(30)]
+    docs += [(100, "pair\n\nx"), (101, "pair\n\ny"), (102, "HOT")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        r.doc_id: (r.cleaned_text, r.n_kept, r.n_removed)
+        for r in dedup_paragraphs(df, min_count=2).collect()
+    }
+    fused = {
+        r.doc_id: (r.cleaned_text, r.n_kept, r.n_removed)
+        for r in dedup_paragraphs(df, min_count=2, hot_min=10).collect()
+    }
+    assert fused == base
+    assert fused[102] == ("", 0, 1)  # all-boilerplate doc still emits
+    assert fused[100] == ("x", 1, 1)  # count-2 dup rode the cold join
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_paragraphs(df, min_count=5, hot_min=2)
+
+
 def test_dedup_paragraphs_identity_when_all_unique(spark):
     from unstract_spark.operators.dedup import dedup_paragraphs
 

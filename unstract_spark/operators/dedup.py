@@ -1021,6 +1021,7 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     delim: str = "\n\n",
     min_count: int = 2,
+    hot_min: int | None = None,
 ) -> DataFrame:
     """Paragraph-level exact dedup — the CCNet paragraph-hash step
     (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
@@ -1046,11 +1047,27 @@ def dedup_paragraphs(
       3. one groupBy per doc reassembles survivors in position order
          (conditional aggregate over ALL paragraphs, so a document
          whose every paragraph is boilerplate still emits its row).
-    Skew note: a mega-duplicated paragraph concentrates its hash
-    partition, but rows there are (id, pos, hash) — fixed width; the
-    count itself is the quantity being computed, so this is the
-    minimal shuffle for exact semantics (approximate variants ride
-    the Bloom/CMS sketches in this module).
+    Skew: the window spelling shuffles RAW paragraph rows by their
+    hash, so a mega-frequency boilerplate paragraph (a cookie banner
+    on 1% of a 100 TB crawl) concentrates its entire occurrence set
+    in ONE window task. `hot_min` (must be >= min_count) arms the
+    skew fuse, mirroring the MinHash hot-band guard:
+      1. counts come from groupBy(hash) instead of the window —
+         map-side partial aggregation absorbs the hot key (the
+         reduce side sees at most one partial row per map task, never
+         the occurrence set),
+      2. hashes with count >= hot_min form a BROADCAST hot set (by
+         definition few distinct mega-frequency paragraphs exist —
+         driver state is bounded by corpus diversity, not size); hot
+         rows short-circuit to keep=false through the broadcast
+         anti/semi split and are never shuffled by hash at all,
+      3. only the de-skewed cold remainder joins its counts through
+         the hash shuffle.
+    The fuse is semantics-preserving (hot_min >= min_count implies
+    every hot paragraph is removed by rule anyway), so the same exact
+    oracle gates both paths. Without hot_min the single-shuffle
+    window spelling stays the default — it is ~3x cheaper under
+    moderate skew (the span-removal grams measurement).
     """
     paras = docs.select(
         F.col(id_col),
@@ -1060,10 +1077,34 @@ def dedup_paragraphs(
             F.split(F.col(text_col), "\\Q" + delim + "\\E", -1)
         ).alias("pos", "para"),
     )
-    w = Window.partitionBy(F.xxhash64("para"))
-    flagged = paras.withColumn(
-        "keep", F.count(F.lit(1)).over(w) < F.lit(min_count)
-    )
+    if hot_min is not None:
+        if hot_min < min_count:
+            raise ValueError(
+                "hot_min must be >= min_count (the fuse short-circuits "
+                "hot paragraphs to removed)"
+            )
+        paras = paras.withColumn("_ph", F.xxhash64("para"))
+        counts = paras.groupBy("_ph").agg(F.count(F.lit(1)).alias("_cnt"))
+        hot = counts.filter(F.col("_cnt") >= hot_min).select("_ph")
+        cold = (
+            paras.join(F.broadcast(hot), "_ph", "left_anti")
+            .join(
+                counts.filter(F.col("_cnt") < hot_min),
+                "_ph",
+            )
+            .withColumn("keep", F.col("_cnt") < F.lit(min_count))
+        )
+        hot_rows = paras.join(F.broadcast(hot), "_ph", "left_semi").withColumn(
+            "keep", F.lit(False)
+        )
+        flagged = cold.select(id_col, "pos", "para", "keep").unionByName(
+            hot_rows.select(id_col, "pos", "para", "keep")
+        )
+    else:
+        w = Window.partitionBy(F.xxhash64("para"))
+        flagged = paras.withColumn(
+            "keep", F.count(F.lit(1)).over(w) < F.lit(min_count)
+        )
     return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(

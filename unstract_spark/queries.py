@@ -55,6 +55,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fixture_parquet(spark: SparkSession, sf_dir: str, name: str, build):
+    """Pre-materialized deterministic binary fixture (r8 verdict #4).
+
+    The multimodal/web gates need binary containers (PNG/JPEG/WAV/AVI/
+    WARC) derived from the text tables; encoding them in Python INSIDE
+    the gated plan made BENCH measure the fixture encoder instead of
+    the decode product path under test (mm_jpeg_features 1.66 s -> 4.87 s
+    when progressive-JPEG encode landed). `build()` (the deterministic
+    mapInPandas encoder) runs ONCE per (query, sf dir) into a cached
+    parquet under the system temp dir; every later call reads the
+    parquet. Content is a pure function of the sf tables, so the cache
+    never invalidates within a data generation; concurrent builders
+    write pid-suffixed temps and atomically rename (losers discard).
+    The read is repartitioned so the downstream Python decode stage
+    keeps its cores even when the small cache file reads as one split
+    (the char_shingles local-mode caveat, SCALE.md)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
+    key = f"{name}__{os.path.basename(os.path.normpath(sf_dir))}"
+    path = os.path.join(base, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(base, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the build race — keep the winner's
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _dsum(col, scale: int = 2):
     """Order-independent rounded sum of doubles.
 
@@ -3508,6 +3544,39 @@ def dd_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# The gate-SF embeddings fixture count (500 at BOTH sf0.001 and
+# sf0.01 — the driver's compare SF): auto_lsh_params evaluated here at
+# registration time yields the SAME (planes, tables) the operator's
+# n_planes="auto" path derives from its runtime count() at those SFs,
+# so the oracle's literal hyperplanes reproduce the auto geometry
+# exactly.
+_AUTO_LSH_N = 500
+_AUTO_LSH_PLANES, _AUTO_LSH_TABLES = dedup.auto_lsh_params(_AUTO_LSH_N, 0.35)
+
+
+@register(
+    "dd_embedding_neardup_auto",
+    _emb_lsh_neardup_sql(n_planes=_AUTO_LSH_PLANES, n_tables=_AUTO_LSH_TABLES),
+)
+def dd_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through the corpus-size-aware geometry — the
+    path a 100 TB corpus actually gets (n_planes="auto"): the sf1 rung
+    measured the FROZEN (6, 4) geometry at 16.4x wall-clock for 10x
+    data (bucket occupancy grows linearly, the within-bucket candidate
+    join quadratically — SCALE.md), and auto_lsh_params holds expected
+    occupancy ~constant by growing planes with log2(n) and buying
+    recall back with tables (Charikar sign-LSH collision model). The
+    operator derives (planes, tables) from its runtime corpus count();
+    the oracle runs the identical computation at the fixture count at
+    registration time and pins the resulting seeded hyperplanes as
+    literals — same determinism as the fixed-geometry twin, but this
+    row value-hash-gates the production default end to end (closes the
+    SCALE.md sf1-rung catch)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_lsh(e, threshold=0.35, dim=64, n_planes="auto")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @register("sim_lsh_topk", _lsh_topk_sql())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 scale path: multi-table sign-LSH candidate join + exact
@@ -4948,7 +5017,10 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     content.append(encode_png(px, interlace=True))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_image_features",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     feats = image_features(imgs, payload_col="content", id_col="doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -5082,7 +5154,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    wavs = d.mapInPandas(encode, "doc_id long, content binary")
+    wavs = _fixture_parquet(
+        spark, sf_dir, "mm_audio_features",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     feats = audio_features(wavs, payload_col="content", id_col="doc_id")
     return feats.select("doc_id", "n_samples", "sample_rate", "amp_mean", "amp_std")
 
@@ -5162,7 +5237,10 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_jpeg_features",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     feats = image_features(imgs, payload_col="content", id_col="doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -5247,7 +5325,10 @@ def mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     content.append(encode_gif_frames(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    vids = d.mapInPandas(encode, "doc_id long, content binary")
+    vids = _fixture_parquet(
+        spark, sf_dir, "mm_video_features",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     feats = video_frame_features(vids, payload_col="content", id_col="doc_id", every_n=2)
     return feats.select(
         "doc_id",
@@ -5592,7 +5673,10 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     content.append(encode_gif(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_resize_pixels",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     resized = resize_images(imgs, factor=8, payload_col="content", id_col="doc_id", fake=False)
     return resized.select(
         "doc_id",
@@ -5659,7 +5743,10 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_image_tiles",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     tiles = tile_images(imgs, tile=4, payload_col="content", id_col="doc_id",
                         fake=False)
     return tiles.select(
@@ -5733,7 +5820,10 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_image_dedup",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     # tiles feeds TWO consumers (the per-image total and the bit sum);
     # without a materialization each re-runs the encode+decode Python
     # stages — localCheckpoint, not persist (CacheManager-leak lesson)
@@ -7789,7 +7879,10 @@ def mm_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    imgs = d.mapInPandas(encode, "doc_id long, content binary")
+    imgs = _fixture_parquet(
+        spark, sf_dir, "mm_image_augment",
+        lambda: d.mapInPandas(encode, "doc_id long, content binary"),
+    )
     aug = augment_images(imgs, crop=8, payload_col="content", id_col="doc_id",
                          fake=False)
     return aug.select(
@@ -9264,7 +9357,10 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    blobs = _fixture_parquet(
+        spark, sf_dir, "web_warc_extract",
+        lambda: d.mapInPandas(mux, "doc_id long, content binary"),
+    )
     recs = webcorpus.warc_records(blobs, payload_col="content")
     return recs.select(
         "doc_id", "url", "rec_type", "http_status", "body", "body_len"
@@ -9548,6 +9644,43 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cleaned_text", "n_kept", "n_removed")
 
 
+# Same exact oracle as dd_paragraph_dedup: the hot_min fuse is
+# semantics-preserving (hot_min >= min_count means every hot paragraph
+# is removed by rule anyway), so one relational recompute gates both
+# execution paths.
+@register("dd_paragraph_skew", _REGISTRY["dd_paragraph_dedup"][1])
+def dd_paragraph_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_paragraph_dedup with the skew fuse ARMED (hot_min=50): the
+    injected boilerplate sentence occurs hundreds of times at the gate
+    SFs, crosses the threshold, and takes the broadcast short-circuit —
+    never shuffled by its hash — while organically colliding 12-word
+    slices (counts in the 2-5 range) ride the de-skewed cold join.
+    Gates the 100 TB path for hot-boilerplate corpora: the window
+    spelling concentrates a cookie banner's entire occurrence set in
+    ONE task (documented boundary, SCALE.md), the fuse bounds every
+    task by hot_min. Same fixture, same oracle, same hashes as the
+    window twin — wrong fuse semantics (over/under-removal, dropped
+    all-boilerplate docs) flip the value hash."""
+    from unstract_spark.operators import dedup as dd
+
+    words = F.split(F.col("text"), " ")
+    npar = ((F.size(words) + F.lit(11)) / F.lit(12)).cast("int")
+    boiler = F.lit("subscribe to our newsletter for free updates")
+    paras = F.transform(
+        F.sequence(F.lit(0), npar - F.lit(1)),
+        lambda i: F.when((F.col("doc_id") + i) % 5 == 0, boiler).otherwise(
+            F.array_join(
+                F.slice(words, i * F.lit(12) + F.lit(1), F.lit(12)), " "
+            )
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    out = dd.dedup_paragraphs(d, min_count=2, hot_min=50)
+    return out.select("doc_id", "cleaned_text", "n_kept", "n_removed")
+
+
 
 @register(
     "ex_curation_web",
@@ -9640,7 +9773,10 @@ def ex_curation_web(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    blobs = _fixture_parquet(
+        spark, sf_dir, "ex_curation_web",
+        lambda: d.mapInPandas(mux, "doc_id long, content binary"),
+    )
     recs = webcorpus.warc_records(blobs, payload_col="content").filter(
         F.col("rec_type") == "response"
     )
@@ -10164,7 +10300,10 @@ def web_wet_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    blobs = d.mapInPandas(mux, "doc_id long, content binary")
+    blobs = _fixture_parquet(
+        spark, sf_dir, "web_wet_wat_extract",
+        lambda: d.mapInPandas(mux, "doc_id long, content binary"),
+    )
     recs = webcorpus.warc_records(blobs, payload_col="content")
     # single-pass pivot via a doc-partitioned window, NOT an aggregate:
     # any declarative string agg (max/max_by over body) carries a
