@@ -460,6 +460,70 @@ def test_streaming_crawl_pipeline(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
 
 
+def test_streaming_crawl_fetch_seam_drains_frontier(spark, tmp_path):
+    """The injected-fetcher seam (r8 verdict #7): sitemap seeds become
+    pending URLs; each run claims a bounded batch, respects the robots
+    gate, commits fetched docs + frontier keys; later runs drain the
+    remainder; a re-fire with nothing pending fetches nothing."""
+    from unstract_spark.operators.webcorpus import parse_sitemap
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()  # no WARC drops — fetch-only crawl
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://s.com/a</loc></url>"
+        "<url><loc>http://s.com/b</loc></url>"
+        "<url><loc>http://s.com/private/x</loc></url>"
+        "<url><loc>http://s.com/c</loc></url>"
+        "</urlset>"
+    )
+    seeds = parse_sitemap(
+        spark.createDataFrame([(1, xml)], "id long, xml string")
+    ).select(F.col("loc").alias("url"))
+    robots = spark.createDataFrame(
+        [("s.com", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    calls = []
+
+    def fake_fetch(urls):
+        calls.append(list(urls))
+        return [
+            (u, 404 if u.endswith("/c") else 200,
+             f"<p>{u.rsplit('/', 1)[-1]} fetched content</p>")
+            for u in urls
+        ]
+
+    run = lambda ck: streaming_crawl_pipeline(
+        spark, str(src), str(tmp_path / ck),
+        str(tmp_path / "frontier"), str(tmp_path / "out"),
+        robots=robots, fetcher=fake_fetch, seed_urls=seeds,
+        max_fetch_per_run=2,
+    )
+    # run 1: claims 2 of the 3 allowed seeds (private/x robots-gated)
+    assert run("ck1") == 1
+    assert len(calls) == 1 and len(calls[0]) == 2
+    assert not any("/private/" in u for u in calls[0])
+    # run 2: drains the remaining allowed seed
+    assert run("ck2") == 1
+    assert len(calls) == 2 and len(calls[1]) == 1
+    # run 3: frontier full — nothing pending, fetcher not called
+    assert run("ck3") == 0
+    assert len(calls) == 2
+
+    got = {
+        r.url_norm: r.main_text
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # 404'd /c entered the frontier (no eternal re-pend) but no doc
+    assert got == {
+        "http://s.com/a": "a fetched content",
+        "http://s.com/b": "b fetched content",
+    }
+
+
 def test_streaming_crawl_fresh_checkpoint_preserves_committed(spark, tmp_path):
     """ADVICE r8: a FRESH checkpoint_dir pointed at a populated
     out/frontier root restarts epochs at 0; without the run-base

@@ -146,12 +146,12 @@ def build(spark, factor: int, out_dir: str) -> None:
     )
 
 
-def run(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
+def run(spark, sf_dir: str, runs: int = 3, names: list[str] | None = None) -> dict[str, float]:
     from unstract_spark import queries as Q
 
     qs = Q.queries()
     out: dict[str, float] = {}
-    for name in RUNG:
+    for name in names or RUNG:
         qs[name](spark, sf_dir).count()  # warm
         samples = []
         for _ in range(runs):
@@ -177,7 +177,7 @@ def main() -> int:
     if mode == "run":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_rung"
         runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-        run(spark, sf_dir, runs)
+        run(spark, sf_dir, runs, names=sys.argv[4:] or None)
         return 0
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf_rung"

@@ -132,31 +132,22 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r8: the four r7 driver-reds — judge root cause: bare sum(INTEGER)
-    # oracle outputs are HUGEINT in DuckDB, and a pandas-style fetch
-    # converts int128 to float64, so the driver hashes "123.0" against
-    # Spark's BIGINT "123". Each offending column now CAST(... AS BIGINT)
-    # in the oracle SQL (Spark side already emits LongType).
-    "a1_usage_by_model",
-    "ta_simpson_diversity",
-    "ex_length_mixture",
-    "q12_ship_priority_class",
-    # r8: partition-less-window scale fixes (distributed re-spellings;
-    # hashes must stay identical — re-gate under the driver)
-    "agg_concentration",
-    "agg_runs_test",
-    "agg_ks_test",
-    "ex_pack_efficiency",
-    "w6_share_of_total",
-    "agg_benford",
-    # r8: partsupp-grade TPC-H fidelity — the four re-spelled against
-    # the derived partsupp relation (operators/partsupp.py)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_cnt",
-    "q20_part_promotion",
-    # r8: progressive-JPEG container rows added (doc_id%2==1 now SOF2)
+    # r9: fixture encoding moved out of the gated plans into cached
+    # parquet (_fixture_parquet) — outputs identical, plans changed;
+    # re-gate under the driver. (The 21 r8-spilled count-0 rows plus
+    # the two new registrations auto-front via rule 2; 11 + 23 = 34
+    # fits the 50-row window.)
+    "mm_image_features",
+    "mm_audio_features",
     "mm_jpeg_features",
+    "mm_video_features",
+    "mm_resize_pixels",
+    "mm_image_tiles",
+    "mm_image_dedup",
+    "mm_image_augment",
+    "web_warc_extract",
+    "ex_curation_web",
+    "web_wet_wat_extract",
 ]
 
 

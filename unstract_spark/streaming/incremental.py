@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _run_base(*roots: str, below: int | None = None) -> int:
+def _run_base(*roots: str, below: int | None = None, base: int = 0) -> int:
     """Per-run batch_id namespace base: max existing `batch_id=N`
     partition across the given roots, plus one.
 
@@ -44,11 +44,13 @@ def _run_base(*roots: str, below: int | None = None) -> int:
     still overwrites its own partition (the exactly-once half); a
     crash-restart that shifts the base strands at most one partial
     partition, which downstream id-dedup folds (the at-least-once
-    half). `below` excludes out-of-band namespaces (e.g. the queue
-    consumer's post-drain SWEEP_BASE partitions)."""
+    half). `base`/`below` bound the namespace scanned (and returned
+    into), so out-of-band partitions — the queue consumer's
+    SWEEP_BASE sweep, the crawl pipeline's _FETCH_BASE fetch commits —
+    stay invisible to each other's numbering."""
     import os as _os
 
-    mx = -1
+    mx = base - 1
     for root in roots:
         try:
             names = _os.listdir(root)
@@ -57,9 +59,14 @@ def _run_base(*roots: str, below: int | None = None) -> int:
         for d in names:
             if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit():
                 v = int(d.split("=", 1)[1])
-                if below is None or v < below:
+                if v >= base and (below is None or v < below):
                     mx = max(mx, v)
     return mx + 1
+
+
+# Crawl fetch commits live in their own partition namespace, disjoint
+# from stream-fire ids and from the queue consumer's sweep (1 << 40).
+_FETCH_BASE = 1 << 41
 
 
 def incremental_file_pipeline(
@@ -1049,6 +1056,9 @@ def streaming_crawl_pipeline(
     robots: DataFrame | None = None,
     agent: str = "trainingbot",
     max_files_per_trigger: int = 1,
+    fetcher: Callable[[list[str]], list[tuple]] | None = None,
+    seed_urls: DataFrame | None = None,
+    max_fetch_per_run: int = 100,
 ) -> int:
     """Incremental crawl ingestion — the streaming twin of the
     web-corpus family: each AvailableNow fire demuxes newly-arrived
@@ -1076,7 +1086,24 @@ def streaming_crawl_pipeline(
     document CONTENT); WARC demux is blob-local Arrow batches; robots
     rules stay one broadcast array row per domain.
 
-    Returns the number of non-empty fired batches.
+    Fetch seam (the providers.py injected-transport pattern): when
+    `fetcher` and `seed_urls` (one `url` column — sitemap seeding is
+    `parse_sitemap(...)​.select(loc AS url)`) are given, a POST-DRAIN
+    step gives the frontier consumer semantics, mirroring the queue
+    consumer's sweep: normalize the seeds, anti-join the frontier
+    (already-crawled seeds drop), apply the robots gate, claim up to
+    `max_fetch_per_run` (a driver-bounded batch, the claim_batch
+    shape), call `fetcher(urls) -> [(url, http_status, body)]`, run
+    status-200 bodies through the same HTML extraction, and commit to
+    out + frontier under the disjoint _FETCH_BASE partition namespace.
+    Each later run re-derives pending as seeds-minus-frontier, so the
+    frontier DRAINS across runs and a crashed run's unfetched claim
+    simply re-pends (at-least-once; duplicates fold on doc_key). No
+    network code lives here — a real fetcher is injected by the
+    operator of the crawl, exactly like the LLM/embedding transports.
+
+    Returns the number of non-empty fired batches (a fetch step that
+    claimed at least one URL counts as one fire).
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -1084,7 +1111,7 @@ def streaming_crawl_pipeline(
 
     rules = webcorpus.robots_rules(robots).localCheckpoint(eager=True) if robots is not None else None
     fires = 0
-    run_base = _run_base(out_dir, frontier_dir)
+    run_base = _run_base(out_dir, frontier_dir, below=_FETCH_BASE)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -1161,6 +1188,76 @@ def streaming_crawl_pipeline(
         .start()
     )
     q.awaitTermination()
+
+    # Post-drain fetch step: consume the frontier's PENDING side
+    # (seeds not yet crawled) through the injected fetcher. Runs after
+    # the stream drain — like the queue consumer's sweep — so it sees
+    # the run's own commits in the frontier and never re-fetches what
+    # a drop just ingested.
+    if fetcher is not None and seed_urls is not None:
+        pending = (
+            webcorpus.normalize_urls(seed_urls.select("url"), url_col="url")
+            .withColumn("url_path", F.parse_url(F.col("url"), F.lit("PATH")))
+            .dropDuplicates(["url_norm"])
+        )
+        try:
+            seen = spark.read.parquet(frontier_dir).select("url_norm")
+        except AnalysisException as ex:
+            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+                raise
+            seen = None
+        if seen is not None:
+            pending = pending.join(seen, "url_norm", "left_anti")
+        if rules is not None:
+            pending = webcorpus.apply_robots(
+                pending, rules, agent=agent,
+                domain_col="domain", path_col="url_path",
+            ).filter(F.col("allowed"))
+        # claim a driver-bounded batch (the claim_batch shape); stable
+        # order so a re-run claims the same prefix
+        claim = [
+            r.url_norm
+            for r in pending.select("url_norm")
+            .orderBy("url_norm")
+            .limit(max_fetch_per_run)
+            .collect()
+        ]
+        if claim:
+            fires += 1
+            fetched = fetcher(claim)
+            fdf = spark.createDataFrame(
+                list(fetched), "url string, http_status int, body string"
+            )
+            ok = webcorpus.normalize_urls(
+                fdf.filter(F.col("http_status") == 200), url_col="url"
+            ).dropDuplicates(["url_norm"])
+            docs = webcorpus.html_main_content(
+                ok.select(F.col("url_norm"), F.col("body").alias("html")),
+                html_col="html",
+                id_col="url_norm",
+            ).join(ok.select("url_norm", "domain"), "url_norm")
+            accepted = docs.select(
+                F.xxhash64("url_norm").alias("doc_key"),
+                "url_norm",
+                "domain",
+                "main_text",
+                "n_kept",
+                "n_dropped",
+            ).localCheckpoint(eager=True)
+            fid = _run_base(out_dir, frontier_dir, base=_FETCH_BASE)
+            accepted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={fid}"
+            )
+            # EVERY claimed url enters the frontier — including non-200
+            # fetches — so dead links don't re-pend forever; a crash
+            # between fetch and this commit re-pends the whole claim
+            # (at-least-once; duplicates fold on doc_key)
+            spark.createDataFrame(
+                [(u,) for u in claim], "url_norm string"
+            ).write.mode("overwrite").parquet(
+                f"{frontier_dir}/batch_id={fid}"
+            )
     return fires
 
 
