@@ -66,17 +66,25 @@ def _fixture_parquet(spark: SparkSession, sf_dir: str, name: str, build):
     mapInPandas encoder) runs ONCE per (query, sf dir) into a cached
     parquet under the system temp dir; every later call reads the
     parquet. Content is a pure function of the sf tables, so the cache
-    never invalidates within a data generation; concurrent builders
-    write pid-suffixed temps and atomically rename (losers discard).
-    The read is repartitioned so the downstream Python decode stage
-    keeps its cores even when the small cache file reads as one split
-    (the char_shingles local-mode caveat, SCALE.md)."""
+    key includes a fingerprint (size + mtime) of the source documents
+    table — a regenerated sf dir gets a fresh cache instead of stale
+    hashes; concurrent builders write pid-suffixed temps and
+    atomically rename (losers discard). The read is repartitioned so
+    the downstream Python decode stage keeps its cores even when the
+    small cache file reads as one split (the char_shingles local-mode
+    caveat, SCALE.md)."""
     import os
     import shutil
     import tempfile
 
     base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
-    key = f"{name}__{os.path.basename(os.path.normpath(sf_dir))}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:  # directory-style parquet or remote path
+        fp = "0"
+    key = f"{name}__{os.path.basename(os.path.normpath(sf_dir))}__{fp}"
     path = os.path.join(base, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(base, exist_ok=True)
