@@ -121,10 +121,15 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
 
 def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a replayed batch must overwrite
-    its own output partition, not append duplicates. Simulate a replay
-    by pre-populating the batch-0 partitions with a previous attempt's
-    (stale) rows and running with a fresh checkpoint — epoch 0 fires
-    again and must supersede them."""
+    its own output partition, not append duplicates. A TRUE replay
+    shares the checkpoint (and, since r9, its pinned run base), so
+    simulate the crashed attempt faithfully: run once to commit epoch
+    0, plant a stale attempt in the NEXT epoch's partition (died after
+    writing, before the checkpoint commit), then drain the SAME
+    checkpoint — epoch 1 fires at its original batch_id and must
+    supersede the stale rows. (The old simulation — fresh checkpoint +
+    pre-populated batch 0 — now correctly lands in a DISJOINT
+    partition instead of destroying another run's commit.)"""
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     store = str(tmp_path / "store")
@@ -132,23 +137,29 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
     os.makedirs(src)
     docs = [(1, BASE), (2, BASE + "with one extra tail sentence here ")]
     _docs(spark, docs).coalesce(1).write.mode("append").parquet(src)
+    n = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=0.4)
+    assert n == 1
 
-    # a prior attempt of epoch 0 that died after writing its outputs
+    # the attempt of epoch 1 that died after writing its outputs but
+    # before the checkpoint commit (run base is pinned at 0, so the
+    # replay MUST land on batch_id=1 and overwrite these)
     spark.createDataFrame(
         [(99, 98, 0.99)], "id_a long, id_b long, est_jaccard double"
-    ).write.parquet(f"{out}/batch_id=0")
+    ).write.parquet(f"{out}/batch_id=1")
     spark.range(1).selectExpr(
         "CAST(555 AS LONG) AS doc_id",
         *[f"CAST({i} AS LONG) AS mh_{i}" for i in range(8)],
-    ).write.parquet(f"{store}/batch_id=0")
+    ).write.parquet(f"{store}/batch_id=1")
 
+    docs2 = [(3, BASE + "a different tail entirely for doc three ")]
+    _docs(spark, docs2).coalesce(1).write.mode("append").parquet(src)
     n = streaming_neardup_pipeline(spark, src, ckpt, store, out, threshold=0.4)
     assert n == 1
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
     assert (99, 98) not in pairs  # stale attempt replaced, not appended
     assert (1, 2) in pairs
     store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
-    assert store_ids == {1, 2}  # half-written store partition replaced
+    assert store_ids == {1, 2, 3}  # half-written store partition replaced
 
 
 def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):

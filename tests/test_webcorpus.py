@@ -957,6 +957,54 @@ def test_streaming_paragraph_dedup(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
 
 
+def test_run_base_pinned_to_checkpoint_lifetime(spark, tmp_path):
+    """Code-review r9: the run base must be STABLE across restarts of
+    the SAME checkpoint — epochs continue within a checkpoint lineage,
+    and a replayed in-flight epoch must map to ITS ORIGINAL partition
+    id (recomputing the base on restart would strand the crashed
+    attempt's partition and let the replay's exclude-current filter
+    see its own half-written keys as history). Proxy: a second drain
+    of the SAME checkpoint lands epoch 1 at batch_id=1 (base still 0),
+    not at a re-derived base."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unstract_spark.streaming.incremental import (
+        _run_base,
+        streaming_paragraph_dedup,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    run = lambda: streaming_paragraph_dedup(
+        spark, str(src), str(tmp_path / "ckpt"),
+        str(tmp_path / "store"), str(tmp_path / "out"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["a1\n\nb1"]}), str(src / "f1.parquet")
+    )
+    run()
+    pq.write_table(
+        pa.table({"doc_id": [2], "text": ["a2\n\nb2"]}), str(src / "f2.parquet")
+    )
+    run()  # same checkpoint: epoch 1 must use the PINNED base 0
+    bids = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("batch_id").distinct().collect()
+    }
+    assert bids == {0, 1}
+
+    # the helper itself: marker wins over a recomputed value
+    assert _run_base(
+        str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    ) == 0
+    # a fresh checkpoint computes (and pins) a disjoint base
+    assert _run_base(
+        str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt_new")
+    ) == 2
+
+
 def test_streaming_paragraph_dedup_fresh_checkpoint(spark, tmp_path):
     """ADVICE r8: fresh checkpoint + populated store/out roots must
     continue (disjoint run-base partitions), not overwrite committed

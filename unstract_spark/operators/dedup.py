@@ -1083,7 +1083,15 @@ def dedup_paragraphs(
                 "hot_min must be >= min_count (the fuse short-circuits "
                 "hot paragraphs to removed)"
             )
-        paras = paras.withColumn("_ph", F.xxhash64("para"))
+        # paras feeds THREE consumers (counts, cold branch, hot
+        # branch); without a materialization each re-runs the source
+        # scan + explode — measured 12.2 s vs 5.2 s at the 20x rung.
+        # localCheckpoint trades one exploded-rows write to executor
+        # disks for two re-scans (the sigs_new precedent; persist
+        # would leak through the CacheManager — SCALE.md lesson).
+        paras = paras.withColumn(
+            "_ph", F.xxhash64("para")
+        ).localCheckpoint(eager=True)
         counts = paras.groupBy("_ph").agg(F.count(F.lit(1)).alias("_cnt"))
         hot = counts.filter(F.col("_cnt") >= hot_min).select("_ph")
         cold = (

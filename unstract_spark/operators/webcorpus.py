@@ -450,13 +450,21 @@ def parse_robots(robots_txt: str) -> list[dict]:
             # empty value = allow-all idiom -> zero-length allow
             # sentinel (keeps the agent group selectable)
             is_allow = True if not val else key == "allow"
+            # rule_regex ONLY for rules that need §2.2.3 semantics —
+            # plain prefixes (the overwhelming majority of real robots
+            # rules) keep the native startswith fast path; a non-null
+            # regex per rule would recompile java Pattern per array
+            # element per URL on the never-shuffled corpus side
+            needs_regex = "*" in val or val.endswith("$")
             for a in agents or ["*"]:
                 rules.append(
                     {
                         "agent": a,
                         "rule_path": val,
                         "is_allow": is_allow,
-                        "rule_regex": _robots_rule_regex(val),
+                        "rule_regex": (
+                            _robots_rule_regex(val) if needs_regex else None
+                        ),
                     }
                 )
     return rules
@@ -539,9 +547,14 @@ def apply_robots(
         "left",
     )
     if has_regex:
+        # null rule_regex = plain-prefix rule -> native startswith;
+        # only '*'/'$' rules pay the per-row regex evaluation
         matched = F.filter(
             F.coalesce(F.col("_rules"), F.array()),
-            lambda r: F.regexp_like(F.col(path_col), r["rule_regex"]),
+            lambda r: F.when(
+                r["rule_regex"].isNull(),
+                F.col(path_col).startswith(r["rule_path"]),
+            ).otherwise(F.regexp_like(F.col(path_col), r["rule_regex"])),
         )
     else:
         matched = F.filter(

@@ -65,25 +65,42 @@ def _fixture_parquet(spark: SparkSession, sf_dir: str, name: str, build):
     when progressive-JPEG encode landed). `build()` (the deterministic
     mapInPandas encoder) runs ONCE per (query, sf dir) into a cached
     parquet under the system temp dir; every later call reads the
-    parquet. Content is a pure function of the sf tables, so the cache
-    key includes a fingerprint (size + mtime) of the source documents
-    table — a regenerated sf dir gets a fresh cache instead of stale
-    hashes; concurrent builders write pid-suffixed temps and
-    atomically rename (losers discard). The read is repartitioned so
-    the downstream Python decode stage keeps its cores even when the
-    small cache file reads as one split (the char_shingles local-mode
-    caveat, SCALE.md)."""
+    parquet. Content is a pure function of (sf tables, encoder code),
+    so the cache key fingerprints BOTH: size+mtime of the source
+    documents table (a regenerated sf dir gets a fresh cache instead
+    of stale hashes) and size+mtime of every module the encoders live
+    in, queries.py included (editing an encode body invalidates every
+    fixture instead of silently serving bytes from deleted code). The
+    full sf path is hashed into the key too, so same-basename dirs
+    (two buckets' sf0.01) never share a cache. Concurrent builders
+    write pid-suffixed temps and atomically rename (losers discard).
+    The read is repartitioned so the downstream Python decode stage
+    keeps its cores even when the small cache file reads as one split
+    (the char_shingles local-mode caveat, SCALE.md)."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
+    from unstract_spark.operators import (
+        miniavi,
+        minigif,
+        minijpeg,
+        multimodal,
+        webcorpus,
+    )
+
     base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:  # directory-style parquet or remote path
-        fp = "0"
+    parts = [os.path.abspath(sf_dir)]
+    for p in [os.path.join(sf_dir, "documents.parquet"), __file__] + [
+        m.__file__ for m in (multimodal, minijpeg, minigif, miniavi, webcorpus)
+    ]:
+        try:
+            st = os.stat(p)
+            parts.append(f"{st.st_size}_{st.st_mtime_ns}")
+        except OSError:  # directory-style parquet or remote path
+            parts.append("0")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
     key = f"{name}__{os.path.basename(os.path.normpath(sf_dir))}__{fp}"
     path = os.path.join(base, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

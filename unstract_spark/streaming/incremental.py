@@ -31,25 +31,47 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _run_base(*roots: str, below: int | None = None, base: int = 0) -> int:
+def _run_base(
+    *roots: str,
+    below: int | None = None,
+    base: int = 0,
+    checkpoint_dir: str | None = None,
+) -> int:
     """Per-run batch_id namespace base: max existing `batch_id=N`
-    partition across the given roots, plus one.
+    partition across the given roots, plus one — PINNED to the
+    checkpoint's lifetime when `checkpoint_dir` is given.
 
     Epochs restart at 0 whenever a pipeline runs against a fresh
     checkpoint_dir; un-offset epoch partitions would then OVERWRITE an
     earlier run's committed batch_id=0..N — acked/committed data loss.
     Offsetting every partition write by this base makes each run's
-    partitions disjoint from every earlier run's. Within a run the
-    base is computed once, so a foreachBatch replay of the same epoch
-    still overwrites its own partition (the exactly-once half); a
-    crash-restart that shifts the base strands at most one partial
-    partition, which downstream id-dedup folds (the at-least-once
-    half). `base`/`below` bound the namespace scanned (and returned
-    into), so out-of-band partitions — the queue consumer's
-    SWEEP_BASE sweep, the crawl pipeline's _FETCH_BASE fetch commits —
-    stay invisible to each other's numbering."""
+    partitions disjoint from every earlier run's.
+
+    The base must be STABLE across crash-restarts of the SAME
+    checkpoint: epochs continue within a checkpoint lineage, and a
+    replayed in-flight epoch must overwrite ITS OWN partition (the
+    exactly-once half) — a recomputed base would strand the crashed
+    attempt's partition and, worse, leave it visible to the replay's
+    exclude-current-epoch store read (the replayed batch would see its
+    own half-written keys as history). So the first run against a
+    checkpoint writes the computed base to a marker file inside
+    checkpoint_dir; every restart of that checkpoint reuses it. A
+    fresh checkpoint has no marker and gets a fresh disjoint base.
+
+    `base`/`below` bound the namespace scanned (and returned into), so
+    out-of-band partitions — the queue consumer's SWEEP_BASE sweep,
+    the crawl pipeline's _FETCH_BASE fetch commits — stay invisible to
+    each other's numbering."""
     import os as _os
 
+    marker = None
+    if checkpoint_dir is not None:
+        marker = _os.path.join(checkpoint_dir, f"_graft_run_base_{base}")
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
     mx = base - 1
     for root in roots:
         try:
@@ -61,7 +83,30 @@ def _run_base(*roots: str, below: int | None = None, base: int = 0) -> int:
                 v = int(d.split("=", 1)[1])
                 if v >= base and (below is None or v < below):
                     mx = max(mx, v)
-    return mx + 1
+    val = mx + 1
+    if marker is not None:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{marker}.tmp{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(val))
+        _os.replace(tmp, marker)
+    return val
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """spark.read.parquet(path), with ONLY a missing path mapped to
+    None ("first fire"). Any other analysis error — schema corruption,
+    permissions surfaced as analysis — must raise: treating it as
+    first-fire would silently skip cross-corpus state for the batch."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
+        if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
+            raise
+        return None
 
 
 # Crawl fetch commits live in their own partition namespace, disjoint
@@ -426,11 +471,10 @@ def streaming_neardup_pipeline(
     Source is a parquet directory in the documents shape
     (doc_id, text). Returns the number of fired batches.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     from unstract_spark.operators import dedup
 
     fires = 0
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -438,28 +482,21 @@ def streaming_neardup_pipeline(
         if docs.isEmpty():
             return
         fires += 1
+        bid = run_base + int(epoch)
         # one materialization: feeds the store append AND both join
         # sides (localCheckpoint, not persist — the CacheManager-leak
         # lesson in SCALE.md)
         sigs_new = dedup.minhash_signatures(
             dedup.char_shingles(docs)
         ).localCheckpoint(eager=True)
-        try:
-            old = spark.read.parquet(store_dir)
-        except AnalysisException as ex:
-            # ONLY a missing store dir means "first fire". Any other
-            # analysis error (schema corruption, permissions surfaced
-            # as analysis) must raise — treating it as first-fire
-            # silently skips cross-corpus dedup for the batch.
-            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
-                raise
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is None:
             combined = sigs_new
         else:
             if "batch_id" in old.columns:
                 # partitioned layout (this release): prune the current
                 # epoch so a half-written replay can't probe itself
-                old = old.filter(F.col("batch_id") != int(epoch)).drop("batch_id")
+                old = old.filter(F.col("batch_id") != bid).drop("batch_id")
             # else: legacy flat-append store — use it whole (its rows
             # all predate this epoch by construction)
             combined = old.unionByName(sigs_new)
@@ -470,9 +507,9 @@ def streaming_neardup_pipeline(
         sims = dedup.minhash_similarity(combined, pairs).filter(
             F.col("est_jaccard") >= threshold
         )
-        sims.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        sims.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
         sigs_new.write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={int(epoch)}"
+            f"{store_dir}/batch_id={bid}"
         )
 
     schema = "doc_id long, text string"
@@ -519,6 +556,7 @@ def streaming_decontamination_pipeline(
         "doc_id", "bench_id"
     ).localCheckpoint(eager=True)
     fires = 0
+    run_base = _run_base(out_dir, checkpoint_dir=checkpoint_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -538,7 +576,9 @@ def streaming_decontamination_pipeline(
         # idempotent under foreachBatch's at-least-once replay: each
         # batch owns its partition directory (same contract as
         # streaming_neardup_pipeline)
-        hits.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(epoch)}")
+        hits.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={run_base + int(epoch)}"
+        )
 
     schema = "doc_id long, text string"
     stream = (
@@ -590,8 +630,9 @@ def streaming_cluster_pipeline(
     from unstract_spark.operators.dedup import connected_components
 
     fires = 0
+    run_base = _run_base(labels_dir, checkpoint_dir=checkpoint_dir)
 
-    def _latest_labels(epoch: int) -> DataFrame:
+    def _latest_labels(bid: int) -> DataFrame:
         done = []
         if os.path.isdir(labels_dir):
             for d in os.listdir(labels_dir):
@@ -600,7 +641,7 @@ def streaming_cluster_pipeline(
                         b = int(d.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if b != epoch:
+                    if b != bid:
                         done.append(b)
         if not done:
             return spark.createDataFrame([], "doc_id long, cluster_id long")
@@ -616,7 +657,8 @@ def streaming_cluster_pipeline(
         if edges.isEmpty():
             return
         fires += 1
-        labels = _latest_labels(int(epoch)).localCheckpoint(eager=True)
+        bid = run_base + int(epoch)
+        labels = _latest_labels(bid).localCheckpoint(eager=True)
 
         # endpoints -> current components (unknown node = its own id)
         la = labels.select(
@@ -672,7 +714,7 @@ def streaming_cluster_pipeline(
 
         updated = relabeled.unionByName(fresh)
         updated.write.mode("overwrite").parquet(
-            f"{labels_dir}/batch_id={int(epoch)}"
+            f"{labels_dir}/batch_id={bid}"
         )
         # retention: each fire writes a full label snapshot (the store
         # is corpus-membership-sized), so without pruning a long-running
@@ -730,6 +772,7 @@ def streaming_rollup_pipeline(
     from unstract_spark.operators.timeseries import minute_partials
 
     fires = 0
+    run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -737,7 +780,9 @@ def streaming_rollup_pipeline(
             return
         fires += 1
         part = minute_partials(batch, ts_col=ts_col, value_col=value_col)
-        part.write.mode("overwrite").parquet(f"{store_dir}/batch_id={int(epoch)}")
+        part.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={run_base + int(epoch)}"
+        )
 
     schema = spark.read.parquet(source_dir).schema
     stream = (
@@ -831,7 +876,9 @@ def streaming_queue_consumer(
     # message_id dedup folds the copies (the documented at-least-once
     # half of the contract).
     _SWEEP_BASE = 1 << 40
-    run_base = _run_base(out_dir, below=_SWEEP_BASE)
+    run_base = _run_base(
+        out_dir, below=_SWEEP_BASE, checkpoint_dir=checkpoint_dir
+    )
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -876,17 +923,7 @@ def streaming_queue_consumer(
     # stream epochs (SWEEP_BASE offset) so a later run's epoch N can
     # never overwrite an earlier sweep's committed partition.
     SWEEP_BASE = 1 << 40
-    import os
-
-    try:
-        existing = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out_dir)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        ]
-    except FileNotFoundError:
-        existing = []
-    nxt = max([e for e in existing if e >= SWEEP_BASE], default=SWEEP_BASE - 1) + 1
+    nxt = _run_base(out_dir, base=SWEEP_BASE)
     while True:
         claimed = claim_batch(
             spark,
@@ -943,11 +980,10 @@ def streaming_bloom_pipeline(
 
     Returns the number of fired batches.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     from unstract_spark.operators import dedup
 
     fires = 0
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -955,19 +991,14 @@ def streaming_bloom_pipeline(
         if docs.isEmpty():
             return
         fires += 1
+        bid = run_base + int(epoch)
         fp = docs.select(
             "doc_id", F.md5("text").alias("fingerprint")
         ).localCheckpoint(eager=True)
-        try:
-            old_bits = spark.read.parquet(store_dir)
-        except AnalysisException as ex:
-            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
-                raise
-            old_bits = None
-        else:
+        old_bits = _read_parquet_or_none(spark, store_dir)
+        if old_bits is not None:
             old_bits = old_bits.filter(
-                F.col("batch_id") != int(epoch)
+                F.col("batch_id") != bid
             ).drop("batch_id").distinct()
         if old_bits is None:
             decisions = fp.select(
@@ -976,11 +1007,11 @@ def streaming_bloom_pipeline(
         else:
             decisions = dedup.bloom_membership(fp, old_bits, m=m, k=k)
         decisions.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={int(epoch)}"
+            f"{out_dir}/batch_id={bid}"
         )
         new_bits = dedup.bloom_filter_bits(fp, m=m, k=k)
         new_bits.write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={int(epoch)}"
+            f"{store_dir}/batch_id={bid}"
         )
 
     schema = "doc_id long, text string"
@@ -1105,13 +1136,13 @@ def streaming_crawl_pipeline(
     Returns the number of non-empty fired batches (a fetch step that
     claimed at least one URL counts as one fire).
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     from unstract_spark.operators import webcorpus
 
     rules = webcorpus.robots_rules(robots).localCheckpoint(eager=True) if robots is not None else None
     fires = 0
-    run_base = _run_base(out_dir, frontier_dir, below=_FETCH_BASE)
+    run_base = _run_base(
+        out_dir, frontier_dir, below=_FETCH_BASE, checkpoint_dir=checkpoint_dir
+    )
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -1128,16 +1159,9 @@ def streaming_crawl_pipeline(
         # in-batch dedup first (a crawl drop can repeat a URL), then
         # frontier anti-join against every PRIOR epoch
         urls = urls.dropDuplicates(["url_norm"])
-        try:
-            seen = spark.read.parquet(frontier_dir)
-        except AnalysisException as ex:
-            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
-                raise
-            seen = None
-        else:
-            seen = seen.filter(F.col("batch_id") != bid).select("url_norm")
+        seen = _read_parquet_or_none(spark, frontier_dir)
         if seen is not None:
+            seen = seen.filter(F.col("batch_id") != bid).select("url_norm")
             urls = urls.join(seen, "url_norm", "left_anti")
         if rules is not None:
             urls = webcorpus.apply_robots(
@@ -1200,15 +1224,11 @@ def streaming_crawl_pipeline(
             .withColumn("url_path", F.parse_url(F.col("url"), F.lit("PATH")))
             .dropDuplicates(["url_norm"])
         )
-        try:
-            seen = spark.read.parquet(frontier_dir).select("url_norm")
-        except AnalysisException as ex:
-            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
-                raise
-            seen = None
+        seen = _read_parquet_or_none(spark, frontier_dir)
         if seen is not None:
-            pending = pending.join(seen, "url_norm", "left_anti")
+            pending = pending.join(
+                seen.select("url_norm"), "url_norm", "left_anti"
+            )
         if rules is not None:
             pending = webcorpus.apply_robots(
                 pending, rules, agent=agent,
@@ -1295,10 +1315,8 @@ def streaming_paragraph_dedup(
 
     Returns the number of non-empty fired batches.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     fires = 0
-    run_base = _run_base(out_dir, store_dir)
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
 
     def process(batch: DataFrame, epoch: int) -> None:
         nonlocal fires
@@ -1312,14 +1330,8 @@ def streaming_paragraph_dedup(
                 F.split(F.col("text"), "\\Q" + delim + "\\E", -1)
             ).alias("pos", "para"),
         ).withColumn("phash", F.xxhash64("para"))
-        try:
-            seen = spark.read.parquet(store_dir)
-        except AnalysisException as ex:
-            cls = (ex.getErrorClass() or "") if hasattr(ex, "getErrorClass") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(ex):
-                raise
-            seen = None
-        else:
+        seen = _read_parquet_or_none(spark, store_dir)
+        if seen is not None:
             seen = seen.filter(F.col("batch_id") != bid).select("phash")
         # first occurrence WITHIN the fire survives; later in-fire
         # repeats and anything already in the store drop
