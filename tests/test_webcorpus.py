@@ -524,6 +524,61 @@ def test_streaming_crawl_fetch_seam_drains_frontier(spark, tmp_path):
     }
 
 
+def test_streaming_crawl_link_expansion_hops(spark, tmp_path):
+    """discovered_dir arms the full crawl loop: anchors extracted from
+    fetched pages become pending URLs for LATER runs — the crawl
+    expands hop by hop, robots-gated and frontier-deduped, with
+    per-run work bounded by max_fetch_per_run."""
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()
+    pages = {
+        "http://s.com/root": (
+            "<p>root content here</p><a href='/p1'>1</a>"
+            "<a href='/p2'>2</a><a href='/secret/x'>s</a>"
+        ),
+        "http://s.com/p1": "<p>p1 content here</p><a href='/p3'>3</a>",
+        "http://s.com/p2": "<p>p2 content here</p>",
+        "http://s.com/p3": "<p>p3 content here</p>",
+    }
+    fetched_log = []
+
+    def fake_fetch(urls):
+        fetched_log.append(list(urls))
+        return [(u, 200, pages.get(u, "<p>404ish</p>")) for u in urls]
+
+    seeds = spark.createDataFrame(
+        [("http://s.com/root",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [("s.com", "User-agent: *\nDisallow: /secret/\n")],
+        "domain string, robots_txt string",
+    )
+    total = 0
+    for i in range(6):
+        total += streaming_crawl_pipeline(
+            spark, str(src), str(tmp_path / f"ck{i}"),
+            str(tmp_path / "frontier"), str(tmp_path / "out"),
+            robots=robots, fetcher=fake_fetch, seed_urls=seeds,
+            max_fetch_per_run=1,
+            discovered_dir=str(tmp_path / "discovered"),
+        )
+    # 4 pages reachable (root, p1, p2, p3); /secret/x never claimed
+    assert total == 4
+    claimed = [u for batch in fetched_log for u in batch]
+    assert sorted(claimed) == [
+        "http://s.com/p1", "http://s.com/p2",
+        "http://s.com/p3", "http://s.com/root",
+    ]
+    got = {
+        r.url_norm: r.main_text
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got["http://s.com/p3"] == "p3 content here"  # 2 hops deep
+    assert not any("/secret/" in u for u in got)
+
+
 def test_streaming_crawl_fresh_checkpoint_preserves_committed(spark, tmp_path):
     """ADVICE r8: a FRESH checkpoint_dir pointed at a populated
     out/frontier root restarts epochs at 0; without the run-base

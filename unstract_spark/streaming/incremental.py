@@ -1090,6 +1090,7 @@ def streaming_crawl_pipeline(
     fetcher: Callable[[list[str]], list[tuple]] | None = None,
     seed_urls: DataFrame | None = None,
     max_fetch_per_run: int = 100,
+    discovered_dir: str | None = None,
 ) -> int:
     """Incremental crawl ingestion — the streaming twin of the
     web-corpus family: each AvailableNow fire demuxes newly-arrived
@@ -1132,6 +1133,14 @@ def streaming_crawl_pipeline(
     simply re-pends (at-least-once; duplicates fold on doc_key). No
     network code lives here — a real fetcher is injected by the
     operator of the crawl, exactly like the LLM/embedding transports.
+
+    `discovered_dir` arms LINK EXPANSION — the full crawl loop: each
+    fetch commit also extracts the fetched pages' anchor hrefs
+    (webcorpus.extract_links, resolved absolute), appends them to the
+    discovered store, and later runs derive pending from seeds UNION
+    discovered — the crawl expands hop by hop, robots-gated and
+    frontier-deduped like every other URL, with per-run work still
+    bounded by max_fetch_per_run.
 
     Returns the number of non-empty fired batches (a fetch step that
     claimed at least one URL counts as one fire).
@@ -1219,8 +1228,13 @@ def streaming_crawl_pipeline(
     # the run's own commits in the frontier and never re-fetches what
     # a drop just ingested.
     if fetcher is not None and seed_urls is not None:
+        raw_pending = seed_urls.select("url")
+        if discovered_dir is not None:
+            found = _read_parquet_or_none(spark, discovered_dir)
+            if found is not None:
+                raw_pending = raw_pending.unionByName(found.select("url"))
         pending = (
-            webcorpus.normalize_urls(seed_urls.select("url"), url_col="url")
+            webcorpus.normalize_urls(raw_pending, url_col="url")
             .withColumn("url_path", F.parse_url(F.col("url"), F.lit("PATH")))
             .dropDuplicates(["url_norm"])
         )
@@ -1278,6 +1292,20 @@ def streaming_crawl_pipeline(
             ).write.mode("overwrite").parquet(
                 f"{frontier_dir}/batch_id={fid}"
             )
+            if discovered_dir is not None:
+                links = webcorpus.extract_links(
+                    ok.select(
+                        F.col("url_norm").alias("base_url"),
+                        F.col("body").alias("html"),
+                    ),
+                    html_col="html",
+                    base_url_col="base_url",
+                )
+                links.select(
+                    F.col("dst_url").alias("url")
+                ).distinct().write.mode("overwrite").parquet(
+                    f"{discovered_dir}/batch_id={fid}"
+                )
     return fires
 
 
