@@ -440,6 +440,7 @@ def embedding_neardup_lsh(
     n_tables: int = 4,
     max_bucket: int | None = None,
     term_limit: int | None = None,
+    dedup_pairs: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
 
@@ -453,12 +454,18 @@ def embedding_neardup_lsh(
     drops degenerate hot buckets (near-constant embedding clusters —
     the boilerplate guard from the MinHash path).
 
-    Multi-table collisions are deduplicated on the bare id pair BEFORE
-    scoring (fixed-width HashAggregate), then vectors join back by id
-    and each surviving pair computes its cosine exactly once — in the
-    auto-geometry regime a near-dup collides in up to n_tables
-    buckets, and per-collision scoring multiplied the dot-product work
-    by the collision count (measured 3.3x at the 20x rung, 64 tables).
+    Two scoring spellings, picked by table count (`dedup_pairs`
+    overrides): at high table counts the bare (id_a, id_b) pairs
+    dedupe BEFORE scoring (fixed-width HashAggregate), vectors join
+    back by id, and each surviving pair scores once — a near-dup
+    collides in up to n_tables buckets and per-collision scoring
+    multiplies the dot-product work by the collision count (measured
+    3.3x at the 20x rung with 64 tables, 1.9x at sf0.1 with 42). At
+    low table counts the two join-backs cost more than the saved
+    re-scores (score-first wins up through 24 tables at sf0.1,
+    1.7x at the frozen 4-table geometry), so pairs score in the
+    bucket join and dedupe after on (ids, score) — still fixed-width.
+    Crossover pinned at 32. Both spellings emit identical rows.
 
     n_planes="auto" derives (planes, tables) from the corpus count via
     auto_lsh_params — the scale-correct mode (one count() job, scalar
@@ -487,35 +494,55 @@ def embedding_neardup_lsh(
     if max_bucket:
         ok = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
         b = b.join(ok.select("bucket"), "bucket")
-    # Dedup the BARE (id_a, id_b) pairs before scoring: a true near-dup
-    # collides in up to n_tables buckets, and scoring per collision
-    # instance multiplies the dot-product work by the collision count —
-    # ruinous exactly in the high-table auto-geometry regime (measured:
-    # 193 s -> 58 s at the 20x rung with 64 tables, 14.9 -> 8.0 s at
-    # sf0.1 with 42; identical output). The dedup aggregates only two
-    # longs (HashAggregate — the fixed-width lesson still holds: it is
-    # carrying VECTORS through the aggregate that would sort-spill);
-    # vectors then join back by id and each surviving pair scores ONCE.
-    left = b.select("bucket", F.col(id_col).alias("id_a"))
-    right = b.select("bucket", F.col(id_col).alias("id_b"))
-    pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ea = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if dedup_pairs is None:
+        dedup_pairs = n_tables >= 32
+    if dedup_pairs:
+        # High-table regime: dedup the BARE (id_a, id_b) pairs before
+        # scoring — per-collision scoring multiplies dot-product work
+        # by the collision count (193 -> 58 s at the 20x rung, 64
+        # tables). The dedup aggregates only two longs (HashAggregate —
+        # the fixed-width lesson holds: carrying VECTORS through the
+        # aggregate is what sort-spills); vectors join back by id and
+        # each surviving pair scores ONCE.
+        left = b.select("bucket", F.col(id_col).alias("id_a"))
+        right = b.select("bucket", F.col(id_col).alias("id_b"))
+        pairs = (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        ea = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        eb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (
+            pairs.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                # dim unrolls the dot product into codegen (the
+                # interpreted higher-order-function path costs ~3x)
+                (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    # Low-table regime: score in the bucket join, dedupe after on
+    # (ids, score) — still fixed-width; the two vector join-backs the
+    # other spelling needs cost more than the few re-scores here.
+    left = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             # dim unrolls the dot product into codegen (the interpreted
             # higher-order-function path costs ~3x on the candidate set)
             (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias("cosine"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
 
