@@ -394,6 +394,29 @@ def embedding_neardup_pairs(
     )
 
 
+def auto_band_params(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Threshold-matched MinHash banding: (band_size r, n_bands b)
+    with b*r = num_hashes, chosen so the S-curve's 50%%-collision
+    point (1/b)^(1/r) sits closest to the target Jaccard threshold
+    (Leskovec/Rajaraman/Ullman, MMDS ch.3). Frozen banding is the
+    MinHash twin of the frozen-LSH scale trap: banding tuned for one
+    threshold floods candidates when the dedup policy asks for a
+    different similarity bar. Deterministic — a pure function of
+    (num_hashes, threshold), so an oracle can pin the same choice."""
+    import math
+
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        s50 = (1.0 / b) ** (1.0 / r)
+        d = abs(s50 - threshold)
+        if best is None or d < best[0]:
+            best = (d, r, b)
+    return best[1], best[2]
+
+
 def auto_lsh_params(
     n: int,
     threshold: float,

@@ -73,3 +73,57 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return p.select("node", F.col("p").alias("pr_fixed"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """(node, community) after `iters` rounds of MIN-label propagation:
+    every node starts labeled with itself, and each round takes the
+    minimum of its own label and its neighbors' labels.
+
+    Deterministic by construction (min over an id domain — no float
+    arithmetic, no tie randomness), which is what makes it hash-gatable
+    where classic frequency-based LPA is not (its ties are broken by
+    arrival order). After k rounds a node carries the smallest id
+    within distance k; run to convergence it equals connected
+    components — the bounded-round form is the cheap community prior a
+    crawl/dedup pipeline wants (seed expansion, spam-cluster flags)
+    without the full CC loop.
+
+    Scale shape mirrors pagerank_fixed: per round one edge join on src
+    + one groupBy dst + one left join back — all shuffles on node keys,
+    lineage truncated per round; state is one label per node.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max(iters, 0)):
+        nb = (
+            e.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("dst", "node")
+        )
+        lab = (
+            lab.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("node", F.col("label").alias("community"))

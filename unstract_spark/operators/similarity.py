@@ -600,6 +600,82 @@ def pq_topk_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sq8_cols(vec_col: str, prefix: str):
+    """(scale, int8-code array) columns for scalar quantization: per
+    vector scale = 127/max|x| and code_i = floor(x_i*scale + 0.5) —
+    integer round-half-up, identical in any engine (no banker's
+    rounding, no float-sum order anywhere)."""
+    xd = F.col(vec_col).cast("array<double>")
+    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-30))
+    codes = F.transform(
+        xd, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    )
+    return scale.alias(f"{prefix}_scale"), codes.alias(f"{prefix}_codes")
+
+
+def sq8_topk_join(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    refine: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """ANN via int8 SCALAR quantization (SQ8) + exact re-rank — the
+    memory lever between raw floats and PQ: 4x smaller than float32
+    with one multiply per dimension (PQ is 32x smaller but pays
+    codebook training and lookup indirection; SQ8 is what FAISS
+    ScalarQuantizer/Milvus SQ8 ship as the default compression).
+
+    Determinism contract: codes are integer round-half-up of
+    x*127/max|x| (floor(x*s + 0.5) — one float multiply + add per
+    element, no summation), the candidate score is the pure BIGINT
+    dot product of the two code arrays (order-free) divided by the
+    index vector's scale (ONE IEEE division — bit-identical given
+    identical integers), shortlist = top refine*k per query by that
+    score with id tie-break, and exact cosine re-ranks the shortlist
+    by the ROUNDED score (the float parity rule). At 100 TB the code
+    arrays live in the store next to the id; the scan streams
+    fixed-width int8 rows and only the shortlist touches floats."""
+    iscale, icodes = _sq8_cols(index_vec, "i")
+    qscale, qcodes = _sq8_cols(query_vec, "q")
+    codes = index.select(F.col(index_id), F.col(index_vec), iscale, icodes)
+    q = queries.select(F.col(query_id), F.col(query_vec), qscale, qcodes)
+    adc_int = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("i_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    paired = codes.crossJoin(F.broadcast(q)).select(
+        query_id,
+        query_vec,
+        index_id,
+        index_vec,
+        (adc_int.cast("double") / F.col("i_scale")).alias("adc"),
+    )
+    wa = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(index_id).asc()
+    )
+    shortlist = paired.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= refine * k
+    )
+    scored = shortlist.select(
+        query_id,
+        index_id,
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(index_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk_join(
     queries: DataFrame,
     index: DataFrame,

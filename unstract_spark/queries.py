@@ -2481,6 +2481,59 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_similarity(sigs, pairs)
 
 
+def _minhash_auto_sql(threshold: float = 0.7, num_hashes: int = 8) -> str:
+    """SQL twin of the auto-banded MinHash pipeline: the banding comes
+    from the same auto_band_params computation the operator runs, its
+    band keys generated for whatever (r, b) that yields."""
+    r, b = dedup.auto_band_params(num_hashes, threshold)
+    rows = []
+    for band in range(b):
+        key = " || '|' || ".join(
+            f"CAST(mh_{band * r + j} AS VARCHAR)" for j in range(r)
+        )
+        rows.append(f"({band}, md5({key}))")
+    sim = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, bb.band_no, bb.band_key
+        FROM sigs, LATERAL (VALUES {", ".join(rows)}) AS bb(band_no, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b, (({sim}) / {num_hashes}.0) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """
+
+
+@register("dd_minhash_auto", _minhash_auto_sql())
+def dd_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup through THRESHOLD-MATCHED banding
+    (dedup.auto_band_params — the MMDS S-curve rule: pick (r, b) with
+    the 50%-collision point (1/b)^(1/r) nearest the dedup policy's
+    Jaccard bar). Frozen banding is the MinHash twin of the frozen-LSH
+    scale trap: a (2, 4) banding tuned for ~0.5 floods candidates when
+    the policy asks for 0.7+ — at a 0.7 target the auto rule picks
+    (4, 2), whose buckets only collide on 4-hash agreement. The oracle
+    generates its band keys from the SAME computation, so the gated
+    candidate set certifies the banding choice end to end (same
+    discipline as dd_embedding_neardup_auto)."""
+    sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    r, b = dedup.auto_band_params(8, 0.7)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=r)
+    return dedup.minhash_similarity(sigs, pairs)
+
+
 _SKEW_CORPUS_SQL = """
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -3475,6 +3528,71 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.pq_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+def _sq8_topk_sql(dim: int = 64, k: int = 10, refine: int = 3) -> str:
+    """SQL twin of similarity.sq8_topk_join: same per-vector
+    127/max|x| scale, same floor(x*s + 0.5) integer codes, pure
+    BIGINT code dot product divided once by the index scale, same
+    shortlist cut and rounded exact-cosine re-rank."""
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    sq AS (
+        SELECT vec_id, v, nrm,
+               127.0 / greatest(list_max(list_transform(v, x -> abs(x))),
+                                1e-30) AS scale
+        FROM e
+    ),
+    c AS (
+        SELECT vec_id, v, nrm, scale,
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+                   AS codes
+        FROM sq
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, codes AS qcodes
+          FROM c WHERE vec_id < 5),
+    paired AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                    i -> q.qcodes[i] * c.codes[i])) AS DOUBLE) / c.scale AS adc,
+               list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS cos
+        FROM c CROSS JOIN q
+    ),
+    short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id ASC) AS arank
+        FROM paired
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, round(cos, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+        FROM short WHERE arank <= {refine * k}
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_sq8_topk", _sq8_topk_sql())
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path #5: int8 SCALAR quantization
+    (similarity.sq8_topk_join) — the memory lever between raw floats
+    and PQ (4x smaller, one multiply per dim, no codebook training;
+    the FAISS ScalarQuantizer / Milvus SQ8 default). Candidate score
+    is a pure BIGINT code dot product (order-free) divided once by
+    the index vector's scale; exact cosine re-ranks the shortlist.
+    Completes the compression spectrum the ANN family gates: raw
+    (brute/LSH/IVF) -> SQ8 (4x) -> PQ (32x) -> IVF-PQ."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.sq8_topk_join(q, e, dim=64, k=10).select(
         "query_id", "vec_id", "score", "rank"
     )
 
@@ -7374,6 +7492,65 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed(raw, iters=3)
+
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH raw AS (
+        SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+    ),
+    e AS (SELECT a AS src, b AS dst FROM raw
+          UNION SELECT b AS src, a AS dst FROM raw),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n),
+    i1 AS (SELECT e.dst AS node, min(l0.label) AS nl
+           FROM e JOIN l0 ON l0.node = e.src GROUP BY 1),
+    l1 AS (SELECT l0.node, least(l0.label, coalesce(i1.nl, l0.label)) AS label
+           FROM l0 LEFT JOIN i1 ON i1.node = l0.node),
+    i2 AS (SELECT e.dst AS node, min(l1.label) AS nl
+           FROM e JOIN l1 ON l1.node = e.src GROUP BY 1),
+    l2 AS (SELECT l1.node, least(l1.label, coalesce(i2.nl, l1.label)) AS label
+           FROM l1 LEFT JOIN i2 ON i2.node = l1.node),
+    i3 AS (SELECT e.dst AS node, min(l2.label) AS nl
+           FROM e JOIN l2 ON l2.node = e.src GROUP BY 1),
+    l3 AS (SELECT l2.node, least(l2.label, coalesce(i3.nl, l2.label)) AS label
+           FROM l2 LEFT JOIN i3 ON i3.node = l2.node)
+    SELECT node, label AS community FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round MIN-label propagation (graph.label_propagation)
+    over the same recent customer-supplier graph as the PageRank twin:
+    after 3 rounds every node carries the smallest node id within
+    distance 3 — the deterministic, hash-gatable form of label
+    propagation (classic frequency LPA breaks ties by arrival order
+    and cannot be gated). String min over ASCII ids is identical in
+    both engines; the oracle unrolls the 3 rounds as CTEs, so label
+    equality certifies the symmetrization, the neighbor-min, and the
+    self-vs-neighbor least() per round bit for bit."""
+    from unstract_spark.operators.graph import label_propagation
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01"
+    )
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return label_propagation(raw, iters=3)
 
 
 @register(
