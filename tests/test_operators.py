@@ -597,3 +597,73 @@ def test_new_operators_empty_input_sanity(spark):
     efacts = spark.createDataFrame([], "k long, v long")
     dim_df = spark.createDataFrame([(1, "a")], "k long, name string")
     assert salted_join(efacts, dim_df, "k").count() == 0
+
+
+def test_label_propagation_bounded_rounds_and_convergence(spark):
+    """3 rounds carry the min id within distance 3; run long enough it
+    equals connected-components min labels. Path graph a-b-c-d-e plus
+    an isolated pair x-y."""
+    from unstract_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    one = {r.node: r.community for r in label_propagation(edges, iters=1).collect()}
+    # one round: 'e' only sees 'd'
+    assert one["e"] == "d" and one["a"] == "a" and one["y"] == "x"
+    conv = {r.node: r.community for r in label_propagation(edges, iters=4).collect()}
+    assert {conv[n] for n in "abcde"} == {"a"}
+    assert conv["x"] == "x" and conv["y"] == "x"
+
+
+def test_auto_band_params_tracks_threshold():
+    """S-curve rule: higher Jaccard bar -> longer bands (fewer, more
+    selective buckets); b*r always equals num_hashes."""
+    from unstract_spark.operators.dedup import auto_band_params
+
+    rs = []
+    for t in (0.1, 0.5, 0.7, 0.95):
+        r, b = auto_band_params(8, t)
+        assert r * b == 8
+        rs.append(r)
+    assert rs == sorted(rs)  # monotone in the threshold
+    assert auto_band_params(8, 0.5) == (2, 4)  # the classic default
+
+
+def test_sq8_codes_bounded_and_topk_matches_brute(spark):
+    """SQ8 codes stay in [-127, 127] and the shortlist+re-rank returns
+    the same top-k as brute force on a small corpus (refine covers the
+    quantization error at this size)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk_join,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in sq8_topk_join(q, e, dim=8, k=5, refine=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(q, e, dim=8, k=5).collect()
+    }
+    assert got == want
+
+    from unstract_spark.operators.similarity import _sq8_cols
+
+    scale, codes = _sq8_cols("embedding", "i")
+    mx = e.select(codes).select(
+        F.array_max(F.transform(F.col("i_codes"), lambda x: F.abs(x))).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    assert mx <= 127
