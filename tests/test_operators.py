@@ -617,6 +617,19 @@ def test_label_propagation_bounded_rounds_and_convergence(spark):
     assert conv["x"] == "x" and conv["y"] == "x"
 
 
+def test_label_propagation_directed_keeps_sink_nodes(spark):
+    """Code-review r9: with undirected=False a dst-only sink node must
+    still emit a community row (labels flow along edge direction)."""
+    from unstract_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=1, undirected=False).collect()
+    }
+    assert rows == {"a": "a", "b": "a"}
+
+
 def test_auto_band_params_tracks_threshold():
     """S-curve rule: higher Jaccard bar -> longer bands (fewer, more
     selective buckets); b*r always equals num_hashes."""

@@ -403,8 +403,6 @@ def auto_band_params(num_hashes: int, threshold: float) -> tuple[int, int]:
     threshold floods candidates when the dedup policy asks for a
     different similarity bar. Deterministic — a pure function of
     (num_hashes, threshold), so an oracle can pin the same choice."""
-    import math
-
     best = None
     for r in range(1, num_hashes + 1):
         if num_hashes % r:
@@ -549,6 +547,10 @@ def embedding_neardup_lsh(
                     "cosine"
                 ),
             )
+            # duplicate ids in the INPUT would fan the join back out;
+            # this final fixed-width dedup keeps the two spellings'
+            # row multisets identical in that case too
+            .dropDuplicates(["id_a", "id_b"])
             .filter(F.col("cosine") >= threshold)
         )
     # Low-table regime: score in the bucket join, dedupe after on

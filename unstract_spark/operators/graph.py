@@ -105,7 +105,13 @@ def label_propagation(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
     e = e.distinct().localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # node set from BOTH endpoints: with undirected=False a pure sink
+    # (dst-only) node must still carry a community row
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     lab = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
     )

@@ -642,9 +642,11 @@ def sq8_topk_join(
     arrays live in the store next to the id; the scan streams
     fixed-width int8 rows and only the shortlist touches floats."""
     iscale, icodes = _sq8_cols(index_vec, "i")
-    qscale, qcodes = _sq8_cols(query_vec, "q")
+    _qscale, qcodes = _sq8_cols(query_vec, "q")
     codes = index.select(F.col(index_id), F.col(index_vec), iscale, icodes)
-    q = queries.select(F.col(query_id), F.col(query_vec), qscale, qcodes)
+    # q_scale is constant within a query partition, so it cannot change
+    # the per-query ADC ranking — not computed/broadcast at all
+    q = queries.select(F.col(query_id), F.col(query_vec), qcodes)
     adc_int = F.aggregate(
         F.zip_with(F.col("q_codes"), F.col("i_codes"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -666,7 +668,9 @@ def sq8_topk_join(
     scored = shortlist.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(
+            cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(index_id).asc()

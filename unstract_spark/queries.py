@@ -2529,7 +2529,7 @@ def dd_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as dd_embedding_neardup_auto)."""
     sh = dedup.char_shingles(_t(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
-    r, b = dedup.auto_band_params(8, 0.7)
+    r, _b = dedup.auto_band_params(8, 0.7)
     pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=r)
     return dedup.minhash_similarity(sigs, pairs)
 

@@ -1283,15 +1283,11 @@ def streaming_crawl_pipeline(
             accepted.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={fid}"
             )
-            # EVERY claimed url enters the frontier — including non-200
-            # fetches — so dead links don't re-pend forever; a crash
-            # between fetch and this commit re-pends the whole claim
-            # (at-least-once; duplicates fold on doc_key)
-            spark.createDataFrame(
-                [(u,) for u in claim], "url_norm string"
-            ).write.mode("overwrite").parquet(
-                f"{frontier_dir}/batch_id={fid}"
-            )
+            # Discovered links must commit BEFORE the frontier write:
+            # the frontier entry is the claim-completion marker, and a
+            # crash after it would otherwise permanently prune the
+            # crawl tree (the fetched page never re-pends, so its
+            # out-links would never be extracted again).
             if discovered_dir is not None:
                 links = webcorpus.extract_links(
                     ok.select(
@@ -1306,6 +1302,15 @@ def streaming_crawl_pipeline(
                 ).distinct().write.mode("overwrite").parquet(
                     f"{discovered_dir}/batch_id={fid}"
                 )
+            # EVERY claimed url enters the frontier — including non-200
+            # fetches — so dead links don't re-pend forever; a crash
+            # between fetch and this commit re-pends the whole claim
+            # (at-least-once; duplicates fold on doc_key)
+            spark.createDataFrame(
+                [(u,) for u in claim], "url_norm string"
+            ).write.mode("overwrite").parquet(
+                f"{frontier_dir}/batch_id={fid}"
+            )
     return fires
 
 
