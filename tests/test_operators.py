@@ -644,6 +644,29 @@ def test_auto_band_params_tracks_threshold():
     assert auto_band_params(8, 0.5) == (2, 4)  # the classic default
 
 
+def test_dispatcher_sq8_override(spark):
+    """similarity_topk(strategy='sq8') routes through sq8_topk_join
+    with a priced plan and the standard output shape."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.similarity import similarity_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got, plan = similarity_topk(q, e, dim=8, k=4, strategy="sq8")
+    assert plan.strategy == "sq8" and plan.est_mults > 0
+    out = got.collect()
+    assert len(out) == 8 and all(r.rank <= 4 for r in out)
+    # self-match survives the dispatcher path
+    assert {(r.query_id, r.vec_id) for r in out if r.rank == 1} == {(0, 0), (1, 1)}
+
+
 def test_sq8_codes_bounded_and_topk_matches_brute(spark):
     """SQ8 codes stay in [-127, 127] and the shortlist+re-rank returns
     the same top-k as brute force on a small corpus (refine covers the

@@ -895,6 +895,19 @@ def _estimate_mults(strategy: str, params: dict, n: int, q: int, dim: int) -> fl
             n * params["ef_construction"] * lg * dim
             + q * params["n_shards"] * params["ef_search"] * lg * dim
         )
+    if strategy == "sq8":
+        # encode (n+q)·dim (one multiply/element), integer-ADC full
+        # scan q·n·dim (int multiplies — cheaper per op than float,
+        # not priced separately), bounded re-rank. Like pq/hnsw it is
+        # explicit-override only: its real win is 4x less memory
+        # bandwidth (int8 codes instead of float32), which mult
+        # counts don't price, and the full scan always loses to
+        # sublinear candidate generation on this metric.
+        return (
+            (n + q) * dim
+            + q * n * dim
+            + q * params.get("refine", 3) * params.get("k", 10) * dim
+        )
     if strategy == "pq":
         # encode n + lut q (n_codes*dim mults each), ADC full scan
         # (n_sub lookups/item charged as 1 op each), bounded re-rank.
@@ -1026,7 +1039,7 @@ def similarity_topk(
     plan = choose_topk_strategy(n, q, dim, k, exact_budget)
     if strategy != "auto":
         if strategy not in (
-            "brute_force", "lsh", "ivf", "pq", "opq", "hnsw",
+            "brute_force", "lsh", "ivf", "sq8", "pq", "opq", "hnsw",
             "ivfpq_residual"
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
@@ -1037,6 +1050,8 @@ def similarity_topk(
             if strategy == "lsh"
             else _ivf_auto_params(n)
             if strategy == "ivf"
+            else {"refine": 3, "k": k}
+            if strategy == "sq8"
             else _pq_auto_params(dim)
             if strategy == "pq"
             else {**_pq_auto_params(dim), "iters": 4}
@@ -1055,6 +1070,11 @@ def similarity_topk(
         )
     elif plan.strategy == "pq":
         out = pq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
+    elif plan.strategy == "sq8":
+        out = sq8_topk_join(
+            queries, index, dim, k=k, refine=plan.params.get("refine", 3),
+            **col_names,
+        )
     elif plan.strategy == "opq":
         out = opq_topk_join(queries, index, dim, k=k, **plan.params, **col_names)
     elif plan.strategy == "hnsw":
