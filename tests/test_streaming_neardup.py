@@ -142,7 +142,13 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
 
     # the attempt of epoch 1 that died after writing its outputs but
     # before the checkpoint commit (run base is pinned at 0, so the
-    # replay MUST land on batch_id=1 and overwrite these)
+    # replay MUST land on batch_id=1 and overwrite these). A real
+    # attempt pins its bid in the marker BEFORE writing (the r10
+    # stale-resume guard) — simulate that half too, or the planted
+    # partition would correctly read as another run's commit.
+    from unstract_spark.streaming.incremental import _pin_bid
+
+    _pin_bid(ckpt, 1)
     spark.createDataFrame(
         [(99, 98, 0.99)], "id_a long, id_b long, est_jaccard double"
     ).write.parquet(f"{out}/batch_id=1")
@@ -332,3 +338,54 @@ def test_streaming_bloom_matches_batch_history(spark, tmp_path):
         r.bit for r in spark.read.parquet(store).drop("batch_id").collect()
     }
     assert got_bits == expect_bits
+
+
+def test_stale_checkpoint_resume_refused(spark, tmp_path):
+    """ADVICE r10 (medium): the pinned run base guarantees partition
+    disjointness only at ALLOCATION time — resuming an OLD checkpoint
+    after a NEWER run (fresh checkpoint, same out/store roots) has
+    committed partitions would map the old lineage's continuing epochs
+    onto, and overwrite, the newer run's committed batch ids. The
+    marker's allocation ceiling detects exactly that: the resume must
+    REFUSE (StaleCheckpointError), leaving the newer commit intact."""
+    import pytest
+
+    from unstract_spark.streaming.incremental import (
+        StaleCheckpointError,
+        _run_base,
+    )
+
+    src = str(tmp_path / "src")
+    old_ckpt = str(tmp_path / "ckpt_old")
+    new_ckpt = str(tmp_path / "ckpt_new")
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    os.makedirs(src)
+
+    _docs(spark, [(1, BASE)]).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_neardup_pipeline(spark, src, old_ckpt, store, out) == 1
+
+    # a newer run: fresh checkpoint, same roots — commits batch_id=1
+    _docs(spark, [(2, BASE + "tail two ")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_neardup_pipeline(spark, src, new_ckpt, store, out) == 1
+    before = spark.read.parquet(store).count()
+
+    # resuming the STALE checkpoint must refuse, not overwrite
+    _docs(spark, [(3, BASE + "tail three ")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(StaleCheckpointError):
+        streaming_neardup_pipeline(spark, src, old_ckpt, store, out)
+    assert spark.read.parquet(store).count() == before  # intact
+
+    # the NEWEST checkpoint for these roots still resumes fine
+    assert streaming_neardup_pipeline(spark, src, new_ckpt, store, out) == 1
+
+    # legacy single-field markers (pre-ceiling) skip the guard —
+    # unknowable lineage, documented behavior, no false refusal
+    legacy = str(tmp_path / "ckpt_legacy")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "_graft_run_base_0"), "w") as fh:
+        fh.write("0")
+    assert _run_base(out, store, checkpoint_dir=legacy) == 0

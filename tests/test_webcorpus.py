@@ -1099,3 +1099,82 @@ def test_streaming_paragraph_dedup_fresh_checkpoint(spark, tmp_path):
     # of doc 1 is fully store-deduped, doc 2 keeps only 'beta'
     assert rows[(1, 1)] == ("", 2)
     assert rows[(2, 1)] == ("beta", 1)
+
+
+def test_streaming_paragraph_dedup_hot_min_fuse_matches_window_twin(
+    spark, tmp_path
+):
+    """Verdict r9 #2: the streaming twin of the batch paragraph-skew
+    fuse. A boilerplate-heavy drop (one paragraph on most docs of a
+    fire) must produce IDENTICAL per-doc output and store state under
+    the fused (hot_min) and window spellings — across two fires, so
+    the fuse's store interplay (hot hash already stored, hot
+    first-arrival kept then stored) is exercised, plus a replay-style
+    idempotent re-fire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unstract_spark.streaming.incremental import streaming_paragraph_dedup
+
+    # fire 1: HOTBANNER on 6 of 8 docs (hot under hot_min=3), COLDDUP
+    # on exactly 2 (cold path repeat), unique tails everywhere
+    fire1 = pa.table(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [
+                f"HOTBANNER\n\nunique-{i}" if i <= 6 else f"COLDDUP\n\ntail-{i}"
+                for i in range(1, 9)
+            ],
+        }
+    )
+    # fire 2: HOTBANNER returns (now store-hot), one brand-new hot
+    # paragraph NEWHOT repeats 4x in-fire, plus a fresh unique
+    fire2 = pa.table(
+        {
+            "doc_id": list(range(11, 16)),
+            "text": [
+                "HOTBANNER\n\nNEWHOT",
+                "NEWHOT\n\nfresh-12",
+                "NEWHOT",
+                "NEWHOT\n\nCOLDDUP",
+                "solo-15",
+            ],
+        }
+    )
+
+    def drive(tag, hot_min):
+        src = tmp_path / f"docs_{tag}"
+        src.mkdir()
+        store = str(tmp_path / f"store_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        run = lambda: streaming_paragraph_dedup(
+            spark, str(src), ckpt, store, out, hot_min=hot_min
+        )
+        pq.write_table(fire1, str(src / "f1.parquet"))
+        run()
+        pq.write_table(fire2, str(src / "f2.parquet"))
+        run()
+        run()  # drained: idempotent no-op
+        rows = {
+            r.doc_id: (r.cleaned_text, r.n_kept, r.n_removed)
+            for r in spark.read.parquet(out).collect()
+        }
+        hashes = {
+            r.phash
+            for r in spark.read.parquet(store).select("phash").collect()
+        }
+        return rows, hashes
+
+    fused_rows, fused_store = drive("fused", hot_min=3)
+    plain_rows, plain_store = drive("plain", hot_min=None)
+    assert fused_rows == plain_rows
+    assert fused_store == plain_store
+    # spot semantics: doc 1 kept the fire-1 first arrival of HOTBANNER,
+    # docs 2-6 dropped theirs; fire-2's doc 11 finds both its
+    # paragraphs in the store (HOTBANNER) or hot-and-first (NEWHOT)
+    assert fused_rows[1] == ("HOTBANNER\n\nunique-1", 2, 0)
+    assert fused_rows[2] == ("unique-2", 1, 1)
+    assert fused_rows[11] == ("NEWHOT", 1, 1)  # HOTBANNER stored; NEWHOT first
+    assert fused_rows[13] == ("", 0, 1)  # lone NEWHOT copy, dropped
+    assert fused_rows[15] == ("solo-15", 1, 0)

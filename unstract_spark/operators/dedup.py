@@ -486,7 +486,10 @@ def embedding_neardup_lsh(
     re-scores (score-first wins up through 24 tables at sf0.1,
     1.7x at the frozen 4-table geometry), so pairs score in the
     bucket join and dedupe after on (ids, score) — still fixed-width.
-    Crossover pinned at 32. Both spellings emit identical rows.
+    Crossover pinned at 32. Both spellings emit identical rows when
+    ids are unique (the contract); duplicate-id inputs score
+    deterministically in both (max cosine per pair), but the combo
+    sets observed can differ — see the in-code notes.
 
     n_planes="auto" derives (planes, tables) from the corpus count via
     auto_lsh_params — the scale-correct mode (one count() job, scalar
@@ -547,10 +550,20 @@ def embedding_neardup_lsh(
                     "cosine"
                 ),
             )
-            # duplicate ids in the INPUT would fan the join back out;
-            # this final fixed-width dedup keeps the two spellings'
-            # row multisets identical in that case too
-            .dropDuplicates(["id_a", "id_b"])
+            # duplicate ids in the INPUT fan the join back out; the
+            # max-cosine aggregate (fixed-width HashAggregate, same
+            # cost class as dropDuplicates) makes the surviving score
+            # DETERMINISTIC — dropDuplicates would keep an arbitrary
+            # row's cosine, flipping the threshold filter run to run.
+            # With unique ids (the normal contract) each pair has
+            # exactly one score and this is the identity. Under
+            # duplicate ids the spellings still differ in WHICH vector
+            # combos they observe (this one scores all combos of the
+            # deduped pair; the low-table one scores only co-bucketed
+            # combos) — unique ids are the precondition for exact
+            # cross-spelling row parity.
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
     # Low-table regime: score in the bucket join, dedupe after on
@@ -567,7 +580,10 @@ def embedding_neardup_lsh(
             # higher-order-function path costs ~3x on the candidate set)
             (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # max-cosine, not dropDuplicates: deterministic under
+        # duplicate-id input (see the high-table spelling's note)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -105,6 +105,21 @@ def _fixture_parquet(spark: SparkSession, sf_dir: str, name: str, build):
     path = os.path.join(base, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(base, exist_ok=True)
+        # A crashed/interrupted build leaves its .tmp<pid> sibling
+        # behind forever (only the losing racer cleans its OWN tmp) —
+        # sweep orphans whose builder pid is dead before building;
+        # live-pid tmps belong to a concurrent racer and stay.
+        for entry in os.listdir(base):
+            stale, _, pid = entry.rpartition(".tmp")
+            if stale and pid.isdigit() and int(pid) != os.getpid():
+                try:
+                    os.kill(int(pid), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(
+                        os.path.join(base, entry), ignore_errors=True
+                    )
+                except OSError:  # EPERM etc: pid alive, not ours
+                    pass
         tmp = f"{path}.tmp{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
         try:

@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class StaleCheckpointError(RuntimeError):
+    """Resuming a checkpoint whose run-base lineage is OLDER than
+    partitions on disk: a different run (fresh checkpoint, same
+    out/store roots) committed batch_id partitions above everything
+    this lineage ever allocated. Continuing would map this lineage's
+    next epochs onto — and overwrite — that newer run's committed
+    data. Resume the newest checkpoint for these roots, or point the
+    stale checkpoint at fresh roots."""
+
+
 def _run_base(
     *roots: str,
     below: int | None = None,
@@ -58,39 +68,96 @@ def _run_base(
     checkpoint_dir; every restart of that checkpoint reuses it. A
     fresh checkpoint has no marker and gets a fresh disjoint base.
 
+    Pinning alone only guarantees disjointness at ALLOCATION time: if
+    a STALE checkpoint is resumed after a newer run (fresh checkpoint,
+    same roots) has committed partitions, the old base plus continuing
+    epochs would land on — and overwrite — the newer run's committed
+    batch_ids. So the marker also records the max bid this lineage has
+    ALLOCATED (second field, updated by `_pin_bid` before any
+    partition write); on marker reuse, any partition in the namespace
+    with a HIGHER id was written by a different run, and the resume is
+    refused with StaleCheckpointError instead of proceeding into
+    acked-data loss. (Legacy single-field markers predate the ceiling
+    and skip the check — unknowable, documented.)
+
     `base`/`below` bound the namespace scanned (and returned into), so
     out-of-band partitions — the queue consumer's SWEEP_BASE sweep,
     the crawl pipeline's _FETCH_BASE fetch commits — stay invisible to
     each other's numbering."""
     import os as _os
 
+    def _scan_max(floor: int) -> tuple[int, list[str]]:
+        """(max bid in [base, below), paths with bid > floor)."""
+        mx, above = base - 1, []
+        for root in roots:
+            try:
+                names = _os.listdir(root)
+            except FileNotFoundError:
+                continue
+            for d in names:
+                if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit():
+                    v = int(d.split("=", 1)[1])
+                    if v >= base and (below is None or v < below):
+                        mx = max(mx, v)
+                        if v > floor:
+                            above.append(_os.path.join(root, d))
+        return mx, above
+
     marker = None
     if checkpoint_dir is not None:
         marker = _os.path.join(checkpoint_dir, f"_graft_run_base_{base}")
         try:
             with open(marker) as fh:
-                return int(fh.read().strip())
+                fields = fh.read().split()
+            val = int(fields[0])
+            if len(fields) > 1:
+                _, foreign = _scan_max(int(fields[1]))
+                if foreign:
+                    raise StaleCheckpointError(
+                        "stale checkpoint resume refused: partitions "
+                        f"{sorted(foreign)} carry batch ids above this "
+                        f"lineage's max allocation {fields[1]} — a newer "
+                        "run committed them; continuing would overwrite "
+                        "its data"
+                    )
+            return val
         except (FileNotFoundError, ValueError):
             pass
-    mx = base - 1
-    for root in roots:
-        try:
-            names = _os.listdir(root)
-        except FileNotFoundError:
-            continue
-        for d in names:
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit():
-                v = int(d.split("=", 1)[1])
-                if v >= base and (below is None or v < below):
-                    mx = max(mx, v)
-    val = mx + 1
+    val = _scan_max(base - 1)[0] + 1
     if marker is not None:
         _os.makedirs(checkpoint_dir, exist_ok=True)
         tmp = f"{marker}.tmp{_os.getpid()}"
         with open(tmp, "w") as fh:
-            fh.write(str(val))
+            # base + allocation ceiling (nothing allocated yet)
+            fh.write(f"{val} {val - 1}")
         _os.replace(tmp, marker)
     return val
+
+
+def _pin_bid(checkpoint_dir: str | None, bid: int, base: int = 0) -> None:
+    """Record `bid` as allocated by this checkpoint's lineage — called
+    BEFORE the first write to its partition, so a crash mid-write
+    still leaves the marker ceiling >= bid and the replay maps onto
+    (and overwrites) its own half-written partition rather than
+    tripping the stale-resume guard."""
+    import os as _os
+
+    if checkpoint_dir is None:
+        return
+    marker = _os.path.join(checkpoint_dir, f"_graft_run_base_{base}")
+    try:
+        with open(marker) as fh:
+            fields = fh.read().split()
+        val = int(fields[0])
+        ceiling = int(fields[1]) if len(fields) > 1 else val - 1
+    except (FileNotFoundError, ValueError):
+        return
+    if bid <= ceiling:
+        return
+    tmp = f"{marker}.tmp{_os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(f"{val} {bid}")
+    _os.replace(tmp, marker)
 
 
 def _read_parquet_or_none(spark: SparkSession, path: str):
@@ -483,6 +550,7 @@ def streaming_neardup_pipeline(
             return
         fires += 1
         bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         # one materialization: feeds the store append AND both join
         # sides (localCheckpoint, not persist — the CacheManager-leak
         # lesson in SCALE.md)
@@ -576,8 +644,10 @@ def streaming_decontamination_pipeline(
         # idempotent under foreachBatch's at-least-once replay: each
         # batch owns its partition directory (same contract as
         # streaming_neardup_pipeline)
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         hits.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={run_base + int(epoch)}"
+            f"{out_dir}/batch_id={bid}"
         )
 
     schema = "doc_id long, text string"
@@ -658,6 +728,7 @@ def streaming_cluster_pipeline(
             return
         fires += 1
         bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         labels = _latest_labels(bid).localCheckpoint(eager=True)
 
         # endpoints -> current components (unknown node = its own id)
@@ -780,8 +851,10 @@ def streaming_rollup_pipeline(
             return
         fires += 1
         part = minute_partials(batch, ts_col=ts_col, value_col=value_col)
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         part.write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={run_base + int(epoch)}"
+            f"{store_dir}/batch_id={bid}"
         )
 
     schema = spark.read.parquet(source_dir).schema
@@ -895,8 +968,10 @@ def streaming_queue_consumer(
         if not ids:
             return
         fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         claimed.write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={run_base + int(epoch)}"
+            f"{out_dir}/batch_id={bid}"
         )
         ack_messages(spark, ledger_path, queue_name, ids, consumer_id)
 
@@ -992,6 +1067,7 @@ def streaming_bloom_pipeline(
             return
         fires += 1
         bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         fp = docs.select(
             "doc_id", F.md5("text").alias("fingerprint")
         ).localCheckpoint(eager=True)
@@ -1149,8 +1225,18 @@ def streaming_crawl_pipeline(
 
     rules = webcorpus.robots_rules(robots).localCheckpoint(eager=True) if robots is not None else None
     fires = 0
+    # discovered_dir joins the namespace roots whenever link expansion
+    # is armed: collision-freedom for discovered partitions must not
+    # ride on the implicit "a discovered write always follows an out
+    # write at the same fid" invariant — if out_dir were ever cleaned
+    # or re-derived independently, a new run's fid could otherwise
+    # silently overwrite a committed discovered partition and prune
+    # the crawl tree.
+    ns_roots = (out_dir, frontier_dir) + (
+        (discovered_dir,) if discovered_dir is not None else ()
+    )
     run_base = _run_base(
-        out_dir, frontier_dir, below=_FETCH_BASE, checkpoint_dir=checkpoint_dir
+        *ns_roots, below=_FETCH_BASE, checkpoint_dir=checkpoint_dir
     )
 
     def process(batch: DataFrame, epoch: int) -> None:
@@ -1159,6 +1245,7 @@ def streaming_crawl_pipeline(
             return
         fires += 1
         bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         recs = webcorpus.warc_records(
             batch.select("path", "content"), payload_col="content"
         ).filter(F.col("rec_type").isin("response", "conversion"))
@@ -1279,7 +1366,7 @@ def streaming_crawl_pipeline(
                 "n_kept",
                 "n_dropped",
             ).localCheckpoint(eager=True)
-            fid = _run_base(out_dir, frontier_dir, base=_FETCH_BASE)
+            fid = _run_base(*ns_roots, base=_FETCH_BASE)
             accepted.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={fid}"
             )
@@ -1322,6 +1409,7 @@ def streaming_paragraph_dedup(
     out_dir: str,
     delim: str = "\n\n",
     max_files_per_trigger: int = 100,
+    hot_min: int | None = None,
 ) -> int:
     """Incremental paragraph-level dedup — the streaming twin of
     dedup.dedup_paragraphs and the shape of Dolma's incremental
@@ -1346,6 +1434,27 @@ def streaming_paragraph_dedup(
     roots) so a fresh checkpoint against a populated store continues
     rather than overwriting committed batches.
 
+    Skew fuse (`hot_min`), the streaming twin of dedup_paragraphs'
+    batch fuse: the window spelling shuffles the fire's RAW paragraph
+    rows by hash, so a mega-boilerplate paragraph inside ONE fire (a
+    cookie banner on every page of a just-crawled site) concentrates
+    its whole occurrence set in one window task — per-fire batch
+    bounds cap the damage but don't remove it. With hot_min armed:
+      1. ONE groupBy(phash) computes count + min(doc_id,pos) — both
+         combine map-side, so the reduce side sees one partial row
+         per map task for the hot key, never its occurrence set,
+      2. hashes with >= hot_min in-fire occurrences form a BROADCAST
+         hot set; hot rows get keep (is-first && not-in-store)
+         map-side via the broadcast join — never shuffled by hash;
+         the store membership of the (few) hot hashes is resolved by
+         a semi-join of the store AGAINST the broadcast hot set,
+         collected (driver state bounded by |hot set|),
+      3. only the de-skewed cold remainder flows through the hash
+         shuffle (its per-hash row count is < hot_min by definition).
+    Semantics identical to the window spelling — keep is first-in-fire
+    occurrence and not already stored — so the same twin tests gate
+    both paths.
+
     Returns the number of non-empty fired batches.
     """
     fires = 0
@@ -1357,6 +1466,7 @@ def streaming_paragraph_dedup(
             return
         fires += 1
         bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
         paras = batch.select(
             "doc_id",
             F.posexplode(
@@ -1368,18 +1478,76 @@ def streaming_paragraph_dedup(
             seen = seen.filter(F.col("batch_id") != bid).select("phash")
         # first occurrence WITHIN the fire survives; later in-fire
         # repeats and anything already in the store drop
-        w = Window.partitionBy("phash").orderBy("doc_id", "pos")
-        flagged = paras.withColumn(
-            "keep", F.row_number().over(w) == 1
-        )
-        if seen is not None:
-            flagged = flagged.join(seen, "phash", "left_anti").unionByName(
-                # rows whose hash IS in the store: keep=false, but they
-                # must still flow into the reassembly as dropped rows
-                flagged.join(seen, "phash", "left_semi").withColumn(
-                    "keep", F.lit(False)
-                )
+        if hot_min is not None:
+            # skew fuse (see docstring): paras feeds three consumers —
+            # the count aggregate, the hot branch, the cold branch —
+            # materialize once (the batch fuse's measured 12.2->5.2 s
+            # localCheckpoint lesson)
+            paras = paras.localCheckpoint(eager=True)
+            agg = paras.groupBy("phash").agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min(F.struct("doc_id", "pos")).alias("_first"),
             )
+            hot = agg.filter(F.col("_cnt") >= hot_min).select(
+                "phash", "_first"
+            )
+            hot_rows = (
+                paras.join(F.broadcast(hot), "phash")
+                .withColumn(
+                    "keep", F.struct("doc_id", "pos") == F.col("_first")
+                )
+                .drop("_first")
+            )
+            if seen is not None:
+                # store membership for the few hot hashes: semi-join
+                # the store against the BROADCAST hot set — driver
+                # state bounded by |hot|, the store never shuffles
+                # the hot occurrence rows
+                hot_seen = [
+                    r.phash
+                    for r in seen.join(
+                        F.broadcast(hot.select("phash")), "phash", "left_semi"
+                    ).collect()
+                ]
+                if hot_seen:
+                    hot_rows = hot_rows.withColumn(
+                        "keep",
+                        F.col("keep") & ~F.col("phash").isin(hot_seen),
+                    )
+            cold = (
+                paras.join(F.broadcast(hot.select("phash")), "phash", "left_anti")
+                .join(
+                    agg.filter(F.col("_cnt") < hot_min).select(
+                        "phash", "_first"
+                    ),
+                    "phash",
+                )
+                .withColumn(
+                    "keep", F.struct("doc_id", "pos") == F.col("_first")
+                )
+                .drop("_first")
+            )
+            if seen is not None:
+                cold = cold.join(seen, "phash", "left_anti").unionByName(
+                    cold.join(seen, "phash", "left_semi").withColumn(
+                        "keep", F.lit(False)
+                    )
+                )
+            flagged = cold.unionByName(hot_rows)
+        else:
+            w = Window.partitionBy("phash").orderBy("doc_id", "pos")
+            flagged = paras.withColumn(
+                "keep", F.row_number().over(w) == 1
+            )
+            if seen is not None:
+                flagged = flagged.join(seen, "phash", "left_anti").unionByName(
+                    # rows whose hash IS in the store: keep=false, but
+                    # they must still flow into the reassembly as
+                    # dropped rows
+                    flagged.join(seen, "phash", "left_semi").withColumn(
+                        "keep", F.lit(False)
+                    )
+                )
         cleaned = flagged.groupBy("doc_id").agg(
             F.array_join(
                 F.transform(
