@@ -1178,3 +1178,75 @@ def test_streaming_paragraph_dedup_hot_min_fuse_matches_window_twin(
     assert fused_rows[11] == ("NEWHOT", 1, 1)  # HOTBANNER stored; NEWHOT first
     assert fused_rows[13] == ("", 0, 1)  # lone NEWHOT copy, dropped
     assert fused_rows[15] == ("solo-15", 1, 0)
+
+
+def test_streaming_crawl_politeness_domain_cap_and_delay(spark, tmp_path):
+    """Verdict r9 #3: per-domain politeness for the fetch claim. A
+    frontier with many URLs on ONE domain must drain at most
+    max_per_domain per fetch step — interleaved round-robin so other
+    domains proceed in the same step — and a domain fetched less than
+    crawl_delay_sec ago must sit the next step out entirely (the delay
+    ledger), with its URLs re-pending, not dropping."""
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()  # fetch-only crawl
+
+    # 20 URLs on big.com, 2 on tiny.org
+    urls = [f"http://big.com/p{i:02d}" for i in range(20)] + [
+        "http://tiny.org/a",
+        "http://tiny.org/b",
+    ]
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+    calls = []
+
+    def fake_fetch(batch):
+        calls.append(sorted(batch))
+        return [(u, 200, f"<p>ok {u}</p>") for u in batch]
+
+    fake_now = [1000.0]
+    run = lambda ck: streaming_crawl_pipeline(
+        spark, str(src), str(tmp_path / ck),
+        str(tmp_path / "frontier"), str(tmp_path / "out"),
+        fetcher=fake_fetch, seed_urls=seeds,
+        max_fetch_per_run=6, max_per_domain=2,
+        crawl_delay_sec=30.0, clock=lambda: fake_now[0],
+    )
+
+    def by_domain(batch):
+        out = {}
+        for u in batch:
+            out.setdefault(u.split("/")[2], []).append(u)
+        return out
+
+    # step 1: 2 from big.com AND both tiny.org urls — the cap leaves
+    # headroom in max_fetch_per_run for the small domain (round-robin,
+    # not big.com-first)
+    assert run("ck1") == 1
+    d1 = by_domain(calls[0])
+    assert len(d1["big.com"]) == 2 and len(d1["tiny.org"]) == 2
+
+    # step 2, 10s later: BOTH domains are cooling (fetched 10 < 30s
+    # ago) — nothing claimable, fetcher not called, nothing lost
+    fake_now[0] += 10.0
+    assert run("ck2") == 0
+    assert len(calls) == 1
+
+    # step 3, past the delay: big.com drains 2 more (tiny.org is
+    # frontier-complete); its earlier URLs were not dropped
+    fake_now[0] += 30.0
+    assert run("ck3") == 1
+    d3 = by_domain(calls[1])
+    assert list(d3) == ["big.com"] and len(d3["big.com"]) == 2
+    assert d3["big.com"] == ["http://big.com/p02", "http://big.com/p03"]
+
+    # steady state: 2 per step until big.com's 20 drain — 16 URLs
+    # remain after steps 1 and 3, so 8 more steps
+    for step in range(8):
+        fake_now[0] += 31.0
+        assert run(f"ck4_{step}") == 1
+    fake_now[0] += 31.0
+    assert run("ck_done") == 0  # frontier complete
+    fetched = {u for batch in calls for u in batch}
+    assert fetched == set(urls)  # the cap delayed, never starved
+    assert max(len(b) for b in calls) <= 4  # never more than 2+2

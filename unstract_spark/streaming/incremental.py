@@ -1167,6 +1167,9 @@ def streaming_crawl_pipeline(
     seed_urls: DataFrame | None = None,
     max_fetch_per_run: int = 100,
     discovered_dir: str | None = None,
+    max_per_domain: int | None = None,
+    crawl_delay_sec: float = 0.0,
+    clock: Callable[[], float] | None = None,
 ) -> int:
     """Incremental crawl ingestion — the streaming twin of the
     web-corpus family: each AvailableNow fire demuxes newly-arrived
@@ -1217,6 +1220,21 @@ def streaming_crawl_pipeline(
     discovered — the crawl expands hop by hop, robots-gated and
     frontier-deduped like every other URL, with per-run work still
     bounded by max_fetch_per_run.
+
+    Politeness (the robots gate alone is NOT politeness — at scale a
+    url_norm-ordered claim hammers whichever domain sorts first):
+    - `max_per_domain` caps the claim at k URLs per domain per fetch
+      step, and the claim interleaves ROUND-ROBIN across domains
+      (ordered by per-domain rank, then url_norm) so one mega-domain's
+      frontier backlog drains k-at-a-time while every other domain
+      proceeds — the claim stays deterministic for crash re-runs.
+    - `crawl_delay_sec` arms a per-domain delay ledger (persisted
+      under `<frontier_dir>/_domain_ledger`, hidden from the frontier
+      read): each fetch commit records (domain, ts); a later claim
+      skips domains fetched less than crawl_delay_sec ago. `clock`
+      injects time for tests (defaults to time.time). The ledger write
+      precedes the frontier commit, so a crash mid-step delays the
+      domain conservatively rather than re-hammering it.
 
     Returns the number of non-empty fired batches (a fetch step that
     claimed at least one URL counts as one fire).
@@ -1335,12 +1353,44 @@ def streaming_crawl_pipeline(
                 pending, rules, agent=agent,
                 domain_col="domain", path_col="url_path",
             ).filter(F.col("allowed"))
+        # politeness gate 1: domains fetched < crawl_delay_sec ago sit
+        # this step out (their URLs re-pend — the frontier only learns
+        # CLAIMED urls, so nothing is lost, just deferred)
+        import time as _time
+
+        now = (clock or _time.time)()
+        ledger_dir = f"{frontier_dir}/_domain_ledger"
+        if crawl_delay_sec > 0:
+            ledger = _read_parquet_or_none(spark, ledger_dir)
+            if ledger is not None:
+                cooling = (
+                    ledger.groupBy("domain")
+                    .agg(F.max("ts").alias("_last"))
+                    .filter(
+                        F.lit(float(now)) - F.col("_last")
+                        < F.lit(float(crawl_delay_sec))
+                    )
+                    .select("domain")
+                )
+                pending = pending.join(cooling, "domain", "left_anti")
+        # politeness gate 2: at most max_per_domain URLs per domain per
+        # step, claimed round-robin across domains (rank-major order)
+        # so a mega-domain backlog can't crowd out the others
+        order = [F.col("url_norm")]
+        cols = ["url_norm"]
+        if max_per_domain is not None:
+            w = Window.partitionBy("domain").orderBy("url_norm")
+            pending = pending.withColumn(
+                "_rank", F.row_number().over(w)
+            ).filter(F.col("_rank") <= max_per_domain)
+            order = [F.col("_rank"), F.col("url_norm")]
+            cols = ["url_norm", "_rank"]
         # claim a driver-bounded batch (the claim_batch shape); stable
         # order so a re-run claims the same prefix
         claim = [
             r.url_norm
-            for r in pending.select("url_norm")
-            .orderBy("url_norm")
+            for r in pending.select(*cols)
+            .orderBy(*order)
             .limit(max_fetch_per_run)
             .collect()
         ]
@@ -1388,6 +1438,20 @@ def streaming_crawl_pipeline(
                     F.col("dst_url").alias("url")
                 ).distinct().write.mode("overwrite").parquet(
                     f"{discovered_dir}/batch_id={fid}"
+                )
+            # politeness ledger BEFORE the frontier commit: every
+            # claimed url was a fetch attempt, so its domain's clock
+            # resets; a crash between here and the frontier write
+            # re-pends the claim but keeps the domain cooling —
+            # conservative in the polite direction
+            if crawl_delay_sec > 0:
+                webcorpus.normalize_urls(
+                    spark.createDataFrame([(u,) for u in claim], "url string"),
+                    url_col="url",
+                ).select("domain").distinct().withColumn(
+                    "ts", F.lit(float(now))
+                ).write.mode("overwrite").parquet(
+                    f"{ledger_dir}/batch_id={fid}"
                 )
             # EVERY claimed url enters the frontier — including non-200
             # fetches — so dead links don't re-pend forever; a crash
