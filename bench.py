@@ -166,6 +166,13 @@ BENCH_QUERIES = [
     # (range_prefix: range partition + per-partition rank + broadcast
     # offsets) — the r7 scale-killer fix's plan, under a bench row
     "ta_perplexity_buckets",
+    # round-10 addition: the KMV sketch scan (per-Arrow-batch k-min
+    # candidate prefilter + one TakeOrdered merge over <= batches*k
+    # rows — the mergeable-sketch shape that replaces exact
+    # count-distinct's full key shuffle at 100 TB). sk_kmv_overlap is
+    # registry-gated but not benched: it is the same scan shape twice
+    # plus a merge over <= 2k rows.
+    "sk_kmv_distinct",
     # dd_embedding_neardup_auto (the corpus-size-aware LSH geometry,
     # n_planes="auto") is registry-gated but NOT benched: at sf0.1 the
     # auto parameters buy recall 0.9 with 42 tables (~9 s — the

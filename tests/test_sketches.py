@@ -1,0 +1,73 @@
+"""KMV distinct/overlap sketches: estimator accuracy, the exact
+small-cardinality branch, and the mergeability law that makes the
+sketch shippable from per-shard state."""
+
+from pyspark.sql import functions as F
+
+from unstract_spark.operators import sketches
+
+
+def _vals(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("s")
+    )
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    # 10_000 distinct values, k=256: KMV relative error ~1/sqrt(k-1)
+    # ≈ 6.3%; assert a loose 4-sigma band (deterministic — md5 is the
+    # randomness, fixed by the values)
+    est = sketches.kmv_distinct(_vals(spark, 10_000), "s", k=256).collect()[0]
+    assert est.n_sketch == 256
+    assert 0.75 * 10_000 <= est.est_distinct <= 1.25 * 10_000
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct values than k: the sketch holds all of them and
+    # the estimate IS the exact count (duplicates collapse)
+    df = _vals(spark, 40).unionAll(_vals(spark, 40))
+    est = sketches.kmv_distinct(df, "s", k=256).collect()[0]
+    assert est.n_sketch == 40
+    assert est.est_distinct == 40.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    # mergeability: k-min of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B);
+    # overlapping ranges so dedup across shards is exercised
+    a = _vals(spark, 3_000)
+    b = spark.range(2_000, 6_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    merged = {
+        r.h
+        for r in sketches.kmv_merge(
+            sketches.kmv_sketch(a, "s", k=128),
+            sketches.kmv_sketch(b, "s", k=128),
+            k=128,
+        ).collect()
+    }
+    direct = {
+        r.h for r in sketches.kmv_sketch(a.unionAll(b), "s", k=128).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_overlap_estimates(spark):
+    # |A|=4000 (0..3999), |B|=4000 (2000..5999), |A∩B|=2000, |A∪B|=6000
+    # -> jaccard 1/3; 4-sigma-ish bands on each estimate
+    a = _vals(spark, 4_000)
+    b = spark.range(2_000, 6_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    row = sketches.kmv_overlap(a, "s", b, "s", k=256).collect()[0]
+    assert 0.75 * 6_000 <= row.est_union <= 1.25 * 6_000
+    assert 0.20 <= row.est_jaccard <= 0.47
+    assert 0.6 * 2_000 <= row.est_intersection <= 1.5 * 2_000
+
+
+def test_kmv_sketch_ignores_nulls_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), (None,), ("y",)], "s string"
+    )
+    got = sketches.kmv_sketch(df, "s", k=8).collect()
+    assert len(got) == 2

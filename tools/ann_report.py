@@ -135,6 +135,18 @@ def main() -> int:
         "exact_rerank_per_query": 60,
     }
 
+    # SQ8: full scan, scalar int8 codes — recall ceiling is rounding
+    # error only (no codebook fit), the 4x rung of the memory ladder
+    from unstract_spark.operators.similarity import sq8_topk_join
+
+    sq8 = sq8_topk_join(queries, emb, dim, k=k, refine=3)
+    report["strategies"]["sq8_r3"] = {
+        "recall": measure(sq8),
+        "expected_candidates_per_query": index_rows,
+        "compression_x": 4,
+        "exact_rerank_per_query": 30,
+    }
+
     # IVF-PQ composition: sublinear candidates AND compressed scoring
     ivfpq = ivfpq_topk_join(
         queries, emb, dim, k=k, n_centroids=16, n_probe=3, n_sub=8,

@@ -203,6 +203,26 @@ def main() -> int:
         "recall": rec, "query_s": secs,
     }
 
+    # SQ8: full ADC scan like plain PQ but SCALAR int8 codes — 4x
+    # compression, one integer multiply per dim, no codebook training.
+    # Its only error source is per-element rounding — but on THIS
+    # corpus (clustered: the true top-k are near-ties at cosine ~0.8)
+    # the measured r10 recall is 0.60 at refine 3: rounding noise over
+    # 768 dims exceeds the tiny true-neighbor separations, so the
+    # shortlist needs depth. Still strictly above PQ's 0.38 AT LOWER
+    # refine (30 vs 200 exact re-ranks) — the 4x rung holds its place
+    # in the raw -> SQ8 -> PQ ladder; SCALE.md records the
+    # refine-depth ladder from the r10 probe.
+    from unstract_spark.operators.similarity import sq8_topk_join
+
+    rec, secs = measure(sq8_topk_join(queries, emb, dim, k=k, refine=3))
+    report["strategies"]["sq8_r3_fullscan"] = {
+        "recall": rec,
+        "compression_x": 4,
+        "exact_rerank_per_query": 30,
+        "query_s": secs,
+    }
+
     # LSH ladder (12 planes x 4 tables = 9216-term SQL path per table)
     rec, secs = measure(
         lsh_topk_join(queries, emb, dim, k=k, n_planes=12, n_tables=4)

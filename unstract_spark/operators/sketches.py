@@ -1,0 +1,162 @@
+"""Distinct-count and set-overlap SKETCHES with exact oracles.
+
+KMV (k-minimum-values) sketches: keep the k smallest hash values of a
+column; the k-th smallest order statistic estimates the distinct count
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream"; the same estimator family ships as the DataSketches theta
+sketch). Unlike HLL — whose register layout has no cross-engine twin —
+a KMV sketch is a pure ORDER BY hash LIMIT k, so every number it
+produces is deterministic and value-hash-gatable against a SQL oracle.
+
+Cross-engine hash: the sketch hash is the first 15 hex chars of
+md5(value) read as a base-16 integer — 60 bits, positive BIGINT in
+both engines:
+  Spark:  CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+  DuckDB: CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)
+(xxhash64 would be cheaper but has no DuckDB twin; md5 keeps the gate.)
+
+Estimator: with d distinct values hashed uniformly into [0, M),
+M = 16^15 = 2^60, the k-th smallest distinct hash h_k satisfies
+E[h_k] ≈ k·M/(d+1), so  est = (k-1)·M / h_k  (the unbiased KMV form).
+When the corpus has FEWER than k distinct values the sketch holds all
+of them and the count is exact — the estimator switches off.
+Determinism: (k-1)·M is exact in double (k ≤ 2^52/M never binds for
+real k; 255·2^60 is exactly representable), h_k→double is one IEEE
+round, the division one IEEE op — bit-identical across engines.
+
+Scale contract (the reason to sketch at all): a sketch is k longs of
+state, mergeable by union+re-min — per-shard sketches combine without
+re-scanning. The Spark spelling pre-filters candidates per Arrow batch
+(each batch contributes at most its k smallest distinct hashes — any
+global top-k member is also a batch top-k member), so the final
+distinct+TakeOrdered runs over ≤ batches·k rows, never the full
+distinct key set. An EXACT count-distinct shuffles every distinct key;
+the sketch ships k·8 bytes per input split.
+
+Reference anchor: the reference has no sketching surface (its usage
+aggregation is exact, usage_v2/models.py); this family is part of the
+beyond-reference training-data toolkit, alongside dedup and ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# hash space: 15 hex chars = 60 bits
+KMV_M = float(1 << 60)
+
+
+def md5_hash60(col):
+    """60-bit cross-engine hash (see module docstring).
+    SQL twin (DuckDB): CAST(('0x' || substr(md5(x),1,15)) AS UBIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of `col` — one `h` row
+    each (fewer when the column has < k distinct values).
+
+    Per-Arrow-batch candidate pre-filter keeps the global merge at
+    ≤ batches·k rows (correct because the global k-min distinct set is
+    a subset of the union of per-batch k-min distinct sets); the tail
+    is one distinct + TakeOrderedAndProject over that candidate set.
+    """
+    hashed = df.select(md5_hash60(F.col(col)).alias("h")).where(
+        F.col(col).isNotNull()
+    )
+
+    def batch_topk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            hs = np.unique(pdf["h"].to_numpy())
+            yield pdf.iloc[:0] if hs.size == 0 else type(pdf)(
+                {"h": np.sort(hs)[:k]}
+            )
+
+    candidates = hashed.mapInPandas(batch_topk, "h long")
+    return candidates.distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate from a KMV sketch:
+    (k, n_sketch, kth_hash, est_distinct). n_sketch < k means the
+    sketch saw every distinct value and the estimate IS the count."""
+    sk = kmv_sketch(df, col, k)
+    return sk.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k",
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union sketches into one: k smallest of the combined hash sets.
+    This is the mergeability property that makes KMV shippable from
+    1000 executors: per-shard sketches union without re-scanning."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_overlap(
+    dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set overlap from two KMV sketches: one row
+    (est_union, est_jaccard, est_intersection).
+
+    The merged (union) sketch is a uniform k-sample of the union's
+    distinct values; the fraction of its members present in BOTH input
+    sketches estimates the Jaccard similarity, and jaccard·union
+    estimates the intersection size (the standard theta-sketch
+    a-priori estimator). All counts are exact integers; the two
+    closing multiplications are single IEEE ops — gate-stable."""
+    sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
+    sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
+    merged = kmv_merge(sa, sb, k=k).localCheckpoint(eager=True)
+    union_est = (
+        merged.agg(
+            F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
+        )
+        .select(
+            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1))
+                * F.lit(KMV_M)
+                / F.col("kth_hash").cast("double")
+            )
+            .alias("est_union")
+        )
+    )
+    both = (
+        merged.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
+    return (
+        union_est.crossJoin(both)
+        .crossJoin(n_merged)
+        .select(
+            "est_union",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_merged").cast("double")
+            ).alias("est_jaccard"),
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_merged").cast("double")
+                * F.col("est_union")
+            ).alias("est_intersection"),
+        )
+    )

@@ -172,22 +172,12 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r9: fixture encoding moved out of the gated plans into cached
-    # parquet (_fixture_parquet) — outputs identical, plans changed;
-    # re-gate under the driver. (The 21 r8-spilled count-0 rows plus
-    # the two new registrations auto-front via rule 2; 11 + 23 = 34
-    # fits the 50-row window.)
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_jpeg_features",
-    "mm_video_features",
-    "mm_resize_pixels",
-    "mm_image_tiles",
-    "mm_image_dedup",
-    "mm_image_augment",
-    "web_warc_extract",
-    "ex_curation_web",
-    "web_wet_wat_extract",
+    # r10: embedding near-dup pair scoring switched from dropDuplicates
+    # to a max-cosine aggregate (deterministic under duplicate-id
+    # input; identical output under the unique-id contract) — plans
+    # changed for both LSH spellings, re-gate under the driver.
+    "dd_embedding_neardup_lsh",
+    "dd_embedding_neardup_auto",
 ]
 
 
@@ -11159,6 +11149,117 @@ def ex_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") <= F.floor(F.col("n") / 4)).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches (operators/sketches.py) — approximate distinct counts
+# and set overlap with EXACT oracles: the sketch is a pure ORDER BY
+# hash LIMIT k over a cross-engine md5-prefix hash, so every emitted
+# number is deterministic (see the module docstring for the estimator
+# and the IEEE determinism argument). HLL/theta registers have no such
+# twin — this is the gatable member of the sketch family.
+
+_KMV_EST = (
+    "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) "
+    "ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) "
+    "/ CAST(max(h) AS DOUBLE) END"
+)
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    return f"CAST(CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+_SK_KMV_DISTINCT_SQL = f"""
+WITH ha AS (SELECT DISTINCT {_kmv_hash_sql('CAST(l_orderkey AS VARCHAR)')} AS h
+            FROM lineitem WHERE l_orderkey IS NOT NULL),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+hb AS (SELECT DISTINCT {_kmv_hash_sql('c_mktsegment')} AS h
+       FROM customer WHERE c_mktsegment IS NOT NULL),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+ra AS (SELECT 'l_orderkey' AS col, CAST(256 AS BIGINT) AS k,
+              count(*) AS n_sketch, max(h) AS kth_hash,
+              {_KMV_EST} AS est_distinct FROM ska),
+rb AS (SELECT 'c_mktsegment' AS col, CAST(256 AS BIGINT) AS k,
+              count(*) AS n_sketch, max(h) AS kth_hash,
+              {_KMV_EST} AS est_distinct FROM skb)
+SELECT * FROM ra UNION ALL SELECT * FROM rb
+"""
+
+
+@register("sk_kmv_distinct", _SK_KMV_DISTINCT_SQL)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (sketches.kmv_distinct) on one
+    high-cardinality key (l_orderkey as string — the estimator branch
+    at both gate SFs) and one low-cardinality column (c_mktsegment,
+    < k distinct — the exact branch where the sketch holds the whole
+    value set). At 100 TB the sketch ships k longs per split instead
+    of shuffling every distinct key the way an exact count-distinct
+    must."""
+    from unstract_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("okey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    a = sketches.kmv_distinct(li, "okey", k=256).select(
+        F.lit("l_orderkey").alias("col"), "*"
+    )
+    b = sketches.kmv_distinct(cust, "c_mktsegment", k=256).select(
+        F.lit("c_mktsegment").alias("col"), "*"
+    )
+    return a.unionByName(b)
+
+
+_SK_KMV_OVERLAP_SQL = f"""
+WITH wa AS (SELECT DISTINCT {_kmv_hash_sql('w')} AS h
+            FROM documents, unnest(string_split(text, ' ')) AS t(w)
+            WHERE doc_id % 2 = 0 AND w <> ''),
+wb AS (SELECT DISTINCT {_kmv_hash_sql('w')} AS h
+       FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       WHERE doc_id % 2 = 1 AND w <> ''),
+sa AS (SELECT h FROM wa ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM wb ORDER BY h LIMIT 256),
+mg AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT 256),
+st AS (SELECT count(*) AS n_merged, max(h) AS kth,
+              count(*) FILTER (WHERE h IN (SELECT h FROM sa)
+                               AND h IN (SELECT h FROM sb)) AS n_both
+       FROM mg),
+u AS (SELECT n_merged, n_both,
+             CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE)
+                       * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(kth AS DOUBLE) END AS est_union
+      FROM st)
+SELECT est_union,
+       CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) AS est_jaccard,
+       CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) * est_union
+           AS est_intersection
+FROM u
+"""
+
+
+@register("sk_kmv_overlap", _SK_KMV_OVERLAP_SQL)
+def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set overlap (sketches.kmv_overlap): Jaccard
+    and intersection-size estimates between the word sets of the
+    even- and odd-doc_id document halves, from two mergeable k=256
+    sketches — the corpus-overlap primitive (train-vs-eval vocabulary
+    contamination screens, crawl-snapshot drift) at sketch cost
+    instead of a full distinct-set join."""
+    from unstract_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def words(parity: int):
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .filter(F.col("w") != "")
+        )
+
+    return sketches.kmv_overlap(words(0), "w", words(1), "w", k=256)
 
 
 ENTRY_QUERY = "q1_pricing_summary"
