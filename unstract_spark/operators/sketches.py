@@ -61,8 +61,8 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     a subset of the union of per-batch k-min distinct sets); the tail
     is one distinct + TakeOrderedAndProject over that candidate set.
     """
-    hashed = df.select(md5_hash60(F.col(col)).alias("h")).where(
-        F.col(col).isNotNull()
+    hashed = df.where(F.col(col).isNotNull()).select(
+        md5_hash60(F.col(col)).alias("h")
     )
 
     def batch_topk(batches):

@@ -121,7 +121,9 @@ def _run_base(
                         "its data"
                     )
             return val
-        except (FileNotFoundError, ValueError):
+        except (FileNotFoundError, ValueError, IndexError):
+            # IndexError: an empty marker (e.g. hand-truncated) reads
+            # as no fields — treat like a malformed one and recompute
             pass
     val = _scan_max(base - 1)[0] + 1
     if marker is not None:
@@ -150,7 +152,7 @@ def _pin_bid(checkpoint_dir: str | None, bid: int, base: int = 0) -> None:
             fields = fh.read().split()
         val = int(fields[0])
         ceiling = int(fields[1]) if len(fields) > 1 else val - 1
-    except (FileNotFoundError, ValueError):
+    except (FileNotFoundError, ValueError, IndexError):
         return
     if bid <= ceiling:
         return
