@@ -703,3 +703,53 @@ def test_sq8_codes_bounded_and_topk_matches_brute(spark):
         F.array_max(F.transform(F.col("i_codes"), lambda x: F.abs(x))).alias("m")
     ).agg(F.max("m")).collect()[0][0]
     assert mx <= 127
+
+
+def test_auto_bloom_m_prevents_saturation(spark):
+    """The r10 40x-rung lesson: a FIXED m=8192 saturates once the
+    history outgrows it (every bit set -> every probe positive, the
+    filter silently degenerates); auto_bloom_m sizes m to the history
+    so occupancy and the false-positive rate stay bounded."""
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.dedup import (
+        auto_bloom_m,
+        bloom_filter_bits,
+        bloom_membership,
+    )
+
+    # exact integer sizing rule (the SQL oracle re-derives this)
+    assert auto_bloom_m(1) == 1024
+    assert auto_bloom_m(102) == 1024           # 1020 rounds up
+    assert auto_bloom_m(103) == 2048           # 1030 crosses 1024
+    assert auto_bloom_m(66_000) == 660_480     # the 40x-rung history
+    assert auto_bloom_m(66_000) % 1024 == 0
+
+    n = 20_000
+    hist = spark.range(n).select(
+        F.md5(F.concat(F.lit("h"), F.col("id"))).alias("fingerprint")
+    )
+    probes = spark.range(n, n + 2_000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.concat(F.lit("h"), F.col("id"))).alias("fingerprint"),
+    )
+
+    # fixed 8192 bits vs 20k keys: saturated -> all 2000 non-members
+    # flagged maybe_seen (the degenerate filter)
+    bits_fixed = bloom_filter_bits(hist, m=8192, k=4)
+    assert bits_fixed.count() == 8192
+    fp_fixed = (
+        bloom_membership(probes, bits_fixed, m=8192, k=4)
+        .filter(F.col("maybe_seen")).count()
+    )
+    assert fp_fixed == 2_000
+
+    # auto-sized: occupancy bounded, FP rate ~ (1 - e^{-kn/m})^k ≈ 1.2%
+    m = auto_bloom_m(n)
+    bits_auto = bloom_filter_bits(hist, m=m, k=4)
+    assert bits_auto.count() < m // 2          # not saturated
+    fp_auto = (
+        bloom_membership(probes, bits_auto, m=m, k=4)
+        .filter(F.col("maybe_seen")).count()
+    )
+    assert fp_auto < 2_000 * 0.05              # loose 4x band on 1.2%

@@ -1053,6 +1053,24 @@ def remove_duplicated_spans(
     )
 
 
+def auto_bloom_m(n_history: int, bits_per_key: int = 10) -> int:
+    """History-sized Bloom capacity: `bits_per_key` bits per distinct
+    history key, rounded UP to a multiple of 1024 in EXACT integer
+    arithmetic — 1024 * ceil(bpk·n / 1024) is one integer division
+    any SQL engine re-derives bit-identically (no float log2, whose
+    rounding at exact-power edges is libm-dependent). At k=4 hashes
+    and 10 bits/key the false-positive rate is ~1.2% and stays there
+    as the history grows.
+
+    Motivated by the r10 40x scale rung: a FIXED m=8192 saturates at
+    ~66k history keys — every bit set, every probe positive, the
+    filter silently degenerates to `maybe_seen = true`. m must scale
+    with the HISTORY's cardinality, which grows with the corpus; one
+    count() job (scalar driver state) buys the sizing, the same shape
+    as auto_lsh_params."""
+    return 1024 * ((bits_per_key * max(n_history, 1) + 1023) // 1024)
+
+
 def bloom_filter_bits(
     history: DataFrame, fp_col: str = "fingerprint", m: int = 8192, k: int = 4
 ) -> DataFrame:

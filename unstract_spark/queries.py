@@ -11151,6 +11151,66 @@ def ex_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_bloom_auto",
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    sz AS (SELECT 1024 * ((10 * count(*) + 1023) // 1024) AS m FROM hist),
+    bits AS (
+        SELECT DISTINCT
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || f), 1, 8))
+                ::BIGINT % sz.m AS bit
+        FROM hist, sz, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    probes AS (
+        SELECT fp.doc_id,
+            ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp.f), 1, 8))
+                ::BIGINT % sz.m AS bit
+        FROM fp, sz, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    mem AS (
+        SELECT p.doc_id,
+               sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+                   AS maybe_seen
+        FROM probes p LEFT JOIN bits b USING (bit) GROUP BY 1
+    )
+    SELECT fp.doc_id, mem.maybe_seen,
+           fp.f IN (SELECT f FROM hist) AS exact_seen,
+           sz.m AS m_bits
+    FROM fp JOIN mem USING (doc_id) CROSS JOIN sz
+    """,
+)
+def dd_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-SIZED Bloom membership (dedup.auto_bloom_m +
+    bloom_filter_bits/bloom_membership): m derives from the history's
+    distinct-key count (10 bits/key, exact integer rounding), the
+    lesson the r10 40x rung taught — the sibling dd_bloom_membership's
+    fixed m=8192 saturates at ~66k history keys and degenerates to
+    maybe_seen=true everywhere. The oracle RE-DERIVES m from its own
+    count (pure integer arithmetic, no registration-time literal), so
+    the sizing rule itself is value-hash-gated at any SF — stronger
+    than the auto-LSH static-fixture trick, possible because the m
+    arithmetic is SQL-expressible where seeded hyperplanes are not."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("fingerprint"))
+    hist = (
+        fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    )
+    m = dedup.auto_bloom_m(hist.count())
+    bits = dedup.bloom_filter_bits(hist, m=m, k=4)
+    mem = dedup.bloom_membership(fp, bits, m=m, k=4)
+    exact = fp.join(
+        F.broadcast(hist.withColumn("seen", F.lit(1))), "fingerprint", "left"
+    ).select("doc_id", F.col("seen").isNotNull().alias("exact_seen"))
+    return mem.join(exact, "doc_id").select(
+        "doc_id",
+        "maybe_seen",
+        "exact_seen",
+        F.lit(m).cast("long").alias("m_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV sketches (operators/sketches.py) — approximate distinct counts
 # and set overlap with EXACT oracles: the sketch is a pure ORDER BY
