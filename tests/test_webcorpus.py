@@ -1117,14 +1117,17 @@ def test_streaming_paragraph_dedup_hot_min_fuse_matches_window_twin(
     from unstract_spark.streaming.incremental import streaming_paragraph_dedup
 
     # fire 1: HOTBANNER on 6 of 8 docs (hot under hot_min=3), COLDDUP
-    # on exactly 2 (cold path repeat), unique tails everywhere
+    # on exactly 2 (cold path repeat), unique tails everywhere — plus
+    # doc 9 ingested TWICE in the same fire (the duplicate-row tie the
+    # review flagged: the window twin keeps exactly one of an
+    # identical (doc_id,pos) pair, and the fuse must match)
     fire1 = pa.table(
         {
-            "doc_id": list(range(1, 9)),
+            "doc_id": list(range(1, 9)) + [9, 9],
             "text": [
                 f"HOTBANNER\n\nunique-{i}" if i <= 6 else f"COLDDUP\n\ntail-{i}"
                 for i in range(1, 9)
-            ],
+            ] + ["HOTBANNER\n\ndup-9"] * 2,
         }
     )
     # fire 2: HOTBANNER returns (now store-hot), one brand-new hot
@@ -1178,6 +1181,11 @@ def test_streaming_paragraph_dedup_hot_min_fuse_matches_window_twin(
     assert fused_rows[11] == ("NEWHOT", 1, 1)  # HOTBANNER stored; NEWHOT first
     assert fused_rows[13] == ("", 0, 1)  # lone NEWHOT copy, dropped
     assert fused_rows[15] == ("solo-15", 1, 0)
+    # the twice-ingested doc: 4 paragraph rows (2x HOTBANNER dropped —
+    # doc 1 holds the first arrival — plus dup-9 kept ONCE, its twin
+    # copy dropped), identical in both spellings via fused_rows ==
+    # plain_rows above
+    assert fused_rows[9] == ("dup-9", 1, 3)
 
 
 def test_streaming_crawl_politeness_domain_cap_and_delay(spark, tmp_path):
@@ -1250,3 +1258,58 @@ def test_streaming_crawl_politeness_domain_cap_and_delay(spark, tmp_path):
     fetched = {u for batch in calls for u in batch}
     assert fetched == set(urls)  # the cap delayed, never starved
     assert max(len(b) for b in calls) <= 4  # never more than 2+2
+
+
+def test_streaming_crawl_politeness_crash_window_keeps_cooling(spark, tmp_path):
+    """Review r10: the delay ledger commits BEFORE the fetcher call,
+    so a crash anywhere in the fetch/commit window (fetches done,
+    nothing committed) leaves the contacted domains cooling — an
+    immediate retry re-pends the URLs but must NOT re-hammer the
+    host until the delay elapses."""
+    import pytest
+
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()
+    seeds = spark.createDataFrame(
+        [("http://one.com/a",), ("http://one.com/b",)], "url string"
+    )
+    fake_now = [500.0]
+    calls = []
+
+    def run(ck, fetch):
+        return streaming_crawl_pipeline(
+            spark, str(src), str(tmp_path / ck),
+            str(tmp_path / "frontier"), str(tmp_path / "out"),
+            fetcher=fetch, seed_urls=seeds,
+            crawl_delay_sec=30.0, clock=lambda: fake_now[0],
+        )
+
+    def boom(urls):
+        calls.append(sorted(urls))
+        raise RuntimeError("network died mid-claim")
+
+    def ok(urls):
+        calls.append(sorted(urls))
+        return [(u, 200, f"<p>ok {u}</p>") for u in urls]
+
+    with pytest.raises(RuntimeError):
+        run("ck1", boom)
+    assert len(calls) == 1  # the crashed attempt DID contact the host
+
+    # immediate retry: domain is cooling from the crashed attempt's
+    # ledger commit — nothing claimable, host not re-hammered
+    fake_now[0] += 5.0
+    assert run("ck2", ok) == 0
+    assert len(calls) == 1
+
+    # past the delay: the claim re-pends in full (nothing was lost)
+    fake_now[0] += 31.0
+    assert run("ck3", ok) == 1
+    assert calls[-1] == ["http://one.com/a", "http://one.com/b"]
+    got = {
+        r.url_norm
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {"http://one.com/a", "http://one.com/b"}

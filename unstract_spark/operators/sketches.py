@@ -69,9 +69,11 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            # np.unique returns sorted ascending — the k-min prefix
+            # needs no second sort
             hs = np.unique(pdf["h"].to_numpy())
             yield pdf.iloc[:0] if hs.size == 0 else type(pdf)(
-                {"h": np.sort(hs)[:k]}
+                {"h": hs[:k]}
             )
 
     candidates = hashed.mapInPandas(batch_topk, "h long")
@@ -123,40 +125,33 @@ def kmv_overlap(
     closing multiplications are single IEEE ops — gate-stable."""
     sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
     sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
-    merged = kmv_merge(sa, sb, k=k).localCheckpoint(eager=True)
-    union_est = (
-        merged.agg(
-            F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
-        )
-        .select(
-            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
-            .otherwise(
-                F.lit(float(k - 1))
-                * F.lit(KMV_M)
-                / F.col("kth_hash").cast("double")
-            )
-            .alias("est_union")
-        )
+    merged = kmv_merge(sa, sb, k=k)
+    # membership flags via two tiny joins, then ONE aggregate computes
+    # all three scalars — no per-scalar jobs, no crossJoin stitching
+    flagged = merged.join(
+        sa.withColumn("_a", F.lit(1)), "h", "left"
+    ).join(sb.withColumn("_b", F.lit(1)), "h", "left")
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_both"),
     )
-    both = (
-        merged.join(sa, "h", "left_semi")
-        .join(sb, "h", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
     )
-    n_merged = merged.agg(F.count(F.lit(1)).alias("n_merged"))
-    return (
-        union_est.crossJoin(both)
-        .crossJoin(n_merged)
-        .select(
-            "est_union",
-            (
-                F.col("n_both").cast("double")
-                / F.col("n_merged").cast("double")
-            ).alias("est_jaccard"),
-            (
-                F.col("n_both").cast("double")
-                / F.col("n_merged").cast("double")
-                * F.col("est_union")
-            ).alias("est_intersection"),
-        )
+    # empty inputs: n_merged = 0 — pin the ratios to 0.0 on BOTH
+    # engines (a raw 0/0 is NULL in Spark but NaN-or-NULL in other
+    # engines depending on IEEE settings; the gate needs one answer)
+    jac = F.when(F.col("n_merged") == 0, F.lit(0.0)).otherwise(
+        F.col("n_both").cast("double") / F.col("n_merged").cast("double")
+    )
+    return stats.select(
+        est_union.alias("est_union"),
+        jac.alias("est_jaccard"),
+        (jac * est_union).alias("est_intersection"),
     )

@@ -11156,7 +11156,8 @@ def ex_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
     hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
-    sz AS (SELECT 1024 * ((10 * count(*) + 1023) // 1024) AS m FROM hist),
+    sz AS (SELECT 1024 * ((10 * greatest(count(*), 1) + 1023) // 1024) AS m
+           FROM hist),
     bits AS (
         SELECT DISTINCT
             ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || f), 1, 8))
@@ -11188,10 +11189,11 @@ def dd_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson the r10 40x rung taught — the sibling dd_bloom_membership's
     fixed m=8192 saturates at ~66k history keys and degenerates to
     maybe_seen=true everywhere. The oracle RE-DERIVES m from its own
-    count (pure integer arithmetic, no registration-time literal), so
-    the sizing rule itself is value-hash-gated at any SF — stronger
-    than the auto-LSH static-fixture trick, possible because the m
-    arithmetic is SQL-expressible where seeded hyperplanes are not."""
+    count (pure integer arithmetic incl. auto_bloom_m's empty-history
+    clamp greatest(n,1), no registration-time literal), so the sizing
+    rule itself is value-hash-gated at any SF — stronger than the
+    auto-LSH static-fixture trick, possible because the m arithmetic
+    is SQL-expressible where seeded hyperplanes are not."""
     d = _t(spark, sf_dir, "documents")
     fp = d.select("doc_id", F.md5("text").alias("fingerprint"))
     hist = (
@@ -11219,11 +11221,19 @@ def dd_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the IEEE determinism argument). HLL/theta registers have no such
 # twin — this is the gatable member of the sketch family.
 
-_KMV_EST = (
-    "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) "
-    "ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) "
-    "/ CAST(max(h) AS DOUBLE) END"
-)
+def _kmv_est_sql(n_expr: str, kth_expr: str, k: int = 256) -> str:
+    """The KMV estimator CASE, parameterized over the count and k-th
+    hash expressions so the distinct and overlap oracles (and any
+    future convention fix) share ONE spelling of (k-1)·M / h_k with
+    the exact-below-k branch."""
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN CAST({n_expr} AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) "
+        f"/ CAST({kth_expr} AS DOUBLE) END"
+    )
+
+
+_KMV_EST = _kmv_est_sql("count(*)", "max(h)")
 
 
 def _kmv_hash_sql(expr: str) -> str:
@@ -11287,15 +11297,12 @@ st AS (SELECT count(*) AS n_merged, max(h) AS kth,
                                AND h IN (SELECT h FROM sb)) AS n_both
        FROM mg),
 u AS (SELECT n_merged, n_both,
-             CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
-                  ELSE CAST(255 AS DOUBLE)
-                       * CAST(1152921504606846976 AS DOUBLE)
-                       / CAST(kth AS DOUBLE) END AS est_union
+             {_kmv_est_sql('n_merged', 'kth')} AS est_union,
+             CASE WHEN n_merged = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)
+             END AS jac
       FROM st)
-SELECT est_union,
-       CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) AS est_jaccard,
-       CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) * est_union
-           AS est_intersection
+SELECT est_union, jac AS est_jaccard, jac * est_union AS est_intersection
 FROM u
 """
 

@@ -1231,12 +1231,17 @@ def streaming_crawl_pipeline(
       frontier backlog drains k-at-a-time while every other domain
       proceeds — the claim stays deterministic for crash re-runs.
     - `crawl_delay_sec` arms a per-domain delay ledger (persisted
-      under `<frontier_dir>/_domain_ledger`, hidden from the frontier
-      read): each fetch commit records (domain, ts); a later claim
-      skips domains fetched less than crawl_delay_sec ago. `clock`
-      injects time for tests (defaults to time.time). The ledger write
-      precedes the frontier commit, so a crash mid-step delays the
-      domain conservatively rather than re-hammering it.
+      at the sibling path `<frontier_dir>_domain_ledger`): each
+      fetch step records (domain, ts) for its claim; a
+      later claim skips domains fetched less than crawl_delay_sec
+      ago. `clock` injects time for tests (defaults to time.time).
+      The ledger write precedes the fetcher CALL itself, so a crash
+      anywhere in the fetch/commit window leaves the just-contacted
+      domains cooling (the replay waits out the delay) rather than
+      re-hammering them; each write is a compacted snapshot (one
+      max-ts row per still-cooling domain) and superseded partitions
+      are pruned, keeping the ledger O(live domains) over a crawl's
+      lifetime.
 
     Returns the number of non-empty fired batches (a fetch step that
     claimed at least one URL counts as one fire).
@@ -1361,20 +1366,29 @@ def streaming_crawl_pipeline(
         import time as _time
 
         now = (clock or _time.time)()
-        ledger_dir = f"{frontier_dir}/_domain_ledger"
+        # SIBLING of the frontier, not inside it: a crash between
+        # the ledger commit and the frontier commit must not leave
+        # the frontier root existing-but-empty (only hidden
+        # children), which fails schema inference on the next read
+        ledger_dir = f"{frontier_dir.rstrip('/')}_domain_ledger"
+        live = None  # (domain, ts): still-cooling-relevant ledger rows
         if crawl_delay_sec > 0:
             ledger = _read_parquet_or_none(spark, ledger_dir)
             if ledger is not None:
-                cooling = (
+                # entries older than now - delay can never gate a
+                # future claim (ts only gets staler) — drop them here;
+                # `live` doubles as this step's compaction source
+                live = (
                     ledger.groupBy("domain")
-                    .agg(F.max("ts").alias("_last"))
+                    .agg(F.max("ts").alias("ts"))
                     .filter(
-                        F.lit(float(now)) - F.col("_last")
+                        F.lit(float(now)) - F.col("ts")
                         < F.lit(float(crawl_delay_sec))
                     )
-                    .select("domain")
                 )
-                pending = pending.join(cooling, "domain", "left_anti")
+                pending = pending.join(
+                    live.select("domain"), "domain", "left_anti"
+                )
         # politeness gate 2: at most max_per_domain URLs per domain per
         # step, claimed round-robin across domains (rank-major order)
         # so a mega-domain backlog can't crowd out the others
@@ -1398,6 +1412,31 @@ def streaming_crawl_pipeline(
         ]
         if claim:
             fires += 1
+            fid = _run_base(*ns_roots, base=_FETCH_BASE)
+            # politeness ledger BEFORE the fetch (review r10): the
+            # claim's domains start cooling at claim time, so a crash
+            # anywhere in the fetch/commit window leaves them cooling
+            # and the replay waits out the delay instead of
+            # re-hammering the just-fetched hosts. The write is a
+            # COMPACTED snapshot (still-cooling prior rows + this
+            # claim's domains, one max-ts row per domain); older
+            # ledger partitions are pruned after the frontier commit,
+            # so the ledger stays O(live domains) instead of growing
+            # one partition per fetch step forever.
+            if crawl_delay_sec > 0:
+                snap = webcorpus.normalize_urls(
+                    spark.createDataFrame([(u,) for u in claim], "url string"),
+                    url_col="url",
+                ).select("domain").distinct().withColumn(
+                    "ts", F.lit(float(now))
+                )
+                if live is not None:
+                    snap = snap.unionByName(live).groupBy("domain").agg(
+                        F.max("ts").alias("ts")
+                    )
+                snap.write.mode("overwrite").parquet(
+                    f"{ledger_dir}/batch_id={fid}"
+                )
             fetched = fetcher(claim)
             fdf = spark.createDataFrame(
                 list(fetched), "url string, http_status int, body string"
@@ -1418,7 +1457,6 @@ def streaming_crawl_pipeline(
                 "n_kept",
                 "n_dropped",
             ).localCheckpoint(eager=True)
-            fid = _run_base(*ns_roots, base=_FETCH_BASE)
             accepted.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={fid}"
             )
@@ -1441,20 +1479,6 @@ def streaming_crawl_pipeline(
                 ).distinct().write.mode("overwrite").parquet(
                     f"{discovered_dir}/batch_id={fid}"
                 )
-            # politeness ledger BEFORE the frontier commit: every
-            # claimed url was a fetch attempt, so its domain's clock
-            # resets; a crash between here and the frontier write
-            # re-pends the claim but keeps the domain cooling —
-            # conservative in the polite direction
-            if crawl_delay_sec > 0:
-                webcorpus.normalize_urls(
-                    spark.createDataFrame([(u,) for u in claim], "url string"),
-                    url_col="url",
-                ).select("domain").distinct().withColumn(
-                    "ts", F.lit(float(now))
-                ).write.mode("overwrite").parquet(
-                    f"{ledger_dir}/batch_id={fid}"
-                )
             # EVERY claimed url enters the frontier — including non-200
             # fetches — so dead links don't re-pend forever; a crash
             # between fetch and this commit re-pends the whole claim
@@ -1464,6 +1488,27 @@ def streaming_crawl_pipeline(
             ).write.mode("overwrite").parquet(
                 f"{frontier_dir}/batch_id={fid}"
             )
+            # prune superseded ledger partitions (best-effort: the
+            # fid snapshot carries every still-relevant row, and a
+            # crash before this point just leaves extra partitions
+            # whose rows fold through the groupBy-max read)
+            if crawl_delay_sec > 0:
+                import os as _os
+                import shutil as _shutil
+
+                try:
+                    names = _os.listdir(ledger_dir)
+                except FileNotFoundError:
+                    names = []
+                for d in names:
+                    if (
+                        d.startswith("batch_id=")
+                        and d.split("=", 1)[1].isdigit()
+                        and int(d.split("=", 1)[1]) < fid
+                    ):
+                        _shutil.rmtree(
+                            _os.path.join(ledger_dir, d), ignore_errors=True
+                        )
     return fires
 
 
@@ -1506,6 +1551,12 @@ def streaming_paragraph_dedup(
     cookie banner on every page of a just-crawled site) concentrates
     its whole occurrence set in one window task — per-fire batch
     bounds cap the damage but don't remove it. With hot_min armed:
+      0. exact duplicate rows collapse to one representative with a
+         multiplicity (grouped by (doc_id, pos, para, phash) — keyed
+         on the document, so a hot paragraph stays spread), and
+         re-expand after flagging as dropped copies: the window
+         twin's row_number keeps exactly one of an identical tie,
+         so keep is decided once per distinct row,
       1. ONE groupBy(phash) computes count + min(doc_id,pos) — both
          combine map-side, so the reduce side sees one partial row
          per map task for the hot key, never its occurrence set,
@@ -1545,20 +1596,32 @@ def streaming_paragraph_dedup(
         # first occurrence WITHIN the fire survives; later in-fire
         # repeats and anything already in the store drop
         if hot_min is not None:
-            # skew fuse (see docstring): paras feeds three consumers —
-            # the count aggregate, the hot branch, the cold branch —
+            # skew fuse (see docstring). Exact duplicate rows (the
+            # same doc ingested twice in one fire) first COLLAPSE to
+            # one representative with a multiplicity — the window
+            # twin's row_number keeps exactly ONE of an identical
+            # tie, so keep must be decided once per distinct row and
+            # the extras re-expand as dropped copies (review r10).
+            # The collapse shuffle keys on (doc_id, pos, ...), so a
+            # hot paragraph stays spread across documents — the skew
+            # property is untouched. The frame feeds three consumers
+            # (count aggregate, hot branch, cold branch) —
             # materialize once (the batch fuse's measured 12.2->5.2 s
-            # localCheckpoint lesson)
-            paras = paras.localCheckpoint(eager=True)
-            agg = paras.groupBy("phash").agg(
-                F.count(F.lit(1)).alias("_cnt"),
+            # localCheckpoint lesson).
+            rep = (
+                paras.groupBy("doc_id", "pos", "para", "phash")
+                .agg(F.count(F.lit(1)).alias("_dup"))
+                .localCheckpoint(eager=True)
+            )
+            agg = rep.groupBy("phash").agg(
+                F.sum("_dup").alias("_cnt"),
                 F.min(F.struct("doc_id", "pos")).alias("_first"),
             )
             hot = agg.filter(F.col("_cnt") >= hot_min).select(
                 "phash", "_first"
             )
             hot_rows = (
-                paras.join(F.broadcast(hot), "phash")
+                rep.join(F.broadcast(hot), "phash")
                 .withColumn(
                     "keep", F.struct("doc_id", "pos") == F.col("_first")
                 )
@@ -1581,7 +1644,7 @@ def streaming_paragraph_dedup(
                         F.col("keep") & ~F.col("phash").isin(hot_seen),
                     )
             cold = (
-                paras.join(F.broadcast(hot.select("phash")), "phash", "left_anti")
+                rep.join(F.broadcast(hot.select("phash")), "phash", "left_anti")
                 .join(
                     agg.filter(F.col("_cnt") < hot_min).select(
                         "phash", "_first"
@@ -1599,7 +1662,23 @@ def streaming_paragraph_dedup(
                         "keep", F.lit(False)
                     )
                 )
-            flagged = cold.unionByName(hot_rows)
+            # re-expand multiplicity: the representative carries the
+            # decided keep, every extra copy is a dropped row — the
+            # window twin's exact multiset
+            flagged = cold.unionByName(hot_rows).select(
+                "doc_id",
+                "pos",
+                "para",
+                "phash",
+                F.explode(
+                    F.concat(
+                        F.array(F.col("keep")),
+                        F.array_repeat(
+                            F.lit(False), (F.col("_dup") - 1).cast("int")
+                        ),
+                    )
+                ).alias("keep"),
+            )
         else:
             w = Window.partitionBy("phash").orderBy("doc_id", "pos")
             flagged = paras.withColumn(
