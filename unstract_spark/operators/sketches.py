@@ -101,10 +101,16 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     )
 
 
-def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Union sketches into one: k smallest of the combined hash sets.
     This is the mergeability property that makes KMV shippable from
-    1000 executors: per-shard sketches union without re-scanning."""
+    1000 executors: per-shard sketches union without re-scanning.
+
+    `k` is keyword-REQUIRED and must equal the k the input sketches
+    were built with: a sketch DataFrame is just its `h` rows and does
+    not carry k, and merging k=128 sketches at a larger k would emit
+    up to that larger row count — not a valid k-min sketch for either
+    k, silently skewing any downstream estimator (r10 ADVICE)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

@@ -1434,6 +1434,15 @@ def streaming_crawl_pipeline(
                     snap = snap.unionByName(live).groupBy("domain").agg(
                         F.max("ts").alias("ts")
                     )
+                # materialize BEFORE the overwrite: snap's lineage
+                # lazily reads ledger_dir, and on crash replay the
+                # target partition already exists and feeds the read —
+                # a cluster committer that deletes the target before
+                # the job would otherwise corrupt the very
+                # crash-recovery path the ledger protects (r10
+                # ADVICE). O(live domains), same convention as
+                # `accepted` above.
+                snap = snap.localCheckpoint(eager=True)
                 snap.write.mode("overwrite").parquet(
                     f"{ledger_dir}/batch_id={fid}"
                 )
