@@ -172,12 +172,12 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r10: embedding near-dup pair scoring switched from dropDuplicates
-    # to a max-cosine aggregate (deterministic under duplicate-id
-    # input; identical output under the unique-id contract) — plans
-    # changed for both LSH spellings, re-gate under the driver.
-    "dd_embedding_neardup_lsh",
-    "dd_embedding_neardup_auto",
+    # r11: ex_curation_v2's Bloom m is now history-sized via
+    # auto_bloom_m (was pinned 8192 — the fixed-m trap the r10 40x
+    # rung proved silently degenerates); the oracle re-derives m from
+    # its own count(*), so BOTH sides changed — re-gate under the
+    # driver.
+    "ex_curation_v2",
 ]
 
 
@@ -8308,17 +8308,19 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (SELECT doc_id, md5(ct) AS f, ct FROM res),
     hist AS (SELECT DISTINCT md5(text) AS f FROM documents
              WHERE doc_id % 3 = 0),
+    sz AS (SELECT 1024 * ((10 * greatest(count(*), 1) + 1023) // 1024) AS m
+           FROM hist),
     bits AS (
         SELECT DISTINCT
             ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || f), 1, 8))
-                ::BIGINT % 8192 AS bit
-        FROM hist, unnest([0, 1, 2, 3]) AS u(j)
+                ::BIGINT % sz.m AS bit
+        FROM hist, sz, unnest([0, 1, 2, 3]) AS u(j)
     ),
     probes AS (
         SELECT fp.doc_id,
             ('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp.f), 1, 8))
-                ::BIGINT % 8192 AS bit
-        FROM fp, unnest([0, 1, 2, 3]) AS u(j)
+                ::BIGINT % sz.m AS bit
+        FROM fp, sz, unnest([0, 1, 2, 3]) AS u(j)
     ),
     mem AS (
         SELECT p.doc_id,
@@ -8361,11 +8363,19 @@ def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.remove_duplicated_spans) -> Bloom-filter history
     decontamination on the CLEANED fingerprints
     (bloom_filter_bits/bloom_membership; history = every third doc's
-    original fingerprint) -> fixed-weight logistic quality keep on the
-    cleaned text -> md5-derived shard assignment.  The oracle rebuilds
-    the whole chain relationally, so the hash certifies not just each
+    original fingerprint, m HISTORY-SIZED via dedup.auto_bloom_m) ->
+    fixed-weight logistic quality keep on the cleaned text ->
+    md5-derived shard assignment.  The oracle rebuilds the whole chain
+    relationally — INCLUDING the m sizing, re-derived from its own
+    count(*) in pure integer SQL — so the hash certifies not just each
     operator but their composition boundaries (cleaned text feeding
-    the filter fingerprints and the quality features)."""
+    the filter fingerprints and the quality features) AND the sizing
+    rule itself at any SF.  r10→r11 change: the pinned m=8192 was the
+    exact fixed-m trap the r10 40x rung proved degenerates silently
+    (~66k history keys -> every probe positive -> 0 survivors); the
+    filter this capstone models (the reference's file-history result
+    cache, workflow_manager/.../source.py:806-868) must never silently
+    stop filtering."""
     d = _t(spark, sf_dir, "documents")
     # k=24/min_count=4: the BOILERPLATE threshold. k=16/min_count=2
     # (dd_span_removal's parameters, correct for the span-removal gate
@@ -8386,8 +8396,11 @@ def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("fingerprint"))
         .distinct()
     )
-    bits = dedup.bloom_filter_bits(hist, m=8192, k=4)
-    mem = dedup.bloom_membership(fp, bits, m=8192, k=4)
+    # history-sized m (one count() job, scalar driver state — the
+    # auto_lsh_params shape); the oracle re-derives the same integer
+    m = dedup.auto_bloom_m(hist.count())
+    bits = dedup.bloom_filter_bits(hist, m=m, k=4)
+    mem = dedup.bloom_membership(fp, bits, m=m, k=4)
     surv = fp.join(mem, "doc_id").filter(~F.col("maybe_seen"))
     words = F.filter(
         F.split(F.lower(F.trim("ct")), r"\s+"), lambda x: x != ""
