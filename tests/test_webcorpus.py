@@ -1260,6 +1260,50 @@ def test_streaming_crawl_politeness_domain_cap_and_delay(spark, tmp_path):
     assert max(len(b) for b in calls) <= 4  # never more than 2+2
 
 
+def test_streaming_crawl_domain_cap_rotation_shares_budget(spark, tmp_path):
+    """Verdict r10 #4: when max_fetch_per_run binds before the domain
+    list is exhausted, a FIXED cross-domain claim order (url_norm)
+    starves the trailing domains deterministically — step after step
+    the same leading domains win the budget. The claim order must
+    rotate across fetch steps (hash(domain, fid)) so every domain gets
+    fetched within a bounded number of steps."""
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()  # fetch-only crawl
+
+    # 6 domains x 10 URLs, 1 per domain per step, 2 claims per step:
+    # a url_norm-fixed order would fetch ONLY d0/d1 for the first five
+    # steps (10 backlogged URLs each); rotation must touch all six.
+    domains = [f"d{i}.com" for i in range(6)]
+    urls = [f"http://{d}/p{j}" for d in domains for j in range(10)]
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+    calls = []
+
+    def fake_fetch(batch):
+        calls.append(sorted(batch))
+        return [(u, 200, f"<p>ok {u}</p>") for u in batch]
+
+    for step in range(8):
+        streaming_crawl_pipeline(
+            spark, str(src), str(tmp_path / f"ck{step}"),
+            str(tmp_path / "frontier"), str(tmp_path / "out"),
+            fetcher=fake_fetch, seed_urls=seeds,
+            max_fetch_per_run=2, max_per_domain=1,
+        )
+    assert len(calls) == 8 and all(len(b) == 2 for b in calls)
+    fetched_domains = {u.split("/")[2] for b in calls for u in b}
+    # 16 claims across 8 steps: the rotation must have shared them
+    # over ALL 6 domains (fixed order: exactly 2 domains ever fetched)
+    assert fetched_domains == set(domains)
+    # within a domain the claim order stays rank-major (p0 first)
+    first_per_domain = {}
+    for b in calls:
+        for u in b:
+            first_per_domain.setdefault(u.split("/")[2], u)
+    assert all(u.endswith("/p0") for u in first_per_domain.values())
+
+
 def test_streaming_crawl_politeness_crash_window_keeps_cooling(spark, tmp_path):
     """Review r10: the delay ledger commits BEFORE the fetcher call,
     so a crash anywhere in the fetch/commit window (fetches done,

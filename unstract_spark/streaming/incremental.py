@@ -1389,18 +1389,30 @@ def streaming_crawl_pipeline(
                 pending = pending.join(
                     live.select("domain"), "domain", "left_anti"
                 )
+        # the fetch partition id is derived BEFORE the claim: the
+        # domain rotation below keys on it, and it is pure directory
+        # state (max committed id + 1), so an exact re-run sees the
+        # same fid and claims the same prefix
+        fid = _run_base(*ns_roots, base=_FETCH_BASE)
         # politeness gate 2: at most max_per_domain URLs per domain per
-        # step, claimed round-robin across domains (rank-major order)
-        # so a mega-domain backlog can't crowd out the others
+        # step, claimed round-robin across domains (rank-major order).
+        # The cross-domain order within each rank ROTATES by fetch step
+        # (xxhash64(domain, fid)) — a fixed url_norm order would let
+        # max_fetch_per_run starve the trailing domains DETERMINISTICALLY
+        # whenever it binds before the domain list is exhausted (r10
+        # verdict #4); the rotation shares the claim budget across
+        # steps while staying deterministic for a same-fid crash re-run.
         order = [F.col("url_norm")]
         cols = ["url_norm"]
         if max_per_domain is not None:
             w = Window.partitionBy("domain").orderBy("url_norm")
             pending = pending.withColumn(
                 "_rank", F.row_number().over(w)
+            ).withColumn(
+                "_rot", F.xxhash64(F.col("domain"), F.lit(int(fid)))
             ).filter(F.col("_rank") <= max_per_domain)
-            order = [F.col("_rank"), F.col("url_norm")]
-            cols = ["url_norm", "_rank"]
+            order = [F.col("_rank"), F.col("_rot"), F.col("url_norm")]
+            cols = ["url_norm", "_rank", "_rot"]
         # claim a driver-bounded batch (the claim_batch shape); stable
         # order so a re-run claims the same prefix
         claim = [
@@ -1412,7 +1424,6 @@ def streaming_crawl_pipeline(
         ]
         if claim:
             fires += 1
-            fid = _run_base(*ns_roots, base=_FETCH_BASE)
             # politeness ledger BEFORE the fetch (review r10): the
             # claim's domains start cooling at claim time, so a crash
             # anywhere in the fetch/commit window leaves them cooling
