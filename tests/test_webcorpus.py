@@ -1260,6 +1260,131 @@ def test_streaming_crawl_politeness_domain_cap_and_delay(spark, tmp_path):
     assert max(len(b) for b in calls) <= 4  # never more than 2+2
 
 
+def test_parse_crawl_delays_group_selection():
+    from unstract_spark.operators.webcorpus import parse_crawl_delays
+
+    txt = (
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Disallow: /tmp/\n"
+        "\n"
+        "User-agent: trainingbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /x/\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Crawl-delay: nonsense\n"   # unparseable -> ignored
+        "Crawl-delay: -5\n"         # negative -> ignored
+    )
+    rows = parse_crawl_delays(txt)
+    assert {(r["agent"], r["delay_sec"]) for r in rows} == {
+        ("*", 10.0),
+        ("trainingbot", 2.5),
+        ("otherbot", 2.5),
+    }
+
+
+def test_robots_crawl_delays_per_domain(spark):
+    from unstract_spark.operators.webcorpus import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            # agent-specific group shadows '*'
+            ("a.com", "User-agent: *\nCrawl-delay: 60\n"
+                      "User-agent: trainingbot\nCrawl-delay: 5\n"),
+            # only '*' -> applies
+            ("b.com", "User-agent: *\nCrawl-delay: 45\n"),
+            # no directive -> no row (global knob applies downstream)
+            ("c.com", "User-agent: *\nDisallow: /private/\n"),
+            # duplicate directives -> politest (largest) wins
+            ("d.com", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r.domain: r.delay_sec
+        for r in robots_crawl_delays(robots, agent="TrainingBot").collect()
+    }
+    assert got == {"a.com": 5.0, "b.com": 45.0, "d.com": 9.0}
+
+
+def test_streaming_crawl_per_domain_crawl_delay(spark, tmp_path):
+    """Verdict r10 #3: domains cool for their OWN robots Crawl-delay.
+    fast.com (delay 5) must be claimable again while slow.com
+    (delay 60) is still cooling, and a domain with no directive
+    follows the global crawl_delay_sec knob."""
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    src = tmp_path / "warc"
+    src.mkdir()  # fetch-only crawl
+
+    urls = (
+        [f"http://fast.com/p{i}" for i in range(5)]
+        + [f"http://slow.com/p{i}" for i in range(3)]
+        + [f"http://plain.com/p{i}" for i in range(3)]
+    )
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+    robots = spark.createDataFrame(
+        [
+            ("fast.com", "User-agent: *\nCrawl-delay: 5\n"),
+            ("slow.com", "User-agent: *\nCrawl-delay: 60\n"),
+            ("plain.com", "User-agent: *\nDisallow: /private/\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    calls = []
+
+    def fake_fetch(batch):
+        calls.append(sorted(batch))
+        return [(u, 200, f"<p>ok {u}</p>") for u in batch]
+
+    fake_now = [0.0]
+    step = [0]
+
+    def run():
+        step[0] += 1
+        return streaming_crawl_pipeline(
+            spark, str(src), str(tmp_path / f"ck{step[0]}"),
+            str(tmp_path / "frontier"), str(tmp_path / "out"),
+            robots=robots, fetcher=fake_fetch, seed_urls=seeds,
+            max_per_domain=1, crawl_delay_sec=20.0,
+            clock=lambda: fake_now[0],
+        )
+
+    def domains(batch):
+        return {u.split("/")[2] for u in batch}
+
+    # step 1 at t=0: one URL from each of the three domains
+    assert run() == 1
+    assert domains(calls[0]) == {"fast.com", "slow.com", "plain.com"}
+
+    # t=10: fast.com's 5s delay elapsed — claimable; slow.com (60s)
+    # and plain.com (global 20s) still cooling
+    fake_now[0] = 10.0
+    assert run() == 1
+    assert domains(calls[1]) == {"fast.com"}
+
+    # t=25: plain.com's global 20s elapsed (measured from t=0 — it was
+    # not re-fetched at t=10); fast.com elapsed again; slow.com cooling
+    fake_now[0] = 25.0
+    assert run() == 1
+    assert domains(calls[2]) == {"fast.com", "plain.com"}
+
+    # t=70: everyone's delay elapsed — slow.com finally proceeds
+    fake_now[0] = 70.0
+    assert run() == 1
+    assert domains(calls[3]) == {"fast.com", "slow.com", "plain.com"}
+
+    # drain: nothing was ever lost, only deferred
+    for _ in range(6):
+        fake_now[0] += 100.0
+        if run() == 0:
+            break
+    fetched = {u for b in calls for u in b}
+    assert fetched == set(urls)
+
+
 def test_streaming_crawl_domain_cap_rotation_shares_budget(spark, tmp_path):
     """Verdict r10 #4: when max_fetch_per_run binds before the domain
     list is exhausted, a FIXED cross-domain claim order (url_norm)

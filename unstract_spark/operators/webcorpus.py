@@ -470,6 +470,76 @@ def parse_robots(robots_txt: str) -> list[dict]:
     return rules
 
 
+def parse_crawl_delays(robots_txt: str) -> list[dict]:
+    """One robots.txt body -> {agent, delay_sec} rows for every
+    Crawl-delay directive. Crawl-delay is the de-facto politeness
+    extension alongside RFC 9309 (Bing/Yandex honor it; the RFC itself
+    leaves it out) and belongs to the preceding User-agent group
+    exactly like Allow/Disallow — the same consecutive-User-agent
+    grouping as parse_robots (a Crawl-delay line also OPENS the rule
+    block, so a following User-agent starts a new group). Unparseable
+    or negative values are ignored (a broken directive must not stall
+    the crawl forever)."""
+    delays: list[dict] = []
+    agents: list[str] = []
+    block_open = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if block_open:
+                agents, block_open = [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            block_open = True
+        elif key == "crawl-delay":
+            block_open = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in agents or ["*"]:
+                    delays.append({"agent": a, "delay_sec": d})
+    return delays
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, robots_txt) -> (domain, delay_sec): the Crawl-delay
+    the given agent must honor per domain — the agent-specific group's
+    value when one exists, else the '*' group's; domains with neither
+    emit NO row (the crawl's global default applies). Duplicate
+    directives in the chosen group resolve to the LARGEST delay (the
+    politest reading). One row per domain on the always-tiny robots
+    side, same split as robots_rules."""
+    import pandas as pd
+
+    a = agent.lower()
+
+    def pick(batches):
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf[domain_col], pdf[robots_col]):
+                ds = parse_crawl_delays(txt)
+                spec = [r["delay_sec"] for r in ds if r["agent"] == a]
+                star = [r["delay_sec"] for r in ds if r["agent"] == "*"]
+                chosen = spec or star
+                if chosen:
+                    rows.append({"domain": dom, "delay_sec": max(chosen)})
+            yield pd.DataFrame(rows, columns=["domain", "delay_sec"])
+
+    return df.mapInPandas(pick, "domain string, delay_sec double")
+
+
 def robots_rules(df: DataFrame, domain_col: str = "domain",
                  robots_col: str = "robots_txt") -> DataFrame:
     """(domain, robots_txt) -> (domain, agent, rule_path, is_allow,

@@ -1227,14 +1227,21 @@ def streaming_crawl_pipeline(
     url_norm-ordered claim hammers whichever domain sorts first):
     - `max_per_domain` caps the claim at k URLs per domain per fetch
       step, and the claim interleaves ROUND-ROBIN across domains
-      (ordered by per-domain rank, then url_norm) so one mega-domain's
-      frontier backlog drains k-at-a-time while every other domain
-      proceeds — the claim stays deterministic for crash re-runs.
-    - `crawl_delay_sec` arms a per-domain delay ledger (persisted
-      at the sibling path `<frontier_dir>_domain_ledger`): each
-      fetch step records (domain, ts) for its claim; a
-      later claim skips domains fetched less than crawl_delay_sec
-      ago. `clock` injects time for tests (defaults to time.time).
+      (ordered by per-domain rank, then a per-step domain rotation
+      hash(domain, fid), then url_norm) so one mega-domain's frontier
+      backlog drains k-at-a-time while every other domain proceeds,
+      and a budget that binds before the domain list is exhausted
+      rotates across steps instead of starving the trailing domains —
+      the claim stays deterministic for crash re-runs.
+    - `crawl_delay_sec`, or any Crawl-delay directive in `robots`,
+      arms a per-domain delay ledger (persisted at the sibling path
+      `<frontier_dir>_domain_ledger`): each fetch step records
+      (domain, ts) for its claim; a later claim skips domains fetched
+      less than their delay ago. Each domain's delay is its robots
+      Crawl-delay for `agent` (robots_crawl_delays group selection:
+      agent-specific group, else '*'), falling back to the global
+      crawl_delay_sec knob when the domain carries no directive.
+      `clock` injects time for tests (defaults to time.time).
       The ledger write precedes the fetcher CALL itself, so a crash
       anywhere in the fetch/commit window leaves the just-contacted
       domains cooling (the replay waits out the delay) rather than
@@ -1360,32 +1367,55 @@ def streaming_crawl_pipeline(
                 pending, rules, agent=agent,
                 domain_col="domain", path_col="url_path",
             ).filter(F.col("allowed"))
-        # politeness gate 1: domains fetched < crawl_delay_sec ago sit
-        # this step out (their URLs re-pend — the frontier only learns
-        # CLAIMED urls, so nothing is lost, just deferred)
+        # politeness gate 1: domains fetched less than their delay ago
+        # sit this step out (their URLs re-pend — the frontier only
+        # learns CLAIMED urls, so nothing is lost, just deferred).
+        # The per-domain delay comes from robots.txt Crawl-delay
+        # directives (robots_crawl_delays — the de-facto extension
+        # alongside RFC 9309, group-selected for `agent`); domains
+        # without a directive fall back to the global crawl_delay_sec.
         import time as _time
 
         now = (clock or _time.time)()
+        delays = None  # (domain, delay_sec) from robots Crawl-delay
+        if robots is not None:
+            d = webcorpus.robots_crawl_delays(
+                robots, agent=agent
+            ).localCheckpoint(eager=True)
+            delays = d if d.count() > 0 else None
+        polite = crawl_delay_sec > 0 or delays is not None
         # SIBLING of the frontier, not inside it: a crash between
         # the ledger commit and the frontier commit must not leave
         # the frontier root existing-but-empty (only hidden
         # children), which fails schema inference on the next read
         ledger_dir = f"{frontier_dir.rstrip('/')}_domain_ledger"
         live = None  # (domain, ts): still-cooling-relevant ledger rows
-        if crawl_delay_sec > 0:
+        if polite:
             ledger = _read_parquet_or_none(spark, ledger_dir)
             if ledger is not None:
-                # entries older than now - delay can never gate a
-                # future claim (ts only gets staler) — drop them here;
-                # `live` doubles as this step's compaction source
-                live = (
-                    ledger.groupBy("domain")
-                    .agg(F.max("ts").alias("ts"))
-                    .filter(
-                        F.lit(float(now)) - F.col("ts")
-                        < F.lit(float(crawl_delay_sec))
-                    )
+                # entries older than now - delay(domain) can never gate
+                # a future claim (ts only gets staler) — drop them
+                # here; `live` doubles as this step's compaction
+                # source, so the ledger stays O(still-cooling domains)
+                cooled = ledger.groupBy("domain").agg(
+                    F.max("ts").alias("ts")
                 )
+                if delays is not None:
+                    cooled = cooled.join(
+                        F.broadcast(delays), "domain", "left"
+                    ).withColumn(
+                        "_delay",
+                        F.coalesce(
+                            "delay_sec", F.lit(float(crawl_delay_sec))
+                        ),
+                    )
+                else:
+                    cooled = cooled.withColumn(
+                        "_delay", F.lit(float(crawl_delay_sec))
+                    )
+                live = cooled.filter(
+                    F.lit(float(now)) - F.col("ts") < F.col("_delay")
+                ).select("domain", "ts")
                 pending = pending.join(
                     live.select("domain"), "domain", "left_anti"
                 )
@@ -1434,7 +1464,7 @@ def streaming_crawl_pipeline(
             # ledger partitions are pruned after the frontier commit,
             # so the ledger stays O(live domains) instead of growing
             # one partition per fetch step forever.
-            if crawl_delay_sec > 0:
+            if polite:
                 snap = webcorpus.normalize_urls(
                     spark.createDataFrame([(u,) for u in claim], "url string"),
                     url_col="url",
@@ -1512,7 +1542,7 @@ def streaming_crawl_pipeline(
             # fid snapshot carries every still-relevant row, and a
             # crash before this point just leaves extra partitions
             # whose rows fold through the groupBy-max read)
-            if crawl_delay_sec > 0:
+            if polite:
                 import os as _os
                 import shutil as _shutil
 
