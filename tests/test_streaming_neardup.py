@@ -340,6 +340,139 @@ def test_streaming_bloom_matches_batch_history(spark, tmp_path):
     assert got_bits == expect_bits
 
 
+def test_streaming_kmv_merges_across_fires(spark, tmp_path):
+    """Verdict r10 #2: mergeability is the KMV family's 100 TB
+    argument — prove it ACROSS FIRES. After two fires the stored
+    sketch must equal the batch sketch of the union (including
+    cross-fire duplicate values collapsing), the emitted estimate must
+    equal kmv_estimate over that union sketch, and superseded store
+    snapshots must be pruned down to the latest prior."""
+    from unstract_spark.operators import sketches
+    from unstract_spark.streaming.incremental import streaming_kmv_pipeline
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [(i, f"value {i}") for i in range(60)]
+    # overlaps fire1 on 30..59 — the union has 90 distinct values
+    fire2 = [(i, f"value {i}") for i in range(30, 90)]
+
+    _docs(spark, fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=32) == 1
+    est1 = spark.read.parquet(out).filter(F.col("batch_id") == 0).collect()[0]
+    assert est1.n_sketch == 32  # 60 distinct > k
+
+    _docs(spark, fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=32) == 1
+
+    union_sketch = sketches.kmv_sketch(
+        _docs(spark, fire1 + fire2), "text", k=32
+    )
+    expect = {r.h for r in union_sketch.collect()}
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        r.h for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    }
+    assert got == expect  # cross-fire merge == sketch of the union
+
+    est = spark.read.parquet(out).filter(
+        F.col("batch_id") == latest
+    ).collect()[0]
+    expect_est = sketches.kmv_estimate(union_sketch, 32).collect()[0]
+    assert (est.n_sketch, est.kth_hash, est.est_distinct) == (
+        expect_est.n_sketch, expect_est.kth_hash, expect_est.est_distinct
+    )
+
+    # idempotent re-fire: nothing new arrived — no fire, stores intact
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=32) == 0
+    assert {
+        r.h for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    } == expect
+
+    # a third fire prunes the superseded snapshot, keeping the latest
+    # prior (which a replay of the new epoch would still need)
+    fire3 = [(i, f"value {i}") for i in range(90, 120)]
+    _docs(spark, fire3).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=32) == 1
+    parts = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    assert parts == [latest, latest + 1]  # batch 0's snapshot pruned
+    expect3 = {
+        r.h
+        for r in sketches.kmv_sketch(
+            _docs(spark, fire1 + fire2 + fire3), "text", k=32
+        ).collect()
+    }
+    assert {
+        r.h
+        for r in spark.read.parquet(
+            f"{store}/batch_id={latest + 1}"
+        ).collect()
+    } == expect3
+
+
+def test_streaming_kmv_crash_replay_clean(spark, tmp_path):
+    """A replayed epoch must overwrite its own half-written store/out
+    partitions (never fold the crashed attempt's rows into the merge —
+    the store read excludes the current epoch) and the previous
+    full-merge snapshot must still be there to merge against (the
+    prune keeps the latest prior)."""
+    from unstract_spark.operators import sketches
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        streaming_kmv_pipeline,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [(i, f"value {i}") for i in range(40)]
+    _docs(spark, fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=16) == 1
+
+    # epoch 1's attempt that died after writing, before the checkpoint
+    # commit: pin the bid (a real attempt pins before writing) and
+    # plant poisoned partitions — h=0 would be the global minimum and
+    # would corrupt every later estimate if the replay ever read it
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame([(0,)], "h long").write.parquet(
+        f"{store}/batch_id=1"
+    )
+    spark.createDataFrame(
+        [(16, 1, 0, 1.0)],
+        "k long, n_sketch long, kth_hash long, est_distinct double",
+    ).write.parquet(f"{out}/batch_id=1")
+
+    fire2 = [(i, f"value {i}") for i in range(40, 80)]
+    _docs(spark, fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_kmv_pipeline(spark, src, ckpt, store, out, k=16) == 1
+
+    expect = {
+        r.h
+        for r in sketches.kmv_sketch(
+            _docs(spark, fire1 + fire2), "text", k=16
+        ).collect()
+    }
+    got = {r.h for r in spark.read.parquet(f"{store}/batch_id=1").collect()}
+    assert got == expect  # poisoned rows replaced, not merged
+    assert 0 not in got
+    est = spark.read.parquet(out).filter(F.col("batch_id") == 1).collect()[0]
+    assert est.kth_hash == max(expect)
+
+
 def test_stale_checkpoint_resume_refused(spark, tmp_path):
     """ADVICE r10 (medium): the pinned run base guarantees partition
     disjointness only at ALLOCATION time — resuming an OLD checkpoint

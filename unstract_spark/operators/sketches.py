@@ -80,12 +80,13 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     return candidates.distinct().orderBy("h").limit(k)
 
 
-def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
-    """One-row distinct-count estimate from a KMV sketch:
-    (k, n_sketch, kth_hash, est_distinct). n_sketch < k means the
-    sketch saw every distinct value and the estimate IS the count."""
-    sk = kmv_sketch(df, col, k)
-    return sk.agg(
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row distinct-count estimate from an ALREADY-BUILT sketch
+    (its `h` rows): (k, n_sketch, kth_hash, est_distinct). n_sketch
+    < k means the sketch saw every distinct value and the estimate IS
+    the count. `k` must be the k the sketch was built with (see
+    kmv_merge)."""
+    return sketch.agg(
         F.lit(k).cast("long").alias("k"),
         F.count(F.lit(1)).alias("n_sketch"),
         F.max("h").alias("kth_hash"),
@@ -99,6 +100,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate of `col`: sketch + estimate."""
+    return kmv_estimate(kmv_sketch(df, col, k), k)
 
 
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:

@@ -1108,6 +1108,107 @@ def streaming_bloom_pipeline(
     return fires
 
 
+def streaming_kmv_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    col: str = "text",
+    k: int = 256,
+    schema: str = "doc_id long, text string",
+) -> int:
+    """Incremental KMV distinct-count sketch: each AvailableNow fire
+    sketches the NEW rows' `col` (sketches.kmv_sketch), MERGES with
+    the accumulated sketch (kmv_merge — union + re-min, the property
+    that makes the family shippable from per-shard state), writes the
+    merged k rows as this fire's store snapshot, and emits one
+    cumulative estimate row (k, n_sketch, kth_hash, est_distinct via
+    kmv_estimate) — the streaming twin of sk_kmv_distinct, proving
+    mergeability ACROSS FIRES, not just within one query.
+
+    Scale contract: state is <= k longs however much history has
+    streamed (the sketch IS the state — cf. streaming_bloom_pipeline's
+    m bits); each fire reads O(k) store rows, never re-scans history.
+
+    Exactly-once discipline (the sibling pipelines' shape): both
+    writes go to batch_id=N partitions with overwrite, the store read
+    excludes the current epoch, and the run base is pinned to the
+    checkpoint. Each snapshot is the FULL merge through its fire, so
+    superseded snapshots are pruned after the write — except the
+    latest prior one, which a replay of the current epoch (its own
+    partition excluded from the read) still needs. Stale un-pruned
+    snapshots are harmless: an old k-min set folds into a newer one
+    under union + re-min (every old member that still belongs to the
+    global k-min is already in the newer snapshot).
+
+    Returns the number of fired batches.
+    """
+    from unstract_spark.operators import sketches
+
+    fires = 0
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        bsk = sketches.kmv_sketch(batch.select(col), col, k)
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select("h")
+            merged = sketches.kmv_merge(bsk, old, k=k)
+        else:
+            merged = bsk
+        # materialize before the overwrite: merged's lineage lazily
+        # reads store_dir, whose current partition the write replaces
+        # on replay (the read-then-overwrite convention); O(k) rows
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
+        sketches.kmv_estimate(merged, k).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={bid}"
+        )
+        # prune superseded snapshots, KEEPING the latest one below bid:
+        # a replay of bid excludes its own partition from the read, so
+        # the previous full-merge snapshot must survive until the next
+        # fire commits
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"), ignore_errors=True
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_ledger_sink(
     spark: SparkSession,
     source_dir: str,
