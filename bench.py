@@ -173,6 +173,14 @@ BENCH_QUERIES = [
     # registry-gated but not benched: it is the same scan shape twice
     # plus a merge over <= 2k rows.
     "sk_kmv_distinct",
+    # round-11 additions: the scalar-quantization ADC scan (integer
+    # code dot product + exact re-rank — the 4x-compression rung
+    # between raw floats and PQ's LUT scan; sim_sq4_topk is the same
+    # plan with a narrower constant and is registry-gated only) and
+    # the per-GROUP sketch shape (per-batch prefilter + per-group
+    # window cut, vs sk_kmv_distinct's global TakeOrdered merge).
+    "sim_sq8_topk",
+    "sk_kmv_by_group",
     # dd_embedding_neardup_auto (the corpus-size-aware LSH geometry,
     # n_planes="auto") is registry-gated but NOT benched: at sf0.1 the
     # auto parameters buy recall 0.9 with 42 tables (~9 s — the

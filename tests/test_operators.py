@@ -705,6 +705,50 @@ def test_sq8_codes_bounded_and_topk_matches_brute(spark):
     assert mx <= 127
 
 
+def test_sq_bit_width_ladder_codes_and_topk(spark):
+    """Verdict r10 #5: SQ4/SQ6 bit-width rungs. Codes at `bits` stay
+    in [-qmax, qmax] with qmax = 2^(bits-1)-1 and actually USE the
+    range (max |code| == qmax — the per-vector scale maps max|x| onto
+    it exactly); on a small corpus a modest refine still recovers the
+    brute-force top-k even at 4 bits (the quantization error is the
+    candidate ORDER, which the exact re-rank repairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.similarity import (
+        _sq8_cols,
+        brute_force_topk,
+        sq8_topk_join,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(q, e, dim=8, k=5).collect()
+    }
+    for bits, qmax in ((6, 31), (4, 7)):
+        _scale, codes = _sq8_cols("embedding", "i", bits=bits)
+        mx = e.select(codes).select(
+            F.array_max(
+                F.transform(F.col("i_codes"), lambda x: F.abs(x))
+            ).alias("m")
+        ).agg(F.max("m")).collect()[0][0]
+        assert mx == qmax
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in sq8_topk_join(
+                q, e, dim=8, k=5, refine=8, bits=bits
+            ).collect()
+        }
+        assert got == want
+
+
 def test_auto_bloom_m_prevents_saturation(spark):
     """The r10 40x-rung lesson: a FIXED m=8192 saturates once the
     history outgrows it (every bit set -> every probe positive, the

@@ -36,6 +36,32 @@ import tempfile
 import time
 
 
+def _sq_ladder(report, measure, queries, emb, dim, k) -> None:
+    """Scalar-quantization bit-width ladder: full ADC scan like plain
+    PQ but SCALAR integer codes — no codebook training, one integer
+    multiply per dim. Error source is per-element rounding; on THIS
+    corpus (clustered: the true top-k are near-ties at cosine ~0.8)
+    the r10 probe measured SQ8 recall 0.60 at refine 3 — rounding
+    noise over 768 dims exceeds the tiny true-neighbor separations,
+    so the shortlist needs depth (0.98 at refine 20). Still strictly
+    above PQ at equal refine. The r11 SQ6/SQ4 rungs answer whether
+    2x/4x narrower codes keep that edge (compression_x is the
+    bit-packed store size vs float32: 32/bits)."""
+    from unstract_spark.operators.similarity import sq8_topk_join
+
+    for bits in (8, 6, 4):
+        for refine in (3, 20):
+            rec, secs = measure(
+                sq8_topk_join(queries, emb, dim, k=k, refine=refine, bits=bits)
+            )
+            report["strategies"][f"sq{bits}_r{refine}_fullscan"] = {
+                "recall": rec,
+                "compression_x": round(32 / bits, 2),
+                "exact_rerank_per_query": refine * k,
+                "query_s": secs,
+            }
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import numpy as np
@@ -54,9 +80,14 @@ def main() -> int:
     )
     from unstract_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 768
-    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    # --sq-only: measure just the exact scan + the scalar-quantization
+    # bit-width ladder (same deterministic corpus, so the rows are
+    # directly comparable with a prior full report's PQ/IVF numbers)
+    sq_only = "--sq-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 100_000
+    dim = int(args[1]) if len(args) > 1 else 768
+    n_queries = int(args[2]) if len(args) > 2 else 20
     k = 10
     n_centers = 256
     n_centroids = 1024
@@ -120,6 +151,12 @@ def main() -> int:
         "exact_scan_s": exact_s,
         "strategies": {},
     }
+
+    if sq_only:
+        _sq_ladder(report, measure, queries, emb, dim, k)
+        shutil.rmtree(scratch, ignore_errors=True)
+        print(json.dumps(report))
+        return 0
 
     # fitted centroids once, shared by IVF + IVF-PQ (the production
     # training step; bounded driver state = 1024x768 floats)
@@ -203,25 +240,7 @@ def main() -> int:
         "recall": rec, "query_s": secs,
     }
 
-    # SQ8: full ADC scan like plain PQ but SCALAR int8 codes — 4x
-    # compression, one integer multiply per dim, no codebook training.
-    # Its only error source is per-element rounding — but on THIS
-    # corpus (clustered: the true top-k are near-ties at cosine ~0.8)
-    # the measured r10 recall is 0.60 at refine 3: rounding noise over
-    # 768 dims exceeds the tiny true-neighbor separations, so the
-    # shortlist needs depth. Still strictly above PQ's 0.38 AT LOWER
-    # refine (30 vs 200 exact re-ranks) — the 4x rung holds its place
-    # in the raw -> SQ8 -> PQ ladder; SCALE.md records the
-    # refine-depth ladder from the r10 probe.
-    from unstract_spark.operators.similarity import sq8_topk_join
-
-    rec, secs = measure(sq8_topk_join(queries, emb, dim, k=k, refine=3))
-    report["strategies"]["sq8_r3_fullscan"] = {
-        "recall": rec,
-        "compression_x": 4,
-        "exact_rerank_per_query": 30,
-        "query_s": secs,
-    }
+    _sq_ladder(report, measure, queries, emb, dim, k)
 
     # LSH ladder (12 planes x 4 tables = 9216-term SQL path per table)
     rec, secs = measure(

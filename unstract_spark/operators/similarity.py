@@ -600,14 +600,17 @@ def pq_topk_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _sq8_cols(vec_col: str, prefix: str):
-    """(scale, int8-code array) columns for scalar quantization: per
-    vector scale = 127/max|x| and code_i = floor(x_i*scale + 0.5) —
-    integer round-half-up, identical in any engine (no banker's
-    rounding, no float-sum order anywhere)."""
+def _sq8_cols(vec_col: str, prefix: str, bits: int = 8):
+    """(scale, integer-code array) columns for scalar quantization at
+    `bits` of signed precision: per vector scale = qmax/max|x| with
+    qmax = 2^(bits-1) - 1 (127 for SQ8, 31 for SQ6, 7 for SQ4) and
+    code_i = floor(x_i*scale + 0.5) — integer round-half-up, identical
+    in any engine (no banker's rounding, no float-sum order
+    anywhere)."""
+    qmax = float((1 << (bits - 1)) - 1)
     xd = F.col(vec_col).cast("array<double>")
     maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-30))
+    scale = F.lit(qmax) / F.greatest(maxabs, F.lit(1e-30))
     codes = F.transform(
         xd, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
     )
@@ -624,12 +627,17 @@ def sq8_topk_join(
     query_vec: str = "query_vec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    bits: int = 8,
 ) -> DataFrame:
     """ANN via int8 SCALAR quantization (SQ8) + exact re-rank — the
     memory lever between raw floats and PQ: 4x smaller than float32
     with one multiply per dimension (PQ is 32x smaller but pays
     codebook training and lookup indirection; SQ8 is what FAISS
     ScalarQuantizer/Milvus SQ8 ship as the default compression).
+    `bits` narrows the code width (6 -> 5.3x, 4 -> 8x smaller than
+    float32 when bit-packed in the store) at the cost of coarser
+    candidate scores — the SQ4/SQ6 ladder rungs in
+    tools/ann_report_prod.py measure what that costs in recall.
 
     Determinism contract: codes are integer round-half-up of
     x*127/max|x| (floor(x*s + 0.5) — one float multiply + add per
@@ -641,8 +649,8 @@ def sq8_topk_join(
     by the ROUNDED score (the float parity rule). At 100 TB the code
     arrays live in the store next to the id; the scan streams
     fixed-width int8 rows and only the shortlist touches floats."""
-    iscale, icodes = _sq8_cols(index_vec, "i")
-    _qscale, qcodes = _sq8_cols(query_vec, "q")
+    iscale, icodes = _sq8_cols(index_vec, "i", bits=bits)
+    _qscale, qcodes = _sq8_cols(query_vec, "q", bits=bits)
     codes = index.select(F.col(index_id), F.col(index_vec), iscale, icodes)
     # q_scale is constant within a query partition, so it cannot change
     # the per-query ADC ranking — not computed/broadcast at all

@@ -90,21 +90,78 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
         F.lit(k).cast("long").alias("k"),
         F.count(F.lit(1)).alias("n_sketch"),
         F.max("h").alias("kth_hash"),
-    ).select(
-        "k",
-        "n_sketch",
-        "kth_hash",
-        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
-        .otherwise(
-            F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
-        )
-        .alias("est_distinct"),
-    )
+    ).select("k", "n_sketch", "kth_hash", _est_col(k))
 
 
 def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """One-row distinct-count estimate of `col`: sketch + estimate."""
     return kmv_estimate(kmv_sketch(df, col, k), k)
+
+
+def _est_col(k: int):
+    """The KMV estimator as a Column over (n_sketch, kth_hash) —
+    shared by the global and per-group estimate spellings."""
+    return (
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct")
+    )
+
+
+def kmv_sketch_by_group(
+    df: DataFrame, group_col: str, col: str, k: int = 256
+) -> DataFrame:
+    """One KMV sketch PER GROUP: (group, h) rows, the k smallest
+    distinct hashes of `col` within each group (fewer when a group
+    has < k distinct values) — the GROUP BY twin of kmv_sketch, for
+    per-segment distinct counts without shuffling every distinct
+    (group, key) pair.
+
+    Scale shape: the same per-Arrow-batch prefilter as kmv_sketch,
+    per group (each batch contributes at most its k smallest distinct
+    hashes per group — any global per-group k-min member is also a
+    batch per-group k-min member), so the shuffle carries
+    <= batches*groups*k rows; the tail is one distinct + per-group
+    row_number cut."""
+    from pyspark.sql import Window
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    hashed = df.where(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("g"), md5_hash60(F.col(col)).alias("h")
+    )
+
+    def batch_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            d = pdf.drop_duplicates(["g", "h"]).sort_values(["g", "h"])
+            yield d.groupby("g", sort=False).head(k)
+
+    cand = hashed.mapInPandas(batch_topk, f"g {gtype}, h long")
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        cand.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("g").alias(group_col), "h")
+    )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame, group_col: str, col: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimates: one row per group with
+    (k, n_sketch, kth_hash, est_distinct) — exact for groups holding
+    fewer than k distinct values, the (k-1)*M/h_k estimator above."""
+    sk = kmv_sketch_by_group(df, group_col, col, k)
+    return sk.groupBy(group_col).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    ).select(group_col, "k", "n_sketch", "kth_hash", _est_col(k))
 
 
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:

@@ -3537,11 +3537,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sq8_topk_sql(dim: int = 64, k: int = 10, refine: int = 3) -> str:
+def _sq8_topk_sql(
+    dim: int = 64, k: int = 10, refine: int = 3, bits: int = 8
+) -> str:
     """SQL twin of similarity.sq8_topk_join: same per-vector
-    127/max|x| scale, same floor(x*s + 0.5) integer codes, pure
-    BIGINT code dot product divided once by the index scale, same
-    shortlist cut and rounded exact-cosine re-rank."""
+    qmax/max|x| scale (qmax = 2^(bits-1) - 1), same floor(x*s + 0.5)
+    integer codes, pure BIGINT code dot product divided once by the
+    index scale, same shortlist cut and rounded exact-cosine
+    re-rank."""
+    qmax = (1 << (bits - 1)) - 1
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -3550,7 +3554,7 @@ def _sq8_topk_sql(dim: int = 64, k: int = 10, refine: int = 3) -> str:
     ),
     sq AS (
         SELECT vec_id, v, nrm,
-               127.0 / greatest(list_max(list_transform(v, x -> abs(x))),
+               {qmax}.0 / greatest(list_max(list_transform(v, x -> abs(x))),
                                 1e-30) AS scale
         FROM e
     ),
@@ -3598,6 +3602,24 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.sq8_topk_join(q, e, dim=64, k=10).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+@register("sim_sq4_topk", _sq8_topk_sql(bits=4, refine=6))
+def sim_sq4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path #5b: 4-bit scalar quantization — the far end of
+    the SQ bit-width ladder (8x smaller than float32 bit-packed;
+    qmax=7, so candidate scores are COARSE and the shortlist widens to
+    refine=6 to keep recall — the r11 prod ladder measures the
+    recall/refine trade per bit width). Same expressions as
+    sim_sq8_topk with qmax swapped; the oracle re-derives the 4-bit
+    codes, so the width itself is hash-gated."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.sq8_topk_join(q, e, dim=64, k=10, refine=6, bits=4).select(
         "query_id", "vec_id", "score", "rank"
     )
 
@@ -11340,6 +11362,41 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return sketches.kmv_overlap(words(0), "w", words(1), "w", k=256)
+
+
+_SK_KMV_BY_GROUP_SQL = f"""
+WITH hx AS (SELECT DISTINCT o_orderpriority AS g,
+                   {_kmv_hash_sql('CAST(o_custkey AS VARCHAR)')} AS h
+            FROM orders WHERE o_custkey IS NOT NULL),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       FROM hx),
+sk AS (SELECT g, h FROM rk WHERE rn <= 128)
+SELECT g AS o_orderpriority, CAST(128 AS BIGINT) AS k,
+       count(*) AS n_sketch, max(h) AS kth_hash,
+       {_kmv_est_sql('count(*)', 'max(h)', k=128)} AS est_distinct
+FROM sk GROUP BY g
+"""
+
+
+@register("sk_kmv_by_group", _SK_KMV_BY_GROUP_SQL)
+def sk_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP KMV distinct counts (sketches.kmv_distinct_by_group):
+    distinct customers per order priority from one k=128 sketch per
+    group — the GROUP BY spelling of the family (segment-level
+    cardinality profiling at k longs of state per group instead of an
+    exact per-group distinct-key shuffle). The per-Arrow-batch
+    prefilter bounds the shuffle at batches*groups*k rows; the oracle
+    is a per-group row_number cut over the same 60-bit hash, so every
+    group's estimate is value-hash-gated. At sf0.001 the per-priority
+    cardinalities straddle k (126-132 distinct customers), so the
+    exact-below-k AND estimator branches fire within ONE gated result;
+    sf0.01 (about 1300 per group) is pure-estimator — both gated."""
+    from unstract_spark.operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
+    )
+    return sketches.kmv_distinct_by_group(o, "o_orderpriority", "ck", k=128)
 
 
 ENTRY_QUERY = "q1_pricing_summary"
