@@ -65,6 +65,41 @@ def test_kmv_overlap_estimates(spark):
     assert 0.6 * 2_000 <= row.est_intersection <= 1.5 * 2_000
 
 
+def test_kmv_by_group_branches_and_null_group(spark):
+    # group a: 30 distinct (< k=16? no — use k=16: 30 > 16 estimator),
+    # group b: 10 distinct (exact branch), group NULL: its own group
+    # (pandas groupby must not drop it — dropna=False)
+    rows = (
+        [("a", f"x{i}") for i in range(30)]
+        + [("b", f"y{i}") for i in range(10)]
+        + [(None, f"z{i}") for i in range(5)]
+        + [("b", "y0"), ("a", "x1")]  # duplicates collapse
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {
+        r.g: (r.n_sketch, r.est_distinct)
+        for r in sketches.kmv_distinct_by_group(df, "g", "s", k=16).collect()
+    }
+    assert set(got) == {"a", "b", None}
+    assert got["b"] == (10, 10.0)  # exact below k
+    assert got[None] == (5, 5.0)
+    n_a, est_a = got["a"]
+    assert n_a == 16 and est_a != 30.0  # estimator branch active
+    # estimator sanity at tiny k: right order of magnitude
+    assert 10 <= est_a <= 90
+
+    # per-group sketch == global sketch of that group's values alone
+    only_a = df.filter(F.col("g") == "a").select("s")
+    expect_a = {r.h for r in sketches.kmv_sketch(only_a, "s", k=16).collect()}
+    got_a = {
+        r.h
+        for r in sketches.kmv_sketch_by_group(df, "g", "s", k=16)
+        .filter(F.col("g") == "a")
+        .collect()
+    }
+    assert got_a == expect_a
+
+
 def test_kmv_sketch_ignores_nulls_and_duplicates(spark):
     df = spark.createDataFrame(
         [("x",), ("x",), (None,), ("y",)], "s string"

@@ -137,8 +137,12 @@ def kmv_sketch_by_group(
             if len(pdf) == 0:
                 yield pdf
                 continue
-            d = pdf.drop_duplicates(["g", "h"]).sort_values(["g", "h"])
-            yield d.groupby("g", sort=False).head(k)
+            # sort by h only (no group-key comparison — object columns
+            # may hold None) and take the first k rows per group;
+            # dropna=False keeps a null GROUP as its own group, the
+            # same semantics as Spark's groupBy/Window on null keys
+            d = pdf.drop_duplicates(["g", "h"]).sort_values("h")
+            yield d.groupby("g", sort=False, dropna=False).head(k)
 
     cand = hashed.mapInPandas(batch_topk, f"g {gtype}, h long")
     w = Window.partitionBy("g").orderBy("h")
