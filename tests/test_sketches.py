@@ -100,6 +100,53 @@ def test_kmv_by_group_branches_and_null_group(spark):
     assert got_a == expect_a
 
 
+def test_sample_quantiles_accuracy_and_exact_branch(spark):
+    # 20_000 rows, value == id: true quantiles are known exactly;
+    # a k=512 uniform sample's order-statistic error ~1/sqrt(k) ≈ 4.4%
+    # per quantile — assert a loose 4-sigma-ish band
+    df = spark.range(20_000).select(
+        F.col("id").cast("string").alias("rk"),
+        F.col("id").cast("double").alias("v"),
+    )
+    row = sketches.sample_quantiles(df, "rk", "v", k=512).collect()[0]
+    assert row.n_sample == 512
+    for q, got in ((0.25, row.p25), (0.50, row.p50), (0.75, row.p75)):
+        assert abs(got - q * 19_999) <= 0.18 * 19_999, (q, got)
+
+    # exact branch: fewer rows than k -> the sample IS the dataset
+    small = spark.range(100).select(
+        F.col("id").cast("string").alias("rk"),
+        F.col("id").cast("double").alias("v"),
+    )
+    r = sketches.sample_quantiles(small, "rk", "v", k=512).collect()[0]
+    assert r.n_sample == 100
+    assert (r.p25, r.p50, r.p75) == (24.75, 49.5, 74.25)  # exact
+
+
+def test_kmv_row_sample_mergeable(spark):
+    # bottom-k rows of (A ∪ B) == bottom-k of (bottom-k(A) ∪ bottom-k(B))
+    def part(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("rk"),
+            (F.col("id") * 2).cast("double").alias("v"),
+        )
+
+    a, b = part(0, 3_000), part(3_000, 7_000)
+    sa = sketches.kmv_row_sample(a, "rk", ["v"], k=64)
+    sb = sketches.kmv_row_sample(b, "rk", ["v"], k=64)
+    merged = {
+        (r.h, r.v)
+        for r in sa.unionByName(sb).orderBy("h", "v").limit(64).collect()
+    }
+    direct = {
+        (r.h, r.v)
+        for r in sketches.kmv_row_sample(
+            part(0, 3_000).unionByName(part(3_000, 7_000)), "rk", ["v"], k=64
+        ).collect()
+    }
+    assert merged == direct
+
+
 def test_kmv_sketch_ignores_nulls_and_duplicates(spark):
     df = spark.createDataFrame(
         [("x",), ("x",), (None,), ("y",)], "s string"

@@ -168,6 +168,66 @@ def kmv_distinct_by_group(
     ).select(group_col, "k", "n_sketch", "kth_hash", _est_col(k))
 
 
+def kmv_row_sample(
+    df: DataFrame, key_col: str, cols: list[str], k: int = 512
+) -> DataFrame:
+    """Deterministic uniform ROW sample: the k rows whose 60-bit hash
+    of `key_col` is smallest, carrying `cols` — a bottom-k sample.
+    With a unique key the hash is a uniform random permutation fixed
+    by the data itself, so the sample is (a) uniform, (b) rerunnable
+    bit-identically, (c) MERGEABLE by union + re-min (per-shard
+    bottom-k samples combine without re-scanning — the same property
+    as the distinct-count sketch, here keeping whole rows), and
+    (d) exactly reproducible by a SQL oracle (ORDER BY hash LIMIT k).
+    Rows are NOT dedupped: a non-unique key over-weights its
+    duplicates — pass a unique row key.
+
+    Same per-Arrow-batch prefilter as kmv_sketch: each batch
+    contributes at most its k smallest rows, so the final
+    TakeOrdered runs over <= batches*k rows."""
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        md5_hash60(F.col(key_col)).alias("h"), *cols
+    )
+    order = ["h", *cols]  # full tie-break: an h collision (~2^-60)
+    # at the k boundary must not make the sample engine-dependent
+
+    def batch_topk(batches):
+        for pdf in batches:
+            yield pdf.sort_values(order).head(k)
+
+    cand = hashed.mapInPandas(batch_topk, hashed.schema)
+    return cand.orderBy(*order).limit(k)
+
+
+def sample_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 512,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Mergeable approximate quantiles from a deterministic bottom-k
+    row sample: one row (k, n_sample, p25, p50, ...) — the
+    cross-engine-gatable stand-in for t-digest/KLL (whose register
+    layouts have no SQL twin; this sketch's state is k plain rows and
+    every output is deterministic). Sample error is the usual
+    order-statistic bound ~1/sqrt(k) per quantile. n_sample < k means
+    the sample IS the dataset and the quantiles are exact. At 100 TB:
+    k rows of state per split, union + re-min to combine — the same
+    shipping shape as the distinct-count sketch."""
+    smp = kmv_row_sample(df, key_col, [value_col], k)
+    aggs = [
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_sample"),
+    ] + [
+        F.round(
+            F.expr(f"percentile({value_col}, {q})"), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return smp.agg(*aggs)
+
+
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Union sketches into one: k smallest of the combined hash sets.
     This is the mergeability property that makes KMV shippable from

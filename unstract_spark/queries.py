@@ -11399,4 +11399,47 @@ def sk_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct_by_group(o, "o_orderpriority", "ck", k=128)
 
 
+_SK_SAMPLE_QUANTILES_SQL = f"""
+WITH hx AS (SELECT {_kmv_hash_sql(
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)} AS h,
+            l_extendedprice AS v
+     FROM lineitem),
+smp AS (SELECT v FROM hx ORDER BY h, v LIMIT 512)
+SELECT CAST(512 AS BIGINT) AS k, count(*) AS n_sample,
+       round(quantile_cont(v, 0.25), 6) AS p25,
+       round(quantile_cont(v, 0.50), 6) AS p50,
+       round(quantile_cont(v, 0.75), 6) AS p75,
+       round(quantile_cont(v, 0.95), 6) AS p95
+FROM smp
+"""
+
+
+@register("sk_sample_quantiles", _SK_SAMPLE_QUANTILES_SQL)
+def sk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (sketches.sample_quantiles):
+    l_extendedprice percentiles from the deterministic bottom-k-by-hash
+    row sample (k=512, keyed on the unique (l_orderkey, l_linenumber)
+    pair) — the cross-engine-gatable stand-in for t-digest/KLL, whose
+    register layouts have no SQL twin. The oracle re-derives the SAME
+    sample (ORDER BY the 60-bit hash LIMIT k) and interpolates with
+    quantile_cont (= Spark percentile's rank definition, the
+    agg_length_percentiles parity), so the sketch's every output is
+    value-hash-gated at both SFs (6k and 60k rows, sample live at
+    both; the n_sample < k exact branch is pytest-gated). State is k
+    plain rows per split, merged by union + re-min like the
+    distinct-count sketch."""
+    from unstract_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return sketches.sample_quantiles(li, "rk", "v", k=512)
+
+
 ENTRY_QUERY = "q1_pricing_summary"
