@@ -100,6 +100,24 @@ def test_kmv_by_group_branches_and_null_group(spark):
     assert got_a == expect_a
 
 
+def test_kmv_difference_estimates(spark):
+    # |A|=4000 (0..3999), |B|=4000 (2000..5999): A\B = B\A = 2000
+    a = _vals(spark, 4_000)
+    b = spark.range(2_000, 6_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    row = sketches.kmv_difference(a, "s", b, "s", k=256).collect()[0]
+    assert 0.75 * 6_000 <= row.est_union <= 1.25 * 6_000
+    assert 0.6 * 2_000 <= row.est_a_not_b <= 1.5 * 2_000
+    assert 0.6 * 2_000 <= row.est_b_not_a <= 1.5 * 2_000
+    # disjoint slices: everything is one-sided
+    c = spark.range(10_000, 12_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    r2 = sketches.kmv_difference(a, "s", c, "s", k=256).collect()[0]
+    assert abs(r2.est_a_not_b + r2.est_b_not_a - r2.est_union) < 1e-6
+
+
 def test_sample_quantiles_accuracy_and_exact_branch(spark):
     # 20_000 rows, value == id: true quantiles are known exactly;
     # a k=512 uniform sample's order-statistic error ~1/sqrt(k) ≈ 4.4%

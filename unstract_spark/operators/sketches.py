@@ -244,6 +244,30 @@ def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     return out.distinct().orderBy("h").limit(k)
 
 
+def _overlap_stats(
+    dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int
+) -> DataFrame:
+    """One-row membership stats over the merged sketch of two inputs:
+    (n_merged, kth_hash, n_both, n_a_only, n_b_only) — the shared
+    front end of kmv_overlap and kmv_difference. Membership flags via
+    two tiny joins, then ONE aggregate computes every scalar — no
+    per-scalar jobs, no crossJoin stitching."""
+    sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
+    sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
+    merged = kmv_merge(sa, sb, k=k)
+    flagged = merged.join(
+        sa.withColumn("_a", F.lit(1)), "h", "left"
+    ).join(sb.withColumn("_b", F.lit(1)), "h", "left")
+    in_a, in_b = F.col("_a").isNotNull(), F.col("_b").isNotNull()
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.when(in_a & in_b, 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(in_a & ~in_b, 1).otherwise(0)).alias("n_a_only"),
+        F.sum(F.when(in_b & ~in_a, 1).otherwise(0)).alias("n_b_only"),
+    )
+
+
 def kmv_overlap(
     dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
 ) -> DataFrame:
@@ -256,22 +280,7 @@ def kmv_overlap(
     estimates the intersection size (the standard theta-sketch
     a-priori estimator). All counts are exact integers; the two
     closing multiplications are single IEEE ops — gate-stable."""
-    sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
-    sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
-    merged = kmv_merge(sa, sb, k=k)
-    # membership flags via two tiny joins, then ONE aggregate computes
-    # all three scalars — no per-scalar jobs, no crossJoin stitching
-    flagged = merged.join(
-        sa.withColumn("_a", F.lit(1)), "h", "left"
-    ).join(sb.withColumn("_b", F.lit(1)), "h", "left")
-    stats = flagged.agg(
-        F.count(F.lit(1)).alias("n_merged"),
-        F.max("h").alias("kth_hash"),
-        F.sum(
-            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
-            .otherwise(0)
-        ).alias("n_both"),
-    )
+    stats = _overlap_stats(dfa, col_a, dfb, col_b, k)
     est_union = F.when(
         F.col("n_merged") < k, F.col("n_merged").cast("double")
     ).otherwise(
@@ -287,4 +296,34 @@ def kmv_overlap(
         est_union.alias("est_union"),
         jac.alias("est_jaccard"),
         (jac * est_union).alias("est_intersection"),
+    )
+
+
+def kmv_difference(
+    dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set DIFFERENCE estimates from two KMV
+    sketches: one row (est_union, est_a_not_b, est_b_not_a) — the
+    "how much of A is new relative to B" question (fresh tokens since
+    the last crawl snapshot, unseen keys vs a history). The merged
+    sketch is a uniform k-sample of the union; the fraction of its
+    members in exactly one input sketch estimates each one-sided
+    difference, scaled by the union estimate — same a-priori
+    estimator family as kmv_overlap, same 0/0 pin to 0.0."""
+    stats = _overlap_stats(dfa, col_a, dfb, col_b, k)
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
+    )
+
+    def frac(col):
+        return F.when(F.col("n_merged") == 0, F.lit(0.0)).otherwise(
+            F.col(col).cast("double") / F.col("n_merged").cast("double")
+        )
+
+    return stats.select(
+        est_union.alias("est_union"),
+        (frac("n_a_only") * est_union).alias("est_a_not_b"),
+        (frac("n_b_only") * est_union).alias("est_b_not_a"),
     )

@@ -178,6 +178,14 @@ _CHANGED_THIS_ROUND = [
     # its own count(*), so BOTH sides changed — re-gate under the
     # driver.
     "ex_curation_v2",
+    # r11 internals refactors (outputs identical, plans touched):
+    # kmv_distinct now routes through the factored kmv_estimate;
+    # kmv_overlap's membership stats moved into _overlap_stats (the
+    # one aggregate now also carries the difference counters);
+    # sq8_topk_join gained the bits parameter (default 8 = old plan).
+    "sk_kmv_distinct",
+    "sk_kmv_overlap",
+    "sim_sq8_topk",
 ]
 
 
@@ -11397,6 +11405,60 @@ def sk_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", F.col("o_custkey").cast("string").alias("ck")
     )
     return sketches.kmv_distinct_by_group(o, "o_orderpriority", "ck", k=128)
+
+
+_SK_KMV_DIFFERENCE_SQL = f"""
+WITH wa AS (SELECT DISTINCT {_kmv_hash_sql('w')} AS h
+            FROM documents, unnest(string_split(text, ' ')) AS t(w)
+            WHERE doc_id % 3 = 0 AND w <> ''),
+wb AS (SELECT DISTINCT {_kmv_hash_sql('w')} AS h
+       FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       WHERE doc_id % 3 = 1 AND w <> ''),
+sa AS (SELECT h FROM wa ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM wb ORDER BY h LIMIT 256),
+mg AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT 256),
+st AS (SELECT count(*) AS n_merged, max(h) AS kth,
+              count(*) FILTER (WHERE h IN (SELECT h FROM sa)
+                               AND h NOT IN (SELECT h FROM sb)) AS n_a_only,
+              count(*) FILTER (WHERE h IN (SELECT h FROM sb)
+                               AND h NOT IN (SELECT h FROM sa)) AS n_b_only
+       FROM mg),
+u AS (SELECT n_merged, n_a_only, n_b_only,
+             {_kmv_est_sql('n_merged', 'kth')} AS est_union
+      FROM st)
+SELECT est_union,
+       (CASE WHEN n_merged = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_a_only AS DOUBLE) / CAST(n_merged AS DOUBLE)
+        END) * est_union AS est_a_not_b,
+       (CASE WHEN n_merged = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_b_only AS DOUBLE) / CAST(n_merged AS DOUBLE)
+        END) * est_union AS est_b_not_a
+FROM u
+"""
+
+
+@register("sk_kmv_difference", _SK_KMV_DIFFERENCE_SQL)
+def sk_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style one-sided set DIFFERENCES
+    (sketches.kmv_difference): how much of slice A's vocabulary is
+    absent from slice B and vice versa (doc_id % 3 == 0 vs == 1 word
+    sets) — the "new content since the last snapshot" estimator
+    (crawl-drift, unseen-key screens) from the same two mergeable
+    k=256 sketches as the overlap gate, with the one-aggregate
+    membership stats shared via _overlap_stats."""
+    from unstract_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def words(residue: int):
+        return (
+            docs.filter(F.col("doc_id") % 3 == residue)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .filter(F.col("w") != "")
+        )
+
+    return sketches.kmv_difference(words(0), "w", words(1), "w", k=256)
 
 
 _SK_SAMPLE_QUANTILES_SQL = f"""
