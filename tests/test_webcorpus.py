@@ -1276,6 +1276,8 @@ def test_parse_crawl_delays_group_selection():
         "User-agent: badbot\n"
         "Crawl-delay: nonsense\n"   # unparseable -> ignored
         "Crawl-delay: -5\n"         # negative -> ignored
+        "Crawl-delay: inf\n"        # non-finite -> ignored (float()
+        "Crawl-delay: nan\n"        # accepts these; a crawler cannot)
     )
     rows = parse_crawl_delays(txt)
     assert {(r["agent"], r["delay_sec"]) for r in rows} == {

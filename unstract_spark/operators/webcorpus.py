@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -502,7 +504,10 @@ def parse_crawl_delays(robots_txt: str) -> list[dict]:
                 d = float(val)
             except ValueError:
                 continue
-            if d >= 0:
+            # finite only: float() accepts 'inf'/'nan', and an inf
+            # delay would cool the domain FOREVER — a parsing
+            # artifact, not a directive any crawler honors
+            if d >= 0 and math.isfinite(d):
                 for a in agents or ["*"]:
                     delays.append({"agent": a, "delay_sec": d})
     return delays
