@@ -387,3 +387,39 @@ def test_salted_join_matches_plain_join(spark):
     plan = salted_join(facts, dim, "k", n_salts=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_snapshot_diff_statuses_and_changed_cols(spark):
+    from unstract_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, "d", 40), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {
+        r.k: (r.status, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # k=1 unchanged -> absent; k=2 both cols changed; k=3 removed;
+    # k=4 null -> value is a CHANGE (null-safe compare); k=5 added
+    assert got == {
+        2: ("changed", "s,v"),
+        3: ("removed", ""),
+        4: ("changed", "s"),
+        5: ("added", ""),
+    }
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from unstract_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "k int, s string, v int")
+    new = spark.createDataFrame([(1, "a", 99)], "k int, s string, v int")
+    # restricting the compared columns to s makes the row unchanged
+    assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+    full = snapshot_diff(old, new, ["k"]).collect()
+    assert [(r.status, r.changed_cols) for r in full] == [("changed", "v")]

@@ -171,3 +171,40 @@ def test_kmv_sketch_ignores_nulls_and_duplicates(spark):
     )
     got = sketches.kmv_sketch(df, "s", k=8).collect()
     assert len(got) == 2
+
+
+def test_kmv_join_size_estimator_accuracy(spark):
+    # 1:N join — left has 5_000 unique keys, right repeats keys
+    # 0..2_499 three times each: true join size = 2_500 * 3 = 7_500.
+    # k=256 -> the sum-of-products estimator inherits roughly the
+    # union-estimate error; assert a loose band (deterministic: md5).
+    a = _vals(spark, 5_000)
+    b = (
+        spark.range(2_500)
+        .select(F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))), "id")
+        .select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    )
+    r = sketches.kmv_join_size(a, "s", b, "s", k=256).collect()[0]
+    assert r.n_merged == 256
+    assert 0.7 * 7_500 <= r.est_join_rows <= 1.3 * 7_500
+
+
+def test_kmv_join_size_exact_below_k(spark):
+    # both key unions fit in the sketch: sum_prod IS the exact join
+    # cardinality and the estimator switches off
+    a = _vals(spark, 30).unionAll(_vals(spark, 30))  # keys x2 each
+    b = _vals(spark, 50)
+    r = sketches.kmv_join_size(a, "s", b, "s", k=256).collect()[0]
+    # true: keys 0..29 have c_a=2, c_b=1 -> 60; keys 30..49 c_a=0
+    assert r.n_merged == 50
+    assert r.sum_prod == 60
+    assert r.est_join_rows == 60.0
+
+
+def test_kmv_join_size_empty_side(spark):
+    a = _vals(spark, 0)
+    b = _vals(spark, 10)
+    r = sketches.kmv_join_size(a, "s", b, "s", k=64).collect()[0]
+    assert r.n_merged == 10
+    assert r.sum_prod == 0
+    assert r.est_join_rows == 0.0

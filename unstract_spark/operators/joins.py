@@ -512,3 +512,67 @@ def salted_join(
     d = dim.withColumn("_salt", reps)
     out = f.join(d, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed snapshot DIFF (change-data-capture between two table
+    versions): one row per key that was added, removed, or changed,
+    with the comma-joined list of columns whose value differs
+    (null-safe — a value appearing or disappearing counts as a
+    change). Unchanged keys are dropped. The incremental-refresh
+    primitive a periodically re-crawled / re-exported corpus needs:
+    feed the diff, not the snapshot, to downstream re-embedding or
+    re-indexing.
+
+    `compare_cols` defaults to every non-key column present in BOTH
+    frames. Output: keys + status ('added'|'removed'|'changed') +
+    changed_cols (empty string for added/removed — the absent side has
+    no values to compare).
+
+    Scale shape: ONE full-outer shuffle join on the key — the minimal
+    plan for a diff (both snapshots cross the wire once; bucketed or
+    co-partitioned snapshots make it shuffle-free). Column comparisons
+    are codegen'd null-safe equals, no UDFs; the changed-column list
+    is concat_ws over per-column CASEs, identical in the SQL twin via
+    IS DISTINCT FROM."""
+    cmp = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"_o_{c}") for c in cmp]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"_n_{c}") for c in cmp]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+            )
+            for c in cmp
+        ],
+    )
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(
+        *keys,
+        status.alias("status"),
+        F.when(in_old & in_new, changed).otherwise(F.lit("")).alias(
+            "changed_cols"
+        ),
+    )
+    return out.filter(
+        (F.col("status") != "changed") | (F.col("changed_cols") != "")
+    )

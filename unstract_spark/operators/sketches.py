@@ -299,6 +299,89 @@ def kmv_overlap(
     )
 
 
+def kmv_join_size(
+    dfa: DataFrame,
+    key_a: str,
+    dfb: DataFrame,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Equi-join OUTPUT-CARDINALITY estimate |A ⋈ B| from key sketches
+    plus sampled-key row counts — the theta-sketch join estimator
+    (DataSketches' "join cardinality" use case; the statistic AQE-style
+    planners need to pick broadcast vs shuffle vs salting BEFORE paying
+    for the shuffle).
+
+    The merged k-min sketch of the two key sets is a uniform k-sample
+    of the union's distinct keys; for a sampled key x the join emits
+    c_a(x)·c_b(x) rows, so  sum_prod / n_merged · est_union  estimates
+    the join size (the same a-priori scaling as kmv_overlap). When the
+    merged sketch holds the WHOLE union (n_merged < k) sum_prod IS the
+    exact join cardinality and the estimator switches off.
+
+    Scale shape — the reason this beats counting: per-key counts are
+    computed ONLY for the ≤ k sampled keys, via a broadcast semi-join
+    of each input against the k-row merged sketch followed by a
+    groupBy over ≤ k keys. Neither input is ever shuffled by key; the
+    state is 3k longs. An exact join-size count pays the full join
+    shuffle — the thing the estimate exists to avoid.
+
+    One row: (k, n_merged, kth_hash, sum_prod, est_union_keys,
+    est_join_rows). Determinism: integer counts, and the closing
+    arithmetic is the module's standard single-IEEE-op chain —
+    gate-stable (do not re-associate)."""
+    ha = dfa.where(F.col(key_a).isNotNull()).select(
+        md5_hash60(F.col(key_a)).alias("h")
+    )
+    hb = dfb.where(F.col(key_b).isNotNull()).select(
+        md5_hash60(F.col(key_b)).alias("h")
+    )
+    sa = kmv_sketch(dfa, key_a, k).localCheckpoint(eager=True)
+    sb = kmv_sketch(dfb, key_b, k).localCheckpoint(eager=True)
+    merged = kmv_merge(sa, sb, k=k).localCheckpoint(eager=True)
+
+    def counts(hashed: DataFrame, alias: str) -> DataFrame:
+        return (
+            hashed.join(F.broadcast(merged), "h")
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = merged.join(counts(ha, "c_a"), "h", "left").join(
+        counts(hb, "c_b"), "h", "left"
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            F.coalesce(F.col("c_a"), F.lit(0))
+            * F.coalesce(F.col("c_b"), F.lit(0))
+        ).alias("sum_prod"),
+    )
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("kth_hash").cast("double")
+    )
+    est_join = (
+        F.when(F.col("n_merged") == 0, F.lit(0.0))
+        .when(F.col("n_merged") < k, F.col("sum_prod").cast("double"))
+        .otherwise(
+            F.col("sum_prod").cast("double")
+            / F.col("n_merged").cast("double")
+            * est_union
+        )
+    )
+    return stats.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_merged",
+        "kth_hash",
+        "sum_prod",
+        est_union.alias("est_union_keys"),
+        est_join.alias("est_join_rows"),
+    )
+
+
 def kmv_difference(
     dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
 ) -> DataFrame:

@@ -11504,4 +11504,159 @@ def sk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.sample_quantiles(li, "rk", "v", k=512)
 
 
+def _kmv_join_sql(
+    rel_a: str, key_a: str, rel_b: str, key_b: str, label: str, k: int = 256
+) -> str:
+    """One labeled join-size-estimate row (the sk_join_size twin),
+    parameterized over the two (relation, key) sides so multiple pairs
+    share ONE spelling of the theta-sketch join estimator."""
+    est_u = _kmv_est_sql("n_merged", "kth", k=k)
+    return f"""
+SELECT '{label}' AS pair, CAST({k} AS BIGINT) AS k, n_merged,
+       kth AS kth_hash, sum_prod,
+       {est_u} AS est_union_keys,
+       CASE WHEN n_merged = 0 THEN CAST(0 AS DOUBLE)
+            WHEN n_merged < {k} THEN CAST(sum_prod AS DOUBLE)
+            ELSE CAST(sum_prod AS DOUBLE) / CAST(n_merged AS DOUBLE)
+                 * ({_kmv_est_sql(str(k), "kth", k=k)})
+       END AS est_join_rows
+FROM (
+  WITH ka AS (SELECT {_kmv_hash_sql(key_a)} AS h
+              FROM {rel_a} WHERE {key_a} IS NOT NULL),
+  kb AS (SELECT {_kmv_hash_sql(key_b)} AS h
+         FROM {rel_b} WHERE {key_b} IS NOT NULL),
+  sa AS (SELECT h FROM (SELECT DISTINCT h FROM ka) ORDER BY h LIMIT {k}),
+  sb AS (SELECT h FROM (SELECT DISTINCT h FROM kb) ORDER BY h LIMIT {k}),
+  mg AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+         ORDER BY h LIMIT {k}),
+  ca AS (SELECT h, count(*) AS c_a FROM ka
+         WHERE h IN (SELECT h FROM mg) GROUP BY h),
+  cb AS (SELECT h, count(*) AS c_b FROM kb
+         WHERE h IN (SELECT h FROM mg) GROUP BY h)
+  SELECT count(*) AS n_merged, max(h) AS kth,
+         CAST(sum(COALESCE(c_a, 0) * COALESCE(c_b, 0)) AS BIGINT)
+           AS sum_prod
+  FROM mg LEFT JOIN ca USING (h) LEFT JOIN cb USING (h)
+)
+"""
+
+
+_SK_JOIN_SIZE_SQL = (
+    _kmv_join_sql(
+        "orders",
+        "CAST(o_orderkey AS VARCHAR)",
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR)",
+        "orders_lineitem_orderkey",
+    )
+    + " UNION ALL "
+    + _kmv_join_sql(
+        "orders",
+        "CAST(o_custkey AS VARCHAR)",
+        "orders",
+        "CAST(o_custkey AS VARCHAR)",
+        "orders_orders_custkey",
+    )
+)
+
+
+@register("sk_join_size", _SK_JOIN_SIZE_SQL)
+def sk_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-cardinality estimates (sketches.kmv_join_size,
+    the theta-sketch join estimator): one row for the 1:N
+    orders ⋈ lineitem ON orderkey pair and one for the M:N
+    orders ⋈ orders ON custkey self-pair — the statistic an AQE-style
+    planner needs (broadcast? salt?) BEFORE paying for the shuffle.
+    Per-key counts are computed only for the ≤ k merged-sample keys
+    via broadcast semi-joins (neither input ever shuffles by key;
+    3k longs of state); when the merged sketch holds the whole key
+    union (n_merged < k) the estimate IS the exact join cardinality —
+    at the gate SFs the orderkey pair exercises the estimator branch
+    and sf0.001's custkey pair sits near the k boundary, so both
+    branches stay under the hash gate."""
+    from unstract_spark.operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("ok"),
+        F.col("o_custkey").cast("string").alias("ck"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("ok")
+    )
+    r1 = sketches.kmv_join_size(o, "ok", li, "ok", k=256).select(
+        F.lit("orders_lineitem_orderkey").alias("pair"), "*"
+    )
+    r2 = sketches.kmv_join_size(o, "ck", o, "ck", k=256).select(
+        F.lit("orders_orders_custkey").alias("pair"), "*"
+    )
+    return r1.unionByName(r2)
+
+
+_J13_SNAPSHOT_DIFF_SQL = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM orders),
+oldv AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+newv AS (SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN o_orderkey % 9 = 0 THEN 'X-RECLASS'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM base WHERE o_orderkey % 10 <> 7),
+j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             concat_ws(',',
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'o_orderpriority' END) AS changed
+      FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN in_old AND in_new THEN changed ELSE '' END
+         AS changed_cols
+FROM j
+WHERE NOT in_old OR NOT in_new OR changed <> ''
+"""
+
+
+@register("j13_snapshot_diff", _J13_SNAPSHOT_DIFF_SQL)
+def j13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff / CDC (joins.snapshot_diff): two
+    deterministic versions of orders (old drops orderkey%10==3, new
+    drops %10==7, bumps totalprice on %4==0 and reclassifies priority
+    on %9==0) diffed into added/removed/changed rows with the
+    null-safe changed-column list — the incremental-refresh primitive
+    (re-crawled corpus, re-exported snapshot) that feeds downstream
+    re-embedding only what moved. One full-outer shuffle join on the
+    key; comparisons are codegen'd null-safe equals."""
+    from unstract_spark.operators import joins
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = base.filter(F.col("o_orderkey") % 10 != 3)
+    new = (
+        base.filter(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 9 == 0, F.lit("X-RECLASS")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    return joins.snapshot_diff(old, new, ["o_orderkey"])
+
+
 ENTRY_QUERY = "q1_pricing_summary"
