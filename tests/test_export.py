@@ -226,3 +226,25 @@ def test_zorder_layout_shrinks_file_bounding_boxes(spark, tmp_path):
     assert z_area < plain_area / 4, (plain_area, z_area)
     # row content untouched by the layout
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_compaction_plan_sequential_fill_and_straddle(spark):
+    from pyspark.sql import functions as F
+    from unstract_spark.operators.export import compaction_plan
+
+    # target 100: ids 1..5 sized 60,60,60,30,100
+    # cum_before: 0,60,120,180,210 -> bins 0,0,1,1,2
+    # (file 2 straddles the 100 boundary and stays in bin 0)
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 30), (5, 100)], "fid int, sz int"
+    )
+    got = {
+        r.fid: r.bin_id
+        for r in compaction_plan(df, "fid", "sz", target_bytes=100).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    # bins respect id order, so each bin is a contiguous id range
+    sizes = compaction_plan(df, "fid", "sz", 100).groupBy("bin_id").agg(
+        F.sum("bytes").alias("b")
+    )
+    assert {r.bin_id: r.b for r in sizes.collect()} == {0: 120, 1: 90, 2: 100}

@@ -423,3 +423,17 @@ def test_snapshot_diff_compare_cols_subset(spark):
     assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
     full = snapshot_diff(old, new, ["k"]).collect()
     assert [(r.status, r.changed_cols) for r in full] == [("changed", "v")]
+
+
+def test_key_skew_report_integer_math_and_tiebreak(spark):
+    from unstract_spark.operators.joins import key_skew_report
+
+    # key "a" x6, "b" x2, "c" x2 -> total 10, n_keys 3
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r.k, r.cnt, r.share_ppm, r.skew_x1000) for r in got] == [
+        ("a", 6, 600000, 1800),  # 6/10 of rows, 1.8x the mean key load
+        ("b", 2, 200000, 600),  # tie with c broken by key order
+    ]
+    assert all(r.n_keys == 3 and r.total_rows == 10 for r in got)

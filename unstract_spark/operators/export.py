@@ -384,3 +384,41 @@ def zorder_layout(
         .repartitionByRange(n_files, F.col(out_col))
         .sortWithinPartitions(out_col)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Metadata-only COMPACTION PLAN: assign each input file to an
+    output bin of ~target_bytes by sequential fill in id order — the
+    planning half of small-files maintenance (what table formats
+    compute before any rewrite I/O; compact_small_files above is the
+    physical half with a single global size). Per-file granularity
+    lets the executor schedule one rewrite task per bin and skip bins
+    that are already a single file.
+
+    Bin rule: a file starts in bin floor(cum_before / target_bytes),
+    where cum_before is the byte sum of all earlier files (id order).
+    A file straddling a boundary stays in the earlier bin and may
+    overflow it by one file — the same convention as Spark's own file
+    coalescing (maxPartitionBytes packing). Deterministic, exact
+    integer arithmetic end to end.
+
+    Scale shape: the running sum uses ranks.range_prefix (two-pass
+    distributed prefix sum) — NO single-partition window; a 10M-file
+    listing plans across the cluster. Output: (id, bytes, bin_id).
+    """
+    from unstract_spark.operators.ranks import range_prefix
+
+    base = files.select(
+        F.col(id_col).alias("fid"), F.col(size_col).cast("long").alias("sz")
+    )
+    pre = range_prefix(base, ["fid"], ("sz",), rank_col=None)
+    return pre.select(
+        F.col("fid").alias(id_col),
+        F.col("sz").alias("bytes"),
+        F.expr(f"(cum_sz - sz) div {int(target_bytes)}").alias("bin_id"),
+    )

@@ -576,3 +576,42 @@ def snapshot_diff(
     return out.filter(
         (F.col("status") != "changed") | (F.col("changed_cols") != "")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/groupBy KEY-SKEW diagnostic: the top_n heaviest keys with
+    their integer-exact share and skew factor — the "do I need
+    salted_join / AQE skew split?" probe, runnable BEFORE paying for
+    the skewed shuffle it warns about.
+
+    Output per heavy key: (key, cnt, share_ppm, skew_x1000, n_keys,
+    total_rows) where share_ppm = cnt·1e6 div total (parts-per-million
+    of all rows) and skew_x1000 = cnt·1000·n_keys div total (the key's
+    multiple of the mean key load, x1000). All integer division — no
+    float in the gate path. (Headroom note: cnt·1e6 needs cnt ≤ ~9e12
+    before BIGINT binds — comfortably beyond per-key row counts that
+    any single reducer could hold anyway.)
+
+    Scale shape: ONE map-side-combining groupBy(key) builds the count
+    table (the aggregate a skewed key cannot hurt — partials absorb
+    it), a 1-row global aggregate broadcasts total/n_keys, and the
+    heavy hitters come from TakeOrdered(top_n) with a key tie-break.
+    Nothing else shuffles."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), "k").limit(top_n)
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("k").alias(key_col),
+        "cnt",
+        F.expr("cnt * 1000000 div total_rows").alias("share_ppm"),
+        F.expr("cnt * 1000 * n_keys div total_rows").alias("skew_x1000"),
+        "n_keys",
+        "total_rows",
+    )

@@ -11659,4 +11659,64 @@ def j13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.snapshot_diff(old, new, ["o_orderkey"])
 
 
+_EX_COMPACTION_PLAN_SQL = """
+WITH f AS (SELECT doc_id AS fid, strlen(text) AS sz FROM documents),
+c AS (SELECT fid, sz,
+             sum(sz) OVER (ORDER BY fid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM f)
+SELECT fid AS doc_id, sz AS bytes,
+       CAST((cum - sz) // 8192 AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@register("ex_compaction_plan", _EX_COMPACTION_PLAN_SQL)
+def ex_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLAN (export.compaction_plan): assign
+    every document (size = byte length of text) to an ~8 KiB output
+    bin by sequential fill in doc_id order — the metadata-only
+    planning half of table maintenance (one rewrite task per bin).
+    The running byte sum is the distributed two-pass prefix
+    (ranks.range_prefix), never a single-partition window; the oracle
+    re-derives the identical integer bin for every file, so the whole
+    assignment is value-hash-gated."""
+    from unstract_spark.operators import export
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("bytes")
+    )
+    return export.compaction_plan(d, "doc_id", "bytes", target_bytes=8192)
+
+
+_AGG_SKEW_REPORT_SQL = """
+WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             count(*) AS n_keys
+      FROM c),
+t AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT 10)
+SELECT k AS user_id, cnt,
+       CAST(cnt * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       CAST(cnt * 1000 * n_keys // total_rows AS BIGINT) AS skew_x1000,
+       n_keys, total_rows
+FROM t, s
+"""
+
+
+@register("agg_skew_report", _AGG_SKEW_REPORT_SQL)
+def agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (joins.key_skew_report) on events.user_id:
+    the 10 heaviest keys with integer-exact share (parts-per-million)
+    and skew factor (multiple of the mean key load, x1000) — the
+    probe that decides salted_join / AQE skew handling BEFORE the
+    skewed shuffle. One map-side-combining groupBy + a broadcast
+    1-row global aggregate + TakeOrdered(10); every output column is
+    integer arithmetic, so the report hash-gates exactly."""
+    from unstract_spark.operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    return joins.key_skew_report(ev, "user_id", top_n=10)
+
+
 ENTRY_QUERY = "q1_pricing_summary"
