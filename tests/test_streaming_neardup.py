@@ -522,3 +522,79 @@ def test_stale_checkpoint_resume_refused(spark, tmp_path):
     with open(os.path.join(legacy, "_graft_run_base_0"), "w") as fh:
         fh.write("0")
     assert _run_base(out, store, checkpoint_dir=legacy) == 0
+
+
+def test_streaming_quantiles_merge_across_fires(spark, tmp_path):
+    """The row-sample twin of the cross-fire KMV law: after two fires
+    the stored sample must equal the batch sample of the union, the
+    emitted quantiles must equal the batch sample_quantiles over the
+    union, and an idempotent re-fire changes nothing."""
+    from unstract_spark.operators import sketches
+    from unstract_spark.streaming.incremental import (
+        streaming_quantile_pipeline,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def vals(rows):
+        return spark.createDataFrame(rows, "doc_id long, value double")
+
+    fire1 = [(i, float(i * 7 % 101)) for i in range(60)]
+    fire2 = [(i, float(i * 7 % 101)) for i in range(30, 90)]  # overlaps
+
+    vals(fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_quantile_pipeline(
+        spark, src, ckpt, store, out, k=32
+    ) == 1
+
+    vals(fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_quantile_pipeline(
+        spark, src, ckpt, store, out, k=32
+    ) == 1
+
+    union_df = vals(fire1 + [r for r in fire2 if r[0] >= 60])
+    expect_smp = sorted(
+        (r.h, r.value)
+        for r in sketches.kmv_row_sample(
+            union_df, "doc_id", ["value"], k=32
+        ).collect()
+    )
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    got_smp = sorted(
+        (r.h, r.value)
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").select(
+            "h", "value"
+        ).collect()
+    )
+    assert got_smp == expect_smp
+
+    got_q = spark.read.parquet(f"{out}/batch_id={latest}").collect()[0]
+    expect_q = sketches.sample_quantiles(
+        union_df, "doc_id", "value", k=32
+    ).collect()[0]
+    assert (got_q.n_sample, got_q.p25, got_q.p50, got_q.p75, got_q.p95) == (
+        expect_q.n_sample,
+        expect_q.p25,
+        expect_q.p50,
+        expect_q.p75,
+        expect_q.p95,
+    )
+
+    # idempotent re-fire: nothing new arrived — no fire, store intact
+    assert streaming_quantile_pipeline(
+        spark, src, ckpt, store, out, k=32
+    ) == 0
+    assert sorted(
+        (r.h, r.value)
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").select(
+            "h", "value"
+        ).collect()
+    ) == expect_smp

@@ -184,9 +184,14 @@ def kmv_row_sample(
 
     Same per-Arrow-batch prefilter as kmv_sketch: each batch
     contributes at most its k smallest rows, so the final
-    TakeOrdered runs over <= batches*k rows."""
+    TakeOrdered runs over <= batches*k rows.
+
+    The key is cast to string before hashing (md5 takes
+    string/binary) — a no-op for string keys, and the SQL twin is
+    CAST(key AS VARCHAR) (integer-to-string renders identically in
+    both engines)."""
     hashed = df.where(F.col(key_col).isNotNull()).select(
-        md5_hash60(F.col(key_col)).alias("h"), *cols
+        md5_hash60(F.col(key_col).cast("string")).alias("h"), *cols
     )
     order = ["h", *cols]  # full tie-break: an h collision (~2^-60)
     # at the k boundary must not make the sample engine-dependent
@@ -216,6 +221,19 @@ def sample_quantiles(
     k rows of state per split, union + re-min to combine — the same
     shipping shape as the distinct-count sketch."""
     smp = kmv_row_sample(df, key_col, [value_col], k)
+    return quantiles_of_sample(smp, value_col, k, qs)
+
+
+def quantiles_of_sample(
+    smp: DataFrame,
+    value_col: str,
+    k: int,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """The quantile aggregate over an ALREADY-BUILT bottom-k row
+    sample (its (h, value) rows) — factored out so the streaming
+    pipeline can estimate from a cross-fire MERGED sample without
+    re-sampling."""
     aggs = [
         F.lit(k).cast("long").alias("k"),
         F.count(F.lit(1)).alias("n_sample"),
@@ -226,6 +244,25 @@ def sample_quantiles(
         for q in qs
     ]
     return smp.agg(*aggs)
+
+
+def kmv_row_sample_merge(
+    *samples: DataFrame, cols: list[str], k: int
+) -> DataFrame:
+    """Union bottom-k ROW samples into one: the k smallest rows by
+    (h, *cols) across all inputs — the row-sample twin of kmv_merge
+    (per-shard / per-fire samples combine without re-scanning).
+    Full-row dedup makes the merge IDEMPOTENT: re-folding a sample
+    that is already contained in another (a replayed fire) changes
+    nothing. Under the unique-key contract duplicate rows only arise
+    from such overlaps, so dedup never drops a legitimate member.
+    `k` and `cols` must match what the samples were built with (the
+    kmv_merge k-contract, r10 ADVICE)."""
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    order = ["h", *cols]
+    return out.dropDuplicates(order).orderBy(*order).limit(k)
 
 
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:

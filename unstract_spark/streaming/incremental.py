@@ -1209,6 +1209,108 @@ def streaming_kmv_pipeline(
     return fires
 
 
+def streaming_quantile_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    key_col: str = "doc_id",
+    value_col: str = "value",
+    k: int = 512,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    schema: str = "doc_id long, value double",
+) -> int:
+    """Incremental QUANTILE sketch: each AvailableNow fire draws the
+    deterministic bottom-k-by-hash row sample of the NEW rows
+    (sketches.kmv_row_sample), MERGES it with the accumulated sample
+    (kmv_row_sample_merge — union + re-min over whole rows), writes
+    the merged k rows as this fire's store snapshot, and emits one
+    cumulative quantile row (k, n_sample, p25, p50, ...) — the
+    streaming twin of sk_sample_quantiles, proving the row sample's
+    mergeability ACROSS FIRES the way streaming_kmv_pipeline proves
+    the distinct sketch's.
+
+    Scale contract: state is <= k (hash, value) rows however much
+    history has streamed; each fire reads O(k) store rows, never
+    re-scans history. The merged sample after N fires is EXACTLY the
+    sample a batch job would draw from the union of all fires (pytest
+    pins this), so the emitted quantiles match the batch spelling
+    bit-for-bit.
+
+    Exactly-once discipline: identical to streaming_kmv_pipeline
+    (batch_id=N overwrite partitions, current-epoch-excluded store
+    read, run base pinned to the checkpoint, superseded snapshots
+    pruned keeping the latest prior; full-row dedup inside the merge
+    additionally makes a replayed fold a no-op). Returns the number
+    of fired batches."""
+    from unstract_spark.operators import sketches
+
+    fires = 0
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        bsmp = sketches.kmv_row_sample(batch, key_col, [value_col], k)
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                "h", value_col
+            )
+            merged = sketches.kmv_row_sample_merge(
+                bsmp, old, cols=[value_col], k=k
+            )
+        else:
+            merged = bsmp
+        # materialize before the overwrite: merged's lineage lazily
+        # reads store_dir, whose current partition the write replaces
+        # on replay (the read-then-overwrite convention); O(k) rows
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
+        sketches.quantiles_of_sample(merged, value_col, k, qs).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={bid}")
+        # prune superseded snapshots, KEEPING the latest one below bid
+        # (a replay of bid excludes its own partition from the read)
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"), ignore_errors=True
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_ledger_sink(
     spark: SparkSession,
     source_dir: str,
