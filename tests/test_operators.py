@@ -797,3 +797,23 @@ def test_auto_bloom_m_prevents_saturation(spark):
         .filter(F.col("maybe_seen")).count()
     )
     assert fp_auto < 2_000 * 0.05              # loose 4x band on 1.2%
+
+
+def test_profile_columns_one_pass_stats(spark):
+    from unstract_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "b", None), (2, None, None)],
+        "k int, s string, dead string",
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["k", "s", "dead"]).collect()}
+    k = got["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (3, 0, 2)
+    assert (k.min_str, k.max_str, k.avg_len) == ("1", "2", 1.0)
+    s = got["s"]
+    assert (s.n_rows, s.n_null, s.n_distinct) == (3, 1, 2)
+    assert (s.min_str, s.max_str, s.avg_len) == ("aa", "b", 1.5)
+    dead = got["dead"]  # all-null: no min/max, avg_len NULL
+    assert (dead.n_null, dead.n_distinct) == (3, 0)
+    assert dead.min_str is None and dead.max_str is None
+    assert dead.avg_len is None

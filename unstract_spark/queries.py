@@ -11719,4 +11719,70 @@ def agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.key_skew_report(ev, "user_id", top_n=10)
 
 
+def _profile_col_sql(c: str) -> str:
+    """One column's profile row — the SQL twin of profile.profile_columns
+    (decimal-domain avg length, native-type min/max rendered to string)."""
+    return f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str,
+       CASE WHEN count({c}) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE round(CAST(sum(CAST(length(CAST({c} AS VARCHAR))
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / count({c}), 6)
+       END AS avg_len
+FROM prof_base
+"""
+
+
+_AGG_COLUMN_PROFILE_SQL = (
+    """
+WITH prof_base AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                          nullif(c_mktsegment, 'BUILDING') AS seg_nullable
+                   FROM customer)
+"""
+    + " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in (
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            "seg_nullable",
+        )
+    )
+)
+
+
+@register("agg_column_profile", _AGG_COLUMN_PROFILE_SQL)
+def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (profile.profile_columns): per-column
+    row/null/exact-distinct counts, lexicographic min/max of the
+    string rendering, and decimal-domain mean rendered length over
+    customer — plus a derived nullable column (segment with
+    'BUILDING' nulled out) so the null accounting itself sits under
+    the hash gate. Unpivot-first: one stack() scan, then two hash
+    aggregates (no count-DISTINCT Expand, no SortAggregate — see the
+    module docstring); the KMV sketches are the estimate path when
+    exact distincts are too expensive at scale."""
+    from unstract_spark.operators import profile
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_nullable"
+        ),
+    )
+    return profile.profile_columns(
+        c,
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+         "seg_nullable"],
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
