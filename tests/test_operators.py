@@ -817,3 +817,31 @@ def test_profile_columns_one_pass_stats(spark):
     assert (dead.n_null, dead.n_distinct) == (3, 0)
     assert dead.min_str is None and dead.max_str is None
     assert dead.avg_len is None
+
+
+def test_ohlc_bars_open_close_tiebreak(spark):
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 10, 5)
+    t1 = datetime(2024, 1, 1, 10, 20)
+    rows = [
+        # same timestamp t0: event_id breaks the tie, so open = id 1
+        (1, t0, "a", 5.0),
+        (2, t0, "a", 9.0),
+        (3, t1, "a", 2.0),
+        (4, t1, "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r.event_type: r for r in ohlc_bars(df, id_col="event_id").collect()
+    }
+    a = got["a"]
+    assert (a.open, a.high, a.low, a.close, a.n_events) == (
+        5.0, 9.0, 2.0, 2.0, 3,
+    )
+    b = got["b"]
+    assert (b.open, b.close, b.n_events) == (7.0, 7.0, 1)

@@ -19,7 +19,7 @@ every level directly from raw).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LEVELS = ("minute", "hour", "day")
@@ -99,4 +99,64 @@ def minute_partials(
     ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum"),
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    level: str = "hour",
+) -> DataFrame:
+    """OHLC candle rollup (the hypertable downsampling staple): per
+    (key, time bucket) the opening/closing value by event time plus
+    high/low/count — (key, bucket_start, open, high, low, close,
+    n_events).
+
+    open/close come from a bucket-partitioned WINDOW (first/last over
+    (ts, id) — the id tie-break keeps same-timestamp ticks
+    deterministic, and WindowExec sorting its own partition is the
+    sanctioned idiom); they then ride the closing hash aggregate as
+    GROUPING KEYS (constant per partition), so every aggregate buffer
+    stays fixed-width — a min_by/max_by spelling would drag a struct
+    buffer onto SortAggregate. Values pass through raw (no
+    arithmetic), so the output is engine-exact.
+    """
+    b = events.select(
+        F.col(key_col),
+        F.date_trunc(level, F.col(ts_col)).alias("bucket_start"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+    )
+    w = (
+        Window.partitionBy(key_col, "bucket_start")
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = b.select(
+        key_col,
+        "bucket_start",
+        value_col,
+        F.first(value_col).over(w).alias("open"),
+        F.last(value_col).over(w).alias("close"),
+    )
+    return (
+        x.groupBy(key_col, "bucket_start", "open", "close")
+        .agg(
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            "bucket_start",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
     )

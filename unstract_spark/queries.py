@@ -11785,4 +11785,38 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_OHLC_SQL = """
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                  ts, event_id, value
+           FROM events),
+w AS (SELECT event_type, bucket_start, value,
+             first_value(value) OVER win AS open,
+             last_value(value) OVER win AS close
+      FROM b
+      WINDOW win AS (PARTITION BY event_type, bucket_start
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING))
+SELECT event_type, bucket_start, open,
+       max(value) AS high, min(value) AS low, close,
+       count(*) AS n_events
+FROM w
+GROUP BY event_type, bucket_start, open, close
+"""
+
+
+@register("events_ohlc_bars", _EVENTS_OHLC_SQL)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type (timeseries.ohlc_bars) —
+    the hypertable downsampling staple: open/close by event time
+    (event_id tie-break for same-timestamp ticks) from a
+    bucket-partitioned window, high/low/count from one hash aggregate
+    with open/close as grouping keys. Values pass through raw, so the
+    candles hash-gate exactly."""
+    from unstract_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(e)
+
+
 ENTRY_QUERY = "q1_pricing_summary"
