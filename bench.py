@@ -188,6 +188,19 @@ BENCH_QUERIES = [
     # drown the suite's signal; its scaling story is measured at the
     # SCALE.md rungs instead, where the occupancy-constant claim is
     # the thing under test.
+    # round-11 additions: the theta-sketch join estimator (two sketch
+    # builds + broadcast semi-join counts over <= k keys — the
+    # multi-job checkpointed-sketch shape) and the unpivot-first
+    # table profiler (stack expand + two hash aggregates + a
+    # partitioned min/max window). j13_snapshot_diff /
+    # ex_compaction_plan / agg_skew_report / events_ohlc_bars are
+    # registry-gated but not benched: their plan shapes (full-outer
+    # join, range_prefix running sum, groupBy + TakeOrdered,
+    # partitioned window + hash agg) are already priced by
+    # j11_full_outer_reconcile, w4_running_totals, w1_topk_per_group,
+    # and events_hotspot_windows respectively.
+    "sk_join_size",
+    "agg_column_profile",
 ]
 
 # Calibration: a fixed, code-independent scan-aggregate whose cost
