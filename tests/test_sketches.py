@@ -208,3 +208,37 @@ def test_kmv_join_size_empty_side(spark):
     assert r.n_merged == 10
     assert r.sum_prod == 0
     assert r.est_join_rows == 0.0
+
+
+def test_range_split_plan_balance_and_ties(spark):
+    # 1000 unique keys, value = key index: 4 splits should be near
+    # balanced (boundaries from a k=256 sample of a uniform ramp),
+    # cover the full range, and have non-overlapping [min, max] bands
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+        F.col("id").cast("double").alias("v"),
+    )
+    got = sorted(
+        (r.split_id, r.n_rows, r.min_val, r.max_val)
+        for r in sketches.range_split_plan(
+            df, "rk", "v", n_splits=4, k=256
+        ).collect()
+    )
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    assert sum(g[1] for g in got) == 1000
+    for g in got:
+        assert 150 <= g[1] <= 350  # sampling error band
+    for a, b in zip(got, got[1:]):
+        assert a[3] < b[2]  # bands ordered, no overlap
+    assert got[0][2] == 0.0 and got[-1][3] == 999.0
+
+
+def test_range_split_plan_equal_keys_never_straddle(spark):
+    # every row has the same value: ties go LEFT of every boundary,
+    # so all rows land in split 0 regardless of boundary multiplicity
+    df = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+        F.lit(7.0).alias("v"),
+    )
+    got = sketches.range_split_plan(df, "rk", "v", n_splits=4, k=16).collect()
+    assert [(r.split_id, r.n_rows) for r in got] == [(0, 50)]

@@ -265,6 +265,74 @@ def kmv_row_sample_merge(
     return out.dropDuplicates(order).orderBy(*order).limit(k)
 
 
+def range_split_plan(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_splits: int = 8,
+    k: int = 512,
+) -> DataFrame:
+    """Range-partition BOUNDARY PLANNING from the deterministic
+    bottom-k row sample: pick n_splits-1 split boundaries at the
+    sample's equi-depth quantile positions, assign every row to its
+    split, and report per-split (n_rows, min/max value) — what
+    repartitionByRange's reservoir sampling does internally, but
+    deterministic (rerunnable bit-identically, auditable against a
+    SQL twin) and with the balance check included. The planning
+    statistic for choosing range boundaries BEFORE a 100 TB sort or
+    range join.
+
+    Mechanics: boundaries are the sample values at ranks
+    floor(i·n/P), i = 1..P-1 (ties ordered by (value, hash) — total);
+    a row's split is the count of boundaries strictly below its value
+    (ties go left, so equal keys never straddle splits). The sample is
+    <= k rows, so its rank window sits above a GlobalLimit (the
+    sanctioned bounded-window idiom) and the boundary array broadcasts
+    to the assignment scan — the full data is read ONCE and never
+    shuffled by the key; only the <= P-row report aggregates.
+
+    Output: (split_id, n_rows, min_val, max_val) — min/max pass
+    through raw, so the plan hash-gates exactly. Duplicate boundary
+    values yield empty middle splits (absent rows), identically in
+    the twin."""
+    from pyspark.sql import Window
+
+    smp = kmv_row_sample(df, key_col, [value_col], k)
+    w = Window.orderBy(value_col, "h")
+    ranked = smp.select(
+        F.col(value_col).alias("_bv"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    n1 = smp.agg(F.count(F.lit(1)).alias("_n"))
+    pos = (
+        df.sparkSession.range(1, n_splits)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.expr(f"id * _n div {int(n_splits)}").alias("_rn")
+        )
+    )
+    bounds = (
+        ranked.join(F.broadcast(pos), "_rn")
+        .agg(F.array_sort(F.collect_list("_bv")).alias("_bnds"))
+    )
+    v = F.col(value_col)
+    split = F.aggregate(
+        F.col("_bnds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+    )
+    assigned = (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(split.alias("split_id"), v.alias("_v"))
+    )
+    return assigned.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_v").alias("min_val"),
+        F.max("_v").alias("max_val"),
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Union sketches into one: k smallest of the combined hash sets.
     This is the mergeability property that makes KMV shippable from
@@ -373,9 +441,13 @@ def kmv_join_size(
     hb = dfb.where(F.col(key_b).isNotNull()).select(
         md5_hash60(F.col(key_b)).alias("h")
     )
-    sa = kmv_sketch(dfa, key_a, k).localCheckpoint(eager=True)
-    sb = kmv_sketch(dfb, key_b, k).localCheckpoint(eager=True)
-    merged = kmv_merge(sa, sb, k=k).localCheckpoint(eager=True)
+    # each side's sketch feeds ONLY the merge (no checkpoint — unlike
+    # _overlap_stats, nothing re-reads them); the merged sketch is
+    # consumed three times (two count joins + the final left joins),
+    # so it alone is materialized
+    merged = kmv_merge(
+        kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k
+    ).localCheckpoint(eager=True)
 
     def counts(hashed: DataFrame, alias: str) -> DataFrame:
         return (

@@ -11789,6 +11789,55 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK_RANGE_SPLITS_SQL = f"""
+WITH hx AS (SELECT {_kmv_hash_sql(
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)} AS h,
+            l_extendedprice AS v
+     FROM lineitem),
+smp AS (SELECT h, v FROM hx ORDER BY h, v LIMIT 512),
+rk AS (SELECT v AS bv, row_number() OVER (ORDER BY v, h) AS rn FROM smp),
+n AS (SELECT count(*) AS n FROM smp),
+pos AS (SELECT CAST(t.i * n.n // 8 AS BIGINT) AS rn
+        FROM range(1, 8) t(i), n),
+b AS (SELECT list_sort(list(bv)) AS bnds FROM rk JOIN pos USING (rn)),
+asg AS (SELECT len(list_filter(b.bnds, x -> hx.v > x)) AS split_id, hx.v
+        FROM hx, b
+        WHERE hx.v IS NOT NULL)
+SELECT split_id, count(*) AS n_rows,
+       min(v) AS min_val, max(v) AS max_val
+FROM asg GROUP BY split_id
+"""
+
+
+@register("sk_range_splits", _SK_RANGE_SPLITS_SQL)
+def sk_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning (sketches.range_split_plan):
+    8 splits of l_extendedprice with boundaries drawn at the
+    equi-depth positions of the deterministic bottom-k row sample
+    (k=512, keyed on the unique (orderkey, linenumber) pair) and the
+    per-split balance report — what repartitionByRange's reservoir
+    sampling does internally, made deterministic and hash-gatable.
+    The data is scanned once against a broadcast boundary array and
+    never shuffled by the key; only the <= 8-row report aggregates."""
+    from unstract_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return sketches.range_split_plan(li, "rk", "v", n_splits=8, k=512).select(
+        F.col("split_id").cast("long").alias("split_id"),
+        "n_rows",
+        "min_val",
+        "max_val",
+    )
+
+
 _EVENTS_OHLC_SQL = """
 WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
                   ts, event_id, value
