@@ -413,6 +413,8 @@ def compaction_plan(
     """
     from unstract_spark.operators.ranks import range_prefix
 
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     base = files.select(
         F.col(id_col).alias("fid"), F.col(size_col).cast("long").alias("sz")
     )
