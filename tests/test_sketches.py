@@ -242,3 +242,44 @@ def test_range_split_plan_equal_keys_never_straddle(spark):
     )
     got = sketches.range_split_plan(df, "rk", "v", n_splits=4, k=16).collect()
     assert [(r.split_id, r.n_rows) for r in got] == [(0, 50)]
+
+
+def test_kmv_row_sample_by_group_cut_and_merge(spark):
+    # 3 groups x 200 unique keys; k=8 per group
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+        F.col("id").alias("payload"),
+    )
+    smp = sketches.kmv_row_sample_by_group(
+        df, "g", "rk", ["payload"], k=8
+    ).collect()
+    by_g = {}
+    for r in smp:
+        by_g.setdefault(r.g, []).append((r.h, r.payload))
+    assert set(by_g) == {"0", "1", "2"}
+    assert all(len(v) == 8 for v in by_g.values())
+    # per-group mergeability: union of two shard samples re-cut == the
+    # direct sample (same law as the global row sample)
+    a = df.filter(F.col("id") < 300)
+    b = df.filter(F.col("id") >= 300)
+    sa = sketches.kmv_row_sample_by_group(a, "g", "rk", ["payload"], k=8)
+    sb = sketches.kmv_row_sample_by_group(b, "g", "rk", ["payload"], k=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h", "payload")
+    merged = (
+        sa.unionByName(sb)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 8)
+        .drop("_rn")
+    )
+    assert sorted((r.g, r.h, r.payload) for r in merged.collect()) == sorted(
+        (r.g, r.h, r.payload) for r in smp
+    )
+    # a group with fewer than k rows keeps them all
+    tiny = df.filter((F.col("g") == "0") & (F.col("id") < 9))  # 3 rows
+    got = sketches.kmv_row_sample_by_group(
+        tiny, "g", "rk", ["payload"], k=8
+    ).count()
+    assert got == 3

@@ -201,6 +201,60 @@ def kmv_row_sample(
     return hashed.orderBy(*order).limit(k)
 
 
+def kmv_row_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic uniform ROW sample PER GROUP: for each group, the
+    k rows whose 60-bit key hash is smallest, carrying `cols` — the
+    stratified twin of kmv_row_sample (per-language eval subsets,
+    per-source spot-check slates), with the same properties: uniform
+    under a unique key, rerunnable bit-identically, mergeable by
+    union + re-min per group, SQL-twin-exact (per-group row_number
+    over the hash). Output: (group, h, *cols).
+
+    Scale shape: the kmv_sketch_by_group prefilter — each Arrow batch
+    contributes at most its k smallest rows per group (any global
+    per-group bottom-k member is also a batch per-group bottom-k
+    member), so the shuffle carries <= batches*groups*k rows; the
+    tail is one per-group row_number cut. Batch pruning orders by the
+    hash alone (an md5 collision between different keys could in
+    principle prune a tied row the full (h, cols) order would keep —
+    the same collision-free-md5 assumption every fingerprint family
+    in this engine already makes)."""
+    from pyspark.sql import Window
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    coltypes = {c: df.schema[c].dataType.simpleString() for c in cols}
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        md5_hash60(F.col(key_col).cast("string")).alias("h"),
+        *cols,
+    )
+
+    def batch_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            d = pdf.sort_values("h", kind="mergesort")
+            yield d.groupby("g", sort=False, dropna=False).head(k)
+
+    schema = ", ".join(
+        [f"g {gtype}", "h long"] + [f"{c} {t}" for c, t in coltypes.items()]
+    )
+    cand = hashed.mapInPandas(batch_topk, schema)
+    w = Window.partitionBy("g").orderBy("h", *cols)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("g").alias(group_col), "h", *cols)
+    )
+
+
 def sample_quantiles(
     df: DataFrame,
     key_col: str,

@@ -11838,6 +11838,35 @@ def sk_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK_GROUP_SAMPLE_SQL = f"""
+WITH hx AS (SELECT c_mktsegment,
+                   {_kmv_hash_sql('CAST(c_custkey AS VARCHAR)')} AS h,
+                   c_custkey, c_name
+            FROM customer WHERE c_custkey IS NOT NULL),
+rk AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY h, c_custkey, c_name) AS rn
+       FROM hx)
+SELECT c_mktsegment, h, c_custkey, c_name FROM rk WHERE rn <= 3
+"""
+
+
+@register("sk_group_sample", _SK_GROUP_SAMPLE_SQL)
+def sk_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic row sample
+    (sketches.kmv_row_sample_by_group): 3 customers per market
+    segment by smallest key hash — the per-language eval-subset /
+    per-source spot-check primitive, rerunnable bit-identically and
+    mergeable per group. Per-Arrow-batch prefilter bounds the shuffle
+    at batches*groups*k rows; the oracle re-derives the identical
+    per-group row_number cut over the same 60-bit hash."""
+    from unstract_spark.operators import sketches
+
+    c = _t(spark, sf_dir, "customer")
+    return sketches.kmv_row_sample_by_group(
+        c, "c_mktsegment", "c_custkey", ["c_custkey", "c_name"], k=3
+    )
+
+
 _EVENTS_OHLC_SQL = """
 WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
                   ts, event_id, value
