@@ -598,3 +598,72 @@ def test_streaming_quantiles_merge_across_fires(spark, tmp_path):
             "h", "value"
         ).collect()
     ) == expect_smp
+
+
+def test_streaming_ohlc_merges_across_fires(spark, tmp_path):
+    """Candle partials must fold to exactly the batch answer: after
+    two fires (buckets split AND shared across fires, including an
+    open/close handoff inside one bucket) the emitted candles equal
+    timeseries.ohlc_bars over the union, and a re-fire with nothing
+    new changes nothing."""
+    from datetime import datetime
+
+    from unstract_spark.operators import timeseries
+    from unstract_spark.streaming.incremental import streaming_ohlc_pipeline
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    h10 = lambda m: datetime(2024, 3, 1, 10, m)  # noqa: E731
+    h11 = lambda m: datetime(2024, 3, 1, 11, m)  # noqa: E731
+    # fire 2 carries an EARLIER event (id 5 at 10:01) than fire 1's
+    # open (id 1 at 10:05) for the same bucket: the merged open must
+    # come from fire 2 — the cross-fire comparison the merge exists for
+    fire1 = [(1, h10(5), "a", 3.0), (2, h10(30), "a", 9.0),
+             (3, h11(0), "a", 4.0), (4, h10(10), "b", 1.0)]
+    fire2 = [(5, h10(1), "a", 7.0), (6, h10(59), "a", 2.0),
+             (7, h11(30), "b", 8.0)]
+
+    ev(fire1).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_ohlc_pipeline(spark, src, ckpt, store, out) == 1
+    ev(fire2).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_ohlc_pipeline(spark, src, ckpt, store, out) == 1
+
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/batch_id={latest}")
+        .select("event_type", "bucket_start", "open", "high", "low",
+                "close", "n_events")
+        .collect()
+    )
+    expect = sorted(
+        tuple(r) for r in timeseries.ohlc_bars(ev(fire1 + fire2)).collect()
+    )
+    assert got == expect
+    # the merged 10:00 'a' candle opens with fire2's earlier tick
+    a10 = [r for r in got if r[0] == "a" and r[1] == h10(0)][0]
+    assert (a10[2], a10[5], a10[6]) == (7.0, 2.0, 4)
+
+    # idempotent re-fire: nothing new — no fire, outputs intact
+    assert streaming_ohlc_pipeline(spark, src, ckpt, store, out) == 0
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/batch_id={latest}")
+        .select("event_type", "bucket_start", "open", "high", "low",
+                "close", "n_events")
+        .collect()
+    ) == expect

@@ -160,3 +160,124 @@ def ohlc_bars(
             "n_events",
         )
     )
+
+
+def ohlc_partials(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    level: str = "hour",
+) -> DataFrame:
+    """MERGEABLE candle partials: one row per (key, bucket) carrying
+    (open_ts, open_id, open_v, close_ts, close_id, close_v, high,
+    low, n_events) — the incremental-maintenance entry point for
+    ohlc_bars, the way minute_partials feeds the rollup cascade.
+    Partials fold by comparison (open from the min (ts, id) side,
+    close from the max, high/low/count by max/min/sum), so per-fire
+    partials from disjoint row sets merge to exactly the batch
+    candle. Same window-then-group shape as ohlc_bars (no string or
+    struct aggregate buffers)."""
+    b = events.select(
+        F.col(key_col).alias("k"),
+        F.date_trunc(level, F.col(ts_col)).alias("bucket_start"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    w = (
+        Window.partitionBy("k", "bucket_start")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = b.select(
+        "k",
+        "bucket_start",
+        "_v",
+        F.first("_ts").over(w).alias("open_ts"),
+        F.first("_id").over(w).alias("open_id"),
+        F.first("_v").over(w).alias("open_v"),
+        F.last("_ts").over(w).alias("close_ts"),
+        F.last("_id").over(w).alias("close_id"),
+        F.last("_v").over(w).alias("close_v"),
+    )
+    return x.groupBy(
+        "k",
+        "bucket_start",
+        "open_ts",
+        "open_id",
+        "open_v",
+        "close_ts",
+        "close_id",
+        "close_v",
+    ).agg(
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
+    """Fold candle partial rows (possibly several per (k, bucket),
+    from different fires/shards) back into ONE partial per (k,
+    bucket): open fields from the partial with the smallest
+    (open_ts, open_id), close fields from the largest
+    (close_ts, close_id), high/low/count by max/min/sum. Closed under
+    merging — the output is again a valid partials frame — and
+    idempotent over duplicate partial rows ONLY when duplicates are
+    excluded upstream (the streaming store excludes the current
+    epoch's partition on replay, the sibling pipelines' convention:
+    n_events sums, so a genuinely duplicated partial double-counts)."""
+    w1 = (
+        Window.partitionBy("k", "bucket_start")
+        .orderBy("open_ts", "open_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w2 = (
+        Window.partitionBy("k", "bucket_start")
+        .orderBy("close_ts", "close_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = partials.select(
+        "k",
+        "bucket_start",
+        "high",
+        "low",
+        "n_events",
+        F.first("open_ts").over(w1).alias("open_ts"),
+        F.first("open_id").over(w1).alias("open_id"),
+        F.first("open_v").over(w1).alias("open_v"),
+        F.last("close_ts").over(w2).alias("close_ts"),
+        F.last("close_id").over(w2).alias("close_id"),
+        F.last("close_v").over(w2).alias("close_v"),
+    )
+    return x.groupBy(
+        "k",
+        "bucket_start",
+        "open_ts",
+        "open_id",
+        "open_v",
+        "close_ts",
+        "close_id",
+        "close_v",
+    ).agg(
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def ohlc_from_partials(partials: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Render merged partials as the ohlc_bars output schema:
+    (key, bucket_start, open, high, low, close, n_events)."""
+    m = ohlc_merge_partials(partials)
+    return m.select(
+        F.col("k").alias(key_col),
+        "bucket_start",
+        F.col("open_v").alias("open"),
+        "high",
+        "low",
+        F.col("close_v").alias("close"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -1311,6 +1311,121 @@ def streaming_quantile_pipeline(
     return fires
 
 
+def streaming_ohlc_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    out_dir: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    level: str = "hour",
+    schema: str = (
+        "event_id long, ts timestamp, event_type string, value double"
+    ),
+) -> int:
+    """Incremental OHLC candle maintenance: each AvailableNow fire
+    computes the NEW rows' candle partials (timeseries.ohlc_partials),
+    folds them into the accumulated per-(key, bucket) partial store
+    (ohlc_merge_partials — open keeps the earlier (ts, id) side,
+    close the later, high/low/count by max/min/sum), writes the
+    merged store snapshot, and emits the full candle set
+    (ohlc_from_partials) — the streaming twin of events_ohlc_bars,
+    proving candle partials merge to exactly the batch answer across
+    fires (pytest pins this row-for-row). The continuous-aggregate
+    shape for the candle family, as streaming_rollup_pipeline is for
+    sums.
+
+    State is one partial row per live (key, bucket) — bounded by the
+    bucket domain, never by row count. Exactly-once discipline is the
+    sibling pipelines': batch_id=N overwrite partitions, store read
+    excludes the current epoch (so a replayed fold cannot
+    double-count), run base pinned to the checkpoint, superseded
+    snapshots pruned keeping the latest prior. Returns fired batches.
+    """
+    from unstract_spark.operators import timeseries
+
+    fires = 0
+    run_base = _run_base(out_dir, store_dir, checkpoint_dir=checkpoint_dir)
+    part_cols = [
+        "k",
+        "bucket_start",
+        "open_ts",
+        "open_id",
+        "open_v",
+        "close_ts",
+        "close_id",
+        "close_v",
+        "high",
+        "low",
+        "n_events",
+    ]
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        p = timeseries.ohlc_partials(
+            batch,
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            level=level,
+        )
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(*part_cols)
+            merged = timeseries.ohlc_merge_partials(
+                p.select(*part_cols).unionByName(old)
+            )
+        else:
+            merged = p
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
+        timeseries.ohlc_from_partials(merged, key_col=key_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={bid}")
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for pth in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={pth}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_ledger_sink(
     spark: SparkSession,
     source_dir: str,
