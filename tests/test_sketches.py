@@ -283,3 +283,47 @@ def test_kmv_row_sample_by_group_cut_and_merge(spark):
         tiny, "g", "rk", ["payload"], k=8
     ).count()
     assert got == 3
+
+
+def test_table_stats_store_analyze_and_estimates(spark, tmp_path):
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    store = TableStatsStore(spark, str(tmp_path / "stats"))
+    # orders-like: 5_000 rows, key repeats 0..999 five times each
+    a = spark.range(5_000).select(
+        (F.col("id") % 1_000).cast("string").alias("key"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    # dim: 1_000 unique keys, half overlapping a's domain
+    b = spark.range(500, 1_500).select(
+        F.col("id").cast("string").alias("key")
+    )
+    store.analyze(a, "facts", ["key", "payload"], k=256)
+    store.analyze(b, "dim", ["key"], k=256)
+
+    # a fresh store handle answers from DISK (persistence)
+    store2 = TableStatsStore(spark, str(tmp_path / "stats"))
+    ndv_a = store2.distinct_estimate("facts", "key")
+    assert 750 <= ndv_a <= 1_250  # ~1000, KMV 4-sigma band
+    assert store2.distinct_estimate("dim", "key") > 750
+    # payload is unique per row: estimate tracks 5_000
+    assert 3_500 <= store2.distinct_estimate("facts", "payload") <= 6_500
+
+    # containment estimate: nA*nB/max(ndv) ~ 5_000*1_000/1_000 = 5_000
+    # (true join size: keys 500..999 * 5 = 2_500 — containment
+    # upper-bounds under partial overlap, as documented)
+    est = store2.join_estimate("facts", "key", "dim", "key")
+    true = a.join(b, "key").count()
+    assert true == 2_500
+    assert 3_500 <= est <= 6_500
+    assert est >= true  # the documented upper-bound direction here
+
+    # determinism: re-analyze produces identical stats
+    store.analyze(a, "facts", ["key"], k=256)
+    assert store2.distinct_estimate("facts", "key") == ndv_a
+
+    # broadcast advice: 1_000 short keys ~ few KB -> fits; and a tiny
+    # threshold flips it
+    assert store2.broadcast_advice("dim", "key") is True
+    assert store2.broadcast_advice("facts", "payload", threshold_bytes=10) \
+        is False
