@@ -598,7 +598,12 @@ def key_skew_report(
     table (the aggregate a skewed key cannot hurt — partials absorb
     it), a 1-row global aggregate broadcasts total/n_keys, and the
     heavy hitters come from TakeOrdered(top_n) with a key tie-break.
-    Nothing else shuffles."""
+    Nothing else shuffles.
+
+    Oracle-parity caveat: a NULL key that ties on cnt exactly at the
+    top_n boundary orders engine-specifically (Spark sorts nulls
+    first ascending, DuckDB last) — hash-gated uses of this report
+    should feed a null-free key or pin NULLS FIRST in the twin."""
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

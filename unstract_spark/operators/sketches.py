@@ -227,6 +227,11 @@ def kmv_row_sample_by_group(
     in this engine already makes)."""
     from pyspark.sql import Window
 
+    if bad := [c for c in cols if c in ("g", "h")]:
+        raise ValueError(
+            f"payload columns {bad} collide with the sampler's internal "
+            "g/h aliases — rename them first"
+        )
     gtype = df.schema[group_col].dataType.simpleString()
     coltypes = {c: df.schema[c].dataType.simpleString() for c in cols}
     hashed = df.where(F.col(key_col).isNotNull()).select(
