@@ -845,3 +845,31 @@ def test_ohlc_bars_open_close_tiebreak(spark):
     )
     b = got["b"]
     assert (b.open, b.close, b.n_events) == (7.0, 7.0, 1)
+
+
+def test_ohlc_cascade_fold_equals_direct(spark):
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import ohlc_bars, ohlc_cascade
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 30), "a", 5.0),
+        (2, datetime(2024, 1, 1, 10, 15), "a", 9.0),
+        (3, datetime(2024, 1, 2, 8, 0), "a", 2.0),
+        (4, datetime(2024, 1, 1, 9, 45), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    cas = ohlc_cascade(df, levels=("hour", "day"))
+    daily_direct = sorted(
+        tuple(r) for r in ohlc_bars(df, level="day").collect()
+    )
+    daily_folded = sorted(
+        tuple(r)[1:]
+        for r in cas.filter(F.col("level") == "day").collect()
+    )
+    assert daily_folded == daily_direct
+    # day 1 'a': open from 9:30 tick, close from 10:15 — across hours
+    d1 = [r for r in daily_folded if r[0] == "a" and r[1].day == 1][0]
+    assert (d1[2], d1[5], d1[6]) == (5.0, 9.0, 2)

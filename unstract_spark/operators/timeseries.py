@@ -281,3 +281,52 @@ def ohlc_from_partials(partials: DataFrame, key_col: str = "event_type") -> Data
         F.col("close_v").alias("close"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def ohlc_cascade(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Multi-resolution candles, each level folded FROM the level
+    below (raw scanned once — the rollup_cascade shape for OHLC):
+    hourly partials from raw, then candles-of-candles by re-truncating
+    bucket_start and re-merging (ohlc_merge_partials is CLOSED under
+    coarser buckets: open of the day is the open of its earliest
+    hour's partial by (ts, id) — comparison-fold associativity, which
+    is exactly what the oracle gate certifies against direct daily
+    candles). Output: (level, key, bucket_start, open, high, low,
+    close, n_events).
+
+    `levels` ordered fine -> coarse, valid date_trunc fields.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    tiers = [
+        ohlc_partials(
+            events,
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            level=levels[0],
+        ).localCheckpoint(eager=True)
+    ]
+    for lvl in levels[1:]:
+        prev = tiers[-1].withColumn(
+            "bucket_start", F.date_trunc(lvl, F.col("bucket_start"))
+        )
+        tiers.append(ohlc_merge_partials(prev).localCheckpoint(eager=True))
+    out = None
+    for lvl, tier in zip(levels, tiers):
+        part = ohlc_from_partials(tier, key_col=key_col).withColumn(
+            "level", F.lit(lvl)
+        ).select(
+            "level", key_col, "bucket_start", "open", "high", "low",
+            "close", "n_events",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -11887,6 +11887,53 @@ GROUP BY event_type, bucket_start, open, close
 """
 
 
+def _ohlc_level_sql(level: str) -> str:
+    """Direct candles at one date_trunc level — the per-level oracle
+    for both the flat bars gate and the cascade gate (which certifies
+    that comparison-folding hourly partials equals computing daily
+    candles straight from raw). CAST pins DuckDB's date_trunc DATE
+    return at day+ levels back to TIMESTAMP for schema parity."""
+    return f"""
+SELECT '{level}' AS level, event_type, bucket_start, open,
+       max(value) AS high, min(value) AS low, close,
+       count(*) AS n_events
+FROM (
+  SELECT event_type, bucket_start, value,
+         first_value(value) OVER win AS open,
+         last_value(value) OVER win AS close
+  FROM (SELECT event_type,
+               CAST(date_trunc('{level}', ts) AS TIMESTAMP)
+                 AS bucket_start,
+               ts, event_id, value
+        FROM events)
+  WINDOW win AS (PARTITION BY event_type, bucket_start
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING))
+GROUP BY event_type, bucket_start, open, close
+"""
+
+
+_EVENTS_OHLC_CASCADE_SQL = (
+    _ohlc_level_sql("hour") + " UNION ALL " + _ohlc_level_sql("day")
+)
+
+
+@register("events_ohlc_cascade", _EVENTS_OHLC_CASCADE_SQL)
+def events_ohlc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution candles (timeseries.ohlc_cascade): hourly
+    candles from raw, daily candles folded FROM the hourly partials
+    (candles-of-candles — ohlc_merge_partials is closed under coarser
+    buckets), raw scanned once. The oracle computes BOTH levels
+    directly from raw, so the hash gate certifies the comparison-fold
+    associativity law itself: open-of-day == open of the earliest
+    hour partial, at every (key, day)."""
+    from unstract_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.ohlc_cascade(e, levels=("hour", "day"))
+
+
 @register("events_ohlc_bars", _EVENTS_OHLC_SQL)
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per event type (timeseries.ohlc_bars) —
