@@ -327,3 +327,25 @@ def test_table_stats_store_analyze_and_estimates(spark, tmp_path):
     assert store2.broadcast_advice("dim", "key") is True
     assert store2.broadcast_advice("facts", "payload", threshold_bytes=10) \
         is False
+
+
+def test_table_stats_store_refined_join_estimate(spark, tmp_path):
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    store = TableStatsStore(spark, str(tmp_path / "stats"))
+    a = spark.range(5_000).select(
+        (F.col("id") % 1_000).cast("string").alias("key")
+    )
+    b = spark.range(500, 1_500).select(
+        F.col("id").cast("string").alias("key")
+    )
+    store.analyze(a, "facts", ["key"], k=256)
+    store.analyze(b, "dim", ["key"], k=256)
+    true = a.join(b, "key").count()  # keys 500..999 x5 = 2_500
+    plain = store.join_estimate("facts", "key", "dim", "key")
+    refined = store.join_estimate_refined("facts", "key", "dim", "key")
+    assert true == 2_500
+    # the refined estimate must land in a sketch-error band around the
+    # truth AND beat the containment formula (which reads ~5_000 here)
+    assert 1_500 <= refined <= 3_500
+    assert abs(refined - true) < abs(plain - true)

@@ -416,6 +416,18 @@ def _overlap_stats(
     per-scalar jobs, no crossJoin stitching."""
     sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
     sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
+    return overlap_stats_from_sketches(sa, sb, k)
+
+
+def overlap_stats_from_sketches(
+    sa: DataFrame, sb: DataFrame, k: int
+) -> DataFrame:
+    """The same one-row membership stats computed from two
+    ALREADY-BUILT (and materialized/persisted) sketches — the entry
+    point for stored-sketch consumers like TableStatsStore, which
+    estimate set overlap between analyzed columns without touching
+    the data. `k` must be the k both sketches were built with (the
+    kmv_merge contract)."""
     merged = kmv_merge(sa, sb, k=k)
     flagged = merged.join(
         sa.withColumn("_a", F.lit(1)), "h", "left"

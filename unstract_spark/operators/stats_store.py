@@ -131,6 +131,47 @@ class TableStatsStore:
             return 0.0
         return float(ma.n_nonnull) * float(mb.n_nonnull) / ndv
 
+    def join_estimate_refined(
+        self, table_a: str, col_a: str, table_b: str, col_b: str
+    ) -> float:
+        """Overlap-REFINED join-size estimate from the two STORED
+        sketches (still no data scan — only the 2k persisted hash
+        rows are read): nA·nB·Î / (ndvA·ndvB), where Î is the
+        intersection cardinality estimated by the theta-sketch
+        overlap of the stored sketches. Under uniform per-key counts
+        this is exact in expectation; it repairs the containment
+        formula's blind spot — partially overlapping key domains —
+        which join_estimate deliberately ignores (its inputs stay
+        DBA-readable scalars)."""
+        ma, mb = self._meta(table_a, col_a), self._meta(table_b, col_b)
+        if ma.k != mb.k:
+            raise ValueError(
+                f"sketches built with different k ({ma.k} vs {mb.k}) "
+                "cannot merge — re-analyze one side"
+            )
+        ndv_a = self.distinct_estimate(table_a, col_a)
+        ndv_b = self.distinct_estimate(table_b, col_b)
+        if ndv_a == 0 or ndv_b == 0:
+            return 0.0
+        sa = self.spark.read.parquet(self._dir("sketch", table_a, col_a))
+        sb = self.spark.read.parquet(self._dir("sketch", table_b, col_b))
+        st = sketches.overlap_stats_from_sketches(sa, sb, int(ma.k)).collect()[
+            0
+        ]
+        if st.n_merged == 0:
+            return 0.0
+        if st.n_merged < ma.k:
+            est_union = float(st.n_merged)
+        else:
+            est_union = (
+                float(ma.k - 1) * sketches.KMV_M / float(st.kth_hash)
+            )
+        est_i = float(st.n_both) / float(st.n_merged) * est_union
+        return (
+            float(ma.n_nonnull) * float(mb.n_nonnull) * est_i
+            / (ndv_a * ndv_b)
+        )
+
     def broadcast_advice(
         self, table: str, column: str, threshold_bytes: int = 64 << 20
     ) -> bool:
