@@ -190,6 +190,11 @@ _CHANGED_THIS_ROUND = [
     # no-op for the already-string key this query uses, but the plan
     # changed) — re-gate under the driver.
     "sk_sample_quantiles",
+    # _overlap_stats refactored to route through
+    # overlap_stats_from_sketches (outputs identical, helper split for
+    # the stats store) — re-gate the second consumer too
+    # (sk_kmv_overlap is already listed above).
+    "sk_kmv_difference",
 ]
 
 
