@@ -873,3 +873,39 @@ def test_ohlc_cascade_fold_equals_direct(spark):
     # day 1 'a': open from 9:30 tick, close from 10:15 — across hours
     d1 = [r for r in daily_folded if r[0] == "a" and r[1].day == 1][0]
     assert (d1[2], d1[5], d1[6]) == (5.0, 9.0, 2)
+
+
+def test_event_pattern_match_order_overlap_and_blockers(spark):
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import event_pattern_match
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: v c p v c p -> two non-overlapping matches
+        (1, t(0), "view"), (2, t(1), "click"), (3, t(2), "purchase"),
+        (4, t(3), "view"), (5, t(4), "click"), (6, t(5), "purchase"),
+        # user 2: v ERROR c p -> error blocks the [^e] gap
+        (7, t(0), "view"), (8, t(1), "error"),
+        (9, t(2), "click"), (10, t(3), "purchase"),
+        # user 3: arrives out of ingest order; ts ordering must win
+        (12, t(1), "click"), (11, t(0), "view"), (13, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u % 100, ts, et, u) for (u, ts, et) in rows],
+        "event_id long, ts timestamp, event_type string, user_id long",
+    ).selectExpr(
+        "user_id div 7 + 1 as _drop", "event_id", "ts", "event_type",
+        "case when event_id <= 6 then 1 when event_id <= 10 then 2 "
+        "else 3 end as user_id",
+    ).drop("_drop")
+    got = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match)
+        for r in event_pattern_match(
+            df, "v[^e]*?c[^e]*?p",
+            {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+        ).collect()
+    }
+    assert got[1] == (6, 2, "vcp")
+    assert got[2] == (4, 0, "")
+    assert got[3] == (3, 1, "vcp")

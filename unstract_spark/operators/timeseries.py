@@ -330,3 +330,70 @@ def ohlc_cascade(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def event_pattern_match(
+    events: DataFrame,
+    pattern: str,
+    code_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """CEP-style SEQUENCE PATTERN matching (the MATCH_RECOGNIZE
+    use case Spark lacks): encode each user's time-ordered event
+    types as a one-char-per-event string and run a regex over it —
+    "view then click then purchase with no error between" is
+    'v[^e]*?c[^e]*?p'. Returns per user: (user, seq_len, n_matches —
+    non-overlapping count, first_match — the matched code substring,
+    '' when none).
+
+    Write patterns with LAZY quantifiers ([^e]*? not [^e]*): both
+    engines (Java regex / RE2) implement leftmost, non-overlapping
+    scanning with Perl quantifier semantics, and lazy forms keep the
+    matched SUBSTRING — which the hash gate compares — off any
+    backtracking edge cases.
+
+    Scale shape: one map-side projection encodes the type, ONE
+    groupBy(user) builds the ordered sequence via
+    array_sort(collect_list(struct(ts, id, code))) — collect_list is
+    typed-imperative, so the aggregate stays ObjectHashAggregate
+    (never SortAggregate), and the sort is per-user-array, not a
+    shuffle. Per-user sequence length is the one contract: a user's
+    whole history must fit in one aggregation buffer (the same
+    per-entity bound every sessionizer here has); cap with a
+    time-window filter upstream when histories are unbounded. The
+    SQL twin is string_agg(code, '' ORDER BY ts, id) + the same
+    regex."""
+    code = None
+    for etype, ch in code_map.items():
+        branch = F.when(F.col(type_col) == etype, F.lit(ch))
+        code = branch if code is None else code.when(
+            F.col(type_col) == etype, F.lit(ch)
+        )
+    code = (code.otherwise(F.lit("x")) if code is not None
+            else F.lit("x")).alias("_c")
+    rows = events.select(
+        F.col(user_col), F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"), code,
+    )
+    arr = rows.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_ts", "_id", "_c"))
+        ).alias("_a")
+    )
+    seq = F.array_join(
+        F.transform(F.col("_a"), lambda x: x["_c"]), ""
+    )
+    return arr.select(
+        user_col,
+        F.length(seq).alias("seq_len"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(array_join(transform(_a, "
+                f"x -> x._c), ''), '{pattern}', 0)"
+            )
+        ).alias("n_matches"),
+        F.regexp_extract(seq, pattern, 0).alias("first_match"),
+    )

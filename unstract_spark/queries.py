@@ -11892,6 +11892,48 @@ GROUP BY event_type, bucket_start, open, close
 """
 
 
+_EVENTS_PATTERN_MATCH_SQL = r"""
+WITH c AS (SELECT user_id, ts, event_id,
+                  CASE event_type WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e'
+                                  ELSE 'x' END AS ch
+           FROM events),
+s AS (SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM c GROUP BY user_id)
+SELECT user_id, length(seq) AS seq_len,
+       len(regexp_extract_all(seq, 'v[^e]*?c[^e]*?p')) AS n_matches,
+       coalesce(regexp_extract(seq, 'v[^e]*?c[^e]*?p'), '')
+         AS first_match
+FROM s
+"""
+
+
+@register("events_pattern_match", _EVENTS_PATTERN_MATCH_SQL)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence matching (timeseries.event_pattern_match — the
+    MATCH_RECOGNIZE use case): per user, count the non-overlapping
+    view→click→purchase runs with no error in between, over the
+    one-char-coded time-ordered event string ('v[^e]*?c[^e]*?p',
+    lazy quantifiers for engine-stable substrings). One
+    ObjectHashAggregate groupBy builds each user's sequence; the
+    oracle rebuilds it with an ordered string_agg and the same
+    regex, so the match counts AND the first matched substring are
+    value-hash-gated."""
+    from unstract_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.event_pattern_match(
+        e,
+        "v[^e]*?c[^e]*?p",
+        {"view": "v", "click": "c", "purchase": "p",
+         "signup": "s", "error": "e"},
+    )
+
+
 def _ohlc_level_sql(level: str) -> str:
     """Direct candles at one date_trunc level — the per-level oracle
     for both the flat bars gate and the cascade gate (which certifies
