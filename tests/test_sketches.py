@@ -349,3 +349,24 @@ def test_table_stats_store_refined_join_estimate(spark, tmp_path):
     # truth AND beat the containment formula (which reads ~5_000 here)
     assert 1_500 <= refined <= 3_500
     assert abs(refined - true) < abs(plain - true)
+
+
+def test_sample_quantiles_by_group_exact_branch(spark):
+    # group "a": 1000 rows (sampled, k=64); group "b": 5 rows (exact)
+    df = spark.range(1005).select(
+        F.when(F.col("id") < 1000, "a").otherwise("b").alias("g"),
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+        F.col("id").cast("double").alias("v"),
+    )
+    got = {
+        r.g: r
+        for r in sketches.sample_quantiles_by_group(
+            df, "g", "rk", "v", k=64
+        ).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert a.n_sample == 64
+    assert 100 <= a.p25 <= 450 and 550 <= a.p75 <= 900  # ramp quartiles
+    # b holds all 5 rows: quantiles are exact percentile(1000..1004)
+    assert b.n_sample == 5
+    assert (b.p25, b.p50, b.p75) == (1001.0, 1002.0, 1003.0)

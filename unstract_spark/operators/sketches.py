@@ -390,6 +390,33 @@ def range_split_plan(
     )
 
 
+def sample_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 512,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-GROUP mergeable approximate quantiles: sample_quantiles
+    composed over the stratified bottom-k row sample — one row per
+    group (group, k, n_sample, p25, ...), exact when a group holds
+    fewer than k rows. k rows of state PER GROUP, per-group
+    mergeable — per-segment latency/length/quality percentiles at
+    sketch cost instead of a full per-group sort."""
+    smp = kmv_row_sample_by_group(df, group_col, key_col, [value_col], k)
+    aggs = [
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_sample"),
+    ] + [
+        F.round(
+            F.expr(f"percentile({value_col}, {q})"), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return smp.groupBy(group_col).agg(*aggs)
+
+
 def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Union sketches into one: k smallest of the combined hash sets.
     This is the mergeability property that makes KMV shippable from

@@ -11892,6 +11892,45 @@ GROUP BY event_type, bucket_start, open, close
 """
 
 
+_SK_GROUP_QUANTILES_SQL = f"""
+WITH hx AS (SELECT event_type AS g,
+                   {_kmv_hash_sql('CAST(event_id AS VARCHAR)')} AS h,
+                   value AS v
+            FROM events WHERE event_id IS NOT NULL),
+rk AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+       FROM hx),
+smp AS (SELECT g, v FROM rk WHERE rn <= 128)
+SELECT g AS event_type, CAST(128 AS BIGINT) AS k,
+       count(*) AS n_sample,
+       round(quantile_cont(v, 0.25), 6) AS p25,
+       round(quantile_cont(v, 0.50), 6) AS p50,
+       round(quantile_cont(v, 0.75), 6) AS p75,
+       round(quantile_cont(v, 0.95), 6) AS p95
+FROM smp GROUP BY g
+"""
+
+
+@register("sk_group_quantiles", _SK_GROUP_QUANTILES_SQL)
+def sk_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate quantiles
+    (sketches.sample_quantiles_by_group): event-value percentiles per
+    event type from one k=128 stratified bottom-k sample per group —
+    per-segment distribution profiling at k rows of state per group
+    instead of a full per-group sort; the oracle re-derives the same
+    per-group sample (row_number over the 60-bit hash) and
+    interpolates with quantile_cont (= Spark percentile's rank
+    definition), so every group's percentiles are value-hash-gated."""
+    from unstract_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("v")
+    )
+    return sketches.sample_quantiles_by_group(
+        e, "event_type", "event_id", "v", k=128
+    )
+
+
 _EVENTS_PATTERN_MATCH_SQL = r"""
 WITH c AS (SELECT user_id, ts, event_id,
                   CASE event_type WHEN 'view' THEN 'v'
