@@ -667,3 +667,55 @@ def test_streaming_ohlc_merges_across_fires(spark, tmp_path):
                 "close", "n_events")
         .collect()
     ) == expect
+
+
+def test_streaming_stats_pipeline_matches_batch_analyze(spark, tmp_path):
+    """Incremental ANALYZE law: after two fires the published
+    TableStatsStore must answer exactly as a batch analyze() of the
+    union — sketch via mergeability, counters by exact addition —
+    and a re-fire with nothing new changes nothing."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+    from unstract_spark.streaming.incremental import streaming_stats_pipeline
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    acc = str(tmp_path / "acc")
+    stats = str(tmp_path / "stats")
+    os.makedirs(src)
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), (F.col("id") % 70).cast("string"))
+            .alias("text"),
+        )
+
+    docs(0, 60).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_stats_pipeline(
+        spark, src, ckpt, acc, stats, "docs", ["text"], k=32
+    ) == 1
+    docs(60, 150).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_stats_pipeline(
+        spark, src, ckpt, acc, stats, "docs", ["text"], k=32
+    ) == 1
+
+    live = TableStatsStore(spark, stats)
+    ref_path = str(tmp_path / "stats_ref")
+    ref = TableStatsStore(spark, ref_path)
+    ref.analyze(docs(0, 150), "docs", ["text"], k=32)
+
+    assert live.distinct_estimate("docs", "text") == \
+        ref.distinct_estimate("docs", "text")
+    lm, rm = live._meta("docs", "text"), ref._meta("docs", "text")
+    assert (lm.n_rows, lm.n_nonnull, lm.n_sketch, lm.kth_hash) == (
+        rm.n_rows, rm.n_nonnull, rm.n_sketch, rm.kth_hash
+    )
+    assert abs(lm.avg_len - rm.avg_len) < 1e-12
+
+    # idempotent re-fire
+    assert streaming_stats_pipeline(
+        spark, src, ckpt, acc, stats, "docs", ["text"], k=32
+    ) == 0
+    assert TableStatsStore(spark, stats).distinct_estimate(
+        "docs", "text"
+    ) == ref.distinct_estimate("docs", "text")

@@ -1426,6 +1426,173 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_stats_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    acc_dir: str,
+    stats_path: str,
+    table: str,
+    columns: list[str],
+    k: int = 256,
+    schema: str = "doc_id long, text string",
+) -> int:
+    """Incremental ANALYZE: keep a TableStatsStore FRESH as data
+    streams in, never re-scanning history. Each fire sketches the new
+    rows' columns (sketches.kmv_sketch), kmv_merges with the
+    accumulated per-column sketch, adds the additive meta counters
+    (n_rows, n_nonnull, rendered-length sum — decimal, exact), writes
+    the cumulative accumulator snapshot, and PUBLISHES the result
+    into the TableStatsStore layout — so stats_store.distinct_estimate
+    / join_estimate / broadcast_advice answer from statistics that
+    are exactly what a batch analyze() of everything-so-far would
+    have produced (pytest pins this: merged sketch == sketch of the
+    union by the mergeability law; counters add exactly).
+
+    State per column is k hash longs + 3 counters however much
+    history has streamed. Exactly-once: the accumulator uses the
+    sibling pipelines' batch_id=N overwrite partitions with the
+    current epoch excluded from the read; the publish step is a pure
+    function of the committed accumulator, so a crash between commit
+    and publish republishes identically on replay. Returns fired
+    batches."""
+    import os as _os
+    import shutil as _shutil
+
+    from unstract_spark.operators import sketches
+
+    fires = 0
+    run_base = _run_base(acc_dir, checkpoint_dir=checkpoint_dir)
+
+    def _publish(col: str, sk: DataFrame, meta_row) -> None:
+        sdir = _os.path.join(stats_path, "sketch", f"table={table}",
+                             f"column={col}")
+        mdir = _os.path.join(stats_path, "meta", f"table={table}",
+                             f"column={col}")
+        sk.select("h").write.mode("overwrite").parquet(sdir)
+        n_nonnull = meta_row["n_nonnull"]
+        avg = (
+            None
+            if n_nonnull == 0
+            else float(meta_row["len_sum"]) / float(n_nonnull)
+        )
+        spark.createDataFrame(
+            [(
+                meta_row["n_rows"], n_nonnull, meta_row["n_sketch"],
+                meta_row["kth_hash"], k, avg,
+            )],
+            "n_rows long, n_nonnull long, n_sketch long, "
+            "kth_hash long, k long, avg_len double",
+        ).coalesce(1).write.mode("overwrite").parquet(mdir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        old = _read_parquet_or_none(spark, acc_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid)
+        for col in columns:
+            c = F.col(col)
+            bsk = sketches.kmv_sketch(
+                batch.select(c.cast("string").alias("_s")), "_s", k
+            )
+            counts = batch.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                F.coalesce(
+                    F.sum(
+                        F.length(c.cast("string")).cast("decimal(18,6)")
+                    ),
+                    F.lit(0).cast("decimal(18,6)"),
+                ).alias("len_sum"),
+            ).collect()[0]
+            n_rows, n_nonnull = counts["n_rows"], counts["n_nonnull"]
+            len_sum = counts["len_sum"]
+            if old is not None:
+                oc = old.filter(F.col("column") == col)
+                prev = oc.agg(
+                    F.max("n_rows").alias("n_rows"),
+                    F.max("n_nonnull").alias("n_nonnull"),
+                    F.max("len_sum").alias("len_sum"),
+                ).collect()[0]
+                if prev["n_rows"] is not None:
+                    n_rows += prev["n_rows"]
+                    n_nonnull += prev["n_nonnull"]
+                    len_sum = len_sum + prev["len_sum"]
+                merged = sketches.kmv_merge(
+                    bsk,
+                    oc.select("h").where(F.col("h").isNotNull()),
+                    k=k,
+                )
+            else:
+                merged = bsk
+            merged = merged.localCheckpoint(eager=True)
+            est = merged.agg(
+                F.count(F.lit(1)).alias("n_sketch"),
+                F.max("h").alias("kth_hash"),
+            ).collect()[0]
+            # the column= path partition carries the column name on
+            # read — snap holds only data fields
+            snap = merged.select(
+                "h",
+                F.lit(n_rows).alias("n_rows"),
+                F.lit(n_nonnull).alias("n_nonnull"),
+                F.lit(len_sum).cast("decimal(18,6)").alias("len_sum"),
+            )
+            if est["n_sketch"] == 0:
+                # an all-null column still accumulates its row
+                # counters: carry them on one null-hash sentinel row
+                # (excluded from future merges by the isNotNull filter)
+                snap = spark.createDataFrame(
+                    [(None, n_rows, n_nonnull, len_sum)],
+                    "h long, n_rows long, "
+                    "n_nonnull long, len_sum decimal(18,6)",
+                )
+            snap.write.mode("overwrite").parquet(
+                f"{acc_dir}/batch_id={bid}/column={col}"
+            )
+            _publish(col, merged, {
+                "n_rows": n_rows, "n_nonnull": n_nonnull,
+                "len_sum": len_sum, "n_sketch": est["n_sketch"],
+                "kth_hash": est["kth_hash"],
+            })
+        # prune superseded accumulator snapshots, keeping latest prior
+        try:
+            names = _os.listdir(acc_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(acc_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_ledger_sink(
     spark: SparkSession,
     source_dir: str,
