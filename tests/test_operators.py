@@ -900,12 +900,13 @@ def test_event_pattern_match_order_overlap_and_blockers(spark):
         "else 3 end as user_id",
     ).drop("_drop")
     got = {
-        r.user_id: (r.seq_len, r.n_matches, r.first_match)
+        r.user_id: (r.seq_len, r.n_matches, r.first_match,
+                    r.total_match_len)
         for r in event_pattern_match(
             df, "v[^e]*?c[^e]*?p",
             {"view": "v", "click": "c", "purchase": "p", "error": "e"},
         ).collect()
     }
-    assert got[1] == (6, 2, "vcp")
-    assert got[2] == (4, 0, "")
-    assert got[3] == (3, 1, "vcp")
+    assert got[1] == (6, 2, "vcp", 6)
+    assert got[2] == (4, 0, "", 0)
+    assert got[3] == (3, 1, "vcp", 3)

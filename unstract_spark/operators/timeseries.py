@@ -386,14 +386,24 @@ def event_pattern_match(
     seq = F.array_join(
         F.transform(F.col("_a"), lambda x: x["_c"]), ""
     )
+    matches = F.expr(
+        f"regexp_extract_all(array_join(transform(_a, "
+        f"x -> x._c), ''), '{pattern}', 0)"
+    )
     return arr.select(
         user_col,
         F.length(seq).alias("seq_len"),
-        F.size(
-            F.expr(
-                f"regexp_extract_all(array_join(transform(_a, "
-                f"x -> x._c), ''), '{pattern}', 0)"
-            )
-        ).alias("n_matches"),
+        F.size(matches).alias("n_matches"),
         F.regexp_extract(seq, pattern, 0).alias("first_match"),
+        # MATCH_RECOGNIZE-style measure: total events inside matches
+        # (sum of matched-substring lengths — each code char is one
+        # event), 0 when none
+        F.coalesce(
+            F.aggregate(
+                F.transform(matches, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).alias("total_match_len"),
     )

@@ -11946,7 +11946,10 @@ s AS (SELECT user_id,
 SELECT user_id, length(seq) AS seq_len,
        len(regexp_extract_all(seq, 'v[^e]*?c[^e]*?p')) AS n_matches,
        coalesce(regexp_extract(seq, 'v[^e]*?c[^e]*?p'), '')
-         AS first_match
+         AS first_match,
+       CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(seq, 'v[^e]*?c[^e]*?p'),
+              x -> length(x))), 0) AS INT) AS total_match_len
 FROM s
 """
 
