@@ -11931,6 +11931,100 @@ def sk_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK_STATS_STORE_SQL = f"""
+WITH ho AS (SELECT DISTINCT
+              {_kmv_hash_sql('CAST(o_custkey AS VARCHAR)')} AS h
+            FROM orders WHERE o_custkey IS NOT NULL),
+hc AS (SELECT DISTINCT
+         {_kmv_hash_sql('CAST(c_custkey AS VARCHAR)')} AS h
+       FROM customer WHERE c_custkey IS NOT NULL),
+so AS (SELECT h FROM ho ORDER BY h LIMIT 128),
+sc AS (SELECT h FROM hc ORDER BY h LIMIT 128),
+mo AS (SELECT count(*) AS n_sk, max(h) AS kth,
+              (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)
+                AS n_nonnull
+       FROM so),
+mc AS (SELECT count(*) AS n_sk, max(h) AS kth,
+              (SELECT count(*) FROM customer
+               WHERE c_custkey IS NOT NULL) AS n_nonnull
+       FROM sc),
+mg AS (SELECT h FROM (SELECT h FROM so UNION SELECT h FROM sc)
+       ORDER BY h LIMIT 128),
+ov AS (SELECT count(*) AS n_merged, max(h) AS kth,
+              count(*) FILTER (WHERE h IN (SELECT h FROM so)
+                               AND h IN (SELECT h FROM sc)) AS n_both
+       FROM mg),
+est AS (SELECT
+  mo.n_nonnull AS n_orders, mc.n_nonnull AS n_customer,
+  {_kmv_est_sql('mo.n_sk', 'mo.kth', k=128)} AS ndv_orders_ck,
+  {_kmv_est_sql('mc.n_sk', 'mc.kth', k=128)} AS ndv_customer_ck,
+  {_kmv_est_sql('ov.n_merged', 'ov.kth', k=128)} AS est_union,
+  ov.n_both, ov.n_merged
+  FROM mo, mc, ov)
+SELECT n_orders, n_customer, ndv_orders_ck, ndv_customer_ck,
+       CAST(n_orders AS DOUBLE) * CAST(n_customer AS DOUBLE)
+         / greatest(ndv_orders_ck, ndv_customer_ck)
+         AS est_join_containment,
+       CAST(n_orders AS DOUBLE) * CAST(n_customer AS DOUBLE)
+         * (CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)
+            * est_union)
+         / (ndv_orders_ck * ndv_customer_ck) AS est_join_refined
+FROM est
+"""
+
+
+@register("sk_stats_store", _SK_STATS_STORE_SQL)
+def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableStatsStore end to end UNDER THE HASH GATE: analyze
+    orders.o_custkey and customer.c_custkey (k=128) into a fresh
+    on-disk store, then answer from the PERSISTED statistics — NDVs,
+    the Selinger containment join estimate, and the overlap-refined
+    estimate — and emit the answers as one literal row. The oracle
+    re-derives every number from the same 60-bit hashes in pure SQL
+    (the merged k-min of two stored k-min sketches equals the k-min
+    of the union — the mergeability law the store relies on), so the
+    whole persist → read → estimate path is value-hash-gated. All
+    estimator arithmetic is the module's standard single-IEEE-op
+    chain, mirrored expression-for-expression."""
+    import shutil
+    import tempfile
+
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    d = tempfile.mkdtemp(prefix="sk_stats_gate_")
+    try:
+        store = TableStatsStore(spark, d)
+        store.analyze(
+            _t(spark, sf_dir, "orders"), "orders", ["o_custkey"], k=128
+        )
+        store.analyze(
+            _t(spark, sf_dir, "customer"), "customer", ["c_custkey"],
+            k=128,
+        )
+        mo = store._meta("orders", "o_custkey")
+        mc = store._meta("customer", "c_custkey")
+        row = (
+            mo.n_nonnull,
+            mc.n_nonnull,
+            store.distinct_estimate("orders", "o_custkey"),
+            store.distinct_estimate("customer", "c_custkey"),
+            store.join_estimate(
+                "orders", "o_custkey", "customer", "c_custkey"
+            ),
+            store.join_estimate_refined(
+                "orders", "o_custkey", "customer", "c_custkey"
+            ),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_orders long, n_customer long, ndv_orders_ck double, "
+        "ndv_customer_ck double, est_join_containment double, "
+        "est_join_refined double",
+    )
+
+
 _EVENTS_PATTERN_MATCH_SQL = r"""
 WITH c AS (SELECT user_id, ts, event_id,
                   CASE event_type WHEN 'view' THEN 'v'
