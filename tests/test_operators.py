@@ -910,3 +910,50 @@ def test_event_pattern_match_order_overlap_and_blockers(spark):
     assert got[1] == (6, 2, "vcp", 6)
     assert got[2] == (4, 0, "", 0)
     assert got[3] == (3, 1, "vcp", 3)
+
+
+def test_event_pattern_rows_positions_and_measures(spark):
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import event_pattern_rows
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    # user 1: x v c p v s c p  -> matches 'vcp' @2 and 'vscp' @5
+    # user 2: v e v c p        -> error blocks pos 1; match 'vcp' @3
+    # user 3: v c              -> no match, no rows
+    rows = [
+        (1, 1, t(0), "other", 1.0), (1, 2, t(1), "view", 2.0),
+        (1, 3, t(2), "click", 3.0), (1, 4, t(3), "purchase", 4.01),
+        (1, 5, t(4), "view", 5.0), (1, 6, t(5), "signup", 6.0),
+        (1, 7, t(6), "click", 7.0), (1, 8, t(7), "purchase", 8.0),
+        (2, 11, t(0), "view", 1.0), (2, 12, t(1), "error", 1.0),
+        (2, 13, t(2), "view", 2.5), (2, 14, t(3), "click", 2.5),
+        (2, 15, t(4), "purchase", 5.0),
+        (3, 21, t(0), "view", 1.0), (3, 22, t(1), "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    out = {
+        (r.user_id, r.match_idx): r
+        for r in event_pattern_rows(
+            df, "v[^e]*?c[^e]*?p",
+            {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"},
+        ).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    m11 = out[(1, 1)]
+    assert (m11.start_pos, m11.n_events, m11.codes) == (2, 3, "vcp")
+    assert (m11.start_ts, m11.end_ts) == (t(1), t(3))
+    assert m11.duration_us == 2 * 60 * 1_000_000
+    assert m11.value_cents == 200 + 300 + 401
+    m12 = out[(1, 2)]
+    assert (m12.start_pos, m12.n_events, m12.codes) == (5, 4, "vscp")
+    assert (m12.start_ts, m12.end_ts) == (t(4), t(7))
+    assert m12.value_cents == 500 + 600 + 700 + 800
+    m21 = out[(2, 1)]
+    assert (m21.start_pos, m21.n_events, m21.codes) == (3, 3, "vcp")
+    assert m21.value_cents == 250 + 250 + 500

@@ -407,3 +407,126 @@ def event_pattern_match(
             F.lit(0),
         ).alias("total_match_len"),
     )
+
+
+def event_pattern_rows(
+    events: DataFrame,
+    pattern: str,
+    code_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """MATCH_RECOGNIZE "ONE ROW PER MATCH" over the coded event
+    sequence (the per-match companion to event_pattern_match's
+    per-user rollup): every non-overlapping occurrence of `pattern`
+    becomes a row with its measures — FIRST(ts), LAST(ts), duration,
+    event count, and the cent-quantized SUM(value) over exactly the
+    events inside the match.
+
+    How matches map back to events without engine support for match
+    positions: for a non-overlapping leftmost scan,
+    seq = gap0 + m1 + gap1 + ... + mN + gapN, where the m_i are
+    regexp_extract_all(seq, p) and the gap_i are split(seq, p, -1)
+    (limit -1 keeps empty trailing gaps — both engines agree, tested).
+    So start(m_i) = len(gap_0..gap_{i-1}) + len(m_1..m_{i-1}) + 1 —
+    two prefix sums over a window partitioned BY USER ordered by match
+    index (WindowExec sorts its own partition; no global sort). The
+    match's events are then slice(_a, start, len) of the same sorted
+    struct array the sequence was coded from.
+
+    `pattern` must not match the empty string (split and extract_all
+    would disagree on scan positions) and must be future-blind — no
+    anchors, backreferences, or lookaround — so the decomposition
+    above is exactly the engine's scan.
+
+    Measures stay hash-gatable: value sums are cent-quantized BIGINTs
+    (round(value*100) — the events_cusum convention), duration is
+    exact microseconds, timestamps pass through raw.
+
+    Scale shape: one ObjectHashAggregate groupBy(user) (collect_list
+    of structs), a posexplode bounded by matches-per-user, one
+    partitioned window. Per-user history must fit one aggregation
+    buffer — the standing sessionizer contract."""
+    code = None
+    for etype, ch in code_map.items():
+        branch = F.when(F.col(type_col) == etype, F.lit(ch))
+        code = branch if code is None else code.when(
+            F.col(type_col) == etype, F.lit(ch)
+        )
+    code = (code.otherwise(F.lit("x")) if code is not None
+            else F.lit("x")).alias("_c")
+    rows = events.select(
+        F.col(user_col), F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"), code,
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    arr = rows.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_ts", "_id", "_c", "_cents"))
+        ).alias("_a")
+    )
+    seq = F.array_join(F.transform(F.col("_a"), lambda x: x["_c"]), "")
+    with_seq = arr.select(
+        user_col,
+        "_a",
+        F.expr(
+            f"regexp_extract_all(array_join(transform(_a, "
+            f"x -> x._c), ''), '{pattern}', 0)"
+        ).alias("_ms"),
+        F.split(seq, pattern, -1).alias("_gs"),
+    ).filter(F.size("_ms") > 0)
+    per = with_seq.select(
+        user_col,
+        "_a",
+        "_gs",
+        F.posexplode("_ms").alias("_i", "_m"),
+    ).select(
+        user_col,
+        "_a",
+        (F.col("_i") + 1).alias("match_idx"),
+        F.col("_m"),
+        F.length("_m").alias("_mlen"),
+        F.length(F.element_at("_gs", F.col("_i") + 1)).alias("_glen"),
+    )
+    w_all = (
+        Window.partitionBy(user_col)
+        .orderBy("match_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy("match_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.sum("_glen").over(w_all)
+        + F.coalesce(F.sum("_mlen").over(w_prev), F.lit(0))
+        + 1
+    ).cast("int")
+    pos = per.withColumn("start_pos", start)
+    ev = F.slice(F.col("_a"), F.col("start_pos"), F.col("_mlen"))
+    first_ts = F.element_at(ev, 1)["_ts"]
+    last_ts = F.element_at(ev, -1)["_ts"]
+    return pos.select(
+        user_col,
+        F.col("match_idx").cast("int"),
+        "start_pos",
+        F.col("_mlen").cast("int").alias("n_events"),
+        F.col("_m").alias("codes"),
+        first_ts.alias("start_ts"),
+        last_ts.alias("end_ts"),
+        # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ
+        # event times (the _t dual-type caveat); same-type args, so
+        # no zone shift enters the difference
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "element_at(slice(_a, start_pos, _mlen), 1)._ts, "
+            "element_at(slice(_a, start_pos, _mlen), -1)._ts)"
+        ).alias("duration_us"),
+        F.aggregate(
+            ev, F.lit(0).cast("long"), lambda acc, x: acc + x["_cents"]
+        ).alias("value_cents"),
+    )

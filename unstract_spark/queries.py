@@ -12070,6 +12070,74 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_PATTERN_ROWS_SQL = r"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'error' THEN 'e' ELSE 'x' END AS ch,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts, event_id) AS seq,
+         list(struct_pack(ts := ts, id := event_id, cents := cents)
+              ORDER BY ts, event_id) AS a
+  FROM c GROUP BY user_id),
+s2 AS (
+  SELECT user_id, a,
+         regexp_extract_all(seq, 'v[^e]*?c[^e]*?p') AS ms,
+         regexp_split_to_array(seq, 'v[^e]*?c[^e]*?p') AS gs
+  FROM s WHERE len(regexp_extract_all(seq, 'v[^e]*?c[^e]*?p')) > 0),
+m AS (
+  SELECT user_id, a,
+         CAST(unnest(range(1, len(ms) + 1)) AS INT) AS match_idx,
+         unnest(ms) AS m,
+         unnest(gs[1:len(ms)]) AS g
+  FROM s2),
+p AS (
+  SELECT user_id, a, match_idx, m, length(m) AS mlen,
+         CAST(sum(length(g)) OVER (PARTITION BY user_id ORDER BY match_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + coalesce(sum(length(m)) OVER (PARTITION BY user_id
+                ORDER BY match_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) + 1 AS INT) AS start_pos
+  FROM m)
+SELECT user_id, match_idx, start_pos, CAST(mlen AS INT) AS n_events,
+       m AS codes,
+       a[start_pos].ts AS start_ts,
+       a[start_pos + mlen - 1].ts AS end_ts,
+       epoch_us(a[start_pos + mlen - 1].ts) - epoch_us(a[start_pos].ts)
+         AS duration_us,
+       CAST(list_sum(list_transform(a[start_pos : start_pos + mlen - 1],
+            x -> x.cents)) AS BIGINT) AS value_cents
+FROM p
+"""
+
+
+@register("events_pattern_rows", _EVENTS_PATTERN_ROWS_SQL)
+def events_pattern_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ONE ROW PER MATCH
+    (timeseries.event_pattern_rows): every non-overlapping
+    view→click→purchase run becomes a row with its measures —
+    start/end event times, exact microsecond duration, event count,
+    and the cent-quantized value sum over EXACTLY the events inside
+    the match. Match positions are reconstructed from the
+    gap/match-length prefix sums of split() + regexp_extract_all()
+    (both engines keep empty gaps; tested), so the oracle re-derives
+    every measure — including the slice of the per-user struct array
+    each match covers — in pure SQL."""
+    from unstract_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.event_pattern_rows(
+        e,
+        "v[^e]*?c[^e]*?p",
+        {"view": "v", "click": "c", "purchase": "p",
+         "signup": "s", "error": "e"},
+    )
+
+
 def _ohlc_level_sql(level: str) -> str:
     """Direct candles at one date_trunc level — the per-level oracle
     for both the flat bars gate and the cascade gate (which certifies
