@@ -719,3 +719,165 @@ def test_streaming_stats_pipeline_matches_batch_analyze(spark, tmp_path):
     assert TableStatsStore(spark, stats).distinct_estimate(
         "docs", "text"
     ) == ref.distinct_estimate("docs", "text")
+
+
+def test_streaming_pattern_matches_batch_union(spark, tmp_path):
+    """Cross-fire CEP == batch scan of the union, including a match
+    that SPANS the fire boundary (fire1 ends mid-pattern, fire2
+    completes it) and an error-blocked user. Then: idempotent
+    re-fire, and max_tail >= longest match leaves results exact."""
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import event_pattern_match
+    from unstract_spark.streaming.incremental import (
+        streaming_pattern_pipeline,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    # user 1: fire1 = v c p v c  | fire2 = p v c p  (match spans)
+    # user 2: fire1 = v e        | fire2 = c p      (blocked forever)
+    fire1 = [
+        (1, t(0), 1, "view"), (1, t(1), 2, "click"),
+        (1, t(2), 3, "purchase"), (1, t(3), 4, "view"),
+        (1, t(4), 5, "click"),
+        (2, t(0), 11, "view"), (2, t(1), 12, "error"),
+    ]
+    fire2 = [
+        (1, t(5), 6, "purchase"), (1, t(6), 7, "view"),
+        (1, t(7), 8, "click"), (1, t(8), 9, "purchase"),
+        (2, t(2), 13, "click"), (2, t(3), 14, "purchase"),
+    ]
+    sch = "user_id long, ts timestamp, event_id long, event_type string"
+    cm = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    pat = "v[^e]*?c[^e]*?p"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt, store, pat, cm
+    ) == 1
+    mid = {
+        r.user_id: (r.n_matches, r.tail)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert mid[1] == (1, "vc")  # residual carries the open pattern
+    assert mid[2] == (0, "ve")
+
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt, store, pat, cm
+    ) == 1
+
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match,
+                    r.total_match_len)
+        for r in event_pattern_match(union, pat, cm).collect()
+    }
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match,
+                    r.total_match_len)
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    }
+    assert got == expect
+    assert expect[1] == (9, 3, "vcp", 9)  # spanning match counted once
+
+    # idempotent re-fire: nothing new — no fire, state intact
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt, store, pat, cm
+    ) == 0
+    assert {
+        r.user_id: r.n_matches
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    } == {u: v[1] for u, v in expect.items()}
+
+    # max_tail >= longest possible match: exact on a fresh run
+    ckpt2, store2 = str(tmp_path / "ckpt2"), str(tmp_path / "store2")
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt2, store2, pat, cm, max_tail=6
+    ) == 1
+    latest2 = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store2)
+        if d.startswith("batch_id=")
+    )
+    got2 = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match,
+                    r.total_match_len)
+        for r in spark.read.parquet(
+            f"{store2}/batch_id={latest2}"
+        ).collect()
+    }
+    assert got2 == expect
+
+
+def test_streaming_pattern_crash_replay_clean(spark, tmp_path):
+    """A replayed epoch's state write must OVERWRITE its own
+    half-written partition and merge against the PREVIOUS snapshot
+    (excluded-current-epoch read) — a poisoned in-flight partition
+    must not double-count matches or corrupt residuals."""
+    from datetime import datetime
+
+    from unstract_spark.operators.timeseries import event_pattern_match
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        streaming_pattern_pipeline,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    sch = "user_id long, ts timestamp, event_id long, event_type string"
+    cm = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    pat = "v[^e]*?c[^e]*?p"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    fire1 = [(1, t(0), 1, "view"), (1, t(1), 2, "click")]
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt, store, pat, cm
+    ) == 1
+
+    # crashed epoch-1 attempt: poisoned counters that a blind append
+    # or an unexcluded read would fold in
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame(
+        [(1, 999, 999, 999, "zzz", "zzz")],
+        "user_id long, n_matches long, total_match_len long,"
+        " seq_len long, first_match string, tail string",
+    ).write.parquet(f"{store}/batch_id=1")
+
+    fire2 = [(1, t(2), 3, "purchase")]
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_pattern_pipeline(
+        spark, src, ckpt, store, pat, cm
+    ) == 1
+
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        r.user_id: (r.seq_len, r.n_matches, r.total_match_len)
+        for r in event_pattern_match(union, pat, cm).collect()
+    }
+    got = {
+        r.user_id: (r.seq_len, r.n_matches, r.total_match_len)
+        for r in spark.read.parquet(f"{store}/batch_id=1").collect()
+    }
+    assert got == expect == {1: (3, 1, 3)}

@@ -1209,6 +1209,197 @@ def streaming_kmv_pipeline(
     return fires
 
 
+def streaming_pattern_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    pattern: str,
+    code_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    schema: str = (
+        "user_id long, ts timestamp, event_id long, event_type string"
+    ),
+    max_tail: int | None = None,
+) -> int:
+    """Incremental CEP: maintain per-user non-overlapping pattern-match
+    counts ACROSS FIRES — the streaming twin of
+    timeseries.event_pattern_match. State per user is four counters
+    plus the RESIDUAL suffix of the coded sequence after its last
+    completed match; each fire appends the new events' codes to the
+    residual, rescans with the same regex, and keeps the new residual.
+
+    Why chunked scanning equals the batch scan of the union (the
+    equality the twin test pins): the residual never contains a
+    complete match (the previous scan ran to end-of-string), and for
+    the future-blind pattern class this engine supports — literals,
+    character classes, and quantifiers; no anchors, backreferences, or
+    lookaround — a scan position that fails can only fail on CONTENT
+    (an excluded character blocks the path), never on truncation that
+    later text could repair past an already-counted match. So matches
+    of (residual + new) are exactly the batch matches not yet counted.
+    `pattern` must also never match the empty string.
+
+    Events must arrive in per-user (ts, id) order across fires (within
+    a fire they are sorted; late cross-fire arrivals belong upstream
+    in a watermark/ordering stage — the standing sessionizer caveat).
+
+    State bound: counters are O(users); the residual is bounded by the
+    gap between matches. For patterns whose matches an adversarial
+    no-match stream can starve, `max_tail` truncates each residual to
+    its last N codes — exact as long as no true match spans more than
+    N events, the same windowed-relaxation every bounded-state CEP
+    engine offers.
+
+    Exactly-once: the sibling-pipelines discipline — state snapshots
+    land in batch_id=N partitions with overwrite, the read excludes
+    the current epoch, the run base is pinned, superseded snapshots
+    are pruned keeping the latest prior. Returns fired batch count.
+    """
+    if "'" in pattern:
+        raise ValueError("pattern must not contain single quotes")
+    fires = 0
+    run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        code = None
+        for etype, ch in code_map.items():
+            br = F.when(F.col(type_col) == etype, F.lit(ch))
+            code = br if code is None else code.when(
+                F.col(type_col) == etype, F.lit(ch)
+            )
+        code = (code.otherwise(F.lit("x")) if code is not None
+                else F.lit("x")).alias("_c")
+        ns = (
+            batch.select(
+                F.col(user_col).alias("_u"),
+                F.col(ts_col).alias("_ts"),
+                F.col(id_col).alias("_id"),
+                code,
+            )
+            .groupBy("_u")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_ts", "_id", "_c"))
+                        ),
+                        lambda x: x["_c"],
+                    ),
+                    "",
+                ).alias("_new")
+            )
+        )
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                user_col, "n_matches", "total_match_len", "seq_len",
+                "first_match", "tail",
+            )
+        else:
+            old = spark.createDataFrame(
+                [],
+                f"{user_col} long, n_matches long, total_match_len long,"
+                " seq_len long, first_match string, tail string",
+            )
+        j = ns.join(
+            old, ns["_u"] == old[user_col], "full_outer"
+        ).withColumn(
+            "_combined",
+            F.concat(
+                F.coalesce(F.col("tail"), F.lit("")),
+                F.coalesce(F.col("_new"), F.lit("")),
+            ),
+        ).withColumn(
+            "_found",
+            F.expr(f"regexp_extract_all(_combined, '{pattern}', 0)"),
+        )
+        state = j.select(
+            F.coalesce(F.col("_u"), F.col(user_col)).alias(user_col),
+            (
+                F.coalesce(F.col("n_matches"), F.lit(0))
+                + F.size("_found")
+            ).cast("long").alias("n_matches"),
+            (
+                F.coalesce(F.col("total_match_len"), F.lit(0))
+                + F.coalesce(
+                    F.aggregate(
+                        F.transform(F.col("_found"), F.length),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long").alias("total_match_len"),
+            (
+                F.coalesce(F.col("seq_len"), F.lit(0))
+                + F.length(F.coalesce(F.col("_new"), F.lit("")))
+            ).cast("long").alias("seq_len"),
+            F.when(
+                F.coalesce(F.col("first_match"), F.lit("")) != "",
+                F.col("first_match"),
+            )
+            .when(
+                F.size("_found") > 0, F.element_at(F.col("_found"), 1)
+            )
+            .otherwise(F.lit(""))
+            .alias("first_match"),
+            F.element_at(
+                F.split(F.col("_combined"), pattern, -1), -1
+            ).alias("tail"),
+        )
+        if max_tail is not None:
+            state = state.withColumn(
+                "tail", F.expr(f"right(tail, {int(max_tail)})")
+            )
+        state = state.localCheckpoint(eager=True)
+        state.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={bid}"
+        )
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_quantile_pipeline(
     spark: SparkSession,
     source_dir: str,
