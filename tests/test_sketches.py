@@ -370,3 +370,58 @@ def test_sample_quantiles_by_group_exact_branch(spark):
     # b holds all 5 rows: quantiles are exact percentile(1000..1004)
     assert b.n_sample == 5
     assert (b.p25, b.p50, b.p75) == (1001.0, 1002.0, 1003.0)
+
+
+def test_join_plan_strategies_flip_with_stats(spark, tmp_path):
+    """The chooser's three regimes, driven only by persisted stats:
+    small side -> broadcast (smaller side preferred), both big and
+    skewed -> hot-key split, both big and flat -> shuffle. apply_join
+    must return the same row multiset as a plain join in every
+    regime, and the physical plan must reflect the choice."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    store = TableStatsStore(spark, str(tmp_path / "stats"))
+    big_flat = spark.range(2000).selectExpr("id % 500 AS k", "id AS v")
+    # 40% of rows share key 7 -> share_ppm = 400000
+    big_skew = spark.range(2000).selectExpr(
+        "CASE WHEN id < 800 THEN 7 ELSE id END AS k", "id AS w"
+    )
+    small = spark.range(50).selectExpr("id AS k", "id * 10 AS s")
+    store.analyze(big_flat, "big_flat", ["k"], k=64)
+    store.analyze(big_skew, "big_skew", ["k"], k=64)
+    store.analyze(small, "small", ["k"], k=64)
+
+    assert store.top_share_ppm("big_skew", "k") == 400_000
+    assert store.top_share_ppm("big_flat", "k") == 2_000
+
+    # regime 1: one side under the threshold -> broadcast it
+    p1 = store.join_plan(
+        "big_flat", "k", "small", "k", broadcast_threshold_bytes=1000
+    )
+    assert p1["strategy"] == "broadcast_b"
+    j1 = store.apply_join(big_flat, small, "k", "k", p1)
+    assert "BroadcastHashJoin" in j1._jdf.queryExecution().executedPlan().toString()
+    assert j1.count() == big_flat.join(small, "k").count()
+
+    # regime 2: both over threshold, one skewed -> hot-key split
+    p2 = store.join_plan(
+        "big_flat", "k", "big_skew", "k", broadcast_threshold_bytes=10
+    )
+    assert p2["strategy"] == "shuffle_salted"
+    assert p2["salt_advice"] == 13  # ceil(0.4 * 32) partition-equivalents
+    j2 = store.apply_join(
+        big_flat, big_skew, "k", "k", p2,
+        table_a="big_flat", col_a="k", table_b="big_skew", col_b="k",
+    )
+    expect2 = big_flat.join(big_skew, big_flat["k"] == big_skew["k"])
+    assert j2.count() == expect2.count()
+    # hot key 7's 800 rows meet in a broadcast join, not the shuffle
+    assert "BroadcastHashJoin" in j2._jdf.queryExecution().executedPlan().toString()
+    got_hot = j2.filter(big_flat["k"] == 7).count()
+    assert got_hot == expect2.filter(big_flat["k"] == 7).count() > 0
+
+    # regime 3: both over threshold, flat -> plain shuffle join
+    p3 = store.join_plan(
+        "big_flat", "k", "big_flat", "k", broadcast_threshold_bytes=10
+    )
+    assert p3["strategy"] == "shuffle"

@@ -58,15 +58,37 @@ class TableStatsStore:
         )
 
     def analyze(
-        self, df: DataFrame, table: str, columns: list[str], k: int = 256
+        self,
+        df: DataFrame,
+        table: str,
+        columns: list[str],
+        k: int = 256,
+        heavy_n: int = 8,
     ) -> None:
-        """Compute and persist stats for `columns` (one scan each)."""
+        """Compute and persist stats for `columns` (one scan each).
+
+        Alongside the sketch and meta row, the top `heavy_n` keys by
+        exact count (ties by key string — deterministic) land under
+        heavy/: the skew side of planning. A key's count over the
+        total is the 'will this shuffle partition melt?' number, and
+        it must come from statistics, not from running the query the
+        plan is for."""
         for c in columns:
             col = F.col(c)
             sk = sketches.kmv_sketch(
                 df.select(col.cast("string").alias("_s")), "_s", k
             )
             sk.write.mode("overwrite").parquet(self._dir("sketch", table, c))
+            heavy = (
+                df.filter(col.isNotNull())
+                .groupBy(col.cast("string").alias("key"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("key").asc())
+                .limit(heavy_n)
+            )
+            heavy.coalesce(1).write.mode("overwrite").parquet(
+                self._dir("heavy", table, c)
+            )
             sk_back = self.spark.read.parquet(self._dir("sketch", table, c))
             meta = df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -183,3 +205,157 @@ class TableStatsStore:
         if m.avg_len is None:
             return True
         return float(m.n_rows) * float(m.avg_len) <= threshold_bytes
+
+    def heavy_keys(self, table: str, column: str) -> list:
+        """The persisted top keys, (key, cnt) by cnt desc / key asc."""
+        rows = self.spark.read.parquet(
+            self._dir("heavy", table, column)
+        ).collect()
+        return sorted(rows, key=lambda r: (-r.cnt, r.key))
+
+    def top_share_ppm(self, table: str, column: str) -> int:
+        """Exact parts-per-million share of the hottest key — integer
+        arithmetic end to end (cnt·1e6 // n_nonnull), so the number a
+        plan decision hinges on is bit-stable across engines."""
+        hk = self.heavy_keys(table, column)
+        if not hk:
+            return 0
+        m = self._meta(table, column)
+        if m.n_nonnull == 0:
+            return 0
+        return int(hk[0].cnt) * 1_000_000 // int(m.n_nonnull)
+
+    def join_plan(
+        self,
+        table_a: str,
+        col_a: str,
+        table_b: str,
+        col_b: str,
+        broadcast_threshold_bytes: int = 64 << 20,
+        skew_threshold_ppm: int = 100_000,
+        parallelism: int = 32,
+    ) -> dict:
+        """The automatic broadcast-vs-shuffle-vs-salt decision, priced
+        ENTIRELY from persisted statistics (no data scan):
+
+        - if either side's size lower bound (n_rows · avg rendered key
+          length) fits the broadcast threshold, broadcast the SMALLER
+          side (ties to a) — a broadcast join has no shuffle, so skew
+          is moot;
+        - else if either side's hottest key exceeds
+          `skew_threshold_ppm`, plan a hot-key split join
+          ('shuffle_salted'): the stored heavy keys route their rows
+          around the hash shuffle (apply_join);
+        - else a plain shuffle join.
+
+        salt_advice prices how many partition-equivalents the hottest
+        key occupies at `parallelism`-way hashing — integer ceil
+        (share_ppm·P + 999999) // 1e6, clamped to [2, P] — the split
+        factor a salting implementation would need. Reported for every
+        plan so the arithmetic is auditable even when not salting.
+        """
+        ma, mb = self._meta(table_a, col_a), self._meta(table_b, col_b)
+        bytes_a = (
+            0.0 if ma.avg_len is None
+            else float(ma.n_rows) * float(ma.avg_len)
+        )
+        bytes_b = (
+            0.0 if mb.avg_len is None
+            else float(mb.n_rows) * float(mb.avg_len)
+        )
+        share_a = self.top_share_ppm(table_a, col_a)
+        share_b = self.top_share_ppm(table_b, col_b)
+        max_share = max(share_a, share_b)
+        if min(bytes_a, bytes_b) <= broadcast_threshold_bytes:
+            strategy = (
+                "broadcast_a" if bytes_a <= bytes_b else "broadcast_b"
+            )
+        elif max_share >= skew_threshold_ppm:
+            strategy = "shuffle_salted"
+        else:
+            strategy = "shuffle"
+        salt = (max_share * parallelism + 999_999) // 1_000_000
+        salt = max(2, min(parallelism, salt))
+        return {
+            "strategy": strategy,
+            "bytes_a": bytes_a,
+            "bytes_b": bytes_b,
+            "share_ppm_a": share_a,
+            "share_ppm_b": share_b,
+            "salt_advice": int(salt),
+            "est_rows": self.join_estimate_refined(
+                table_a, col_a, table_b, col_b
+            ),
+        }
+
+    def apply_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        left_on: str,
+        right_on: str,
+        plan: dict,
+        table_a: str | None = None,
+        col_a: str | None = None,
+        table_b: str | None = None,
+        col_b: str | None = None,
+        skew_threshold_ppm: int = 100_000,
+    ) -> DataFrame:
+        """Execute an inner equi-join the way `plan` priced it.
+
+        broadcast_a/b hint the planned side. shuffle_salted splits on
+        the STORED heavy keys (share >= threshold): hot rows of both
+        sides meet in a broadcast join keyed only by the handful of
+        hot keys — they never ride the hash shuffle — while the cold
+        remainder takes the normal shuffle join; the union is the same
+        row multiset as the plain join (the skew-fuse shape the dedup
+        family uses, driven from persisted statistics instead of a
+        per-query probe)."""
+        strategy = plan["strategy"]
+        if strategy == "broadcast_a":
+            return F.broadcast(left).join(
+                right, left[left_on] == right[right_on]
+            )
+        if strategy == "broadcast_b":
+            return left.join(
+                F.broadcast(right), left[left_on] == right[right_on]
+            )
+        if strategy == "shuffle_salted":
+            if None in (table_a, col_a, table_b, col_b):
+                raise ValueError(
+                    "shuffle_salted needs the analyzed (table, column)"
+                    " pairs to read the stored heavy keys"
+                )
+            hot: set[str] = set()
+            for t, c in ((table_a, col_a), (table_b, col_b)):
+                m = self._meta(t, c)
+                for r in self.heavy_keys(t, c):
+                    if (
+                        m.n_nonnull > 0
+                        and int(r.cnt) * 1_000_000 // int(m.n_nonnull)
+                        >= skew_threshold_ppm
+                    ):
+                        hot.add(r.key)
+            hot_list = sorted(hot)
+            lk = left[left_on].cast("string")
+            rk = right[right_on].cast("string")
+            l_cold = left.filter(~lk.isin(hot_list))
+            r_cold = right.filter(~rk.isin(hot_list))
+            l_hot = left.filter(lk.isin(hot_list))
+            r_hot = right.filter(rk.isin(hot_list))
+            # broadcast the LESS-skewed side's hot rows (fewer of them)
+            if plan["share_ppm_a"] >= plan["share_ppm_b"]:
+                hot_join = l_hot.join(
+                    F.broadcast(r_hot), l_hot[left_on] == r_hot[right_on]
+                )
+            else:
+                hot_join = F.broadcast(l_hot).join(
+                    r_hot, l_hot[left_on] == r_hot[right_on]
+                )
+            cold_join = l_cold.join(
+                r_cold, l_cold[left_on] == r_cold[right_on]
+            )
+            # positional union: both branches are (left cols ++ right
+            # cols); unionByName would trip on the duplicate key name
+            return cold_join.union(hot_join)
+        return left.join(right, left[left_on] == right[right_on])

@@ -195,6 +195,10 @@ _CHANGED_THIS_ROUND = [
     # the stats store) — re-gate the second consumer too
     # (sk_kmv_overlap is already listed above).
     "sk_kmv_difference",
+    # r11 second half: TableStatsStore.analyze() now also persists
+    # heavy-hitter keys (the join_plan chooser's skew input) — output
+    # identical, but the gated analyze path runs one more job.
+    "sk_stats_store",
 ]
 
 
@@ -12022,6 +12026,101 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders long, n_customer long, ndv_orders_ck double, "
         "ndv_customer_ck double, est_join_containment double, "
         "est_join_refined double",
+    )
+
+
+_SK_JOIN_PLAN_SQL = """
+WITH ma AS (SELECT count(*) AS n_rows, count(o_custkey) AS n_nonnull,
+                   CAST(sum(CAST(length(CAST(o_custkey AS VARCHAR))
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(o_custkey) AS avg_len
+            FROM orders),
+mb AS (SELECT count(*) AS n_rows, count(c_custkey) AS n_nonnull,
+              CAST(sum(CAST(length(CAST(c_custkey AS VARCHAR))
+                            AS DECIMAL(18,6))) AS DOUBLE)
+                / count(c_custkey) AS avg_len
+       FROM customer),
+ha AS (SELECT count(*) AS cnt FROM orders WHERE o_custkey IS NOT NULL
+       GROUP BY o_custkey
+       ORDER BY cnt DESC, CAST(o_custkey AS VARCHAR) ASC LIMIT 1),
+hb AS (SELECT count(*) AS cnt FROM customer WHERE c_custkey IS NOT NULL
+       GROUP BY c_custkey
+       ORDER BY cnt DESC, CAST(c_custkey AS VARCHAR) ASC LIMIT 1),
+calc AS (SELECT
+    ma.n_nonnull AS n_a, mb.n_nonnull AS n_b,
+    CAST(ma.n_rows AS DOUBLE) * ma.avg_len AS bytes_a,
+    CAST(mb.n_rows AS DOUBLE) * mb.avg_len AS bytes_b,
+    (SELECT cnt FROM ha) * 1000000 // ma.n_nonnull AS share_ppm_a,
+    (SELECT cnt FROM hb) * 1000000 // mb.n_nonnull AS share_ppm_b
+  FROM ma, mb)
+SELECT n_a, n_b, bytes_a, bytes_b, share_ppm_a, share_ppm_b,
+       CASE WHEN least(bytes_a, bytes_b) <= 1048576.0 THEN
+              CASE WHEN bytes_a <= bytes_b
+                   THEN 'broadcast_a' ELSE 'broadcast_b' END
+            WHEN greatest(share_ppm_a, share_ppm_b) >= 100000
+              THEN 'shuffle_salted'
+            ELSE 'shuffle' END AS strategy,
+       CAST(greatest(2, least(32,
+            (greatest(share_ppm_a, share_ppm_b) * 32 + 999999)
+              // 1000000)) AS INT) AS salt_advice,
+       (SELECT count(*) FROM orders JOIN customer
+         ON o_custkey = c_custkey) AS join_rows
+FROM calc
+"""
+
+
+@register("sk_join_plan", _SK_JOIN_PLAN_SQL)
+def sk_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automatic plan chooser end to end UNDER THE HASH GATE
+    (stats_store.join_plan / apply_join): analyze orders.o_custkey
+    and customer.c_custkey into a fresh on-disk store (counts,
+    rendered-length sums, exact top-key counts), price the join from
+    the PERSISTED statistics — size lower bounds, integer-exact
+    hottest-key ppm shares, the broadcast/salt/shuffle decision and
+    its salt factor — then EXECUTE the join the way the plan says
+    (broadcast_b here: customer is the smaller side under the 1 MiB
+    knob) and emit the decision inputs, the decision, and the
+    executed row count as one row. The oracle re-derives every number
+    from the raw tables in pure SQL, so the whole
+    analyze → persist → price → choose → execute path is
+    value-hash-gated."""
+    import shutil
+    import tempfile
+
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    d = tempfile.mkdtemp(prefix="sk_join_plan_")
+    try:
+        store = TableStatsStore(spark, d)
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        store.analyze(o, "orders", ["o_custkey"], k=128)
+        store.analyze(c, "customer", ["c_custkey"], k=128)
+        plan = store.join_plan(
+            "orders", "o_custkey", "customer", "c_custkey",
+            broadcast_threshold_bytes=1 << 20,
+        )
+        joined = store.apply_join(
+            o, c, "o_custkey", "c_custkey", plan,
+            table_a="orders", col_a="o_custkey",
+            table_b="customer", col_b="c_custkey",
+        )
+        n_join = joined.count()
+        ma = store._meta("orders", "o_custkey")
+        mc = store._meta("customer", "c_custkey")
+        row = (
+            int(ma.n_nonnull), int(mc.n_nonnull),
+            plan["bytes_a"], plan["bytes_b"],
+            plan["share_ppm_a"], plan["share_ppm_b"],
+            plan["strategy"], plan["salt_advice"], int(n_join),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_a long, n_b long, bytes_a double, bytes_b double, "
+        "share_ppm_a long, share_ppm_b long, strategy string, "
+        "salt_advice int, join_rows long",
     )
 
 
