@@ -437,3 +437,31 @@ def test_key_skew_report_integer_math_and_tiebreak(spark):
         ("b", 2, 200000, 600),  # tie with c broken by key order
     ]
     assert all(r.n_keys == 3 and r.total_rows == 10 for r in got)
+
+
+def test_merge_intervals_islands(spark):
+    """Touching intervals merge; a gap of 1 splits; chained overlap
+    (a-b overlap, b-c overlap, a-c don't) folds into ONE island —
+    the transitive-closure property the running max provides."""
+    from unstract_spark.operators.joins import merge_intervals
+
+    rows = [
+        # key 1: [0,10] [10,20] touch -> one island; [25,30] separate
+        (1, 1, 0, 10), (1, 2, 10, 20), (1, 3, 25, 30),
+        # key 2: chained [0,10] [8,18] [16,26] -> one island 0..26
+        (2, 4, 0, 10), (2, 5, 8, 18), (2, 6, 16, 26),
+        # key 2: contained interval [30,50] swallows [35,40]
+        (2, 7, 30, 50), (2, 8, 35, 40), (2, 9, 49, 60),
+    ]
+    df = spark.createDataFrame(rows, "k int, id int, s long, e long")
+    got = {
+        (r.k, r.island): (r.island_start, r.island_end,
+                          r.n_intervals, r.covered)
+        for r in merge_intervals(df, "k", "s", "e", "id").collect()
+    }
+    assert got == {
+        (1, 1): (0, 20, 2, 20),
+        (1, 2): (25, 30, 1, 5),
+        (2, 1): (0, 26, 3, 26),
+        (2, 2): (30, 60, 3, 30),
+    }

@@ -620,3 +620,57 @@ def key_skew_report(
         "n_keys",
         "total_rows",
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching intervals per
+    key into maximal islands (the classic coverage primitive — uptime
+    windows, session coalescing, byte-range compaction planning).
+
+    An interval starts a NEW island iff its start exceeds the running
+    maximum of all previous ends (window, rows to -1); the island id
+    is the running sum of those flags; one aggregate then folds each
+    island. Overlap alone is not transitive — the running-max
+    formulation is what makes the island relation's transitive
+    closure come out of ONE window pass instead of an iterative join.
+
+    Inputs must be integer-domain (epoch micros, byte offsets):
+    min/max/sums stay exact, so the output hash-gates. Touching
+    intervals (start == previous end) merge.
+
+    Scale shape: one shuffle by key; the window and the final
+    aggregate both reuse that partitioning. Per-key interval count is
+    unbounded — no per-key collect anywhere.
+
+    Output: (key, island BIGINT 1-based, island_start, island_end,
+    n_intervals, covered) with covered = island_end - island_start.
+    """
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pmax = F.max(end_col).over(w_prev)
+    flag = F.when(
+        pmax.isNull() | (F.col(start_col) > pmax), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_island = df.withColumn("_flag", flag).withColumn(
+        "island", F.sum("_flag").over(w_run).cast("long")
+    )
+    return with_island.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.max(end_col) - F.min(start_col)).alias("covered"),
+    )

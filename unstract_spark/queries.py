@@ -12029,6 +12029,63 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j14_interval_merge",
+    """
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + 600000000 AS e
+               FROM events),
+    m AS (SELECT *, max(e) OVER (PARTITION BY user_id
+                                 ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pmax
+          FROM b),
+    i AS (SELECT *, CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                        AS island
+          FROM m)
+    SELECT user_id, island, min(s) AS island_start_us,
+           max(e) AS island_end_us, count(*) AS n_intervals,
+           max(e) - min(s) AS covered_us
+    FROM i GROUP BY user_id, island
+    """,
+)
+def j14_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coverage (joins.merge_intervals): every event
+    opens a 10-minute activity interval; overlapping-or-touching
+    intervals per user merge into maximal islands — the uptime/
+    session-coalescing primitive. Start/end run in exact epoch
+    micros, the island id is the running sum of new-island flags over
+    the running max of previous ends (one partitioned window pass —
+    no iterative closure), so island bounds, counts, and covered
+    spans all hash-gate."""
+    from unstract_spark.operators.joins import merge_intervals
+
+    e0 = _t(spark, sf_dir, "events")
+    if dict(e0.dtypes)["ts"] == "timestamp_ntz":
+        u = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        u = F.unix_micros(F.col("ts"))
+    iv = e0.select(
+        "user_id", "event_id", u.alias("s"),
+        (u + F.lit(600_000_000)).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e", "event_id").select(
+        "user_id",
+        "island",
+        F.col("island_start").alias("island_start_us"),
+        F.col("island_end").alias("island_end_us"),
+        F.col("n_intervals"),
+        F.col("covered").alias("covered_us"),
+    )
+
+
 _SK_JOIN_PLAN_SQL = """
 WITH ma AS (SELECT count(*) AS n_rows, count(o_custkey) AS n_nonnull,
                    CAST(sum(CAST(length(CAST(o_custkey AS VARCHAR))
