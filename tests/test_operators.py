@@ -957,3 +957,48 @@ def test_event_pattern_rows_positions_and_measures(spark):
     m21 = out[(2, 1)]
     assert (m21.start_pos, m21.n_events, m21.codes) == (3, 3, "vcp")
     assert m21.value_cents == 250 + 250 + 500
+
+
+def test_expectation_report_counts_violations(spark):
+    from unstract_spark.operators.profile import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 5.0), (1, 2, -1.0),        # one negative amount
+            (2, 1, 3.0), (2, 1, 4.0),          # duplicate (k, line)
+            (None, 1, 2.0),                    # null key
+            (9, 1, 1.0),                       # dangling reference
+        ],
+        "k long, line int, amount double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    got = {
+        r.check_name: (r.n_checked, r.n_violations, r.status)
+        for r in expectation_report(
+            df,
+            [
+                ("complete_k", F.col("k").isNull()),
+                ("non_negative_amount", F.col("amount") < 0),
+            ],
+            unique_cols=["k", "line"],
+            reference=(ref, "k", "rk"),
+        ).collect()
+    }
+    assert got == {
+        "complete_k": (6, 1, "fail"),
+        "non_negative_amount": (6, 1, "fail"),
+        "uniqueness_k_line": (6, 1, "fail"),
+        # anti-join: the null key AND key 9 don't match ref
+        "referential_k": (6, 2, "fail"),
+    }
+
+    clean = spark.createDataFrame([(1, 1, 5.0)], "k long, line int, amount double")
+    st = {
+        r.check_name: r.status
+        for r in expectation_report(
+            clean,
+            [("non_negative_amount", F.col("amount") < 0)],
+            unique_cols=["k", "line"],
+        ).collect()
+    }
+    assert st == {"non_negative_amount": "pass", "uniqueness_k_line": "pass"}

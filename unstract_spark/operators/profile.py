@@ -85,3 +85,90 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "max_str",
         avg_len.alias("avg_len"),
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    checks: list[tuple],
+    unique_cols: list[str] | None = None,
+    reference: tuple | None = None,
+) -> DataFrame:
+    """Declarative DATA-QUALITY EXPECTATIONS in one scan (the
+    constraint-suite shape popularized by Deequ / Great Expectations):
+    `checks` is a list of (name, violation_condition Column); every
+    condition folds into ONE wide aggregate of CASE sums — fixed-width
+    buffers, so the whole suite is a single map-side-combining pass
+    over the table however many constraints it carries.
+
+    `unique_cols` adds a uniqueness expectation priced inside the SAME
+    aggregate as count(*) - count(DISTINCT cols) (duplicate-row
+    count). `reference` = (ref_df, left_key, right_key) adds a
+    referential-integrity expectation via a left-anti join (the only
+    check that genuinely needs a second input).
+
+    Output: (check_name, n_checked, n_violations, status) — one row
+    per expectation; status is 'pass'/'fail'. All counters exact
+    BIGINTs, so the report hash-gates.
+
+    A violation condition that evaluates NULL counts as NOT violated
+    (CASE semantics, identical across engines) — write null-aware
+    conditions when nulls should fail a check."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names = []
+    for name, cond in checks:
+        names.append(name)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"_v{len(names) - 1}"
+            )
+        )
+    if unique_cols:
+        names.append("uniqueness_" + "_".join(unique_cols))
+        # rows with a NULL in any key column are excluded from BOTH
+        # counts (a null key can't collide; Spark's multi-column
+        # count_distinct drops null-bearing tuples, DuckDB's row-value
+        # distinct does NOT — restricting both sides to fully-non-null
+        # rows pins one semantics across engines)
+        nonnull = None
+        for c in unique_cols:
+            cnn = F.col(c).isNotNull()
+            nonnull = cnn if nonnull is None else (nonnull & cnn)
+        aggs.append(
+            (
+                F.sum(F.when(nonnull, 1).otherwise(0))
+                - F.count_distinct(*[F.col(c) for c in unique_cols])
+            ).cast("long").alias(f"_v{len(names) - 1}")
+        )
+    wide = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{n}', _v{i}" for i, n in enumerate(names)
+    )
+    out = wide.selectExpr(
+        f"stack({len(names)}, {pairs}) AS (check_name, n_violations)",
+        "_n AS n_checked",
+    )
+    if reference is not None:
+        ref_df, lk, rk = reference
+        missing = (
+            df.join(ref_df, df[lk] == ref_df[rk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .crossJoin(
+                F.broadcast(
+                    df.agg(F.count(F.lit(1)).alias("n_checked"))
+                )
+            )
+            .select(
+                F.lit(f"referential_{lk}").alias("check_name"),
+                "n_violations",
+                "n_checked",
+            )
+        )
+        out = out.unionByName(missing)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )

@@ -12030,6 +12030,83 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_expectations",
+    """
+    WITH t AS (SELECT count(*) AS n,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS v0,
+        CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v1,
+        CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.5
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        CAST(sum(CASE WHEN NOT l_returnflag IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                       AND l_linenumber IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT)
+          - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                 AND l_linenumber IS NOT NULL
+                                THEN (l_orderkey, l_linenumber) END)
+          AS v5
+      FROM lineitem),
+    r AS (SELECT count(*) AS v6 FROM lineitem l
+          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL)
+    SELECT check_name, n AS n_checked, v AS n_violations,
+           CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM (
+      SELECT 'completeness_l_orderkey' AS check_name, n, v0 AS v FROM t
+      UNION ALL SELECT 'non_negative_l_quantity', n, v1 FROM t
+      UNION ALL SELECT 'range_l_discount_0_1', n, v2 FROM t
+      UNION ALL SELECT 'range_l_tax_0_05', n, v3 FROM t
+      UNION ALL SELECT 'domain_l_returnflag', n, v4 FROM t
+      UNION ALL SELECT 'uniqueness_l_orderkey_l_linenumber', n, v5
+        FROM t
+      UNION ALL SELECT 'referential_l_orderkey', t.n, r.v6 FROM t, r
+    )
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite
+    (profile.expectation_report — the Deequ/Great-Expectations
+    shape): seven expectations over lineitem — completeness, three
+    numeric range checks, a domain check, key
+    uniqueness, and referential integrity against orders. Five CASE
+    sums plus the distinct-count ride ONE wide hash aggregate (one
+    table scan for the whole suite); only the referential check pays
+    a join (left-anti). Every counter is an exact BIGINT, so the full
+    report — including pass/fail statuses — hash-gates."""
+    from unstract_spark.operators.profile import expectation_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        ("completeness_l_orderkey", F.col("l_orderkey").isNull()),
+        ("non_negative_l_quantity", F.col("l_quantity") < 0),
+        (
+            "range_l_discount_0_1",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        (
+            "range_l_tax_0_05",
+            (F.col("l_tax") < 0) | (F.col("l_tax") > 0.5),
+        ),
+        (
+            "domain_l_returnflag",
+            ~F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+    ]
+    return expectation_report(
+        li,
+        checks,
+        unique_cols=["l_orderkey", "l_linenumber"],
+        reference=(o, "l_orderkey", "o_orderkey"),
+    )
+
+
+@register(
     "j14_interval_merge",
     """
     WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS s,
