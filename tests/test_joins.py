@@ -465,3 +465,22 @@ def test_merge_intervals_islands(spark):
         (2, 1): (0, 26, 3, 26),
         (2, 2): (30, 60, 3, 30),
     }
+
+
+def test_triangle_count_degree_ordered(spark):
+    """Two triangles sharing an edge count every vertex once per
+    triangle; a star has none; a hub's triangle is found even though
+    the hub itself generates no wedges (orientation points INTO it)."""
+    from unstract_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (2, 3), (1, 3), (3, 4), (2, 4),   # two triangles
+        (10, 11), (10, 12), (10, 13),              # star: none
+        (20, 21), (20, 22), (20, 23), (20, 24), (20, 25), (20, 26),
+        (21, 22),                                  # hub triangle
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.n_triangles for r in triangle_count(df).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 20: 1, 21: 1, 22: 1}

@@ -674,3 +674,77 @@ def merge_intervals(
         F.count(F.lit(1)).alias("n_intervals"),
         (F.max(end_col) - F.min(start_col)).alias("covered"),
     )
+
+
+def basket_pair_stats(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket pair co-occurrence with support / confidence /
+    lift — the association-rule primitive (Agrawal & Srikant's Apriori
+    at the pair level, the only level a first-pass recommender needs).
+
+    Plan: distinct (basket, item) once (one shuffle), then a
+    SELF-equi-join on basket with item_a < item_b — the pair space is
+    bounded by the per-basket item count (quadratic in basket SIZE,
+    never in basket count), the same per-entity contract as the
+    sessionizers. Per-item counts and the basket total join back onto
+    the pair aggregate; the scalar total rides a broadcast.
+
+    All counters exact BIGINTs; confidence and lift are each ONE IEEE
+    division of integer products (cross-engine bit-stable):
+    lift > 1 means the pair co-occurs more than independence predicts.
+
+    Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+    support_ppm, conf_a_b, lift).
+    """
+    b = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    item_cnt = b.groupBy(F.col("_i").alias("_item")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    total = b.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    left = b.select(F.col("_b"), F.col("_i").alias("item_a"))
+    right = b.select(F.col("_b").alias("_b2"), F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(
+            right,
+            (left["_b"] == right["_b2"])
+            & (left["item_a"] < right["item_b"]),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_count)
+    )
+    ca = item_cnt.select(
+        F.col("_item").alias("item_a"), F.col("_cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("_item").alias("item_b"), F.col("_cnt").alias("cnt_b")
+    )
+    out = (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_cnt",
+        "cnt_a",
+        "cnt_b",
+        "n_baskets",
+        F.expr("pair_cnt * 1000000 div n_baskets").alias("support_ppm"),
+        (F.col("pair_cnt").cast("double") / F.col("cnt_a")).alias(
+            "conf_a_b"
+        ),
+        (
+            (F.col("pair_cnt") * F.col("n_baskets")).cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+        ).alias("lift"),
+    )

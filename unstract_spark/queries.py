@@ -12030,6 +12030,95 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangle_counts",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    raw AS (SELECT a.it AS src, c.it AS dst
+            FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    tr AS (SELECT e1.src AS a, e1.dst AS bb, e2.dst AS c
+           FROM raw e1 JOIN raw e2
+             ON e1.src = e2.src AND e1.dst < e2.dst
+           JOIN raw e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT a AS node FROM tr
+          UNION ALL SELECT bb FROM tr
+          UNION ALL SELECT c FROM tr)
+    GROUP BY node
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (graph.triangle_count) over
+    the part co-purchase graph (parts co-ordered >= 2 times). The
+    Spark side runs the DEGREE-ORDERED orientation algorithm — wedges
+    enumerate only at each triangle's (degree, id)-lowest vertex, so
+    hub out-degrees are O(sqrt(m)) whatever the skew — while the
+    oracle counts the same triangles with the naive id-ordered
+    3-way self-join DuckDB affords at oracle scale: the hash gate
+    certifies the orientation algorithm against an independent
+    spelling, not a mirror of itself."""
+    from unstract_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    left = b.select("bk", F.col("it").alias("src"))
+    right = b.select(F.col("bk").alias("bk2"), F.col("it").alias("dst"))
+    edges = (
+        left.join(
+            right,
+            (left["bk"] == right["bk2"]) & (left["src"] < right["dst"]),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "mb_copurchase_lift",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY it),
+    tot AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    p AS (SELECT a.it AS item_a, c.it AS item_b, count(*) AS pair_cnt
+          FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+          GROUP BY a.it, c.it HAVING count(*) >= 2)
+    SELECT item_a, item_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+           tot.n_baskets,
+           pair_cnt * 1000000 // tot.n_baskets AS support_ppm,
+           CAST(pair_cnt AS DOUBLE) / ca.cnt AS conf_a_b,
+           CAST(pair_cnt * tot.n_baskets AS DOUBLE)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+    FROM p JOIN ic ca ON ca.it = item_a
+           JOIN ic cb ON cb.it = item_b, tot
+    ORDER BY round(lift, 6) DESC, item_a, item_b LIMIT 100
+    """,
+)
+def mb_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (joins.basket_pair_stats):
+    co-purchased part pairs within orders with exact support counts
+    and single-IEEE-division confidence/lift, ranked by rounded lift
+    with an id tie-break (the ranked-gate convention). The pair space
+    is quadratic in BASKET SIZE only — the per-entity bound — never
+    in basket count."""
+    from unstract_spark.operators.joins import basket_pair_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = basket_pair_stats(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+    return out.orderBy(
+        F.round("lift", 6).desc(), "item_a", "item_b"
+    ).limit(100)
+
+
+@register(
     "dq_expectations",
     """
     WITH t AS (SELECT count(*) AS n,
