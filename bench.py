@@ -201,6 +201,23 @@ BENCH_QUERIES = [
     # and events_hotspot_windows respectively.
     "sk_join_size",
     "agg_column_profile",
+    # round-11 late additions: the CEP per-match explode (ObjectHash
+    # collect_list -> coded-string regex scan -> posexplode + the
+    # position-arithmetic window — the one-row-per-match
+    # MATCH_RECOGNIZE shape, nothing else in the suite prices a
+    # per-entity string scan) and degree-ordered triangle counting
+    # (materialized oriented edge set + two equi-joins — the
+    # non-iterative multi-join graph shape, vs pagerank's per-round
+    # lineage truncation). mb_copurchase_lift / dq_expectations /
+    # j14_interval_merge / sk_join_plan are registry-gated but not
+    # benched: their shapes (basket self-join pair expansion, wide
+    # CASE-sum aggregate + anti join, islands window + hash agg,
+    # multi-job analyze) are already priced by graph_triangle_counts'
+    # edge derivation, agg_count_distinct + j1_history_antijoin,
+    # events_hotspot_windows/w4_running_totals, and sk_join_size
+    # respectively.
+    "events_pattern_rows",
+    "graph_triangle_counts",
 ]
 
 # Calibration: a fixed, code-independent scan-aggregate whose cost

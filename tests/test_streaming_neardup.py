@@ -881,3 +881,66 @@ def test_streaming_pattern_crash_replay_clean(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/batch_id=1").collect()
     }
     assert got == expect == {1: (3, 1, 3)}
+
+
+def test_streaming_dq_counters_add_across_fires(spark, tmp_path):
+    """Cross-fire DQ counters == the batch expectation suite over the
+    union (restricted to the distributive CASE-sum checks), a check
+    can flip pass -> fail when the first violation arrives, and an
+    idempotent re-fire leaves the report intact."""
+    from unstract_spark.operators.profile import expectation_report
+    from unstract_spark.streaming.incremental import streaming_dq_pipeline
+
+    checks = [
+        ("complete_text", F.col("text").isNull()),
+        ("positive_id", F.col("doc_id") <= 0),
+    ]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    sch = "doc_id long, text string"
+
+    fire1 = [(1, "alpha"), (2, "beta")]
+    fire2 = [(3, None), (-4, "gamma"), (5, "delta")]
+
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_dq_pipeline(spark, src, ckpt, store, checks) == 1
+    mid = {
+        r.check_name: (r.n_checked, r.n_violations, r.status)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert mid == {
+        "complete_text": (2, 0, "pass"),
+        "positive_id": (2, 0, "pass"),
+    }
+
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_dq_pipeline(spark, src, ckpt, store, checks) == 1
+
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        r.check_name: (r.n_checked, r.n_violations, r.status)
+        for r in expectation_report(union, checks).collect()
+    }
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        r.check_name: (r.n_checked, r.n_violations, r.status)
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    }
+    assert got == expect
+    assert got["complete_text"] == (5, 1, "fail")
+
+    assert streaming_dq_pipeline(spark, src, ckpt, store, checks) == 0
+    assert {
+        r.check_name: (r.n_checked, r.n_violations, r.status)
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    } == expect

@@ -1617,6 +1617,126 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_dq_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    checks,
+    schema: str = "doc_id long, text string",
+) -> int:
+    """Incremental DATA-QUALITY monitoring: maintain the expectation
+    suite's violation counters across fires — the streaming twin of
+    profile.expectation_report for its DISTRIBUTIVE subset. `checks`
+    is the same (name, violation_condition) list; per fire ONE wide
+    CASE-sum aggregate prices every check over the new rows, and the
+    per-check counters fold into the accumulated report by pure
+    addition (counts and CASE sums are distributive — the twin test
+    pins cross-fire == batch suite of the union).
+
+    Uniqueness and referential checks are deliberately NOT offered
+    here: neither is distributive over row batches (a duplicate can
+    span fires; a dangling reference can heal when the dimension row
+    arrives late) — the batch suite prices those, honestly.
+
+    State: one row per check however much history streamed.
+    Exactly-once: the sibling pipelines' batch_id=N overwrite
+    partitions, current epoch excluded from the read, run base
+    pinned, superseded snapshots pruned keeping the latest prior.
+    Returns fired batch count."""
+    import os as _os
+    import shutil as _shutil
+
+    fires = 0
+    run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        names = []
+        for name, cond in checks:
+            names.append(name)
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                    f"_v{len(names) - 1}"
+                )
+            )
+        wide = batch.agg(*aggs)
+        pairs = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+        delta = wide.selectExpr(
+            f"stack({len(names)}, {pairs})"
+            " AS (check_name, n_violations)",
+            "_n AS n_checked",
+        )
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                "check_name",
+                F.col("n_checked").alias("_oc"),
+                F.col("n_violations").alias("_ov"),
+            )
+            delta = delta.join(old, "check_name", "left").select(
+                "check_name",
+                (
+                    F.col("n_checked") + F.coalesce(F.col("_oc"), F.lit(0))
+                ).cast("long").alias("n_checked"),
+                (
+                    F.col("n_violations")
+                    + F.coalesce(F.col("_ov"), F.lit(0))
+                ).cast("long").alias("n_violations"),
+            )
+        else:
+            delta = delta.select(
+                "check_name",
+                F.col("n_checked").cast("long"),
+                F.col("n_violations").cast("long"),
+            )
+        state = delta.withColumn(
+            "status",
+            F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(
+                F.lit("fail")
+            ),
+        ).localCheckpoint(eager=True)
+        state.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={bid}"
+        )
+        try:
+            entries = _os.listdir(store_dir)
+        except FileNotFoundError:
+            entries = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in entries
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_stats_pipeline(
     spark: SparkSession,
     source_dir: str,
