@@ -944,3 +944,100 @@ def test_streaming_dq_counters_add_across_fires(spark, tmp_path):
         r.check_name: (r.n_checked, r.n_violations, r.status)
         for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
     } == expect
+
+
+def test_streaming_join_view_deltas_union_to_batch_join(spark, tmp_path):
+    """The IVM identity: the union of per-fire deltas equals the
+    batch join of everything that arrived, with pairs completed in
+    BOTH directions (left waits for right and vice versa) and within
+    one fire; re-fire emits nothing; a crash replay rebuilds the same
+    delta instead of double-counting."""
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        streaming_join_view_pipeline,
+    )
+
+    sch = "side string, k long, val string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [("L", 1, "l1"), ("L", 2, "l2"), ("R", 2, "r2a"),
+             ("R", 9, "r9")]
+    fire2 = [("R", 1, "r1"), ("R", 2, "r2b"), ("L", 9, "l9"),
+             ("L", 3, "l3"), ("R", 3, "r3")]
+
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_join_view_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+    d1 = {
+        (r.k, r.l_val, r.r_val)
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    assert d1 == {(2, "l2", "r2a")}  # same-fire completion only
+
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_join_view_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+
+    allrows = spark.createDataFrame(fire1 + fire2, sch)
+    lt = allrows.filter("side = 'L'").selectExpr("k", "val AS l_val")
+    rt = allrows.filter("side = 'R'").selectExpr(
+        "k AS k2", "val AS r_val"
+    )
+    expect = {
+        (r.k, r.l_val, r.r_val)
+        for r in lt.join(rt, lt["k"] == rt["k2"]).select(
+            "k", "l_val", "r_val"
+        ).collect()
+    }
+    got = {
+        (r.k, r.l_val, r.r_val)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert got == expect
+    # both directions completed across fires + the deferred pair
+    assert (1, "l1", "r1") in got      # L waited for R
+    assert (9, "l9", "r9") in got      # R waited for L
+    assert (2, "l2", "r2b") in got     # old L x new R multiplicity
+
+    # view rows are counted once each (multiset check)
+    n_out = spark.read.parquet(out).count()
+    assert n_out == lt.join(rt, lt["k"] == rt["k2"]).count()
+
+    # idempotent re-fire
+    assert streaming_join_view_pipeline(
+        spark, src, ckpt, state, out
+    ) == 0
+    assert spark.read.parquet(out).count() == n_out
+
+    # crash replay: poison epoch-2 partitions as a died-after-write
+    # attempt, then deliver fire3 — the replayed epoch must rebuild
+    # its delta from committed state only
+    _pin_bid(ckpt, 2)
+    spark.createDataFrame(
+        [(77, "xx", "yy")], "k long, l_val string, r_val string"
+    ).write.parquet(f"{out}/batch_id=2")
+    spark.createDataFrame(
+        [(77, "xx")], "k long, val string"
+    ).write.parquet(f"{state}/L/batch_id=2")
+    fire3 = [("R", 77, "r77"), ("L", 5, "l5"), ("R", 5, "r5")]
+    spark.createDataFrame(fire3, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_join_view_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+    d3 = {
+        (r.k, r.l_val, r.r_val)
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    assert d3 == {(5, "l5", "r5")}  # poisoned rows replaced

@@ -1617,6 +1617,121 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_join_view_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    key_col: str = "k",
+    schema: str = "side string, k long, val string",
+) -> int:
+    """Incremental VIEW MAINTENANCE of an inner equi-join — the delta
+    rule every IVM system (materialized views, differential dataflow,
+    DBSP) is built on, spelled in Spark micro-batches without the
+    stream-stream watermark machinery: rows arrive tagged 'L'/'R' in
+    one source, and each fire emits exactly the join rows the batch
+    made newly true,
+
+        delta = dL >< R_old  UNION ALL  L_old >< dR
+                UNION ALL  dL >< dR,
+
+    so every (l, r) pair appears in exactly one fire (classified by
+    which epoch completed it) and the UNION of all emitted deltas
+    equals the batch join of everything that ever arrived — the twin
+    test pins that identity, arrivals interleaved both directions.
+
+    State is the full accumulated L and R (join IVM state is O(data)
+    by nature — honest; bound it upstream with retention filters when
+    sides are unbounded). Each fire appends its new rows to the state
+    as a batch_id=N overwrite partition and reads history with the
+    current epoch excluded, so crash replays reconstruct the same
+    delta instead of double-counting; the emitted delta partitions
+    are append-only BY DESIGN (they are the view's content — pruning
+    them would delete the view). Returns fired batch count."""
+    import os as _os  # noqa: F401  (sibling-pipeline convention)
+
+    fires = 0
+    run_base = _run_base(
+        out_dir, f"{state_dir}/L", f"{state_dir}/R",
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        payload = [c for c in batch.columns if c != "side"]
+        dl = batch.filter(F.col("side") == "L").select(*payload)
+        dr = batch.filter(F.col("side") == "R").select(*payload)
+        l_old = _read_parquet_or_none(spark, f"{state_dir}/L")
+        r_old = _read_parquet_or_none(spark, f"{state_dir}/R")
+        if l_old is not None:
+            l_old = l_old.filter(F.col("batch_id") != bid).select(*payload)
+        else:
+            l_old = spark.createDataFrame([], dl.schema)
+        if r_old is not None:
+            r_old = r_old.filter(F.col("batch_id") != bid).select(*payload)
+        else:
+            r_old = spark.createDataFrame([], dr.schema)
+
+        def _pair(left: DataFrame, right: DataFrame) -> DataFrame:
+            lt = left.select(
+                F.col(key_col).alias("_lk"),
+                *[
+                    F.col(c).alias(f"l_{c}")
+                    for c in payload
+                    if c != key_col
+                ],
+            )
+            rt = right.select(
+                F.col(key_col).alias("_rk"),
+                *[
+                    F.col(c).alias(f"r_{c}")
+                    for c in payload
+                    if c != key_col
+                ],
+            )
+            return lt.join(rt, lt["_lk"] == rt["_rk"]).select(
+                F.col("_lk").alias(key_col),
+                *[f"l_{c}" for c in payload if c != key_col],
+                *[f"r_{c}" for c in payload if c != key_col],
+            )
+
+        delta = (
+            _pair(dl, r_old)
+            .unionByName(_pair(l_old, dr))
+            .unionByName(_pair(dl, dr))
+        )
+        # materialize: delta's lineage reads the state dirs whose
+        # current partitions the writes below replace on replay
+        delta = delta.localCheckpoint(eager=True)
+        delta.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+        dl.write.mode("overwrite").parquet(
+            f"{state_dir}/L/batch_id={bid}"
+        )
+        dr.write.mode("overwrite").parquet(
+            f"{state_dir}/R/batch_id={bid}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_dq_pipeline(
     spark: SparkSession,
     source_dir: str,
