@@ -1002,3 +1002,58 @@ def test_expectation_report_counts_violations(spark):
         ).collect()
     }
     assert st == {"non_negative_amount": "pass", "uniqueness_k_line": "pass"}
+
+
+def test_attribution_credits_sum_to_one_million(spark):
+    from unstract_spark.operators.timeseries import attribution_credits
+
+    # user 1: touches at 10,20,30 before conv at 100 (n=3);
+    #         touch at 40 is AFTER a window if window=50? no — use
+    #         a touch outside the lookback to check the bound
+    conv = spark.createDataFrame(
+        [(1, 100, 900), (2, 100, 901)], "user_id long, us long, event_id long"
+    )
+    touch = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 20, 2), (1, 30, 3),
+            (1, 100, 4),   # at conv instant: excluded (strict <)
+            (2, 60, 5),    # only touch for user 2
+            (2, 100 - 51, 6),  # outside window=50
+        ],
+        "user_id long, us long, event_id long",
+    )
+    out = attribution_credits(conv, touch, window_us=50).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    # user 1: only touches within (50, 100) -> none! us 10/20/30 are
+    # outside window=50 (conv_us - 50 = 50). Adjust: touches must be
+    # >= 50: none qualify -> conv 900 absent
+    assert 900 not in by_conv
+    assert [r.touch_id for r in by_conv[901]] == [5]
+    assert by_conv[901][0].linear_ppm == 1_000_000
+    assert by_conv[901][0].ushape_ppm == 1_000_000
+
+    # n=3 and n=5 remainder rules: credits sum to exactly 1e6
+    conv2 = spark.createDataFrame(
+        [(7, 1000, 70), (8, 1000, 80)], "user_id long, us long, event_id long"
+    )
+    touch2 = spark.createDataFrame(
+        [(7, 100 + i, 700 + i) for i in range(3)]
+        + [(8, 100 + i, 800 + i) for i in range(5)],
+        "user_id long, us long, event_id long",
+    )
+    rows = attribution_credits(conv2, touch2).collect()
+    lin = {}
+    ush = {}
+    for r in rows:
+        lin.setdefault(r.conv_id, []).append((r.touch_rank, r.linear_ppm))
+        ush.setdefault(r.conv_id, []).append((r.touch_rank, r.ushape_ppm))
+    assert sorted(lin[70]) == [(1, 333333), (2, 333333), (3, 333334)]
+    assert sorted(ush[70]) == [(1, 400000), (2, 200000), (3, 400000)]
+    assert sum(v for _, v in lin[80]) == 1_000_000
+    assert sorted(ush[80]) == [
+        (1, 400000 + 200000 - 66666 * 3), (2, 66666), (3, 66666),
+        (4, 66666), (5, 400000),
+    ]
+    assert sum(v for _, v in ush[80]) == 1_000_000

@@ -530,3 +530,85 @@ def event_pattern_rows(
             ev, F.lit(0).cast("long"), lambda acc, x: acc + x["_cents"]
         ).alias("value_cents"),
     )
+
+
+def attribution_credits(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    id_col: str = "event_id",
+    window_us: int = 604_800_000_000,
+) -> DataFrame:
+    """Multi-touch MARKETING ATTRIBUTION in exact integer ppm: for
+    each conversion, rank the user's touches inside the lookback
+    window and split credit two ways —
+
+    - linear: 1e6 div n per touch, remainder to the LAST touch;
+    - U-shaped (position-based 40/20/40): first and last 400000 each,
+      the middle 200000 split evenly with its remainder to the FIRST
+      touch; n=1 gets 1000000, n=2 splits 500000/500000.
+
+    Every credit is integer arithmetic with pinned remainder rules,
+    so each conversion's credits sum to EXACTLY 1e6 and the whole
+    assignment hash-gates — the determinism float credit splitting
+    can't offer.
+
+    Inputs carry (user, us epoch-micros, id); the join is an
+    equi-join on user with the half-open range predicate
+    [conv - window, conv), per-user touch counts bound the fan-out
+    (the per-entity contract). Output: one row per (conversion,
+    touch) with touch_rank, n_touches, linear_ppm, ushape_ppm.
+    """
+    c = conversions.select(
+        F.col(user_col).alias("_cu"),
+        F.col(us_col).alias("conv_us"),
+        F.col(id_col).alias("conv_id"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("_tu"),
+        F.col(us_col).alias("touch_us"),
+        F.col(id_col).alias("touch_id"),
+    )
+    j = c.join(
+        t,
+        (c["_cu"] == t["_tu"])
+        & (t["touch_us"] < c["conv_us"])
+        & (t["touch_us"] >= c["conv_us"] - F.lit(window_us)),
+    )
+    w = Window.partitionBy("conv_id").orderBy("touch_us", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    ranked = j.select(
+        F.col("_cu").alias(user_col),
+        "conv_id",
+        "conv_us",
+        "touch_id",
+        "touch_us",
+        F.row_number().over(w).alias("touch_rank"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    n = F.col("n_touches").cast("long")
+    r = F.col("touch_rank").cast("long")
+    base = F.lit(1_000_000).cast("long")
+    # integer `div`, never `/`: Spark's `/` on longs is DOUBLE
+    # division, and credits must be exact integers that sum to 1e6
+    lin_base = F.expr("1000000 div n_touches")
+    lin = F.when(r == n, base - lin_base * (n - 1)).otherwise(lin_base)
+    mid_base = F.expr("200000 div (n_touches - 2)")
+    mid_rem = F.lit(200_000) - mid_base * (n - 2)
+    ushape = (
+        F.when(n == 1, base)
+        .when(n == 2, F.lit(500_000))
+        .when(r == 1, F.lit(400_000) + mid_rem)
+        .when(r == n, F.lit(400_000))
+        .otherwise(mid_base)
+    )
+    return ranked.select(
+        user_col,
+        "conv_id",
+        "touch_id",
+        "touch_rank",
+        "n_touches",
+        lin.cast("long").alias("linear_ppm"),
+        ushape.cast("long").alias("ushape_ppm"),
+    )

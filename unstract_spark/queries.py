@@ -12030,6 +12030,71 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution",
+    """
+    WITH ev AS (SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS us
+                FROM events),
+    c AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+          FROM ev WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS touch_id, us AS touch_us
+          FROM ev WHERE event_type IN ('view', 'click')),
+    j AS (SELECT c.user_id, conv_id, touch_id,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY touch_us, touch_id)
+                   AS touch_rank,
+                 count(*) OVER (PARTITION BY conv_id) AS n_touches
+          FROM c JOIN t ON t.user_id = c.user_id
+                       AND t.touch_us < c.conv_us
+                       AND t.touch_us >= c.conv_us - 604800000000)
+    SELECT user_id, conv_id, touch_id, CAST(touch_rank AS INT)
+             AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN touch_rank = n_touches
+                     THEN 1000000 - (1000000 // n_touches)
+                            * (n_touches - 1)
+                     ELSE 1000000 // n_touches END AS BIGINT)
+             AS linear_ppm,
+           CAST(CASE WHEN n_touches = 1 THEN 1000000
+                     WHEN n_touches = 2 THEN 500000
+                     WHEN touch_rank = 1
+                       THEN 400000 + (200000
+                            - (200000 // (n_touches - 2))
+                              * (n_touches - 2))
+                     WHEN touch_rank = n_touches THEN 400000
+                     ELSE 200000 // (n_touches - 2) END AS BIGINT)
+             AS ushape_ppm
+    FROM j
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (timeseries.attribution_credits):
+    every purchase credits the user's view/click touches inside a
+    7-day lookback, split linearly AND U-shaped (40/20/40) in exact
+    integer ppm with pinned remainder rules — each conversion's
+    credits sum to exactly 1e6, so the entire assignment hash-gates
+    (float credit splitting cannot). Equi-join on user with the
+    half-open range predicate; per-conversion rank/count from one
+    partitioned window."""
+    from unstract_spark.operators.timeseries import attribution_credits
+
+    e0 = _t(spark, sf_dir, "events")
+    if dict(e0.dtypes)["ts"] == "timestamp_ntz":
+        u = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        u = F.unix_micros(F.col("ts"))
+    ev = e0.select(
+        "user_id", "event_id", "event_type", u.alias("us")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase")
+    touch = ev.filter(F.col("event_type").isin("view", "click"))
+    return attribution_credits(conv, touch)
+
+
+@register(
     "graph_triangle_counts",
     """
     WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
