@@ -12030,6 +12030,91 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_psi_drift",
+    """
+    WITH g AS (
+      SELECT CAST(least(greatest(floor(value / 10), 0), 9) AS BIGINT)
+               AS bin,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1),
+    s AS (SELECT CAST(t.i AS BIGINT) AS bin,
+                 coalesce(g.ca, 0) AS cnt_base,
+                 coalesce(g.cb, 0) AS cnt_curr
+          FROM range(0, 10) t(i) LEFT JOIN g ON g.bin = t.i),
+    tot AS (SELECT sum(cnt_base) AS na, sum(cnt_curr) AS nb FROM s),
+    c AS (SELECT bin, cnt_base, cnt_curr,
+                 ((2 * cnt_base + 1) * 1.0 / (2 * na + 10)
+                  - (2 * cnt_curr + 1) * 1.0 / (2 * nb + 10))
+                 * ln(((2 * cnt_base + 1) * 1.0 / (2 * na + 10))
+                      / ((2 * cnt_curr + 1) * 1.0 / (2 * nb + 10)))
+                   AS contrib
+          FROM s, tot)
+    SELECT bin, cnt_base, cnt_curr, round(contrib, 8) AS psi_contrib,
+           (SELECT round(CAST(sum(CAST(contrib AS DECIMAL(28,12)))
+                              AS DOUBLE), 8) FROM c) AS psi_total
+    FROM c
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production drift monitor —
+    between the view and purchase value distributions over ten fixed
+    bins: per-bin smoothed shares p=(2c+1)/(2n+10) (the half-count
+    Laplace floor that keeps empty bins finite, as one integer-exact
+    IEEE division), contribution (p-q)*ln(p/q), and the total via the
+    entropy family's decimal-domain sum. A full bin spine
+    (range join) keeps empty bins in the report. PSI > 0.2 is the
+    classic retrain trigger; here the number itself is hash-gated."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10), F.lit(0)),
+            F.lit(9),
+        ).cast("long").alias("bin"),
+        "event_type",
+    ).groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bin"))
+    s = spine.join(g, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("cnt_base"),
+        F.coalesce("cb", F.lit(0)).alias("cnt_curr"),
+    )
+    tot = s.agg(
+        F.sum("cnt_base").alias("na"), F.sum("cnt_curr").alias("nb")
+    )
+    c = s.crossJoin(F.broadcast(tot))
+    p = (2 * F.col("cnt_base") + 1) * 1.0 / (2 * F.col("na") + 10)
+    q = (2 * F.col("cnt_curr") + 1) * 1.0 / (2 * F.col("nb") + 10)
+    contrib = ((p - q) * F.log(p / q)).alias("contrib")
+    c = c.select(
+        "bin", "cnt_base", "cnt_curr", contrib
+    ).localCheckpoint(eager=True)
+    total = c.agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double"),
+            8,
+        ).alias("psi_total")
+    )
+    return c.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "cnt_base",
+        "cnt_curr",
+        F.round("contrib", 8).alias("psi_contrib"),
+        "psi_total",
+    )
+
+
+@register(
     "events_attribution",
     """
     WITH ev AS (SELECT user_id, event_id, event_type,
