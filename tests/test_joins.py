@@ -484,3 +484,22 @@ def test_triangle_count_degree_ordered(spark):
         r.node: r.n_triangles for r in triangle_count(df).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 1, 20: 1, 21: 1, 22: 1}
+
+
+def test_changelog_apply_merge_semantics(spark):
+    from unstract_spark.operators.joins import changelog_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2"), (2, 5, "U", "b5"),   # latest seq wins
+            (3, 1, "D", None),                        # delete
+            (4, 1, "I", "d1"), (4, 2, "D", None),    # insert then delete
+            (5, 9, "I", "e9"),                        # plain insert
+        ],
+        "k long, seq long, op string, val string",
+    )
+    got = {r.k: r.val for r in changelog_apply(base, ch, "k", "seq").collect()}
+    assert got == {1: "a", 2: "b5", 5: "e9"}

@@ -1041,3 +1041,63 @@ def test_streaming_join_view_deltas_union_to_batch_join(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch_id=2").collect()
     }
     assert d3 == {(5, "l5", "r5")}  # poisoned rows replaced
+
+
+def test_streaming_upsert_matches_batch_changelog_apply(spark, tmp_path):
+    """The upsert view after N fires == batch changelog_apply over
+    every change that ever arrived, including an OUT-OF-ORDER late
+    update that must lose to the stored winner, and a tombstone that
+    must block resurrection by a late lower-seq update."""
+    from unstract_spark.operators.joins import changelog_apply
+    from unstract_spark.streaming.incremental import (
+        read_upsert_view,
+        streaming_upsert_pipeline,
+    )
+
+    sch = "k long, seq long, op string, val string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+
+    # seed the state with the "base snapshot" as seq-0 inserts
+    base_rows = [(1, 0, "U", "base1"), (2, 0, "U", "base2"),
+                 (3, 0, "U", "base3")]
+    fire2 = [(1, 10, "U", "v10"), (2, 12, "D", None),
+             (4, 11, "U", "new4")]
+    # late, lower-seq arrivals: k=1 older update, k=2 pre-delete
+    # update (must NOT resurrect), k=3 fresh update
+    fire3 = [(1, 5, "U", "stale"), (2, 6, "U", "zombie"),
+             (3, 20, "U", "v20")]
+
+    for i, rows in enumerate((base_rows, fire2, fire3)):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert streaming_upsert_pipeline(
+            spark, src, ckpt, store
+        ) == 1
+
+    got = {
+        r.k: (r.seq, r.val)
+        for r in read_upsert_view(spark, store).collect()
+    }
+    assert got == {1: (10, "v10"), 3: (20, "v20"), 4: (11, "new4")}
+
+    # batch twin: changelog_apply over base + all changes
+    base = spark.createDataFrame(
+        [(1, "base1"), (2, "base2"), (3, "base3")], "k long, val string"
+    )
+    ch = spark.createDataFrame(fire2 + fire3, sch)
+    expect = {
+        r.k: r.val
+        for r in changelog_apply(base, ch, "k", "seq").collect()
+    }
+    assert {k: v for k, (_, v) in got.items()} == expect
+
+    # idempotent re-fire
+    assert streaming_upsert_pipeline(spark, src, ckpt, store) == 0
+    assert {
+        r.k: (r.seq, r.val)
+        for r in read_upsert_view(spark, store).collect()
+    } == got

@@ -748,3 +748,47 @@ def basket_pair_stats(
             / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
         ).alias("lift"),
     )
+
+
+def changelog_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the MERGE INTO / compacted-
+    topic materialization every lakehouse table format performs:
+    `changes` carries (key, seq, op in {'I','U','D'}, payload...); per
+    key only the LATEST change by `seq` wins (row_number window over
+    the changelog — sized by churn, never by the base table), then
+
+    - latest op D        -> key dropped,
+    - latest op I/U      -> change payload replaces / inserts,
+    - no change for key  -> base row passes through (anti-join).
+
+    The base table is touched by exactly ONE anti-join on the DISTINCT
+    changed keys (broadcastable when churn is small — the common case
+    this operator exists for); it is never windowed or re-sorted.
+    Sequence ties are the changelog producer's bug, not resolvable
+    here: `seq` must be unique per key (assert upstream); the window
+    breaks ties by op desc then deterministically, documented so
+    replays are stable.
+
+    Output: the new snapshot with the base schema (key + payload).
+    """
+    payload = [c for c in base.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.filter(F.col(op_col) != "D").select(
+        key_col, *payload
+    )
+    changed_keys = latest.select(key_col)
+    untouched = base.join(changed_keys, key_col, "left_anti")
+    return untouched.unionByName(survivors)

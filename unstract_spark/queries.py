@@ -12030,6 +12030,55 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j16_changelog_apply",
+    """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END
+                    AS op,
+                  'upd_' || CAST(o_custkey AS VARCHAR) AS c_name,
+                  o_totalprice AS c_acctbal
+           FROM orders),
+    latest AS (SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY seq DESC, op DESC)
+                 AS rn
+        FROM ch) WHERE rn = 1)
+    SELECT c_custkey, c_name, c_acctbal FROM base
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+    """,
+)
+def j16_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (joins.changelog_apply) — the MERGE
+    INTO every lakehouse format performs: each customer's orders act
+    as a changelog (latest o_orderkey wins; every 7th order a
+    delete), folded into the customer snapshot with ONE window over
+    the CHANGELOG (sized by churn) and ONE anti-join against the
+    distinct changed keys — the base is never windowed or sorted.
+    Payloads pass through untouched, so the merged snapshot
+    hash-gates."""
+    from unstract_spark.operators.joins import changelog_apply
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.concat(
+            F.lit("upd_"), F.col("o_custkey").cast("string")
+        ).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return changelog_apply(c, ch, "c_custkey", "seq")
+
+
+@register(
     "dq_psi_drift",
     """
     WITH g AS (

@@ -1617,6 +1617,116 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_upsert_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    key_col: str = "k",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    schema: str = "k long, seq long, op string, val string",
+) -> int:
+    """Incremental keyed UPSERT view — the compacted-topic /
+    continuously-MERGEd-table shape, the streaming twin of
+    joins.changelog_apply: each fire folds its changelog batch into
+    the per-key latest state by (seq, op) maximum, so the view after
+    N fires equals the batch changelog_apply over every change that
+    ever arrived — in ANY cross-fire delivery order, because the
+    state keeps each key's winning `seq` and a late lower-seq change
+    simply loses the comparison.
+
+    Deletes are retained as TOMBSTONES (key, seq, op='D') rather than
+    dropped: dropping them would let a late out-of-order update
+    resurrect a deleted key. `read_upsert_view` filters them out;
+    tombstone retirement (dropping tombstones older than the maximum
+    possible delivery delay) is a retention policy for the caller.
+
+    State is one row per live-or-tombstoned key. Exactly-once: the
+    sibling pipelines' snapshot discipline (batch_id=N overwrite,
+    current epoch excluded, pinned run base, prune keeping latest
+    prior). Returns fired batch count."""
+    import os as _os
+    import shutil as _shutil
+
+    fires = 0
+    run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        cols = [c for c in batch.columns]
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(*cols)
+            merged = batch.select(*cols).unionByName(old)
+        else:
+            merged = batch.select(*cols)
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        state = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        state.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={bid}"
+        )
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def read_upsert_view(
+    spark: SparkSession, store_dir: str, op_col: str = "op"
+) -> DataFrame:
+    """The live rows of the latest upsert snapshot (tombstones
+    filtered)."""
+    import os as _os
+
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(store_dir)
+        if d.startswith("batch_id=")
+    )
+    return spark.read.parquet(f"{store_dir}/batch_id={latest}").filter(
+        F.col(op_col) != "D"
+    )
+
+
 def streaming_join_view_pipeline(
     spark: SparkSession,
     source_dir: str,
