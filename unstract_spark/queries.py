@@ -12029,6 +12029,96 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRF_FORMULA = (
+    "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    f" * (q.tf * ({_BM25_K1} + 1))"
+    f" / (q.tf + {_BM25_K1} * (1 - {_BM25_B}"
+    f" + {_BM25_B} * l.dl / (s.total_words / s.n_docs)))"
+)
+_PRF_TERMS_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_PRF_ORIGINALS = " UNION ALL ".join(
+    f"SELECT '{t}' AS word, CAST(1.0 AS DOUBLE) AS qw"
+    for t in sorted(_BM25_TERMS)
+)
+
+
+@register(
+    "sim_prf_expand",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+                 AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(tf) FROM tf) AS total_words),
+    qtf1 AS (SELECT * FROM tf WHERE word IN ({_PRF_TERMS_IN})),
+    df1 AS (SELECT word, count(*) AS df FROM qtf1 GROUP BY 1),
+    agg1 AS (
+        SELECT q.doc_id,
+               CAST(round(sum(CAST({_PRF_FORMULA}
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS score
+        FROM qtf1 q JOIN df1 d USING (word) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.doc_id
+    ),
+    fb AS (SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+                                          doc_id ASC) AS r
+        FROM agg1) WHERE r <= 5),
+    cand AS (
+        SELECT t.word,
+               CAST(round(sum(CAST(CAST(t.tf AS DOUBLE) / l.dl
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS wgt
+        FROM tf t JOIN fb USING (doc_id) JOIN dl l USING (doc_id)
+        WHERE t.word NOT IN ({_PRF_TERMS_IN})
+        GROUP BY t.word
+    ),
+    expn AS (SELECT word, CAST(0.5 AS DOUBLE) AS qw FROM (
+        SELECT word, row_number() OVER (ORDER BY wgt DESC,
+                                        word ASC) AS r
+        FROM cand) WHERE r <= 5),
+    qw AS ({_PRF_ORIGINALS} UNION ALL SELECT word, qw FROM expn),
+    qtf2 AS (SELECT t.doc_id, t.word, t.tf, v.qw
+             FROM tf t JOIN qw v USING (word)),
+    df2 AS (SELECT word, count(*) AS df FROM qtf2 GROUP BY 1),
+    agg2 AS (
+        SELECT q.doc_id,
+               CAST(round(sum(CAST(({_PRF_FORMULA}) * q.qw
+                   AS DECIMAL(28,10))), 6) AS DOUBLE) AS rm3
+        FROM qtf2 q JOIN df2 d USING (word) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY q.doc_id
+    )
+    SELECT doc_id, rm3, rank FROM (
+        SELECT doc_id, rm3,
+               CAST(row_number() OVER (ORDER BY rm3 DESC, doc_id ASC)
+                    AS INT) AS rank
+        FROM agg2
+    ) WHERE rank <= 10
+    """,
+)
+def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback
+    (retrieval.prf_expand_retrieve): BM25 once, mine the top-5
+    feedback docs for 5 expansion terms via the uniform-prior
+    relevance model (decimal-domain tf/dl sums, rounded ranking),
+    retrieve again with expansion terms at weight 0.5 — the entire
+    retrieve -> mine -> expand -> re-retrieve chain re-derived by the
+    oracle in SQL, so the expansion SELECTION is certified
+    transitively through the final ranking's hash."""
+    from unstract_spark.operators.retrieval import prf_expand_retrieve
+
+    d = _t(spark, sf_dir, "documents")
+    return prf_expand_retrieve(
+        d, list(_BM25_TERMS), k=10, fb_docs=5, fb_terms=5,
+        k1=_BM25_K1, b=_BM25_B,
+    ).select("doc_id", "rm3", "rank")
+
+
 @register(
     "j16_changelog_apply",
     """
