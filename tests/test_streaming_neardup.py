@@ -1101,3 +1101,61 @@ def test_streaming_upsert_matches_batch_changelog_apply(spark, tmp_path):
         r.k: (r.seq, r.val)
         for r in read_upsert_view(spark, store).collect()
     } == got
+
+
+def test_streaming_cms_matrix_equals_batch(spark, tmp_path):
+    """CMS is linear: the stored counter matrix after two fires must
+    equal the batch sketch of all streamed text CELL FOR CELL, and
+    lookups against it give the same (over-)estimates."""
+    from unstract_spark.operators.text_analysis import (
+        cms_lookup,
+        count_min_sketch,
+    )
+    from unstract_spark.streaming.incremental import streaming_cms_pipeline
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    sch = "doc_id long, text string"
+
+    fire1 = [(1, "alpha beta alpha"), (2, "gamma beta")]
+    fire2 = [(3, "alpha delta"), (4, "beta beta epsilon")]
+    for rows in (fire1, fire2):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert streaming_cms_pipeline(
+            spark, src, ckpt, store, width=64
+        ) == 1
+
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in spark.read.parquet(f"{store}/batch_id={latest}").collect()
+    }
+    expect = {
+        (r.j, r.bucket): r.cnt
+        for r in count_min_sketch(
+            spark.createDataFrame(fire1 + fire2, sch), width=64
+        ).collect()
+    }
+    assert got == expect
+
+    stored = spark.read.parquet(f"{store}/batch_id={latest}").select(
+        "j", "bucket", "cnt"
+    )
+    terms = spark.createDataFrame(
+        [("alpha",), ("beta",), ("nope",)], "w string"
+    )
+    est = {
+        r.w: r.cms_est
+        for r in cms_lookup(stored, terms, width=64).collect()
+    }
+    assert est["alpha"] >= 3 and est["beta"] >= 4  # never under
+
+    assert streaming_cms_pipeline(spark, src, ckpt, store, width=64) == 0

@@ -1617,6 +1617,96 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_cms_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    schema: str = "doc_id long, text string",
+) -> int:
+    """Incremental COUNT-MIN sketch — the streaming twin of
+    text_analysis.count_min_sketch, completing that family's
+    batch/streaming pair: the CMS is LINEAR (cell-wise counter
+    addition IS the merge, with no re-min step and no approximation
+    at merge time), so per-fire matrices fold into the accumulated
+    matrix by one groupBy(j, bucket) sum and the stored matrix after
+    N fires equals the batch sketch of everything that streamed —
+    EXACT matrix equality, which the twin test pins cell for cell.
+
+    State is depth x width counters however much text has streamed;
+    each fire shuffles at most the batch's occupied cells. Estimates
+    come from the ordinary cms_lookup against the stored matrix.
+    Exactly-once: the sibling pipelines' snapshot discipline.
+    Returns fired batch count."""
+    import os as _os
+    import shutil as _shutil
+
+    from unstract_spark.operators.text_analysis import count_min_sketch
+
+    fires = 0
+    run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        delta = count_min_sketch(
+            batch, text_col=text_col, depth=depth, width=width
+        )
+        old = _read_parquet_or_none(spark, store_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                "j", "bucket", "cnt"
+            )
+            merged = (
+                delta.unionByName(old)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={bid}"
+        )
+        try:
+            names = _os.listdir(store_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(store_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_upsert_pipeline(
     spark: SparkSession,
     source_dir: str,
