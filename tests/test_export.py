@@ -248,3 +248,40 @@ def test_compaction_plan_sequential_fill_and_straddle(spark):
         F.sum("bytes").alias("b")
     )
     assert {r.bin_id: r.b for r in sizes.collect()} == {0: 120, 1: 90, 2: 100}
+
+
+def test_hilbert_distance_matches_reference(spark):
+    """Pin the unrolled walk to the textbook xy2d implementation AND
+    the locality property that justifies Hilbert over Morton:
+    consecutive curve positions are always adjacent cells."""
+    from unstract_spark.operators.export import hilbert_distance
+
+    def ref_xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16  # 4 bits/dim, full 16x16 grid
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "hx int, hy int")
+    got = {
+        (r.hx, r.hy): r.hilbert
+        for r in hilbert_distance(df, "hx", "hy", bits=4).collect()
+    }
+    assert got == {(x, y): ref_xy2d(n, x, y) for x, y in pts}
+    # bijection onto [0, 256) and unit-step adjacency
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1

@@ -424,3 +424,101 @@ def compaction_plan(
         F.col("sz").alias("bytes"),
         F.expr(f"(cum_sz - sz) div {int(target_bytes)}").alias("bin_id"),
     )
+
+
+def hilbert_distance(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "hilbert",
+) -> DataFrame:
+    """Hilbert-curve distance of (x, y) — the space-filling curve
+    with strictly better locality than Morton (adjacent curve
+    positions are ALWAYS adjacent cells; Z-order jumps across the
+    plane at quadrant seams), which is why table formats grew
+    OPTIMIZE ... HILBERT alongside ZORDER.
+
+    The classic xy2d walk (quadrant digit + rotate/reflect per
+    level) is unrolled at plan-build time into `bits` successive
+    integer-CASE projections — pure +, &, CASE on BIGINTs, no UDF,
+    Catalyst collapses the chain into one codegen stage. The twin
+    CTE chain `_hilbert_oracle_sql` below is generated from the SAME
+    loop, so every level's reflect/swap is cross-engine gateable.
+
+    Inputs must already be in [0, 2^bits); mask upstream.
+    """
+    out = df.withColumn("_hx", F.col(x_col).cast("long")).withColumn(
+        "_hy", F.col(y_col).cast("long")
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for s in [1 << i for i in range(bits - 1, -1, -1)]:
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        quad = (
+            F.when((rx == 0) & (ry == 0), F.lit(0))
+            .when(rx == 0, F.lit(1))
+            .when(ry == 0, F.lit(3))
+            .otherwise(F.lit(2))
+        )
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        out = (
+            out.withColumn("_hd2", F.col("_hd") + F.lit(s * s) * quad)
+            .withColumn("_hx2", nx)
+            .withColumn("_hy2", ny)
+            .drop("_hd", "_hx", "_hy")
+            .withColumnRenamed("_hd2", "_hd")
+            .withColumnRenamed("_hx2", "_hx")
+            .withColumnRenamed("_hy2", "_hy")
+        )
+    return out.withColumnRenamed("_hd", out_col).drop("_hx", "_hy")
+
+
+def hilbert_oracle_sql(
+    x_sql: str, y_sql: str, source_sql: str, bits: int = 8
+) -> str:
+    """The DuckDB twin of hilbert_distance: the same per-level
+    reflect/swap walk as chained CTEs, generated by the same loop —
+    returns a query text whose single output column is `hilbert`."""
+    ctes = [
+        f"h0 AS (SELECT CAST({x_sql} AS BIGINT) AS x,"
+        f" CAST({y_sql} AS BIGINT) AS y,"
+        f" CAST(0 AS BIGINT) AS d FROM {source_sql})"
+    ]
+    lvl = 0
+    for s in [1 << i for i in range(bits - 1, -1, -1)]:
+        p, n = f"h{lvl}", f"h{lvl + 1}"
+        quad = (
+            f"CASE WHEN (x & {s}) = 0 AND (y & {s}) = 0 THEN 0"
+            f" WHEN (x & {s}) = 0 THEN 1"
+            f" WHEN (y & {s}) = 0 THEN 3 ELSE 2 END"
+        )
+        nx = (
+            f"CASE WHEN (y & {s}) = 0 THEN"
+            f" (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END)"
+            f" ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN (y & {s}) = 0 THEN"
+            f" (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)"
+            f" ELSE y END"
+        )
+        ctes.append(
+            f"{n} AS (SELECT {nx} AS x, {ny} AS y,"
+            f" d + {s * s} * ({quad}) AS d FROM {p})"
+        )
+        lvl += 1
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT d AS hilbert FROM h{lvl}"
+    )

@@ -12029,6 +12029,47 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_codes_sql() -> str:
+    from unstract_spark.operators.export import hilbert_oracle_sql
+
+    inner = hilbert_oracle_sql(
+        "l_partkey % 256", "l_suppkey % 256", "lineitem", bits=8
+    )
+    return f"""
+    SELECT CAST(hilbert >> 8 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(hilbert) AS BIGINT) AS h_min,
+           CAST(max(hilbert) AS BIGINT) AS h_max
+    FROM ({inner}) GROUP BY 1
+    """
+
+
+@register("ex_hilbert_codes", _hilbert_codes_sql())
+def ex_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (export.hilbert_distance) — the
+    better-locality sibling of ex_zorder_codes (adjacent curve
+    positions are always adjacent cells; Z-order seams jump): the
+    8-bit-per-dimension xy2d walk unrolled into integer-CASE
+    projections, gated per top-8-bit bucket with min/max/count so
+    every level's reflect/swap transform is certified. The oracle's
+    CTE chain is generated by the SAME loop that builds the Spark
+    plan."""
+    from unstract_spark.operators.export import hilbert_distance
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("hx"),
+        (F.col("l_suppkey") % 256).alias("hy"),
+    )
+    h = hilbert_distance(l, "hx", "hy", bits=8)
+    return h.groupBy(
+        F.expr("hilbert >> 8").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("hilbert").cast("long").alias("h_min"),
+        F.max("hilbert").cast("long").alias("h_max"),
+    )
+
+
 _PRF_FORMULA = (
     "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
     f" * (q.tf * ({_BM25_K1} + 1))"
