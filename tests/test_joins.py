@@ -503,3 +503,25 @@ def test_changelog_apply_merge_semantics(spark):
     )
     got = {r.k: r.val for r in changelog_apply(base, ch, "k", "seq").collect()}
     assert got == {1: "a", 2: "b5", 5: "e9"}
+
+
+def test_pareto_front_2d_dominance(spark):
+    """Frontier semantics: duplicates both survive, equal-price
+    smaller-size is dominated, and the cross-partition record carries
+    (many partitions force the prefix-max merge path)."""
+    from unstract_spark.operators.joins import pareto_front_2d
+
+    pts = [
+        (1, 10, 100), (2, 10, 100),   # duplicate frontier points
+        (3, 10, 90),                   # equal price, smaller -> out
+        (4, 20, 150), (5, 20, 150),
+        (6, 30, 150),                  # pricier, same size -> out
+        (7, 5, 40),                    # cheapest -> in
+        (8, 50, 200),                  # largest -> in
+        (9, 60, 199),                  # out (8 dominates)
+    ]
+    df = spark.createDataFrame(pts, "id long, price long, size long")
+    got = {
+        r.id for r in pareto_front_2d(df, "price", "size").collect()
+    }
+    assert got == {1, 2, 4, 5, 7, 8}

@@ -792,3 +792,71 @@ def changelog_apply(
     changed_keys = latest.select(key_col)
     untouched = base.join(changed_keys, key_col, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows not dominated under
+    (minimize `min_col`, maximize `max_col`) — a row is dominated by
+    any other that is <= on min_col and >= on max_col with at least
+    one strict. The multi-objective selection primitive (cheapest-
+    but-largest, newest-but-highest-quality) that naive SQL spells as
+    an O(n^2) NOT EXISTS self-join.
+
+    Distributed spelling (the classic partition-local-skyline merge,
+    2-D case): range-partition on min_col — equal keys co-locate, so
+    earlier partitions are STRICTLY cheaper — then per partition two
+    RANGE-frame window maxima give the strictly-cheaper and
+    cheap-or-equal running records, and a P-row exclusive prefix max
+    across partition totals (tiny theta-join over P rows) carries the
+    cross-partition record. Every window is partitioned; nothing
+    funnels through one task.
+
+    `min_col` must be integer-domain (quantize money to cents
+    upstream): the strictly-cheaper RANGE frame uses offset -1.
+    Duplicate (min, max) points do not dominate each other — both
+    survive, matching the NOT EXISTS semantics.
+    """
+    P = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    t = df.repartitionByRange(P, F.col(min_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_lt = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(min_col))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(min_col))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    local = t.withColumn("_max_lt", F.max(max_col).over(w_lt)).withColumn(
+        "_max_le", F.max(max_col).over(w_le)
+    )
+    totals = t.groupBy("_pid").agg(F.max(max_col).alias("_pmax"))
+    earlier = totals.select(
+        F.col("_pid").alias("_epid"), F.col("_pmax")
+    )
+    prefix = (
+        totals.select("_pid")
+        .join(earlier, F.col("_epid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_pmax").alias("_prev_pmax"))
+    )
+    s = F.col(max_col)
+    dominated = (
+        (F.coalesce(F.col("_prev_pmax") >= s, F.lit(False)))
+        | (F.coalesce(F.col("_max_lt") >= s, F.lit(False)))
+        | (F.col("_max_le") > s)
+    )
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .filter(~dominated)
+        .drop("_pid", "_max_lt", "_max_le", "_prev_pmax")
+    )

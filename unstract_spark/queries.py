@@ -12029,6 +12029,87 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_k_anonymity",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(min(sz) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+                // sum(sz) AS BIGINT) AS below_ppm
+    FROM g
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: the privacy gate a training-data release runs
+    before shipping — minimum equivalence-class size, how many
+    classes and rows fall below k=5, and the exposed-row share in
+    exact integer ppm. Two hash aggregates (per-class sizes, then the
+    report); every number exact, so the audit hash-gates."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    below = F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+    return g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long").alias("groups_below_k"),
+        below.cast("long").alias("rows_below_k"),
+        F.expr(
+            "sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000"
+            " div sum(sz)"
+        ).cast("long").alias("below_ppm"),
+    )
+
+
+@register(
+    "agg_pareto_front",
+    """
+    WITH pts AS (SELECT p_partkey,
+                        CAST(round(p_retailprice * 100) AS BIGINT)
+                          AS price_cents,
+                        p_size
+                 FROM part)
+    SELECT p_partkey, price_cents, p_size FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE (q.price_cents < p.price_cents AND q.p_size >= p.p_size)
+           OR (q.price_cents <= p.price_cents AND q.p_size > p.p_size))
+    """,
+)
+def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (joins.pareto_front_2d): parts that are
+    undominated under (cheapest price, largest size). The Spark side
+    runs the distributed partition-local-skyline merge — range
+    partition on cent-quantized price, two partitioned RANGE-frame
+    running maxima, P-row cross-partition prefix max — while the
+    oracle uses the naive O(n^2) NOT EXISTS spelling: an independent
+    certification of the distributed algorithm, triangle-counts
+    style."""
+    from unstract_spark.operators.joins import pareto_front_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        "p_size",
+    )
+    return pareto_front_2d(p, "price_cents", "p_size").select(
+        "p_partkey", "price_cents", "p_size"
+    )
+
+
 def _hilbert_codes_sql() -> str:
     from unstract_spark.operators.export import hilbert_oracle_sql
 
