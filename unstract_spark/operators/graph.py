@@ -206,3 +206,74 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Personalized PageRank in the same bit-exact integer arithmetic
+    as pagerank_fixed, with the teleport mass restricted to `seeds`
+    (one column `node`) — the recommendation / related-entities
+    ranking: mass leaks from the seed set through the graph, so score
+    measures proximity TO THE SEEDS rather than global centrality.
+
+    Initial mass SCALE div n_seeds on each seed (0 elsewhere); each
+    round a node gets SCALE div (8*n_seeds) teleport if it is a seed
+    (else 0) plus (7*s) div 8 from neighbors. Same int64 bounds and
+    per-round localCheckpoint lineage truncation as pagerank_fixed.
+    Seeds not present in the edge list are ignored (no dangling
+    handling, as documented for the base variant).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    sflag = nodes.join(
+        seeds.select(F.col("node")).distinct(), "node", "left_semi"
+    ).select("node", F.lit(1).alias("is_seed"))
+    marked = nodes.join(sflag, "node", "left").select(
+        "node", "deg", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+    ).localCheckpoint(eager=True)
+    ns = marked.agg(F.sum("is_seed").alias("n_seeds"))
+    p = (
+        marked.crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.expr(
+                f"CAST(CASE WHEN is_seed = 1 THEN {SCALE} div n_seeds"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max(iters, 0)):
+        contrib = (
+            e.join(p.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("p div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        p = (
+            marked.crossJoin(F.broadcast(ns))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN is_seed = 1 THEN"
+                    f" {SCALE} div (8 * n_seeds) ELSE 0 END"
+                    " + (7 * coalesce(s, 0)) div 8 AS BIGINT)"
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select("node", F.col("p").alias("ppr_fixed"))

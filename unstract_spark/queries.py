@@ -12029,6 +12029,81 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_STEP = """
+SELECT d.node,
+       CAST(CASE WHEN d.node LIKE 'c:%' THEN 1000000000000 // (8 * ns.n)
+                 ELSE 0 END
+            + (7 * coalesce(i.s, 0)) // 8 AS BIGINT) AS p
+FROM deg d CROSS JOIN ns LEFT JOIN {i} i ON i.node = d.node
+"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                        's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+    ),
+    e AS (SELECT a AS src, b AS dst FROM raw
+          UNION SELECT b AS src, a AS dst FROM raw),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    ns AS (SELECT count(*) AS n FROM deg WHERE node LIKE 'c:%'),
+    p0 AS (SELECT d.node,
+                  CAST(CASE WHEN d.node LIKE 'c:%'
+                            THEN 1000000000000 // ns.n ELSE 0 END
+                       AS BIGINT) AS p
+           FROM deg d CROSS JOIN ns),
+    i1 AS (SELECT e.dst AS node, sum(p0.p // d.deg) AS s
+           FROM e JOIN p0 ON p0.node = e.src
+                  JOIN deg d ON d.node = e.src GROUP BY 1),
+    p1 AS ({_PPR_STEP.format(i="i1")}),
+    i2 AS (SELECT e.dst AS node, sum(p1.p // d.deg) AS s
+           FROM e JOIN p1 ON p1.node = e.src
+                  JOIN deg d ON d.node = e.src GROUP BY 1),
+    p2 AS ({_PPR_STEP.format(i="i2")}),
+    i3 AS (SELECT e.dst AS node, sum(p2.p // d.deg) AS s
+           FROM e JOIN p2 ON p2.node = e.src
+                  JOIN deg d ON d.node = e.src GROUP BY 1),
+    p3 AS ({_PPR_STEP.format(i="i3")})
+    SELECT node, p AS ppr_fixed FROM p3
+    """,
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank_fixed) over
+    the recent customer-supplier graph with the CUSTOMER nodes as the
+    seed set: teleport mass goes only to seeds, so a supplier's score
+    measures proximity to the customer base — the related-entities /
+    recommendation ranking. Same bit-exact integer arithmetic as the
+    global variant (damping exactly 7/8, floor divisions); the oracle
+    unrolls all three rounds with the seed CASE, so the
+    personalization itself is hash-gated."""
+    from unstract_spark.operators.graph import personalized_pagerank_fixed
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01"
+    )
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = raw.select(F.col("src").alias("node")).distinct()
+    return personalized_pagerank_fixed(raw, seeds).select(
+        "node", "ppr_fixed"
+    )
+
+
 @register(
     "dq_k_anonymity",
     """
