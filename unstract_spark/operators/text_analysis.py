@@ -727,3 +727,85 @@ def bigram_logprob(
             "avg_logprob",
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top collocations by POINTWISE MUTUAL INFORMATION (Church &
+    Hanks 1990) — the classic 'which word pairs belong together'
+    measure phrase-mining and tokenizer-vocab pipelines start from:
+
+        pmi(w1, w2) = ln( p(w1 w2) / (p(w1) * p(w2)) )
+
+    spelled as ONE ln over one IEEE division of two pure-double
+    products — (c12·Nw·Nw) / (Nbg·c1·c2) with every factor cast to
+    double first — so the score is cross-engine bit-stable. The
+    `min_count` floor drops the hapax pairs PMI notoriously
+    over-ranks. Ranking by ROUNDED pmi with (w1, w2) tie-breaks.
+
+    Shape: bigrams from arrays_zip slices (no self-join), two
+    vocabulary-sized groupBys, pair-keyed joins, TakeOrdered top-k.
+    Output: (w1, w2, c12, c1, c2, pmi, rank).
+    """
+    from unstract_spark.operators.retrieval import bounded_rank
+
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(ws.alias("ws"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " slice(ws, 2, greatest(size(ws) - 1, 0)))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    # scalars fold out of the two aggregates (sum of counts), so the
+    # corpus explodes exactly twice — once into pair counts, once into
+    # word counts — and AQE's stage reuse serves the repeated
+    # aggregate subtrees from one shuffle each
+    c12_all = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c12 = c12_all.filter(F.col("c12") >= min_count)
+    words = base.select(F.explode("ws").alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    tot = wc.agg(F.sum("wc").cast("long").alias("nw")).crossJoin(
+        c12_all.agg(F.sum("c12").cast("long").alias("nbg"))
+    )
+    j = (
+        c12.join(
+            wc.select(F.col("w").alias("w1"), F.col("wc").alias("c1")),
+            "w1",
+        )
+        .join(
+            wc.select(F.col("w").alias("w2"), F.col("wc").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (
+            F.col("c12").cast("double")
+            * F.col("nw").cast("double")
+            * F.col("nw").cast("double")
+        )
+        / (
+            F.col("nbg").cast("double")
+            * F.col("c1").cast("double")
+            * F.col("c2").cast("double")
+        )
+    )
+    scored = j.select(
+        "w1", "w2", "c12", "c1", "c2", F.round(pmi, 6).alias("pmi")
+    )
+    return bounded_rank(
+        scored,
+        [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        k,
+    )

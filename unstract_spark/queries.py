@@ -12029,6 +12029,52 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_collocations_pmi",
+    r"""
+    WITH t AS (SELECT list_filter(string_split_regex(lower(text),
+                                                     '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    bg AS (SELECT ws[CAST(u.i AS INT)] AS w1,
+                  ws[CAST(u.i AS INT) + 1] AS w2
+           FROM t, unnest(range(1, len(ws))) AS u(i)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            HAVING count(*) >= 5),
+    w AS (SELECT unnest(ws) AS w FROM t),
+    wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM w) AS nw,
+                   (SELECT count(*) FROM bg) AS nbg),
+    sc AS (SELECT w1, w2, c12, ca.wc AS c1, cb.wc AS c2,
+                  round(ln((CAST(c12 AS DOUBLE) * CAST(nw AS DOUBLE)
+                            * CAST(nw AS DOUBLE))
+                           / (CAST(nbg AS DOUBLE)
+                              * CAST(ca.wc AS DOUBLE)
+                              * CAST(cb.wc AS DOUBLE))), 6) AS pmi
+           FROM c12 JOIN wc ca ON ca.w = w1
+                    JOIN wc cb ON cb.w = w2
+           CROSS JOIN tot)
+    SELECT w1, w2, c12, c1, c2, pmi, rank FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC,
+                                          w2 ASC) AS INT) AS rank
+        FROM sc) WHERE rank <= 50
+    """,
+)
+def ta_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (text_analysis.collocations_pmi — Church & Hanks): one ln over
+    one division of pure-double products, a min-count floor against
+    PMI's hapax bias, rounded ranking with pair tie-breaks. Bigrams
+    come from arrays_zip slices (one explode, no self-join); the
+    oracle re-derives every count and the full score expression."""
+    from unstract_spark.operators.text_analysis import collocations_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations_pmi(d).select(
+        "w1", "w2", "c12", "c1", "c2", "pmi", "rank"
+    )
+
+
 _PPR_STEP = """
 SELECT d.node,
        CAST(CASE WHEN d.node LIKE 'c:%' THEN 1000000000000 // (8 * ns.n)
