@@ -761,3 +761,60 @@ def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         _xml_field(F.col("_entry"), "loc").alias("child_loc"),
         _xml_field(F.col("_entry"), "lastmod").alias("lastmod"),
     )
+
+
+def parse_feed(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Explode RSS 2.0 / Atom feeds into one row per item — the feed
+    half of discovery alongside sitemaps (changed-content polling):
+    (format, pos, title, link, published, entry_id), other columns
+    carried through, both formats normalized to one schema.
+
+    Same native-regex discipline as parse_sitemap (block split keeps
+    per-entry field alignment; no xpath_* — malformed feeds must
+    surface NULLs, not task-fatal SAX errors). Format sniffed per
+    row from the root element; RSS carries link/pubDate/guid as
+    element text, Atom carries link as an href ATTRIBUTE and
+    updated/id as text — the parser normalizes both spellings.
+    """
+    xml = F.col(xml_col)
+    fmt = (
+        F.when(xml.rlike(r"(?is)<rss\b"), F.lit("rss"))
+        .when(xml.rlike(r"(?is)<feed\b"), F.lit("atom"))
+        .otherwise(F.lit(None))
+    )
+    rss_blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<item\b[^>]*>.*?</item>"), F.lit(0)
+    )
+    atom_blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<entry\b[^>]*>.*?</entry>"), F.lit(0)
+    )
+    carry = [c for c in df.columns if c != xml_col]
+    d = df.select(
+        *carry,
+        fmt.alias("format"),
+        F.posexplode(
+            F.when(fmt == "rss", rss_blocks).otherwise(atom_blocks)
+        ).alias("pos", "_entry"),
+    )
+    e = F.col("_entry")
+    atom_href = F.nullif(
+        F.regexp_extract(
+            e, r"""(?is)<link\b[^>]*\bhref\s*=\s*["']([^"']+)["']""", 1
+        ),
+        F.lit(""),
+    )
+    return d.select(
+        *carry,
+        "format",
+        "pos",
+        _xml_field(e, "title").alias("title"),
+        F.when(F.col("format") == "rss", _xml_field(e, "link"))
+        .otherwise(atom_href)
+        .alias("link"),
+        F.when(F.col("format") == "rss", _xml_field(e, "pubDate"))
+        .otherwise(_xml_field(e, "updated"))
+        .alias("published"),
+        F.when(F.col("format") == "rss", _xml_field(e, "guid"))
+        .otherwise(_xml_field(e, "id"))
+        .alias("entry_id"),
+    )

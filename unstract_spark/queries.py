@@ -12030,6 +12030,108 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_feed_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+             AS format,
+           CAST(u.i AS INT) AS pos,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Doc ' || doc_id || ' & item ' || u.i
+                ELSE 'Entry ' || doc_id || ' ' || u.i END AS title,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'http://ex.com/r/' || doc_id || '/' || u.i
+                ELSE 'http://ex.com/a/' || doc_id || '/' || u.i END
+             AS link,
+           CASE WHEN doc_id % 2 = 0 AND u.i = 0
+                THEN 'Mon, 0' || (doc_id % 7 + 1) || ' Jan 2026'
+                WHEN doc_id % 2 = 1 AND u.i = 1
+                THEN '2026-02-0' || (doc_id % 9 + 1) END AS published,
+           CASE WHEN doc_id % 2 = 0 AND u.i = 0
+                THEN 'g-' || doc_id || '-0'
+                WHEN doc_id % 2 = 1
+                THEN 'tag:' || doc_id || ':' || u.i END AS entry_id
+    FROM documents, unnest(range(0, 2)) AS u(i)
+    """,
+)
+def web_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion (webcorpus.parse_feed) under an exact
+    gate: even docs render an RSS 2.0 channel (entity-encoded titles,
+    pubDate and guid only on item 0), odd docs an Atom feed (link as
+    an href ATTRIBUTE, updated only on entry 1) — both normalized to
+    one schema. The oracle states the expected parse directly, so
+    entity decode, per-entry field alignment, attribute-vs-text link
+    extraction, and absent-optional-field NULLs are all
+    hash-certified for BOTH formats."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id").cast("string")
+    rss_items = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(1)),
+            lambda i: F.concat(
+                F.lit("<item><title>Doc "), did,
+                F.lit(" &amp; item "), i.cast("string"),
+                F.lit("</title><link>http://ex.com/r/"), did,
+                F.lit("/"), i.cast("string"), F.lit("</link>"),
+                F.when(
+                    i == 0,
+                    F.concat(
+                        F.lit("<pubDate>Mon, 0"),
+                        (F.col("doc_id") % 7 + 1).cast("string"),
+                        F.lit(" Jan 2026</pubDate><guid>g-"), did,
+                        F.lit("-0</guid>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</item>"),
+            ),
+        ),
+        "",
+    )
+    atom_entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(1)),
+            lambda i: F.concat(
+                F.lit("<entry><title>Entry "), did, F.lit(" "),
+                i.cast("string"),
+                F.lit('</title><link href="http://ex.com/a/'), did,
+                F.lit("/"), i.cast("string"), F.lit('"/>'),
+                F.when(
+                    i == 1,
+                    F.concat(
+                        F.lit("<updated>2026-02-0"),
+                        (F.col("doc_id") % 9 + 1).cast("string"),
+                        F.lit("</updated>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("<id>tag:"), did, F.lit(":"), i.cast("string"),
+                F.lit("</id></entry>"),
+            ),
+        ),
+        "",
+    )
+    xml = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<rss version="2.0"><channel>'), rss_items,
+            F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+            atom_entries, F.lit("</feed>"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", xml.alias("xml")
+    )
+    return webcorpus.parse_feed(d).select(
+        "doc_id", "format", "pos", "title", "link", "published",
+        "entry_id",
+    )
+
+
+@register(
     "ta_collocations_pmi",
     r"""
     WITH t AS (SELECT list_filter(string_split_regex(lower(text),
