@@ -493,6 +493,8 @@ def hilbert_oracle_sql(
     ctes = [
         f"h0 AS (SELECT CAST({x_sql} AS BIGINT) AS x,"
         f" CAST({y_sql} AS BIGINT) AS y,"
+        f" CAST({x_sql} AS BIGINT) AS x0,"
+        f" CAST({y_sql} AS BIGINT) AS y0,"
         f" CAST(0 AS BIGINT) AS d FROM {source_sql})"
     ]
     lvl = 0
@@ -514,11 +516,13 @@ def hilbert_oracle_sql(
             f" ELSE y END"
         )
         ctes.append(
-            f"{n} AS (SELECT {nx} AS x, {ny} AS y,"
+            f"{n} AS (SELECT {nx} AS x, {ny} AS y, x0, y0,"
             f" d + {s * s} * ({quad}) AS d FROM {p})"
         )
         lvl += 1
+    # x0/y0 carry the ORIGINAL coordinates through the walk (the
+    # rotations consume x/y) for consumers that need (point, distance)
     return (
         "WITH " + ", ".join(ctes)
-        + f" SELECT d AS hilbert FROM h{lvl}"
+        + f" SELECT x0, y0, d AS hilbert FROM h{lvl}"
     )

@@ -12333,6 +12333,130 @@ def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zonemap_prune_sql() -> str:
+    from unstract_spark.operators.export import (
+        hilbert_oracle_sql,
+        morton_sql,
+    )
+
+    h_inner = hilbert_oracle_sql(
+        "l_partkey % 256", "l_suppkey % 256", "lineitem", bits=8
+    )
+    z = morton_sql("x", "y", bits=8)
+    layout = """
+    SELECT '{name}' AS layout, count(*) AS n_files,
+           CAST(sum(CASE WHEN min_x <= 79 AND max_x >= 64
+                          AND min_y <= 79 AND max_y >= 64
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS candidate_files,
+           CAST(sum(CASE WHEN min_x <= 79 AND max_x >= 64
+                          AND min_y <= 79 AND max_y >= 64
+                         THEN nr ELSE 0 END) AS BIGINT)
+             AS candidate_rows,
+           t.total_rows, t.matching_rows,
+           CAST(sum(CASE WHEN min_x <= 79 AND max_x >= 64
+                          AND min_y <= 79 AND max_y >= 64
+                         THEN nr ELSE 0 END) * 1000000
+                // t.total_rows AS BIGINT) AS scan_ppm
+    FROM (SELECT {file} AS f, min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y, count(*) AS nr
+          FROM pts GROUP BY 1) s CROSS JOIN tot t
+    GROUP BY t.total_rows, t.matching_rows
+    """
+    return f"""
+    WITH pts AS (SELECT x0 AS x, y0 AS y, hilbert,
+                        {z} AS zorder
+                 FROM ({h_inner})),
+    tot AS (SELECT count(*) AS total_rows,
+                   CAST(sum(CASE WHEN x BETWEEN 64 AND 79
+                                  AND y BETWEEN 64 AND 79
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS matching_rows
+            FROM pts)
+    {layout.format(name="x_sort", file="x // 16")}
+    UNION ALL {layout.format(name="hilbert", file="hilbert // 4096")}
+    UNION ALL {layout.format(name="zorder", file="zorder // 4096")}
+    """
+
+
+@register("ex_zonemap_prune", _zonemap_prune_sql())
+def ex_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning simulation — the
+    measured VALUE of the layout keys this family computes: the same
+    rows laid into 16 files three ways (single-column x sort, Hilbert
+    ranges, Z-order ranges), per-file min/max statistics per layout,
+    and the candidate-file/row counts a 2-D box predicate leaves
+    after pruning — exactly the skipping calculus a parquet reader
+    runs against footer stats. Space-filling layouts should leave a
+    fraction of x_sort's scan for the 2-D box, and the hash gate pins
+    the precise numbers (plus matching_rows as the layout-invariant
+    sanity row). All integer arithmetic."""
+    from unstract_spark.operators.export import (
+        hilbert_distance,
+        morton_sql,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    pts = hilbert_distance(li, "x", "y", bits=8).withColumn(
+        "zorder", F.expr(morton_sql("x", "y", bits=8))
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(
+            F.when(
+                F.col("x").between(64, 79) & F.col("y").between(64, 79),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("matching_rows"),
+    )
+    out = None
+    for name, fcol in (
+        ("x_sort", F.expr("x div 16")),
+        ("hilbert", F.expr("hilbert div 4096")),
+        ("zorder", F.expr("zorder div 4096")),
+    ):
+        s = pts.groupBy(fcol.alias("f")).agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        cand = (
+            F.col("min_x") <= 79
+        ) & (F.col("max_x") >= 64) & (
+            F.col("min_y") <= 79
+        ) & (F.col("max_y") >= 64)
+        row = s.crossJoin(F.broadcast(tot)).groupBy(
+            "total_rows", "matching_rows"
+        ).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(cand, 1).otherwise(0)).cast("long").alias(
+                "candidate_files"
+            ),
+            F.sum(F.when(cand, F.col("nr")).otherwise(0)).cast(
+                "long"
+            ).alias("candidate_rows"),
+            F.expr(
+                "sum(CASE WHEN min_x <= 79 AND max_x >= 64"
+                " AND min_y <= 79 AND max_y >= 64"
+                " THEN nr ELSE 0 END) * 1000000 div"
+                " first(total_rows)"
+            ).cast("long").alias("scan_ppm"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_files",
+            "candidate_files",
+            "candidate_rows",
+            "total_rows",
+            "matching_rows",
+            "scan_ppm",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _hilbert_codes_sql() -> str:
     from unstract_spark.operators.export import hilbert_oracle_sql
 
