@@ -860,3 +860,34 @@ def pareto_front_2d(
         .filter(~dominated)
         .drop("_pid", "_max_lt", "_max_le", "_prev_pmax")
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Build an SCD TYPE 2 dimension from a changelog — the
+    write-side complement of scd2_join (which CONSUMES such a table):
+    every change row becomes a version with validity
+    [ts, next change's ts), the latest version per key left open
+    (valid_to NULL), version numbers assigned in change order.
+
+    One window over the changelog (churn-sized, never a base-table
+    scan): lead(ts) closes each version, row_number numbers it.
+    `seq_col` breaks same-timestamp ties deterministically; pairs
+    with changelog_apply (same input contract) when only the LATEST
+    snapshot is wanted.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull()
+        )
+    )

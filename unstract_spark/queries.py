@@ -12030,6 +12030,48 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j17_scd2_build",
+    """
+    SELECT o_custkey AS key, o_orderkey AS seq,
+           o_totalprice AS score,
+           CAST(row_number() OVER w AS INT) AS version,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def j17_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension BUILD (joins.scd2_build) — the write-side
+    complement of the scd2 point-in-time join: each customer's orders
+    become profile versions with half-open [valid_from, valid_to)
+    validity from one churn-sized window (lead closes each version,
+    the latest stays open), order-key tie-breaks for same-day
+    changes. Payloads pass through, so the whole versioned dimension
+    hash-gates."""
+    from unstract_spark.operators.joins import scd2_build
+
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return scd2_build(ch, "key", "seq", "ts").select(
+        "key",
+        "seq",
+        "score",
+        F.col("version").cast("int"),
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@register(
     "web_feed_extract",
     """
     SELECT doc_id,
