@@ -450,6 +450,88 @@ def event_pattern_rows(
     of structs), a posexplode bounded by matches-per-user, one
     partitioned window. Per-user history must fit one aggregation
     buffer — the standing sessionizer contract."""
+    pos = _pattern_match_positions(
+        events, pattern, code_map, user_col, ts_col, id_col, type_col,
+        value_col,
+    )
+    ev = F.slice(F.col("_a"), F.col("start_pos"), F.col("_mlen"))
+    first_ts = F.element_at(ev, 1)["_ts"]
+    last_ts = F.element_at(ev, -1)["_ts"]
+    return pos.select(
+        user_col,
+        F.col("match_idx").cast("int"),
+        "start_pos",
+        F.col("_mlen").cast("int").alias("n_events"),
+        F.col("_m").alias("codes"),
+        first_ts.alias("start_ts"),
+        last_ts.alias("end_ts"),
+        # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ
+        # event times (the _t dual-type caveat); same-type args, so
+        # no zone shift enters the difference
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "element_at(slice(_a, start_pos, _mlen), 1)._ts, "
+            "element_at(slice(_a, start_pos, _mlen), -1)._ts)"
+        ).alias("duration_us"),
+        F.aggregate(
+            ev, F.lit(0).cast("long"), lambda acc, x: acc + x["_cents"]
+        ).alias("value_cents"),
+    )
+
+
+def event_pattern_all_rows(
+    events: DataFrame,
+    pattern: str,
+    code_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """MATCH_RECOGNIZE "ALL ROWS PER MATCH": one row per matched
+    EVENT — the payload-level output that lets downstream logic see
+    exactly which events each match consumed (the companion to
+    event_pattern_rows' per-match measures; same position
+    reconstruction, same pattern-class contract). Output: (user,
+    match_idx, ev_idx 1-based within the match, code — the single
+    pattern char this event matched, event_id, ts, cents)."""
+    pos = _pattern_match_positions(
+        events, pattern, code_map, user_col, ts_col, id_col, type_col,
+        value_col,
+    )
+    expl = pos.select(
+        user_col,
+        F.col("match_idx").cast("int").alias("match_idx"),
+        "_m",
+        F.posexplode(
+            F.slice(F.col("_a"), F.col("start_pos"), F.col("_mlen"))
+        ).alias("_k", "_ev"),
+    )
+    return expl.select(
+        user_col,
+        "match_idx",
+        (F.col("_k") + 1).cast("int").alias("ev_idx"),
+        F.expr("substring(_m, _k + 1, 1)").alias("code"),
+        F.col("_ev._id").alias("event_id"),
+        F.col("_ev._ts").alias("ts"),
+        F.col("_ev._cents").alias("cents"),
+    )
+
+
+def _pattern_match_positions(
+    events: DataFrame,
+    pattern: str,
+    code_map: dict[str, str],
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared core of the per-match outputs: per (user, match) rows
+    carrying (_a sorted struct array, _m matched codes, match_idx,
+    start_pos, _mlen) via the split/extract position arithmetic."""
     code = None
     for etype, ch in code_map.items():
         branch = F.when(F.col(type_col) == etype, F.lit(ch))
@@ -506,30 +588,7 @@ def event_pattern_rows(
         + F.coalesce(F.sum("_mlen").over(w_prev), F.lit(0))
         + 1
     ).cast("int")
-    pos = per.withColumn("start_pos", start)
-    ev = F.slice(F.col("_a"), F.col("start_pos"), F.col("_mlen"))
-    first_ts = F.element_at(ev, 1)["_ts"]
-    last_ts = F.element_at(ev, -1)["_ts"]
-    return pos.select(
-        user_col,
-        F.col("match_idx").cast("int"),
-        "start_pos",
-        F.col("_mlen").cast("int").alias("n_events"),
-        F.col("_m").alias("codes"),
-        first_ts.alias("start_ts"),
-        last_ts.alias("end_ts"),
-        # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ
-        # event times (the _t dual-type caveat); same-type args, so
-        # no zone shift enters the difference
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "element_at(slice(_a, start_pos, _mlen), 1)._ts, "
-            "element_at(slice(_a, start_pos, _mlen), -1)._ts)"
-        ).alias("duration_us"),
-        F.aggregate(
-            ev, F.lit(0).cast("long"), lambda acc, x: acc + x["_cents"]
-        ).alias("value_cents"),
-    )
+    return per.withColumn("start_pos", start)
 
 
 def attribution_credits(

@@ -13192,7 +13192,7 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_PATTERN_ROWS_SQL = r"""
+_EVENTS_PATTERN_CTES = r"""
 WITH c AS (
   SELECT user_id, ts, event_id,
          CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
@@ -13225,6 +13225,9 @@ p AS (
                 ORDER BY match_idx ROWS BETWEEN UNBOUNDED PRECEDING
                 AND 1 PRECEDING), 0) + 1 AS INT) AS start_pos
   FROM m)
+"""
+
+_EVENTS_PATTERN_ROWS_SQL = _EVENTS_PATTERN_CTES + r"""
 SELECT user_id, match_idx, start_pos, CAST(mlen AS INT) AS n_events,
        m AS codes,
        a[start_pos].ts AS start_ts,
@@ -13235,6 +13238,37 @@ SELECT user_id, match_idx, start_pos, CAST(mlen AS INT) AS n_events,
             x -> x.cents)) AS BIGINT) AS value_cents
 FROM p
 """
+
+_EVENTS_PATTERN_ALL_ROWS_SQL = _EVENTS_PATTERN_CTES + r"""
+SELECT user_id, match_idx, CAST(i AS INT) AS ev_idx,
+       m[CAST(i AS INT)] AS code,
+       ev.id AS event_id, ev.ts AS ts, ev.cents AS cents
+FROM (SELECT user_id, match_idx, m,
+             unnest(a[start_pos : start_pos + mlen - 1]) AS ev,
+             unnest(range(1, mlen + 1)) AS i
+      FROM p)
+"""
+
+
+@register("events_pattern_all_rows", _EVENTS_PATTERN_ALL_ROWS_SQL)
+def events_pattern_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ALL ROWS PER MATCH
+    (timeseries.event_pattern_all_rows): every event each
+    view→click→purchase match consumed, with its in-match position
+    and the single pattern character it matched — the payload-level
+    CEP output downstream repair/enrichment logic needs. Same
+    position arithmetic as events_pattern_rows; the oracle unnests
+    the same slices positionally, so match membership is certified
+    event by event."""
+    from unstract_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.event_pattern_all_rows(
+        e,
+        "v[^e]*?c[^e]*?p",
+        {"view": "v", "click": "c", "purchase": "p",
+         "signup": "s", "error": "e"},
+    )
 
 
 @register("events_pattern_rows", _EVENTS_PATTERN_ROWS_SQL)
