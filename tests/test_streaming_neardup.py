@@ -1159,3 +1159,65 @@ def test_streaming_cms_matrix_equals_batch(spark, tmp_path):
     assert est["alpha"] >= 3 and est["beta"] >= 4  # never under
 
     assert streaming_cms_pipeline(spark, src, ckpt, store, width=64) == 0
+
+
+def test_streaming_islands_match_batch_merge(spark, tmp_path):
+    """Under in-order-by-start delivery, closed + open islands after
+    N fires equal batch merge_intervals of every interval that
+    arrived — island NUMBERS included — covering: an island extended
+    across fires, an open island that a later fire's interval chains
+    THROUGH (the open end reaches past a batch-local gap), and keys
+    appearing in only one fire."""
+    from unstract_spark.operators.joins import merge_intervals
+    from unstract_spark.streaming.incremental import (
+        read_islands_view,
+        streaming_islands_pipeline,
+    )
+
+    sch = "k long, s long, e long, id long"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    # key 1: [0,100] open; fire2 brings [10,20] and [50,60] which the
+    #        open island swallows despite their batch-local gap, then
+    #        [200,210] starts a new island
+    # key 2: [0,5] closes when [10,15] arrives (gap), which then
+    #        extends via [15,30]
+    # key 3: single fire-1 island, untouched later
+    fire1 = [(1, 0, 100, 1), (2, 0, 5, 2), (3, 7, 9, 3)]
+    fire2 = [(1, 10, 20, 4), (1, 50, 60, 5), (1, 200, 210, 6),
+             (2, 10, 15, 7), (2, 15, 30, 8)]
+    for rows in (fire1, fire2):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert streaming_islands_pipeline(
+            spark, src, ckpt, state, out
+        ) == 1
+
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        (r.k, r.island): (r.island_start, r.island_end,
+                          r.n_intervals, r.covered)
+        for r in merge_intervals(union, "k", "s", "e", "id").collect()
+    }
+    got = {
+        (r.k, r.island_no): (r.island_start, r.island_end,
+                             r.n_intervals, r.covered)
+        for r in read_islands_view(spark, state, out).collect()
+    }
+    assert got == expect
+    assert expect[(1, 1)] == (0, 100, 3, 100)   # chained through
+    assert expect[(2, 2)] == (10, 30, 2, 20)
+
+    # idempotent re-fire
+    assert streaming_islands_pipeline(
+        spark, src, ckpt, state, out
+    ) == 0
+    assert {
+        (r.k, r.island_no) for r in
+        read_islands_view(spark, state, out).collect()
+    } == set(expect)

@@ -628,6 +628,7 @@ def merge_intervals(
     start_col: str,
     end_col: str,
     order_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Gaps-and-islands: merge overlapping-or-touching intervals per
     key into maximal islands (the classic coverage primitive — uptime
@@ -668,10 +669,18 @@ def merge_intervals(
     with_island = df.withColumn("_flag", flag).withColumn(
         "island", F.sum("_flag").over(w_run).cast("long")
     )
+    # weight_col lets a caller fold PRE-MERGED islands back in as
+    # single rows that still count their original interval
+    # multiplicity (the streaming twin's open-island carry)
+    n = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
     return with_island.groupBy(key_col, "island").agg(
         F.min(start_col).alias("island_start"),
         F.max(end_col).alias("island_end"),
-        F.count(F.lit(1)).alias("n_intervals"),
+        n.alias("n_intervals"),
         (F.max(end_col) - F.min(start_col)).alias("covered"),
     )
 

@@ -1617,6 +1617,173 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_islands_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    key_col: str = "k",
+    start_col: str = "s",
+    end_col: str = "e",
+    order_col: str = "id",
+    schema: str = "k long, s long, e long, id long",
+) -> int:
+    """Incremental gaps-and-islands — the streaming twin of
+    joins.merge_intervals: per key the state is ONE open island
+    (start, max end, interval count, islands closed so far); each
+    fire re-merges the batch's intervals together with the open
+    island (fed back as a weighted synthetic interval, so counts
+    carry), CLOSES every resulting island except the per-key last —
+    under in-order-by-start delivery nothing in the future can touch
+    them — and keeps the last as the new open island.
+
+    In-order contract: across fires, every interval's start must be
+    >= all starts already seen for its key (the standing sessionizer
+    ordering caveat; route late data through a watermark upstream).
+    Under it, closed ∪ open equals batch merge_intervals of
+    everything that arrived — island numbers included (the state
+    carries each key's closed-count offset), which the twin test
+    pins row for row.
+
+    Closed islands append per epoch (batch_id=N overwrite — they are
+    the result, never pruned); open-island state snapshots follow the
+    sibling pipelines' exactly-once discipline. Returns fired count.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from unstract_spark.operators.joins import merge_intervals
+
+    fires = 0
+    run_base = _run_base(
+        out_dir, state_dir, checkpoint_dir=checkpoint_dir
+    )
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        b = batch.select(
+            key_col,
+            start_col,
+            end_col,
+            F.col(order_col).alias("_ord"),
+            F.lit(1).cast("long").alias("_w"),
+        )
+        old = _read_parquet_or_none(spark, state_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid)
+            base_cnt = old.select(
+                key_col, F.col("closed_cnt").alias("_base")
+            )
+            carry = old.select(
+                key_col,
+                F.col("open_start").alias(start_col),
+                F.col("open_end").alias(end_col),
+                F.lit(-1).cast("long").alias("_ord"),
+                F.col("open_n").alias("_w"),
+            )
+            b = b.unionByName(carry)
+        else:
+            base_cnt = spark.createDataFrame(
+                [], f"{key_col} long, _base long"
+            )
+        merged = merge_intervals(
+            b, key_col, start_col, end_col, "_ord", weight_col="_w"
+        )
+        wmax = Window.partitionBy(key_col)
+        m = merged.withColumn(
+            "_last", F.max("island").over(wmax)
+        ).join(base_cnt, key_col, "left").withColumn(
+            "_base", F.coalesce(F.col("_base"), F.lit(0))
+        ).localCheckpoint(eager=True)
+        closed = m.filter(F.col("island") < F.col("_last")).select(
+            key_col,
+            (F.col("_base") + F.col("island")).cast("long").alias(
+                "island_no"
+            ),
+            "island_start",
+            "island_end",
+            "n_intervals",
+            "covered",
+        )
+        state = m.filter(F.col("island") == F.col("_last")).select(
+            key_col,
+            F.col("island_start").alias("open_start"),
+            F.col("island_end").alias("open_end"),
+            F.col("n_intervals").alias("open_n"),
+            (F.col("_base") + F.col("_last") - 1).cast("long").alias(
+                "closed_cnt"
+            ),
+        )
+        closed.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={bid}"
+        )
+        state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={bid}"
+        )
+        try:
+            names = _os.listdir(state_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(state_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def read_islands_view(
+    spark: SparkSession, state_dir: str, out_dir: str
+) -> DataFrame:
+    """Closed islands (all epochs) plus each key's open island,
+    numbered as batch merge_intervals would number them."""
+    import os as _os
+
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    )
+    st = spark.read.parquet(f"{state_dir}/batch_id={latest}")
+    key = st.columns[0]
+    open_isl = st.select(
+        key,
+        (F.col("closed_cnt") + 1).alias("island_no"),
+        F.col("open_start").alias("island_start"),
+        F.col("open_end").alias("island_end"),
+        F.col("open_n").alias("n_intervals"),
+        (F.col("open_end") - F.col("open_start")).alias("covered"),
+    )
+    closed = spark.read.parquet(out_dir).drop("batch_id")
+    return closed.unionByName(open_isl)
+
+
 def streaming_cms_pipeline(
     spark: SparkSession,
     source_dir: str,
