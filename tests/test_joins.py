@@ -525,3 +525,16 @@ def test_pareto_front_2d_dominance(spark):
         r.id for r in pareto_front_2d(df, "price", "size").collect()
     }
     assert got == {1, 2, 4, 5, 7, 8}
+
+
+def test_kcore_peel_cascades(spark):
+    """Peeling must CASCADE: removing a leaf can drop its neighbor
+    below k next round. A 4-clique with a pendant path survives as
+    exactly the clique at k=3 within 3 rounds."""
+    from unstract_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    path = [(4, 5), (5, 6)]  # 5 and 6 peel in cascade
+    df = spark.createDataFrame(clique + path, "src long, dst long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -277,3 +277,44 @@ def personalized_pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return p.select("node", F.col("p").alias("ppr_fixed"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Bounded-round K-CORE peeling (Seidman's coreness, the
+    degeneracy-ordering workhorse of community/spam detection): each
+    round drops every node whose CURRENT degree is below k together
+    with its edges — peeling, because removals cascade. Run to a
+    fixed point this yields the exact k-core; the bounded-round form
+    is the deterministic, hash-gatable prefix (monotone: the edge set
+    only shrinks), the same bargain label_propagation strikes.
+
+    Output: (node, deg) — degrees over the edges surviving `rounds`
+    peels, for nodes that still have any edge. Scale shape per round:
+    one groupBy degree + two semi-joins, lineage truncated per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    for _ in range(max(rounds, 0)):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.col("src").alias("node"), "deg")

@@ -12829,6 +12829,59 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_credits(conv, touch)
 
 
+_KCORE_ROUND = """
+d{r} AS (SELECT src, count(*) AS d FROM e{p} GROUP BY 1),
+keep{r} AS (SELECT src FROM d{r} WHERE d >= 3),
+e{r} AS (SELECT e.src, e.dst FROM e{p} e
+         WHERE e.src IN (SELECT src FROM keep{r})
+           AND e.dst IN (SELECT src FROM keep{r}))
+"""
+
+
+@register(
+    "graph_kcore",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    raw AS (SELECT a.it AS src, c.it AS dst
+            FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+    e0 AS (SELECT src, dst FROM raw
+           UNION SELECT dst AS src, src AS dst FROM raw),
+    {_KCORE_ROUND.format(r=1, p=0)},
+    {_KCORE_ROUND.format(r=2, p=1)},
+    {_KCORE_ROUND.format(r=3, p=2)}
+    SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round 3-core peeling (graph.kcore_peel) over the part
+    co-purchase graph: three peel rounds, each dropping sub-degree-3
+    nodes and their edges — removals cascade, which is the point of
+    peeling. The oracle unrolls all three rounds as CTEs, so every
+    round's degree computation and double semi-join survives the
+    hash."""
+    from unstract_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    left = b.select("bk", F.col("it").alias("src"))
+    right = b.select(F.col("bk").alias("bk2"), F.col("it").alias("dst"))
+    edges = (
+        left.join(
+            right,
+            (left["bk"] == right["bk2"]) & (left["src"] < right["dst"]),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
 @register(
     "graph_triangle_counts",
     """
