@@ -1986,3 +1986,78 @@ def opq_eigen_allocation(cov: np.ndarray, n_sub: int) -> np.ndarray:
     # spelled as column permutation of V so (X @ R)[:, block m] sees
     # bucket m's eigendirections
     return V[:, perm]
+
+
+def rocchio_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    fb_k: int = 4,
+    alpha: float = 0.5,
+    beta_over_fb: float = 0.125,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Rocchio relevance feedback in the EMBEDDING domain — the
+    vector-space sibling of retrieval.prf_expand_retrieve's lexical
+    RM3: retrieve once by cosine, move each query toward the centroid
+    of its top `fb_k` feedback vectors,
+
+        q' = alpha * q + (beta / fb_k) * sum(feedback),
+
+    and retrieve again with q'. Hash-gatable determinism, the part
+    Rocchio implementations usually punt on: the feedback SUM is
+    accumulated in integer MICRO-UNITS (round(v*1e6) per dimension —
+    exact, order-free however the aggregation associates), and both
+    blend constants must be exact binary fractions (0.5 and
+    0.5/4 = 0.125 by default), so q' is bit-identical on any engine.
+
+    Scale shape: pass 1 is brute_force_topk (broadcast queries);
+    the per-dimension centroid is a (queries x fb_k x dim)-row
+    groupBy — feedback-sized, never corpus-sized; q' folds back into
+    per-query arrays (collect bounded by |queries|); pass 2 is the
+    standard broadcast scoring. Output: (query_id, vec_id, score,
+    rank) by the rounded-score ranking.
+    """
+    fb = brute_force_topk(
+        queries, index, k=fb_k, query_id=query_id,
+        query_vec=query_vec, index_id=index_id, index_vec=index_vec,
+    ).select(query_id, index_id)
+    fbv = fb.join(
+        index.select(index_id, F.col(index_vec).alias("_v")), index_id
+    )
+    cint = fbv.select(
+        query_id,
+        F.posexplode(F.col("_v").cast("array<double>")).alias(
+            "_d0", "_val"
+        ),
+    ).groupBy(query_id, (F.col("_d0") + 1).alias("_i")).agg(
+        F.sum(F.round(F.col("_val") * 1000000).cast("long")).alias("_c")
+    )
+    qd = queries.select(
+        query_id,
+        F.posexplode(F.col(query_vec).cast("array<double>")).alias(
+            "_d0", "_qval"
+        ),
+    ).select(query_id, (F.col("_d0") + 1).alias("_i"), "_qval")
+    q2 = qd.join(cint, [query_id, "_i"]).select(
+        query_id,
+        "_i",
+        (
+            F.lit(float(alpha)) * F.col("_qval")
+            + F.lit(float(beta_over_fb))
+            * (F.col("_c").cast("double") / F.lit(1000000.0))
+        ).alias("_q2"),
+    )
+    q2v = q2.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_q2"))),
+            lambda x: x["_q2"],
+        ).alias(query_vec)
+    )
+    return brute_force_topk(
+        q2v, index, k=k, query_id=query_id, query_vec=query_vec,
+        index_id=index_id, index_vec=index_vec,
+    )

@@ -3287,6 +3287,83 @@ def sim_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", "rank")
 
 
+_SIM_ROCCHIO_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    p1 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, i.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qv,
+                                    i.embedding::DOUBLE[])
+                           / (sqrt(list_sum(list_transform(q.qv,
+                                  x -> x * x)))
+                              * sqrt(list_sum(list_transform(
+                                    i.embedding::DOUBLE[],
+                                    x -> x * x)))), 6) DESC,
+                                i.vec_id ASC) AS r
+            FROM q CROSS JOIN embeddings i
+        ) WHERE r <= 4),
+    fbv AS (SELECT p1.query_id, i.embedding::DOUBLE[] AS v
+            FROM p1 JOIN embeddings i USING (vec_id)),
+    cint AS (SELECT query_id, i,
+                    CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+                         AS BIGINT) AS c
+             FROM (SELECT query_id, unnest(v) AS val,
+                          unnest(range(1, len(v) + 1)) AS i
+                   FROM fbv)
+             GROUP BY 1, 2),
+    q2 AS (SELECT query_id,
+                  list(CAST(0.5 AS DOUBLE) * qval
+                       + CAST(0.125 AS DOUBLE)
+                         * (CAST(c AS DOUBLE) / 1000000.0)
+                       ORDER BY i) AS q2v
+           FROM (SELECT query_id, unnest(qv) AS qval,
+                        unnest(range(1, len(qv) + 1)) AS i
+                 FROM q) qq
+           JOIN cint USING (query_id, i)
+           GROUP BY query_id),
+    scored AS (
+        SELECT q2.query_id, i.vec_id,
+               round(list_dot_product(q2.q2v, i.embedding::DOUBLE[])
+                     / (sqrt(list_sum(list_transform(q2.q2v,
+                            x -> x * x)))
+                        * sqrt(list_sum(list_transform(
+                              i.embedding::DOUBLE[], x -> x * x)))),
+                     6) AS score
+        FROM q2 CROSS JOIN embeddings i
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC,
+                                              vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@register("sim_rocchio", _SIM_ROCCHIO_SQL)
+def sim_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio relevance feedback in the embedding domain
+    (similarity.rocchio_topk — the vector-space sibling of the
+    lexical RM3 row): cosine pass 1, each query moved toward its
+    top-4 feedback centroid with exact-binary blend constants
+    (0.5 / 0.125) and the centroid SUM accumulated in integer
+    micro-units (order-free), cosine pass 2 with the moved query.
+    The oracle re-derives the feedback sets, the quantized centroids,
+    the blended vectors, and the final ranking — the whole feedback
+    loop under one hash."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.rocchio_topk(q, e, k=10, fb_k=4).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
 def _double_array_sql(vals) -> str:
     """DuckDB literal array of doubles. Plain decimal literals parse as
     DECIMAL (not DOUBLE) in DuckDB and silently change the arithmetic
