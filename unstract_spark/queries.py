@@ -12107,6 +12107,98 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rfm_scores",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               max(epoch_us(o_orderdate)) AS last_us,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM cust),
+    rr AS (SELECT o_custkey, row_number() OVER (ORDER BY last_us,
+                                                o_custkey) AS rk
+           FROM cust),
+    rf AS (SELECT o_custkey, row_number() OVER (ORDER BY freq,
+                                                o_custkey) AS rk
+           FROM cust),
+    rm AS (SELECT o_custkey, row_number() OVER (ORDER BY cents,
+                                                o_custkey) AS rk
+           FROM cust)
+    SELECT c.o_custkey, c.last_us, c.freq, c.cents,
+           CAST(1 + (rr.rk - 1) * 5 // n.n AS INT) AS r_score,
+           CAST(1 + (rf.rk - 1) * 5 // n.n AS INT) AS f_score,
+           CAST(1 + (rm.rk - 1) * 5 // n.n AS INT) AS m_score,
+           CAST((1 + (rr.rk - 1) * 5 // n.n) * 100
+                + (1 + (rf.rk - 1) * 5 // n.n) * 10
+                + (1 + (rm.rk - 1) * 5 // n.n) AS INT) AS rfm_code
+    FROM cust c
+    JOIN rr USING (o_custkey) JOIN rf USING (o_custkey)
+    JOIN rm USING (o_custkey) CROSS JOIN n
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores (the classic marketing-analytics cut): per
+    customer the last order instant, order count, and cent-quantized
+    spend, each ranked GLOBALLY with an id tie-break and mapped to
+    quintiles by exact integer arithmetic (1 + (rank-1)*5 div n).
+    The global ranks run through ranks.range_prefix — the distributed
+    two-pass prefix spelling, no single-partition window — so the
+    segmentation scales to a customer dimension that doesn't fit one
+    task. rfm_code is the standard 3-digit segment label."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    o = _t(spark, sf_dir, "orders")
+    if dict(o.dtypes)["o_orderdate"] == "timestamp_ntz":
+        u = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        )
+    else:
+        u = F.unix_micros(F.col("o_orderdate"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max(u).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    ).localCheckpoint(eager=True)
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def _score(metric: str) -> DataFrame:
+        rk = range_prefix(
+            cust.select(metric, "o_custkey"),
+            [metric, "o_custkey"],
+            rank_col="rk",
+        )
+        return rk.select(
+            "o_custkey", F.col("rk").alias(f"_rk_{metric}")
+        )
+
+    out = (
+        cust.join(_score("last_us"), "o_custkey")
+        .join(_score("freq"), "o_custkey")
+        .join(_score("cents"), "o_custkey")
+        .crossJoin(F.broadcast(n))
+    )
+    r = F.expr("CAST(1 + (_rk_last_us - 1) * 5 div n AS INT)")
+    f_ = F.expr("CAST(1 + (_rk_freq - 1) * 5 div n AS INT)")
+    m = F.expr("CAST(1 + (_rk_cents - 1) * 5 div n AS INT)")
+    return out.select(
+        "o_custkey",
+        "last_us",
+        "freq",
+        "cents",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f_ * 10 + m).cast("int").alias("rfm_code"),
+    )
+
+
+@register(
     "j17_scd2_build",
     """
     SELECT o_custkey AS key, o_orderkey AS seq,
