@@ -12107,6 +12107,56 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j18_abandoned_views",
+    """
+    WITH ev AS (SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS us
+                FROM events),
+    v AS (SELECT user_id, event_id, us FROM ev
+          WHERE event_type = 'view'),
+    p AS (SELECT user_id, us FROM ev WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id AS view_id, v.us AS view_us
+    FROM v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.us >= v.us
+          AND p.us < v.us + 3600000000)
+    """,
+)
+def j18_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI range join — abandonment analysis: views with NO
+    purchase by the same user within the following hour. The negation
+    twin of the as-of family (those find the match; this certifies
+    the absence): one left_anti equi-join on user with the half-open
+    range predicate pushed into the join condition — per-user
+    fan-out-bounded, no windows, no distinct."""
+    e0 = _t(spark, sf_dir, "events")
+    if dict(e0.dtypes)["ts"] == "timestamp_ntz":
+        u = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        u = F.unix_micros(F.col("ts"))
+    ev = e0.select("user_id", "event_id", "event_type", u.alias("us"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("us").alias("view_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("us").alias("_pus")
+    )
+    return v.join(
+        p,
+        (v["user_id"] == p["_pu"])
+        & (p["_pus"] >= v["view_us"])
+        & (p["_pus"] < v["view_us"] + F.lit(3_600_000_000)),
+        "left_anti",
+    )
+
+
+@register(
     "events_rfm_scores",
     """
     WITH cust AS (
