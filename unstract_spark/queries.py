@@ -12107,6 +12107,55 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_feature_hash",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+'))
+                 AS w
+        FROM documents
+    ),
+    ww AS (SELECT doc_id, w FROM w WHERE w <> ''),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv
+          FROM ww)
+    SELECT doc_id, CAST(hv % 256 AS INT) AS bucket,
+           CAST(sum(CASE WHEN (hv // 256) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS feat
+    FROM h GROUP BY 1, 2
+    """,
+)
+def ta_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    every token hashes to one of 256 buckets with a +/-1 sign drawn
+    from an independent hash bit — the bias-cancelling signed
+    variant — giving fixed-width ML feature vectors with NO
+    vocabulary state (the point at 100 TB: no dictionary to build,
+    ship, or keep consistent across shards). md5-derived buckets
+    (the CMS family's cross-engine hash), exact signed integer sums,
+    one map-side-combining groupBy. Output: sparse (doc_id, bucket,
+    feat) rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    hv = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h = words.select("doc_id", hv.alias("hv"))
+    return h.groupBy(
+        "doc_id", (F.col("hv") % 256).cast("int").alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(F.expr("(hv div 256) % 2 = 0"), 1).otherwise(-1)
+        ).cast("long").alias("feat")
+    )
+
+
+@register(
     "j18_abandoned_views",
     """
     WITH ev AS (SELECT user_id, event_id, event_type,
