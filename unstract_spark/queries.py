@@ -12106,6 +12106,110 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) inverse-CDF thresholds scaled to 2^60 (exact integers,
+# identical literals on both engines): P(X<=k) for k = 0..5; the tail
+# truncates at w=5 (P ~ 4e-4 per draw — deterministic, documented)
+_BOOT_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+
+def _boot_w_sql(h: str) -> str:
+    return (
+        f"CASE WHEN {h} < {_BOOT_T[0]} THEN 0"
+        f" WHEN {h} < {_BOOT_T[1]} THEN 1"
+        f" WHEN {h} < {_BOOT_T[2]} THEN 2"
+        f" WHEN {h} < {_BOOT_T[3]} THEN 3"
+        f" WHEN {h} < {_BOOT_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "agg_bootstrap_means",
+    f"""
+    WITH reps AS (SELECT CAST(u.r AS INT) AS rep
+                  FROM range(0, 32) AS u(r)),
+    d AS (SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+    w AS (SELECT reps.rep, d.cents,
+                 {_boot_w_sql(
+                     "('0x' || substr(md5(CAST(d.o_orderkey AS VARCHAR)"
+                     " || ':' || CAST(reps.rep AS VARCHAR)), 1, 15))"
+                     "::BIGINT"
+                 )} AS w
+          FROM d CROSS JOIN reps)
+    SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+           CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_cents
+    FROM w GROUP BY rep
+    """,
+)
+def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap (the streaming-friendly
+    resampling scheme large-scale A/B systems use — each row's
+    multiplicity in each replicate is Poisson(1), independent across
+    rows, no global sampling pass): the uniform draw is the md5-60-bit
+    hash of (row id, replicate), pushed through the Poisson(1)
+    inverse CDF as pure INTEGER threshold comparisons (identical
+    literal thresholds on both engines — exact, no float RNG
+    anywhere), so all 32 replicate means of cent-quantized order
+    totals are bit-reproducible: resampling inference that
+    hash-gates. Percentiles of these 32 means are the bootstrap CI;
+    the replicate rows themselves are the gated surface. One 32x
+    map-side fan-out into one groupBy — no shuffle of the data by
+    replicate."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    # two steps: the explode must put `rep` in scope before the
+    # (row, replicate) hash references it
+    w = d.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    ).select(
+        "cents",
+        F.col("rep").cast("int").alias("rep"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    wexpr = F.expr(_boot_w_sql("h"))
+    return w.select("rep", "cents", wexpr.alias("w")).groupBy(
+        "rep"
+    ).agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias(
+            "sum_cents"
+        ),
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w")
+        ).alias("mean_cents"),
+    )
+
+
 @register(
     "ta_feature_hash",
     r"""
