@@ -12106,6 +12106,78 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_trimmed_mean",
+    """
+    WITH d AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS cents
+               FROM orders),
+    r AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_orderkey)
+                   AS rnk,
+                 count(*) OVER () AS n
+          FROM d)
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(n) * 5 // 100 AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(CASE WHEN rnk > n * 5 // 100
+                          AND rnk <= n - n * 5 // 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rnk > n * 5 // 100
+                          AND rnk <= n - n * 5 // 100
+                         THEN cents ELSE 0 END) AS BIGINT)
+             AS sum_kept_cents,
+           CAST(sum(CASE WHEN rnk > n * 5 // 100
+                          AND rnk <= n - n * 5 // 100
+                         THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN rnk > n * 5 // 100
+                         AND rnk <= n - n * 5 // 100
+                        THEN 1 ELSE 0 END) AS trimmed_mean_cents
+    FROM r
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-each-side TRIMMED mean — the robust location estimate a
+    metrics pipeline wants when a handful of whale orders swamp the
+    plain mean: exact integer rank bounds (n·5 div 100 trimmed per
+    side) over the GLOBAL cents order, computed distributed via
+    ranks.range_prefix (no single-partition window), kept-range sums
+    exact, one final IEEE division."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    r = range_prefix(d, ["cents", "o_orderkey"], rank_col="rnk")
+    n = r.agg(F.count(F.lit(1)).alias("n"))
+    j = r.crossJoin(F.broadcast(n))
+    kept = (F.col("rnk") > F.expr("n * 5 div 100")) & (
+        F.col("rnk") <= F.expr("n - n * 5 div 100")
+    )
+    return j.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.expr("CAST(max(n) * 5 div 100 AS BIGINT)").alias(
+            "n_trimmed_each_side"
+        ),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+        F.sum(F.when(kept, F.col("cents")).otherwise(0)).cast(
+            "long"
+        ).alias("sum_kept_cents"),
+        (
+            F.sum(F.when(kept, F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(kept, 1).otherwise(0))
+        ).alias("trimmed_mean_cents"),
+    )
+
+
 # Poisson(1) inverse-CDF thresholds scaled to 2^60 (exact integers,
 # identical literals on both engines): P(X<=k) for k = 0..5; the tail
 # truncates at w=5 (P ~ 4e-4 per draw — deterministic, documented)
