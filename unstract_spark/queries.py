@@ -12107,6 +12107,105 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_growth_accounting",
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS m
+               FROM events),
+    s AS (SELECT user_id, m,
+                 lag(m) OVER (PARTITION BY user_id ORDER BY m)
+                   AS prev_m,
+                 lead(m) OVER (PARTITION BY user_id ORDER BY m)
+                   AS next_m
+          FROM a),
+    act AS (SELECT m,
+                   CAST(sum(CASE WHEN prev_m IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_new,
+                   CAST(sum(CASE WHEN prev_m IS NOT NULL
+                              AND date_diff('day', prev_m, m) = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_retained,
+                   CAST(sum(CASE WHEN prev_m IS NOT NULL
+                              AND date_diff('day', prev_m, m) > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_resurrected
+            FROM s GROUP BY 1),
+    ch AS (SELECT m + INTERVAL 1 DAY AS m,
+                  CAST(count(*) AS BIGINT) AS n_churned
+           FROM s
+           WHERE (next_m IS NULL
+                  OR date_diff('day', m, next_m) > 1)
+             AND m + INTERVAL 1 DAY <= (SELECT max(m) FROM a)
+           GROUP BY 1)
+    SELECT act.m AS day, act.n_new, act.n_retained,
+           act.n_resurrected,
+           coalesce(ch.n_churned, 0) AS n_churned
+    FROM act LEFT JOIN ch ON ch.m = act.m
+    """,
+)
+def events_growth_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROWTH ACCOUNTING — the new / retained / resurrected / churned
+    decomposition every growth dashboard leads with, at daily grain
+    (the synthetic corpus spans 30 days): per-user active days (one
+    distinct), lag/lead in one partitioned window pass classify each
+    activity day and locate each churn event (active with no activity
+    the next day churns INTO the following day, capped at the
+    observation horizon). Exact counts only, so the full
+    decomposition hash-gates. One shuffle by user + one by day."""
+    e0 = _t(spark, sf_dir, "events")
+    a = e0.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("m")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("m")
+    s = a.select(
+        "user_id",
+        "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.lead("m").over(w).alias("next_m"),
+    ).localCheckpoint(eager=True)
+    gap_prev = F.datediff(F.col("m"), F.col("prev_m"))
+    act = s.groupBy("m").agg(
+        F.sum(F.when(F.col("prev_m").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_m").isNotNull() & (gap_prev == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.when(F.col("prev_m").isNotNull() & (gap_prev > 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+    )
+    horizon = a.agg(F.max("m").alias("max_m"))
+    gap_next = F.datediff(F.col("next_m"), F.col("m"))
+    nxt = F.col("m") + F.expr("INTERVAL 1 DAY")
+    ch = (
+        s.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_m").isNull() | (gap_next > 1))
+            & (nxt <= F.col("max_m"))
+        )
+        .groupBy(nxt.alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        act.join(ch, "m", "left")
+        .select(
+            F.col("m").alias("day"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias(
+                "n_churned"
+            ),
+        )
+    )
+
+
+@register(
     "agg_trimmed_mean",
     """
     WITH d AS (SELECT o_orderkey,
