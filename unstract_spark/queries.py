@@ -12107,6 +12107,117 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_survival_km",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                        AS first_d,
+                      CAST(date_trunc('day', max(ts)) AS TIMESTAMP)
+                        AS last_d
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY 1),
+    hz AS (SELECT max(last_d) AS horizon FROM u),
+    dur AS (SELECT date_diff('day', first_d, last_d) + 1 AS t,
+                   CASE WHEN last_d < hz.horizon THEN 1 ELSE 0 END
+                     AS ev
+            FROM u CROSS JOIN hz),
+    g AS (SELECT t, count(*) AS n_at_t,
+                 CAST(sum(ev) AS BIGINT) AS d_t
+          FROM dur GROUP BY 1),
+    r AS (SELECT t, d_t,
+                 CAST(sum(n_at_t) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_t
+          FROM g),
+    term AS (SELECT t, n_t, d_t,
+                    CAST(ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                         AS DECIMAL(28,12)) AS lg
+             FROM r WHERE d_t > 0 AND d_t < n_t)
+    SELECT t, n_t, d_t,
+           round(CAST(sum(lg) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 8) AS log_survival
+    FROM term
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival (1958) for user lifetime — churn
+    analytics' canonical estimator, in its hash-gatable form: per
+    user the active span in days, an EVENT when the span ends before
+    the horizon (else right-censored); at each event duration t the
+    at-risk count n_t (durations >= t — a reverse cumulative sum),
+    the event count d_t, and the LOG-survival curve
+    sum(ln(1 - d/n)) accumulated in the DECIMAL domain (a double
+    cumulative product/sum would be association-order dependent —
+    the repo-wide rule). Both cumulative passes run through
+    ranks.range_prefix over the duration-level aggregate (no
+    single-partition window); terms exist only where 0 < d < n (the
+    KM convention — a d = n terminal event sends S to 0 and ln to
+    -inf)."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    e0 = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e0.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    hz = u.agg(F.max("last_d").alias("horizon"))
+    dur = u.crossJoin(F.broadcast(hz)).select(
+        (F.datediff(F.col("last_d"), F.col("first_d")) + 1).alias(
+            "t"
+        ),
+        F.when(F.col("last_d") < F.col("horizon"), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    g = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("ev").cast("long").alias("d_t"),
+    ).localCheckpoint(eager=True)
+    # reverse cumulative (durations >= t): rank by NEGATED t so the
+    # range_prefix running sum accumulates from the largest duration
+    neg = g.select(
+        (-F.col("t")).alias("nt"), F.col("n_at_t").alias("cnt")
+    )
+    rc = range_prefix(neg, ["nt"], sum_cols=("cnt",), rank_col=None)
+    r = (
+        g.join(
+            rc.select(
+                (-F.col("nt")).alias("t"),
+                F.col("cum_cnt").cast("long").alias("n_t"),
+            ),
+            "t",
+        )
+        .filter((F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")))
+        .select(
+            "t",
+            "n_t",
+            "d_t",
+            F.log(
+                F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t")
+            ).cast("decimal(28,12)").alias("lg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = range_prefix(
+        r.select("t", "lg"), ["t"], sum_cols=("lg",), rank_col=None
+    ).select("t", F.col("cum_lg"))
+    return (
+        r.join(cum, "t")
+        .select(
+            "t",
+            "n_t",
+            "d_t",
+            F.round(F.col("cum_lg").cast("double"), 8).alias(
+                "log_survival"
+            ),
+        )
+    )
+
+
+@register(
     "events_growth_accounting",
     """
     WITH a AS (SELECT DISTINCT user_id,
