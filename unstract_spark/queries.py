@@ -12107,6 +12107,102 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ex_mixture_temperature",
+    """
+    WITH g AS (SELECT source, count(*) AS n FROM documents
+               GROUP BY 1),
+    w AS (SELECT source, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS w_micro
+          FROM g),
+    s AS (SELECT sum(w_micro) AS sw, count(*) AS n_groups FROM w),
+    b AS (SELECT w.source, w.n, w.w_micro,
+                 10000 * w.w_micro // s.sw AS base_alloc,
+                 10000 * w.w_micro
+                   - (10000 * w.w_micro // s.sw) * s.sw AS rem
+          FROM w CROSS JOIN s),
+    d AS (SELECT CAST(10000 - sum(base_alloc) AS BIGINT) AS deficit
+          FROM b),
+    r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC,
+                                         source ASC) AS rk
+          FROM b)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, w_micro,
+           CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(rem AS BIGINT) AS remainder,
+           CAST(base_alloc + CASE WHEN rk <= d.deficit
+                                  THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r CROSS JOIN d
+    """,
+)
+def ex_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-balanced mixture allocation — the sqrt (T=2)
+    domain reweighting multilingual/multi-source training mixes use
+    to up-weight small domains, turned into an EXACT integer document
+    budget: per-source weights quantized to micro-units after the one
+    sqrt (IEEE-exact, the only float op), floor allocation of the
+    10000-doc budget in pure integer arithmetic, and the
+    largest-remainder method assigning the leftover docs by integer
+    remainder rank (range_prefix — no single-partition window). The
+    allocations sum to exactly 10000 by construction, and every
+    number hash-gates."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = g.select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("w_micro"),
+    ).localCheckpoint(eager=True)
+    s = w.agg(
+        F.sum("w_micro").alias("sw"), F.count(F.lit(1)).alias("ng")
+    )
+    b = w.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n",
+        "w_micro",
+        F.expr("10000 * w_micro div sw").alias("base_alloc"),
+        F.expr(
+            "10000 * w_micro - (10000 * w_micro div sw) * sw"
+        ).alias("rem"),
+    ).localCheckpoint(eager=True)
+    deficit = b.agg(
+        (F.lit(10000) - F.sum("base_alloc")).cast("long").alias(
+            "deficit"
+        )
+    )
+    rk = range_prefix(
+        b.select((-F.col("rem")).alias("nr"), "source"),
+        ["nr", "source"],
+        rank_col="rk",
+    ).select(
+        "source", F.col("rk").cast("long").alias("rk")
+    )
+    return (
+        b.join(rk, "source")
+        .crossJoin(F.broadcast(deficit))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "w_micro",
+            F.col("base_alloc").cast("long"),
+            F.col("rem").cast("long").alias("remainder"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(
+                    0
+                )
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+@register(
     "agg_survival_km",
     """
     WITH u AS (SELECT user_id,
