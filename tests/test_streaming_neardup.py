@@ -1221,3 +1221,66 @@ def test_streaming_islands_match_batch_merge(spark, tmp_path):
         (r.k, r.island_no) for r in
         read_islands_view(spark, state, out).collect()
     } == set(expect)
+
+
+def test_streaming_triangles_match_batch(spark, tmp_path):
+    """Per-node triangle counts after two fires == batch
+    triangle_count of all edges, with fire 2 creating triangles of
+    every delta class: one-new-edge (closing an old wedge),
+    two-new-edges (old closing edge), all-new, plus a re-inserted
+    duplicate edge that must be a no-op."""
+    from unstract_spark.operators.graph import triangle_count
+    from unstract_spark.streaming.incremental import (
+        streaming_triangle_pipeline,
+    )
+
+    sch = "src long, dst long"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    # fire 1: wedge 1-2, 1-3 (no triangle); edge 5-6; triangle 7,8,9
+    fire1 = [(1, 2), (1, 3), (5, 6), (7, 8), (8, 9), (7, 9)]
+    # fire 2: 2-3 closes the OLD wedge (1 new edge);
+    #         5-7 and 6-7 form a wedge closed by OLD 5-6 (2 new);
+    #         10-11, 11-12, 10-12 all-new triangle;
+    #         re-insert 7-8 (no-op)
+    fire2 = [(2, 3), (5, 7), (6, 7), (10, 11), (11, 12), (10, 12),
+             (7, 8)]
+    for rows in (fire1, fire2):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert streaming_triangle_pipeline(
+            spark, src, ckpt, state, out
+        ) == 1
+
+    union = spark.createDataFrame(
+        sorted(set(fire1 + fire2)), sch
+    )
+    expect = {
+        r.node: r.n_triangles for r in triangle_count(union).collect()
+    }
+    latest = max(
+        int(d.rsplit("=", 1)[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    got = {
+        r.node: r.n_triangles
+        for r in spark.read.parquet(f"{out}/batch_id={latest}").collect()
+    }
+    assert got == expect
+    assert expect == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 7: 2, 8: 1,
+                      9: 1, 10: 1, 11: 1, 12: 1}
+
+    # idempotent re-fire
+    assert streaming_triangle_pipeline(
+        spark, src, ckpt, state, out
+    ) == 0
+    assert {
+        r.node: r.n_triangles
+        for r in spark.read.parquet(f"{out}/batch_id={latest}").collect()
+    } == expect

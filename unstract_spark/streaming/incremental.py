@@ -1617,6 +1617,171 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_triangle_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    schema: str = "src long, dst long",
+) -> int:
+    """Incremental TRIANGLE counting under edge insertions — the
+    graph twin of the delta-join view: a new triangle contains 1, 2,
+    or 3 edges from the current fire, and each class is enumerated
+    exactly once —
+
+    - one new edge (u,v): common neighbors via the OLD adjacency on
+      both sides (the other two edges are old by construction);
+    - two new edges: the unique wedge they form at their shared
+      vertex, closed by an OLD edge;
+    - three new edges: wedges at the (id-)smallest vertex only,
+      closed inside the batch — counted once per triangle.
+
+    Per-node participation deltas then fold into the accumulated
+    counts by addition, so the stored counts after N fires equal
+    batch graph.triangle_count of every edge that ever arrived (the
+    twin test pins it per node, with a fire exercising every class).
+
+    Batch edges are canonicalized (src < dst), deduped, and
+    anti-joined against the accumulated edge set — re-inserted edges
+    are no-ops. State: the edge set (append-per-epoch partitions) and
+    the per-node count snapshot (overwrite + prune, sibling
+    discipline). All joins are node-keyed equi-joins. Returns fired
+    batch count."""
+    import os as _os
+    import shutil as _shutil
+
+    fires = 0
+    run_base = _run_base(
+        f"{state_dir}/edges", out_dir, checkpoint_dir=checkpoint_dir
+    )
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        canon = batch.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).distinct()
+        old = _read_parquet_or_none(spark, f"{state_dir}/edges")
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                "src", "dst"
+            ).localCheckpoint(eager=True)
+        else:
+            old = spark.createDataFrame([], "src long, dst long")
+        de = canon.join(old, ["src", "dst"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        old_adj = old.unionByName(
+            old.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        d_adj = de.unionByName(
+            de.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        # class 1: (u,v) new; w adjacent to BOTH via old edges
+        a1 = old_adj.select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        )
+        a2 = old_adj.select(
+            F.col("src").alias("v"), F.col("dst").alias("w2")
+        )
+        t1 = (
+            de.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(a1, "u")
+            .join(a2.withColumnRenamed("w2", "w"), ["v", "w"])
+            .select("u", F.col("v").alias("b"), F.col("w").alias("c"))
+            .withColumnRenamed("u", "a")
+        )
+        # class 2: two new edges wedge at shared vertex a, old closing
+        w1 = d_adj.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        w2 = d_adj.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        wedge2 = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+        t2 = wedge2.join(
+            old.select(
+                F.col("src").alias("b"), F.col("dst").alias("c")
+            ),
+            ["b", "c"],
+        ).select("a", "b", "c")
+        # class 3: all-new; wedge at the smallest vertex only
+        wedge3 = w1.join(w2, "a").filter(
+            (F.col("a") < F.col("b")) & (F.col("b") < F.col("c"))
+        )
+        t3 = wedge3.join(
+            de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
+        ).select("a", "b", "c")
+        tris = t1.unionByName(t2).unionByName(t3)
+        delta = (
+            tris.select(F.col("a").alias("node"))
+            .unionAll(tris.select(F.col("b").alias("node")))
+            .unionAll(tris.select(F.col("c").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        )
+        oldc = _read_parquet_or_none(spark, out_dir)
+        if oldc is not None:
+            oldc = oldc.filter(F.col("batch_id") != bid).select(
+                "node", F.col("n_triangles").alias("_old")
+            )
+            merged = delta.join(oldc, "node", "full_outer").select(
+                "node",
+                (
+                    F.coalesce(F.col("_d"), F.lit(0))
+                    + F.coalesce(F.col("_old"), F.lit(0))
+                ).cast("long").alias("n_triangles"),
+            )
+        else:
+            merged = delta.select(
+                "node", F.col("_d").alias("n_triangles")
+            )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={bid}"
+        )
+        de.write.mode("overwrite").parquet(
+            f"{state_dir}/edges/batch_id={bid}"
+        )
+        try:
+            names = _os.listdir(out_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(out_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def streaming_islands_pipeline(
     spark: SparkSession,
     source_dir: str,
