@@ -818,3 +818,40 @@ def parse_feed(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         .otherwise(_xml_field(e, "id"))
         .alias("entry_id"),
     )
+
+
+def parse_meta_tags(
+    df: DataFrame, props: list[str], html_col: str = "html"
+) -> DataFrame:
+    """Extract <meta property=... content=...> values (OpenGraph /
+    twitter cards — the social-preview metadata a crawler indexes
+    alongside main content): one output column per requested
+    property, entity-decoded, NULL when absent.
+
+    Real-world HTML puts the attributes in EITHER order
+    (property-first or content-first); both spellings are matched and
+    coalesced. Same native-regex discipline as the sitemap/feed
+    parsers — malformed markup yields NULLs, never parser errors.
+    Column names replace ':' with '_'."""
+    out_cols = []
+    for p in props:
+        fwd = F.regexp_extract(
+            F.col(html_col),
+            r"""(?is)<meta\b[^>]*\bproperty\s*=\s*["']"""
+            + p
+            + r"""["'][^>]*\bcontent\s*=\s*["']([^"']*)["']""",
+            1,
+        )
+        rev = F.regexp_extract(
+            F.col(html_col),
+            r"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"']*)["']"""
+            + r"""[^>]*\bproperty\s*=\s*["']""" + p + r"""["']""",
+            1,
+        )
+        v = F.nullif(fwd, F.lit(""))
+        v = F.coalesce(v, F.nullif(rev, F.lit("")))
+        for ent, ch in _ENTITIES:
+            v = F.replace(v, F.lit(ent), F.lit(ch))
+        out_cols.append(v.alias(p.replace(":", "_")))
+    carry = [c for c in df.columns if c != html_col]
+    return df.select(*carry, *out_cols)

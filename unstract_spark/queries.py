@@ -12107,6 +12107,145 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_opengraph_extract",
+    """
+    SELECT doc_id,
+           'Doc ' || doc_id || ' & co' AS og_title,
+           'article' AS og_type,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'http://img.ex/' || doc_id || '.png' END
+             AS og_image
+    FROM documents
+    """,
+)
+def web_opengraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph metadata extraction (webcorpus.parse_meta_tags)
+    under an exact gate: even docs render property-first meta tags,
+    odd docs content-first (the real-world attribute-order variance),
+    titles entity-encoded, og:image only on every third doc — the
+    oracle states the expected values outright, certifying both
+    orders, entity decode, and absent-tag NULLs."""
+    from unstract_spark.operators import webcorpus
+
+    did = F.col("doc_id").cast("string")
+    title_fwd = F.concat(
+        F.lit('<meta property="og:title" content="Doc '), did,
+        F.lit(' &amp; co"/>'),
+    )
+    title_rev = F.concat(
+        F.lit('<meta content="Doc '), did,
+        F.lit(' &amp; co" property="og:title"/>'),
+    )
+    img = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<meta property="og:image" content="http://img.ex/'),
+            did, F.lit('.png"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 2 == 0, title_fwd).otherwise(
+            title_rev
+        ),
+        F.lit('<meta property="og:type" content="article"/>'),
+        img,
+        F.lit("</head><body>x</body></html>"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    return webcorpus.parse_meta_tags(
+        d, ["og:title", "og:type", "og:image"]
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                        AS cohort
+               FROM events GROUP BY 1),
+    p AS (SELECT e.user_id, f.cohort,
+                 date_diff('day', f.cohort,
+                           CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                   AS age,
+                 CAST(round(e.value * 100) AS BIGINT) AS cents
+          FROM events e JOIN f USING (user_id)
+          WHERE e.event_type = 'purchase'),
+    g AS (SELECT cohort, age,
+                 CAST(sum(cents) AS BIGINT) AS rev_cents,
+                 count(*) AS n_purchases
+          FROM p GROUP BY 1, 2),
+    sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY 1)
+    SELECT g.cohort, g.age, g.rev_cents, g.n_purchases,
+           sz.cohort_users,
+           CAST(sum(g.rev_cents) OVER (PARTITION BY g.cohort
+                 ORDER BY g.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(sum(g.rev_cents) OVER (PARTITION BY g.cohort
+                 ORDER BY g.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / sz.cohort_users AS ltv_cents_per_user
+    FROM g JOIN sz USING (cohort)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative purchase revenue per signup
+    cohort by account age in days, the companion to the retention
+    cohort table: cohort from each user's first active day, revenue
+    cent-quantized so the per-cohort cumulative sums are exact
+    integers (the window is PARTITIONED by cohort — no global
+    order), LTV-per-user as one final IEEE division."""
+    e0 = _t(spark, sf_dir, "events")
+    f = e0.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    p = (
+        e0.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "cohort",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort")
+            ).alias("age"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = p.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    sz = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.join(sz, "cohort")
+        .select(
+            "cohort",
+            "age",
+            "rev_cents",
+            "n_purchases",
+            "cohort_users",
+            F.sum("rev_cents").over(w).cast("long").alias(
+                "cum_rev_cents"
+            ),
+            (
+                F.sum("rev_cents").over(w).cast("double")
+                / F.col("cohort_users")
+            ).alias("ltv_cents_per_user"),
+        )
+    )
+
+
+@register(
     "ex_mixture_temperature",
     """
     WITH g AS (SELECT source, count(*) AS n FROM documents
