@@ -12107,6 +12107,75 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_path_analysis",
+    """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CASE event_type WHEN 'view' THEN 'v'
+                           WHEN 'click' THEN 'c'
+                           WHEN 'purchase' THEN 'p'
+                           WHEN 'signup' THEN 's'
+                           WHEN 'error' THEN 'e' ELSE 'x' END AS ch
+               FROM events),
+    s AS (SELECT user_id,
+                 substr(string_agg(ch, '' ORDER BY ts, event_id),
+                        1, 5) AS path
+          FROM c GROUP BY 1),
+    g AS (SELECT path, count(*) AS n_users FROM s GROUP BY 1)
+    SELECT path, n_users, rank FROM (
+        SELECT path, n_users,
+               CAST(row_number() OVER (ORDER BY n_users DESC,
+                                       path ASC) AS INT) AS rank
+        FROM g) WHERE rank <= 20
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths — each user's FIRST FIVE events as a
+    coded path string (the Sankey / funnel-discovery input every
+    product-analytics tool leads with), counted and ranked: the CEP
+    family's ordered-coding aggregate, a prefix cut, one counting
+    groupBy, TakeOrdered top-20 with path tie-breaks."""
+    from unstract_spark.operators.retrieval import bounded_rank
+
+    e = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+    )
+    s = (
+        e.select(
+            "user_id", F.col("ts").alias("_ts"),
+            F.col("event_id").alias("_id"), code.alias("_c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("_ts", "_id", "_c")
+                            )
+                        ),
+                        lambda x: x["_c"],
+                    ),
+                    "",
+                ),
+                1,
+                5,
+            ).alias("path")
+        )
+    )
+    g = s.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return bounded_rank(
+        g, [F.col("n_users").desc(), F.col("path").asc()], 20
+    )
+
+
+@register(
     "web_opengraph_extract",
     """
     SELECT doc_id,
