@@ -538,3 +538,22 @@ def test_kcore_peel_cascades(spark):
     df = spark.createDataFrame(clique + path, "src long, dst long")
     got = {r.node: r.deg for r in kcore_peel(df, k=3, rounds=3).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_tree_root_depth_forest(spark):
+    """Pointer doubling resolves a multi-root forest with a chain
+    deeper than one round could reach (depth 6 > 2^2), and roots
+    report themselves at depth 0."""
+    from unstract_spark.operators.graph import tree_root_depth
+
+    # forest: chain 1<-2<-3<-4<-5<-6<-7 (root 1); star 10<-{11,12}
+    rows = [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (7, 6),
+            (10, 10), (11, 10), (12, 10)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in tree_root_depth(df, rounds=3).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3),
+                   5: (1, 4), 6: (1, 5), 7: (1, 6),
+                   10: (10, 0), 11: (10, 1), 12: (10, 1)}

@@ -318,3 +318,52 @@ def kcore_peel(
     return e.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).select(F.col("src").alias("node"), "deg")
+
+
+def tree_root_depth(
+    nodes: DataFrame,
+    parent_col: str = "parent",
+    node_col: str = "node",
+    rounds: int = 5,
+) -> DataFrame:
+    """Root and depth for every node of a forest by POINTER DOUBLING
+    (the log-rounds hierarchy traversal — org charts, category trees,
+    thread ancestry): each round every node's ancestor pointer jumps
+    to its ancestor's ancestor and accumulates the hop count, so
+    `rounds` rounds resolve any depth up to 2^rounds — O(log depth)
+    shuffle joins where the naive per-level walk takes O(depth).
+
+    `nodes` carries (node, parent) with roots marked parent == node.
+    After convergence anc is the root and d the exact depth; extra
+    rounds are no-ops (jumping from a root adds 0), so `rounds` only
+    needs to be >= ceil(log2(max depth)) — cheap insurance on an
+    unknown hierarchy. Per round: one self-equi-join on the ancestor
+    key + lineage truncation, the connected-components discipline.
+
+    Output: (node, root, depth)."""
+    s = nodes.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.when(F.col(parent_col) == F.col(node_col), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max(rounds, 0)):
+        jump = s.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+        )
+        s = (
+            s.join(jump, "anc")
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return s.select(
+        "node", F.col("anc").alias("root"), F.col("d").alias("depth")
+    )

@@ -12107,6 +12107,40 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_tree_depths",
+    """
+    WITH RECURSIVE walk AS (
+        SELECT doc_id AS node, doc_id AS cur, 0 AS d
+        FROM documents
+        UNION ALL
+        SELECT node, cur // 2 AS cur, d + 1
+        FROM walk WHERE cur <> cur // 2
+    )
+    SELECT node, CAST(arg_max(cur, d) AS BIGINT) AS root,
+           CAST(max(d) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def graph_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal by pointer doubling
+    (graph.tree_root_depth) over the implicit doc-id binary tree
+    (parent = id div 2, root 0): O(log depth) self-joins resolve
+    every node's root and exact depth where a per-level walk takes
+    O(depth) rounds. The oracle is a TRUE recursive CTE climbing
+    parent links one at a time — the reference semantics of WITH
+    RECURSIVE, certified against the doubling algorithm (the same
+    independent-spelling pattern as the triangle and skyline
+    gates)."""
+    from unstract_spark.operators.graph import tree_root_depth
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.expr("doc_id div 2").alias("parent"),
+    )
+    return tree_root_depth(d, rounds=5)
+
+
+@register(
     "events_path_analysis",
     """
     WITH c AS (SELECT user_id, ts, event_id,
