@@ -12107,6 +12107,93 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_ab_proportions",
+    """
+    WITH u AS (SELECT user_id,
+                      CAST(user_id % 2 AS INT) AS variant,
+                      max(CASE WHEN event_type = 'purchase'
+                                 AND value > 90
+                               THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT variant, count(*) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM u GROUP BY 1),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 0 THEN conv END) AS c0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 1 THEN conv END) AS c1
+          FROM g)
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0
+                           + CAST(1 AS DOUBLE) / n1)), 6) AS z_score
+    FROM w
+    """,
+)
+def agg_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — THE A/B-test decision primitive
+    (conversion rate difference over the pooled standard error):
+    users split by id parity, conversion = any high-value purchase
+    (value > 90 — every user purchases SOMETHING in this corpus, so
+    plain purchase is degenerate with pooled rate 1 and zero pooled
+    variance), exact
+    integer counts pivoted to one row, then the z statistic as a
+    mirrored chain of single IEEE operations (divisions, one sqrt).
+    Complements agg_chi_square (independence) with the directional
+    two-sample test every experimentation platform reports."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 90),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias(
+            "c0"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias(
+            "c1"
+        ),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (r0 - r1) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.lit(1).cast("double") / F.col("n0")
+            + F.lit(1).cast("double") / F.col("n1")
+        )
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        r0.alias("rate0"),
+        r1.alias("rate1"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
     "graph_tree_depths",
     """
     WITH RECURSIVE walk AS (
