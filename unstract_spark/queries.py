@@ -12107,6 +12107,123 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_vad",
+    """
+    WITH samples AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               (ascii(substr(rpad(substr(text, 1, 64), 64, ' '),
+                             CAST(i AS INT), 1)) - 100) * 300 AS v
+        FROM documents, unnest(range(1, 65)) AS u(i)
+    ),
+    f AS (SELECT doc_id, CAST((i - 1) // 8 AS INT) AS frame_idx,
+                 CAST(sum(abs(v)) AS BIGINT) AS energy
+          FROM samples GROUP BY 1, 2),
+    sp AS (SELECT *,
+                  frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY frame_idx)
+                    AS grp
+           FROM f WHERE energy > 12000),
+    seg AS (SELECT doc_id, min(frame_idx) AS start_frame,
+                   max(frame_idx) AS end_frame,
+                   count(*) AS n_frames,
+                   CAST(sum(energy) AS BIGINT) AS energy
+            FROM sp GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY start_frame) AS INT)
+             AS segment_no,
+           start_frame, end_frame, n_frames, energy
+    FROM seg
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VOICE ACTIVITY DETECTION over real WAV bytes —
+    the speech-segmentation front end an audio curation pipeline runs
+    before transcription: 64 synthesized PCM samples per doc are
+    WAV-encoded and decoded back through the real codec (ONE
+    mapInPandas, the downsample row's fused shape), framed by 8, each
+    frame's energy an exact integer sum of |sample|, frames above the
+    threshold merged into maximal speech segments by the
+    gaps-and-islands trick (frame_idx minus per-doc row_number — all
+    windows doc-partitioned). The oracle reproduces every segment
+    straight from the text bytes, so encode -> decode -> frame ->
+    threshold -> segment is verified end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from unstract_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav16,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.rpad(F.substring("text", 1, 64), 64, " ").alias("s"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def fused(batches):
+        for pdf in batches:
+            ids, fr, en = [], [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                pcm = (
+                    np.frombuffer(
+                        s.encode("ascii"), dtype=np.uint8
+                    ).astype(np.int64)
+                    - 100
+                ) * 300
+                wav = encode_wav16(pcm.astype(np.int16))
+                back, _rate = decode_wav(wav)
+                back = back.astype(np.int64)
+                for k in range(back.size // 8):
+                    ids.append(did)
+                    fr.append(k)
+                    en.append(
+                        int(np.abs(back[k * 8:(k + 1) * 8]).sum())
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fr, "energy": en}
+            )
+
+    frames = d.mapInPandas(fused, schema=out_schema)
+    sp = frames.filter(F.col("energy") > 12000)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("grp")
+    seg = (
+        sp.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").cast("long").alias("energy"),
+        )
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(w2).cast("int").alias("segment_no"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy",
+    )
+
+
+@register(
     "agg_ab_proportions",
     """
     WITH u AS (SELECT user_id,
