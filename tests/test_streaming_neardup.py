@@ -1284,3 +1284,58 @@ def test_streaming_triangles_match_batch(spark, tmp_path):
         r.node: r.n_triangles
         for r in spark.read.parquet(f"{out}/batch_id={latest}").collect()
     } == expect
+
+
+def test_streaming_scd2_matches_batch_build(spark, tmp_path):
+    """Closed + open versions after two fires == batch scd2_build of
+    every change, validity bounds AND absolute version numbers
+    included: a key versioned across fires (the open version closes
+    when the next fire's change arrives), a single-version key, and a
+    key born in fire 2."""
+    from datetime import datetime
+
+    from unstract_spark.operators.joins import scd2_build
+    from unstract_spark.streaming.incremental import (
+        read_scd2_view,
+        streaming_scd2_pipeline,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    sch = "k long, seq long, ts timestamp, val string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    fire1 = [(1, 10, t(1), "a1"), (1, 11, t(3), "a2"),
+             (2, 20, t(2), "b1")]
+    fire2 = [(1, 12, t(5), "a3"), (3, 30, t(6), "c1"),
+             (3, 31, t(7), "c2")]
+    for rows in (fire1, fire2):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert streaming_scd2_pipeline(
+            spark, src, ckpt, state, out
+        ) == 1
+
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in scd2_build(union, "k", "seq", "ts").collect()
+    }
+    got = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in read_scd2_view(spark, state, out).collect()
+    }
+    assert got == expect
+    # the cross-fire closure: version 2 of key 1 closed at t(5)
+    assert expect[(1, 2)] == ("a2", t(3), t(5))
+    assert expect[(1, 3)] == ("a3", t(5), None)
+
+    assert streaming_scd2_pipeline(spark, src, ckpt, state, out) == 0
+    assert {
+        (r.k, r.version)
+        for r in read_scd2_view(spark, state, out).collect()
+    } == set(expect)

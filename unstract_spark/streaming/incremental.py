@@ -1617,6 +1617,138 @@ def streaming_ohlc_pipeline(
     return fires
 
 
+def streaming_scd2_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    key_col: str = "k",
+    seq_col: str = "seq",
+    ts_col: str = "ts",
+    schema: str = "k long, seq long, ts timestamp, val string",
+) -> int:
+    """Incremental SCD TYPE 2 maintenance — the streaming twin of
+    joins.scd2_build: the state is each key's OPEN version (plus its
+    absolute version number); every fire re-runs the churn-sized
+    version window over (open version ∪ new changes), CLOSES all but
+    the per-key latest (their valid_to becomes the next change's ts)
+    and emits them append-only, and keeps the latest as the new open
+    version. Under in-order per-key `ts` delivery (the standing
+    sessionizer caveat) closed ∪ open equals batch scd2_build of
+    every change that ever arrived — validity bounds AND version
+    numbers, which the twin test pins row for row.
+
+    Exactly-once: closed-version partitions and open-state snapshots
+    follow the sibling pipelines' batch_id=N discipline (state
+    pruned keeping latest prior; emitted versions are the dimension's
+    content and never pruned). Returns fired batch count."""
+    import os as _os
+    import shutil as _shutil
+
+    from unstract_spark.operators.joins import scd2_build
+
+    fires = 0
+    run_base = _run_base(
+        out_dir, state_dir, checkpoint_dir=checkpoint_dir
+    )
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        payload = [c for c in batch.columns]
+        b = batch.select(*payload).withColumn(
+            "_vbase", F.lit(1).cast("long")
+        )
+        old = _read_parquet_or_none(spark, state_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != bid).select(
+                *payload, F.col("version").alias("_vbase")
+            )
+            b = b.unionByName(old)
+        # _vbase rides along: the OPEN version carries its absolute
+        # number; new rows carry 1. Per key the open version (if any)
+        # is the earliest ts, so max(_vbase) is its number.
+        built = scd2_build(b, key_col, seq_col, ts_col)
+        wk = Window.partitionBy(key_col)
+        m = built.withColumn(
+            "_maxv", F.max("version").over(wk)
+        ).withColumn("_base", F.max("_vbase").over(wk)).withColumn(
+            "abs_version",
+            (F.col("_base") + F.col("version") - 1).cast("long"),
+        ).localCheckpoint(eager=True)
+        closed = m.filter(F.col("version") < F.col("_maxv")).select(
+            *payload,
+            F.col("abs_version").alias("version"),
+            "valid_from",
+            "valid_to",
+        )
+        state = m.filter(F.col("version") == F.col("_maxv")).select(
+            *payload, F.col("abs_version").alias("version")
+        )
+        closed.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={bid}"
+        )
+        state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={bid}"
+        )
+        try:
+            names = _os.listdir(state_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(state_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
+def read_scd2_view(
+    spark: SparkSession, state_dir: str, out_dir: str
+) -> DataFrame:
+    """Closed versions (all epochs) plus each key's open version
+    (valid_to NULL), matching batch scd2_build's output shape."""
+    import os as _os
+
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    )
+    st = spark.read.parquet(f"{state_dir}/batch_id={latest}")
+    ts_col = [c for c in st.columns if c not in ("version",)][2]
+    open_v = st.withColumn(
+        "valid_from", F.col(ts_col)
+    ).withColumn("valid_to", F.lit(None).cast(st.schema[ts_col].dataType))
+    closed = spark.read.parquet(out_dir).drop("batch_id")
+    return closed.unionByName(open_v)
+
+
 def streaming_triangle_pipeline(
     spark: SparkSession,
     source_dir: str,
