@@ -12107,6 +12107,187 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mann_whitney",
+    """
+    WITH p AS (SELECT CAST(user_id % 2 AS INT) AS grp,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT cents, count(*) AS cnt,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1v
+          FROM p GROUP BY 1),
+    r AS (SELECT cents, cnt, n1v,
+                 CAST(sum(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+          FROM g),
+    s AS (SELECT CAST(sum(n1v * (2 * cum - cnt + 1)) AS BIGINT)
+                   AS r1d,
+                 CAST(sum(n1v) AS BIGINT) AS n1,
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+          FROM r)
+    SELECT n1, n - n1 AS n2,
+           r1d - n1 * (n1 + 1) AS u1_x2,
+           tie_t AS tie_term,
+           round(CAST(r1d - n1 * (n1 + 1) - n1 * (n - n1)
+                      AS DOUBLE)
+                 / (2 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12
+                             * ((n + 1)
+                                - CAST(tie_t AS DOUBLE)
+                                  / (n * (n - 1))))), 6) AS z_score
+    FROM s
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U — the nonparametric two-sample test (the A/B
+    fallback when values are heavy-tailed and the t/z means test
+    lies), with the textbook TIE CORRECTION: average ranks carried in
+    the DOUBLED-rank integer domain (lo+hi per tie group = 2·cum −
+    cnt + 1, so no fractional rank ever materializes), the U
+    statistic and tie term Σ(t³−t) exact BIGINTs, and only the final
+    normal approximation touching doubles as one mirrored chain. The
+    rank accumulation runs through ranks.range_prefix over the
+    DISTINCT-value aggregate (no single-partition window).
+    Completes the inference shelf: z/chi-square/KS/bootstrap/
+    Mann–Whitney."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = p.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long").alias("n1v"),
+    ).localCheckpoint(eager=True)
+    rp = range_prefix(
+        g.select("cents", "cnt"), ["cents"], sum_cols=("cnt",),
+        rank_col=None,
+    ).select("cents", F.col("cum_cnt").cast("long").alias("cum"))
+    r = g.join(rp, "cents")
+    s = r.agg(
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum") - F.col("cnt") + 1)
+        ).cast("long").alias("r1d"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tie_t"),
+    )
+    n1 = F.col("n1")
+    n = F.col("n")
+    n2 = n - n1
+    u1d = F.col("r1d") - n1 * (n1 + 1)
+    z = (u1d - n1 * n2).cast("double") / (
+        2
+        * F.sqrt(
+            (n1 * n2).cast("double") / 12
+            * (
+                (n + 1)
+                - F.col("tie_t").cast("double") / (n * (n - 1))
+            )
+        )
+    )
+    return s.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        u1d.alias("u1_x2"),
+        F.col("tie_t").alias("tie_term"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "agg_did_analysis",
+    """
+    WITH p AS (SELECT CAST(user_id % 2 AS INT) AS treated,
+                      CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN 1 ELSE 0 END AS post,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT treated, post, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM p GROUP BY 1, 2),
+    w AS (SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+        max(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+        max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+        max(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+        max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+        max(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0,
+        max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+        max(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1
+      FROM g)
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           CAST(s_t0 AS DOUBLE) / n_t0 AS mean_t_pre,
+           CAST(s_t1 AS DOUBLE) / n_t1 AS mean_t_post,
+           CAST(s_c0 AS DOUBLE) / n_c0 AS mean_c_pre,
+           CAST(s_c1 AS DOUBLE) / n_c1 AS mean_c_post,
+           round((CAST(s_t1 AS DOUBLE) / n_t1
+                  - CAST(s_t0 AS DOUBLE) / n_t0)
+                 - (CAST(s_c1 AS DOUBLE) / n_c1
+                    - CAST(s_c0 AS DOUBLE) / n_c0), 6)
+             AS did_cents
+    FROM w
+    """,
+)
+def agg_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse for
+    before/after rollouts with a control group: purchase values
+    cent-quantized, the four (treated x period) cells as exact
+    integer sums pivoted to one row, each cell mean ONE IEEE
+    division, the DiD estimate the mirrored four-mean expression.
+    Treated = id parity, the policy instant mid-corpus."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = p.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def _cell(t, po, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == po),
+                F.col(col),
+            )
+        )
+
+    w = g.agg(
+        _cell(1, 0, "n").alias("n_t0"), _cell(1, 0, "s").alias("s_t0"),
+        _cell(1, 1, "n").alias("n_t1"), _cell(1, 1, "s").alias("s_t1"),
+        _cell(0, 0, "n").alias("n_c0"), _cell(0, 0, "s").alias("s_c0"),
+        _cell(0, 1, "n").alias("n_c1"), _cell(0, 1, "s").alias("s_c1"),
+    )
+    mt0 = F.col("s_t0").cast("double") / F.col("n_t0")
+    mt1 = F.col("s_t1").cast("double") / F.col("n_t1")
+    mc0 = F.col("s_c0").cast("double") / F.col("n_c0")
+    mc1 = F.col("s_c1").cast("double") / F.col("n_c1")
+    return w.select(
+        "n_t0", "n_t1", "n_c0", "n_c1",
+        mt0.alias("mean_t_pre"),
+        mt1.alias("mean_t_post"),
+        mc0.alias("mean_c_pre"),
+        mc1.alias("mean_c_post"),
+        F.round((mt1 - mt0) - (mc1 - mc0), 6).alias("did_cents"),
+    )
+
+
+@register(
     "mm_audio_vad",
     """
     WITH samples AS (
