@@ -13321,7 +13321,8 @@ def j18_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                max(epoch_us(o_orderdate)) AS last_us,
                count(*) AS freq,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
         FROM orders GROUP BY 1
     ),
     n AS (SELECT count(*) AS n FROM cust),
