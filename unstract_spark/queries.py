@@ -12107,6 +12107,139 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ta_rouge_eval",
+    r"""
+    WITH pair AS (
+        SELECT doc_id,
+               lower(array_to_string(
+                   (string_split_regex(lower(text), '\s+'))[1:15],
+                   ' ')) AS cand,
+               lower(text) AS ref
+        FROM documents
+    ),
+    cw AS (SELECT doc_id, w, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(cand, '\s+')) AS w
+                 FROM pair)
+           WHERE w <> '' GROUP BY 1, 2),
+    rw AS (SELECT doc_id, w, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(ref, '\s+')) AS w
+                 FROM pair)
+           WHERE w <> '' GROUP BY 1, 2),
+    ov AS (SELECT cw.doc_id,
+                  CAST(sum(least(cw.c, rw.c)) AS BIGINT) AS overlap
+           FROM cw JOIN rw USING (doc_id, w) GROUP BY 1),
+    tot AS (SELECT c.doc_id, ct.n_cand, rt.n_ref,
+                   coalesce(ov.overlap, 0) AS overlap
+            FROM pair c
+            JOIN (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cand
+                  FROM cw GROUP BY 1) ct USING (doc_id)
+            JOIN (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ref
+                  FROM rw GROUP BY 1) rt USING (doc_id)
+            LEFT JOIN ov USING (doc_id))
+    SELECT doc_id, n_cand, n_ref, overlap,
+           CAST(overlap AS DOUBLE) / n_cand AS rouge1_p,
+           CAST(overlap AS DOUBLE) / n_ref AS rouge1_r,
+           round(2 * (CAST(overlap AS DOUBLE) / n_cand)
+                   * (CAST(overlap AS DOUBLE) / n_ref)
+                 / ((CAST(overlap AS DOUBLE) / n_cand)
+                    + (CAST(overlap AS DOUBLE) / n_ref)), 6)
+             AS rouge1_f1
+    FROM tot
+    """,
+)
+def ta_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 evaluation metrics — the summarization/extraction eval
+    every text pipeline reports, in exact arithmetic: candidate =
+    each document's first 15 tokens (the deterministic stand-in for a
+    generated summary), reference = the full text; unigram MULTISET
+    overlap as sum of per-word least(counts) (exact BIGINTs),
+    precision/recall each one IEEE division, F1 the mirrored
+    harmonic-mean chain. Every doc's candidate is a prefix of its
+    reference, so overlap == n_cand and precision is exactly 1 — the
+    structural identity doubling as a self-check while recall and F1
+    vary with document length."""
+    d = _t(spark, sf_dir, "documents")
+    # NO localCheckpoint despite three consumers: the frame carries
+    # the FULL text, and checkpointing it pushes every byte through
+    # the non-codegen RDD path — re-running a cheap parquet
+    # projection per consumer is the lesser cost (measured 27 -> 9 s
+    # at the sf0.001 gate)
+    pair = d.select(
+        "doc_id",
+        F.lower(
+            F.array_join(
+                F.slice(
+                    F.split(F.lower(F.col("text")), r"\s+"), 1, 15
+                ),
+                " ",
+            )
+        ).alias("cand"),
+        F.lower(F.col("text")).alias("ref"),
+    )
+
+    def counts(col: str) -> DataFrame:
+        return (
+            pair.select(
+                "doc_id",
+                F.explode(F.split(F.col(col), r"\s+")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    cw = counts("cand")
+    rw = counts("ref")
+    ov = (
+        cw.join(
+            rw.select(
+                "doc_id", "w", F.col("c").alias("rc")
+            ),
+            ["doc_id", "w"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("c"), F.col("rc"))).cast("long").alias(
+                "overlap"
+            )
+        )
+    )
+    ct = cw.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_cand")
+    )
+    rt = rw.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ref")
+    )
+    tot = (
+        pair.select("doc_id")
+        .join(ct, "doc_id")
+        .join(rt, "doc_id")
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_cand",
+            "n_ref",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias(
+                "overlap"
+            ),
+        )
+    )
+    p = F.col("overlap").cast("double") / F.col("n_cand")
+    r = F.col("overlap").cast("double") / F.col("n_ref")
+    return tot.select(
+        "doc_id",
+        "n_cand",
+        "n_ref",
+        "overlap",
+        p.alias("rouge1_p"),
+        r.alias("rouge1_r"),
+        F.round(2 * p * r / (p + r), 6).alias("rouge1_f1"),
+    )
+
+
+@register(
     "agg_mann_whitney",
     """
     WITH p AS (SELECT CAST(user_id % 2 AS INT) AS grp,
