@@ -12106,6 +12106,70 @@ def sk_stats_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_recall_eval_sql() -> str:
+    return f"""
+    WITH lsh AS (SELECT * FROM ({_lsh_topk_sql()}) t),
+    ex AS (SELECT * FROM ({_COSINE_TOPK_SQL}) t),
+    hit AS (SELECT e.query_id,
+                   CAST(count(l.vec_id) AS BIGINT) AS n_hits
+            FROM ex e LEFT JOIN lsh l
+              ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+            GROUP BY 1),
+    mac AS (SELECT CAST(sum(n_hits) AS DOUBLE) / (5 * 10)
+              AS macro_recall FROM hit)
+    SELECT query_id, 10 AS k, n_hits,
+           CAST(n_hits AS DOUBLE) / 10 AS recall_at_k,
+           mac.macro_recall
+    FROM hit CROSS JOIN mac
+    """
+
+
+@register("sim_recall_eval", _sim_recall_eval_sql())
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN EVAL HARNESS as a gated query: recall@10 of the LSH
+    approximate path against exact brute-force cosine, per query and
+    macro-averaged — both retrieval pipelines AND the evaluation join
+    re-derived by the oracle in SQL, so the recall numbers the engine
+    would report about ITSELF are value-hash-certified (the number a
+    tuning loop trusts must be as correct as the data path it
+    tunes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = similarity.brute_force_topk(q, e, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.lsh_topk_join(
+        q, e, dim=64, k=10, n_planes=6, n_tables=4
+    ).select(
+        F.col("query_id").alias("_aq"), F.col("vec_id").alias("_av")
+    )
+    hit = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["_aq"])
+            & (exact["vec_id"] == approx["_av"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("_av").cast("long").alias("n_hits"))
+    )
+    mac = hit.agg(
+        (F.sum("n_hits").cast("double") / F.lit(50)).alias(
+            "macro_recall"
+        )
+    )
+    return hit.crossJoin(F.broadcast(mac)).select(
+        "query_id",
+        F.lit(10).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 10).alias("recall_at_k"),
+        "macro_recall",
+    )
+
+
 @register(
     "ta_rouge_eval",
     r"""
