@@ -2507,6 +2507,151 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_similarity(sigs, pairs)
 
 
+_MH_EST_SQL = """
+    (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END
+     + CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) / 8.0)
+"""
+
+
+@register(
+    "dd_minhash_calibration",
+    f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, b.band_no, b.band_key
+        FROM sigs,
+             LATERAL (VALUES (0, {_BAND_KEY.format(a=0, b=1)}),
+                             (1, {_BAND_KEY.format(a=2, b=3)}),
+                             (2, {_BAND_KEY.format(a=4, b=5)}),
+                             (3, {_BAND_KEY.format(a=6, b=7)}))
+               AS b(band_no, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT p.id_a, p.id_b, {_MH_EST_SQL} AS est_jaccard
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
+    cn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    i AS (SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b
+                   AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+    x AS (SELECT e.id_a, e.id_b, e.est_jaccard,
+                 CAST(coalesce(i.inter, 0) AS DOUBLE)
+                 / (ca.n + cb.n - coalesce(i.inter, 0))
+                   AS exact_jaccard
+          FROM est e
+          JOIN cn ca ON ca.doc_id = e.id_a
+          JOIN cn cb ON cb.doc_id = e.id_b
+          LEFT JOIN i ON i.id_a = e.id_a AND i.id_b = e.id_b),
+    mac AS (SELECT round(CAST(sum(CAST(abs(est_jaccard
+                                           - exact_jaccard)
+                        AS DECIMAL(28,12))) AS DOUBLE)
+                        / count(*), 6) AS mae
+            FROM x)
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           round(est_jaccard - exact_jaccard, 6) AS err, mac.mae
+    FROM x CROSS JOIN mac
+    """,
+)
+def dd_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash ESTIMATOR'S CALIBRATION as a gated query (the
+    dedup twin of sim_recall_eval): for every LSH candidate pair,
+    the 8-hash Jaccard estimate against the EXACT distinct-shingle
+    Jaccard (intersection via one shingle equi-join, union by
+    inclusion-exclusion), the signed per-pair error, and the
+    macro MAE in the decimal domain — the error bar a threshold
+    choice rests on, value-hash-certified."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(d).localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(sh).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs).localCheckpoint(
+        eager=True
+    )
+    est = dedup.minhash_similarity(sigs, pairs)
+    shd = sh.select("doc_id", "shingle").distinct().localCheckpoint(
+        eager=True
+    )
+    cn = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shd.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle").alias("_s")
+    )
+    b = shd.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle").alias("_s")
+    )
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            cn.select(F.col("doc_id").alias("id_a"),
+                      F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            cn.select(F.col("doc_id").alias("id_b"),
+                      F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (
+                F.coalesce("inter", F.lit(0)).cast("double")
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce("inter", F.lit(0))
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    mac = x.agg(
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("est_jaccard") - F.col("exact_jaccard")
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae")
+    )
+    return x.crossJoin(F.broadcast(mac)).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(
+            F.col("est_jaccard") - F.col("exact_jaccard"), 6
+        ).alias("err"),
+        "mae",
+    )
+
+
 def _minhash_auto_sql(threshold: float = 0.7, num_hashes: int = 8) -> str:
     """SQL twin of the auto-banded MinHash pipeline: the banding comes
     from the same auto_band_params computation the operator runs, its
