@@ -1339,3 +1339,149 @@ def test_streaming_scd2_matches_batch_build(spark, tmp_path):
         (r.k, r.version)
         for r in read_scd2_view(spark, state, out).collect()
     } == set(expect)
+
+
+def test_streaming_upsert_crash_replay_clean(spark, tmp_path):
+    """A replayed epoch's state snapshot must be rebuilt from the
+    PREVIOUS snapshot plus the batch — a poisoned in-flight partition
+    (wrong winner, bogus keys) is overwritten, never merged."""
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        read_upsert_view,
+        streaming_upsert_pipeline,
+    )
+
+    sch = "k long, seq long, op string, val string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 1, "U", "v1"), (2, 1, "U", "w1")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_upsert_pipeline(spark, src, ckpt, store) == 1
+
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame(
+        [(1, 999, "U", "poison"), (77, 9, "U", "ghost")], sch
+    ).write.parquet(f"{store}/batch_id=1")
+
+    spark.createDataFrame(
+        [(1, 2, "U", "v2"), (2, 2, "D", None)], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert streaming_upsert_pipeline(spark, src, ckpt, store) == 1
+    got = {
+        r.k: r.val for r in read_upsert_view(spark, store).collect()
+    }
+    assert got == {1: "v2"}  # no poison winner, no ghost key
+
+
+def test_streaming_islands_crash_replay_clean(spark, tmp_path):
+    """A poisoned epoch-1 state snapshot (bogus open island) and
+    closed partition are rebuilt from committed state on replay."""
+    from unstract_spark.operators.joins import merge_intervals
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        read_islands_view,
+        streaming_islands_pipeline,
+    )
+
+    sch = "k long, s long, e long, id long"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    fire1 = [(1, 0, 10, 1)]
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_islands_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame(
+        [(1, 777, 888, 99, 42)],
+        "k long, open_start long, open_end long, open_n long,"
+        " closed_cnt long",
+    ).write.parquet(f"{state}/batch_id=1")
+    spark.createDataFrame(
+        [(1, 41, 500, 600, 3, 100)],
+        "k long, island_no long, island_start long, island_end long,"
+        " n_intervals long, covered long",
+    ).write.parquet(f"{out}/batch_id=1")
+
+    fire2 = [(1, 20, 30, 2)]
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_islands_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        (r.k, r.island): (r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(union, "k", "s", "e", "id").collect()
+    }
+    got = {
+        (r.k, r.island_no): (r.island_start, r.island_end,
+                             r.n_intervals)
+        for r in read_islands_view(spark, state, out).collect()
+    }
+    assert got == expect == {(1, 1): (0, 10, 1), (1, 2): (20, 30, 1)}
+
+
+def test_streaming_scd2_crash_replay_clean(spark, tmp_path):
+    """A poisoned epoch-1 open-version snapshot and closed partition
+    are rebuilt from the committed epoch-0 state on replay."""
+    from datetime import datetime
+
+    from unstract_spark.operators.joins import scd2_build
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        read_scd2_view,
+        streaming_scd2_pipeline,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    sch = "k long, seq long, ts timestamp, val string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    fire1 = [(1, 10, t(1), "a1")]
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_scd2_pipeline(spark, src, ckpt, state, out) == 1
+
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame(
+        [(1, 99, t(9), "poison", 77)],
+        "k long, seq long, ts timestamp, val string, version long",
+    ).write.parquet(f"{state}/batch_id=1")
+    spark.createDataFrame(
+        [(1, 98, t(8), "ghost", 76, t(8), t(9))],
+        "k long, seq long, ts timestamp, val string, version long,"
+        " valid_from timestamp, valid_to timestamp",
+    ).write.parquet(f"{out}/batch_id=1")
+
+    fire2 = [(1, 11, t(4), "a2")]
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_scd2_pipeline(spark, src, ckpt, state, out) == 1
+    union = spark.createDataFrame(fire1 + fire2, sch)
+    expect = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in scd2_build(union, "k", "seq", "ts").collect()
+    }
+    got = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in read_scd2_view(spark, state, out).collect()
+    }
+    assert got == expect == {
+        (1, 1): ("a1", t(1), t(4)), (1, 2): ("a2", t(4), None)
+    }
