@@ -2507,6 +2507,69 @@ def dd_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_similarity(sigs, pairs)
 
 
+@register(
+    "events_forecast_backtest",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                 AS day,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY 1),
+    e AS (SELECT a.day, a.cents AS actual_cents,
+                 p.cents AS forecast_cents,
+                 abs(a.cents - p.cents) AS abs_err
+          FROM d a JOIN d p
+            ON p.day + INTERVAL 7 DAY = a.day),
+    mac AS (SELECT CAST(sum(abs_err) AS DOUBLE) / count(*) AS mae
+            FROM e)
+    SELECT day, actual_cents, forecast_cents,
+           CAST(abs_err AS BIGINT) AS abs_err, mac.mae
+    FROM e CROSS JOIN mac
+    """,
+)
+def events_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST — the baseline every
+    forecasting system must beat, and the backtest loop that proves
+    it: daily purchase revenue in exact cents, forecast(d) =
+    actual(d-7) spelled as a SELF-JOIN on day = day - 7 over the
+    daily aggregate (no single-series window anywhere — the join
+    shape scales to any number of series by adding the series key),
+    integer absolute errors, MAE one division. Per-day error rows and
+    the MAE both hash-gate."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    past = d.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    er = d.join(past, "day").select(
+        "day",
+        F.col("cents").alias("actual_cents"),
+        F.col("forecast").alias("forecast_cents"),
+        F.abs(F.col("cents") - F.col("forecast")).cast("long").alias(
+            "abs_err"
+        ),
+    )
+    mac = er.agg(
+        (F.sum("abs_err").cast("double") / F.count(F.lit(1))).alias(
+            "mae"
+        )
+    )
+    return er.crossJoin(F.broadcast(mac)).select(
+        "day", "actual_cents", "forecast_cents", "abs_err", "mae"
+    )
+
+
 _MH_EST_SQL = """
     (( CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
      + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
