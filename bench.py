@@ -218,6 +218,21 @@ BENCH_QUERIES = [
     # respectively.
     "events_pattern_rows",
     "graph_triangle_counts",
+    # The round's remaining registrations are registry-gated but not
+    # benched — each reuses a plan shape already priced above:
+    # j16/j17/upsert (churn window + anti-join ~ j1+w1), sim_prf/
+    # sim_rocchio/sim_recall_eval (BM25/brute-force shapes ~
+    # sim_bm25_topk/sim_topk_bruteforce), ex_hilbert/ex_zonemap
+    # (codegen projections ~ ex_zorder_codes), dq_*/agg_* statistics
+    # (wide CASE-sum aggregates ~ agg_variance_by_status;
+    # range_prefix ranks ~ ta_perplexity_buckets), graph_kcore/
+    # graph_personalized_pagerank/graph_tree_depths (per-round
+    # join+truncate ~ graph_pagerank_fixed), mm_audio_vad (fused
+    # mapInPandas ~ mm_downsample_audio), events_* analytics
+    # (user-keyed window/join shapes ~ w3/events_funnel),
+    # ta_rouge_eval/ta_collocations_pmi/ta_feature_hash/
+    # dd_minhash_calibration (explode + vocabulary groupBys ~
+    # ta_token_counts/dd_minhash_neardup).
 ]
 
 # Calibration: a fixed, code-independent scan-aggregate whose cost

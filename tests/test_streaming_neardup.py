@@ -1485,3 +1485,56 @@ def test_streaming_scd2_crash_replay_clean(spark, tmp_path):
     assert got == expect == {
         (1, 1): ("a1", t(1), t(4)), (1, 2): ("a2", t(4), None)
     }
+
+
+def test_streaming_triangles_crash_replay_clean(spark, tmp_path):
+    """A poisoned in-flight epoch (bogus counts, a planted edge that
+    was never committed) must be rebuilt from committed state: the
+    replay's edge anti-join sees only epoch-0 edges and the count
+    merge reads only the epoch-0 snapshot."""
+    from unstract_spark.operators.graph import triangle_count
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        streaming_triangle_pipeline,
+    )
+
+    sch = "src long, dst long"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    fire1 = [(1, 2), (2, 3)]
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_triangle_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame([(9, 99)], sch).write.parquet(
+        f"{state}/edges/batch_id=1"
+    )
+    spark.createDataFrame(
+        [(9, 999)], "node long, n_triangles long"
+    ).write.parquet(f"{out}/batch_id=1")
+
+    fire2 = [(1, 3)]  # closes the wedge -> one triangle
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_triangle_pipeline(
+        spark, src, ckpt, state, out
+    ) == 1
+    expect = {
+        r.node: r.n_triangles
+        for r in triangle_count(
+            spark.createDataFrame(fire1 + fire2, sch)
+        ).collect()
+    }
+    got = {
+        r.node: r.n_triangles
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+    assert got == expect == {1: 1, 2: 1, 3: 1}
