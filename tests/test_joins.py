@@ -557,3 +557,21 @@ def test_tree_root_depth_forest(spark):
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3),
                    5: (1, 4), 6: (1, 5), 7: (1, 6),
                    10: (10, 0), 11: (10, 1), 12: (10, 1)}
+
+
+def test_personalized_pagerank_empty_effective_seeds_raises(spark):
+    """Seeds absent from the edge list make n_seeds = 0; `SCALE div 0`
+    is NULL under non-ANSI Spark — every score silently NULL (r11
+    ADVICE). The operator must fail loudly instead."""
+    import pytest
+
+    from unstract_spark.operators.graph import personalized_pagerank_fixed
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ghosts = spark.createDataFrame([(99,), (100,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank_fixed(edges, ghosts, iters=1)
+
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = personalized_pagerank_fixed(edges, seeds, iters=1).collect()
+    assert all(r.ppr_fixed is not None for r in got)

@@ -975,3 +975,120 @@ def test_sliding_window_stream_equals_batch(spark, tmp_path, sf_dir):
     )
     q.awaitTermination()
     assert got == batch
+
+
+def _hist_rows(spark, rows):
+    from unstract_spark.schemas import FILE_HISTORY
+
+    return spark.createDataFrame(rows, FILE_HISTORY)
+
+
+def test_history_joins_consult_stats_store(spark, tmp_path):
+    """The priced join planner IS the engine's planner now (r11
+    verdict #1): a FileHistoryStore configured with a TableStatsStore
+    ANALYZEs the ledger on merge, and the production F2 anti-join /
+    replay join flip to the stats-chosen shape — hot-key split around
+    a dominating content hash (the boilerplate-document-uploaded-a-
+    million-times case), broadcast when the ledger's size bound fits —
+    with the row multiset identical to the default plan in both."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+    from unstract_spark.sinks.history import FileHistoryStore
+
+    # ledger: one content hash carries 40% of rows + a flat tail
+    rows = [
+        ("hot", None, f"/p/{i}", "wf", "COMPLETED", "{}", None, 1)
+        for i in range(400)
+    ] + [
+        (f"k{i}", None, f"/q/{i}", "wf", "COMPLETED", "{}", None, 1)
+        for i in range(600)
+    ]
+    updates = _hist_rows(spark, rows)
+
+    plain = FileHistoryStore(spark, str(tmp_path / "h1"))
+    plain.merge(updates)
+    salted = FileHistoryStore(
+        spark,
+        str(tmp_path / "h2"),
+        stats=TableStatsStore(spark, str(tmp_path / "st2")),
+        broadcast_threshold_bytes=10,  # force past the broadcast rung
+    )
+    salted.merge(updates)  # analyze-on-write runs here
+    assert salted.stats.has_stats("file_history", "cache_key")
+    assert salted.stats.top_share_ppm("file_history", "cache_key") == 400_000
+
+    # catalog: hot hits (dropped), hot same hash NEW path (kept),
+    # flat hits and misses, and a NULL-hash row (kept — no match)
+    catalog = spark.createDataFrame(
+        [("hot", f"/p/{i}") for i in range(100)]          # replayed
+        + [("hot", f"/new/{i}") for i in range(50)]       # fresh
+        + [("k1", "/q/1"), ("k2", "/q/2")]                # replayed
+        + [("miss", "/m/1"), (None, "/m/2")],             # fresh
+        "file_hash string, file_path string",
+    )
+
+    d_plain = plain.dedup_catalog(catalog)
+    d_salted = salted.dedup_catalog(catalog)
+    plan_salted = d_salted._jdf.queryExecution().executedPlan().toString()
+    plan_plain = d_plain._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan_salted and "BroadcastHashJoin" in plan_salted
+    assert "Union" not in plan_plain
+    expect = sorted((r.file_hash, r.file_path) for r in d_plain.collect()
+                    if r.file_hash is not None)
+    got = sorted((r.file_hash, r.file_path) for r in d_salted.collect()
+                 if r.file_hash is not None)
+    assert got == expect and len(got) == 51  # 50 new-path hot + miss
+    # the NULL-hash row rides the cold branch and is kept by both
+    assert d_plain.filter(F.col("file_hash").isNull()).count() == 1
+    assert d_salted.filter(F.col("file_hash").isNull()).count() == 1
+
+    r_plain = plain.replay_results(catalog)
+    r_salted = salted.replay_results(catalog)
+    assert "Union" in (
+        r_salted._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted((r.file_hash, r.file_path) for r in r_salted.collect()) \
+        == sorted((r.file_hash, r.file_path) for r in r_plain.collect())
+
+    # default thresholds: the ledger fits 64 MB -> broadcast_known,
+    # single broadcast join, no Union
+    bc = FileHistoryStore(
+        spark,
+        str(tmp_path / "h3"),
+        stats=TableStatsStore(spark, str(tmp_path / "st3")),
+    )
+    bc.merge(updates)
+    d_bc = bc.dedup_catalog(catalog)
+    p_bc = d_bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_bc and "Union" not in p_bc
+    assert sorted(
+        (r.file_hash, r.file_path)
+        for r in d_bc.collect() if r.file_hash is not None
+    ) == expect
+
+
+def test_run_extraction_with_stats_path(spark, tmp_path):
+    """stats_path on ExtractionJob wires the planner end to end: the
+    first run ANALYZEs the ledger it writes, the second run's history
+    joins are stats-priced and replay identically."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i in range(4):
+        (src / f"d{i}.txt").write_text(f"contract body {i}")
+    job = ExtractionJob(
+        source_dir=str(src),
+        history_path=str(tmp_path / "hist"),
+        stats_path=str(tmp_path / "stats"),
+        prompt_specs=[
+            {"prompt_key": "party", "prompt": "who", "enforce_type": "text"}
+        ],
+    )
+    out = run_extraction(spark, job)
+    assert out["results"].count() == 4
+    import os as _os
+
+    assert _os.path.isdir(
+        str(tmp_path / "stats" / "meta" / "table=file_history")
+    )
+    out2 = run_extraction(spark, job)
+    assert out2["results"].count() == 0
+    assert out2["skipped"].count() == 4

@@ -425,3 +425,31 @@ def test_join_plan_strategies_flip_with_stats(spark, tmp_path):
         "big_flat", "k", "big_flat", "k", broadcast_threshold_bytes=10
     )
     assert p3["strategy"] == "shuffle"
+
+
+def test_join_plan_unknown_size_is_not_broadcast(spark, tmp_path):
+    """An all-NULL analyzed column stores avg_len=None — the size
+    lower bound is UNKNOWN, not zero (r11 ADVICE): join_plan must
+    price the unknown side as un-broadcastable (+inf) and fall
+    through to shuffle pricing, while a KNOWN small partner still
+    broadcasts."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    store = TableStatsStore(spark, str(tmp_path / "stats"))
+    nulls = spark.range(2000).selectExpr("CAST(NULL AS STRING) AS k")
+    big = spark.range(2000).selectExpr("CAST(id % 500 AS STRING) AS k")
+    small = spark.range(20).selectExpr("CAST(id AS STRING) AS k")
+    store.analyze(nulls, "nulls", ["k"], k=64)
+    store.analyze(big, "big", ["k"], k=64)
+    store.analyze(small, "small", ["k"], k=64)
+
+    # unknown vs big: neither fits -> NOT broadcast (was broadcast_a)
+    p = store.join_plan("nulls", "k", "big", "k",
+                        broadcast_threshold_bytes=10)
+    assert p["bytes_a"] == float("inf")
+    assert p["strategy"] == "shuffle"
+
+    # unknown vs KNOWN-small: the known side still broadcasts
+    p2 = store.join_plan("nulls", "k", "small", "k",
+                         broadcast_threshold_bytes=1000)
+    assert p2["strategy"] == "broadcast_b"

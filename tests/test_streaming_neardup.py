@@ -1538,3 +1538,84 @@ def test_streaming_triangles_crash_replay_clean(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch_id=1").collect()
     }
     assert got == expect == {1: 1, 2: 1, 3: 1}
+
+
+def test_pattern_end_extensible_classifier_and_gate(spark, tmp_path):
+    """Patterns whose match end a future character could EXTEND must
+    be rejected up front (the r11 ADVICE gap: 'a+' over fires
+    'aa','aa' counts 2 matches where the batch scan of the union
+    counts 1) — while the safe future-blind class still passes."""
+    import pytest
+
+    from unstract_spark.streaming.incremental import (
+        _pattern_end_extensible,
+        streaming_pattern_pipeline,
+    )
+
+    # greedy/unbounded final atom -> extensible -> rejected
+    for bad in ("a+", "vc*", "ab?", "a(bc)*", "(ab?){2}", "a|b+",
+                "ab{2,}", "ab{1,3}"):
+        assert _pattern_end_extensible(bad), bad
+    # fixed final atom (or lazy end) -> a completed match is final
+    for ok in ("ab", "a+b", "a*b", "[xy]+z", "v[^e]*?c[^e]*?p",
+               "ab+?", "ab*?", "(a|b+)c", "ab{2}", "a(b?c){2}"):
+        assert not _pattern_end_extensible(ok), ok
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with pytest.raises(ValueError, match="greedily extensible"):
+        streaming_pattern_pipeline(
+            spark, src, str(tmp_path / "ckpt"), str(tmp_path / "store"),
+            "a+", {"a": "a"},
+        )
+
+
+def test_read_scd2_view_named_ts_col(spark, tmp_path):
+    """read_scd2_view labels validity bounds by the NAMED ts column
+    (r11 ADVICE: positional inference mislabels any schema that does
+    not place ts third) — a schema with ts last works, a wrong name
+    fails loudly instead of mislabeling."""
+    from datetime import datetime
+
+    import pytest
+
+    from unstract_spark.operators.joins import scd2_build
+    from unstract_spark.streaming.incremental import (
+        read_scd2_view,
+        streaming_scd2_pipeline,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    # ts is the FOURTH column: positional [2] would grab `val`
+    sch = "k long, seq long, val string, when_ts timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(1, 10, "a1", t(1)), (1, 11, "a2", t(3)), (2, 20, "b1", t(2))]
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_scd2_pipeline(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "state"),
+        str(tmp_path / "out"), ts_col="when_ts", schema=sch,
+    ) == 1
+    expect = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in scd2_build(
+            spark.createDataFrame(rows, sch), "k", "seq", "when_ts"
+        ).collect()
+    }
+    got = {
+        (r.k, r.version): (r.val, r.valid_from, r.valid_to)
+        for r in read_scd2_view(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"),
+            ts_col="when_ts",
+        ).collect()
+    }
+    assert got == expect
+    assert expect[(1, 2)] == ("a2", t(3), None)
+
+    with pytest.raises(ValueError, match="ts_col"):
+        read_scd2_view(
+            spark, str(tmp_path / "state"), str(tmp_path / "out"),
+            ts_col="nope",
+        )

@@ -244,6 +244,16 @@ def personalized_pagerank_fixed(
         "node", "deg", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
     ).localCheckpoint(eager=True)
     ns = marked.agg(F.sum("is_seed").alias("n_seeds"))
+    # An empty effective seed set (no seed node appears in the edge
+    # list) would feed n_seeds = 0 into `SCALE div n_seeds`, which under
+    # non-ANSI Spark is NULL — every score silently NULL instead of an
+    # error. One scalar job decides it up front: fail loudly.
+    n_seeds_val = ns.collect()[0]["n_seeds"]
+    if not n_seeds_val:
+        raise ValueError(
+            "personalized_pagerank_fixed: no seed node appears in the"
+            " edge list — the teleport distribution is undefined"
+        )
     p = (
         marked.crossJoin(F.broadcast(ns))
         .select(

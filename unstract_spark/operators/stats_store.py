@@ -255,12 +255,18 @@ class TableStatsStore:
         plan so the arithmetic is auditable even when not salting.
         """
         ma, mb = self._meta(table_a, col_a), self._meta(table_b, col_b)
+        # avg_len is None when the analyzed column had zero non-null
+        # values — the size lower bound is then UNKNOWN, not zero. A
+        # zero here would make min(bytes_a, bytes_b) pass the broadcast
+        # gate and hint a side whose true width could be huge, so an
+        # unknown side prices as +inf (never broadcast on ignorance;
+        # fall through to the skew/shuffle branches instead).
         bytes_a = (
-            0.0 if ma.avg_len is None
+            float("inf") if ma.avg_len is None
             else float(ma.n_rows) * float(ma.avg_len)
         )
         bytes_b = (
-            0.0 if mb.avg_len is None
+            float("inf") if mb.avg_len is None
             else float(mb.n_rows) * float(mb.avg_len)
         )
         share_a = self.top_share_ppm(table_a, col_a)
@@ -287,6 +293,111 @@ class TableStatsStore:
                 table_a, col_a, table_b, col_b
             ),
         }
+
+    def has_stats(self, table: str, column: str) -> bool:
+        """True when analyze() has persisted a meta row for the pair —
+        the engine's plans consult stats opportunistically (a ledger
+        joined before its first ANALYZE takes the default plan)."""
+        return os.path.isdir(self._dir("meta", table, column))
+
+    def plan_against_unknown(
+        self,
+        table: str,
+        column: str,
+        broadcast_threshold_bytes: int = 64 << 20,
+        skew_threshold_ppm: int = 100_000,
+        parallelism: int = 32,
+    ) -> dict:
+        """Price a join where only ONE side has been analyzed — the
+        engine's own production shape: a persisted ledger (history /
+        usage / lookup table, analyzed on write) joined against a
+        per-run frame that has no stats and never will (it exists for
+        milliseconds). The unknown side is NEVER broadcast (its size
+        is unbounded by assumption); the decision ladder is:
+
+        - the analyzed side's size lower bound fits the threshold →
+          'broadcast_known' (broadcast the ledger — the classic dim
+          side of the reference's history anti-join);
+        - else its hottest key exceeds `skew_threshold_ppm` → split
+          the join around the STORED hot keys ('shuffle_salted', see
+          apply_using_join);
+        - else plain shuffle.
+        """
+        m = self._meta(table, column)
+        bytes_t = (
+            float("inf") if m.avg_len is None
+            else float(m.n_rows) * float(m.avg_len)
+        )
+        share = self.top_share_ppm(table, column)
+        if bytes_t <= broadcast_threshold_bytes:
+            strategy = "broadcast_known"
+        elif share >= skew_threshold_ppm:
+            strategy = "shuffle_salted"
+        else:
+            strategy = "shuffle"
+        salt = (share * parallelism + 999_999) // 1_000_000
+        return {
+            "strategy": strategy,
+            "bytes_known": bytes_t,
+            "share_ppm": share,
+            "salt_advice": int(max(2, min(parallelism, salt))),
+            "table": table,
+            "column": column,
+            "skew_threshold_ppm": skew_threshold_ppm,
+        }
+
+    def apply_using_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        on: list[str],
+        plan: dict,
+        how: str = "inner",
+    ) -> DataFrame:
+        """Execute a USING-columns join (`inner`/`left_semi`/
+        `left_anti`) the way a plan_against_unknown() plan priced it,
+        with `right` the analyzed side.
+
+        broadcast_known hints the right side. shuffle_salted splits
+        the LEFT rows on the stored hot values of on[0] (which must be
+        the analyzed join column): hot-keyed left rows meet the
+        hot-keyed right rows in a broadcast join — a hot key's rows
+        never ride the hash shuffle — while the cold remainder takes
+        the normal shuffle join. The split is a partition of the left
+        rows by a predicate on the join column, and every right row
+        that could match a branch's left rows carries the same column
+        value, so it lands in that branch's right filter: the union is
+        the same row multiset as the plain join for all three join
+        types (NULL-keyed left rows ride the cold branch, where the
+        equality join gives them the standard no-match semantics)."""
+        if how not in ("inner", "left_semi", "left_anti"):
+            raise ValueError(f"unsupported join type {how!r}")
+        strategy = plan["strategy"]
+        if strategy == "broadcast_known":
+            return left.join(F.broadcast(right), on, how)
+        if strategy == "shuffle_salted":
+            m = self._meta(plan["table"], plan["column"])
+            hot = sorted(
+                r.key
+                for r in self.heavy_keys(plan["table"], plan["column"])
+                if m.n_nonnull > 0
+                and int(r.cnt) * 1_000_000 // int(m.n_nonnull)
+                >= plan.get("skew_threshold_ppm", 100_000)
+            )
+            key = F.col(on[0]).cast("string")
+            l_hot = left.filter(key.isin(hot))
+            l_cold = left.filter(key.isNull() | ~key.isin(hot))
+            r_hot = right.filter(key.isin(hot))
+            r_cold = right.filter(key.isNull() | ~key.isin(hot))
+            if how in ("left_semi", "left_anti"):
+                # membership tests depend only on the SET of right key
+                # tuples — dedup before broadcasting, so a hot ledger
+                # key with a million rows broadcasts one tuple
+                r_hot = r_hot.select(*on).distinct()
+            return l_cold.join(r_cold, on, how).unionByName(
+                l_hot.join(F.broadcast(r_hot), on, how)
+            )
+        return left.join(right, on, how)
 
     def apply_join(
         self,

@@ -47,6 +47,13 @@ class ExtractionJob:
     # plug into the e2e pipeline — the reference configures its x2text
     # adapter per tool the same way (sdk1/index.py:133-217).
     adapters: dict | None = None
+    # Optional TableStatsStore directory. When set, the history ledger
+    # is ANALYZEd on every merge and the run's history joins (F2
+    # anti-join, replay inner join) take the stats-priced shape —
+    # broadcast / hot-key split / shuffle — instead of Spark's default
+    # (see sinks.history.FileHistoryStore and
+    # operators.stats_store.plan_against_unknown).
+    stats_path: str | None = None
 
 
 def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFrame]:
@@ -69,7 +76,12 @@ def run_extraction(spark: SparkSession, job: ExtractionJob) -> dict[str, DataFra
     # read exactly once per run (reference reads each file once,
     # source.py:938-954).
     catalog = build_catalog(listing).localCheckpoint(eager=True)
-    store = FileHistoryStore(spark, job.history_path)
+    stats = None
+    if job.stats_path is not None:
+        from unstract_spark.operators.stats_store import TableStatsStore
+
+        stats = TableStatsStore(spark, job.stats_path)
+    store = FileHistoryStore(spark, job.history_path, stats=stats)
 
     fresh = store.dedup_catalog(catalog)
     skipped = store.replay_results(catalog)

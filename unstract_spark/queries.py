@@ -172,33 +172,13 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r11: ex_curation_v2's Bloom m is now history-sized via
-    # auto_bloom_m (was pinned 8192 — the fixed-m trap the r10 40x
-    # rung proved silently degenerates); the oracle re-derives m from
-    # its own count(*), so BOTH sides changed — re-gate under the
-    # driver.
-    "ex_curation_v2",
-    # r11 internals refactors (outputs identical, plans touched):
-    # kmv_distinct now routes through the factored kmv_estimate;
-    # kmv_overlap's membership stats moved into _overlap_stats (the
-    # one aggregate now also carries the difference counters);
-    # sq8_topk_join gained the bits parameter (default 8 = old plan).
-    "sk_kmv_distinct",
-    "sk_kmv_overlap",
-    "sim_sq8_topk",
-    # kmv_row_sample now casts its key to string before hashing (a
-    # no-op for the already-string key this query uses, but the plan
-    # changed) — re-gate under the driver.
-    "sk_sample_quantiles",
-    # _overlap_stats refactored to route through
-    # overlap_stats_from_sketches (outputs identical, helper split for
-    # the stats store) — re-gate the second consumer too
-    # (sk_kmv_overlap is already listed above).
-    "sk_kmv_difference",
-    # r11 second half: TableStatsStore.analyze() now also persists
-    # heavy-hitter keys (the join_plan chooser's skew input) — output
-    # identical, but the gated analyze path runs one more job.
-    "sk_stats_store",
+    # r12: join_plan now prices an avg_len=None side as +inf (was 0.0
+    # — the r11 ADVICE broadcast-on-ignorance hazard); output for the
+    # gated non-null columns identical, decision arithmetic touched.
+    "sk_join_plan",
+    # r12: personalized_pagerank_fixed gained the empty-effective-seed
+    # guard (one scalar job before the iterations); output identical.
+    "graph_personalized_pagerank",
 ]
 
 

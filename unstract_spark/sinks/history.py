@@ -46,16 +46,41 @@ def _merge_newest_wins(current: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
+STATS_TABLE = "file_history"
+STATS_COLUMN = "cache_key"
+
+
 class FileHistoryStore:
-    def __init__(self, spark: SparkSession, path: str, backend="swap"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        backend="swap",
+        stats=None,
+        broadcast_threshold_bytes: int = 64 << 20,
+        skew_threshold_ppm: int = 100_000,
+    ):
         """`backend`: "swap", "manifest" (POSIX put-if-absent), or a
         `manifest.CommitBackend` instance (manifest protocol over a
         pluggable commit log — e.g. an object store's conditional
-        PUT)."""
+        PUT).
+
+        `stats`: an optional `stats_store.TableStatsStore`. When set,
+        merge() re-ANALYZEs the ledger's key column after each commit
+        (the write side pays the scan so every read-side plan is
+        free), and dedup_catalog()/replay_results() consult the
+        persisted stats to pick broadcast / hot-key-split / shuffle
+        (stats_store.plan_against_unknown — the catalog side is a
+        per-run frame with no stats, so only the ledger side is
+        priced). Without stats — or before the first analyzed merge —
+        the joins take Spark's default plan, unchanged."""
         from unstract_spark.sinks.manifest import CommitBackend
 
         self.spark = spark
         self.path = path
+        self.stats = stats
+        self._bc_bytes = broadcast_threshold_bytes
+        self._skew_ppm = skew_threshold_ppm
         if isinstance(backend, CommitBackend):
             self._manifest = ManifestTable(spark, path, commit_backend=backend)
         elif backend == "manifest":
@@ -99,6 +124,7 @@ class FileHistoryStore:
         """
         if self._manifest is not None:
             self._manifest.append(updates)
+            self._analyze()
             return
         with LedgerLock(self.path):
             deduped = _merge_newest_wins(self.read(), updates)
@@ -110,6 +136,29 @@ class FileHistoryStore:
             os.rename(staging, self.path)
             if os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
+        self._analyze()
+
+    def _analyze(self) -> None:
+        """ANALYZE-on-write: refresh the ledger's persisted stats so
+        the NEXT run's joins are priced from disk with zero read-side
+        scans. One extra pass over the just-committed table — the
+        offline cost the stats store's contract budgets for."""
+        if self.stats is not None:
+            self.stats.analyze(self.read(), STATS_TABLE, [STATS_COLUMN])
+
+    def _join_plan(self):
+        """The priced plan for joining the ledger's key side, or None
+        when no stats are configured/persisted yet (default plan)."""
+        if self.stats is None or not self.stats.has_stats(
+            STATS_TABLE, STATS_COLUMN
+        ):
+            return None
+        return self.stats.plan_against_unknown(
+            STATS_TABLE,
+            STATS_COLUMN,
+            broadcast_threshold_bytes=self._bc_bytes,
+            skew_threshold_ppm=self._skew_ppm,
+        )
 
     def compact(self) -> bool:
         """Manifest backend maintenance: fold all segments into one
@@ -142,16 +191,32 @@ class FileHistoryStore:
         return self.read().filter(F.col("status") == "COMPLETED")
 
     def dedup_catalog(self, files: DataFrame) -> DataFrame:
-        """F2: drop catalog rows already COMPLETED (left_anti)."""
+        """F2: drop catalog rows already COMPLETED (left_anti). With a
+        configured stats store the join shape is the stats-priced one
+        (broadcast the ledger when its persisted size bound fits; split
+        around its stored hot keys when a content hash dominates —
+        e.g. one boilerplate document uploaded a million times; plain
+        shuffle otherwise); the row multiset is identical either way."""
         hist = self.completed().select(
             F.col("cache_key").alias("file_hash"), "file_path"
         )
+        plan = self._join_plan()
+        if plan is not None:
+            return self.stats.apply_using_join(
+                files, hist, ["file_hash", "file_path"], plan, "left_anti"
+            )
         return files.join(hist, ["file_hash", "file_path"], "left_anti")
 
     def replay_results(self, files: DataFrame) -> DataFrame:
         """Cached results for catalog rows that hit history (the replay
-        path, destination.py:593-612): inner join on hash+path."""
+        path, destination.py:593-612): inner join on hash+path —
+        stats-priced like dedup_catalog when a stats store is set."""
         hist = self.completed().select(
             F.col("cache_key").alias("file_hash"), "file_path", "result", "metadata"
         )
+        plan = self._join_plan()
+        if plan is not None:
+            return self.stats.apply_using_join(
+                files, hist, ["file_hash", "file_path"], plan, "inner"
+            )
         return files.join(hist, ["file_hash", "file_path"], "inner")

@@ -1209,6 +1209,62 @@ def streaming_kmv_pipeline(
     return fires
 
 
+def _pattern_end_extensible(pattern: str) -> bool:
+    """True when a completed match of `pattern` could be EXTENDED by
+    characters that arrive later — i.e. the pattern's final atom sits
+    under a greedy (or possessive) quantifier with max > min, directly
+    or through groups/alternation/fixed repeats.
+
+    Why it matters for chunked CEP: a greedy quantifier at the match
+    end only stops extending when the NEXT character blocks it — or
+    when the chunk runs out. A match that ends exactly at a fire
+    boundary ('aa' against 'a+') is therefore provisional: the batch
+    scan of the union would have kept extending into the next fire's
+    text, so counting it now diverges from the batch twin (2 short
+    matches vs 1 long one). A failure mid-pattern is different — no
+    match is counted, the whole text stays in the residual and is
+    rescanned — so only the END of the pattern needs this check.
+
+    Lazy (min) quantifiers at the end are safe: they stop at `min`
+    copies regardless of what follows, so future text never changes a
+    completed match. Conservative over BRANCH (any arm extensible →
+    extensible) and recursive through the last copy of fixed repeats
+    (e.g. '(ab?){2}' ends in the inner 'b?')."""
+    try:
+        from re import _constants as _c  # Python 3.11+
+        from re import _parser as _p
+    except ImportError:  # pragma: no cover - older stdlib layout
+        import sre_constants as _c
+        import sre_parse as _p
+
+    def seq_extensible(seq) -> bool:
+        items = list(seq)
+        if not items:
+            return False
+        op, av = items[-1]
+        if op is _c.MAX_REPEAT or op is getattr(
+            _c, "POSSESSIVE_REPEAT", None
+        ):
+            lo, hi, body = av
+            return True if hi != lo else seq_extensible(body)
+        if op is _c.MIN_REPEAT:
+            lo, hi, body = av
+            # lazy: stops at `lo` copies; only the matched copies'
+            # own tail can extend, and only when at least one matched
+            return lo > 0 and seq_extensible(body)
+        if op is _c.SUBPATTERN:
+            return seq_extensible(av[-1])
+        if op is getattr(_c, "ATOMIC_GROUP", None):
+            # atomic groups never give back, but the group itself can
+            # still grab MORE when later text allows a longer cut
+            return seq_extensible(av)
+        if op is _c.BRANCH:
+            return any(seq_extensible(alt) for alt in av[1])
+        return False
+
+    return seq_extensible(_p.parse(pattern))
+
+
 def streaming_pattern_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -1237,11 +1293,22 @@ def streaming_pattern_pipeline(
     complete match (the previous scan ran to end-of-string), and for
     the future-blind pattern class this engine supports — literals,
     character classes, and quantifiers; no anchors, backreferences, or
-    lookaround — a scan position that fails can only fail on CONTENT
-    (an excluded character blocks the path), never on truncation that
-    later text could repair past an already-counted match. So matches
-    of (residual + new) are exactly the batch matches not yet counted.
-    `pattern` must also never match the empty string.
+    lookaround; AND a match end that future characters cannot extend
+    (the final atom is not under a greedy/unbounded quantifier) — a
+    scan position that fails can only fail on CONTENT (an excluded
+    character blocks the path), never on truncation that later text
+    could repair past an already-counted match. So matches of
+    (residual + new) are exactly the batch matches not yet counted.
+
+    The match-end condition is VALIDATED, not just documented: a
+    pattern like 'a+', 'vc*', or 'ab?' would count a match abutting a
+    fire boundary early/shorter than the batch scan of the union
+    (fires 'aa','aa' against 'a+' give 2 matches where batch gives 1),
+    so _pattern_end_extensible rejects it up front with the fix —
+    anchor the end on a fixed atom, or use a lazy quantifier. The
+    batch operator (timeseries.event_pattern_match) sees complete
+    input and has no such restriction. `pattern` must also never
+    match the empty string.
 
     Events must arrive in per-user (ts, id) order across fires (within
     a fire they are sorted; late cross-fire arrivals belong upstream
@@ -1261,6 +1328,15 @@ def streaming_pattern_pipeline(
     """
     if "'" in pattern:
         raise ValueError("pattern must not contain single quotes")
+    if _pattern_end_extensible(pattern):
+        raise ValueError(
+            "streaming_pattern_pipeline: the pattern's match end is"
+            " greedily extensible (final atom under a greedy/unbounded"
+            " quantifier), so a match abutting a fire boundary would"
+            " be counted early/shorter than the batch scan — anchor"
+            f" the end on a fixed atom or use a lazy quantifier:"
+            f" {pattern!r}"
+        )
     fires = 0
     run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
 
@@ -1729,10 +1805,16 @@ def streaming_scd2_pipeline(
 
 
 def read_scd2_view(
-    spark: SparkSession, state_dir: str, out_dir: str
+    spark: SparkSession, state_dir: str, out_dir: str, ts_col: str = "ts"
 ) -> DataFrame:
     """Closed versions (all epochs) plus each key's open version
-    (valid_to NULL), matching batch scd2_build's output shape."""
+    (valid_to NULL), matching batch scd2_build's output shape.
+
+    `ts_col` names the change-timestamp column (mirroring the
+    pipeline's parameter — the open version's valid_from); positional
+    inference would silently mislabel validity bounds for any schema
+    that does not place ts third, so the column is named, and a schema
+    that lacks it fails loudly here rather than mislabeling."""
     import os as _os
 
     latest = max(
@@ -1741,7 +1823,11 @@ def read_scd2_view(
         if d.startswith("batch_id=")
     )
     st = spark.read.parquet(f"{state_dir}/batch_id={latest}")
-    ts_col = [c for c in st.columns if c not in ("version",)][2]
+    if ts_col not in st.columns:
+        raise ValueError(
+            f"read_scd2_view: ts_col {ts_col!r} not in state columns"
+            f" {st.columns}"
+        )
     open_v = st.withColumn(
         "valid_from", F.col(ts_col)
     ).withColumn("valid_to", F.lit(None).cast(st.schema[ts_col].dataType))
