@@ -24,6 +24,8 @@ N_RUNS = 3  # timed repeats per query; the reported value is the median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from unstract_spark import queries as Q  # noqa: E402
 from unstract_spark.session import get_spark  # noqa: E402
 
@@ -292,6 +294,90 @@ def _pipeline_e2e(spark, n_docs: int) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _streaming_kmv_bench(spark, sf_dir: str, n_fires: int = 3) -> float:
+    """Wall time of the cross-fire KMV pipeline over the sf documents
+    table split into `n_fires` deterministic drops (doc_id mod): the
+    cost of sketch + merge + snapshot per fire. Prep I/O (writing the
+    drop files) is untimed; the measured seconds are the fires."""
+    import shutil
+    import tempfile
+
+    from unstract_spark.streaming.incremental import streaming_kmv_pipeline
+
+    base = tempfile.mkdtemp(prefix="bench_skmv_")
+    try:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        src = os.path.join(base, "src")
+        total = 0.0
+        for i in range(n_fires):
+            docs.filter(f"doc_id % {n_fires} = {i}").write.mode(
+                "append"
+            ).parquet(src)
+            t0 = time.time()
+            fired = streaming_kmv_pipeline(
+                spark, src, os.path.join(base, "ckpt"),
+                os.path.join(base, "store"), os.path.join(base, "out"),
+            )
+            total += time.time() - t0
+            assert fired == 1
+        return total
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _streaming_pattern_bench(spark, sf_dir: str, n_fires: int = 3) -> float:
+    """Wall time of the cross-fire CEP pipeline over the sf events
+    table split into `n_fires` time-sliced drops (per-user order is
+    preserved across fires because the slices partition on ts alone).
+    Measures code + residual-carry + rescan per fire; drop-file prep
+    is untimed."""
+    import shutil
+    import tempfile
+
+    from unstract_spark import queries as _q
+    from unstract_spark.streaming.incremental import (
+        streaming_pattern_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_spat_")
+    try:
+        ev = _q._t(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+        )
+        lo, hi = ev.selectExpr(
+            "min(cast(ts as long)) AS lo", "max(cast(ts as long)) AS hi"
+        ).collect()[0]
+        cuts = [lo + (hi - lo) * (i + 1) // n_fires for i in range(n_fires - 1)]
+        bounds = [None, *cuts, None]
+        src = os.path.join(base, "src")
+        total = 0.0
+        for i in range(n_fires):
+            sl = ev
+            if bounds[i] is not None:
+                sl = sl.filter(f"cast(ts as long) >= {bounds[i]}")
+            if bounds[i + 1] is not None:
+                sl = sl.filter(f"cast(ts as long) < {bounds[i + 1]}")
+            sl.write.mode("append").parquet(src)
+            t0 = time.time()
+            fired = streaming_pattern_pipeline(
+                spark, src, os.path.join(base, "ckpt"),
+                os.path.join(base, "store"),
+                "v[^e]*?c[^e]*?p",
+                {"view": "v", "click": "c", "purchase": "p",
+                 "error": "e", "signup": "s"},
+            )
+            total += time.time() - t0
+            assert fired == 1
+        return total
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -340,6 +426,19 @@ def main() -> None:
     dt2k = _pipeline_e2e(spark, n_docs=2000)
     timings["pipeline_e2e_2000docs"] = round(dt2k, 3)
     total += dt2k
+
+    # Streaming twins (r11 verdict #6): the cross-fire KMV and CEP
+    # pipelines were pytest-only, so a cross-fire cost regression was
+    # invisible to the bench. Fixed fire count, deterministic drops
+    # (doc_id mod / ts slices), single run each — like the 2000-doc
+    # pipeline row, each fire is a multi-job foreachBatch sequence
+    # whose cost IS the steady-state shape, and drop prep is untimed.
+    dts = _streaming_kmv_bench(spark, sf_dir)
+    timings["streaming_kmv_3fires"] = round(dts, 3)
+    total += dts
+    dts = _streaming_pattern_bench(spark, sf_dir)
+    timings["streaming_pattern_3fires"] = round(dts, 3)
+    total += dts
 
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()  # warm: codegen + JIT + page cache

@@ -1057,3 +1057,85 @@ def test_attribution_credits_sum_to_one_million(spark):
         (4, 66666), (5, 400000),
     ]
     assert sum(v for _, v in ush[80]) == 1_000_000
+
+
+def test_event_pattern_max_events_truncates_flagged(spark):
+    """The CEP buffer bound (r11 verdict #5): a synthetic mega-user is
+    truncated to its most recent `max_events` events WITH an
+    n_dropped flag, every other user's output stays byte-identical to
+    the uncapped run, and max_events=None leaves schema and results
+    unchanged."""
+    from datetime import datetime, timedelta
+
+    from unstract_spark.operators.timeseries import (
+        event_pattern_all_rows,
+        event_pattern_match,
+        event_pattern_rows,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 0)
+    cm = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    pat = "v[^e]*?c[^e]*?p"
+    cycle = ["view", "click", "purchase"]
+    # mega-user 1: 300 events = 100 vcp matches; normal users 2 and 3
+    rows = [
+        (1, i + 1, t0 + timedelta(minutes=i), cycle[i % 3], 1.0)
+        for i in range(300)
+    ]
+    rows += [
+        (2, 1001, t0, "view", 1.0), (2, 1002, t0 + timedelta(minutes=1),
+                                     "click", 2.0),
+        (2, 1003, t0 + timedelta(minutes=2), "purchase", 3.0),
+        (3, 2001, t0, "view", 1.0), (3, 2002, t0 + timedelta(minutes=1),
+                                     "error", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+
+    full = {r.user_id: r for r in event_pattern_match(df, pat, cm).collect()}
+    assert "n_dropped" not in event_pattern_match(df, pat, cm).columns
+    assert full[1].n_matches == 100
+
+    capped_df = event_pattern_match(df, pat, cm, max_events=30)
+    got = {r.user_id: r for r in capped_df.collect()}
+    # mega-user: last 30 events = 10 whole vcp cycles, flagged
+    assert got[1].n_dropped == 270
+    assert (got[1].seq_len, got[1].n_matches) == (30, 10)
+    # everyone else: byte-identical measures, n_dropped == 0
+    for u in (2, 3):
+        assert got[u].n_dropped == 0
+        assert (got[u].seq_len, got[u].n_matches, got[u].first_match,
+                got[u].total_match_len) == (
+            full[u].seq_len, full[u].n_matches, full[u].first_match,
+            full[u].total_match_len)
+
+    # per-match and per-event variants share the guard; the kept
+    # matches are exactly the full run's LAST 10 for the mega-user
+    full_rows = event_pattern_rows(df, pat, cm).collect()
+    cap_rows = event_pattern_rows(df, pat, cm, max_events=30).collect()
+    mega_full = sorted(
+        (r.start_ts, r.end_ts, r.value_cents)
+        for r in full_rows if r.user_id == 1
+    )[-10:]
+    mega_cap = sorted(
+        (r.start_ts, r.end_ts, r.value_cents)
+        for r in cap_rows if r.user_id == 1
+    )
+    assert mega_cap == mega_full
+    assert all(r.n_dropped == 270 for r in cap_rows if r.user_id == 1)
+    assert sorted(
+        (r.start_ts, r.end_ts, r.value_cents)
+        for r in cap_rows if r.user_id == 2
+    ) == sorted(
+        (r.start_ts, r.end_ts, r.value_cents)
+        for r in full_rows if r.user_id == 2
+    )
+
+    all_rows = event_pattern_all_rows(df, pat, cm, max_events=30).collect()
+    assert {r.user_id for r in all_rows} == {1, 2}
+    assert len([r for r in all_rows if r.user_id == 1]) == 30
+    assert all(r.n_dropped == 270 for r in all_rows if r.user_id == 1)
+    assert all(r.n_dropped == 0 for r in all_rows if r.user_id == 2)

