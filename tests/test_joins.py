@@ -575,3 +575,46 @@ def test_personalized_pagerank_empty_effective_seeds_raises(spark):
     seeds = spark.createDataFrame([(1,), (99,)], "node long")
     got = personalized_pagerank_fixed(edges, seeds, iters=1).collect()
     assert all(r.ppr_fixed is not None for r in got)
+
+
+def test_weighted_pagerank_proportional_split(spark):
+    """Weights steer the mass: a hub pointing at two neighbors with
+    weights 3:1 must give the heavy neighbor exactly 3x the
+    contribution (same integer fixed-point arithmetic as the base
+    variant), and equal weights must reproduce the unweighted
+    ranking."""
+    from unstract_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed,
+        weighted_pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {
+        r.node: r.wpr_fixed
+        for r in weighted_pagerank_fixed(edges, iters=1).collect()
+    }
+    # undirected: node 1 has wsum 4; nodes 2/3 return all their mass
+    p0 = SCALE // 3
+    base = SCALE // (8 * 3)
+    assert got[2] == base + (7 * ((p0 * 3) // 4 + 0)) // 8
+    assert got[3] == base + (7 * ((p0 * 1) // 4 + 0)) // 8
+    assert got[2] > got[3]
+
+    # equal weights == unweighted (deg split equals weight split)
+    eq = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (3, 1, 5)], "src long, dst long, w long"
+    )
+    got_w = {
+        r.node: r.wpr_fixed
+        for r in weighted_pagerank_fixed(eq, iters=2).collect()
+    }
+    got_u = {
+        r.node: r.pr_fixed
+        for r in pagerank_fixed(
+            eq.select("src", "dst"), iters=2
+        ).collect()
+    }
+    assert got_w == got_u

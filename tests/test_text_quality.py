@@ -177,3 +177,32 @@ def test_compression_ratio_signal(spark):
     assert rows[3].ratio is None and rows[3].raw_len == 0
     assert rows[4].ratio is None
     assert rows[1].compressed_len < rows[1].raw_len
+
+
+def test_ngram_containment_detects_quote(spark):
+    """A short doc fully quoted inside a long one: containment of the
+    quote in the host is 1.0 while Jaccard is small — the asymmetric
+    signal the symmetric measure misses."""
+    from unstract_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the five boxing wizards jump quickly tonight"
+    host = (
+        "opening remarks and context paragraph here "
+        + quote
+        + " followed by a very long unrelated discussion of many other"
+        " topics entirely different words throughout the remainder"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host)], "doc_id long, text string"
+    )
+    got = ngram_containment_pairs(docs, n=2, min_containment=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a_in_b == 1.0  # every quote bigram is in host
+    assert r.containment_b_in_a < 0.3
+    jac = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0).collect()[0]
+    assert jac.jaccard < 0.25  # the symmetric measure misses it

@@ -152,14 +152,29 @@ def run(spark, sf_dir: str, runs: int = 3, names: list[str] | None = None) -> di
     qs = Q.queries()
     out: dict[str, float] = {}
     for name in names or RUNG:
-        qs[name](spark, sf_dir).count()  # warm
+        n_rows = qs[name](spark, sf_dir).count()  # warm
         samples = []
         for _ in range(runs):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
         out[name] = round(statistics.median(samples), 3)
-        print(json.dumps({"query": name, "dir": sf_dir, "sec": out[name]}))
+        print(json.dumps(
+            {"query": name, "dir": sf_dir, "sec": out[name],
+             "rows": n_rows}
+        ))
+        # The r10 40x rung proved a fixed-m Bloom silently saturates:
+        # every row flags, the back end sees 0, and the timing
+        # measures a degenerate plan. With auto_bloom_m wired in, the
+        # capstone must keep REAL survivors at every rung — zero rows
+        # here means the sizing rule regressed (or a rung grew the
+        # history past the point the composed thresholds admit any
+        # document, which must be inspected, not timed silently).
+        if name == "ex_curation_v2":
+            assert n_rows > 0, (
+                "ex_curation_v2 rung produced 0 survivors — "
+                "degenerate filter chain; do not trust this timing"
+            )
         spark.catalog.clearCache()
     return out
 

@@ -348,6 +348,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word n-gram CONTAINMENT over candidate pairs — the
+    asymmetric near-dup measure Jaccard cannot express: c(A→B) =
+    |A∩B| / |A| is ~1 when A is a quote/excerpt/subset of a much
+    larger B even though their Jaccard is tiny (Broder's containment,
+    the dedup literature's quote detector). One row per unordered
+    candidate pair carrying BOTH directions; a pair survives when
+    either direction clears `min_containment`.
+
+    Same plan shape and `max_df` quadratic-blowup guard as
+    ngram_jaccard_pairs (shared-gram bucketed self-join on uniform
+    keys, sizes and intersections over the same filtered universe)."""
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    if max_df is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram")
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    c_ab = F.col("inter_size") / F.col("size_a")
+    c_ba = F.col("inter_size") / F.col("size_b")
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= min_containment)
+            | (F.col("containment_b_in_a") >= min_containment)
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

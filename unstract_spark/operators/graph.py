@@ -289,6 +289,74 @@ def personalized_pagerank_fixed(
     return p.select("node", F.col("p").alias("ppr_fixed"))
 
 
+def weighted_pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    undirected: bool = True,
+) -> DataFrame:
+    """EDGE-WEIGHTED PageRank in the same bit-exact integer
+    arithmetic as pagerank_fixed: a node's mass splits across its
+    out-edges IN PROPORTION TO WEIGHT — contribution to v is
+    (p(u) · w(u,v)) div W(u), with W(u) = Σ out-weights — instead of
+    uniformly by degree. The natural ranking when edges carry
+    interaction counts or amounts (co-purchase frequency, traffic,
+    citation counts): a neighbor you interact with 100x as often
+    pulls 100x the mass.
+
+    Same 7/8 damping, SCALE fixed-point, per-round localCheckpoint
+    lineage truncation, and no-dangling contract as the base variant.
+    Exactness bound: p ≤ SCALE (1e12), so p·w stays inside int64 for
+    weights up to ~9.2e6 — callers with larger weights must pre-scale
+    them (the ranking is invariant under per-node weight scaling).
+    Duplicate (src, dst) rows act as parallel edges (their weights
+    add through W(u) and the per-edge sum) — pre-aggregate if that is
+    not the intent.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if undirected:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("src"),
+                F.col(src).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+    e = e.localCheckpoint(eager=True)
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nodes = wsum.select(F.col("src").alias("node"))
+    n = nodes.count()
+    p = nodes.select(
+        "node", F.expr(f"CAST({SCALE} div {n} AS BIGINT)").alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(max(iters, 0)):
+        contrib = (
+            e.join(p.withColumnRenamed("node", "src"), "src")
+            .join(wsum, "src")
+            .select("dst", F.expr("(p * w) div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        p = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({SCALE} div (8 * {n})"
+                    " + (7 * coalesce(s, 0)) div 8 AS BIGINT)"
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select("node", F.col("p").alias("wpr_fixed"))
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

@@ -15171,4 +15171,382 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc_bars(e)
 
 
+# ---------------------------------------------------------------------
+# r12: one-sided planning — the engine's production shape (a persisted,
+# ANALYZEd ledger joined against a per-run frame that has no stats).
+# The ledger is a derived orders table with a planted 40%-hot key; the
+# probe is a derived customer frame the planner never sees stats for.
+# ---------------------------------------------------------------------
+
+_SK_PLAN_UNKNOWN_SQL = """
+WITH ledger AS (
+  SELECT CASE WHEN o_orderkey % 10 < 4 THEN 'HOT'
+              ELSE CAST(o_custkey AS VARCHAR) END AS k
+  FROM orders),
+probe AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN 'HOT'
+              ELSE CAST(c_custkey AS VARCHAR) END AS k
+  FROM customer),
+m AS (SELECT count(*) AS n_rows, count(k) AS n_nonnull,
+             CAST(sum(CAST(length(k) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(k) AS avg_len
+      FROM ledger),
+h AS (SELECT count(*) AS cnt FROM ledger WHERE k IS NOT NULL
+      GROUP BY k ORDER BY cnt DESC, k ASC LIMIT 1),
+calc AS (SELECT n_nonnull,
+                CAST(n_rows AS DOUBLE) * avg_len AS bytes_known,
+                (SELECT cnt FROM h) * 1000000 // n_nonnull AS share_ppm
+         FROM m)
+SELECT n_nonnull, bytes_known, share_ppm,
+       CASE WHEN bytes_known <= 1024.0 THEN 'broadcast_known'
+            WHEN share_ppm >= 100000 THEN 'shuffle_salted'
+            ELSE 'shuffle' END AS strategy,
+       CAST(greatest(2, least(32, (share_ppm * 32 + 999999) // 1000000))
+            AS INT) AS salt_advice,
+       (SELECT count(*) FROM probe p
+         WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.k = p.k))
+         AS anti_rows,
+       (SELECT count(*) FROM probe p
+         WHERE EXISTS (SELECT 1 FROM ledger l WHERE l.k = p.k))
+         AS semi_rows,
+       (SELECT count(*) FROM probe p JOIN ledger l ON p.k = l.k)
+         AS inner_rows
+FROM calc
+"""
+
+
+@register("sk_plan_unknown", _SK_PLAN_UNKNOWN_SQL)
+def sk_plan_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided plan pricing end to end UNDER THE HASH GATE
+    (stats_store.plan_against_unknown / apply_using_join — the r12
+    wiring behind the history store's production joins): ANALYZE a
+    ledger whose key is 40% one hot value (the
+    boilerplate-document-uploaded-a-million-times shape), price the
+    join of an UNKNOWN probe frame against it from the persisted
+    stats alone — size lower bound, integer-exact hottest-key ppm,
+    the broadcast/salt/shuffle ladder that never broadcasts the
+    unknown side — then EXECUTE the decision for all three supported
+    join types (left_anti / left_semi / inner; the salted shape is a
+    hot-key split whose union equals the plain join) and emit the
+    decision inputs, the decision, and the three executed counts as
+    one row. The oracle re-derives every number from the raw tables
+    in pure SQL. Reference anchor: the reference's history anti-join
+    (`source.py:806-868`) takes a fixed plan; this is the
+    beyond-reference planning layer choosing that join's shape from
+    persisted statistics."""
+    import shutil
+    import tempfile
+
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    d = tempfile.mkdtemp(prefix="sk_plan_unknown_")
+    try:
+        store = TableStatsStore(spark, d)
+        ledger = _t(spark, sf_dir, "orders").selectExpr(
+            "CASE WHEN o_orderkey % 10 < 4 THEN 'HOT'"
+            " ELSE CAST(o_custkey AS STRING) END AS k"
+        )
+        probe = _t(spark, sf_dir, "customer").selectExpr(
+            "CASE WHEN c_custkey % 7 = 0 THEN 'HOT'"
+            " ELSE CAST(c_custkey AS STRING) END AS k"
+        )
+        store.analyze(ledger, "ledger", ["k"], k=128)
+        plan = store.plan_against_unknown(
+            "ledger", "k", broadcast_threshold_bytes=1024
+        )
+        anti = store.apply_using_join(
+            probe, ledger, ["k"], plan, "left_anti"
+        ).count()
+        semi = store.apply_using_join(
+            probe, ledger, ["k"], plan, "left_semi"
+        ).count()
+        inner = store.apply_using_join(
+            probe, ledger, ["k"], plan, "inner"
+        ).count()
+        m = store._meta("ledger", "k")
+        row = (
+            int(m.n_nonnull), plan["bytes_known"], plan["share_ppm"],
+            plan["strategy"], plan["salt_advice"],
+            int(anti), int(semi), int(inner),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_nonnull long, bytes_known double, share_ppm long, "
+        "strategy string, salt_advice int, anti_rows long, "
+        "semi_rows long, inner_rows long",
+    )
+
+
+_AGG_SPEARMAN_SQL = """
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+           FROM lineitem),
+r AS (SELECT f,
+             2 * rank() OVER (PARTITION BY f ORDER BY q)
+               + count(*) OVER (PARTITION BY f, q) - 1 AS rq,
+             2 * rank() OVER (PARTITION BY f ORDER BY p)
+               + count(*) OVER (PARTITION BY f, p) - 1 AS rp
+      FROM c),
+s AS (SELECT f, count(*) AS n, sum(rq) AS srq, sum(rp) AS srp,
+             sum(CAST(rq AS DECIMAL(18,0)) * CAST(rq AS DECIMAL(18,0)))
+               AS sqq,
+             sum(CAST(rp AS DECIMAL(18,0)) * CAST(rp AS DECIMAL(18,0)))
+               AS spp,
+             sum(CAST(rq AS DECIMAL(18,0)) * CAST(rp AS DECIMAL(18,0)))
+               AS sqp
+      FROM r GROUP BY 1)
+SELECT f AS l_returnflag, n AS n_lines,
+       round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(srq AS DOUBLE) * CAST(srp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(srq AS DOUBLE) * CAST(srq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(srp AS DOUBLE) * CAST(srp AS DOUBLE))), 6)
+           AS spearman_qty_price
+FROM s
+"""
+
+
+@register("agg_spearman", _AGG_SPEARMAN_SQL)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation of quantity vs price per return flag
+    — the robust (monotone, outlier-insensitive) companion to
+    agg_correlation's Pearson. Ties take AVERAGE ranks, kept in an
+    exact integer domain by DOUBLING (2·rank + tie_count − 1 =
+    2·avg_rank, the agg_mann_whitney device); Pearson over ranks is
+    invariant under that linear transform, so the exact decimal rank
+    sums combine through the same ONE fixed double expression as
+    agg_correlation. Windows are partitioned by flag (the audit
+    contract) — never a global rank. Both engines compute identical
+    integer ranks, so the coefficient hash-gates at full precision."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = l.select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    wq = Window.partitionBy("f").orderBy("q")
+    wp = Window.partitionBy("f").orderBy("p")
+    r = c.select(
+        "f",
+        (2 * F.rank().over(wq).cast("long")
+         + F.count(F.lit(1)).over(Window.partitionBy("f", "q")) - 1
+         ).alias("rq"),
+        (2 * F.rank().over(wp).cast("long")
+         + F.count(F.lit(1)).over(Window.partitionBy("f", "p")) - 1
+         ).alias("rp"),
+    )
+    s = r.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("srq"),
+        F.sum("rp").alias("srp"),
+        F.sum(
+            F.col("rq").cast("decimal(18,0)")
+            * F.col("rq").cast("decimal(18,0)")
+        ).alias("sqq"),
+        F.sum(
+            F.col("rp").cast("decimal(18,0)")
+            * F.col("rp").cast("decimal(18,0)")
+        ).alias("spp"),
+        F.sum(
+            F.col("rq").cast("decimal(18,0)")
+            * F.col("rp").cast("decimal(18,0)")
+        ).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+    srq, srp = F.col("srq").cast("double"), F.col("srp").cast("double")
+    sqq, spp = F.col("sqq").cast("double"), F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    rho = (nd * sqp - srq * srp) / F.sqrt(
+        (nd * sqq - srq * srq) * (nd * spp - srp * srp)
+    )
+    return s.select(
+        F.col("f").alias("l_returnflag"),
+        F.col("n").alias("n_lines"),
+        F.round(rho, 6).alias("spearman_qty_price"),
+    )
+
+
+_WPR_STEP = """
+SELECT ws.node,
+       CAST(1000000000000 // (8 * (SELECT n FROM nn))
+            + (7 * coalesce(i.s, 0)) // 8 AS BIGINT) AS p
+FROM ws LEFT JOIN {i} i ON i.node = ws.node
+"""
+
+
+@register(
+    "graph_weighted_pagerank",
+    f"""
+    WITH raw AS (
+        SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+               's:' || CAST(l.l_suppkey AS VARCHAR) AS b,
+               count(*) AS w
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT a AS src, b AS dst, w FROM raw
+          UNION ALL SELECT b AS src, a AS dst, w FROM raw),
+    ws AS (SELECT src AS node, sum(w) AS wsum FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM ws),
+    p0 AS (SELECT node,
+                  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                    AS p
+           FROM ws),
+    i1 AS (SELECT e.dst AS node, sum((p0.p * e.w) // ws.wsum) AS s
+           FROM e JOIN p0 ON p0.node = e.src
+                  JOIN ws ON ws.node = e.src GROUP BY 1),
+    p1 AS ({_WPR_STEP.format(i="i1")}),
+    i2 AS (SELECT e.dst AS node, sum((p1.p * e.w) // ws.wsum) AS s
+           FROM e JOIN p1 ON p1.node = e.src
+                  JOIN ws ON ws.node = e.src GROUP BY 1),
+    p2 AS ({_WPR_STEP.format(i="i2")}),
+    i3 AS (SELECT e.dst AS node, sum((p2.p * e.w) // ws.wsum) AS s
+           FROM e JOIN p2 ON p2.node = e.src
+                  JOIN ws ON ws.node = e.src GROUP BY 1),
+    p3 AS ({_WPR_STEP.format(i="i3")})
+    SELECT node, p AS wpr_fixed FROM p3
+    """,
+)
+def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (graph.weighted_pagerank_fixed) over the
+    recent customer-supplier graph, weights = lineitem count per pair:
+    a supplier's rank reflects how OFTEN customers transact with it,
+    not just with how many — the interaction-strength ranking the
+    unweighted variant cannot express. Mass splits by
+    (p·w) div Σw in the same 1e12 fixed-point integer arithmetic
+    (weights here are order-line counts ≪ the 9.2e6 overflow bound);
+    the oracle unrolls all three rounds with the weighted division,
+    so the proportional-split arithmetic itself is hash-gated."""
+    from unstract_spark.operators.graph import weighted_pagerank_fixed
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01"
+    )
+    o = _t(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return weighted_pagerank_fixed(raw).select("node", "wpr_fixed")
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH fv AS (SELECT user_id, min(ts) AS first_view
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts) AS first_purchase
+           FROM events e JOIN fv ON fv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+           GROUP BY 1),
+    lat AS (SELECT fv.user_id,
+                   epoch_us(fp.first_purchase) - epoch_us(fv.first_view)
+                     AS lat_us
+            FROM fv JOIN fp ON fp.user_id = fv.user_id)
+    SELECT CAST(lat_us // 3600000000 AS BIGINT) AS hours_bucket,
+           count(*) AS n_users,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM lat GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT histogram — the funnel-latency companion to
+    events_funnel: per user, the latency from FIRST view to the first
+    purchase at-or-after it, bucketed by whole hours. All arithmetic
+    stays in exact integer microseconds (unix_micros difference,
+    integer div for the bucket) so the distribution hash-gates; two
+    min-aggregates and one user equi-join — no window, no per-user
+    buffer. The conversion-latency curve is the growth team's SLA
+    number and the input to the attribution window choice
+    (events_attribution's lookback)."""
+    e = _t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.expr(
+            "timestampdiff(MICROSECOND, first_view, first_purchase)"
+        ).alias("lat_us")
+    )
+    return (
+        lat.groupBy(
+            F.expr("CAST(lat_us div 3600000000 AS BIGINT)").alias(
+                "hours_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_us").cast("long").alias("min_us"),
+            F.max("lat_us").cast("long").alias("max_us"),
+        )
+        .orderBy("hours_bucket")
+    )
+
+
+@register(
+    "dd_ngram_containment",
+    """
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g.gram
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents WHERE doc_id < 100),
+             LATERAL (
+                SELECT array_to_string(w[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+                FROM unnest(range(0, greatest(len(w) - 2, 0) + 1)) AS u(i)
+             ) AS g
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.inter_size / sa.set_size, 6) AS containment_a_in_b,
+           round(i.inter_size / sb.set_size, 6) AS containment_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter_size / sa.set_size >= 0.3
+       OR i.inter_size / sb.set_size >= 0.3
+    """,
+)
+def dd_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 2-gram CONTAINMENT pairs (dedup.ngram_containment_pairs) —
+    the asymmetric quote/excerpt detector: |A∩B|/|A| stays ~1 when A
+    is embedded in a much larger B while their Jaccard vanishes.
+    Same shared-gram bucketed join as dd_ngram_jaccard (restricted to
+    doc_id<100 at oracle scale), both directions emitted and either
+    clearing 0.3 keeps the pair."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_containment_pairs(d, n=2, min_containment=0.3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
