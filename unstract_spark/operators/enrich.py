@@ -112,12 +112,24 @@ def lookup_enrich(
     lookup: DataFrame,
     on: str,
     how: str = "left",
+    stats=None,
+    stats_table: str = "lookup",
 ) -> DataFrame:
-    """Broadcast hash join against a small dimension table
-    (workers/executor/executors/lookup_enrichment.py). The dimension is
-    explicitly broadcast — zero shuffle of the result side; at scale a
-    large dimension falls back to a shuffle join automatically if the
-    broadcast hint is dropped."""
+    """Join against a dimension table
+    (workers/executor/executors/lookup_enrichment.py).
+
+    Default: explicit broadcast — zero shuffle of the result side,
+    correct for the reference's always-small lookup tables. With a
+    `stats_store.TableStatsStore` (analyzed under `stats_table`.`on`,
+    e.g. by the maintenance job that writes the lookup), the choice is
+    PRICED instead of assumed: a dimension whose persisted size bound
+    exceeds the broadcast threshold takes the shuffle (or hot-key
+    split) plan via apply_using_join — the blind broadcast of a
+    100 GB "dimension" is exactly the planner-bypass mistake the
+    stats store exists to prevent."""
+    if stats is not None and stats.has_stats(stats_table, on):
+        plan = stats.plan_against_unknown(stats_table, on)
+        return stats.apply_using_join(results, lookup, [on], plan, how)
     return results.join(F.broadcast(lookup), on, how)
 
 

@@ -367,10 +367,12 @@ class TableStatsStore:
         rows by a predicate on the join column, and every right row
         that could match a branch's left rows carries the same column
         value, so it lands in that branch's right filter: the union is
-        the same row multiset as the plain join for all three join
-        types (NULL-keyed left rows ride the cold branch, where the
+        the same row multiset as the plain join for every supported
+        join type — each left row lands in exactly one branch with all
+        its matches, so `left` outer NULL-extension is also branch-
+        local (NULL-keyed left rows ride the cold branch, where the
         equality join gives them the standard no-match semantics)."""
-        if how not in ("inner", "left_semi", "left_anti"):
+        if how not in ("inner", "left", "left_semi", "left_anti"):
             raise ValueError(f"unsupported join type {how!r}")
         strategy = plan["strategy"]
         if strategy == "broadcast_known":
