@@ -1689,3 +1689,28 @@ def test_streaming_crawl_end_to_end_over_localhost_http(spark, tmp_path):
     finally:
         a.close()
         b.close()
+
+
+def test_feed_published_epoch_dialects_and_malformed(spark):
+    """The four wild-feed date dialects normalize to the same epoch
+    arithmetic, and malformed dates surface as NULL (never task
+    failures) — the parser-discipline contract."""
+    from unstract_spark.operators.webcorpus import feed_published_epoch
+
+    rows = [
+        (1, "Mon, 05 Jan 2026 10:30:00 +0000"),
+        (2, "Mon, 05 Jan 2026 10:30:00 GMT"),
+        (3, "2026-01-05T10:30:00Z"),
+        (4, "2026-01-05T16:00:00+05:30"),
+        (5, "yesterday-ish"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, published string")
+    got = {
+        r.id: r.published_epoch
+        for r in feed_published_epoch(df).collect()
+    }
+    base = 1767609000  # 2026-01-05 10:30:00 UTC
+    assert got[1] == got[2] == got[3] == base
+    assert got[4] == base  # 16:00+05:30 is the same instant
+    assert got[5] is None and got[6] is None

@@ -820,6 +820,37 @@ def parse_feed(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+def feed_published_epoch(
+    df: DataFrame, col: str = "published", out: str = "published_epoch"
+) -> DataFrame:
+    """Normalize the two wild-feed date dialects to ONE epoch-seconds
+    column — the crawl scheduler's freshness key (poll ordering,
+    re-crawl intervals, lastmod comparisons all need numbers, not the
+    strings parse_feed passes through):
+
+    - RSS 2.0 pubDate is RFC 822: 'Mon, 05 Jan 2026 10:30:00 +0000'
+      (numeric offset) or '... GMT' (zone name). Spark's formatter
+      cannot PARSE the day-of-week letter ('E' is format-only), so
+      the leading day name is stripped before the pattern ladder.
+    - Atom updated/published is ISO 8601 / RFC 3339:
+      '2026-02-05T08:15:30Z' or with a numeric offset '+05:30'.
+
+    Each candidate pattern goes through try_to_timestamp (malformed
+    dates surface as NULL, never task failures — the sitemap/feed
+    parser discipline); first hit wins. Epoch seconds are
+    timezone-closed integers, so the column hash-gates across
+    engines."""
+    c = F.col(col)
+    stripped = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
+    ts = F.coalesce(
+        F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss zzz")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    return df.withColumn(out, F.unix_timestamp(ts).cast("long"))
+
+
 def parse_meta_tags(
     df: DataFrame, props: list[str], html_col: str = "html"
 ) -> DataFrame:

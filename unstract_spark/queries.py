@@ -15549,4 +15549,89 @@ def dd_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "web_feed_dates",
+    """
+    WITH d AS (SELECT doc_id,
+                      doc_id % 7 + 1 AS d7,
+                      doc_id % 9 + 1 AS d9,
+                      10 + doc_id % 10 AS h,
+                      doc_id % 60 AS ss
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS format,
+           CAST(u.i AS INT) AS pos,
+           CASE
+             WHEN doc_id % 2 = 0 AND u.i = 0 THEN
+               'Mon, 0' || d7 || ' Jan 2026 ' || h || ':30:'
+                 || lpad(CAST(ss AS VARCHAR), 2, '0') || ' +0000'
+             WHEN doc_id % 2 = 0 THEN
+               'Tue, 10 Feb 2026 ' || h || ':30:00 GMT'
+             WHEN u.i = 0 THEN
+               '2026-03-0' || d9 || 'T' || h || ':15:30Z'
+             ELSE '2026-04-05T10:00:00+05:30'
+           END AS published,
+           CASE
+             WHEN doc_id % 2 = 0 AND u.i = 0 THEN
+               CAST(epoch(make_timestamp(2026, 1, d7, h, 30, ss)) AS BIGINT)
+             WHEN doc_id % 2 = 0 THEN
+               CAST(epoch(make_timestamp(2026, 2, 10, h, 30, 0)) AS BIGINT)
+             WHEN u.i = 0 THEN
+               CAST(epoch(make_timestamp(2026, 3, d9, h, 15, 30)) AS BIGINT)
+             ELSE CAST(epoch(TIMESTAMP '2026-04-05 04:30:00') AS BIGINT)
+           END AS published_epoch
+    FROM d, unnest(range(0, 2)) AS u(i)
+    """,
+)
+def web_feed_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed DATE NORMALIZATION (webcorpus.feed_published_epoch) under
+    an exact gate — the crawl scheduler's freshness key: per doc, an
+    RSS feed carries RFC 822 pubDates in BOTH dialects (numeric
+    '+0000' offset on item 0, 'GMT' zone name on item 1) and an Atom
+    feed carries RFC 3339 in both dialects ('Z' on entry 0, a
+    '+05:30' offset on entry 1). The rendered strings flow through
+    the real parse chain (render → parse_feed → epoch ladder) and the
+    oracle states each expected epoch by CONSTRUCTION
+    (make_timestamp arithmetic, the offset row shifted to 04:30 UTC),
+    so day-name stripping, month-name parsing, zone-name vs numeric
+    offsets, and the timezone closure are all hash-certified."""
+    from unstract_spark.operators import webcorpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 1).cast("string").alias("d7"),
+        (F.col("doc_id") % 9 + 1).cast("string").alias("d9"),
+        (F.lit(10) + F.col("doc_id") % 10).cast("string").alias("h"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0").alias("ss"),
+    )
+    rss = F.concat(
+        F.lit("<rss><channel>"
+              "<item><title>a</title><link>http://x/0</link><pubDate>"),
+        F.lit("Mon, 0"), F.col("d7"), F.lit(" Jan 2026 "), F.col("h"),
+        F.lit(":30:"), F.col("ss"), F.lit(" +0000"),
+        F.lit("</pubDate></item>"
+              "<item><title>b</title><link>http://x/1</link><pubDate>"),
+        F.lit("Tue, 10 Feb 2026 "), F.col("h"), F.lit(":30:00 GMT"),
+        F.lit("</pubDate></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><entry><title>a</title><link href="http://x/0"/>'
+              "<updated>"),
+        F.lit("2026-03-0"), F.col("d9"), F.lit("T"), F.col("h"),
+        F.lit(":15:30Z"),
+        F.lit("</updated><id>i0</id></entry>"
+              '<entry><title>b</title><link href="http://x/1"/>'
+              "<updated>2026-04-05T10:00:00+05:30</updated>"
+              "<id>i1</id></entry></feed>"),
+    )
+    xml = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    parsed = webcorpus.parse_feed(xml)
+    return webcorpus.feed_published_epoch(parsed).select(
+        "doc_id", "format", "pos", "published", "published_epoch"
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
