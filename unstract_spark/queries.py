@@ -15634,4 +15634,89 @@ def web_feed_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_neighbor_jaccard",
+    """
+    WITH adj AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+    ),
+    sizes AS (SELECT s, count(*) AS deg FROM adj GROUP BY 1),
+    inter AS (
+        SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter_size
+        FROM adj a JOIN adj b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    sc AS (SELECT i.s_a, i.s_b, i.inter_size,
+                  sa.deg AS deg_a, sb.deg AS deg_b,
+                  round(i.inter_size
+                        / (sa.deg + sb.deg - i.inter_size), 6) AS jac
+           FROM inter i
+           JOIN sizes sa ON sa.s = i.s_a
+           JOIN sizes sb ON sb.s = i.s_b)
+    SELECT s_a, s_b, inter_size, deg_a, deg_b, jac, rank FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY jac DESC, s_a ASC,
+                                          s_b ASC) AS INT) AS rank
+        FROM sc) WHERE rank <= 50
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBOR-SET JACCARD — the classic link-prediction /
+    node-similarity baseline (Liben-Nowell & Kleinberg), here over
+    the recent customer-supplier bipartite graph: two suppliers are
+    similar when their CUSTOMER sets overlap. Candidate pairs come
+    from sharing at least one neighbor (wedge self-join on the
+    customer key — never all-pairs), |A∩B| from one count, sizes from
+    one degree aggregate; top-50 via bounded_rank (TakeOrdered + the
+    windowless rank — never a partition-less window) by the ROUNDED
+    score with the pair as tie-break (the hash-gate ranking
+    contract). Same plan family as dd_ngram_jaccard with nodes for
+    docs and neighbors for shingles — the dedup machinery IS the
+    graph-similarity machinery."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "2001-01-01"
+    )
+    o = _t(spark, sf_dir, "orders")
+    adj = (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .distinct()
+    )
+    sizes = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = adj.alias("a"), adj.alias("b")
+    inter = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sc = (
+        inter.join(
+            sizes.select(F.col("s").alias("s_a"), F.col("deg").alias("deg_a")),
+            "s_a",
+        )
+        .join(
+            sizes.select(F.col("s").alias("s_b"), F.col("deg").alias("deg_b")),
+            "s_b",
+        )
+        .select(
+            "s_a", "s_b", "inter_size", "deg_a", "deg_b",
+            F.round(
+                F.col("inter_size")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter_size")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    from unstract_spark.operators.retrieval import bounded_rank
+
+    return bounded_rank(
+        sc,
+        [F.col("jac").desc(), F.col("s_a").asc(), F.col("s_b").asc()],
+        50,
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
