@@ -1041,7 +1041,17 @@ def remove_duplicated_spans(
     t = docs.select(
         F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_len")
     ).filter(F.col("_len") > 0)
-    pos = t.filter(F.col("_len") >= k).select(
+    # Repartition BY DOC before the position explode. Spark sizes scan
+    # tasks by INPUT bytes, but this stage's work is ~L× amplified
+    # (one row and one substring per character), so input-byte tasks
+    # are ~L× too coarse: the 80x scale rung measured whole stages
+    # serialized behind one doc-length-skewed scan split (a single
+    # task pinned in UTF8String.substring for minutes while 31 cores
+    # idled). One cheap exchange of the (id, text) projection buys
+    # cluster-wide parallelism for the explode and every stage built
+    # on it.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    pos = t.filter(F.col("_len") >= k).repartition(par, F.col(id_col)).select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.col("_len") - k + 1)).alias("p"),
         "_t",

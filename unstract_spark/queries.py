@@ -179,6 +179,11 @@ _CHANGED_THIS_ROUND = [
     # r12: personalized_pagerank_fixed gained the empty-effective-seed
     # guard (one scalar job before the iterations); output identical.
     "graph_personalized_pagerank",
+    # r12: remove_duplicated_spans repartitions by doc before the
+    # position explode (the 80x rung's under-parallelism fix) — plans
+    # changed, outputs identical; re-gate both consumers.
+    "dd_span_removal",
+    "ex_curation_v2",
 ]
 
 
