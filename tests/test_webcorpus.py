@@ -1714,3 +1714,102 @@ def test_feed_published_epoch_dialects_and_malformed(spark):
     assert got[1] == got[2] == got[3] == base
     assert got[4] == base  # 16:00+05:30 is the same instant
     assert got[5] is None and got[6] is None
+
+
+def _rss_feed(entries):
+    items = "".join(
+        f"<item><title>t</title><link>{u}</link>"
+        f"<pubDate>{d}</pubDate></item>"
+        for u, d in entries
+    )
+    return f"<rss><channel>{items}</channel></rss>"
+
+
+def test_streaming_feed_pipeline_overlapping_polls(spark, tmp_path):
+    """Feed polling across fires: real feeds re-serve their latest N
+    entries every poll, so the per-feed high-water mark must turn
+    overlapping snapshots into exactly-once entry discovery — each
+    entry emitted in the fire where it first exceeded the hwm, a
+    back-dated entry skipped, an undated entry skipped, and a crash
+    replay (poisoned in-flight state) rebuilt from the previous
+    snapshot."""
+    import os
+
+    from unstract_spark.streaming.incremental import (
+        _pin_bid,
+        streaming_feed_pipeline,
+    )
+
+    d = lambda day, h=10: (  # noqa: E731
+        f"Mon, {day:02d} Jan 2026 {h:02d}:00:00 +0000"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    sch = "feed_id string, xml string"
+    # fire 1: feed A serves e1, e2; feed B serves b1
+    fire1 = [
+        ("A", _rss_feed([("http://a/e1", d(1)), ("http://a/e2", d(2))])),
+        ("B", _rss_feed([("http://b/b1", d(5))])),
+    ]
+    spark.createDataFrame(fire1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_feed_pipeline(spark, src, ckpt, state, out) == 1
+    got1 = {
+        (r.feed_id, r.link)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("A", "http://a/e1"), ("A", "http://a/e2"),
+                    ("B", "http://b/b1")}
+
+    # crash replay: poison epoch-1's state with a bogus huge hwm —
+    # the replayed fire must rebuild from the committed epoch-0 state
+    _pin_bid(ckpt, 1)
+    spark.createDataFrame(
+        [("A", 9_999_999_999)], "feed_id string, hwm_epoch long"
+    ).write.parquet(f"{state}/batch_id=1")
+
+    # fire 2: feed A re-serves e2 and adds e3 (newer), a BACK-DATED
+    # e0 (older than the hwm, never seen -> skipped by contract) and
+    # an UNDATED entry (skipped); feed B unchanged snapshot
+    fire2 = [
+        ("A", _rss_feed([
+            ("http://a/e0", d(1, h=5)),   # back-dated
+            ("http://a/e2", d(2)),         # overlap
+            ("http://a/e3", d(3)),         # new
+        ]) .replace("</channel>",
+                    "<item><title>u</title><link>http://a/nd</link>"
+                    "</item></channel>")),  # undated
+        ("B", _rss_feed([("http://b/b1", d(5))])),
+    ]
+    spark.createDataFrame(fire2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_feed_pipeline(spark, src, ckpt, state, out) == 1
+    emitted = [
+        (r.feed_id, r.link)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # exactly-once: e2/b1 not re-emitted, e3 emitted once, e0/nd skipped
+    assert sorted(emitted) == sorted(
+        [("A", "http://a/e1"), ("A", "http://a/e2"),
+         ("A", "http://a/e3"), ("B", "http://b/b1")]
+    )
+    # state: one row per feed, max epoch
+    latest = max(
+        int(p.rsplit("=", 1)[1])
+        for p in os.listdir(state) if p.startswith("batch_id=")
+    )
+    hwm = {
+        r.feed_id: r.hwm_epoch
+        for r in spark.read.parquet(f"{state}/batch_id={latest}").collect()
+    }
+    assert hwm["A"] == 1767434400  # 2026-01-03 10:00 UTC (e3)
+    assert hwm["B"] == 1767607200  # 2026-01-05 10:00 UTC (b1)
+
+    # idempotent re-fire: nothing new
+    assert streaming_feed_pipeline(spark, src, ckpt, state, out) == 0

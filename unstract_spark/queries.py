@@ -15724,4 +15724,63 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ta_code_detection",
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS n_sym,
+               len(regexp_extract_all(lower(text),
+                   '\b(def|return|import|class|void|func|var|const)\b'))
+                 AS kw_hits,
+               len(regexp_extract_all(text, '\n    |\n\t')) AS n_indent
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_chars, n_sym, kw_hits, n_indent,
+           CAST(n_sym * 1000000 // n_chars AS BIGINT) AS sym_ppm,
+           (n_sym * 1000000 // n_chars >= 30000 AND kw_hits >= 2)
+             OR n_indent >= 5 AS is_code
+    FROM f
+    """,
+)
+def ta_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection — the corpus-mixture filter every
+    LLM-data pipeline runs before routing documents to code-specific
+    cleaning (symbol-density + keyword + indentation heuristics, the
+    same feature family as the fasttext code classifiers' handcrafted
+    fallback): per doc, exact counts of code symbols, language
+    keywords, and indented-line starts; symbol density in integer ppm
+    (`div` — never float division in a gated boolean); is_code from
+    pinned thresholds. One codegen projection pass, no shuffle at
+    all — the cheapest possible corpus sweep shape."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_sym = F.size(
+        F.expr(r"regexp_extract_all(text, '[{}()\\[\\];=<>]', 0)")
+    ).cast("long")
+    kw = F.size(
+        F.expr(
+            r"regexp_extract_all(lower(text),"
+            r" '\\b(def|return|import|class|void|func|var|const)\\b', 0)"
+        )
+    ).cast("long")
+    ind = F.size(
+        F.expr(r"regexp_extract_all(text, '\n    |\n\t', 0)")
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.alias("n_sym"),
+        kw.alias("kw_hits"),
+        ind.alias("n_indent"),
+    ).withColumn(
+        "sym_ppm", F.expr("n_sym * 1000000 div n_chars").cast("long")
+    ).withColumn(
+        "is_code",
+        ((F.col("sym_ppm") >= 30000) & (F.col("kw_hits") >= 2))
+        | (F.col("n_indent") >= 5),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"

@@ -1209,6 +1209,126 @@ def streaming_kmv_pipeline(
     return fires
 
 
+def streaming_feed_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    schema: str = "feed_id string, xml string",
+) -> int:
+    """Incremental FEED POLLING — the discovery companion to the
+    crawl pipeline: each AvailableNow fire parses newly-dropped
+    RSS/Atom snapshots (webcorpus.parse_feed), normalizes their
+    published dates to epoch seconds (feed_published_epoch — both
+    RFC 822 dialects and both RFC 3339 dialects), and emits only the
+    entries STRICTLY NEWER than the feed's persisted high-water mark.
+    Real feeds re-serve their latest N entries on every poll, so
+    overlap is the normal case — the per-feed hwm turns overlapping
+    polls into exactly-once entry discovery without storing any
+    per-entry state (state is ONE row per feed: the max epoch seen).
+
+    Contract: feeds append — a poll's new entries carry epochs above
+    everything the feed served before (the RSS/Atom publishing
+    model). A back-dated entry (epoch <= hwm, never seen) is skipped;
+    that is the standard feed-poll trade and the reason the hwm can
+    stay O(feeds). Entries with an unparseable or absent date are
+    SKIPPED (documented: without a date, never-seen cannot be
+    established against an O(feeds) state — callers needing them
+    route the feed through the crawl frontier's per-URL dedup
+    instead).
+
+    Exactly-once: sibling discipline — out and state go to batch_id=N
+    partitions with overwrite; the state read excludes the current
+    epoch; run base pinned; superseded snapshots pruned keeping the
+    latest prior. Returns fired batch count."""
+    from unstract_spark.operators import webcorpus
+
+    fires = 0
+    run_base = _run_base(out_dir, state_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        entries = webcorpus.feed_published_epoch(
+            webcorpus.parse_feed(batch)
+        ).filter(
+            F.col("link").isNotNull()
+            & F.col("published_epoch").isNotNull()
+        ).select(
+            "feed_id", "format", "link", "entry_id", "published_epoch"
+        ).dropDuplicates(["feed_id", "link"])
+        old = _read_parquet_or_none(spark, state_dir)
+        if old is not None:
+            hwm = old.filter(F.col("batch_id") != bid).select(
+                "feed_id", "hwm_epoch"
+            )
+        else:
+            hwm = spark.createDataFrame(
+                [], "feed_id string, hwm_epoch long"
+            )
+        j = entries.join(hwm, "feed_id", "left")
+        fresh = j.filter(
+            F.col("hwm_epoch").isNull()
+            | (F.col("published_epoch") > F.col("hwm_epoch"))
+        ).select(
+            "feed_id", "format", "link", "entry_id", "published_epoch"
+        ).localCheckpoint(eager=True)
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+        new_state = (
+            entries.select("feed_id", "published_epoch")
+            .unionByName(
+                hwm.select(
+                    "feed_id",
+                    F.col("hwm_epoch").alias("published_epoch"),
+                )
+            )
+            .groupBy("feed_id")
+            .agg(F.max("published_epoch").alias("hwm_epoch"))
+            .localCheckpoint(eager=True)
+        )
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={bid}"
+        )
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(state_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(state_dir, f"batch_id={p}"),
+                ignore_errors=True,
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "100")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
+
+
 def _pattern_end_extensible(pattern: str) -> bool:
     """True when a completed match of `pattern` could be EXTENDED by
     characters that arrive later — i.e. the pattern's final atom sits
