@@ -851,6 +851,74 @@ def feed_published_epoch(
     return df.withColumn(out, F.unix_timestamp(ts).cast("long"))
 
 
+def meta_robots_directives(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Per-page robots META directives + canonical URL — the
+    page-level half of crawl politeness (robots.txt grants the FETCH;
+    `<meta name="robots">` governs what the corpus may KEEP: noindex
+    pages must not enter the training set, nofollow pages must not
+    feed link expansion; rel=canonical is the dedup key search
+    engines honor before any content hash). Adds:
+
+    - `noindex`, `nofollow`: token-level membership in the robots
+      meta content (comma/space separated, case-insensitive; both
+      attribute orders matched — real HTML puts name= and content= in
+      either order, the parse_meta_tags discipline);
+    - `canonical`: the <link rel="canonical"> href (either attribute
+      order), NULL when absent.
+
+    Native regexp only; malformed markup yields NULLs/false, never
+    task failures."""
+    h = F.col(html_col)
+    content = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                h,
+                r"""(?is)<meta\b[^>]*\bname\s*=\s*["']robots["'][^>]*\bcontent\s*=\s*["']([^"']*)["']""",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                h,
+                r"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"']*)["'][^>]*\bname\s*=\s*["']robots["']""",
+                1,
+            ),
+            F.lit(""),
+        ),
+    )
+    tokens = F.transform(
+        F.split(F.lower(F.coalesce(content, F.lit(""))), r"[,\s]+"),
+        lambda t: F.trim(t),
+    )
+    canonical = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                h,
+                r"""(?is)<link\b[^>]*\brel\s*=\s*["']canonical["'][^>]*\bhref\s*=\s*["']([^"']+)["']""",
+                1,
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                h,
+                r"""(?is)<link\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*\brel\s*=\s*["']canonical["']""",
+                1,
+            ),
+            F.lit(""),
+        ),
+    )
+    return (
+        df.withColumn("robots_meta", content)
+        .withColumn("noindex", F.array_contains(tokens, "noindex"))
+        .withColumn("nofollow", F.array_contains(tokens, "nofollow"))
+        .withColumn("canonical", canonical)
+    )
+
+
 def parse_meta_tags(
     df: DataFrame, props: list[str], html_col: str = "html"
 ) -> DataFrame:

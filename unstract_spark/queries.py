@@ -15782,4 +15782,234 @@ def ta_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "web_meta_robots",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'noindex, nofollow'
+             WHEN 1 THEN 'NOINDEX'
+             WHEN 2 THEN 'index follow'
+             ELSE NULL END AS robots_meta,
+           doc_id % 5 IN (0, 1) AS noindex,
+           doc_id % 5 = 0 AS nofollow,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'http://ex.com/canon/' || CAST(doc_id AS VARCHAR)
+                ELSE NULL END AS canonical
+    FROM documents
+    """,
+)
+def web_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots META + canonical extraction
+    (webcorpus.meta_robots_directives) under an exact gate: per doc,
+    deterministic HTML covers both attribute orders (name-first meta
+    for the noindex,nofollow page; CONTENT-FIRST meta for the
+    uppercase NOINDEX page; href-first link for the canonical), an
+    index,follow page (flags false), and a page with no directives at
+    all (NULL meta, false flags, NULL canonical). The oracle states
+    the expected parse by construction, so token membership,
+    case-insensitivity, attribute-order handling, and the NULL
+    contract are all hash-certified. Crawl semantics: noindex bars
+    the corpus, nofollow bars link expansion, canonical is the dedup
+    key — the page-level half robots.txt cannot express."""
+    from unstract_spark.operators import webcorpus
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                '<html><head><meta name="robots"'
+                ' content="noindex, nofollow"></head><p>x</p></html>'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit(
+                '<html><head><meta content="NOINDEX"'
+                ' name="robots"></head><p>x</p></html>'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit(
+                '<html><head><meta name="robots"'
+                ' content="index follow"></head><p>x</p></html>'
+            ),
+        )
+        .otherwise(F.lit("<html><head></head><p>x</p></html>"))
+    )
+    html = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            html,
+            F.lit('<link href="http://ex.com/canon/'),
+            did,
+            F.lit('" rel="canonical">'),
+        ),
+    ).otherwise(html)
+    parsed = webcorpus.meta_robots_directives(
+        d.select("doc_id", html.alias("html")), "html"
+    )
+    return parsed.select(
+        "doc_id", "robots_meta", "noindex", "nofollow", "canonical"
+    )
+
+
+_MARKOV_STEP = """
+SELECT t.to_type AS event_type,
+       CAST(sum((v.p * t.cnt) // tt.tot) AS BIGINT) AS p
+FROM t JOIN {v} v ON v.event_type = t.from_type
+       JOIN tt ON tt.from_type = t.from_type
+GROUP BY 1
+"""
+
+
+@register(
+    "events_markov_steady",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT event_type AS from_type, nxt AS to_type,
+                 count(*) AS cnt
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT from_type, sum(cnt) AS tot FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS k FROM tt),
+    v0 AS (SELECT from_type AS event_type,
+                  CAST(1000000000000 // (SELECT k FROM n) AS BIGINT)
+                    AS p
+           FROM tt),
+    v1 AS ({_MARKOV_STEP.format(v="v0")}),
+    v2 AS ({_MARKOV_STEP.format(v="v1")}),
+    v3 AS ({_MARKOV_STEP.format(v="v2")})
+    SELECT event_type, p AS steady_fixed FROM v3
+    """,
+)
+def events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain STATIONARY distribution of the event-type process
+    — the long-run where-do-users-spend-time number on top of
+    events_markov_transitions' matrix: three power-iteration rounds
+    from the uniform vector, v'(to) = Σ_from v(from)·cnt(from,to) div
+    tot(from), in the graph family's 1e12 fixed-point integer
+    arithmetic (bit-exact across engines — floating power iteration
+    would leak partial-sum order into the gate). Transitions come
+    from one user-partitioned lead() window; the chain here is
+    5-state so each round is a tiny broadcast join — the same code
+    shape scales to item-level chains where the matrix is millions of
+    rows and the shuffle is on from_type."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("nxt").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
+    tt = t.groupBy("from_type").agg(F.sum("cnt").alias("tot"))
+    k = tt.count()
+    v = tt.select(
+        F.col("from_type").alias("event_type"),
+        F.lit(1_000_000_000_000 // k).cast("long").alias("p"),
+    )
+    for _ in range(3):
+        v = (
+            t.join(
+                v.withColumnRenamed("event_type", "from_type"),
+                "from_type",
+            )
+            .join(tt, "from_type")
+            .select(
+                F.col("to_type").alias("event_type"),
+                F.expr("(p * cnt) div tot").alias("c"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("c").cast("long").alias("p"))
+        )
+    return v.select("event_type", F.col("p").alias("steady_fixed"))
+
+
+@register(
+    "mb_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY it),
+    tot AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    p AS (SELECT a.it AS ante, c.it AS cons, count(*) AS pair_cnt
+          FROM b a JOIN b c ON a.bk = c.bk AND a.it <> c.it
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    r AS (SELECT ante, cons, pair_cnt, ca.cnt AS cnt_a,
+                 cb.cnt AS cnt_b, tot.n_baskets,
+                 CAST(pair_cnt AS DOUBLE) / ca.cnt AS conf,
+                 CASE WHEN pair_cnt = ca.cnt THEN NULL
+                      ELSE (1.0 - CAST(cb.cnt AS DOUBLE)
+                                    / tot.n_baskets)
+                           / (1.0 - CAST(pair_cnt AS DOUBLE)
+                                      / ca.cnt) END AS conviction
+          FROM p JOIN ic ca ON ca.it = ante
+                 JOIN ic cb ON cb.it = cons, tot)
+    SELECT ante, cons, pair_cnt, cnt_a, cnt_b, conf, conviction
+    FROM r
+    ORDER BY round(coalesce(conviction, 1e18), 6) DESC, ante, cons
+    LIMIT 100
+    """,
+)
+def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules A→B with CONVICTION — the
+    market-basket measure lift cannot express (lift is symmetric;
+    conviction (1−supp(B))/(1−conf(A→B)) reads 'how much more often
+    would the rule be wrong if A and B were independent', the Brin et
+    al. 1997 metric): ordered pairs this time (antecedent ≠
+    consequent both ways), exact support counts, single IEEE
+    divisions, conviction NULL for exact rules (conf = 1 — infinite
+    conviction, pinned to sort FIRST via the coalesce sentinel in
+    both engines). Top-100 by rounded conviction with the pair
+    tie-break. Same per-basket quadratic bound as the lift row."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct().localCheckpoint(eager=True)
+    ic = b.groupBy("it").agg(F.count(F.lit(1)).alias("cnt"))
+    n_baskets = b.select("bk").distinct().count()
+    a, c = b.alias("a"), b.alias("c")
+    p = (
+        a.join(c, (F.col("a.bk") == F.col("c.bk"))
+               & (F.col("a.it") != F.col("c.it")))
+        .groupBy(F.col("a.it").alias("ante"), F.col("c.it").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    r = (
+        p.join(ic.select(F.col("it").alias("ante"),
+                         F.col("cnt").alias("cnt_a")), "ante")
+        .join(ic.select(F.col("it").alias("cons"),
+                        F.col("cnt").alias("cnt_b")), "cons")
+        .withColumn("conf",
+                    F.col("pair_cnt").cast("double") / F.col("cnt_a"))
+        .withColumn(
+            "conviction",
+            F.when(F.col("pair_cnt") == F.col("cnt_a"), F.lit(None))
+            .otherwise(
+                (1.0 - F.col("cnt_b").cast("double") / F.lit(n_baskets))
+                / (1.0 - F.col("pair_cnt").cast("double") / F.col("cnt_a"))
+            ),
+        )
+    )
+    return (
+        r.select("ante", "cons", "pair_cnt", "cnt_a", "cnt_b",
+                 "conf", "conviction")
+        .orderBy(
+            F.round(F.coalesce("conviction", F.lit(1e18)), 6).desc(),
+            "ante", "cons",
+        )
+        .limit(100)
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
