@@ -487,3 +487,42 @@ def test_six_backends_agree_on_topk(spark, tmp_path, chunk_rows):
         )
     assert all(r == results[0] for r in results[1:])
     assert results[0][0][1] == 2
+
+
+def test_vector_index_upsert_priced_by_stats(spark, tmp_path):
+    """The index's idempotence-probe anti-join consults a configured
+    stats store: after an analyzed commit, the persisted-id side is
+    broadcast-hinted iff the stats plan says so, and the upsert
+    semantics (skip existing doc_ids) are byte-identical either way."""
+    from unstract_spark.operators.index_store import VectorIndexStore
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    def chunks(ids):
+        return spark.createDataFrame(
+            [(d, f"h-{d}", 0, f"text {d}", [1.0, 0.0]) for d in ids],
+            "doc_id string, file_hash string, chunk_no int,"
+            " chunk_text string, embedding array<float>",
+        )
+
+    store = VectorIndexStore(
+        spark, str(tmp_path / "vidx"),
+        stats=TableStatsStore(spark, str(tmp_path / "stats")),
+    )
+    assert store.upsert(chunks(["a", "b"])) == 2  # analyze runs here
+    assert store.stats.has_stats("vector_index", "doc_id")
+
+    # second upsert: the probe join is stats-priced; existing ids skip
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert store.upsert(chunks(["b", "c"])) == 1  # only c is new
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got = {r.doc_id for r in store.read_chunks().collect()}
+    assert got == {"a", "b", "c"}
+
+    # plain store, same inputs -> same final index
+    plain = VectorIndexStore(spark, str(tmp_path / "vidx2"))
+    plain.upsert(chunks(["a", "b"]))
+    plain.upsert(chunks(["b", "c"]))
+    assert {r.doc_id for r in plain.read_chunks().collect()} == got

@@ -34,12 +34,28 @@ class VectorIndexStore(VectorStoreBackend):
     (sinks/vector_db.py defines the interface; JdbcVectorStore is the
     pgvector-shaped external backend)."""
 
-    def __init__(self, spark: SparkSession, path: str, backend="swap"):
+    STATS_TABLE = "vector_index"
+    STATS_COLUMN = "doc_id"
+
+    def __init__(
+        self, spark: SparkSession, path: str, backend="swap", stats=None
+    ):
         """`backend`: "swap", "manifest" (POSIX put-if-absent), or a
         `manifest.CommitBackend` instance (pluggable commit log, e.g.
-        object-store conditional PUT)."""
+        object-store conditional PUT).
+
+        `stats`: optional `stats_store.TableStatsStore` — the same
+        planner seam as FileHistoryStore: every upsert re-ANALYZEs the
+        index's doc_id column, and the idempotence-probe anti-join
+        (incoming vs the persisted id set) takes the stats-priced
+        shape (broadcast the analyzed index ids when the persisted
+        bound fits, hot-key split when one doc_id dominates, shuffle
+        otherwise). The reindex branch keeps the default plan — there
+        the analyzed table is the PROBE side and the per-run incoming
+        frame has no stats to price."""
         self.spark = spark
         self.path = path
+        self.stats = stats
         from unstract_spark.sinks.manifest import CommitBackend, ManifestTable
 
         if isinstance(backend, CommitBackend):
@@ -85,9 +101,21 @@ class VectorIndexStore(VectorStoreBackend):
                 incoming = incoming_chunks
             else:
                 keep = current
-                incoming = incoming_chunks.join(
-                    current.select("doc_id").distinct(), "doc_id", "left_anti"
-                )
+                ids = current.select("doc_id").distinct()
+                if self.stats is not None and self.stats.has_stats(
+                    self.STATS_TABLE, self.STATS_COLUMN
+                ):
+                    plan = self.stats.plan_against_unknown(
+                        self.STATS_TABLE, self.STATS_COLUMN
+                    )
+                    incoming = self.stats.apply_using_join(
+                        incoming_chunks, ids, ["doc_id"], plan,
+                        "left_anti",
+                    )
+                else:
+                    incoming = incoming_chunks.join(
+                        ids, "doc_id", "left_anti"
+                    )
             return keep.unionByName(incoming), incoming
 
         if self._manifest is not None:
@@ -102,6 +130,7 @@ class VectorIndexStore(VectorStoreBackend):
                 return merged
 
             self._manifest.merge(chunks, manifest_merge, CHUNKS)
+            self._analyze()
             return written["incoming"].count()
 
         with LedgerLock(self.path):
@@ -122,7 +151,18 @@ class VectorIndexStore(VectorStoreBackend):
             os.rename(staging, self.path)
             if old is not None:
                 shutil.rmtree(old, ignore_errors=True)
-            return incoming.count()
+            n = incoming.count()
+        self._analyze()
+        return n
+
+    def _analyze(self) -> None:
+        """ANALYZE-on-write (the FileHistoryStore convention): refresh
+        the index's persisted doc_id stats after each commit so the
+        next upsert's probe join is priced from disk."""
+        if self.stats is not None:
+            self.stats.analyze(
+                self.read(), self.STATS_TABLE, [self.STATS_COLUMN]
+            )
 
     def _chunks_for_doc(self, doc_id: str) -> DataFrame:
         """The doc_id equality filter prunes to one partition-worth of
