@@ -15324,25 +15324,29 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·avg_rank, the agg_mann_whitney device); Pearson over ranks is
     invariant under that linear transform, so the exact decimal rank
     sums combine through the same ONE fixed double expression as
-    agg_correlation. Windows are partitioned by flag (the audit
-    contract) — never a global rank. Both engines compute identical
-    integer ranks, so the coefficient hash-gates at full precision."""
+    agg_correlation. Ranks come from ranks.grouped_doubled_ranks —
+    the DISTRIBUTED per-group spelling (counts per (flag, value) +
+    one composite-order range_prefix): a window partitioned by the
+    3-value flag would sort the whole corpus on 3 tasks however many
+    executors exist (the r12 10x rung measured 15x on 10x rows for
+    that plan). Both engines compute identical integer ranks, so the
+    coefficient hash-gates at full precision."""
+    from unstract_spark.operators.ranks import grouped_doubled_ranks
+
     l = _t(spark, sf_dir, "lineitem")
+    # no localCheckpoint although c fans out 3 ways: materializing a
+    # 3-column projection through the RDD path costs more than
+    # re-running the codegen scan per consumer (the ex_curation_v2
+    # measured trade)
     c = l.select(
         F.col("l_returnflag").alias("f"),
         F.round(F.col("l_quantity")).cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-    wq = Window.partitionBy("f").orderBy("q")
-    wp = Window.partitionBy("f").orderBy("p")
-    r = c.select(
-        "f",
-        (2 * F.rank().over(wq).cast("long")
-         + F.count(F.lit(1)).over(Window.partitionBy("f", "q")) - 1
-         ).alias("rq"),
-        (2 * F.rank().over(wp).cast("long")
-         + F.count(F.lit(1)).over(Window.partitionBy("f", "p")) - 1
-         ).alias("rp"),
+    rq = grouped_doubled_ranks(c.select("f", "q"), "f", "q", out="rq")
+    rp = grouped_doubled_ranks(c.select("f", "p"), "f", "p", out="rp")
+    r = c.join(F.broadcast(rq), ["f", "q"]).join(rp, ["f", "p"]).select(
+        "f", "rq", "rp"
     )
     s = r.groupBy("f").agg(
         F.count(F.lit(1)).alias("n"),
