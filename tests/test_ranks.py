@@ -115,3 +115,37 @@ def test_negative_and_decimal_sums(spark):
     a = {r.id: r.cum_v for r in got.select("id", "cum_v").collect()}
     exp = {r.id: r.cum_v for r in e.collect()}
     assert a == exp
+
+
+def test_grouped_doubled_ranks_matches_window_spelling(spark):
+    """The distributed per-group doubled ranks equal the naive
+    window spelling's integers exactly — ties averaged, groups
+    independent, singleton and heavy-tie groups included."""
+    from pyspark.sql import Window
+
+    from unstract_spark.operators.ranks import grouped_doubled_ranks
+
+    rows = [("a", v) for v in [5, 5, 5, 1, 9, 9]]
+    rows += [("b", v) for v in [2]]
+    rows += [("c", v) for v in [7, 7, 3, 3, 3, 3, 10]]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    got = {
+        (r.g, r.v): r.r2
+        for r in grouped_doubled_ranks(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    expect = {
+        (r.g, r.v): r.r2
+        for r in df.select(
+            "g", "v",
+            (2 * F.rank().over(w).cast("long")
+             + F.count(F.lit(1)).over(Window.partitionBy("g", "v")) - 1
+             ).alias("r2"),
+        ).distinct().collect()
+    }
+    assert got == expect
+    # spot values: group a ties {5,5,5} at positions 2-4 -> avg 3 ->
+    # doubled 6; singleton group b -> rank 1 -> doubled 2
+    assert got[("a", 5)] == 6
+    assert got[("b", 2)] == 2
