@@ -276,6 +276,126 @@ def test_outbox_attempts_accumulate_to_terminal_failed(spark, tmp_path):
     assert len(calls) == 5
 
 
+def test_slack_renderer_matches_reference_shapes(spark):
+    """D6 Slack provider parity (r12 verdict missing #4): the rendered
+    mrkdwn body and the clubbed envelope match the reference's
+    receiver-visible shapes (slack_webhook.py:36-53 +
+    notification_clubbed_renderer.py) for the same event dicts —
+    summary counts via the failure predicate, single-event legacy key
+    spread, humanized timestamps, the 25-event display cap with the
+    overflow footer, and {"text": ...} passthrough."""
+    from unstract_spark.sinks.notify import (
+        build_envelope,
+        format_slack_payload,
+        render_slack_text,
+    )
+
+    def ev(status="COMPLETED", failed=0, total=3, **over):
+        p = {
+            "type": "API",
+            "pipeline_id": "pipe-1",
+            "pipeline_name": "demo",
+            "status": status,
+            "execution_id": "exec-1",
+            "error_message": None,
+            "timestamp": "2026-05-11T11:38:31",
+            "additional_data": {
+                "total_files": total,
+                "successful_files": total - failed,
+                "failed_files": failed,
+            },
+        }
+        p.update(over)
+        return p
+
+    # summary counts: terminal status, partial failure, clean success
+    env = build_envelope([
+        ev(status="ERROR", failed=0, total=0),
+        ev(status="COMPLETED", failed=2, total=5),
+        ev(status="COMPLETED", failed=0, total=5),
+    ])
+    assert env["summary"] == {"total": 3, "succeeded": 1, "failed": 2}
+    assert set(env) == {"summary", "events"}  # multi-event: envelope only
+
+    # single event: legacy flat keys spread, timestamp humanized in
+    # events[] but raw top-level
+    env1 = build_envelope([ev(status="ERROR", failed=1, total=2,
+                              error_message="boom")])
+    assert env1["status"] == "ERROR" and env1["error_message"] == "boom"
+    assert env1["timestamp"] == "2026-05-11T11:38:31"
+    assert env1["events"][0]["timestamp"] == "2026 May 11 11:38:31 AM"
+
+    # explicit is_failure verdict beats an unclassifiable status
+    envf = build_envelope([ev(status="FAILURE", failed=0, total=0,
+                              is_failure=True)])
+    assert envf["summary"] == {"total": 1, "succeeded": 0, "failed": 1}
+    textf = render_slack_text(envf)
+    assert "1 failed" in textf and ":x: 0/0 files" in textf
+
+    # mrkdwn body: singular header, 6 middle-dot fields on success,
+    # italic collapsed error on failure, no files column without totals
+    text = render_slack_text(build_envelope([ev()]))
+    assert "*1 execution*" in text
+    assert len(text.split("\n")[-1].split(" · ")) == 6
+    terr = render_slack_text(build_envelope(
+        [ev(status="ERROR", failed=1, total=2,
+            error_message="line1\nline2\n  line3")]
+    ))
+    assert "_line1 line2 line3_" in terr.split("\n")[-1]
+    tnof = render_slack_text(build_envelope([ev(additional_data={})]))
+    assert "files" not in tnof
+
+    # overflow footer: 26 events, 25 shown
+    tover = render_slack_text(build_envelope(
+        [ev(execution_id=f"e{i}") for i in range(26)]
+    ))
+    assert "and 1 more executions" in tover
+
+    # provider entry: rendered bodies pass through, flat dicts wrap
+    assert format_slack_payload({"text": "already"}) == {"text": "already"}
+    wrapped = format_slack_payload(ev())
+    assert set(wrapped) == {"text"} and "*1 execution*" in wrapped["text"]
+
+
+def test_outbox_drain_renders_slack_provider_rows(spark, tmp_path):
+    """The outbox drain renders by provider column: a slack row posts
+    Slack's {"text": mrkdwn} structure while a generic webhook row
+    posts the stored JSON unchanged."""
+    import json
+
+    results = spark.createDataFrame([("a",), ("b",)], "file string")
+    path = str(tmp_path / "outbox_slack")
+    append_outbox(
+        enqueue_notifications(
+            results, "https://hooks.slack.example/T/B", "exec-9",
+            provider="slack",
+        ),
+        path,
+    )
+    append_outbox(
+        enqueue_notifications(results, "https://hooks.example/x", "exec-9"),
+        path,
+    )
+    posted = {}
+
+    def transport(url, payload):
+        posted[url] = payload
+        return True
+
+    stats = drain_outbox(spark, path, transport, backoff_s=0.001)
+    assert stats == {"sent": 2, "failed": 0, "pending": 0}
+    slack_body = json.loads(posted["https://hooks.slack.example/T/B"])
+    assert set(slack_body) == {"text"}
+    assert "*1 execution*" in slack_body["text"]
+    assert "exec-9" in slack_body["text"]
+    raw_body = json.loads(posted["https://hooks.example/x"])
+    assert raw_body["execution_id"] == "exec-9"  # untouched JSON
+    assert "text" not in raw_body
+    # provider column survives the rewrite
+    provs = {r.provider for r in spark.read.parquet(path).collect()}
+    assert provs == {"slack", "webhook"}
+
+
 # ---------- cloud source config ----------
 
 

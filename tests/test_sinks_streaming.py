@@ -1066,6 +1066,129 @@ def test_history_joins_consult_stats_store(spark, tmp_path):
     ) == expect
 
 
+def test_fat_payload_hot_branch_never_broadcasts(spark, tmp_path):
+    """r12 verdict #2: the shuffle_salted hot branch used to broadcast
+    the FULL hot ledger rows — result/metadata payloads included — an
+    OOM at exactly the scale the planner exists for. Now every
+    broadcast is re-priced against the consumer's actual projection
+    from the SAME stored stats (heavy-key counts × per-column
+    avg_len): the replay (inner) join on a fat-payload skewed ledger
+    must take the salt-replicate branch (no broadcast anywhere), while
+    the anti path's key-only projection keeps its distinct-key
+    broadcast. Row multisets identical to the default plan in both."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+    from unstract_spark.sinks.history import FileHistoryStore
+
+    fat = "x" * 2000
+    rows = [
+        ("hot", None, f"/p/{i}", "wf", "COMPLETED", fat, None, 1)
+        for i in range(400)
+    ] + [
+        (f"k{i}", None, f"/q/{i}", "wf", "COMPLETED", fat, None, 1)
+        for i in range(600)
+    ]
+    updates = _hist_rows(spark, rows)
+    plain = FileHistoryStore(spark, str(tmp_path / "h1"))
+    plain.merge(updates)
+    priced = FileHistoryStore(
+        spark,
+        str(tmp_path / "h2"),
+        stats=TableStatsStore(spark, str(tmp_path / "st")),
+        broadcast_threshold_bytes=50_000,
+    )
+    priced.merge(updates)
+    # analyze-on-write covered the payload columns with real widths
+    assert priced.stats._meta("file_history", "result").avg_len > 1000
+    assert priced.stats.top_share_ppm("file_history", "cache_key") \
+        == 400_000
+
+    catalog = spark.createDataFrame(
+        [("hot", f"/p/{i}") for i in range(100)]
+        + [("hot", f"/new/{i}") for i in range(50)]
+        + [("k1", "/q/1"), ("miss", "/m/1")],
+        "file_hash string, file_path string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r_priced = priced.replay_results(catalog)
+        p = r_priced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p  # fat hot rows NEVER broadcast
+        assert "Union" in p                  # skew split still applied
+        r_plain = plain.replay_results(catalog)
+        assert sorted(
+            (r.file_hash, r.file_path, r.result)
+            for r in r_priced.collect()
+        ) == sorted(
+            (r.file_hash, r.file_path, r.result)
+            for r in r_plain.collect()
+        )
+        assert r_priced.count() == 101  # 100 hot replays + k1
+
+        # anti path projects keys only: the SAME ledger re-prices as
+        # broadcastable (1000 rows x ~9 key bytes fits 50 KB) — one
+        # broadcast join, no skew split needed at all
+        d = priced.dedup_catalog(catalog)
+        pd_ = d._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in pd_ and "Union" not in pd_
+        assert sorted(
+            (r.file_hash, r.file_path) for r in d.collect()
+        ) == sorted(
+            (r.file_hash, r.file_path)
+            for r in plain.dedup_catalog(catalog).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salt_replicate_left_join_multiset(spark, tmp_path):
+    """The salt-replicate branch must be row-multiset identical to the
+    plain join for `left` outer too: hot rows with multiple matches
+    keep every match exactly once, hot rows with NO match NULL-extend
+    exactly once (one salt per left row), and cold/NULL keys ride the
+    cold branch untouched."""
+    from unstract_spark.operators.stats_store import TableStatsStore
+
+    store = TableStatsStore(spark, str(tmp_path / "st"))
+    dim = spark.createDataFrame(
+        [("hot", f"payload-{i}") for i in range(200)]
+        + [(f"k{i}", f"p-{i}") for i in range(100)],
+        "k string, payload string",
+    )
+    store.analyze(dim, "dim", ["k", "payload"])
+    plan = store.plan_against_unknown(
+        "dim", "k", broadcast_threshold_bytes=100
+    )
+    assert plan["strategy"] == "shuffle_salted"
+
+    left = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k3", 3), ("nope", 4), (None, 5)],
+        "k string, v int",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = store.apply_using_join(left, dim, ["k"], plan, "left")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p  # hot bytes over threshold
+        keyf = lambda t: (t[0] or "", t[1], t[2] or "")  # noqa: E731
+        got = sorted(
+            ((r.k, r.v, r.payload) for r in j.collect()), key=keyf
+        )
+        expect = sorted(
+            (
+                (r.k, r.v, r.payload)
+                for r in left.join(dim, ["k"], "left").collect()
+            ),
+            key=keyf,
+        )
+        assert got == expect
+        assert sum(1 for k, _, _ in got if k == "hot") == 400
+        assert ("nope", 4, None) in got and (None, 5, None) in got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_run_extraction_with_stats_path(spark, tmp_path):
     """stats_path on ExtractionJob wires the planner end to end: the
     first run ANALYZEs the ledger it writes, the second run's history

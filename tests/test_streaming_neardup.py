@@ -1563,7 +1563,7 @@ def test_pattern_end_extensible_classifier_and_gate(spark, tmp_path):
 
     src = str(tmp_path / "src")
     os.makedirs(src)
-    with pytest.raises(ValueError, match="greedily extensible"):
+    with pytest.raises(ValueError, match="extensible by future text"):
         streaming_pattern_pipeline(
             spark, src, str(tmp_path / "ckpt"), str(tmp_path / "store"),
             "a+", {"a": "a"},

@@ -294,6 +294,42 @@ class TableStatsStore:
             ),
         }
 
+    def row_bytes_estimate(
+        self,
+        table: str,
+        columns: list[str],
+        default_col_bytes: float = 256.0,
+        aliases: dict | None = None,
+    ) -> float:
+        """Conservative per-row byte width of `columns`, from the
+        stored per-column avg_len (r12 verdict #2). A join CONSUMER's
+        projection may carry payload columns the join-KEY stats never
+        priced — the history replay join drags `result`/`metadata`
+        JSON along — and broadcasting hot-branch rows priced by key
+        width alone is a driver/executor OOM at exactly the scale the
+        planner exists for. A column never analyzed prices at
+        `default_col_bytes`: unknown width must push AWAY from
+        broadcast, never toward it (the avg_len=None → +inf lesson,
+        applied per column with a finite but generous default so one
+        unanalyzed short column doesn't force +inf on an otherwise
+        fully-priced row). `aliases` maps a consumer column name back
+        to the analyzed name when the projection renamed it (the
+        history ledger's cache_key travels as file_hash)."""
+        total = 0.0
+        for c in columns:
+            if aliases is not None:
+                c = aliases.get(c, c)
+            if self.has_stats(table, c):
+                m = self._meta(table, c)
+                total += (
+                    float(m.avg_len)
+                    if m.avg_len is not None
+                    else default_col_bytes
+                )
+            else:
+                total += default_col_bytes
+        return total
+
     def has_stats(self, table: str, column: str) -> bool:
         """True when analyze() has persisted a meta row for the pair —
         the engine's plans consult stats opportunistically (a ledger
@@ -344,6 +380,7 @@ class TableStatsStore:
             "table": table,
             "column": column,
             "skew_threshold_ppm": skew_threshold_ppm,
+            "broadcast_threshold_bytes": int(broadcast_threshold_bytes),
         }
 
     def apply_using_join(
@@ -353,10 +390,13 @@ class TableStatsStore:
         on: list[str],
         plan: dict,
         how: str = "inner",
+        column_aliases: dict | None = None,
     ) -> DataFrame:
         """Execute a USING-columns join (`inner`/`left_semi`/
         `left_anti`) the way a plan_against_unknown() plan priced it,
-        with `right` the analyzed side.
+        with `right` the analyzed side. `column_aliases` maps renamed
+        right-projection columns back to their analyzed names for the
+        width repricing below.
 
         broadcast_known hints the right side. shuffle_salted splits
         the LEFT rows on the stored hot values of on[0] (which must be
@@ -371,33 +411,103 @@ class TableStatsStore:
         join type — each left row lands in exactly one branch with all
         its matches, so `left` outer NULL-extension is also branch-
         local (NULL-keyed left rows ride the cold branch, where the
-        equality join gives them the standard no-match semantics)."""
+        equality join gives them the standard no-match semantics).
+
+        Execution repricing (r12 verdict #2): the PLAN prices the KEY
+        side; every broadcast this executor emits is re-priced against
+        the CONSUMER'S actual projection — rows-to-broadcast ×
+        row_bytes_estimate(right.columns) — because the same ledger
+        joins with a 2-column key projection on the anti path and a
+        fat result/metadata payload on the replay path. left_semi/
+        left_anti reduce to distinct key tuples before broadcasting
+        (width = the analyzed key columns, always priced). For inner/
+        left the hot branch broadcasts only when the priced hot bytes
+        (stored heavy-key counts × row width) fit the threshold;
+        otherwise it SALT-REPLICATES: left hot rows get a row-hash
+        salt, right hot rows replicate across the salt domain, and the
+        join runs on (key, salt) — the skew still spreads over
+        salt_advice tasks without the full hot payload ever landing on
+        one executor or the driver. broadcast_known degrades the same
+        way when the projection outweighs the key-side bound (falls to
+        the stored-share skew ladder)."""
         if how not in ("inner", "left", "left_semi", "left_anti"):
             raise ValueError(f"unsupported join type {how!r}")
         strategy = plan["strategy"]
+        bc_bytes = float(plan.get("broadcast_threshold_bytes", 64 << 20))
+        table, column = plan.get("table"), plan.get("column")
+        width = (
+            self.row_bytes_estimate(
+                table, right.columns, aliases=column_aliases
+            )
+            if table is not None
+            else None
+        )
         if strategy == "broadcast_known":
-            return left.join(F.broadcast(right), on, how)
+            if width is not None:
+                m = self._meta(table, column)
+                if float(m.n_rows) * width > bc_bytes:
+                    share = plan.get("share_ppm", 0)
+                    strategy = (
+                        "shuffle_salted"
+                        if share
+                        >= plan.get("skew_threshold_ppm", 100_000)
+                        else "shuffle"
+                    )
+            if strategy == "broadcast_known":
+                return left.join(F.broadcast(right), on, how)
         if strategy == "shuffle_salted":
             m = self._meta(plan["table"], plan["column"])
-            hot = sorted(
-                r.key
+            heavy = [
+                (r.key, int(r.cnt))
                 for r in self.heavy_keys(plan["table"], plan["column"])
                 if m.n_nonnull > 0
                 and int(r.cnt) * 1_000_000 // int(m.n_nonnull)
                 >= plan.get("skew_threshold_ppm", 100_000)
-            )
+            ]
+            hot = sorted(k for k, _ in heavy)
             key = F.col(on[0]).cast("string")
             l_hot = left.filter(key.isin(hot))
             l_cold = left.filter(key.isNull() | ~key.isin(hot))
             r_hot = right.filter(key.isin(hot))
             r_cold = right.filter(key.isNull() | ~key.isin(hot))
+            cold = l_cold.join(r_cold, on, how)
             if how in ("left_semi", "left_anti"):
                 # membership tests depend only on the SET of right key
                 # tuples — dedup before broadcasting, so a hot ledger
                 # key with a million rows broadcasts one tuple
                 r_hot = r_hot.select(*on).distinct()
-            return l_cold.join(r_cold, on, how).unionByName(
-                l_hot.join(F.broadcast(r_hot), on, how)
+                return cold.unionByName(
+                    l_hot.join(F.broadcast(r_hot), on, how)
+                )
+            hot_rows = sum(c for _, c in heavy)
+            hot_bytes = (
+                float("inf") if width is None else hot_rows * width
+            )
+            if hot_bytes <= bc_bytes:
+                return cold.unionByName(
+                    l_hot.join(F.broadcast(r_hot), on, how)
+                )
+            # fat hot branch: salt-replicate instead of broadcast
+            n_salt = int(plan.get("salt_advice", 8))
+            l_hot = l_hot.withColumn(
+                "_graft_salt",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in left.columns]),
+                    F.lit(n_salt),
+                ).cast("int"),
+            )
+            r_hot = r_hot.withColumn(
+                "_graft_salt",
+                F.explode(
+                    F.array(
+                        *[F.lit(i).cast("int") for i in range(n_salt)]
+                    )
+                ),
+            )
+            return cold.unionByName(
+                l_hot.join(r_hot, on + ["_graft_salt"], how).drop(
+                    "_graft_salt"
+                )
             )
         return left.join(right, on, how)
 

@@ -832,6 +832,11 @@ def feed_published_epoch(
       (numeric offset) or '... GMT' (zone name). Spark's formatter
       cannot PARSE the day-of-week letter ('E' is format-only), so
       the leading day name is stripped before the pattern ladder.
+      RFC 822's date syntax is 1*2DIGIT, so 'Mon, 5 Jan 2026 ...'
+      (single-digit day, no zero pad) is valid on the wire — the
+      single-'d' patterns in the ladder catch it (strict 'dd' alone
+      would NULL it, and the feed pipeline would silently skip the
+      entry as undated; r12 ADVICE).
     - Atom updated/published is ISO 8601 / RFC 3339:
       '2026-02-05T08:15:30Z' or with a numeric offset '+05:30'.
 
@@ -845,6 +850,8 @@ def feed_published_epoch(
     ts = F.coalesce(
         F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss Z")),
         F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss zzz")),
+        F.try_to_timestamp(stripped, F.lit("d MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(stripped, F.lit("d MMM yyyy HH:mm:ss zzz")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
     )

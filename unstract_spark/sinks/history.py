@@ -141,10 +141,20 @@ class FileHistoryStore:
     def _analyze(self) -> None:
         """ANALYZE-on-write: refresh the ledger's persisted stats so
         the NEXT run's joins are priced from disk with zero read-side
-        scans. One extra pass over the just-committed table — the
-        offline cost the stats store's contract budgets for."""
+        scans. A pass per analyzed column over the just-committed
+        table — the offline cost the stats store's contract budgets
+        for. The payload columns (file_path/result/metadata) are
+        analyzed alongside the key so the replay join's execution
+        repricing (stats_store.apply_using_join, r12 verdict #2) sees
+        REAL widths for the rows it would broadcast — a ledger with
+        8-byte hashes and 100 KB results must price broadcasts by the
+        results, not the hashes."""
         if self.stats is not None:
-            self.stats.analyze(self.read(), STATS_TABLE, [STATS_COLUMN])
+            self.stats.analyze(
+                self.read(),
+                STATS_TABLE,
+                [STATS_COLUMN, "file_path", "result", "metadata"],
+            )
 
     def _join_plan(self):
         """The priced plan for joining the ledger's key side, or None
@@ -203,7 +213,9 @@ class FileHistoryStore:
         plan = self._join_plan()
         if plan is not None:
             return self.stats.apply_using_join(
-                files, hist, ["file_hash", "file_path"], plan, "left_anti"
+                files, hist, ["file_hash", "file_path"], plan,
+                "left_anti",
+                column_aliases={"file_hash": STATS_COLUMN},
             )
         return files.join(hist, ["file_hash", "file_path"], "left_anti")
 
@@ -217,6 +229,7 @@ class FileHistoryStore:
         plan = self._join_plan()
         if plan is not None:
             return self.stats.apply_using_join(
-                files, hist, ["file_hash", "file_path"], plan, "inner"
+                files, hist, ["file_hash", "file_path"], plan, "inner",
+                column_aliases={"file_hash": STATS_COLUMN},
             )
         return files.join(hist, ["file_hash", "file_path"], "inner")

@@ -178,6 +178,45 @@ def _read_parquet_or_none(spark: SparkSession, path: str):
         return None
 
 
+def _read_prior_snapshot(spark: SparkSession, store_dir: str, bid: int):
+    """Read ONLY the latest full-state snapshot strictly below `bid`.
+
+    Snapshot-state stores rewrite the WHOLE state to batch_id={bid}
+    every fire and prune superseded partitions KEEPING the latest
+    prior (the crash-replay anchor). From the 3rd fire onward the
+    directory therefore holds TWO prior snapshots at read time (the
+    prune runs after the current fire's write) — reading the whole
+    directory filtered only on batch_id != bid unions two snapshots
+    and duplicates every state row (r12 ADVICE, verified: the feed
+    hwm join fanned out and re-emitted, and the pattern snapshot held
+    two rows per user from fire 3). Listing the partitions and
+    reading just the max prior is both correct and cheaper (one
+    partition scan, no filter). Crash replay stays sound: a replay of
+    epoch N excludes its own half-written partition via `< bid` and
+    anchors on N-1, exactly what the prune preserved. Returns None on
+    first fire. Partition columns nested below batch_id (e.g. the
+    stats accumulator's column=) survive in the returned schema;
+    batch_id itself does not."""
+    import os as _os
+
+    try:
+        names = _os.listdir(store_dir)
+    except FileNotFoundError:
+        return None
+    prior = [
+        int(d.split("=", 1)[1])
+        for d in names
+        if d.startswith("batch_id=")
+        and d.split("=", 1)[1].isdigit()
+        and int(d.split("=", 1)[1]) < bid
+    ]
+    if not prior:
+        return None
+    return spark.read.parquet(
+        _os.path.join(store_dir, f"batch_id={max(prior)}")
+    )
+
+
 # Crawl fetch commits live in their own partition namespace, disjoint
 # from stream-fire ids and from the queue consumer's sweep (1 << 40).
 _FETCH_BASE = 1 << 41
@@ -1157,10 +1196,9 @@ def streaming_kmv_pipeline(
         bid = run_base + int(epoch)
         _pin_bid(checkpoint_dir, bid)
         bsk = sketches.kmv_sketch(batch.select(col), col, k)
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select("h")
-            merged = sketches.kmv_merge(bsk, old, k=k)
+            merged = sketches.kmv_merge(bsk, old.select("h"), k=k)
         else:
             merged = bsk
         # materialize before the overwrite: merged's lineage lazily
@@ -1262,11 +1300,9 @@ def streaming_feed_pipeline(
         ).select(
             "feed_id", "format", "link", "entry_id", "published_epoch"
         ).dropDuplicates(["feed_id", "link"])
-        old = _read_parquet_or_none(spark, state_dir)
+        old = _read_prior_snapshot(spark, state_dir, bid)
         if old is not None:
-            hwm = old.filter(F.col("batch_id") != bid).select(
-                "feed_id", "hwm_epoch"
-            )
+            hwm = old.select("feed_id", "hwm_epoch")
         else:
             hwm = spark.createDataFrame(
                 [], "feed_id string, hwm_epoch long"
@@ -1347,9 +1383,14 @@ def _pattern_end_extensible(pattern: str) -> bool:
 
     Lazy (min) quantifiers at the end are safe: they stop at `min`
     copies regardless of what follows, so future text never changes a
-    completed match. Conservative over BRANCH (any arm extensible →
-    extensible) and recursive through the last copy of fixed repeats
-    (e.g. '(ab?){2}' ends in the inner 'b?')."""
+    completed match. Conservative over BRANCH: any arm extensible →
+    extensible, and ordered-alternation prefix commits ('ab|a', where
+    a chunk boundary makes the scan fall through to the shorter later
+    arm the batch scan would extend) are extensible too — a BRANCH
+    passes only when all arms are fixed-and-equal width or all-literal
+    with no later-arm-prefix-of-earlier-arm pair. Recursive through
+    the last copy of fixed repeats (e.g. '(ab?){2}' ends in the inner
+    'b?')."""
     try:
         from re import _constants as _c  # Python 3.11+
         from re import _parser as _p
@@ -1379,7 +1420,46 @@ def _pattern_end_extensible(pattern: str) -> bool:
             # still grab MORE when later text allows a longer cut
             return seq_extensible(av)
         if op is _c.BRANCH:
-            return any(seq_extensible(alt) for alt in av[1])
+            arms = av[1]
+            if any(seq_extensible(alt) for alt in arms):
+                return True
+            # Prefix-alternation early-commit (r12 ADVICE): Python's
+            # alternation is ORDERED — at one position the engine
+            # commits to the first arm that matches. 'ab|a' against a
+            # chunk ending in 'a': 'ab' fails on TRUNCATION, the scan
+            # falls through and commits 'a'; the batch scan of the
+            # union matches 'ab'. So a BRANCH at the pattern end is
+            # extensible when a LATER arm can match a proper prefix
+            # of an EARLIER arm's match ('a|ab' is safe — the engine
+            # picks 'a' in batch too, by arm order). Proved safe two
+            # ways: all arms fixed and equal width (no proper prefix
+            # exists), or all arms pure literals with no
+            # later-shorter-prefix-of-earlier-longer pair. Anything
+            # else is conservatively extensible (rejected upstream
+            # with the fix named).
+            widths = [alt.getwidth() for alt in arms]
+            if (
+                all(w[0] == w[1] for w in widths)
+                and len({w[0] for w in widths}) == 1
+            ):
+                return False
+            lits = []
+            for alt in arms:
+                s = []
+                for aop, aav in alt:
+                    if aop is _c.LITERAL:
+                        s.append(chr(aav))
+                    else:
+                        s = None
+                        break
+                lits.append("".join(s) if s is not None else None)
+            if all(s is not None for s in lits):
+                return any(
+                    lits[j] != lits[i] and lits[i].startswith(lits[j])
+                    for i in range(len(lits))
+                    for j in range(i + 1, len(lits))
+                )
+            return True
         return False
 
     return seq_extensible(_p.parse(pattern))
@@ -1451,11 +1531,13 @@ def streaming_pattern_pipeline(
     if _pattern_end_extensible(pattern):
         raise ValueError(
             "streaming_pattern_pipeline: the pattern's match end is"
-            " greedily extensible (final atom under a greedy/unbounded"
-            " quantifier), so a match abutting a fire boundary would"
-            " be counted early/shorter than the batch scan — anchor"
-            f" the end on a fixed atom or use a lazy quantifier:"
-            f" {pattern!r}"
+            " extensible by future text (final atom under a"
+            " greedy/unbounded quantifier, or an ordered alternation"
+            " whose later arm is a prefix of an earlier one, e.g."
+            " 'ab|a'), so a match abutting a fire boundary would be"
+            " counted early/shorter than the batch scan — anchor the"
+            " end on a fixed atom, use a lazy quantifier, or reorder"
+            f" the alternation shortest-first: {pattern!r}"
         )
     fires = 0
     run_base = _run_base(store_dir, checkpoint_dir=checkpoint_dir)
@@ -1495,9 +1577,9 @@ def streaming_pattern_pipeline(
                 ).alias("_new")
             )
         )
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(
+            old = old.select(
                 user_col, "n_matches", "total_match_len", "seq_len",
                 "first_match", "tail",
             )
@@ -1644,11 +1726,9 @@ def streaming_quantile_pipeline(
         bid = run_base + int(epoch)
         _pin_bid(checkpoint_dir, bid)
         bsmp = sketches.kmv_row_sample(batch, key_col, [value_col], k)
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(
-                "h", value_col
-            )
+            old = old.select("h", value_col)
             merged = sketches.kmv_row_sample_merge(
                 bsmp, old, cols=[value_col], k=k
             )
@@ -1765,9 +1845,9 @@ def streaming_ohlc_pipeline(
             value_col=value_col,
             level=level,
         )
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(*part_cols)
+            old = old.select(*part_cols)
             merged = timeseries.ohlc_merge_partials(
                 p.select(*part_cols).unionByName(old)
             )
@@ -1860,9 +1940,9 @@ def streaming_scd2_pipeline(
         b = batch.select(*payload).withColumn(
             "_vbase", F.lit(1).cast("long")
         )
-        old = _read_parquet_or_none(spark, state_dir)
+        old = _read_prior_snapshot(spark, state_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(
+            old = old.select(
                 *payload, F.col("version").alias("_vbase")
             )
             b = b.unionByName(old)
@@ -2065,9 +2145,9 @@ def streaming_triangle_pipeline(
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("_d"))
         )
-        oldc = _read_parquet_or_none(spark, out_dir)
+        oldc = _read_prior_snapshot(spark, out_dir, bid)
         if oldc is not None:
-            oldc = oldc.filter(F.col("batch_id") != bid).select(
+            oldc = oldc.select(
                 "node", F.col("n_triangles").alias("_old")
             )
             merged = delta.join(oldc, "node", "full_outer").select(
@@ -2177,9 +2257,8 @@ def streaming_islands_pipeline(
             F.col(order_col).alias("_ord"),
             F.lit(1).cast("long").alias("_w"),
         )
-        old = _read_parquet_or_none(spark, state_dir)
+        old = _read_prior_snapshot(spark, state_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid)
             base_cnt = old.select(
                 key_col, F.col("closed_cnt").alias("_base")
             )
@@ -2329,11 +2408,9 @@ def streaming_cms_pipeline(
         delta = count_min_sketch(
             batch, text_col=text_col, depth=depth, width=width
         )
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(
-                "j", "bucket", "cnt"
-            )
+            old = old.select("j", "bucket", "cnt")
             merged = (
                 delta.unionByName(old)
                 .groupBy("j", "bucket")
@@ -2420,9 +2497,9 @@ def streaming_upsert_pipeline(
         bid = run_base + int(epoch)
         _pin_bid(checkpoint_dir, bid)
         cols = [c for c in batch.columns]
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(*cols)
+            old = old.select(*cols)
             merged = batch.select(*cols).unionByName(old)
         else:
             merged = batch.select(*cols)
@@ -2658,9 +2735,9 @@ def streaming_dq_pipeline(
             " AS (check_name, n_violations)",
             "_n AS n_checked",
         )
-        old = _read_parquet_or_none(spark, store_dir)
+        old = _read_prior_snapshot(spark, store_dir, bid)
         if old is not None:
-            old = old.filter(F.col("batch_id") != bid).select(
+            old = old.select(
                 "check_name",
                 F.col("n_checked").alias("_oc"),
                 F.col("n_violations").alias("_ov"),
@@ -2788,9 +2865,7 @@ def streaming_stats_pipeline(
         fires += 1
         bid = run_base + int(epoch)
         _pin_bid(checkpoint_dir, bid)
-        old = _read_parquet_or_none(spark, acc_dir)
-        if old is not None:
-            old = old.filter(F.col("batch_id") != bid)
+        old = _read_prior_snapshot(spark, acc_dir, bid)
         for col in columns:
             c = F.col(col)
             bsk = sketches.kmv_sketch(
