@@ -1003,6 +1003,52 @@ def test_expectation_report_counts_violations(spark):
     }
     assert st == {"non_negative_amount": "pass", "uniqueness_k_line": "pass"}
 
+    # the r13 shared-exchange keyed plan: identical report on the same
+    # adversarial input (dup pair, null key, null line, dangling ref)
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(3, None, 1.0)], "k long, line int, amount double"
+        )
+    )
+    for frame in (df, df2):
+        default = {
+            (r.check_name, r.n_checked, r.n_violations, r.status)
+            for r in expectation_report(
+                frame,
+                [
+                    ("complete_k", F.col("k").isNull()),
+                    ("non_negative_amount", F.col("amount") < 0),
+                ],
+                unique_cols=["k", "line"],
+                reference=(ref, "k", "rk"),
+            ).collect()
+        }
+        keyed = {
+            (r.check_name, r.n_checked, r.n_violations, r.status)
+            for r in expectation_report(
+                frame,
+                [
+                    ("complete_k", F.col("k").isNull()),
+                    ("non_negative_amount", F.col("amount") < 0),
+                ],
+                unique_cols=["k", "line"],
+                reference=(ref, "k", "rk"),
+                key_col="k",
+            ).collect()
+        }
+        assert keyed == default
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must lead unique_cols"):
+        expectation_report(
+            df, [], unique_cols=["line", "k"], key_col="k"
+        ).collect()
+    with _pytest.raises(ValueError, match="referential key"):
+        expectation_report(
+            df, [], reference=(ref, "line", "rk"), key_col="k"
+        ).collect()
+
 
 def test_attribution_credits_sum_to_one_million(spark):
     from unstract_spark.operators.timeseries import attribution_credits

@@ -181,3 +181,53 @@ def test_run_due_resets_memo_for_next_anchor():
     assert sched.next_due is None  # recomputed from new last_fire next poll
     assert s.run_due(datetime(2026, 8, 12, 9, 1)) == ["everymin"]
     assert sched.fires == 2
+
+
+def test_poll_plan_cadence_and_scheduler_wiring(spark):
+    from unstract_spark.streaming.scheduler import (
+        Scheduler,
+        poll_plan,
+        schedules_from_plan,
+    )
+
+    H = 3_600_000_000
+    posts = spark.createDataFrame(
+        [
+            # feed "a": posts every 4h -> next = last + 2h (Nyquist)
+            ("a", 0), ("a", 4 * H), ("a", 8 * H),
+            # feed "b": posts every 30min -> gap/2 clamps UP to 1h
+            ("b", 0), ("b", H // 2), ("b", H),
+            # feed "c": posts every 96h -> gap/2 clamps DOWN to 24h
+            ("c", 0), ("c", 96 * H),
+            # feed "d": single post -> no cadence, back off to 24h
+            ("d", 5 * H),
+        ],
+        "feed string, us long",
+    )
+    plan = {
+        r.key: r for r in poll_plan(posts, "feed", "us").collect()
+    }
+    assert plan["a"].avg_gap_us == 4 * H
+    assert plan["a"].next_poll_us == 8 * H + 2 * H
+    assert plan["b"].next_poll_us == H + H          # clamped to min 1h
+    assert plan["c"].next_poll_us == 96 * H + 24 * H  # clamped to max 24h
+    assert plan["d"].avg_gap_us is None
+    assert plan["d"].next_poll_us == 5 * H + 24 * H
+
+    # rows become live scheduler entries that fire at their minute
+    s = Scheduler()
+    fired: list[str] = []
+    ids = schedules_from_plan(
+        s, plan.values(), lambda key: (lambda: fired.append(key))
+    )
+    assert sorted(ids) == ["poll-a", "poll-b", "poll-c", "poll-d"]
+    # feed a's next poll = epoch 10h = 1970-01-01 10:00 UTC
+    from datetime import datetime, timezone
+
+    s.run_due(datetime(1970, 1, 1, 10, 0, tzinfo=timezone.utc))
+    assert fired == ["a"]
+    # re-planning replaces, not duplicates
+    ids2 = schedules_from_plan(
+        s, [plan["a"]], lambda key: (lambda: fired.append(key))
+    )
+    assert ids2 == ["poll-a"] and len(s.schedules) == 4

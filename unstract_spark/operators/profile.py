@@ -92,6 +92,7 @@ def expectation_report(
     checks: list[tuple],
     unique_cols: list[str] | None = None,
     reference: tuple | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Declarative DATA-QUALITY EXPECTATIONS in one scan (the
     constraint-suite shape popularized by Deequ / Great Expectations):
@@ -112,7 +113,27 @@ def expectation_report(
 
     A violation condition that evaluates NULL counts as NOT violated
     (CASE semantics, identical across engines) — write null-aware
-    conditions when nulls should fail a check."""
+    conditions when nulls should fail a check.
+
+    `key_col` opts into the SHARED-EXCHANGE plan (r12 verdict #2's
+    sibling, the 80x-rung finding): when the uniqueness key's first
+    column and the referential key are the SAME column, the default
+    plan pays for that column twice — count_distinct shuffles every
+    distinct key tuple (zero map-side compression on a primary key:
+    measured 32s of a 55s suite at the 80x rung) and the anti-join
+    shuffles the full key column again (18s). With key_col set, the
+    suite repartitions (key, rest...) ONCE; the pair-dedup, the
+    per-key rollup, and the anti-join's left side all consume that one
+    exchange with no further lineitem-sized shuffle (HashPartitioning
+    on key satisfies every downstream ClusteredDistribution, and
+    ReuseExchange/AQE stage reuse dedups the shared subtree across the
+    report's branches). The CASE sums stay on a shuffle-free scan
+    branch. Identical output (re-gated); requires
+    unique_cols[0] == key_col == reference key when both are given."""
+    if key_col is not None:
+        return _expectation_report_keyed(
+            df, checks, unique_cols, reference, key_col
+        )
     aggs = [F.count(F.lit(1)).alias("_n")]
     names = []
     for name, cond in checks:
@@ -164,6 +185,111 @@ def expectation_report(
             )
         )
         out = out.unionByName(missing)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
+def _expectation_report_keyed(
+    df: DataFrame,
+    checks: list[tuple],
+    unique_cols: list[str] | None,
+    reference: tuple | None,
+    key_col: str,
+) -> DataFrame:
+    """The shared-exchange spelling — see expectation_report. Output
+    rows, names, and exact counters match the default plan; only the
+    physical shape differs (one key-column exchange instead of a
+    distinct-tuple shuffle plus a second full anti-join shuffle)."""
+    if unique_cols and unique_cols[0] != key_col:
+        raise ValueError(
+            f"key_col {key_col!r} must lead unique_cols {unique_cols!r}"
+        )
+    if reference is not None and reference[1] != key_col:
+        raise ValueError(
+            f"key_col {key_col!r} must equal the referential key "
+            f"{reference[1]!r}"
+        )
+
+    # branch A: the CASE sums + count, shuffle-free (partial agg to one
+    # row per scan task)
+    names = []
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in checks:
+        names.append(name)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"_v{len(names) - 1}"
+            )
+        )
+    wide = df.agg(*aggs)
+
+    # branch B: ONE exchange of the key tuple columns; everything below
+    # is partition-local on key_col. The per-key rollup `g` must have
+    # exactly ONE consumer: with two (a uniqueness agg + a referential
+    # anti-join), PushDownLeftSemiAntiJoin rewrites the join branch
+    # below the repartition, the two branches' exchange subtrees stop
+    # being identical, and ReuseExchange pays the pairs shuffle twice
+    # (observed in the executed plan). So the referential check is a
+    # LEFT OUTER join (never pushed below an aggregate) folded into the
+    # same final scalar aggregate as uniqueness.
+    rest = (unique_cols or [key_col])[1:]
+    key = F.col(key_col)
+    pairs = df.select(key_col, *rest).repartition(key)
+    pg = pairs.groupBy(key_col, *rest).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    nonnull = key.isNotNull()
+    for c in rest:
+        nonnull = nonnull & F.col(c).isNotNull()
+    g = pg.groupBy(key_col).agg(
+        F.sum("_c").alias("_gn"),
+        F.sum(F.when(nonnull, F.col("_c")).otherwise(0)).alias("_unn"),
+        F.sum(F.when(nonnull, 1).otherwise(0)).alias("_und"),
+    )
+
+    scalar_aggs = []
+    if unique_cols:
+        names.append("uniqueness_" + "_".join(unique_cols))
+        scalar_aggs.append(
+            (F.sum("_unn") - F.sum("_und"))
+            .cast("long")
+            .alias(f"_v{len(names) - 1}")
+        )
+    ref_name = None
+    if reference is not None:
+        ref_df, lk, rk = reference
+        ref_name = f"referential_{lk}"
+        names.append(ref_name)
+        # outer-join match flag; ref keys deduped so a non-unique
+        # reference key can't multiply g's counts (anti-join parity)
+        g = g.join(
+            ref_df.select(rk).distinct(),
+            g[key_col] == F.col(rk),
+            "left",
+        )
+        scalar_aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(rk).isNull(), F.col("_gn"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_v{len(names) - 1}")
+        )
+    if scalar_aggs:
+        wide = wide.crossJoin(F.broadcast(g.agg(*scalar_aggs)))
+
+    out = wide.selectExpr(
+        "stack({}, {}) AS (check_name, n_violations)".format(
+            len(names),
+            ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names)),
+        ),
+        "_n AS n_checked",
+    )
     return out.select(
         "check_name",
         "n_checked",

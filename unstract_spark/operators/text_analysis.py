@@ -809,3 +809,100 @@ def collocations_pmi(
         [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()],
         k,
     )
+
+
+def feature_hash_signed(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009): every token
+    hashes to one of `n_buckets` with a +/-1 sign from an independent
+    hash bit — fixed-width ML feature vectors with NO vocabulary state.
+    Output: sparse (doc_id, bucket, feat) rows.
+
+    Scale shape (the r12 80x-rung finding): each document lives whole
+    in exactly ONE scan task (parquet assigns whole row groups to
+    splits) and doc ids are unique per input row, so the per-(doc,
+    bucket) aggregation is logically PARTITION-LOCAL — but a groupBy
+    can't know that, and its shuffle moves nearly every token (the
+    (doc, bucket) key cardinality is ~0.4x the token count, so
+    map-side combine compresses almost nothing; measured 26.1s vs
+    4.2s for the tokenize+hash alone at the 80x rung). Tokenization
+    and md5 stay JVM-side (bit-identical to the SQL oracle); only the
+    aggregation drops to ONE mapInPandas pass — numpy composite-key
+    np.unique + np.add.at per partition, zero exchanges anywhere.
+    Emitted group keys are globally unique because doc ids are, so the
+    result multiset is identical to the groupBy spelling (re-gated).
+
+    Parallelism guard: with NO shuffle anywhere, parallelism equals
+    the SCAN's split count — and parquet assigns whole row groups to
+    splits, so a compact corpus (one fat row-group file: the 80x rung
+    replica) collapses to ONE live task however many byte-range
+    splits exist (13 of its 14 splits carried zero rows; measured
+    single-threaded end to end). When the scan is under-split
+    relative to the cluster, ONE cheap exchange of the raw (id, text)
+    rows restores P-way parallelism — input-sized, never
+    token-sized. A 100 TB corpus has millions of row groups, so the
+    guard never fires there and the zero-shuffle path stands."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    words = docs.select(
+        doc_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    hv = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h = words.select(F.col(doc_col).alias("doc_id"), hv.alias("hv"))
+    nb = int(n_buckets)
+
+    def agg(batches):
+        import numpy as np
+        import pandas as pd
+
+        id_parts, hv_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                id_parts.append(pdf["doc_id"].to_numpy())
+                hv_parts.append(pdf["hv"].to_numpy())
+        if not id_parts:
+            return
+        ids = np.concatenate(id_parts)
+        hvs = np.concatenate(hv_parts).astype(np.int64)
+        bucket = hvs % nb
+        sign = np.where((hvs // nb) % 2 == 0, 1, -1).astype(np.int64)
+        if (
+            np.issubdtype(ids.dtype, np.integer)
+            and ids.min() >= 0
+            and int(ids.max()) < (1 << 53) // nb
+        ):
+            key = ids.astype(np.int64) * nb + bucket
+            uniq, inv = np.unique(key, return_inverse=True)
+            feat = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(feat, inv, sign)
+            out = pd.DataFrame(
+                {
+                    "doc_id": uniq // nb,
+                    "bucket": (uniq % nb).astype("int32"),
+                    "feat": feat,
+                }
+            )
+        else:  # non-integer or huge ids: same math, pandas keys
+            out = (
+                pd.DataFrame(
+                    {"doc_id": ids, "bucket": bucket.astype("int32"), "feat": sign}
+                )
+                .groupby(["doc_id", "bucket"], as_index=False, sort=False)["feat"]
+                .sum()
+            )
+        yield out
+
+    out_schema = (
+        f"doc_id {dict(docs.dtypes)[doc_col]}, bucket int, feat long"
+    )
+    return h.mapInPandas(agg, out_schema)

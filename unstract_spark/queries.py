@@ -172,30 +172,31 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r12: join_plan now prices an avg_len=None side as +inf (was 0.0
-    # — the r11 ADVICE broadcast-on-ignorance hazard); output for the
-    # gated non-null columns identical, decision arithmetic touched.
-    "sk_join_plan",
-    # r12: personalized_pagerank_fixed gained the empty-effective-seed
-    # guard (one scalar job before the iterations); output identical.
-    "graph_personalized_pagerank",
-    # r12: remove_duplicated_spans repartitions by doc before the
-    # position explode (the 80x rung's under-parallelism fix) — plans
-    # changed, outputs identical; re-gate both consumers.
-    "dd_span_removal",
-    "ex_curation_v2",
+    # r13: dq_expectations moved to the shared-exchange keyed plan
+    # (one l_orderkey exchange replaces the distinct-tuple shuffle +
+    # the second anti-join shuffle); output identical, re-gate.
+    "dq_expectations",
+    # r13: ta_feature_hash's (doc, bucket) aggregation became a
+    # zero-exchange mapInPandas pass (docs never split across scan
+    # tasks); output multiset identical, re-gate.
+    "ta_feature_hash",
 ]
 
 
-def _driver_green_counts() -> dict[str, int]:
-    """Green driver rows per query across all recorded rounds."""
+def _driver_green_record() -> tuple[dict[str, int], dict[str, int]]:
+    """(last green round, green-row count) per query across every
+    recorded CORRECTNESS_r*.json."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -206,11 +207,19 @@ def _driver_green_counts() -> dict[str, int]:
                 row.get(k) for k in ("rows_match", "schema_match", "hash_match")
             ):
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                last[name] = max(last.get(name, 0), rnd)
+    return last, counts
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
-    counts = _driver_green_counts()
+    # r13 (r12 verdict #5): rank by LAST green round, not green count —
+    # a row green five times in r1-r5 is STALER than one green once in
+    # r12, and count-ranking let 51 rows sit un-resampled since r5/r6.
+    # Stalest-first gives every row a re-sample at least every
+    # ceil(registry/50) rounds in steady state; never-green rows keep
+    # last=0 and stay at the front. Count breaks ties (fewest greens
+    # first), then registration order.
+    last, counts = _driver_green_record()
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
     changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
 
@@ -218,6 +227,7 @@ def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
         return (
             0 if n in changed else 1,
             changed.get(n, 0),
+            last.get(n, 0),
             counts.get(n, 0),
             reg_pos[n],
         )
@@ -13631,27 +13641,19 @@ def ta_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant — giving fixed-width ML feature vectors with NO
     vocabulary state (the point at 100 TB: no dictionary to build,
     ship, or keep consistent across shards). md5-derived buckets
-    (the CMS family's cross-engine hash), exact signed integer sums,
-    one map-side-combining groupBy. Output: sparse (doc_id, bucket,
-    feat) rows."""
+    (the CMS family's cross-engine hash), exact signed integer sums.
+    r13: the aggregation is partition-local (a doc is never split
+    across scan tasks and doc ids are row-unique), so the groupBy
+    shuffle — measured 85% of the query at the 80x rung — is replaced
+    by a zero-exchange mapInPandas pass
+    (text_analysis.feature_hash_signed); result multiset identical,
+    re-gated. Output: sparse (doc_id, bucket, feat) rows."""
+    from unstract_spark.operators.text_analysis import (
+        feature_hash_signed,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("w"),
-    ).filter(F.col("w") != "")
-    hv = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    h = words.select("doc_id", hv.alias("hv"))
-    return h.groupBy(
-        "doc_id", (F.col("hv") % 256).cast("int").alias("bucket")
-    ).agg(
-        F.sum(
-            F.when(F.expr("(hv div 256) % 2 = 0"), 1).otherwise(-1)
-        ).cast("long").alias("feat")
-    )
+    return feature_hash_signed(d, "doc_id", "text", 256)
 
 
 @register(
@@ -14813,6 +14815,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks,
         unique_cols=["l_orderkey", "l_linenumber"],
         reference=(o, "l_orderkey", "o_orderkey"),
+        # r13: uniqueness and referential share l_orderkey, so the
+        # keyed plan pays ONE key-column exchange instead of a
+        # distinct-tuple shuffle + a second full anti-join shuffle
+        # (the 80x rung's 1.76x/doubling row; see expectation_report)
+        key_col="l_orderkey",
     )
 
 
@@ -16013,6 +16020,154 @@ def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ante", "cons",
         )
         .limit(100)
+    )
+
+
+@register(
+    "sched_poll_plan",
+    """
+    WITH g AS (
+        SELECT o_custkey AS key, count(*) AS n_posts,
+               min(epoch_us(o_orderdate)) AS first_us,
+               max(epoch_us(o_orderdate)) AS last_us
+        FROM orders GROUP BY 1
+    )
+    SELECT key, n_posts, first_us, last_us,
+           CASE WHEN n_posts > 1
+                THEN (last_us - first_us) // (n_posts - 1) END
+             AS avg_gap_us,
+           last_us + CASE WHEN n_posts > 1
+               THEN greatest(3600000000,
+                    least(86400000000,
+                          ((last_us - first_us) // (n_posts - 1)) // 2))
+               ELSE 86400000000 END AS next_poll_us
+    FROM g
+    """,
+)
+def sched_poll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive poll-cadence planning (streaming.scheduler.poll_plan):
+    per source the observed posting history collapses to count +
+    extremes in ONE map-side-combining aggregate (no window, no sort),
+    and the next poll instant is Nyquist-of-cadence clamped to
+    [1h, 24h] in exact integer microseconds — the feed-freshness
+    planner whose rows become live Scheduler entries
+    (schedules_from_plan). Orders stand in as the posting log: each
+    customer is a 'feed' posting at its order dates."""
+    from unstract_spark.streaming.scheduler import poll_plan
+
+    o = _t(spark, sf_dir, "orders")
+    if dict(o.dtypes)["o_orderdate"] == "timestamp_ntz":
+        u = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        )
+    else:
+        u = F.unix_micros(F.col("o_orderdate"))
+    posts = o.select("o_custkey", u.alias("us"))
+    return poll_plan(posts, "o_custkey", "us")
+
+
+@register(
+    "ex_mixture_temperature",
+    """
+    WITH g AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+    ),
+    s AS (SELECT source, n_docs, chars,
+                 CAST(round(sqrt(chars) * 1000000) AS BIGINT) AS w
+          FROM g),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM s)
+    SELECT source, n_docs, chars,
+           w * 1000000 // t.tot AS weight_ppm,
+           100000 * w // t.tot AS n_take
+    FROM s, t
+    """,
+)
+def ex_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual sampling
+    rule of mBERT/XLM-R: p_i^alpha / sum p_j^alpha, flattening the
+    source skew a proportional sample would inherit). alpha = 0.5 so
+    the power is sqrt — IEEE-exact and bit-identical across engines —
+    then quantized to integer micro-weights so the shares and the
+    per-source take (here a 100k-doc budget) stay in the exact
+    domain: weight_ppm = w*1e6 div tot, no double summation anywhere.
+    One map-side-combining aggregate over the corpus + a broadcast of
+    the sources-sized weight table: the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    s = g.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("chars")) * 1_000_000).cast("long"),
+    )
+    tot = s.agg(F.sum("w").cast("long").alias("tot"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.expr("w * 1000000 div tot").alias("weight_ppm"),
+        F.expr("100000 * w div tot").alias("n_take"),
+    )
+
+
+@register(
+    "agg_gini_by_source",
+    """
+    WITH v AS (SELECT source, n_chars AS x FROM documents),
+    g AS (SELECT source, x, count(*) AS cnt FROM v GROUP BY 1, 2),
+    r AS (SELECT source, x, cnt,
+                 2 * (sum(cnt) OVER (PARTITION BY source ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS r2
+          FROM g),
+    s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(x * cnt) AS BIGINT) AS s0,
+                 CAST(sum(x * cnt * r2) AS BIGINT) AS s1x2
+          FROM r GROUP BY 1)
+    SELECT source, n, s0 AS sum_chars,
+           (s1x2 - (n + 1) * s0) * 1000000 // (n * s0) AS gini_ppm
+    FROM s
+    """,
+)
+def agg_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document lengths — the
+    inequality lens on a corpus (is one source a few huge documents
+    or many uniform ones?). Gini = (2*S1 - (n+1)*S0) / (n*S0) with
+    S1 = sum(rank_i * x_i); within a tie group the ordinal-rank sum
+    equals cnt * avg_rank = cnt * r2/2, so S1 folds to
+    sum(x * cnt * r2) / 2 over DISTINCT (source, x) rows — exact
+    integers end to end (ppm output; bound: |s1x2| < 2^63 needs
+    n * max_chars * 2n < 9e18, fine to ~10^9 char-rows per source).
+    Ranks come from ranks.grouped_doubled_ranks — the P-way
+    distributed spelling, immune to the few-sources window trap (a
+    rank() OVER (PARTITION BY source) sorts the corpus on
+    |sources| tasks). The oracle unrolls the same doubled-rank
+    arithmetic with a window."""
+    from unstract_spark.operators.ranks import grouped_doubled_ranks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    cnts = d.groupBy("source", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    r2 = grouped_doubled_ranks(d, "source", "x", out="r2")
+    r = cnts.join(r2, ["source", "x"])
+    s = r.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).cast("long").alias("s0"),
+        F.sum(F.col("x") * F.col("cnt") * F.col("r2"))
+        .cast("long")
+        .alias("s1x2"),
+    )
+    return s.select(
+        "source",
+        "n",
+        F.col("s0").alias("sum_chars"),
+        F.expr("(s1x2 - (n + 1) * s0) * 1000000 div (n * s0)").alias(
+            "gini_ppm"
+        ),
     )
 
 

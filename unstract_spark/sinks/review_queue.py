@@ -112,6 +112,53 @@ def read_unexpired(spark, path: str) -> DataFrame:
     return df.filter(expiry > F.current_timestamp())
 
 
+def sweep_expired(spark, path: str) -> int:
+    """The cleanup job the consumer filter implies: physically drop
+    expired rows from the queue store (reference: the 90-day TTL on
+    QueueResult packets, destination.py:853-1115 — Redis expires them
+    server-side; a parquet queue needs a sweeper). Rewrites the store
+    to unexpired rows via staging + rename under the ledger lock (the
+    history-store swap pattern), so readers mid-sweep see either the
+    old or the new store, never a partial one. Run it from the cron
+    scheduler like compaction. Returns the number of rows dropped.
+
+    The rewrite costs one scan of the queue — correct for a review
+    queue (human-scale, partitioned by queue_name); at a larger scale
+    the same call works per-partition by pointing `path` at one
+    queue's subdirectory."""
+    import os
+    import shutil
+    import time
+
+    with LedgerLock(path):
+        df = spark.read.parquet(path)
+        expiry = F.col("enqueued_at") + F.make_dt_interval(
+            secs=F.col("ttl_seconds")
+        )
+        live = df.filter(expiry > F.current_timestamp())
+        n_total = df.count()
+        n_live = live.count()
+        if n_live == n_total:
+            return 0
+        if n_live == 0:
+            # a partitioned write of zero rows emits no part files, so
+            # the swapped-in store would be unreadable (no schema to
+            # infer) and a flat schema-only file would conflict with
+            # the partitioned layout of later appends. Keep the fully-
+            # expired store as-is — consumers already filter, and the
+            # next sweep after new live rows arrive drops these files.
+            return 0
+        staging = f"{path}.staging-{int(time.time() * 1000)}"
+        live.write.mode("overwrite").partitionBy(
+            "queue_name"
+        ).parquet(staging)
+        old = f"{path}.old-{int(time.time() * 1000)}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n_total - n_live
+
+
 # ---- S9/D4 consume side: dequeue / ack with a consumption ledger ----
 #
 # The reference's HITL queue is a Redis list (connectors/queues/

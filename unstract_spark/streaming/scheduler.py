@@ -186,3 +186,84 @@ class Scheduler:
                 s.last_error = str(e)[:500]
             fired.append(s.pipeline_id)
         return fired
+
+
+def poll_plan(
+    posts,
+    key_col: str,
+    ts_col: str,
+    min_interval_us: int = 3_600_000_000,
+    max_interval_us: int = 86_400_000_000,
+):
+    """Adaptive polling cadence from an observed posting log — the
+    feed-freshness half of the crawl/feed story (reference: pipelines
+    poll sources on a FIXED cron, backend/pipeline_v2/models.py:88-89;
+    a 100 TB feed fleet can't afford one-cadence-fits-all, so the
+    cadence is LEARNED from each source's history and fed back into
+    the scheduler as per-source schedules).
+
+    `posts` holds one row per observed item (feed entry, file upload,
+    queue message) with an exact epoch-microsecond timestamp. Per key:
+    n_posts, first/last post, mean inter-post gap — computed as
+    (last - first) div (n - 1), exact integer arithmetic, no window
+    (the per-key gap mean needs only the extremes and the count, so
+    the whole plan is ONE map-side-combining aggregate, no sort) —
+    and next_poll_us = last + clamp(gap div 2, min, max): poll at
+    Nyquist of the observed cadence, bounded. A single-post key has no
+    gap and polls at max_interval (back off until it proves a
+    cadence).
+
+    Returns (key, n_posts, first_us, last_us, avg_gap_us,
+    next_poll_us); `schedules_from_plan` turns rows into live
+    Scheduler entries."""
+    from pyspark.sql import functions as F
+
+    g = posts.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_posts"),
+        F.min(ts_col).alias("first_us"),
+        F.max(ts_col).alias("last_us"),
+    )
+    gap = F.expr("(last_us - first_us) div (n_posts - 1)")
+    half = F.expr(
+        f"greatest({min_interval_us}L, least({max_interval_us}L, "
+        "avg_gap_us div 2))"
+    )
+    return (
+        g.withColumn(
+            "avg_gap_us",
+            F.when(F.col("n_posts") > 1, gap).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        .withColumn(
+            "next_poll_us",
+            F.col("last_us")
+            + F.when(F.col("n_posts") > 1, half).otherwise(
+                F.lit(max_interval_us).cast("long")
+            ),
+        )
+    )
+
+
+def schedules_from_plan(
+    scheduler: "Scheduler",
+    plan_rows,
+    fire_factory: Callable[[str], Callable[[], None]],
+) -> list[str]:
+    """Register one pipeline per poll_plan row: the next_poll epoch
+    becomes a one-shot-style cron pinned to that minute (minute hour
+    dom month), so the host's run_due loop fires each source at its
+    learned cadence; re-planning after a fire replaces the entry."""
+    import datetime as _dt
+
+    added = []
+    for r in plan_rows:
+        t = _dt.datetime.fromtimestamp(
+            r["next_poll_us"] / 1_000_000, tz=_dt.timezone.utc
+        )
+        cron = f"{t.minute} {t.hour} {t.day} {t.month} *"
+        pid = f"poll-{r['key']}"
+        scheduler.remove(pid)
+        scheduler.add(pid, cron, fire_factory(str(r["key"])))
+        added.append(pid)
+    return added
