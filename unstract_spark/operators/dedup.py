@@ -1056,16 +1056,28 @@ def remove_duplicated_spans(
         F.explode(F.sequence(F.lit(1), F.col("_len") - k + 1)).alias("p"),
         "_t",
     ).select(id_col, "p", F.substring("_t", F.col("p"), k).alias("_gram"))
-    # corpus gram counts via a WINDOW over the gram partition, not a
+    # Corpus gram counts via a WINDOW over the gram partition, not a
     # groupBy + join-back: one shuffle on gram and ONE derivation of
     # the position table (measured 3.2 s vs 9 s for the join-back at
     # 1.4 M positions — the join variant pays the explode+substring
-    # twice plus a 1.4 M-row broadcast build). Skew note: a hot gram
-    # lands in one window partition; hot grams are by definition
+    # twice plus a 1.4 M-row broadcast build). Re-validated at the
+    # r13 80x rung against three challengers, same-session min-of-2
+    # each: groupBy+join-back 187 s and groupBy-then-broadcast 148 s
+    # (the dup-gram aggregate alone shuffles ~100M distinct strings)
+    # vs window 110 s cold / 93 s warm; a repartition + exact
+    # partition-local mapInPandas count wins the isolated marked stage
+    # (63 s) but LOSES end-to-end (154 s vs 93 standalone, 146 vs 104
+    # in the curation capstone) — Arrow round-trips of the ~25x-
+    # amplified position table per chain execution cost more than the
+    # JVM sort they avoid. The sort key leads with xxhash64(_gram) so
+    # the big sort compares longs; the gram string only breaks the
+    # rare hash tie (partitioning by (h, gram) == by gram: h is a
+    # function of the gram — counts stay exact). Skew note: a hot
+    # gram lands in one window partition; hot grams are by definition
     # duplicated boilerplate, and the partition buffer holds (id, p)
     # pairs only — at 100 TB add a max_df-style pre-cap if one gram
     # dominates a partition's memory.
-    w_gram = Window.partitionBy("_gram")
+    w_gram = Window.partitionBy(F.xxhash64("_gram"), F.col("_gram"))
     marked = (
         pos.withColumn("_cnt", F.count(F.lit(1)).over(w_gram))
         .filter(F.col("_cnt") >= min_count)
@@ -1105,8 +1117,23 @@ def remove_duplicated_spans(
     untouched = t.join(rem.select(id_col).distinct(), id_col, "left_anti").select(
         id_col, F.lit(1).alias("ks"), F.col("_len").alias("ke")
     )
+    # Planner-bug shield (Spark 4.1, spark.sql.unionOutputPartitioning
+    # default true): all three union branches end hash-partitioned on
+    # their own doc_id, so UnionExec claims that partitioning for its
+    # (3 x P)-partition CONCATENATION; the join back to `t` then skips
+    # its exchange — EnsureRequirements even deletes an explicit
+    # repartition above the union as "redundant" — and SortMergeJoin's
+    # zipPartitions dies with "Can't zip RDDs with unequal numbers of
+    # partitions: List(3P, P)". Engine sessions disable the conf
+    # (session.py), but registered queries must also survive the
+    # driver's VANILLA session, so the claim is broken structurally:
+    # one round-robin repartition of `tail` (one row per doc that had
+    # spans — the smallest branch) makes the children's partitionings
+    # differ, and the union falls back to default partitioning, which
+    # forces the join's exchange back in. Interval-row shuffles are
+    # noise next to the gram stage.
     kept = (
-        before.unionByName(tail)
+        before.unionByName(tail.repartition(par))
         .unionByName(untouched)
         .filter(F.col("ke") >= F.col("ks"))
     )

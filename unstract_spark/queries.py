@@ -180,6 +180,13 @@ _CHANGED_THIS_ROUND = [
     # zero-exchange mapInPandas pass (docs never split across scan
     # tasks); output multiset identical, re-gate.
     "ta_feature_hash",
+    # r13: remove_duplicated_spans — gram-count window sort key now
+    # leads with xxhash64(gram) (longs compare before strings), and
+    # the kept-pieces union carries the Spark-4.1
+    # unionOutputPartitioning zip-crash shield; outputs identical,
+    # plans changed — re-gate both consumers.
+    "dd_span_removal",
+    "ex_curation_v2",
 ]
 
 

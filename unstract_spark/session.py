@@ -44,6 +44,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Spark 4.1's UnionExec partitioning propagation
+        # (spark.sql.unionOutputPartitioning, default true) claims the
+        # children's common hash partitioning for the union's
+        # CONCATENATED (n_children x P)-partition output; a downstream
+        # sort-merge join then skips its exchange and dies in
+        # zipPartitions ("Can't zip RDDs with unequal numbers of
+        # partitions: List(3P, P)"). Reproduced on 4.1.2 with three
+        # co-partitioned-on-doc_id union branches joined back on
+        # doc_id (dedup.remove_duplicated_spans). Engine sessions turn
+        # the feature off; operators that union co-partitioned
+        # branches also carry a structural shield for vanilla
+        # sessions.
+        .config("spark.sql.unionOutputPartitioning", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
