@@ -206,3 +206,51 @@ def test_ngram_containment_detects_quote(spark):
     assert r.containment_b_in_a < 0.3
     jac = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0).collect()[0]
     assert jac.jaccard < 0.25  # the symmetric measure misses it
+
+
+def test_feature_hash_signed_matches_groupby_spelling(spark):
+    """The r13 partition-local mapInPandas aggregation must produce
+    the exact multiset of the shuffle spelling — same md5 buckets,
+    same signs, same sums — and survive docs fanned across few
+    partitions (the under-split guard path)."""
+    from pyspark.sql import functions as F
+
+    from unstract_spark.operators.text_analysis import feature_hash_signed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick"),
+            (2, "  Lorem IPSUM dolor   sit amet  "),
+            (3, "one"),
+            (4, ""),
+            (5, "repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2)
+
+    got = {
+        (r.doc_id, r.bucket): r.feat
+        for r in feature_hash_signed(docs, "doc_id", "text", 256).collect()
+    }
+
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    hv = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    want = {
+        (r.doc_id, r.bucket): r.feat
+        for r in words.select("doc_id", hv.alias("hv"))
+        .groupBy("doc_id", (F.col("hv") % 256).cast("int").alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.expr("(hv div 256) % 2 = 0"), 1).otherwise(-1)
+            ).cast("long").alias("feat")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # doc 4 is empty -> contributes no rows; doc 5's repeated token
+    # accumulates in one bucket with |feat| == 4
+    assert not any(d == 4 for d, _ in got)
+    assert sorted(abs(v) for (d, _), v in got.items() if d == 5) == [4]
