@@ -16075,7 +16075,7 @@ def sched_poll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ex_mixture_temperature",
+    "ex_mixture_temp_bytes",
     """
     WITH g AS (
         SELECT source, count(*) AS n_docs,
@@ -16092,16 +16092,18 @@ def sched_poll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s, t
     """,
 )
-def ex_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based corpus mixing (the multilingual sampling
-    rule of mBERT/XLM-R: p_i^alpha / sum p_j^alpha, flattening the
-    source skew a proportional sample would inherit). alpha = 0.5 so
-    the power is sqrt — IEEE-exact and bit-identical across engines —
-    then quantized to integer micro-weights so the shares and the
-    per-source take (here a 100k-doc budget) stay in the exact
-    domain: weight_ppm = w*1e6 div tot, no double summation anywhere.
-    One map-side-combining aggregate over the corpus + a broadcast of
-    the sources-sized weight table: the 100 TB shape."""
+def ex_mixture_temp_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weighted by BYTES (chars), the
+    token-budget twin of ex_mixture_temperature's doc-count
+    allocation: p_i^alpha over per-source character mass (a source of
+    few huge docs should not be under-sampled the way doc-count
+    weighting would). alpha = 0.5 so the power is sqrt — IEEE-exact
+    and bit-identical across engines — then quantized to integer
+    micro-weights so the shares and the per-source take (here a
+    100k-doc budget) stay in the exact domain: weight_ppm = w*1e6 div
+    tot, no double summation anywhere. One map-side-combining
+    aggregate over the corpus + a broadcast of the sources-sized
+    weight table: the 100 TB shape."""
     d = _t(spark, sf_dir, "documents")
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
