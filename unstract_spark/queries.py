@@ -36,6 +36,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn):
+        if name in _REGISTRY:
+            # a silent overwrite once dropped a gated row from the
+            # registry (r13: a new registration reused an r11 name and
+            # shadowed it, 286 -> 285) — fail loudly at import instead
+            raise ValueError(f"duplicate registry name {name!r}")
         _REGISTRY[name] = (fn, sql)
         return fn
 
