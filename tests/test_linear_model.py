@@ -1,0 +1,74 @@
+"""Gates for the distributed logistic-regression trainer.
+
+Float partial-sum order is run-dependent, so the trainer is
+pytest-gated (the HNSW precedent), three ways: the training curve
+must decrease, a separable problem must be solved exactly, and the
+distributed fit must agree with the in-driver numpy twin to float
+tolerance."""
+
+import numpy as np
+import pytest
+
+from unstract_spark.operators import linear_model as lm
+
+
+def _make_blobs(n_per=60, dim=6, gap=3.0, seed=7):
+    rng = np.random.RandomState(seed)
+    x0 = rng.randn(n_per, dim) - gap / 2
+    x1 = rng.randn(n_per, dim) + gap / 2
+    x = np.vstack([x0, x1])
+    y = np.array([0] * n_per + [1] * n_per)
+    return x, y
+
+
+def _frame(spark, x, y):
+    rows = [(xi.tolist(), int(yi)) for xi, yi in zip(x, y)]
+    return spark.createDataFrame(
+        rows, "features array<double>, label int"
+    ).repartition(4)
+
+
+def test_loss_decreases_and_separates(spark):
+    x, y = _make_blobs()
+    df = _frame(spark, x, y)
+    w, hist = lm.train_logistic(
+        df, dim=x.shape[1], iters=15, lr=2.0, return_history=True
+    )
+    assert hist[-1] < hist[0] / 4
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    scored = lm.logistic_score(df, w).collect()
+    acc = np.mean([(r.score > 0.5) == (r.label == 1) for r in scored])
+    assert acc == 1.0
+
+
+def test_agrees_with_numpy_reference(spark):
+    x, y = _make_blobs(n_per=40, dim=5, gap=1.0, seed=3)
+    df = _frame(spark, x, y)
+    w = lm.train_logistic(df, dim=5, iters=10, lr=1.0, l2=0.01)
+    ref = lm.train_logistic_reference(x, y, iters=10, lr=1.0, l2=0.01)
+    assert np.allclose(w, ref, rtol=1e-8, atol=1e-9)
+
+
+def test_scoring_is_native_no_python(spark):
+    # the corpus-side scoring pass must stay JVM-side: no
+    # BatchEvalPython / ArrowEvalPython / mapInPandas in the plan
+    x, y = _make_blobs(n_per=10, dim=4)
+    df = _frame(spark, x, y)
+    w = np.array([0.5, -0.25, 0.1, 0.0, 0.2])
+    plan = lm.logistic_score(df, w)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_empty_frame_raises(spark):
+    df = spark.createDataFrame([], "features array<double>, label int")
+    with pytest.raises(ValueError):
+        lm.train_logistic(df, dim=3, iters=1)
+
+
+def test_l2_shrinks_weights(spark):
+    x, y = _make_blobs(n_per=30, dim=4, gap=2.0, seed=11)
+    df = _frame(spark, x, y)
+    w_free = lm.train_logistic(df, dim=4, iters=12, lr=1.0, l2=0.0)
+    w_reg = lm.train_logistic(df, dim=4, iters=12, lr=1.0, l2=0.5)
+    assert np.linalg.norm(w_reg[:-1]) < np.linalg.norm(w_free[:-1])

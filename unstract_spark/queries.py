@@ -16185,4 +16185,104 @@ def agg_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_ols_by_source",
+    """
+    WITH v AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM v GROUP BY 1)
+    SELECT source, n, sx AS sum_chars, sy AS sum_tokens,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM s
+    """,
+)
+def agg_ols_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ordinary-least-squares fit of token count against
+    character count — the tokens-per-char regression a mixture
+    planner uses to convert byte budgets into token budgets per
+    source without tokenizing the whole corpus. y = whitespace token
+    count spelled as space-count + 1 (pure length arithmetic, exact
+    and engine-identical — a regex tokenizer would not hash-gate).
+
+    Exactness discipline: the five sufficient statistics (sx, sy,
+    sxx, sxy, syy) are BIGINT sums of integer products — bit-identical
+    across engines regardless of aggregation order — and the
+    slope/intercept/r2 derivations are single double expressions over
+    those exact integers with the SAME operation tree on both sides,
+    so the IEEE results match bit-for-bit (the agg_spearman
+    discipline, floats edition). Overflow bound: |sy*sxx| <= 2^63
+    needs sum(y) * sum(x^2) < 9.2e18 per source — holds to ~1e9
+    char-rows/source; a 100 TB corpus would switch the products to
+    decimal(38,0)/hugeint, same plan. Zero-variance groups yield NULL
+    (guarded in both spellings; double /0 semantics differ across
+    engines).
+
+    Plan: ONE map-side-combining hash aggregate over a projection —
+    no join, no window, shuffle is |sources| rows. The 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("long").alias("y"),
+    )
+    s = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "source",
+        "n",
+        F.col("sx").alias("sum_chars"),
+        F.col("sy").alias("sum_tokens"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) END"
+        ).alias("intercept"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0"
+            " THEN NULL"
+            " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) END"
+        ).alias("r2"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
