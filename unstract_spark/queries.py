@@ -16285,4 +16285,125 @@ def agg_ols_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hhi_by_lang",
+    """
+    WITH c AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    s AS (SELECT lang,
+                 CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM c GROUP BY 1)
+    SELECT lang, n_sources, total,
+           sq * 1000000 // (total * total) AS hhi_ppm
+    FROM s
+    """,
+)
+def agg_hhi_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of SOURCES within each
+    language — the mixture-health metric next to agg_gini_by_source's
+    length inequality: HHI = sum(share_i^2) over a language's
+    sources; 1e6/n_sources ppm means perfectly balanced, 1e6 means a
+    monoculture (one source owns the language — a contamination and
+    bias risk a corpus report must surface).
+
+    Exact integers end to end: shares never materialize — sum(cnt^2)
+    and total^2 stay in BIGINT and one integer division emits ppm
+    (overflow at total > 3e9 docs per language; decimal(38) beyond).
+    Plan: two map-side-combining hash aggregates, (lang, source) then
+    lang — shuffle rows = distinct pairs, no join, no window. The
+    100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = c.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return s.select(
+        "lang",
+        "n_sources",
+        "total",
+        F.expr("sq * 1000000 div (total * total)").alias("hhi_ppm"),
+    )
+
+
+@register(
+    "events_autocorr_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT a.c AS x, b.c AS y
+        FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY
+    ),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM p)
+    SELECT n AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)) END
+               AS lag1_autocorr
+    FROM s
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the DAILY event volume — the
+    seasonality probe an ingestion monitor runs before alerting on a
+    volume dip (a strongly autocorrelated series forecasts itself;
+    near zero means day-over-day volume is noise and thresholds must
+    widen). Pearson r over consecutive-day count pairs.
+
+    Exactness: daily counts are integers, the six sufficient
+    statistics are exact BIGINT sums, and the final r is one double
+    expression over them (sqrt is IEEE-exact, the mixture-row
+    precedent), so both engines emit the same bits. The pairing join
+    is day -> day+1 on the AGGREGATED frame: |days| rows, broadcast
+    territory; the only corpus-sized work is the first hash
+    aggregate. Scale note: self-join on a ~thousands-row frame, never
+    on events."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b, F.col("b.day") == F.date_add(F.col("a.day"), 1)
+    ).select(F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0"
+            " THEN NULL"
+            " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) END"
+        ).alias("lag1_autocorr"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
