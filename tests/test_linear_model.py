@@ -8,6 +8,7 @@ tolerance."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from unstract_spark.operators import linear_model as lm
 
@@ -72,3 +73,41 @@ def test_l2_shrinks_weights(spark):
     w_free = lm.train_logistic(df, dim=4, iters=12, lr=1.0, l2=0.0)
     w_reg = lm.train_logistic(df, dim=4, iters=12, lr=1.0, l2=0.5)
     assert np.linalg.norm(w_reg[:-1]) < np.linalg.norm(w_free[:-1])
+
+
+def test_classifier_curation_e2e(spark, sf_dir):
+    """End-to-end quality-classifier curation over REAL corpus
+    features: hash-featurize documents (feature_hash_signed), label by
+    a hidden lexical rule, train the distributed trainer, and the
+    fitted model must recover the rule from hashed bag-of-words alone
+    — the DCLM/FineWeb-style curation loop in one test."""
+    from unstract_spark.operators import text_analysis as ta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    labeled = docs.withColumn(
+        "label", F.col("text").contains("spark").cast("int")
+    )
+    # both classes must exist or the fit is vacuous
+    kinds = {r.label for r in labeled.select("label").distinct().collect()}
+    assert kinds == {0, 1}
+    dim = 256
+    sparse = ta.feature_hash_signed(
+        labeled.select("doc_id", "text"), n_buckets=dim
+    )
+    feats = lm.densify(sparse, dim).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    w = lm.train_logistic(feats, dim=dim, iters=60, lr=4.0)
+    scored = lm.logistic_score(feats, w).select("label", "score").collect()
+    acc = np.mean([(r.score > 0.5) == (r.label == 1) for r in scored])
+    assert acc >= 0.9
+
+
+def test_densify_fills_absent_buckets(spark):
+    sparse = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 3, -1.0), (2, 1, 4.0)],
+        "doc_id long, bucket int, feat double",
+    )
+    rows = {r.doc_id: r.features for r in lm.densify(sparse, 4).collect()}
+    assert rows[1] == [2.0, 0.0, 0.0, -1.0]
+    assert rows[2] == [0.0, 4.0, 0.0, 0.0]

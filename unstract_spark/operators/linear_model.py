@@ -156,6 +156,44 @@ def train_logistic(
     return (weights, history) if return_history else weights
 
 
+def densify(
+    sparse: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    feat_col: str = "feat",
+    out: str = "features",
+) -> DataFrame:
+    """(id, bucket, feat) sparse rows -> one dense array<double> row
+    per id — the adapter between text_analysis.feature_hash_signed and
+    the trainer/scorer.  All native: collect the (bucket, value) pairs
+    into a map per id, then one `transform(sequence(...))` projection
+    fills absent buckets with 0.0.  The shuffle keys on id (one row
+    per document afterward); dense width is the model dim, bounded by
+    construction, so row size is fixed — the shape that survives any
+    corpus scale."""
+    m = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                F.col(bucket_col).cast("int").alias("k"),
+                F.col(feat_col).cast("double").alias("v"),
+            )
+        )
+    )
+    g = sparse.groupBy(id_col).agg(m.alias("_m"))
+    return g.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            # try_element_at: map lookup by KEY, NULL (not an ANSI
+            # error) when the bucket is absent
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_m"), i), F.lit(0.0)
+            ),
+        ).alias(out),
+    )
+
+
 def train_logistic_reference(
     x: np.ndarray,
     y: np.ndarray,
