@@ -16406,4 +16406,93 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_chisq_drift_by_source",
+    """
+    WITH b AS (
+        SELECT source, least(n_chars // 64, 15) AS bucket,
+               CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS tot
+          FROM b GROUP BY 1),
+    m AS (SELECT source, CAST(sum(o) AS BIGINT) AS s FROM b GROUP BY 1),
+    g AS (SELECT CAST(sum(o) AS BIGINT) AS grand FROM b),
+    terms AS (
+        SELECT b.source,
+               CAST(round(
+                   CAST(b.o * (g.grand - m.s) - (t.tot - b.o) * m.s
+                        AS DOUBLE)
+                   * CAST(b.o * (g.grand - m.s) - (t.tot - b.o) * m.s
+                          AS DOUBLE)
+                   / (CAST(m.s AS DOUBLE)
+                      * CAST(g.grand - m.s AS DOUBLE)
+                      * CAST(t.tot AS DOUBLE))
+                   * 1000000
+               ) AS BIGINT) AS term_micro
+        FROM b JOIN t USING (bucket) JOIN m USING (source), g
+    )
+    SELECT source, CAST(sum(term_micro) AS BIGINT) AS chisq_micro
+    FROM terms GROUP BY 1
+    """,
+)
+def agg_chisq_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DISTRIBUTION-DRIFT statistic: the two-sample
+    chi-square of a source's document-length profile against the rest
+    of the corpus (16 fixed 64-char buckets). The ingestion-monitor
+    primitive: a source whose length histogram walks away from the
+    corpus (a scraper change, a new boilerplate injector, an encoding
+    regression) spikes here before any content-level check fires.
+
+    chi2 = sum_b (o_b*R - r_b*S)^2 / (S * R * (o_b + r_b)) with
+    S = source total, R = rest total — the folded 2xK contingency
+    identity (the per-cell (obs-exp)^2/exp pair for a bucket sums to
+    exactly this term; N cancels).
+
+    Float discipline (the quantize-then-sum rule): every per-bucket
+    term is ONE fixed double expression over exact BIGINT inputs
+    (bit-identical across engines), immediately quantized to integer
+    micros; only INTEGERS are ever summed, so aggregation order can't
+    leak into low bits the way a double sum's partial-merge order
+    would. Overflow bound: |o*R - r*S| < 2^63 holds to ~3e9 docs per
+    (bucket, source); beyond that the products move to decimal(38,0).
+
+    Plan: one hash aggregate over a projection builds the (source,
+    bucket) histogram; everything after runs on |sources| x 16 rows
+    (broadcast joins territory). The histogram is localCheckpoint'ed —
+    four consumers (bucket totals, source totals, grand total, terms)
+    hang off it, and AQE's exchange reuse only caught two of the three
+    repeats when measured, so the corpus scan is pinned to ONCE
+    structurally (320-row materialization: free)."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(F.expr("n_chars div 64"), F.lit(15)).alias("bucket"),
+    ).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=True)
+    t = b.groupBy("bucket").agg(F.sum("o").cast("long").alias("tot"))
+    m = b.groupBy("source").agg(F.sum("o").cast("long").alias("s"))
+    g = b.agg(F.sum("o").cast("long").alias("grand"))
+    terms = (
+        b.join(F.broadcast(t), "bucket")
+        .join(F.broadcast(m), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.expr(
+                "CAST(round("
+                " CAST(o * (grand - s) - (tot - o) * s AS DOUBLE)"
+                " * CAST(o * (grand - s) - (tot - o) * s AS DOUBLE)"
+                " / (CAST(s AS DOUBLE) * CAST(grand - s AS DOUBLE)"
+                "    * CAST(tot AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term_micro").cast("long").alias("chisq_micro")
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
