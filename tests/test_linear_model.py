@@ -111,3 +111,19 @@ def test_densify_fills_absent_buckets(spark):
     rows = {r.doc_id: r.features for r in lm.densify(sparse, 4).collect()}
     assert rows[1] == [2.0, 0.0, 0.0, -1.0]
     assert rows[2] == [0.0, 4.0, 0.0, 0.0]
+
+
+def test_model_save_load_roundtrip(tmp_path, spark):
+    w = np.array([0.1, -2.5e-17, 3.0, 7.25])
+    p = str(tmp_path / "models" / "quality.json")
+    lm.save_model(p, w, meta={"dim": 3, "rule": "contains spark"})
+    w2, meta = lm.load_model(p)
+    assert np.array_equal(w, w2)  # exact float round-trip via JSON repr
+    assert meta["rule"] == "contains spark"
+    # a loaded model scores identically to the in-memory one
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],)], "features array<double>"
+    )
+    a = lm.logistic_score(df, w).collect()[0].score
+    b = lm.logistic_score(df, w2).collect()[0].score
+    assert a == b

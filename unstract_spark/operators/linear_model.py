@@ -194,6 +194,43 @@ def densify(
     )
 
 
+def save_model(
+    path: str,
+    weights: np.ndarray,
+    meta: dict | None = None,
+) -> None:
+    """Persist a fitted classifier as one JSON artifact (the
+    save_tokenizer convention: tmp-write + atomic os.replace publish).
+    Training is corpus-wide and expensive; scoring runs inside every
+    curation job — the artifact crosses that boundary.  `meta` carries
+    whatever the fit pipeline wants auditable (feature dim, n_buckets,
+    label rule, training corpus id); full float precision via repr."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "version": 1,
+        "weights": [float(v) for v in np.asarray(weights, dtype=np.float64)],
+        "meta": meta or {},
+    }
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> tuple[np.ndarray, dict]:
+    """(weights, meta) — inverse of save_model."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    return np.asarray(payload["weights"], dtype=np.float64), payload.get(
+        "meta", {}
+    )
+
+
 def train_logistic_reference(
     x: np.ndarray,
     y: np.ndarray,
