@@ -127,3 +127,68 @@ def test_model_save_load_roundtrip(tmp_path, spark):
     a = lm.logistic_score(df, w).collect()[0].score
     b = lm.logistic_score(df, w2).collect()[0].score
     assert a == b
+
+
+def test_streaming_classifier_matches_batch(spark, tmp_path):
+    """Union-of-fires == one-batch scoring (the streaming-twin gate),
+    plus keep semantics against the model artifact."""
+    from unstract_spark.streaming.incremental import (
+        streaming_classifier_pipeline,
+    )
+    from unstract_spark.operators import text_analysis as ta
+
+    dim = 32
+    rng = np.random.RandomState(5)
+    texts = [
+        (i, " ".join(rng.choice(["alpha", "beta", "gamma", "spark", "x"], 12)))
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(texts, "doc_id long, text string")
+    labeled = corpus.withColumn(
+        "label", F.col("text").contains("spark").cast("int")
+    )
+    feats = lm.densify(
+        ta.feature_hash_signed(corpus, n_buckets=dim), dim
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    w = lm.train_logistic(feats, dim=dim, iters=25, lr=2.0)
+    model = str(tmp_path / "model.json")
+    lm.save_model(model, w, meta={"dim": dim})
+
+    src = str(tmp_path / "src")
+    # two drops -> two fires
+    corpus.filter("doc_id < 30").coalesce(1).write.mode("append").parquet(src)
+    streaming_classifier_pipeline(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "out"), model, dim
+    )
+    corpus.filter("doc_id >= 30").coalesce(1).write.mode("append").parquet(src)
+    total = streaming_classifier_pipeline(
+        spark, src, str(tmp_path / "ck"), str(tmp_path / "out"), model, dim
+    )
+    assert total >= 1
+
+    streamed = {
+        r.doc_id: (round(r.score, 9), r.keep)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        r.doc_id: (round(r.score, 9), r.score > 0.5)
+        for r in lm.logistic_score(
+            lm.densify(ta.feature_hash_signed(corpus, n_buckets=dim), dim), w
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 60
+
+
+def test_streaming_classifier_dim_mismatch_raises(spark, tmp_path):
+    from unstract_spark.streaming.incremental import (
+        streaming_classifier_pipeline,
+    )
+
+    model = str(tmp_path / "m.json")
+    lm.save_model(model, np.zeros(5))
+    with pytest.raises(ValueError):
+        streaming_classifier_pipeline(
+            spark, str(tmp_path / "s"), str(tmp_path / "c"),
+            str(tmp_path / "o"), model, dim=16,
+        )

@@ -3638,3 +3638,78 @@ def streaming_paragraph_dedup(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_classifier_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    model_path: str,
+    dim: int,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 100,
+) -> int:
+    """Incremental QUALITY-CLASSIFIER curation — the streaming twin of
+    the batch featurize->score->keep loop (operators/linear_model.py):
+    each AvailableNow fire hash-featurizes the newly-dropped documents
+    (feature_hash_signed -> densify), scores them with the fitted
+    model loaded from `model_path` (save_model artifact), and emits
+    (doc_id, score, keep) to the fire's partition.
+
+    The model is read ONCE per pipeline run and rides down as literal
+    weights in the scoring expression — no join, no state dir: scoring
+    is per-document, so exactly-once needs only the sibling output
+    discipline (batch_id=N overwrite partitions, run base pinned to
+    the checkpoint lineage; a replayed epoch rewrites its own
+    partition). Batch-equivalence contract gated in pytest: the union
+    of fires equals scoring the whole corpus in one batch, because
+    featurization and the model are both per-doc deterministic.
+
+    Scale: the fire cost is one scan of the NEW files — featurize is
+    the zero-shuffle mapInPandas path, densify shuffles doc-keyed rows
+    of fixed width dim, scoring is a projection. Nothing grows with
+    corpus age; this is the shape that rides a 100 TB backfill one
+    file-batch at a time."""
+    from unstract_spark.operators import linear_model as lm
+    from unstract_spark.operators import text_analysis as ta
+
+    weights, _meta = lm.load_model(model_path)
+    if len(weights) != dim + 1:
+        raise ValueError(
+            f"model has {len(weights)} weights, expected dim+1={dim + 1}"
+        )
+    fires = 0
+    run_base = _run_base(out_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        docs = batch.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        sparse = ta.feature_hash_signed(docs, n_buckets=dim)
+        feats = lm.densify(sparse, dim)
+        scored = lm.logistic_score(feats, weights).select(
+            "doc_id",
+            "score",
+            (F.col("score") > F.lit(float(threshold))).alias("keep"),
+        ).localCheckpoint(eager=True)
+        scored.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
