@@ -16495,4 +16495,74 @@ def agg_chisq_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ex_keep_threshold",
+    """
+    WITH v AS (
+        SELECT CAST(len(regexp_extract_all(lower(text),
+                   '\\b(the|a|and|of|to)\\b')) AS BIGINT) * 1000000
+               // CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS score
+        FROM documents
+    ),
+    c AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+    w AS (SELECT score, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY score DESC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+    SELECT CAST(max(w.score) AS BIGINT) AS threshold_micro,
+           CAST(min(w.cum) AS BIGINT) AS n_keep,
+           CAST(min(t.total) AS BIGINT) AS n_total
+    FROM w, t
+    WHERE w.cum >= t.total // 4
+    """,
+)
+def ex_keep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted-curation THRESHOLD CALIBRATION: given a per-document
+    integer quality score (stopword density in micros — exact integer
+    arithmetic so the row hash-gates), find the tightest score cutoff
+    that keeps at least a fixed budget (25%% of the corpus):
+    t* = max{t : |score >= t| >= N/4}, plus the kept count at t*. This
+    is the knob every classifier-filter pipeline turns — "keep the top
+    X%%" is a threshold on the score distribution, and computing it
+    must not sort the corpus.
+
+    Plan: per-doc scores fold to DISTINCT (score, cnt) rows (<= 1e6+1
+    rows however large the corpus); the descending cumulative runs
+    through ranks.range_prefix over the ascending NEGATED score — the
+    P-way distributed spelling with no partition-less window — and the
+    final argmax is a scalar aggregate over the <= budget-qualifying
+    slice. Exactness: counts and the micro score are integers; min/max
+    aggregates introduce no floats anywhere."""
+    from unstract_spark.operators.ranks import range_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        F.expr(
+            "CAST(regexp_count(lower(text),"
+            " '\\\\b(the|a|and|of|to)\\\\b') AS BIGINT) * 1000000"
+            " div CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("score")
+    )
+    # two consumers (the prefix chain and the total) hang off the
+    # distinct-score histogram: materialize it so the corpus scan
+    # provably runs once (<= 1e6+1 rows, free)
+    c = v.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    neg = c.select((-F.col("score")).alias("neg"), "cnt")
+    w = range_prefix(neg, ["neg"], sum_cols=("cnt",), rank_col=None)
+    tot = c.agg(F.sum("cnt").cast("long").alias("total"))
+    q = w.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum_cnt") >= F.expr("total div 4")
+    )
+    return q.agg(
+        (-F.min("neg")).cast("long").alias("threshold_micro"),
+        F.min("cum_cnt").cast("long").alias("n_keep"),
+        F.min("total").cast("long").alias("n_total"),
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
