@@ -298,3 +298,66 @@ def _expectation_report_keyed(
         .otherwise(F.lit("fail"))
         .alias("status"),
     )
+
+
+def chisq_drift(
+    sample: DataFrame,
+    baseline: DataFrame,
+    group_col: str = "source",
+    bucket_col: str = "bucket",
+    count_col: str = "o",
+    out: str = "chisq_micro",
+) -> DataFrame:
+    """Per-group two-sample chi-square between a SAMPLE histogram and
+    a BASELINE histogram — the drift statistic behind
+    agg_chisq_drift_by_source, factored over two frames so the
+    streaming monitor (fire vs accumulated corpus) and the batch row
+    (source vs rest) share one derivation.
+
+    Inputs are (group, bucket, count) histograms; either side may miss
+    buckets the other has (outer-join, absent = 0). For each group:
+    chi2 = sum_b (o_b*R - r_b*S)^2 / (S * R * (o_b + r_b)), S/R the
+    group's sample/baseline totals. Groups present on only ONE side
+    are emitted with NULL (no comparison exists — the caller decides
+    whether absence is an alert).
+
+    Float discipline: every per-bucket term is one fixed double
+    expression over exact BIGINT counts, quantized to integer micros
+    BEFORE the only sum — aggregation order cannot leak into the
+    result (the agg_chisq_drift_by_source rule). Cost: histograms are
+    |groups| x |buckets| rows — broadcast-scale by construction."""
+    s = sample.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).alias("_b"),
+        F.col(count_col).cast("long").alias("_o"),
+    )
+    b = baseline.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).alias("_b"),
+        F.col(count_col).cast("long").alias("_r"),
+    )
+    j = s.join(b, ["_g", "_b"], "full_outer").select(
+        "_g",
+        "_b",
+        F.coalesce("_o", F.lit(0)).alias("_o"),
+        F.coalesce("_r", F.lit(0)).alias("_r"),
+    )
+    tot = j.groupBy("_g").agg(
+        F.sum("_o").cast("long").alias("_s"),
+        F.sum("_r").cast("long").alias("_rt"),
+    )
+    terms = j.join(tot, "_g").select(
+        "_g",
+        F.expr(
+            "CASE WHEN _s = 0 OR _rt = 0 THEN NULL"
+            " ELSE CAST(round("
+            " CAST(_o * _rt - _r * _s AS DOUBLE)"
+            " * CAST(_o * _rt - _r * _s AS DOUBLE)"
+            " / (CAST(_s AS DOUBLE) * CAST(_rt AS DOUBLE)"
+            "    * CAST(_o + _r AS DOUBLE))"
+            " * 1000000) AS BIGINT) END"
+        ).alias("_t"),
+    )
+    return terms.groupBy("_g").agg(
+        F.sum("_t").cast("long").alias(out)
+    ).select(F.col("_g").alias(group_col), out)

@@ -3713,3 +3713,124 @@ def streaming_classifier_pipeline(
     )
     q.awaitTermination()
     return fires
+
+
+def streaming_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    out_dir: str,
+    n_buckets: int = 16,
+    bucket_width: int = 64,
+    max_files_per_trigger: int = 100,
+) -> int:
+    """Incremental DISTRIBUTION-DRIFT monitor — the streaming arm of
+    agg_chisq_drift_by_source: each AvailableNow fire histograms the
+    newly-dropped documents' lengths per source (fixed buckets:
+    least(n_chars div bucket_width, n_buckets-1)), compares the
+    fire's histogram against the ACCUMULATED baseline with the
+    per-group two-sample chi-square (profile.chisq_drift), and emits
+    (source, chisq_micro, fire_docs) — the alert feed an ingestion
+    operator watches (a scraper change or encoding regression spikes
+    a source's statistic the fire it lands).
+
+    First fire has no baseline: every source emits NULL (documented —
+    absence of history is not drift). State is the accumulated
+    (source, bucket, count) histogram — a SNAPSHOT store (full
+    rewrite per fire, prune keeping latest prior), read through
+    _read_prior_snapshot so only the max prior partition loads (the
+    r12 ADVICE duplicate-state lesson). State size is
+    |sources| x n_buckets rows — O(1) in corpus age.
+
+    Exactly-once: sibling discipline (batch_id partitions, overwrite,
+    run base pinned, current epoch excluded from the state read).
+    Batch equivalence gated in pytest: the final state equals the
+    whole corpus's histogram, fires are disjoint.
+
+    Scale: the fire cost is ONE map-side-combining aggregate over the
+    new files; the chi-square runs on two histogram frames that never
+    exceed sources x buckets rows."""
+    from unstract_spark.operators import profile
+
+    fires = 0
+    run_base = _run_base(out_dir, state_dir, checkpoint_dir=checkpoint_dir)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        nonlocal fires
+        if batch.isEmpty():
+            return
+        fires += 1
+        bid = run_base + int(epoch)
+        _pin_bid(checkpoint_dir, bid)
+        hb = (
+            batch.select(
+                "source",
+                F.least(
+                    F.expr(f"length(text) div {int(bucket_width)}"),
+                    F.lit(int(n_buckets) - 1),
+                ).alias("bucket"),
+            )
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+            .localCheckpoint(eager=True)
+        )
+        old = _read_prior_snapshot(spark, state_dir, bid)
+        fire_tot = hb.groupBy("source").agg(
+            F.sum("o").cast("long").alias("fire_docs")
+        )
+        if old is not None:
+            drift = profile.chisq_drift(hb, old.select("source", "bucket", "o"))
+        else:
+            drift = fire_tot.select(
+                "source", F.lit(None).cast("long").alias("chisq_micro")
+            )
+        report = fire_tot.join(drift, "source", "left").select(
+            "source", "chisq_micro", "fire_docs"
+        ).localCheckpoint(eager=True)
+        report.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+        if old is not None:
+            new_state = (
+                hb.unionByName(old.select("source", "bucket", "o"))
+                .groupBy("source", "bucket")
+                .agg(F.sum("o").cast("long").alias("o"))
+            )
+        else:
+            new_state = hb
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={bid}"
+        )
+        import os as _os
+        import shutil as _shutil
+
+        try:
+            names = _os.listdir(state_dir)
+        except FileNotFoundError:
+            names = []
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("batch_id=")
+            and d.split("=", 1)[1].isdigit()
+            and int(d.split("=", 1)[1]) < bid
+        )
+        for p in prior[:-1]:
+            _shutil.rmtree(
+                _os.path.join(state_dir, f"batch_id={p}"), ignore_errors=True
+            )
+
+    schema = "doc_id long, text string, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fires
