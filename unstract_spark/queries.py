@@ -16565,4 +16565,155 @@ def ex_keep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_source_health_report",
+    """
+    WITH h AS (
+        SELECT source, lang,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2, 3, 4
+    ),
+    s AS (SELECT source,
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(x * cnt) AS BIGINT) AS sx,
+                 CAST(sum(y * cnt) AS BIGINT) AS sy,
+                 CAST(sum(x * x * cnt) AS BIGINT) AS sxx,
+                 CAST(sum(x * y * cnt) AS BIGINT) AS sxy
+          FROM h GROUP BY 1),
+    lg AS (SELECT source, lang, CAST(sum(cnt) AS BIGINT) AS c
+           FROM h GROUP BY 1, 2),
+    hhi AS (SELECT source,
+                   CAST(sum(c * c) AS BIGINT) * 1000000
+                       // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+                       AS lang_hhi_ppm
+            FROM lg GROUP BY 1),
+    hb AS (SELECT source, least(x // 64, 15) AS bucket,
+                  CAST(sum(cnt) AS BIGINT) AS o
+           FROM h GROUP BY 1, 2),
+    bt AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS tot FROM hb GROUP BY 1),
+    st AS (SELECT source, CAST(sum(o) AS BIGINT) AS stot FROM hb GROUP BY 1),
+    g AS (SELECT CAST(sum(o) AS BIGINT) AS grand FROM hb),
+    terms AS (
+        SELECT hb.source,
+               CAST(round(
+                   CAST(hb.o * (g.grand - st.stot)
+                        - (bt.tot - hb.o) * st.stot AS DOUBLE)
+                   * CAST(hb.o * (g.grand - st.stot)
+                          - (bt.tot - hb.o) * st.stot AS DOUBLE)
+                   / (CAST(st.stot AS DOUBLE)
+                      * CAST(g.grand - st.stot AS DOUBLE)
+                      * CAST(bt.tot AS DOUBLE))
+                   * 1000000) AS BIGINT) AS term_micro
+        FROM hb JOIN bt USING (bucket) JOIN st USING (source), g
+    ),
+    chi AS (SELECT source, CAST(sum(term_micro) AS BIGINT) AS chisq_micro
+            FROM terms GROUP BY 1)
+    SELECT s.source, s.n AS n_docs, s.sx AS sum_chars, s.sy AS sum_tokens,
+           CASE WHEN s.n * s.sxx - s.sx * s.sx = 0 THEN NULL
+                ELSE CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                     / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) END
+               AS tokens_per_char_slope,
+           hhi.lang_hhi_ppm, chi.chisq_micro
+    FROM s JOIN hhi USING (source) JOIN chi USING (source)
+    """,
+)
+def agg_source_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health DASHBOARD query — one row per source with the
+    monitoring metrics an ingestion operator reads every morning:
+    volume (docs/chars/tokens), the tokens-per-char OLS slope (a
+    tokenizer-budget planner input), language concentration (HHI of
+    langs WITHIN the source — a source suddenly monolingual signals a
+    scraper fault), and the length-profile drift chi-square vs the
+    rest of the corpus.
+
+    The point of the fused spelling (vs running the four standalone
+    rows): ONE corpus scan. Everything derives from the
+    (source, lang, chars, tokens) histogram `h` — a single map-side-
+    combining aggregate whose cardinality is distinct tuples, not
+    docs (bounded by the value grid however large the corpus grows;
+    document-length and token-count supports are fixed ranges) —
+    localCheckpoint'ed so its five consumers replay a tiny frame, not
+    the scan. Every downstream aggregate/join runs on
+    |sources|-scale rows in broadcast territory.
+
+    Exactness: the agg_ols/agg_hhi/agg_chisq disciplines unchanged —
+    BIGINT sufficient statistics, integer ppm divisions, per-bucket
+    double terms quantized to micros before the only sum."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("long").alias("y"),
+    ).groupBy("source", "lang", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    s = h.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("cnt")).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x") * F.col("cnt")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y") * F.col("cnt")).cast("long").alias("sxy"),
+    )
+    lg = h.groupBy("source", "lang").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    hhi = lg.groupBy("source").agg(
+        F.expr(
+            "CAST(sum(c * c) AS BIGINT) * 1000000"
+            " div (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))"
+        ).alias("lang_hhi_ppm")
+    )
+    hb = h.groupBy(
+        "source",
+        F.least(F.expr("x div 64"), F.lit(15)).alias("bucket"),
+    ).agg(F.sum("cnt").cast("long").alias("o"))
+    bt = hb.groupBy("bucket").agg(F.sum("o").cast("long").alias("tot"))
+    st = hb.groupBy("source").agg(F.sum("o").cast("long").alias("stot"))
+    g = hb.agg(F.sum("o").cast("long").alias("grand"))
+    terms = (
+        hb.join(F.broadcast(bt), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.expr(
+                "CAST(round("
+                " CAST(o * (grand - stot) - (tot - o) * stot AS DOUBLE)"
+                " * CAST(o * (grand - stot) - (tot - o) * stot AS DOUBLE)"
+                " / (CAST(stot AS DOUBLE) * CAST(grand - stot AS DOUBLE)"
+                "    * CAST(tot AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    chi = terms.groupBy("source").agg(
+        F.sum("term_micro").cast("long").alias("chisq_micro")
+    )
+    return (
+        s.join(hhi, "source")
+        .join(chi, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sx").alias("sum_chars"),
+            F.col("sy").alias("sum_tokens"),
+            F.expr(
+                "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+                " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE) END"
+            ).alias("tokens_per_char_slope"),
+            "lang_hhi_ppm",
+            "chisq_micro",
+        )
+    )
+
+
 ENTRY_QUERY = "q1_pricing_summary"
