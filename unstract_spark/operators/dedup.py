@@ -679,14 +679,18 @@ def word_ngrams(
     JVM-side: split + sliding transform + explode; gram strings
     normalize to single spaces so whitespace runs can't hide overlap.
     """
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(ws) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
-            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # The split is BOUND once per row (element_at/transform `let`
+    # spelling): the previous expression re-ran split(trim(text))
+    # inside the per-gram lambda, i.e. O(words^2) regex splitting per
+    # document (r13 optimization round, guide §1.2 per-task work).
+    # Gram values are unchanged.
+    grams = F.expr(
+        f"element_at(transform(array(split(trim({text_col}), '\\\\s+')), _ws -> "
+        f"CASE WHEN size(_ws) >= {n} THEN "
+        f"transform(sequence(1, size(_ws) - {n - 1}), "
+        f"i -> array_join(slice(_ws, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
+    )
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")

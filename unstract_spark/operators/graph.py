@@ -45,29 +45,39 @@ def pagerank_fixed(
         )
     e = e.distinct().localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg")
-    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # Node count to the driver ONCE (one scalar — the bounded-collect
+    # contract) and degree folded INTO the rank state (r13): the old
+    # round plan re-derived deg from e (an extra shuffle aggregate),
+    # joined it as a second per-round join, and re-broadcast the
+    # 1-row n aggregate every round. Same integer arithmetic, one
+    # join + one aggregate fewer per iteration (guide §2.4).
+    n_val = deg.count()
     p = (
-        nodes.crossJoin(F.broadcast(n))
-        .select("node", F.expr(f"CAST({SCALE} div n AS BIGINT)").alias("p"))
+        deg.select(
+            F.col("src").alias("node"),
+            "deg",
+            F.lit(SCALE // max(n_val, 1)).cast("long").alias("p"),
+        )
         .localCheckpoint(eager=True)
     )
+    base = SCALE // (8 * max(n_val, 1))
     for _ in range(max(iters, 0)):
         contrib = (
-            e.join(p.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(
+                p.select(F.col("node").alias("src"), "p", "deg"), "src"
+            )
             .select("dst", F.expr("p div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         p = (
-            nodes.crossJoin(F.broadcast(n))
+            p.select("node", "deg")
             .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
+                "deg",
                 F.expr(
-                    f"CAST({SCALE} div (8 * n) + (7 * coalesce(s, 0)) div 8"
-                    " AS BIGINT)"
+                    f"CAST({base} + (7 * coalesce(s, 0)) div 8 AS BIGINT)"
                 ).alias("p"),
             )
             .localCheckpoint(eager=True)

@@ -45,27 +45,55 @@ def _dlit(x: float) -> str:
     return f"CAST({float(x)!r} AS DOUBLE)"
 
 
+def _matrix_lit(mat) -> str:
+    """SQL literal for a 2-D double matrix: array(array(...), ...).
+
+    Constant folding collapses the whole thing to ONE Literal node at
+    optimization time, so an n x d matrix costs the analyzer a single
+    shallow subtree instead of n separate d-literal argument lists
+    (the r13 optimization-round lesson: at 16x64 and 8x16x8 shapes the
+    per-expression spelling dominated bench time via driver-side
+    build/analysis, not execution)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in row) + ")" for row in mat
+        )
+        + ")"
+    )
+
+
+def _bind1(val_sql: str, var: str, body_sql: str) -> str:
+    """Bind `val_sql` to lambda variable `var` exactly once per row:
+    element_at(transform(array(v), var -> body), 1). The standard SQL
+    spelling of `let` — without it a subexpression referenced inside a
+    per-element lambda is re-evaluated once per element."""
+    return f"element_at(transform(array({val_sql}), {var} -> {body_sql}), 1)"
+
+
 def lsh_bucket_key(vec_sql: str, dim: int, n_planes: int = 8, table: int = 0):
     """Sign-bit bucket key for one LSH table, as a Column expression.
 
-    bit_p = 1 if dot(vec, plane_p) >= 0. Entirely JVM-side: each dot
-    product is an `aggregate` over zip_with with literal plane coords.
-    Built as ONE generated-SQL expr: the equivalent Column-API tree is
-    dim*n_planes F.lit py4j round trips (~4s of driver time per query
-    at dim 64 — measured), while the parser swallows the same string in
-    milliseconds. `vec_sql` is the vector column's SQL name.
+    bit_p = 1 if dot(vec, plane_p) >= 0. Entirely JVM-side: ONE
+    generated-SQL expr — a transform over the constant plane MATRIX
+    (array-of-arrays literal, folded to a single Literal node) with
+    the vector cast bound once via `_bind1`. The per-plane dot product
+    keeps the exact zip_with/aggregate float-op order of the DuckDB
+    twin; only the expression PACKAGING changed (n_planes separate
+    64-literal argument lists made analysis + driver build dominate —
+    the equivalent Column-API tree was dim*n_planes F.lit py4j round
+    trips, ~4s of driver time per query at dim 64).
+    `vec_sql` is the vector column's SQL name.
     """
     planes = _seeded_hyperplanes(dim, n_planes, table)
     vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
-    bits = []
-    for p in range(n_planes):
-        arr = ", ".join(_dlit(x) for x in planes[p])
-        dot = (
-            f"aggregate(zip_with({vec_d}, array({arr}), (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-        )
-        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
-    return F.expr(f"concat('t{table}:', {', '.join(bits)})")
+    body = (
+        f"array_join(transform({_matrix_lit(planes)}, _pl -> "
+        f"CASE WHEN aggregate(zip_with(_v, _pl, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (s, x) -> s + x) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+    return F.expr(f"concat('t{table}:', {_bind1(vec_d, '_v', body)})")
 
 
 def brute_force_topk(
@@ -180,21 +208,23 @@ def mips_augment(
 SQL_TERM_LIMIT = 65536
 
 
-def _cell_scores(cents: np.ndarray, vec_sql: str):
-    """Dot product of the vector column against every centroid, as
-    generated-SQL exprs (same rationale as lsh_bucket_key: literal
-    py4j round trips dominate driver time at n_centroids*dim terms)."""
+def _cell_scores(cents: np.ndarray, vec_sql: str) -> str:
+    """Dot product of the vector column against every centroid, as ONE
+    generated-SQL expr returning array<double> (score per centroid, in
+    centroid order). Same per-centroid zip_with/aggregate float-op
+    order as the per-column spelling it replaces — only the packaging
+    changed: the centroid matrix is one constant-folded literal and the
+    vector cast is bound once (_bind1), so analysis and driver build
+    stop scaling with n_centroids*dim (the r13 measurement: the
+    separate-expression spelling spent more bench time in Catalyst +
+    py4j than in execution)."""
     vec_d = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
-    out = []
-    for c in range(len(cents)):
-        arr = ", ".join(_dlit(x) for x in cents[c])
-        out.append(
-            F.expr(
-                f"aggregate(zip_with({vec_d}, array({arr}), (a, b) -> a * b), "
-                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-            ).alias(f"c_{c}")
-        )
-    return out
+    body = (
+        f"transform({_matrix_lit(cents)}, _cw -> "
+        f"aggregate(zip_with(_v, _cw, (a, b) -> a * b), "
+        f"CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
+    )
+    return _bind1(vec_d, "_v", body)
 
 
 def _argmax_cells_pandas(
@@ -256,12 +286,12 @@ def _argmax_cells(
     if cents.size > limit:
         return _argmax_cells_pandas(df, id_c, vec_c, top_n, cents)
     n_centroids = len(cents)
-    scored = df.select(F.col(id_c), F.col(vec_c), *_cell_scores(cents, vec_c))
-    cells = F.array(
-        *[
-            F.struct(F.col(f"c_{c}").alias("score"), F.lit(c).alias("cell"))
-            for c in range(n_centroids)
-        ]
+    scored = df.select(
+        F.col(id_c), F.col(vec_c), F.expr(_cell_scores(cents, vec_c)).alias("_sc")
+    )
+    cells = F.expr(
+        f"transform(sequence(0, {n_centroids - 1}), _i -> "
+        f"struct(element_at(_sc, _i + 1) AS score, CAST(_i AS INT) AS cell))"
     )
     top = F.slice(
         F.array_sort(
@@ -405,22 +435,26 @@ def pq_codebooks(dim: int, n_sub: int = 8, n_codes: int = 16) -> list[np.ndarray
     return [_seeded_hyperplanes(d, n_codes, table=600 + m) for m in range(n_sub)]
 
 
-def _pq_sub_scores(cb_m: np.ndarray, vec_sql: str, m: int, d: int) -> list:
-    """Per-code assignment scores for one subspace: dot(sub, c) -
-    0.5*||c||^2 (argmax == nearest-by-L2), generated SQL with the same
-    sequential float-op order as the DuckDB twin."""
+def _pq_sub_scores(cb_m: np.ndarray, vec_sql: str, m: int, d: int) -> str:
+    """Per-code assignment scores for one subspace as ONE generated-SQL
+    expr returning array<double>: dot(sub, c) - 0.5*||c||^2 per code
+    (argmax == nearest-by-L2), same sequential float-op order per code
+    as the DuckDB twin. The codebook is a constant-folded matrix
+    literal and the subvector slice is bound once (_bind1) instead of
+    being inlined into n_codes separate expressions — the packaging
+    change that moved this family's bench cost out of Catalyst/py4j
+    (see _matrix_lit)."""
     sub = f"slice(CAST({vec_sql} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
-    out = []
-    for c in range(len(cb_m)):
-        arr = ", ".join(_dlit(x) for x in cb_m[c])
-        half = _dlit(0.5 * float((cb_m[c] * cb_m[c]).sum()))
-        out.append(
-            F.expr(
-                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
-                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x) - {half}"
-            ).alias(f"s{m}_{c}")
-        )
-    return out
+    halves = ", ".join(
+        _dlit(0.5 * float((cb_m[c] * cb_m[c]).sum())) for c in range(len(cb_m))
+    )
+    body = (
+        f"zip_with(transform({_matrix_lit(cb_m)}, _cw -> "
+        f"aggregate(zip_with(_sv, _cw, (a, b) -> a * b), "
+        f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)), "
+        f"array({halves}), (_s, _h) -> _s - _h)"
+    )
+    return _bind1(sub, "_sv", body)
 
 
 def pq_encode(
@@ -439,19 +473,33 @@ def pq_encode(
     cross-engine; same margin argument as the IVF cells)."""
     cbs = codebooks if codebooks is not None else pq_codebooks(dim, n_sub, n_codes)
     d = dim // n_sub
-    # argmax as array_position(scores, array_max(scores)): first max ->
-    # lowest code, and each score array is referenced only twice. The
-    # greatest()+16-branch-CASE spelling is semantically identical but
-    # CollapseProject inlines every score expression into every branch
-    # (~16x16 dot products PER code column) and the analyzer never
-    # returns — measured hang at 500 rows.
-    code_cols = []
-    for m in range(n_sub):
-        arr = F.array(*[s for s in _pq_sub_scores(cbs[m], index_vec, m, d)])
-        code_cols.append(
-            (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias(f"code_{m}")
+    # Two-step projection: score arrays first, then argmax. The score
+    # arrays are non-cheap and referenced twice (array_position +
+    # array_max), so CollapseProject leaves the stage split and each
+    # array is computed ONCE per row — the single-select spelling
+    # embedded every score array twice. argmax as
+    # array_position(scores, array_max(scores)): first max -> lowest
+    # code. (The greatest()+16-branch-CASE spelling is semantically
+    # identical but CollapseProject inlines every score expression
+    # into every branch — measured analyzer hang at 500 rows.)
+    staged = index.select(
+        F.col(index_id),
+        F.col(index_vec),
+        *[F.col(c) for c in keep],
+        *[
+            F.expr(_pq_sub_scores(cbs[m], index_vec, m, d)).alias(f"_sc_{m}")
+            for m in range(n_sub)
+        ],
+    )
+    code_cols = [
+        (
+            F.array_position(F.col(f"_sc_{m}"), F.array_max(F.col(f"_sc_{m}"))) - 1
         )
-    return index.select(
+        .cast("int")
+        .alias(f"code_{m}")
+        for m in range(n_sub)
+    ]
+    return staged.select(
         F.col(index_id), F.col(index_vec), *[F.col(c) for c in keep], *code_cols
     )
 
@@ -516,14 +564,12 @@ def _pq_lut_cols(cbs: list[np.ndarray], query_vec: str, d: int) -> list:
     out = []
     for m in range(len(cbs)):
         sub = f"slice(CAST({query_vec} AS ARRAY<DOUBLE>), {m * d + 1}, {d})"
-        entries = []
-        for c in range(len(cbs[m])):
-            arr = ", ".join(_dlit(x) for x in cbs[m][c])
-            entries.append(
-                f"aggregate(zip_with({sub}, array({arr}), (a, b) -> a * b), "
-                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-            )
-        out.append(F.expr(f"array({', '.join(entries)})").alias(f"lut_{m}"))
+        body = (
+            f"transform({_matrix_lit(cbs[m])}, _cw -> "
+            f"aggregate(zip_with(_qv, _cw, (a, b) -> a * b), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
+        )
+        out.append(F.expr(_bind1(sub, "_qv", body)).alias(f"lut_{m}"))
     return out
 
 

@@ -191,11 +191,39 @@ def repetition_features(
         F.split(t, "\n").alias("ls"),
         F.length(F.regexp_replace(t, "\\s", "")).cast("long").alias("n_word_chars"),
     )
-    words = base.select(
-        id_col, "n_word_chars", F.posexplode("ws").alias("pos", "w")
-    ).filter(F.col("w") != "")
-    # word stats: top-1-gram coverage + duplicate-occurrence fraction
-    wcounts = words.groupBy(id_col, "n_word_chars", "w").agg(
+    # ONE pass (r13 optimization round): the word/bigram/line explodes
+    # used to be three separate consumers of `base` — three scans of
+    # the corpus, three regex splits of every document, six exchanges
+    # and two joins. Tagging each exploded item with its kind
+    # ('w'/'b'/'l') folds all three into one explode -> one
+    # (doc, kind, gram) count -> one per-doc rollup: a single scan and
+    # two exchanges, with identical arithmetic per kind (guide §2.3/2.4
+    # — aggregate before the shuffle, remove repeated passes).
+    # n_chars/n_word_chars ride along as per-doc-constant grouping keys.
+    words_arr = F.filter(F.col("ws"), lambda w: w != "")
+    bigram_arr = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(1))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at("ws", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines_arr = F.filter(F.col("ls"), lambda l: l != "")
+    tag = lambda arr, kind: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
+    )
+    items = base.select(
+        F.col(id_col),
+        F.col("n_word_chars"),
+        F.length(F.concat_ws(" ", "ws")).cast("long").alias("n_chars"),
+        F.explode(
+            F.concat(tag(words_arr, "w"), tag(bigram_arr, "b"), tag(lines_arr, "l"))
+        ).alias("it"),
+    ).select(
+        id_col, "n_word_chars", "n_chars", F.col("it.kind").alias("kind"),
+        F.col("it.gram").alias("g"),
+    )
+    counts = items.groupBy(id_col, "n_word_chars", "n_chars", "kind", "g").agg(
         F.count("*").alias("c")
     )
     # arg-max packs (count, coverage) into ONE long: the gram string
@@ -205,69 +233,52 @@ def repetition_features(
     # only (plan-audit lesson). cov < 2^31 (chars per document), so
     # max(c * 2^31 + cov) is the lexicographic (c, cov) max.
     _PACK = 2147483648  # 2^31
-    wstats = wcounts.groupBy(id_col, "n_word_chars").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
+    w = F.col("kind") == "w"
+    b = F.col("kind") == "b"
+    ln = F.col("kind") == "l"
+    stats = counts.groupBy(id_col, "n_word_chars", "n_chars").agg(
+        F.sum(F.when(w, F.col("c"))).alias("n_words"),
+        F.count(F.when(w, F.lit(1))).alias("n_distinct"),
         (
-            F.max(F.col("c") * _PACK + F.length("w") * F.col("c")) % _PACK
+            F.max(F.when(w, F.col("c") * _PACK + F.length("g") * F.col("c")))
+            % _PACK
         ).alias("w_cov"),
-    )
-    # bigrams from the same words frame: pair via 2-row slide on the array
-    bigrams = base.select(
-        id_col,
-        F.length(F.concat_ws(" ", "ws")).cast("long").alias("n_chars"),
-        F.explode(
-            F.when(
-                F.size("ws") >= 2,
-                F.transform(
-                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(1))),
-                    lambda x, i: F.concat_ws(" ", x, F.element_at("ws", i + 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
-    bcounts = bigrams.groupBy(id_col, "n_chars", "g").agg(F.count("*").alias("c"))
-    bstats = bcounts.groupBy(id_col, "n_chars").agg(
         (
-            F.max(F.col("c") * _PACK + F.length("g") * F.col("c")) % _PACK
+            F.max(F.when(b, F.col("c") * _PACK + F.length("g") * F.col("c")))
+            % _PACK
         ).alias("b_cov"),
+        F.sum(F.when(ln, F.col("c"))).alias("n_lines"),
+        F.sum(F.when(ln, F.lit(1))).alias("n_distinct_lines"),
     )
-    # line duplicate fraction (by occurrences)
-    lns = base.select(id_col, F.explode("ls").alias("l")).filter(F.col("l") != "")
-    lstats = (
-        lns.groupBy(id_col, "l")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_lines"), F.count("*").alias("n_distinct_lines"))
-    )
-    return (
-        wstats.join(bstats, id_col, "left")
-        .join(lstats, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_words"),
-            F.round(
-                F.col("w_cov") / F.greatest(F.col("n_word_chars"), F.lit(1)), 6
-            ).alias("top_word_char_frac"),
-            F.round(
-                F.coalesce(F.col("b_cov"), F.lit(0))
-                / F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)),
-                6,
-            ).alias("top_bigram_char_frac"),
-            F.round(
-                (F.col("n_words") - F.col("n_distinct"))
-                / F.greatest(F.col("n_words"), F.lit(1)),
-                6,
-            ).alias("dup_word_frac"),
-            F.round(
-                F.coalesce(
-                    (F.col("n_lines") - F.col("n_distinct_lines"))
-                    / F.greatest(F.col("n_lines"), F.lit(1)),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("dup_line_frac"),
-        )
+    # Row-presence parity with the three-branch spelling: a document
+    # emitted a row iff it had >= 1 word (the word branch anchored the
+    # left joins); null b_cov/n_lines reproduce the old left-join
+    # misses, and the old bstats-null n_chars denominator falls back
+    # to the same 0-valued fraction because b_cov is null with it.
+    return stats.filter(F.col("n_words").isNotNull()).select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(
+            F.col("w_cov") / F.greatest(F.col("n_word_chars"), F.lit(1)), 6
+        ).alias("top_word_char_frac"),
+        F.round(
+            F.coalesce(F.col("b_cov"), F.lit(0))
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct"))
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                (F.col("n_lines") - F.col("n_distinct_lines"))
+                / F.greatest(F.col("n_lines"), F.lit(1)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_line_frac"),
     )
 
 

@@ -1201,12 +1201,15 @@ def streaming_kmv_pipeline(
             merged = sketches.kmv_merge(bsk, old.select("h"), k=k)
         else:
             merged = bsk
-        # materialize before the overwrite: merged's lineage lazily
-        # reads store_dir, whose current partition the write replaces
-        # on replay (the read-then-overwrite convention); O(k) rows
-        merged = merged.localCheckpoint(eager=True)
+        # No materialization barrier needed (r13): merged's lineage
+        # reads ONLY the max-prior snapshot partition (strictly < bid,
+        # _read_prior_snapshot), so overwriting batch_id={bid} cannot
+        # invalidate its own input even on replay. Writing directly
+        # saves one full pass per fire; the estimate re-reads the
+        # just-committed O(k) snapshot instead of a cached copy.
         merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
-        sketches.kmv_estimate(merged, k).write.mode("overwrite").parquet(
+        snap = spark.read.parquet(f"{store_dir}/batch_id={bid}")
+        sketches.kmv_estimate(snap, k).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={bid}"
         )
         # prune superseded snapshots, KEEPING the latest one below bid:
@@ -1639,7 +1642,10 @@ def streaming_pattern_pipeline(
             state = state.withColumn(
                 "tail", F.expr(f"right(tail, {int(max_tail)})")
             )
-        state = state.localCheckpoint(eager=True)
+        # Direct write (r13): the state lineage reads only the
+        # max-prior snapshot partition (< bid), never its own write
+        # target, so no materialization barrier is needed — one full
+        # pass per fire instead of two.
         state.write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={bid}"
         )
