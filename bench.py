@@ -378,6 +378,42 @@ def _streaming_pattern_bench(spark, sf_dir: str, n_fires: int = 3) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _streaming_warm(spark, sf_dir: str) -> None:
+    """One untimed micro-fire of each streaming pipeline (3 source
+    rows) — amortizes one-time streaming-engine init out of the timed
+    fires, mirroring the untimed warm run every batch row gets."""
+    import shutil
+    import tempfile
+
+    from unstract_spark.streaming.incremental import (
+        streaming_kmv_pipeline,
+        streaming_pattern_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_swarm_")
+    try:
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        ).write.parquet(os.path.join(base, "ksrc"))
+        streaming_kmv_pipeline(
+            spark, os.path.join(base, "ksrc"), os.path.join(base, "kckpt"),
+            os.path.join(base, "kstore"), os.path.join(base, "kout"),
+        )
+        spark.sql(
+            "SELECT 1L AS user_id, timestamp'2026-01-01' AS ts,"
+            " 1L AS event_id, 'view' AS event_type"
+        ).write.parquet(os.path.join(base, "psrc"))
+        streaming_pattern_pipeline(
+            spark, os.path.join(base, "psrc"), os.path.join(base, "pckpt"),
+            os.path.join(base, "pstore"),
+            "v[^e]*?c[^e]*?p",
+            {"view": "v", "click": "c", "purchase": "p",
+             "error": "e", "signup": "s"},
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -433,6 +469,18 @@ def main() -> None:
     # (doc_id mod / ts slices), single run each — like the 2000-doc
     # pipeline row, each fire is a multi-job foreachBatch sequence
     # whose cost IS the steady-state shape, and drop prep is untimed.
+    #
+    # r13 measurement fix (guide §1.4 / the suite's own JMH warm-run
+    # policy): the FIRST streaming query of a session pays one-time
+    # engine initialization (streaming classes, offset/commit-log
+    # machinery, codegen of the micro-batch driver) — measured 2-3x on
+    # the first fire vs steady state. Every batch row gets an untimed
+    # warm run; the streaming rows now get the equivalent: one tiny
+    # untimed fire of each pipeline before its timed fires. The r12
+    # numbers (BENCH_r12*, kmv 5.63 / pattern 3.56 quiet floors)
+    # include that one-time init; r13 values measure steady-state
+    # fires (OPTIMIZATION_r13.md records both).
+    _streaming_warm(spark, sf_dir)
     dts = _streaming_kmv_bench(spark, sf_dir)
     timings["streaming_kmv_3fires"] = round(dts, 3)
     total += dts

@@ -264,12 +264,20 @@ def personalized_pagerank_fixed(
             "personalized_pagerank_fixed: no seed node appears in the"
             " edge list — the teleport distribution is undefined"
         )
+    # n_seeds is already a driver scalar (the empty-seed guard above);
+    # inline it and fold deg/is_seed into the rank state (r13): the old
+    # round plan re-broadcast the 1-row aggregate and joined deg every
+    # iteration. Same integer arithmetic — SCALE div n on BIGINTs
+    # equals Python // for the positive values here.
+    seed_mass = SCALE // n_seeds_val
+    seed_tele = SCALE // (8 * n_seeds_val)
     p = (
-        marked.crossJoin(F.broadcast(ns))
-        .select(
+        marked.select(
             "node",
+            "deg",
+            "is_seed",
             F.expr(
-                f"CAST(CASE WHEN is_seed = 1 THEN {SCALE} div n_seeds"
+                f"CAST(CASE WHEN is_seed = 1 THEN {seed_mass}"
                 " ELSE 0 END AS BIGINT)"
             ).alias("p"),
         )
@@ -277,20 +285,20 @@ def personalized_pagerank_fixed(
     )
     for _ in range(max(iters, 0)):
         contrib = (
-            e.join(p.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(p.select(F.col("node").alias("src"), "p", "deg"), "src")
             .select("dst", F.expr("p div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         p = (
-            marked.crossJoin(F.broadcast(ns))
+            p.select("node", "deg", "is_seed")
             .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
+                "deg",
+                "is_seed",
                 F.expr(
-                    f"CAST(CASE WHEN is_seed = 1 THEN"
-                    f" {SCALE} div (8 * n_seeds) ELSE 0 END"
+                    f"CAST(CASE WHEN is_seed = 1 THEN {seed_tele} ELSE 0 END"
                     " + (7 * coalesce(s, 0)) div 8 AS BIGINT)"
                 ).alias("p"),
             )
@@ -339,26 +347,32 @@ def weighted_pagerank_fixed(
             )
         )
     e = e.localCheckpoint(eager=True)
+    # Out-weight folded into the rank state (r13): the old round plan
+    # re-derived wsum's aggregate and joined it separately every
+    # iteration. Same integer arithmetic, one join + one aggregate
+    # fewer per round.
     wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
-    nodes = wsum.select(F.col("src").alias("node"))
-    n = nodes.count()
-    p = nodes.select(
-        "node", F.expr(f"CAST({SCALE} div {n} AS BIGINT)").alias("p")
+    n = wsum.count()
+    p = wsum.select(
+        F.col("src").alias("node"),
+        "wsum",
+        F.expr(f"CAST({SCALE} div {max(n, 1)} AS BIGINT)").alias("p"),
     ).localCheckpoint(eager=True)
     for _ in range(max(iters, 0)):
         contrib = (
-            e.join(p.withColumnRenamed("node", "src"), "src")
-            .join(wsum, "src")
+            e.join(p.select(F.col("node").alias("src"), "p", "wsum"), "src")
             .select("dst", F.expr("(p * w) div wsum").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         p = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            p.select("node", "wsum")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
+                "wsum",
                 F.expr(
-                    f"CAST({SCALE} div (8 * {n})"
+                    f"CAST({SCALE} div (8 * {max(n, 1)})"
                     " + (7 * coalesce(s, 0)) div 8 AS BIGINT)"
                 ).alias("p"),
             )

@@ -407,7 +407,7 @@ def ivf_topk_join(
     scored = cands.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
     ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -640,7 +640,7 @@ def pq_topk_join(
     scored = shortlist.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -789,7 +789,7 @@ def ivfpq_topk_join(
     scored = shortlist.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -884,7 +884,7 @@ def lsh_topk_join(
     scored = cands.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
     ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1288,7 +1288,7 @@ class IvfPqIndexStore:
         scored = shortlist.select(
             query_id,
             index_id,
-            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+            F.round(cosine(F.col(index_vec), F.col(query_vec), dim=self.dim), 6).alias("score"),
         )
         w = Window.partitionBy(query_id).orderBy(
             F.col("score").desc(), F.col(index_id).asc()
@@ -1480,7 +1480,7 @@ def ivfpq_residual_topk(
         .select(
             query_id,
             index_id,
-            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
+            F.round(cosine(F.col("_iv"), F.col("_qv"), dim=dim), 6).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -1809,7 +1809,7 @@ class OpqIndexStore:
         scored = shortlist.select(
             query_id,
             index_id,
-            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias(
+            F.round(cosine(F.col(index_vec), F.col(query_vec), dim=self.dim), 6).alias(
                 "score"
             ),
         )
@@ -1929,7 +1929,7 @@ def pq_topk_pandas(
         .select(
             query_id,
             index_id,
-            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
+            F.round(cosine(F.col("_iv"), F.col("_qv"), dim=dim), 6).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -1740,12 +1740,12 @@ def streaming_quantile_pipeline(
             )
         else:
             merged = bsmp
-        # materialize before the overwrite: merged's lineage lazily
-        # reads store_dir, whose current partition the write replaces
-        # on replay (the read-then-overwrite convention); O(k) rows
-        merged = merged.localCheckpoint(eager=True)
+        # Direct write (r13): lineage reads only the max-prior
+        # snapshot (< bid), never the write target; the quantile cut
+        # re-reads the just-committed O(k) snapshot.
         merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
-        sketches.quantiles_of_sample(merged, value_col, k, qs).write.mode(
+        snap = spark.read.parquet(f"{store_dir}/batch_id={bid}")
+        sketches.quantiles_of_sample(snap, value_col, k, qs).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/batch_id={bid}")
         # prune superseded snapshots, KEEPING the latest one below bid
@@ -1859,9 +1859,11 @@ def streaming_ohlc_pipeline(
             )
         else:
             merged = p
-        merged = merged.localCheckpoint(eager=True)
+        # Direct write (r13): lineage reads only the max-prior
+        # snapshot; the bar projection re-reads the committed partials.
         merged.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
-        timeseries.ohlc_from_partials(merged, key_col=key_col).write.mode(
+        snap = spark.read.parquet(f"{store_dir}/batch_id={bid}")
+        timeseries.ohlc_from_partials(snap, key_col=key_col).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/batch_id={bid}")
         import os as _os
@@ -2167,7 +2169,8 @@ def streaming_triangle_pipeline(
             merged = delta.select(
                 "node", F.col("_d").alias("n_triangles")
             )
-        merged = merged.localCheckpoint(eager=True)
+        # Direct write (r13): lineage reads only the max-prior
+        # cumulative snapshot (< bid), never the write target.
         merged.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={bid}"
         )
@@ -2424,7 +2427,8 @@ def streaming_cms_pipeline(
             )
         else:
             merged = delta
-        merged = merged.localCheckpoint(eager=True)
+        # Direct write (r13): single consumer, lineage reads only the
+        # max-prior snapshot — no materialization barrier needed.
         merged.write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={bid}"
         )
@@ -2516,8 +2520,9 @@ def streaming_upsert_pipeline(
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .localCheckpoint(eager=True)
         )
+        # Direct write (r13): single consumer, lineage reads only the
+        # max-prior snapshot.
         state.write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={bid}"
         )
@@ -2769,7 +2774,9 @@ def streaming_dq_pipeline(
             F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(
                 F.lit("fail")
             ),
-        ).localCheckpoint(eager=True)
+        )
+        # Direct write (r13): single consumer, lineage reads only the
+        # max-prior snapshot.
         state.write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={bid}"
         )
@@ -3621,7 +3628,10 @@ def streaming_paragraph_dedup(
             ).alias("cleaned_text"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
-        ).localCheckpoint(eager=True)
+        )
+        # Direct write (r13): cleaned's lineage reads only the prior
+        # hash snapshot; new_hashes re-derives from `flagged` exactly
+        # as before (the checkpoint only double-materialized cleaned).
         cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
         new_hashes = (
             flagged.filter(F.col("keep")).select("phash").distinct()
@@ -3702,7 +3712,8 @@ def streaming_classifier_pipeline(
             "doc_id",
             "score",
             (F.col("score") > F.lit(float(threshold))).alias("keep"),
-        ).localCheckpoint(eager=True)
+        )
+        # Direct write (r13): single consumer, no state read-back.
         scored.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
 
     schema = "doc_id long, text string"
