@@ -1025,16 +1025,30 @@ def remove_duplicated_spans(
     driver-side suffix walks, which is what scales).
 
     Plan shape (all native, no Python):
-      1. explode k-gram start positions, groupBy gram -> corpus count
-         (one shuffle on gram; uniform keys — a gram is 16 chars, so
-         no hot-key fuse is needed the way raw tokens would);
-      2. join duplicated grams back to positions (linear fan-out),
-         each start p covers the interval [p, p+k-1];
+      1. explode k-gram start positions, count per gram with ONE
+         window over the gram partition (one shuffle on gram; uniform
+         keys — a gram is 16 chars, so no hot-key fuse is needed the
+         way raw tokens would);
+      2. keep positions of duplicated grams, each start p covers the
+         interval [p, p+k-1];
       3. merge overlapping/adjacent intervals per doc with the
          gaps-and-islands window (running max of interval end);
-      4. complement the merged islands into kept pieces via lag();
-      5. reassemble cleaned text with an ordered concat of substr
-         pieces.
+      4. per island row, emit BOTH the island itself (tag 'r') and its
+         complement pieces (tag 'k': the gap before it via lag(), plus
+         the tail after the LAST island via lead()) in one explode —
+         islands are merged and sorted, so the last island by start
+         also carries the max end;
+      5. ONE per-doc aggregate folds the tagged rows into span stats
+         AND the ordered-concat cleaned text.
+    The single tagged explode replaces the r12 shape's 3-branch union
+    (before/tail/untouched) + anti-join + tail re-join: the expensive
+    gram window above the shared exchange now executes ONCE per
+    consumer instead of once per branch (the untouched branch's column
+    pruning defeated AQE stage reuse — r13 optimization round, guide
+    §2.4), and with no union the Spark 4.1 unionOutputPartitioning
+    zip-crash class (NOTES_NEXT_ROUND.md) cannot trigger here at all.
+    Untouched docs (no duplicated span, or shorter than k) fall out of
+    the final left join and keep their original text.
     At 100 TB: rows scale with corpus characters; every shuffle is on
     (gram) or (doc) keys, partition sizes stay bounded by doc length,
     and the reassembly is a per-doc sorted-array fold — no global sort
@@ -1110,58 +1124,83 @@ def remove_duplicated_spans(
         F.min("s").alias("rs"), F.max("e").alias("re")
     )
     w_rem = Window.partitionBy(id_col).orderBy("rs")
-    before = rem.select(
-        id_col,
-        (F.coalesce(F.lag("re").over(w_rem), F.lit(0)) + 1).alias("ks"),
-        (F.col("rs") - 1).alias("ke"),
+    # One tagged explode per island row: the island itself ('r', feeds
+    # the span stats), the kept gap before it ('k'), and — on the last
+    # island only — the kept tail ('k'). The tail's end is an INT_MAX
+    # sentinel instead of the doc length (substr clamps at the string
+    # end, and a tail starting past the end yields the empty piece,
+    # which concatenates to the identical cleaned text), so `t` is not
+    # joined in before the windows at all.
+    tagged = (
+        rem.select(
+            id_col,
+            "rs",
+            "re",
+            (F.coalesce(F.lag("re").over(w_rem), F.lit(0)) + 1).alias("_gs"),
+            F.lead("rs").over(w_rem).alias("_nxt"),
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("r").alias("tg"),
+                        F.col("rs").alias("ks"),
+                        F.col("re").alias("ke"),
+                    ),
+                    F.struct(
+                        F.lit("k").alias("tg"),
+                        F.col("_gs").alias("ks"),
+                        (F.col("rs") - 1).alias("ke"),
+                    ),
+                    F.struct(
+                        F.lit("k").alias("tg"),
+                        F.when(F.col("_nxt").isNull(), F.col("re") + 1).alias(
+                            "ks"
+                        ),
+                        F.lit(2147483646).alias("ke"),
+                    ),
+                )
+            ).alias("_iv"),
+        )
+        .select(id_col, "_iv.tg", "_iv.ks", "_iv.ke")
+        .filter(F.col("ks").isNotNull() & (F.col("ke") >= F.col("ks")))
     )
-    tail = rem.groupBy(id_col).agg((F.max("re") + 1).alias("ks")).join(
-        t.select(id_col, "_len"), id_col
-    ).select(id_col, "ks", F.col("_len").alias("ke"))
-    untouched = t.join(rem.select(id_col).distinct(), id_col, "left_anti").select(
-        id_col, F.lit(1).alias("ks"), F.col("_len").alias("ke")
-    )
-    # Planner-bug shield (Spark 4.1, spark.sql.unionOutputPartitioning
-    # default true): all three union branches end hash-partitioned on
-    # their own doc_id, so UnionExec claims that partitioning for its
-    # (3 x P)-partition CONCATENATION; the join back to `t` then skips
-    # its exchange — EnsureRequirements even deletes an explicit
-    # repartition above the union as "redundant" — and SortMergeJoin's
-    # zipPartitions dies with "Can't zip RDDs with unequal numbers of
-    # partitions: List(3P, P)". Engine sessions disable the conf
-    # (session.py), but registered queries must also survive the
-    # driver's VANILLA session, so the claim is broken structurally:
-    # one round-robin repartition of `tail` (one row per doc that had
-    # spans — the smallest branch) makes the children's partitionings
-    # differ, and the union falls back to default partitioning, which
-    # forces the join's exchange back in. Interval-row shuffles are
-    # noise next to the gram stage.
-    kept = (
-        before.unionByName(tail.repartition(par))
-        .unionByName(untouched)
-        .filter(F.col("ke") >= F.col("ks"))
-    )
-    pieces = kept.join(t, id_col).select(
-        id_col,
-        "ks",
-        F.expr("substr(_t, ks, ke - ks + 1)").alias("_piece"),
-    )
-    cleaned = pieces.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ks", "_piece"))),
-                lambda x: x["_piece"],
-            ),
-            "",
-        ).alias("cleaned_text")
-    )
-    stats = rem.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("re") - F.col("rs") + 1).alias("removed_chars"),
+    # ONE per-doc aggregate: span stats from the 'r' rows, cleaned text
+    # from the ordered 'k' pieces (collect_list drops the null structs
+    # of the other tag).
+    combined = (
+        tagged.join(t.select(id_col, "_t"), id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("tg") == "r", 1).otherwise(0)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("tg") == "r", F.col("ke") - F.col("ks") + 1)
+                .otherwise(0)
+            ).alias("removed_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("tg") == "k",
+                                F.struct(
+                                    "ks",
+                                    F.expr(
+                                        "substr(_t, ks, ke - ks + 1)"
+                                    ).alias("_piece"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["_piece"],
+                ),
+                "",
+            ).alias("cleaned_text"),
+        )
     )
     return (
-        t.join(stats, id_col, "left")
-        .join(cleaned, id_col, "left")
+        t.join(combined, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
@@ -1169,7 +1208,9 @@ def remove_duplicated_spans(
             (F.col("_len") - F.coalesce("removed_chars", F.lit(0))).alias(
                 "cleaned_len"
             ),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.when(F.col("n_spans").isNull(), F.col("_t"))
+            .otherwise(F.col("cleaned_text"))
+            .alias("cleaned_text"),
         )
     )
 
@@ -1240,6 +1281,60 @@ def bloom_membership(
     return hits.groupBy(id_col).agg(
         (F.sum(F.coalesce("present", F.lit(0))) == k).alias("maybe_seen")
     )
+
+
+def bloom_bitmap(bits: DataFrame) -> DataFrame:
+    """Packed-word spelling of a `bloom_filter_bits` table: ONE row
+    with a ``_bm`` map<long,long> of 64-bit words (word index ->
+    OR of set-bit masks) — m/8 bytes of broadcast state, the layout a
+    production Bloom broadcast actually ships (guide §3.2: ~1.2 GB per
+    billion keys at 10 bits/key).
+
+    Paired with `bloom_maybe_seen_expr`, membership becomes a pure
+    per-row expression (crossJoin the broadcast single row, filter) —
+    no probe explode, no join-back on the doc key, and, crucially, the
+    probed frame's lineage executes ONCE instead of once for the
+    membership aggregate and again for the payload join-back
+    (the ex_curation_v2 double-execution, r13 optimization round)."""
+    return (
+        bits.select(
+            F.expr("bit div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+            ).alias("msk"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(msk)").alias("wd"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("wd")
+            ).alias("_bm")
+        )
+    )
+
+
+def bloom_maybe_seen_expr(
+    fp_col: str = "fingerprint", m: int = 8192, k: int = 4,
+    bm_col: str = "_bm",
+) -> F.Column:
+    """Boolean Column: ALL k Bloom probe bits of ``fp_col`` are set in
+    the packed bitmap ``bm_col`` (a `bloom_bitmap` row crossJoined in).
+    Bit derivation is IDENTICAL to bloom_filter_bits/bloom_membership
+    (first 8 hex digits of md5(j:fp) mod m), so the decision matches
+    bloom_membership's ``sum(present) == k`` row for row.  ``fp_col``
+    must be non-null (a null fingerprint yields NULL, where
+    bloom_membership yields false)."""
+    probes = []
+    for j in range(k):
+        bit = (
+            f"(CAST(conv(substring(md5(concat('{j}', ':', {fp_col})),"
+            f" 1, 8), 16, 10) AS BIGINT) % {m})"
+        )
+        probes.append(
+            f"((shiftright(coalesce(element_at({bm_col}, {bit} div 64),"
+            f" CAST(0 AS BIGINT)), CAST({bit} % 64 AS INT)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(probes))
 
 
 def dedup_paragraphs(

@@ -8735,8 +8735,18 @@ def ex_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto_lsh_params shape); the oracle re-derives the same integer
     m = dedup.auto_bloom_m(hist.count())
     bits = dedup.bloom_filter_bits(hist, m=m, k=4)
-    mem = dedup.bloom_membership(fp, bits, m=m, k=4)
-    surv = fp.join(mem, "doc_id").filter(~F.col("maybe_seen"))
+    # Membership as a per-row expression against the broadcast packed
+    # bitmap (dedup.bloom_bitmap) instead of bloom_membership's probe
+    # explode + groupBy + join-back on doc_id: the join-back's column
+    # pruning re-executed the whole span-removal chain a second time
+    # for the membership side (r13 optimization round, guide §2.4 —
+    # the decision matches bloom_membership bit for bit, and
+    # dd_bloom_membership/dd_bloom_auto still gate the row spelling).
+    surv = (
+        fp.crossJoin(F.broadcast(dedup.bloom_bitmap(bits)))
+        .filter(~dedup.bloom_maybe_seen_expr("fingerprint", m=m, k=4))
+        .drop("_bm")
+    )
     words = F.filter(
         F.split(F.lower(F.trim("ct")), r"\s+"), lambda x: x != ""
     )
