@@ -771,7 +771,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    if e.count() <= small_graph_threshold:
+    # ONE bounded fetch decides the path AND delivers the edges: take()
+    # stops pulling partitions past the threshold, so the driver never
+    # holds more than threshold+1 rows on the big-graph path (the old
+    # count()-then-collect() spelling paid a separate full-scan job
+    # just to decide — r13 optimization round, guide §1.2).
+    head = e.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
         parent: dict = {}
         nodes: set = set()
 
@@ -783,7 +789,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in e.collect():
+        for row in head:
             u, v = row["u"], row["v"]
             nodes.add(u)
             nodes.add(v)

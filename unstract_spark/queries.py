@@ -14706,17 +14706,32 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unstract_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-    ).distinct()
-    left = b.select("bk", F.col("it").alias("src"))
-    right = b.select(F.col("bk").alias("bk2"), F.col("it").alias("dst"))
-    edges = (
-        left.join(
-            right,
-            (left["bk"] == right["bk2"]) & (left["src"] < right["dst"]),
+    # Per-basket pair expansion via ONE collect_set + an in-memory
+    # combination explode instead of the basket self-join: the r12
+    # shape shuffled the distinct (basket, item) table twice and
+    # sort-merge-joined it with itself; collect_set aggregates
+    # map-side, and the pair fan-out happens in codegen on the sorted
+    # per-basket array (r13 optimization round, guide §2.3/§2.4).
+    # Identical pair multiset: the self-join's src < dst condition is
+    # exactly the ordered pairs of each basket's distinct item set,
+    # and baskets are orders (bounded size), so the quadratic term is
+    # per-basket only — the same bound the self-join had.
+    pairs = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) -> "
+                    "transform(slice(its, i + 2, size(its)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("pr")
         )
-        .groupBy("src", "dst")
+        .select("pr.src", "pr.dst")
+    )
+    edges = (
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= 2)
         .select("src", "dst")
