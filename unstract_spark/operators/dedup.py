@@ -624,9 +624,13 @@ def embedding_neardup_lsh(
             .select(
                 "id_a",
                 "id_b",
-                # dim unrolls the dot product into codegen (the
-                # interpreted higher-order-function path costs ~3x)
-                (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias(
+                # Higher-order fold, NOT the dim unroll: paired A/B at
+                # dim=64 (r13, tools_r13/ab_cand_dim.py) measured the
+                # unrolled ~190-term tree 1.5-2x SLOWER even on
+                # candidate-scale sets — the giant generated method
+                # loses JIT while zip_with/aggregate run the optimized
+                # array path.
+                (similarity.cosine(F.col("_va"), F.col("_vb"))).alias(
                     "cosine"
                 ),
             )
@@ -656,9 +660,9 @@ def embedding_neardup_lsh(
         pairs.select(
             "id_a",
             "id_b",
-            # dim unrolls the dot product into codegen (the interpreted
-            # higher-order-function path costs ~3x on the candidate set)
-            (similarity.cosine(F.col("_va"), F.col("_vb"), dim=dim)).alias("cosine"),
+            # higher-order fold on purpose — see the high-table
+            # spelling's A/B note (unroll measured slower at dim=64)
+            (similarity.cosine(F.col("_va"), F.col("_vb"))).alias("cosine"),
         )
         # max-cosine, not dropDuplicates: deterministic under
         # duplicate-id input (see the high-table spelling's note)
@@ -679,22 +683,27 @@ def word_ngrams(
     JVM-side: split + sliding transform + explode; gram strings
     normalize to single spaces so whitespace runs can't hide overlap.
     """
-    # The split is BOUND once per row (element_at/transform `let`
-    # spelling): the previous expression re-ran split(trim(text))
-    # inside the per-gram lambda, i.e. O(words^2) regex splitting per
-    # document (r13 optimization round, guide §1.2 per-task work).
-    # Gram values are unchanged.
-    grams = F.expr(
+    return (
+        docs.select(F.col(id_col), F.explode(_gram_expr(text_col, n)).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+
+
+def _gram_expr(text_col: str, n: int):
+    """Array of sliding word n-grams for one document, JVM-side.
+
+    The split is BOUND once per row (element_at/transform `let`
+    spelling): the previous expression re-ran split(trim(text))
+    inside the per-gram lambda, i.e. O(words^2) regex splitting per
+    document (r13 optimization round, guide §1.2 per-task work).
+    Gram values are unchanged."""
+    return F.expr(
         f"element_at(transform(array(split(trim({text_col}), '\\\\s+')), _ws -> "
         f"CASE WHEN size(_ws) >= {n} THEN "
         f"transform(sequence(1, size(_ws) - {n - 1}), "
         f"i -> array_join(slice(_ws, i, {n}), ' ')) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
-    )
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .filter(F.col("gram") != "")
-        .distinct()
     )
 
 
@@ -714,7 +723,21 @@ def ngram_contamination(
     training corpus — broadcasts. Emits only contaminated docs; the
     caller anti-joins this against the corpus to scrub.
     """
-    tg = word_ngrams(train, n, text_col, id_col).withColumnRenamed(id_col, "train_id")
+    # Train side: NO distinct before the join (r13). The final agg
+    # counts DISTINCT gram / bench_id per train doc, so duplicate
+    # (train, gram) rows cannot change any output value — and the
+    # pre-join dedup was the pipeline's only full-corpus shuffle
+    # (guide §3.2: the broadcast bench join drops ~all rows for free,
+    # so filter first, shuffle the survivors). The tiny bench side
+    # keeps the distinct: it halves the broadcast and the join's
+    # output multiset stays irrelevant to the countDistinct agg.
+    tg = (
+        train.select(
+            F.col(id_col).alias("train_id"),
+            F.explode(_gram_expr(text_col, n)).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+    )
     bg = word_ngrams(bench, n, text_col, id_col).withColumnRenamed(id_col, "bench_id")
     return (
         tg.join(F.broadcast(bg), "gram")

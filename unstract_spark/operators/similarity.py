@@ -108,8 +108,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: broadcast queries, score all, window rank. The oracle.
 
-    Pass `dim` when known — the scoring expression then unrolls into
-    codegen instead of the interpreted higher-order-function path.
+    `dim` unrolls the scoring expression instead of the higher-order
+    fold — measured SLOWER at dim=64 on every row tried (r13 paired
+    A/B, tools_r13/ab_cand_dim.py: the ~190-term generated method
+    loses JIT); left as an escape hatch for small dims only.
     """
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
     scored = q.crossJoin(index.select(F.col(index_id), F.col(index_vec).alias("_iv"))).select(
@@ -407,7 +409,7 @@ def ivf_topk_join(
     scored = cands.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -640,7 +642,7 @@ def pq_topk_join(
     scored = shortlist.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -701,6 +703,13 @@ def sq8_topk_join(
     # q_scale is constant within a query partition, so it cannot change
     # the per-query ADC ranking — not computed/broadcast at all
     q = queries.select(F.col(query_id), F.col(query_vec), qcodes)
+    # The candidate ADC stays the higher-order fold ON PURPOSE: an
+    # unrolled 64-term element_at chain was measured 3x SLOWER here
+    # (r13 profile: runs 5.0-9.7 s vs the 1.6 s fold floor at sf0.1,
+    # plus ~12 s of driver expression build) — the giant generated
+    # method loses JIT compilation while zip_with/aggregate run the
+    # optimized interpreted array path (same lesson as
+    # retrieval.cosine's docstring, measured independently).
     adc_int = F.aggregate(
         F.zip_with(F.col("q_codes"), F.col("i_codes"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -723,7 +732,7 @@ def sq8_topk_join(
         query_id,
         index_id,
         F.round(
-            cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6
+            cosine(F.col(index_vec), F.col(query_vec)), 6
         ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -789,7 +798,7 @@ def ivfpq_topk_join(
     scored = shortlist.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -884,7 +893,7 @@ def lsh_topk_join(
     scored = cands.select(
         query_id,
         index_id,
-        F.round(cosine(F.col(index_vec), F.col(query_vec), dim=dim), 6).alias("score"),
+        F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     ).dropDuplicates([query_id, index_id])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(index_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1116,7 +1125,7 @@ def similarity_topk(
         )
         plan = TopkPlan(strategy, params, _estimate_mults(strategy, params, n, q, dim))
     if plan.strategy == "brute_force":
-        out = brute_force_topk(queries, index, k=k, dim=dim, **col_names)
+        out = brute_force_topk(queries, index, k=k, **col_names)
     elif plan.strategy == "lsh":
         out = lsh_topk_join(
             queries, index, dim, k=k, term_limit=term_limit,
@@ -1288,7 +1297,7 @@ class IvfPqIndexStore:
         scored = shortlist.select(
             query_id,
             index_id,
-            F.round(cosine(F.col(index_vec), F.col(query_vec), dim=self.dim), 6).alias("score"),
+            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
         )
         w = Window.partitionBy(query_id).orderBy(
             F.col("score").desc(), F.col(index_id).asc()
@@ -1480,7 +1489,7 @@ def ivfpq_residual_topk(
         .select(
             query_id,
             index_id,
-            F.round(cosine(F.col("_iv"), F.col("_qv"), dim=dim), 6).alias("score"),
+            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -1809,7 +1818,7 @@ class OpqIndexStore:
         scored = shortlist.select(
             query_id,
             index_id,
-            F.round(cosine(F.col(index_vec), F.col(query_vec), dim=self.dim), 6).alias(
+            F.round(cosine(F.col(index_vec), F.col(query_vec)), 6).alias(
                 "score"
             ),
         )
@@ -1929,7 +1938,7 @@ def pq_topk_pandas(
         .select(
             query_id,
             index_id,
-            F.round(cosine(F.col("_iv"), F.col("_qv"), dim=dim), 6).alias("score"),
+            F.round(cosine(F.col("_iv"), F.col("_qv")), 6).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -433,6 +433,21 @@ def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     return out.distinct().orderBy("h").limit(k)
 
 
+def _materialize_sketch(sketch: DataFrame) -> DataFrame:
+    """Execute a ≤k-row sketch ONCE and pin the result for reuse.
+
+    localCheckpoint, deliberately: a bounded driver collect +
+    LocalRelation rebuild was A/B'd in the r13 optimization round
+    (tools_r13/ab_sketch_ppl.py, interleaved same-session pairs) and
+    measured SLOWER — kmv_overlap 3.0 -> 6.0 s median, join_size at
+    parity-to-worse — because the sketch lineage is mapInPandas-
+    dominated (the RDD path's codegen loss is marginal) while the
+    collect pays two serialized driver round-trips per call. Keep the
+    checkpoint unless a future profile on a real cluster says
+    otherwise."""
+    return sketch.localCheckpoint(eager=True)
+
+
 def _overlap_stats(
     dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int
 ) -> DataFrame:
@@ -441,8 +456,8 @@ def _overlap_stats(
     front end of kmv_overlap and kmv_difference. Membership flags via
     two tiny joins, then ONE aggregate computes every scalar — no
     per-scalar jobs, no crossJoin stitching."""
-    sa = kmv_sketch(dfa, col_a, k).localCheckpoint(eager=True)
-    sb = kmv_sketch(dfb, col_b, k).localCheckpoint(eager=True)
+    sa = _materialize_sketch(kmv_sketch(dfa, col_a, k))
+    sb = _materialize_sketch(kmv_sketch(dfb, col_b, k))
     return overlap_stats_from_sketches(sa, sb, k)
 
 
@@ -537,13 +552,15 @@ def kmv_join_size(
     hb = dfb.where(F.col(key_b).isNotNull()).select(
         md5_hash60(F.col(key_b)).alias("h")
     )
-    # each side's sketch feeds ONLY the merge (no checkpoint — unlike
-    # _overlap_stats, nothing re-reads them); the merged sketch is
-    # consumed three times (two count joins + the final left joins),
-    # so it alone is materialized
-    merged = kmv_merge(
-        kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k
-    ).localCheckpoint(eager=True)
+    # each side's sketch feeds ONLY the merge (no materialization of
+    # its own — nothing re-reads them); the merged sketch is consumed
+    # three times (two count joins + the final left joins), so it
+    # alone is materialized — as a bounded driver collect, keeping the
+    # two full-scan sketch jobs in whole-stage codegen (see
+    # _materialize_sketch)
+    merged = _materialize_sketch(
+        kmv_merge(kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k)
+    )
 
     def counts(hashed: DataFrame, alias: str) -> DataFrame:
         return (
@@ -552,8 +569,12 @@ def kmv_join_size(
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    joined = merged.join(counts(ha, "c_a"), "h", "left").join(
-        counts(hb, "c_b"), "h", "left"
+    # counts() emits ≤ k rows (groupBy over the broadcast-semi-joined
+    # sample keys) — pin BuildRight broadcasts so the closing left
+    # joins never plan as SortMergeJoin (the pre-AQE size estimate of
+    # a post-join aggregate is the full scan's, r13 plan audit)
+    joined = merged.join(F.broadcast(counts(ha, "c_a")), "h", "left").join(
+        F.broadcast(counts(hb, "c_b")), "h", "left"
     )
     stats = joined.agg(
         F.count(F.lit(1)).alias("n_merged"),

@@ -336,6 +336,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     model: DataFrame | None = None,
     oov_logprob: float | None = None,
+    include_empty: bool = True,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the fluency/
     perplexity proxy corpus filters threshold on (CCNet, Wenzek et al.
@@ -359,6 +360,12 @@ def unigram_logprob(
 
     Output: (id, n_words, avg_logprob) — avg_logprob NULL for empty
     docs (no words to score), rounded to 6.
+
+    `include_empty=False` skips the left-join back to `docs` that
+    restores zero-word rows: every emitted row then has n_words >= 1.
+    Callers that filter `n_words > 0` anyway (the CCNet bucketing
+    path) save a corpus-keyed join whose probe side re-executes the
+    scan (r13, guide §2.4).
     """
     words = docs.select(
         F.col(id_col),
@@ -386,6 +393,8 @@ def unigram_logprob(
             6,
         ).alias("avg_logprob"),
     )
+    if not include_empty:
+        return scored.select(id_col, "n_words", "avg_logprob")
     return docs.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce("n_words", F.lit(0)).alias("n_words"),

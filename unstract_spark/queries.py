@@ -10552,19 +10552,29 @@ def ta_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     + per-partition row_number + broadcast offsets — no partition-less
     window, the r7 verdict's scale-killer); tercile cut indices come
     from a 1-row count aggregate broadcast-cross-joined, so nothing
-    touches the driver. scored fans out to three consumers and is NOT
-    checkpointed: measured 1.78 s re-executed vs 2.86 s through
-    localCheckpoint's RDD path at sf0.1 (the ex_curation_v2 lesson —
-    AQE stage reuse already dedups the shared shuffles)."""
+    touches the driver.
+
+    r13 (guide §2.4): n_words rides THROUGH the rank as a trailing
+    order key (the (avg_logprob, doc_id) order is already total, so
+    appending it changes no rank — the range_prefix contract), which
+    deletes the old doc_id join-back whose probe side re-executed the
+    whole scoring lineage; and include_empty=False drops
+    unigram_logprob's docs-keyed left join (this query filters
+    n_words > 0 anyway). scored still fans out to the count consumer
+    and is NOT checkpointed: AQE stage reuse dedups the shared
+    shuffles (measured r12: 1.78 s re-executed vs 2.86 s through
+    localCheckpoint's RDD path)."""
     from unstract_spark.operators.ranks import range_prefix
 
     d = _t(spark, sf_dir, "documents")
-    scored = text_analysis.unigram_logprob(d).filter(F.col("n_words") > 0)
+    scored = text_analysis.unigram_logprob(d, include_empty=False).filter(
+        F.col("n_words") > 0
+    )
     ranked = range_prefix(
-        scored.select("avg_logprob", "doc_id"),
-        ["avg_logprob", "doc_id"],
+        scored.select("avg_logprob", "doc_id", "n_words"),
+        ["avg_logprob", "doc_id", "n_words"],
         rank_col="rnk",
-    ).select("doc_id", "rnk")
+    )
     nrow = scored.agg(F.count(F.lit(1)).alias("n"))
     bucket = (
         F.when(F.col("rnk") <= F.floor(F.col("n") / 3), F.lit("tail"))
@@ -10572,8 +10582,7 @@ def ta_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("head"))
     )
     return (
-        scored.join(ranked, "doc_id")
-        .crossJoin(F.broadcast(nrow))
+        ranked.crossJoin(F.broadcast(nrow))
         .select(
             "doc_id",
             "n_words",
