@@ -126,9 +126,31 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-serial decoding."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+class _HuffTable:
+    """Decode table: an 8-bit lookahead LUT for codes of length <= 8
+    (the overwhelmingly common case in both the standard tables and
+    our encoder's) plus the exact (length, code) -> symbol map for the
+    9..16-bit tail. Built per DHT segment (256 + n_codes entries —
+    negligible next to one block's IDCT)."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, decode_map: dict[tuple[int, int], int]):
+        self.map = decode_map
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (ln, code), sym in decode_map.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    lut[base | suffix] = (sym, ln)
+        self.lut = lut
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Huffman decode table for bit-serial decoding."""
+    return _HuffTable(
+        {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+    )
 
 
 # ---------------------------------------------------------------------
@@ -145,44 +167,71 @@ class _BitReader:
         self.buf = 0
         self.n = 0
 
-    def _fill(self) -> None:
+    def _fill_to(self, want: int) -> None:
+        """Buffer at least `want` bits.
+
+        Bit-exact with demand-paged filling: a marker pads 1-bits per
+        F.2.2.5 WITHOUT advancing pos (so lookahead can never cross a
+        restart marker), and every padded bit equals what a later
+        on-demand read would have produced — symbols resolved from
+        peeked bits consume exactly the bits the per-bit walk would
+        have. The closing mask keeps `buf` a small int: the previous
+        spelling never cleared consumed bits, so buf grew with the
+        WHOLE entropy stream and every shift became O(stream) — the
+        decoder's hidden quadratic term (r13)."""
         d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy data")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2  # stuffed literal FF
+        L = len(d)
+        pos, buf, n = self.pos, self.buf, self.n
+        while n < want:
+            if pos >= L:
+                self.pos, self.buf, self.n = pos, buf, n
+                raise ValueError("truncated JPEG entropy data")
+            b = d[pos]
+            if b == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < L else None
+                if nxt == 0x00:
+                    pos += 2  # stuffed literal FF
+                else:
+                    # a real marker mid-read: the stream is short; pad
+                    # with 1-bits per F.2.2.5 (pos does NOT advance)
+                    buf = (buf << 8) | 0xFF
+                    n += 8
+                    continue
             else:
-                # a real marker mid-read: the stream is short; pad with
-                # 1-bits per F.2.2.5 so a final partial byte still decodes
-                self.buf = (self.buf << 8) | 0xFF
-                self.n += 8
-                return
-        else:
-            self.pos += 1
-        self.buf = (self.buf << 8) | b
-        self.n += 8
+                pos += 1
+            buf = (buf << 8) | b
+            n += 8
+        self.pos, self.buf, self.n = pos, buf & ((1 << n) - 1), n
 
     def bit(self) -> int:
         if self.n == 0:
-            self._fill()
+            self._fill_to(1)
         self.n -= 1
         return (self.buf >> self.n) & 1
 
     def receive(self, s: int) -> int:
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.bit()
-        return v
+        if s == 0:
+            return 0
+        if self.n < s:
+            self._fill_to(s)
+        self.n -= s
+        return (self.buf >> self.n) & ((1 << s) - 1)
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
+    def huff(self, table: _HuffTable) -> int:
+        if self.n < 8:
+            self._fill_to(8)
+        e = table.lut[(self.buf >> (self.n - 8)) & 0xFF]
+        if e is not None:
+            self.n -= e[1]
+            return e[0]
+        if self.n < 16:
+            self._fill_to(16)
+        v16 = (self.buf >> (self.n - 16)) & 0xFFFF
+        tmap = table.map
+        for length in range(9, 17):
+            sym = tmap.get((length, v16 >> (16 - length)))
             if sym is not None:
+                self.n -= length
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
