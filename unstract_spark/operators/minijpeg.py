@@ -690,6 +690,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop emitted bits: without the mask, buf accumulates the
+        # whole output stream and every shift goes O(stream) — the
+        # same quadratic term the decoder's reader had (r13)
+        self.buf &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
