@@ -197,13 +197,19 @@ def lsh_candidate_pairs(
         id_col, F.col("band.band_no").alias("band_no"), F.col("band.band_key").alias("band_key")
     )
     if max_bucket is not None:
-        cool = (
-            banded.groupBy("band_no", "band_key")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        # Flag-by-frequency via a window count, not groupBy +
+        # join-back (r13, the span-removal-grams lesson): ONE shuffle
+        # of banded by the band key — which is also the self-join key
+        # below, so the join reuses the partitioning — instead of
+        # re-executing the banding lineage for the count branch and
+        # paying a second join. Kept rows are identical (same
+        # per-bucket cardinality test).
+        wb = Window.partitionBy("band_no", "band_key")
+        banded = (
+            banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("bucket_n") <= max_bucket)
-            .select("band_no", "band_key")
+            .drop("bucket_n")
         )
-        banded = banded.join(cool, ["band_no", "band_key"])
     left = banded
     if left_ids is not None:
         left = banded.join(F.broadcast(left_ids.select(id_col)), id_col, "semi")
