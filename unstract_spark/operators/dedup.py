@@ -322,15 +322,16 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     ).distinct()
     if max_df is not None:
-        # document frequency per gram reuses the same shuffle key as the
-        # self-join below, so AQE plans it as one exchange reused twice
-        rare = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("gram")
+        # flag-by-frequency via a window count on the gram key (the
+        # batch-6 lsh_candidate_pairs shape): one exchange — which the
+        # self-join below needs anyway — instead of a groupBy branch
+        # plus a join-back; kept rows identical
+        wg = Window.partitionBy("gram")
+        grams = (
+            grams.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        grams = grams.join(rare, "gram")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = grams.alias("ga")
     b = grams.alias("gb")
@@ -384,13 +385,13 @@ def ngram_containment_pairs(
         ).alias("gram"),
     ).distinct()
     if max_df is not None:
-        rare = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("gram")
+        # same window-count spelling as ngram_jaccard_pairs (batch 6)
+        wg = Window.partitionBy("gram")
+        grams = (
+            grams.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        grams = grams.join(rare, "gram")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = grams.alias("ga")
     b = grams.alias("gb")
