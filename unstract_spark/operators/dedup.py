@@ -1357,9 +1357,12 @@ def bloom_maybe_seen_expr(
     the packed bitmap ``bm_col`` (a `bloom_bitmap` row crossJoined in).
     Bit derivation is IDENTICAL to bloom_filter_bits/bloom_membership
     (first 8 hex digits of md5(j:fp) mod m), so the decision matches
-    bloom_membership's ``sum(present) == k`` row for row.  ``fp_col``
-    must be non-null (a null fingerprint yields NULL, where
-    bloom_membership yields false)."""
+    bloom_membership's ``sum(present) == k`` row for row — including a
+    null fingerprint, which yields false (never seen), not NULL: the
+    probe conjunction is coalesced so that ``filter(~expr)`` KEEPS
+    null-fp rows exactly like bloom_membership's maybe_seen=false did
+    (r13 ADVICE: the bare AND chain propagated NULL and a future
+    caller with nullable fingerprints would silently drop rows)."""
     probes = []
     for j in range(k):
         bit = (
@@ -1370,7 +1373,7 @@ def bloom_maybe_seen_expr(
             f"((shiftright(coalesce(element_at({bm_col}, {bit} div 64),"
             f" CAST(0 AS BIGINT)), CAST({bit} % 64 AS INT)) & 1) = 1)"
         )
-    return F.expr(" AND ".join(probes))
+    return F.expr("coalesce(" + " AND ".join(probes) + ", false)")
 
 
 def dedup_paragraphs(

@@ -178,7 +178,16 @@ class _BitReader:
         have. The closing mask keeps `buf` a small int: the previous
         spelling never cleared consumed bits, so buf grew with the
         WHOLE entropy stream and every shift became O(stream) — the
-        decoder's hidden quadratic term (r13)."""
+        decoder's hidden quadratic term (r13).
+
+        Truncation contract (r13 ADVICE, documented): a stream whose
+        entropy data physically ends with NO trailing marker byte
+        raises here even when < 8 already-buffered bits could still
+        resolve a final short code under a per-bit walk — the eager
+        8/16-bit lookahead demands the fill up front. Well-formed
+        streams always end at a marker (FF D9), so this only raises a
+        few symbols EARLIER on malformed/truncated input; it never
+        changes a valid decode."""
         d = self.data
         L = len(d)
         pos, buf, n = self.pos, self.buf, self.n

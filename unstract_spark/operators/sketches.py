@@ -555,9 +555,9 @@ def kmv_join_size(
     # each side's sketch feeds ONLY the merge (no materialization of
     # its own — nothing re-reads them); the merged sketch is consumed
     # three times (two count joins + the final left joins), so it
-    # alone is materialized — as a bounded driver collect, keeping the
-    # two full-scan sketch jobs in whole-stage codegen (see
-    # _materialize_sketch)
+    # alone is materialized — pinned via localCheckpoint (see
+    # _materialize_sketch; the bounded-driver-collect variant was
+    # A/B'd in r13 and measured 2x slower, so it was rejected)
     merged = _materialize_sketch(
         kmv_merge(kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k)
     )
