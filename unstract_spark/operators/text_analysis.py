@@ -177,12 +177,16 @@ def repetition_features(
     of content covered by the most frequent word / word-bigram, plus
     duplicate word- and line-occurrence fractions.
 
-    Shape: explode words once, two grouped aggregations partitioned by
-    doc (bigrams pair each word with its successor via a length-offset
-    self-alignment — no window, no join: the successor is computed in
-    the same explode using posexplode + lead-free slicing). One shuffle
-    on (doc, gram); the per-doc arg-max is a max_by with deterministic
-    (count desc, gram asc) tie-break.
+    Shape: ZERO exchanges (r14 optimization round). Every statistic is
+    a function of one document's own gram multiset, and each document
+    is one input row — so the former explode -> groupBy(doc, kind,
+    gram) -> per-doc rollup (two shuffles whose first exchange carried
+    every distinct gram STRING as a grouping key) is computed per row
+    instead: sort each gram array and reduce its runs with array
+    higher-order functions (guide §1.2 first-principles / §2.4 remove
+    shuffles outright). Identical arithmetic: a run of the sorted
+    array IS a (gram, count) group, and the per-kind aggregates below
+    reproduce the old sum/count/packed-max exactly.
     """
     t = F.col(text_col)
     base = docs.select(
@@ -191,15 +195,6 @@ def repetition_features(
         F.split(t, "\n").alias("ls"),
         F.length(F.regexp_replace(t, "\\s", "")).cast("long").alias("n_word_chars"),
     )
-    # ONE pass (r13 optimization round): the word/bigram/line explodes
-    # used to be three separate consumers of `base` — three scans of
-    # the corpus, three regex splits of every document, six exchanges
-    # and two joins. Tagging each exploded item with its kind
-    # ('w'/'b'/'l') folds all three into one explode -> one
-    # (doc, kind, gram) count -> one per-doc rollup: a single scan and
-    # two exchanges, with identical arithmetic per kind (guide §2.3/2.4
-    # — aggregate before the shuffle, remove repeated passes).
-    # n_chars/n_word_chars ride along as per-doc-constant grouping keys.
     words_arr = F.filter(F.col("ws"), lambda w: w != "")
     bigram_arr = F.when(
         F.size("ws") >= 2,
@@ -209,72 +204,89 @@ def repetition_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     lines_arr = F.filter(F.col("ls"), lambda l: l != "")
-    tag = lambda arr, kind: F.transform(  # noqa: E731
-        arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
-    )
-    items = base.select(
+
+    # arg-max packs (count, coverage) into ONE long, exactly as the
+    # grouped spelling did: pack = c * 2^31 + length(g) * c
+    # = c * (2^31 + length(g)); cov < 2^31 (chars per document), so
+    # max(pack) % 2^31 is the coverage of the lexicographic (c, cov)
+    # max and the gram string cannot change the emitted value on ties.
+    _PACK = 2147483648  # 2^31
+
+    def _bind(col, f):
+        # let-binding: evaluate `col` once, reference it many times
+        # (the similarity-family idiom — nested lambdas defeat CSE)
+        return F.element_at(F.transform(F.array(col), f), 1)
+
+    def _run_stats(arr):
+        # (n_total, n_distinct, max_pack) over the string array's runs
+        def over_sorted(s):
+            starts = F.when(
+                F.size(s) == 0, F.array().cast("array<int>")
+            ).otherwise(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(s)),
+                    lambda i: (i == 1)
+                    | (
+                        F.element_at(s, i)
+                        != F.element_at(s, F.greatest(i - 1, F.lit(1)))
+                    ),
+                )
+            )
+
+            def over_starts(st):
+                packs = F.transform(
+                    st,
+                    lambda p, j: (
+                        F.coalesce(F.try_element_at(st, j + 2), F.size(s) + 1) - p
+                    ).cast("long")
+                    * (
+                        F.lit(_PACK)
+                        + F.length(F.element_at(s, p)).cast("long")
+                    ),
+                )
+                return F.struct(
+                    F.size(s).cast("long").alias("n"),
+                    F.size(st).cast("long").alias("nd"),
+                    F.array_max(packs).alias("mx"),
+                )
+
+            return _bind(starts, over_starts)
+
+        return _bind(F.sort_array(arr), over_sorted)
+
+    stats = base.select(
         F.col(id_col),
         F.col("n_word_chars"),
         F.length(F.concat_ws(" ", "ws")).cast("long").alias("n_chars"),
-        F.explode(
-            F.concat(tag(words_arr, "w"), tag(bigram_arr, "b"), tag(lines_arr, "l"))
-        ).alias("it"),
-    ).select(
-        id_col, "n_word_chars", "n_chars", F.col("it.kind").alias("kind"),
-        F.col("it.gram").alias("g"),
+        _run_stats(words_arr).alias("w"),
+        _run_stats(bigram_arr).alias("b"),
+        _run_stats(lines_arr).alias("l"),
     )
-    counts = items.groupBy(id_col, "n_word_chars", "n_chars", "kind", "g").agg(
-        F.count("*").alias("c")
-    )
-    # arg-max packs (count, coverage) into ONE long: the gram string
-    # can't change the emitted coverage on (c, cov) ties, and ANY
-    # struct-typed aggregation buffer (even all-numeric) falls back to
-    # SortAggregate — HashAggregate's mutable buffer holds primitives
-    # only (plan-audit lesson). cov < 2^31 (chars per document), so
-    # max(c * 2^31 + cov) is the lexicographic (c, cov) max.
-    _PACK = 2147483648  # 2^31
-    w = F.col("kind") == "w"
-    b = F.col("kind") == "b"
-    ln = F.col("kind") == "l"
-    stats = counts.groupBy(id_col, "n_word_chars", "n_chars").agg(
-        F.sum(F.when(w, F.col("c"))).alias("n_words"),
-        F.count(F.when(w, F.lit(1))).alias("n_distinct"),
-        (
-            F.max(F.when(w, F.col("c") * _PACK + F.length("g") * F.col("c")))
-            % _PACK
-        ).alias("w_cov"),
-        (
-            F.max(F.when(b, F.col("c") * _PACK + F.length("g") * F.col("c")))
-            % _PACK
-        ).alias("b_cov"),
-        F.sum(F.when(ln, F.col("c"))).alias("n_lines"),
-        F.sum(F.when(ln, F.lit(1))).alias("n_distinct_lines"),
-    )
-    # Row-presence parity with the three-branch spelling: a document
-    # emitted a row iff it had >= 1 word (the word branch anchored the
-    # left joins); null b_cov/n_lines reproduce the old left-join
-    # misses, and the old bstats-null n_chars denominator falls back
-    # to the same 0-valued fraction because b_cov is null with it.
-    return stats.filter(F.col("n_words").isNotNull()).select(
+    # Row-presence parity with the grouped spelling: a document emits
+    # a row iff it had >= 1 word; an empty bigram array yields null
+    # b.mx (array_max of empty) exactly where the grouped max was
+    # null, and zero lines yields (0-0)/1 = 0.0, the value the old
+    # null-coalesce produced.
+    return stats.filter(F.col("w.n") > 0).select(
         F.col(id_col),
-        F.col("n_words"),
+        F.col("w.n").alias("n_words"),
         F.round(
-            F.col("w_cov") / F.greatest(F.col("n_word_chars"), F.lit(1)), 6
+            (F.col("w.mx") % _PACK) / F.greatest(F.col("n_word_chars"), F.lit(1)),
+            6,
         ).alias("top_word_char_frac"),
         F.round(
-            F.coalesce(F.col("b_cov"), F.lit(0))
+            F.coalesce(F.col("b.mx") % _PACK, F.lit(0))
             / F.greatest(F.col("n_chars"), F.lit(1)),
             6,
         ).alias("top_bigram_char_frac"),
         F.round(
-            (F.col("n_words") - F.col("n_distinct"))
-            / F.greatest(F.col("n_words"), F.lit(1)),
+            (F.col("w.n") - F.col("w.nd")) / F.greatest(F.col("w.n"), F.lit(1)),
             6,
         ).alias("dup_word_frac"),
         F.round(
             F.coalesce(
-                (F.col("n_lines") - F.col("n_distinct_lines"))
-                / F.greatest(F.col("n_lines"), F.lit(1)),
+                (F.col("l.n") - F.col("l.nd"))
+                / F.greatest(F.col("l.n"), F.lit(1)),
                 F.lit(0.0),
             ),
             6,
