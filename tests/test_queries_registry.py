@@ -81,3 +81,21 @@ def test_every_query_runs_at_smallest_sf(spark, sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e)[:100]))
     assert not failures, failures
+
+
+def test_registry_sample_runs_at_smallest_sf(spark, sf_dir):
+    """Fast-suite twin of the all-registry sweep above (slow-marked,
+    ~9 min): execute a fixed every-12th sample of the sorted registry
+    (~25 queries spanning the operator families) so the default run
+    still catches a broken import / plan-time regression in minutes.
+    The full sweep stays in the slow set and the oracle compare
+    (tools/check_correctness.py) covers values."""
+    qs = entrymod.queries()
+    names = sorted(qs)[::12]
+    failures = []
+    for name in names:
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e)[:100]))
+    assert not failures, failures
