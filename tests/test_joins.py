@@ -486,6 +486,32 @@ def test_triangle_count_degree_ordered(spark):
     assert got == {1: 1, 2: 2, 3: 2, 4: 1, 20: 1, 21: 1, 22: 1}
 
 
+def test_triangle_count_large_graph_path_matches(spark):
+    """The size-gated join strategy (r14): broadcast_edges_max=0 forces
+    the large-graph SHUFFLE_HASH branch; counts must equal the
+    broadcast branch's and the plan must carry ShuffledHashJoin (no
+    SortMergeJoin fallback)."""
+    import contextlib
+    import io
+
+    from unstract_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (2, 3), (1, 3), (3, 4), (2, 4),
+        (20, 21), (20, 22), (21, 22),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    small = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    big_path = triangle_count(df, broadcast_edges_max=0)
+    large = {r.node: r.n_triangles for r in big_path.collect()}
+    assert small == large
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        big_path.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_changelog_apply_merge_semantics(spark):
     from unstract_spark.operators.joins import changelog_apply
 

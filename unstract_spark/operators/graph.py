@@ -145,7 +145,9 @@ def label_propagation(
     return lab.select("node", F.col("label").alias("community"))
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, broadcast_edges_max: int = 2_000_000
+) -> DataFrame:
     """Per-node TRIANGLE participation counts via degree-ordered edge
     orientation (the MapReduce-era algorithm of Suri & Vassilvitskii's
     'Counting Triangles and the Curse of the Last Reducer', WWW'11):
@@ -162,14 +164,32 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     keys; counts are exact BIGINTs, so the output hash-gates.
 
     Output: (node, n_triangles) for nodes in >= 1 triangle.
+
+    Join strategy (r14 optimization round, guide §3.1): the planner
+    sees the materialized edge RDD with an unknown size estimate and
+    defaults every equi-join here to SortMergeJoin. The edge list is
+    already materialized, so one cheap count() picks deliberately:
+    graphs with <= `broadcast_edges_max` oriented edges broadcast the
+    degree and edge sides (the deg/o frames are bounded by the edge
+    count; 2M rows of 3 longs is tens of MB framed — well inside the
+    guide's broadcast comfort zone), removing every join exchange;
+    larger graphs take SHUFFLE_HASH hints (no sort of the wedge
+    fan-out; AQE skew-join still splits oversized partitions, and the
+    per-partition build side is the O(sqrt(m))-out-degree oriented
+    edge set, not the raw adjacency). The A/B behind both choices is
+    tools_r14/ab_triangle_shj.py; results are join-strategy-invariant.
     """
     # materialize the edge list and (below) the oriented set: both are
     # consumed by MULTIPLE branches (deg x2 + orientation; wedge left/
     # right + closing), and a shared lineage re-executes per branch —
-    # the union-of-tiers rule. O(m) rows each.
+    # the union-of-tiers rule. O(m) rows each. (The no-checkpoint
+    # spelling that leans on AQE ReusedExchange was A/B'd in r14 and
+    # measured slower — the re-executed post-shuffle joins cost more
+    # than the checkpoints' RDD-path pass on the tiny edge frame.)
     e = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).localCheckpoint(eager=True)
+    small = e.count() <= broadcast_edges_max  # bounded-scalar job on the RDD
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -178,6 +198,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    if small:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -200,6 +222,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("src").alias("a2"), F.col("dst").alias("c"),
         F.col("dd").alias("dc"),
     )
+    o2 = F.broadcast(o2) if small else o2.hint("shuffle_hash")
     wedges = o1.join(o2, o1["a"] == o2["a2"]).filter(
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
@@ -207,6 +230,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = o.select(
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
+    closing = F.broadcast(closing) if small else closing.hint("shuffle_hash")
     tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     nodes = (
         tris.select(F.col("a").alias("node"))
