@@ -201,6 +201,17 @@ def test_kmv_join_size_exact_below_k(spark):
     assert r.est_join_rows == 60.0
 
 
+def test_kmv_join_size_self_pair_fast_path_matches(spark):
+    """The r14 self-pair fast path (same DataFrame object, same key:
+    one sketch, counts aliased) must emit exactly the rows the general
+    two-sided spelling emits for the same logical inputs. Forcing the
+    general path with a .select('*') clone of the same frame."""
+    a = _vals(spark, 1_000).unionAll(_vals(spark, 300))  # skewed counts
+    fast = sketches.kmv_join_size(a, "s", a, "s", k=256).collect()[0]
+    general = sketches.kmv_join_size(a, "s", a.select("*"), "s", k=256).collect()[0]
+    assert tuple(fast) == tuple(general)
+
+
 def test_kmv_join_size_empty_side(spark):
     a = _vals(spark, 0)
     b = _vals(spark, 10)

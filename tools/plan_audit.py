@@ -23,6 +23,11 @@ anti-patterns that have bitten this engine at scale:
                               operators.ranks.range_prefix instead
 - Exchange count              informational; every exchange is a
                               shuffle to justify
+- BatchEvalPython             row-at-a-time pickled Python UDF (guide
+                              §4.1/§4.3) — the engine's Python paths
+                              are Arrow-batched (ArrowEvalPython /
+                              MapInPandas / MapInArrow are fine), so a
+                              BatchEvalPython node is a regression
 
 Exit code 1 if any query trips a flag, so the audit can gate CI.
 """
@@ -111,6 +116,11 @@ def audit_plan(simple: str, formatted: str = "") -> tuple[list[str], dict[str, i
         if m.group(1) == "true":
             flags.append("global Sort (full-dataset ordering)")
             break
+    if "BatchEvalPython" in simple:
+        flags.append(
+            "BatchEvalPython (row-at-a-time pickled UDF — use Arrow: "
+            "useArrow=True / pandas_udf / mapInArrow)"
+        )
     if _has_partitionless_window(simple):
         flags.append(
             "partition-less Window (single-task full-input window — "

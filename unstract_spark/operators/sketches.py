@@ -552,15 +552,28 @@ def kmv_join_size(
     hb = dfb.where(F.col(key_b).isNotNull()).select(
         md5_hash60(F.col(key_b)).alias("h")
     )
+    # self-pair fast path (r14 optimization round, guide §1.2 "don't
+    # compute things you throw away"): estimating a relation's join
+    # with ITSELF on the same key (the M:N self-pair a planner prices
+    # before salting) would otherwise build the identical sketch twice
+    # and run the identical count scan twice. kmv_merge(s, s) == s
+    # (union + distinct + re-min of a set with itself) and c_b == c_a
+    # row for row, so sketch and counts are computed once and c_b is
+    # aliased from c_a. Same rows out, half the input passes.
+    self_pair = dfa is dfb and key_a == key_b
+
     # each side's sketch feeds ONLY the merge (no materialization of
     # its own — nothing re-reads them); the merged sketch is consumed
     # three times (two count joins + the final left joins), so it
     # alone is materialized — pinned via localCheckpoint (see
     # _materialize_sketch; the bounded-driver-collect variant was
     # A/B'd in r13 and measured 2x slower, so it was rejected)
-    merged = _materialize_sketch(
-        kmv_merge(kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k)
-    )
+    if self_pair:
+        merged = _materialize_sketch(kmv_sketch(dfa, key_a, k))
+    else:
+        merged = _materialize_sketch(
+            kmv_merge(kmv_sketch(dfa, key_a, k), kmv_sketch(dfb, key_b, k), k=k)
+        )
 
     def counts(hashed: DataFrame, alias: str) -> DataFrame:
         return (
@@ -573,9 +586,14 @@ def kmv_join_size(
     # sample keys) — pin BuildRight broadcasts so the closing left
     # joins never plan as SortMergeJoin (the pre-AQE size estimate of
     # a post-join aggregate is the full scan's, r13 plan audit)
-    joined = merged.join(F.broadcast(counts(ha, "c_a")), "h", "left").join(
-        F.broadcast(counts(hb, "c_b")), "h", "left"
-    )
+    if self_pair:
+        joined = merged.join(
+            F.broadcast(counts(ha, "c_a")), "h", "left"
+        ).withColumn("c_b", F.col("c_a"))
+    else:
+        joined = merged.join(F.broadcast(counts(ha, "c_a")), "h", "left").join(
+            F.broadcast(counts(hb, "c_b")), "h", "left"
+        )
     stats = joined.agg(
         F.count(F.lit(1)).alias("n_merged"),
         F.max("h").alias("kth_hash"),

@@ -177,21 +177,30 @@ def _davg(col, scale: int = 4):
 
 # Per-round manual input: queries whose semantics changed this round.
 _CHANGED_THIS_ROUND = [
-    # r13: dq_expectations moved to the shared-exchange keyed plan
-    # (one l_orderkey exchange replaces the distinct-tuple shuffle +
-    # the second anti-join shuffle); output identical, re-gate.
-    "dq_expectations",
-    # r13: ta_feature_hash's (doc, bucket) aggregation became a
-    # zero-exchange mapInPandas pass (docs never split across scan
-    # tasks); output multiset identical, re-gate.
-    "ta_feature_hash",
-    # r13: remove_duplicated_spans — gram-count window sort key now
-    # leads with xxhash64(gram) (longs compare before strings), and
-    # the kept-pieces union carries the Spark-4.1
-    # unionOutputPartitioning zip-crash shield; outputs identical,
-    # plans changed — re-gate both consumers.
-    "dd_span_removal",
-    "ex_curation_v2",
+    # r14: repetition_features moved from the two-exchange grouped
+    # spelling to the per-row sorted-array run-length reduction;
+    # output identical, re-gate.
+    "ta_repetition",
+    # r14: triangle_count picks its join strategy from a bounded edge
+    # count (broadcast small / SHUFFLE_HASH large); output identical,
+    # re-gate.
+    "graph_triangle_counts",
+    # r13 semantics-adjacent rewrites the r13 driver sample did not
+    # cover (r13 VERDICT "What's wrong" item 4 asks r14 to front-load
+    # them so the output-identity claims get an independent driver
+    # gate): contamination pre-join-distinct drop, perplexity rank
+    # carry, span-removal union collapse consumers, minhash-skew
+    # window guard, ANN constant-fold family, JPEG codec rows.
+    "dd_contamination",
+    "ta_perplexity_buckets",
+    "ta_unigram_logprob",
+    "ex_curation_web",
+    "ex_curation_e2e",
+    "dd_minhash_skew",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "mm_jpeg_features",
+    "mm_video_features",
 ]
 
 
