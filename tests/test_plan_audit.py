@@ -13,14 +13,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import pytest  # noqa: E402
+
 from tools.plan_audit import audit_plan  # noqa: E402
 
 
-def test_registry_plans_free_of_scale_antipatterns(spark, sf_dir):
+def _audit(spark, sf_dir, names):
     from unstract_spark.queries import _REGISTRY
 
     failures = []
-    for name, (fn, _sql) in _REGISTRY.items():
+    for name in names:
+        fn = _REGISTRY[name][0]
         try:
             df = fn(spark, sf_dir)
             qe = df._jdf.queryExecution()
@@ -32,3 +35,20 @@ def test_registry_plans_free_of_scale_antipatterns(spark, sf_dir):
         if flags:
             failures.append((name, "; ".join(flags)))
     assert not failures, failures
+
+
+def test_bench_plans_free_of_scale_antipatterns(spark, sf_dir):
+    """Fast-suite gate: the 98 bench rows (the perf surface)."""
+    import bench
+
+    _audit(spark, sf_dir, list(bench.BENCH_QUERIES))
+
+
+@pytest.mark.slow
+def test_registry_plans_free_of_scale_antipatterns(spark, sf_dir):
+    """Full 292-row audit (~5.5 min: capstone builds execute their
+    eager checkpoints) — slow set; the fast gate above covers the
+    bench surface every run."""
+    from unstract_spark.queries import _REGISTRY
+
+    _audit(spark, sf_dir, list(_REGISTRY))
