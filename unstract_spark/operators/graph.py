@@ -29,6 +29,7 @@ def pagerank_fixed(
     src: str = "src",
     dst: str = "dst",
     undirected: bool = True,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """(node, pr_fixed) after `iters` rounds of integer PageRank with
     damping exactly 7/8.  Nodes are whatever `src`/`dst` hold; for
@@ -44,7 +45,16 @@ def pagerank_fixed(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
     e = e.distinct().localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize deg ONCE (r14): it is both counted (n_val) and the
+    # initial rank state, and the un-materialized groupBy executed
+    # twice (count + the old eager p checkpoint). The initial p is now
+    # a cheap projection over the materialized deg — no second
+    # checkpoint, no second aggregation.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     # Node count to the driver ONCE (one scalar — the bounded-collect
     # contract) and degree folded INTO the rank state (r13): the old
     # round plan re-derived deg from e (an extra shuffle aggregate),
@@ -52,27 +62,35 @@ def pagerank_fixed(
     # 1-row n aggregate every round. Same integer arithmetic, one
     # join + one aggregate fewer per iteration (guide §2.4).
     n_val = deg.count()
-    p = (
-        deg.select(
-            F.col("src").alias("node"),
-            "deg",
-            F.lit(SCALE // max(n_val, 1)).cast("long").alias("p"),
-        )
-        .localCheckpoint(eager=True)
+    # Join strategy per round (r14, guide §3.1): the rank state and
+    # the per-round contribution table are both <= n rows; when n is
+    # broadcastable the edge list never shuffles — each round is one
+    # broadcast join + one aggregation exchange + one broadcast update
+    # join instead of three exchanges. Past the threshold the shape
+    # falls back to the planner's shuffle joins unchanged.
+    small = n_val <= broadcast_nodes_max
+    p = deg.select(
+        F.col("src").alias("node"),
+        "deg",
+        F.lit(SCALE // max(n_val, 1)).cast("long").alias("p"),
     )
     base = SCALE // (8 * max(n_val, 1))
     for _ in range(max(iters, 0)):
+        p_src = p.select(F.col("node").alias("src"), "p", "deg")
+        if small:
+            p_src = F.broadcast(p_src)
         contrib = (
-            e.join(
-                p.select(F.col("node").alias("src"), "p", "deg"), "src"
-            )
+            e.join(p_src, "src")
             .select("dst", F.expr("p div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        upd = contrib.withColumnRenamed("dst", "node")
+        if small:
+            upd = F.broadcast(upd)
         p = (
             p.select("node", "deg")
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .join(upd, "node", "left")
             .select(
                 "node",
                 "deg",
